@@ -1,0 +1,72 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The per-query timing is wall clock of plan execution + result
+materialization (count only — the driver compares engine throughput, not
+driver-side collect cost). A warmup pass on sf0.001 primes the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rearview_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan-agg, join, window, pandas-UDF,
+# dedup, similarity, text). Full coverage runs in the correctness gate.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top3_parts_per_brand",
+    "latest_order_per_customer",
+    "ts_hourly_summarize",
+    "ts_moving_average",
+    "ts_as_percent",
+    "ts_ema",
+    "doc_text_features",
+    "dedup_minhash_lsh",
+    "sim_brute_force_topk",
+]
+
+
+def main() -> None:
+    from rearview_spark.plans import all_queries
+
+    spark = get_spark("rearview_bench")
+    qs = all_queries()
+
+    # warmup: prime JVM/codegen on the smallest SF
+    for name in ("q1_pricing_summary", "ts_hourly_summarize"):
+        qs[name]["fn"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]["fn"]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+North-star extensions (BASELINE.json) for training-data pipelines. Design
+for 100 TB:
+
+- **exact**: hash-groupBy on a 128-bit fingerprint of normalized text —
+  one shuffle keyed by the fingerprint; the canonical representative is
+  ``min(doc_id)`` (deterministic).
+- **MinHash+LSH**: the scalable near-dup path. Per-doc signatures are a
+  narrow map (shingle → 60-bit hash → per-permutation min, all inside one
+  JVM projection over arrays — no explode, no Python). LSH banding turns
+  the O(n²) pair space into groupBy(band_hash) buckets: only docs sharing
+  a band collide, so the shuffle is proportional to candidate pairs, not
+  n². Verified Jaccard is then computed only for candidates.
+- **n-gram Jaccard**: exact pairwise scores via an inverted shingle index
+  (explode + self-join on shingle). Quadratic in the worst case — the
+  *verification* primitive, not the discovery path at scale.
+- **SimHash**: 16-bit sign-sum signature; near-dups = signatures within
+  Hamming distance k. Hamming-ball probing (generate the k-bit flips)
+  keeps lookup a hash join rather than a cross join.
+
+All hashing is md5-prefix-based (``conv(substr(md5(x),1,15),16,10)``) so a
+SQL oracle can reproduce every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.text import normalize_text, tokens
+
+# Fixed, public hash-mixing constants (string salts keep the scheme
+# reproducible in any engine with md5).
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 16 hashes / 4 bands = 4 rows per band
+
+
+def _hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string via md5 prefix —
+    reproducible in DuckDB as CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text -> array<string>.
+    Documents shorter than n tokens contribute their full text as the
+    single shingle."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by exact normalized-text fingerprint. Returns one row
+    per fingerprint: canonical id (min), group size — the dedup decision
+    table. One shuffle on the 128-bit key; skew-free (hash keys)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep only the canonical (min-id) row per fingerprint."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``sig: array<long>`` of length
+    ``num_hashes``. Permutation k is md5(shingle || ':k'); the signature
+    element is the min over shingles — computed entirely inside one array
+    expression (no explode, no shuffle)."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, k=k: _hash60(F.concat(s, F.lit(f":{k}"))))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (id_a < id_b) sharing at
+    least one band. The per-band bucket join is the scale path: shuffle is
+    keyed on (band_idx, band_hash) so only colliding docs meet."""
+    rows = num_hashes // bands
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates → exact
+    Jaccard verification on candidates only. Returns (id_a, id_b, jaccard)
+    with jaccard >= threshold."""
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select("id_a", "id_b", F.round(inter / union + F.lit(5e-10), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index pairwise)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All pairs with Jaccard(word-n-gram sets) >= threshold, via an
+    inverted shingle index: explode → self-join on shingle → count common
+    → Jaccard. Exact but worst-case quadratic; at scale prefer
+    :func:`minhash_near_duplicates` and use this to verify candidates."""
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = shingled.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.select("id_a", "id_b", F.round(jac + F.lit(5e-10), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """``bits``-wide SimHash over tokens: bit j of the signature is 1 iff
+    the sum over tokens of (+1 if bit j of hash(token) else -1) is > 0.
+    Pure array arithmetic (no explode)."""
+    toks = tokens(F.col(text_col))
+    h = F.transform(toks, _hash60)
+
+    def _vote(j: int):
+        # closure factory: a 2-arg lambda would make F.transform pass the
+        # element *index* as the second arg, shadowing j
+        mask = F.lit(1 << j)
+        return lambda x: F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        votes = F.transform(h, _vote(j))
+        s = F.aggregate(votes, F.lit(0), lambda acc, v: acc + v)
+        bit_cols.append(F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs whose SimHash signatures differ in <= max_hamming bits.
+    Self-join on the signature table with bit_count(xor) filter — fine at
+    dimension-table size; at 100 TB, split the signature into
+    (max_hamming+1) chunks and hash-join on exact chunk matches
+    (pigeonhole) before verifying."""
+    sigs = simhash_signature(df, text_col, id_col, bits)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

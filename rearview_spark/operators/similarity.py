@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension (BASELINE.json). Two tiers:
+
+- **Brute-force cosine top-k** — the exactness baseline. Queries are a
+  small set broadcast against the corpus; the dot product runs JVM-side
+  via ``zip_with`` + ``aggregate`` (no Python, no explode). One pass over
+  the corpus per query batch; at 100 TB the corpus side stays partitioned
+  and the query side broadcasts.
+- **IVF (inverted-file) search** — the scale path: corpus is bucketed by a
+  coarse quantizer (here: nearest of the per-`label` centroids, computed
+  with one groupBy; at production scale, k-means iterations of the same
+  shape). Probing ``nprobe`` nearest centroids prunes the scan to a few
+  buckets — turning top-k from a full scan into a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two double arrays (null-safe on zero norms)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0, None).otherwise(_dot(a, b) / denom)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. Returns (query_id, vec_id, cosine_sim, rank).
+    Excludes self-matches. Ties broken by vec_id for determinism."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(5e-10), 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Element-wise mean vector per label — the coarse quantizer codebook.
+    posexplode + groupBy(label, pos) keeps the shuffle narrow (one row per
+    (label, dimension)), then re-assembles with array_agg ordered by pos."""
+    exploded = corpus.select(
+        label_col, F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    means = exploded.groupBy(label_col, "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(label_col, F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest label-centroids per
+    query, then exact cosine within those buckets only. The corpus scan is
+    pruned to nprobe/n_labels of the data — the 100 TB strategy (store the
+    corpus partitioned by bucket id → partition pruning does the rest)."""
+    from pyspark.sql import Window
+
+    cents = label_centroids(corpus, vec_col, label_col)
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    # nearest nprobe centroids per query (tiny cross join: |labels| x |queries|)
+    qc = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", label_col, cosine(F.col("qv"), F.col("centroid")).alias("csim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col(label_col))
+    probes = qc.withColumn("r", F.row_number().over(wq)).filter(F.col("r") <= nprobe).select(
+        "query_id", "qv", label_col
+    )
+    c = corpus.select(F.col(id_col), F.col(label_col), _as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.join(F.broadcast(probes), label_col)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(5e-10), 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

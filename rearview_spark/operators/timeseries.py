@@ -1,0 +1,662 @@
+"""Graphite render-function semantics as native DataFrame operators.
+
+The reference ships each monitor's target expressions verbatim to Graphite's
+``/render`` endpoint and consumes the evaluated series (reference:
+db/schema.rb:65,67-68; README.md:6; Gemfile.lock:162-163 — SURVEY.md §2.1).
+Our engine owns its storage, so every render function the 0.9.x API exposes
+is re-expressed here as a pure ``DataFrame -> DataFrame`` transform over the
+canonical tall shape::
+
+    metric: string, ts: timestamp, value: double (nullable)
+
+Null semantics follow Graphite (SURVEY.md §5.2 / §7 hard-parts list):
+nulls are *preserved* through per-point transforms (scale of null is null),
+aggregating combines *skip* nulls (sum of [1, null] is 1, sum of
+[null, null] is null), and point-to-point functions (derivative) null out
+across gaps.
+
+Everything here stays JVM-side (whole-stage codegen) except the
+order-dependent recurrences (EMA, linear interpolation, Holt-Winters),
+which are grouped-map pandas UDFs per metric — the one place Catalyst has
+no primitive (SURVEY.md §4.2).
+
+Scale notes:
+- Per-series window functions shuffle once on ``metric`` and then stay
+  partitioned; chains of window ops over the same (partitionBy, orderBy)
+  reuse the exchange — Catalyst collapses adjacent Window nodes.
+- Point-wise combines (`groupBy("ts")`) shuffle on ``ts``; at 100 TB the
+  metrics table is date-partitioned so the shuffle is bounded per day.
+- Percentile thresholds (G18) compute per-series scalars first and
+  broadcast-join them back rather than windowing over the full fact table.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Canonical column names.
+METRIC, TS, VALUE = "metric", "ts", "value"
+
+def _series_win():
+    # built lazily: Window column construction needs an active session
+    return Window.partitionBy(METRIC).orderBy(TS)
+
+
+def _value(df: DataFrame, col: Column) -> DataFrame:
+    """Replace the value column, preserving canonical column order."""
+    return df.withColumn(VALUE, col.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# G1/G2/G4 — series selection & window fetch
+# ---------------------------------------------------------------------------
+
+def select_metric(ts: DataFrame, name: str) -> DataFrame:
+    """G1 — exact metric-path scan. Partition-/bucket-prunable filter."""
+    return ts.filter(F.col(METRIC) == F.lit(name))
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Translate a Graphite glob (``stats.*.cpu.{user,sys}``, ``[0-9]``)
+    into an anchored Java regex. ``*`` does not cross dots (Graphite
+    wildcards match one path node)."""
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "*":
+            out.append("[^.]*")
+        elif c == "?":
+            out.append("[^.]")
+        elif c == "{":
+            j = pattern.index("}", i)
+            alts = pattern[i + 1 : j].split(",")
+            out.append("(" + "|".join(re.escape(a) for a in alts) + ")")
+            i = j
+        elif c == "[":
+            j = pattern.index("]", i)
+            out.append(pattern[i : j + 1])
+            i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def select_glob(ts: DataFrame, pattern: str) -> DataFrame:
+    """G2 — glob/wildcard series selection."""
+    if not any(ch in pattern for ch in "*?{["):
+        return select_metric(ts, pattern)
+    return ts.filter(F.col(METRIC).rlike(glob_to_regex(pattern)))
+
+
+def window_fetch(ts: DataFrame, lo, hi) -> DataFrame:
+    """G4 — restrict to ``[lo, hi]`` (maps jobs.minutes/to_date,
+    db/schema.rb:67-68). Pushed down to the parquet scan."""
+    return ts.filter(F.col(TS).between(F.lit(lo), F.lit(hi)))
+
+
+# ---------------------------------------------------------------------------
+# G5 — point-wise combines across series
+# ---------------------------------------------------------------------------
+
+def _combine(ts: DataFrame, agg: Column, name: str) -> DataFrame:
+    return (
+        ts.groupBy(TS)
+        .agg(agg.alias(VALUE))
+        .select(F.lit(name).alias(METRIC), F.col(TS), F.col(VALUE).cast("double"))
+    )
+
+
+def sum_series(ts: DataFrame, name: str = "sumSeries") -> DataFrame:
+    """G5 — point-wise sum across series; nulls skipped, all-null ts -> null
+    (Spark ``sum`` semantics match Graphite safeSum)."""
+    return _combine(ts, F.sum(VALUE), name)
+
+
+def average_series(ts: DataFrame, name: str = "averageSeries") -> DataFrame:
+    return _combine(ts, F.avg(VALUE), name)
+
+
+def min_series(ts: DataFrame, name: str = "minSeries") -> DataFrame:
+    return _combine(ts, F.min(VALUE), name)
+
+
+def max_series(ts: DataFrame, name: str = "maxSeries") -> DataFrame:
+    return _combine(ts, F.max(VALUE), name)
+
+
+def range_of_series(ts: DataFrame, name: str = "rangeOfSeries") -> DataFrame:
+    return _combine(ts, F.max(VALUE) - F.min(VALUE), name)
+
+
+def count_series(ts: DataFrame, name: str = "countSeries") -> DataFrame:
+    """G5 — number of series present per ts (Graphite counts series, nulls
+    included: it counts the series list length). We count distinct metrics
+    carrying a row at that ts."""
+    return _combine(ts, F.count(METRIC).cast("double"), name)
+
+
+def multiply_series(ts: DataFrame, name: str = "multiplySeries") -> DataFrame:
+    """G5 — point-wise product. No product aggregate in Spark; compose as
+    sign-aware exp(sum(log(abs))) entirely JVM-side. Null if any input at
+    that ts is null (Graphite safeMul semantics: None if any None)."""
+    has_null = F.max(F.col(VALUE).isNull().cast("int")) == 1
+    any_zero = F.max((F.col(VALUE) == 0).cast("int")) == 1
+    neg_cnt = F.sum(F.when(F.col(VALUE) < 0, 1).otherwise(0))
+    magnitude = F.exp(F.sum(F.log(F.abs(F.col(VALUE)))))
+    sign = F.when(neg_cnt % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    prod = (
+        F.when(has_null, F.lit(None).cast("double"))
+        .when(any_zero, F.lit(0.0))
+        .otherwise(sign * magnitude)
+    )
+    return _combine(ts, prod, name)
+
+
+def diff_series(ts: DataFrame, first_metric: str, name: str = "diffSeries") -> DataFrame:
+    """G6 — ``first - sum(rest)`` point-wise. Graphite safeDiff: None inputs
+    are treated as absent (0) unless *all* are None."""
+    role = F.when(F.col(METRIC) == first_metric, F.col(VALUE)).otherwise(None)
+    rest = F.when(F.col(METRIC) != first_metric, F.col(VALUE)).otherwise(None)
+    agg = F.when(
+        F.count(VALUE) == 0, F.lit(None).cast("double")
+    ).otherwise(F.coalesce(F.sum(role), F.lit(0.0)) - F.coalesce(F.sum(rest), F.lit(0.0)))
+    return _combine(ts, agg, name)
+
+
+def divide_series(ts: DataFrame, dividend: str, divisor: str, name: str = "divideSeries") -> DataFrame:
+    """G7 — point-wise ratio of two named series; null-safe, null on /0
+    (Graphite safeDiv)."""
+    num = F.max(F.when(F.col(METRIC) == dividend, F.col(VALUE)))
+    den = F.max(F.when(F.col(METRIC) == divisor, F.col(VALUE)))
+    agg = F.when(den == 0, F.lit(None).cast("double")).otherwise(num / den)
+    return _combine(ts, agg, name)
+
+
+def as_percent(ts: DataFrame) -> DataFrame:
+    """G8 — each series as % of the per-ts total. Null when total is 0
+    (Graphite safeDiv by zero -> None). Single shuffle on ts via window."""
+    total = F.sum(VALUE).over(Window.partitionBy(TS))
+    pct = F.when(total == 0, F.lit(None).cast("double")).otherwise(F.col(VALUE) / total * 100.0)
+    return _value(ts, pct)
+
+
+def percentile_of_series(ts: DataFrame, n: float, name: str | None = None) -> DataFrame:
+    """G25 — point-wise exact percentile across series (linear
+    interpolation, matches DuckDB quantile_cont)."""
+    return _combine(
+        ts, F.expr(f"percentile(value, {n / 100.0})"), name or f"percentileOfSeries_{n:g}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# G9 — scalar math per point (null in -> null out, pure codegen)
+# ---------------------------------------------------------------------------
+
+def scale(ts: DataFrame, k: float) -> DataFrame:
+    return _value(ts, F.col(VALUE) * F.lit(float(k)))
+
+
+def offset(ts: DataFrame, k: float) -> DataFrame:
+    return _value(ts, F.col(VALUE) + F.lit(float(k)))
+
+
+def absolute(ts: DataFrame) -> DataFrame:
+    return _value(ts, F.abs(F.col(VALUE)))
+
+
+def invert(ts: DataFrame) -> DataFrame:
+    """1/x; null on 0 (Graphite safeDiv)."""
+    return _value(ts, F.when(F.col(VALUE) == 0, None).otherwise(1.0 / F.col(VALUE)))
+
+
+def logarithm(ts: DataFrame, base: float = 10.0) -> DataFrame:
+    """log_base(x); Graphite nulls non-positive points."""
+    return _value(ts, F.when(F.col(VALUE) > 0, F.log(float(base), F.col(VALUE))).otherwise(None))
+
+
+def pow_(ts: DataFrame, k: float) -> DataFrame:
+    return _value(ts, F.pow(F.col(VALUE), F.lit(float(k))))
+
+
+def square_root(ts: DataFrame) -> DataFrame:
+    return _value(ts, F.when(F.col(VALUE) >= 0, F.sqrt(F.col(VALUE))).otherwise(None))
+
+
+# ---------------------------------------------------------------------------
+# G10/G11 — deltas and running totals (per-series ordered windows)
+# ---------------------------------------------------------------------------
+
+def derivative(ts: DataFrame) -> DataFrame:
+    """G10 — point-to-point delta; null across gaps and at the first point
+    (lag of either side null -> null, exactly Graphite)."""
+    return _value(ts, F.col(VALUE) - F.lag(VALUE).over(_series_win()))
+
+
+def per_second(ts: DataFrame, step_seconds: int) -> DataFrame:
+    """G10 — derivative divided by the series step."""
+    delta = F.col(VALUE) - F.lag(VALUE).over(_series_win())
+    return _value(ts, delta / F.lit(float(step_seconds)))
+
+
+def non_negative_derivative(ts: DataFrame) -> DataFrame:
+    """G10 — delta, with counter resets (negative deltas) nulled."""
+    delta = F.col(VALUE) - F.lag(VALUE).over(_series_win())
+    return _value(ts, F.when(delta >= 0, delta).otherwise(None))
+
+
+def integral(ts: DataFrame) -> DataFrame:
+    """G11 — running cumulative sum per series; null points contribute 0 but
+    remain null in the output? Graphite: output keeps running total at
+    non-null points and emits None at null points."""
+    running = F.sum(VALUE).over(_series_win().rowsBetween(Window.unboundedPreceding, 0))
+    return _value(ts, F.when(F.col(VALUE).isNull(), None).otherwise(running))
+
+
+# ---------------------------------------------------------------------------
+# G12/G13 — trailing-window statistics
+# ---------------------------------------------------------------------------
+
+def _trailing(n: int):
+    return _series_win().rowsBetween(-(n - 1), 0)
+
+
+def moving_average(ts: DataFrame, n: int) -> DataFrame:
+    """G12 — trailing n-point mean, nulls skipped (Graphite safeAvg over
+    the window; all-null window -> null)."""
+    return _value(ts, F.avg(VALUE).over(_trailing(n)))
+
+
+def moving_sum(ts: DataFrame, n: int) -> DataFrame:
+    return _value(ts, F.sum(VALUE).over(_trailing(n)))
+
+
+def moving_min(ts: DataFrame, n: int) -> DataFrame:
+    return _value(ts, F.min(VALUE).over(_trailing(n)))
+
+
+def moving_max(ts: DataFrame, n: int) -> DataFrame:
+    return _value(ts, F.max(VALUE).over(_trailing(n)))
+
+
+def moving_median(ts: DataFrame, n: int) -> DataFrame:
+    """G12 — trailing exact median (percentile 0.5, linear interpolation)."""
+    return _value(ts, F.expr("percentile(value, 0.5)").over(_trailing(n)))
+
+
+def stdev(ts: DataFrame, n: int) -> DataFrame:
+    """G13 — trailing sample stddev (Graphite uses population stddev; it
+    computes sqrt(sum_sq/len - mean^2) -> population). Use stddev_pop."""
+    return _value(ts, F.stddev_pop(VALUE).over(_trailing(n)))
+
+
+def exponential_moving_average(ts: DataFrame, n: int) -> DataFrame:
+    """G13 — EMA with alpha = 2/(n+1). Order-dependent recurrence: no
+    Catalyst primitive, so grouped-map pandas UDF per metric
+    (SURVEY.md §4.2 #2). Sorts within group; group size is bounded by the
+    monitor window in the parity path."""
+    alpha = 2.0 / (n + 1.0)
+    schema = "metric string, ts timestamp, value double"
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TS)
+        pdf[VALUE] = pdf[VALUE].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[[METRIC, TS, VALUE]]
+
+    return ts.select(METRIC, TS, VALUE).groupBy(METRIC).applyInPandas(ema, schema)
+
+
+# ---------------------------------------------------------------------------
+# G14/G15/G16 — time shifting and re-aggregation
+# ---------------------------------------------------------------------------
+
+def time_shift(ts: DataFrame, interval: str) -> DataFrame:
+    """G14 — shift timestamps forward by ``interval`` (e.g. '1 day': the
+    series from 1 day ago is presented at current timestamps, Graphite's
+    timeShift("-1d"))."""
+    return ts.withColumn(TS, F.col(TS) + F.expr(f"INTERVAL {interval}"))
+
+
+def time_slice(ts: DataFrame, lo, hi) -> DataFrame:
+    """G14 — null out points outside [lo, hi] (Graphite keeps the points
+    but blanks values)."""
+    inside = F.col(TS).between(F.lit(lo), F.lit(hi))
+    return _value(ts, F.when(inside, F.col(VALUE)).otherwise(None))
+
+
+_AGG_FNS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "average": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "count": lambda c: F.count(c).cast("double"),
+}
+
+
+def summarize(ts: DataFrame, interval: str, fn: str = "sum") -> DataFrame:
+    """G15 — tumbling re-aggregation to a coarser step. The bucket label is
+    the window *start* (Graphite buckets align to interval boundaries).
+
+    Map-side partial aggregation applies (hash agg before shuffle), so at
+    100 TB this is one bounded shuffle on (metric, bucket)."""
+    agg = _AGG_FNS[fn.lower()](VALUE)
+    return (
+        ts.groupBy(METRIC, F.window(TS, interval).alias("w"))
+        .agg(agg.alias(VALUE))
+        .select(METRIC, F.col("w.start").alias(TS), F.col(VALUE).cast("double"))
+    )
+
+
+def hitcount(ts: DataFrame, interval: str, step_seconds: int) -> DataFrame:
+    """G16 — integral per bucket: sum(value * step) — converts a rate back
+    to a count of events per bucket."""
+    return (
+        ts.groupBy(METRIC, F.window(TS, interval).alias("w"))
+        .agg((F.sum(VALUE) * F.lit(float(step_seconds))).alias(VALUE))
+        .select(METRIC, F.col("w.start").alias(TS), F.col(VALUE).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G17 — null handling
+# ---------------------------------------------------------------------------
+
+def transform_null(ts: DataFrame, default: float = 0.0) -> DataFrame:
+    return _value(ts, F.coalesce(F.col(VALUE), F.lit(float(default))))
+
+
+def keep_last_value(ts: DataFrame, limit: int | None = None) -> DataFrame:
+    """G17 — last-observation-carried-forward per series. ``limit`` bounds
+    how many consecutive nulls may be filled (Graphite semantics)."""
+    locf = F.last(VALUE, ignorenulls=True).over(
+        _series_win().rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if limit is None:
+        return _value(ts, locf)
+    # Distance since last non-null: rows since the max row_number that held
+    # a value. Null runs longer than `limit` stay null.
+    rn = F.row_number().over(_series_win())
+    last_valued_rn = F.max(F.when(F.col(VALUE).isNotNull(), rn)).over(
+        _series_win().rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = rn - last_valued_rn
+    filled = F.when(F.col(VALUE).isNotNull(), F.col(VALUE)).when(gap <= limit, locf)
+    return _value(ts, filled)
+
+
+def interpolate(ts: DataFrame) -> DataFrame:
+    """G17 — linear interpolation across interior null gaps (leading and
+    trailing nulls stay null). Order-dependent -> pandas UDF per metric."""
+    schema = "metric string, ts timestamp, value double"
+
+    def interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TS)
+        pdf[VALUE] = pdf[VALUE].interpolate(method="linear", limit_area="inside")
+        return pdf[[METRIC, TS, VALUE]]
+
+    return ts.select(METRIC, TS, VALUE).groupBy(METRIC).applyInPandas(interp, schema)
+
+
+# ---------------------------------------------------------------------------
+# G18 — point filtering / clipping
+# ---------------------------------------------------------------------------
+
+def remove_above_value(ts: DataFrame, v: float) -> DataFrame:
+    return _value(ts, F.when(F.col(VALUE) <= v, F.col(VALUE)).otherwise(None))
+
+
+def remove_below_value(ts: DataFrame, v: float) -> DataFrame:
+    return _value(ts, F.when(F.col(VALUE) >= v, F.col(VALUE)).otherwise(None))
+
+
+def clamp(ts: DataFrame, lo: float | None = None, hi: float | None = None) -> DataFrame:
+    col = F.col(VALUE)
+    if lo is not None:
+        col = F.greatest(col, F.lit(float(lo)))
+    if hi is not None:
+        col = F.least(col, F.lit(float(hi)))
+    return _value(ts, col)
+
+
+def _per_series_percentile(ts: DataFrame, n: float) -> DataFrame:
+    return ts.groupBy(METRIC).agg(
+        F.expr(f"percentile(value, {n / 100.0})").alias("_thresh")
+    )
+
+
+def remove_above_percentile(ts: DataFrame, n: float) -> DataFrame:
+    """G18 — null points above each series' own nth percentile. The
+    per-series threshold is a tiny aggregate broadcast back (no windowed
+    percentile over the fact table)."""
+    th = _per_series_percentile(ts, n)
+    joined = ts.join(F.broadcast(th), METRIC)
+    return _value(joined, F.when(F.col(VALUE) <= F.col("_thresh"), F.col(VALUE)).otherwise(None)).drop(
+        "_thresh"
+    )
+
+
+def remove_below_percentile(ts: DataFrame, n: float) -> DataFrame:
+    th = _per_series_percentile(ts, n)
+    joined = ts.join(F.broadcast(th), METRIC)
+    return _value(joined, F.when(F.col(VALUE) >= F.col("_thresh"), F.col(VALUE)).otherwise(None)).drop(
+        "_thresh"
+    )
+
+
+# ---------------------------------------------------------------------------
+# G19/G20/G21 — series-level filtering and top-k
+# ---------------------------------------------------------------------------
+
+_SERIES_STATS: dict[str, Callable[[str], Column]] = {
+    "average": F.avg,
+    "max": F.max,
+    "min": F.min,
+    "sum": F.sum,
+    "current": lambda c: F.last(c, ignorenulls=True),
+    "total": F.sum,
+}
+
+
+def _series_stat(ts: DataFrame, stat: str) -> DataFrame:
+    """Per-series scalar. 'current' needs order -> max_by(ts); others are
+    plain aggregates with map-side combine."""
+    if stat == "current":
+        agg = F.expr("max_by(value, ts) FILTER (WHERE value IS NOT NULL)")
+    else:
+        agg = _SERIES_STATS[stat](VALUE)
+    return ts.groupBy(METRIC).agg(agg.alias("_stat"))
+
+
+def highest(ts: DataFrame, n: int, stat: str = "average") -> DataFrame:
+    """G19 — keep the n series with the highest per-series ``stat``.
+    Top-k on the (small) per-series aggregate, then broadcast semi-join
+    back to the points — the fact table is never globally sorted."""
+    stats = _series_stat(ts, stat)
+    top = stats.orderBy(F.col("_stat").desc_nulls_last(), METRIC).limit(n)
+    return ts.join(F.broadcast(top.select(METRIC)), METRIC, "left_semi")
+
+
+def lowest(ts: DataFrame, n: int, stat: str = "average") -> DataFrame:
+    stats = _series_stat(ts, stat)
+    bottom = stats.orderBy(F.col("_stat").asc_nulls_last(), METRIC).limit(n)
+    return ts.join(F.broadcast(bottom.select(METRIC)), METRIC, "left_semi")
+
+
+def filter_series(ts: DataFrame, stat: str, op: str, threshold: float) -> DataFrame:
+    """G20 — averageAbove/maximumBelow/currentAbove/... family: keep series
+    whose per-series ``stat`` passes ``op threshold``."""
+    stats = _series_stat(ts, stat)
+    ops = {">": "_stat > {0}", ">=": "_stat >= {0}", "<": "_stat < {0}", "<=": "_stat <= {0}"}
+    keep = stats.filter(ops[op].format(float(threshold)))
+    return ts.join(F.broadcast(keep.select(METRIC)), METRIC, "left_semi")
+
+
+def limit_series(ts: DataFrame, n: int) -> DataFrame:
+    """G21 — first n series by name."""
+    names = ts.select(METRIC).distinct().orderBy(METRIC).limit(n)
+    return ts.join(F.broadcast(names), METRIC, "left_semi")
+
+
+def sort_by(ts: DataFrame, stat: str = "total", descending: bool = True) -> DataFrame:
+    """G22 — order series for display by a per-series aggregate (display
+    concern; returns points ordered by (stat, metric, ts))."""
+    stats = _series_stat(ts, stat)
+    joined = ts.join(F.broadcast(stats), METRIC)
+    order = F.col("_stat").desc_nulls_last() if descending else F.col("_stat").asc_nulls_last()
+    return joined.orderBy(order, METRIC, TS).drop("_stat")
+
+
+# ---------------------------------------------------------------------------
+# G23/G24 — name-based filtering and renaming
+# ---------------------------------------------------------------------------
+
+def exclude(ts: DataFrame, pattern: str) -> DataFrame:
+    return ts.filter(~F.col(METRIC).rlike(pattern))
+
+
+def grep(ts: DataFrame, pattern: str) -> DataFrame:
+    return ts.filter(F.col(METRIC).rlike(pattern))
+
+
+def alias_series(ts: DataFrame, name: str) -> DataFrame:
+    return ts.withColumn(METRIC, F.lit(name))
+
+
+def alias_by_node(ts: DataFrame, *nodes: int) -> DataFrame:
+    """G24 — rename each series to the dot-path node(s) at the given
+    0-based indexes."""
+    parts = F.split(F.col(METRIC), r"\.")
+    pieces = [F.element_at(parts, i + 1) for i in nodes]
+    return ts.withColumn(METRIC, F.concat_ws(".", *pieces))
+
+
+def alias_sub(ts: DataFrame, pattern: str, replacement: str) -> DataFrame:
+    return ts.withColumn(METRIC, F.regexp_replace(METRIC, pattern, replacement))
+
+
+# ---------------------------------------------------------------------------
+# G27/G28 — synthetic series, grouping by path node
+# ---------------------------------------------------------------------------
+
+def constant_line(spark, v: float, lo, hi, step_seconds: int, name: str | None = None) -> DataFrame:
+    """G27 — synthetic constant series over [lo, hi) at a fixed step."""
+    name = name or f"constantLine({v:g})"
+    return (
+        spark.range(0, 1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast("timestamp"),
+                    F.lit(hi).cast("timestamp"),
+                    F.expr(f"INTERVAL {step_seconds} SECONDS"),
+                )
+            ).alias(TS)
+        )
+        .select(F.lit(name).alias(METRIC), TS, F.lit(float(v)).alias(VALUE))
+    )
+
+
+def time_function(spark, lo, hi, step_seconds: int, name: str = "timeFunction") -> DataFrame:
+    """G27 — series whose value is the epoch timestamp of each point."""
+    base = constant_line(spark, 0.0, lo, hi, step_seconds, name)
+    return _value(base, F.unix_timestamp(TS).cast("double"))
+
+
+def group(*series: DataFrame) -> DataFrame:
+    """G28 — merge target lists (plain union; no dedup, Graphite keeps all)."""
+    out = series[0]
+    for s in series[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def group_by_node(ts: DataFrame, node: int, fn: str = "sum") -> DataFrame:
+    """G28 — aggregate series grouped by one dot-path node."""
+    key = F.element_at(F.split(F.col(METRIC), r"\."), node + 1)
+    agg = _AGG_FNS[fn.lower()](VALUE)
+    return (
+        ts.groupBy(key.alias(METRIC), F.col(TS))
+        .agg(agg.alias(VALUE))
+        .select(METRIC, TS, F.col(VALUE).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G26 — Holt-Winters (order-dependent seasonal recurrence -> pandas UDF)
+# ---------------------------------------------------------------------------
+
+def holt_winters_forecast(
+    ts: DataFrame,
+    season_points: int,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    gamma: float = 0.1,
+) -> DataFrame:
+    """G26 — additive triple-exponential-smoothing forecast, the same
+    recurrence Graphite 0.9 implements (functions.py holtWintersAnalysis,
+    public source). Emitted per point: the one-step-ahead forecast.
+
+    Pure-pandas recurrence per series inside applyInPandas; bounded by the
+    monitor window in the parity path. Flagged 'hard' in SURVEY.md §7."""
+    schema = "metric string, ts timestamp, value double"
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TS).reset_index(drop=True)
+        vals = pdf[VALUE].astype(float).tolist()
+        m = season_points
+        n = len(vals)
+        forecasts = [None] * n
+        if n >= 2:
+            level = vals[0] if vals[0] is not None and vals[0] == vals[0] else 0.0
+            trend = 0.0
+            seasonal = [0.0] * m
+            for i in range(n):
+                x = vals[i]
+                forecasts[i] = level + trend + seasonal[i % m]
+                if x is None or x != x:  # null: carry state forward
+                    continue
+                last_level = level
+                level = alpha * (x - seasonal[i % m]) + (1 - alpha) * (level + trend)
+                trend = beta * (level - last_level) + (1 - beta) * trend
+                seasonal[i % m] = gamma * (x - level) + (1 - gamma) * seasonal[i % m]
+        pdf[VALUE] = pd.Series(forecasts, dtype="float64")
+        return pdf[[METRIC, TS, VALUE]]
+
+    return ts.select(METRIC, TS, VALUE).groupBy(METRIC).applyInPandas(hw, schema)
+
+
+def holt_winters_aberration(ts: DataFrame, season_points: int, delta: float = 3.0) -> DataFrame:
+    """G26 — deviation of the observed value outside the confidence band
+    around the Holt-Winters forecast (simplified constant-width band =
+    delta * running stddev of residuals)."""
+    fc = holt_winters_forecast(ts, season_points).withColumnRenamed(VALUE, "_fc")
+    joined = ts.join(fc, [METRIC, TS])
+    resid = F.col(VALUE) - F.col("_fc")
+    band = F.stddev_pop(resid).over(_series_win().rowsBetween(Window.unboundedPreceding, 0)) * delta
+    ab = (
+        F.when(resid > band, resid - band)
+        .when(resid < -band, resid + band)
+        .otherwise(F.lit(0.0))
+    )
+    return _value(joined, ab).drop("_fc")
+
+
+# ---------------------------------------------------------------------------
+# Resample/align (SURVEY.md §4.2 #3) — raw events -> fixed-step series
+# ---------------------------------------------------------------------------
+
+def resample(ts: DataFrame, step: str, fn: str = "avg", fill: float | None = None) -> DataFrame:
+    """Regularize an irregular series to a fixed step: tumbling-window
+    aggregate + optional constant fill for empty buckets. Composition of
+    summarize (G15) + transformNull (G17)."""
+    out = summarize(ts, step, fn)
+    if fill is not None:
+        out = transform_null(out, fill)
+    return out

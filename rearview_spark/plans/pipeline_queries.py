@@ -1,0 +1,331 @@
+"""LLM-data-pipeline queries (dedup / text analysis / similarity /
+multimodal) over the driver's `documents` and `embeddings` tables, with
+DuckDB oracles wherever the computation is SQL-expressible.
+
+Every hash (minhash permutations, simhash bits, fingerprints) is
+md5-prefix-based specifically so the oracle can reproduce the arithmetic
+bit-for-bit — the correctness gate covers the *whole* pipeline, not just
+the SQL-shaped parts. Approximate/stubbed ops (IVF probe, image decode)
+are declared without oracles (driver records rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import dedup as D
+from rearview_spark.operators import multimodal as M
+from rearview_spark.operators import similarity as S
+from rearview_spark.operators import text as X
+from rearview_spark.sources.loader import Tables
+
+# Shared SQL fragments mirroring text.py's normalization and shingling.
+NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+TOKS = f"string_split({NORM}, ' ')"
+STOPLIST = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+
+SHINGLE_CTE = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+           ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+),
+inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh)
+"""
+
+
+# --- Text analysis -----------------------------------------------------------
+
+def doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, BPE-ish counts, stopword/punct ratios, quality score,
+    md5 fingerprint, heuristic lang-ID — one JVM-side projection."""
+    docs = Tables(spark, sf_dir).documents
+    return X.with_text_features(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "stop_ratio", "punct_ratio",
+        "mean_tok_len", "quality", "fp_md5", "lang_pred",
+    )
+
+
+DOC_FEATURES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS} AS toks, {NORM} AS norm FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         len(list_filter(toks, t -> list_contains({STOPLIST}, t))) * 1.0 / len(toks) AS sr,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) AS pr,
+         list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS mtl,
+         md5(norm) AS fp_md5
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(sr + 0.0000000005, 6) AS stop_ratio,
+       round(pr + 0.0000000005, 6) AS punct_ratio,
+       round(mtl + 0.0000000005, 6) AS mean_tok_len,
+       round(0.4 * least(n_tokens / 200.0, 1.0)
+           + 0.3 * least(sr / 0.2, 1.0)
+           + 0.3 * (1.0 - least(pr / 0.1, 1.0)) + 0.0000000005, 6) AS quality,
+       fp_md5,
+       CASE WHEN sr > 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM feat
+"""
+
+
+def doc_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate quality profile per (source, predicted lang) — the
+    filter-decision table a curation pipeline acts on."""
+    docs = Tables(spark, sf_dir).documents
+    feats = X.with_text_features(docs)
+    return (
+        feats.groupBy("source", "lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality") + 0.00000005, 4).alias("avg_quality"),
+            F.round(F.expr("percentile(n_tokens, 0.5)") + F.lit(5e-8), 4).alias("median_tokens"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .orderBy("source", "lang_pred")
+    )
+
+
+DOC_LANG_SUMMARY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, text, {TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         len(list_filter(toks, t -> list_contains({STOPLIST}, t))) * 1.0 / len(toks) AS sr,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) AS pr
+  FROM base
+), scored AS (
+  SELECT *,
+         round(0.4 * least(n_tokens / 200.0, 1.0)
+             + 0.3 * least(sr / 0.2, 1.0)
+             + 0.3 * (1.0 - least(pr / 0.1, 1.0)) + 0.0000000005, 6) AS quality,
+         CASE WHEN sr > 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM feat
+)
+SELECT source, lang_pred, count(*) AS n_docs,
+       round(avg(quality) + 0.00000005, 4) AS avg_quality,
+       round(quantile_cont(n_tokens, 0.5) + 0.00000005, 4) AS median_tokens,
+       sum(n_bpe_tokens) AS total_bpe_tokens
+FROM scored GROUP BY source, lang_pred ORDER BY source, lang_pred
+"""
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-hash-of-shingles fingerprint (robust to local
+    edits), JVM-side array arithmetic."""
+    docs = Tables(spark, sf_dir).documents
+    return docs.select(
+        "doc_id", X.rolling_fingerprint(F.col("text"), window=8).alias("fp_rolling")
+    )
+
+
+DOC_ROLLFP_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8
+           THEN [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]
+           ELSE [array_to_string(t[1:len(t)], ' ')] END AS grams
+  FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(grams,
+         g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT))) AS fp_rolling
+FROM sh
+"""
+
+
+# --- Dedup -------------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(Tables(spark, sf_dir).documents)
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({NORM}) AS fp, min(doc_id) AS canonical_id, count(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(Tables(spark, sf_dir).documents, threshold=0.1)
+
+
+DEDUP_JACCARD_SQL = SHINGLE_CTE + """
+, common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS n_common
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(n_common * 1.0 / (na + nb - n_common) + 0.0000000005, 6) AS jaccard
+FROM common
+WHERE round(n_common * 1.0 / (na + nb - n_common) + 0.0000000005, 6) >= 0.1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_duplicates(Tables(spark, sf_dir).documents, threshold=0.05)
+
+
+DEDUP_MINHASH_SQL = SHINGLE_CTE + """
+, sigs AS (
+  SELECT doc_id, k.k,
+         min(CAST(concat('0x', substr(md5(shingle || ':' || k.k), 1, 15)) AS BIGINT)) AS mh
+  FROM inv CROSS JOIN (SELECT unnest(range(0, 16)) AS k) k
+  GROUP BY doc_id, k.k
+), bands AS (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS bh
+  FROM sigs GROUP BY doc_id, k // 4
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) + 0.0000000005, 6) AS jaccard
+  FROM cands c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.05
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures for every doc (the near-dup pair query is in
+    tests; signatures themselves are the oracle-checkable artifact)."""
+    return D.simhash_signature(Tables(spark, sf_dir).documents)
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT doc_id, j.j, sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+  GROUP BY doc_id, j.j
+)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# --- Similarity search -------------------------------------------------------
+
+def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5 against the corpus."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) + 0.0000000005, 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k probing 3 of 10 label-centroid buckets.
+    Approximate by construction -> no SQL oracle (rows-only check)."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, nprobe=3)
+
+
+def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean cosine of each vector to its own label centroid — cluster
+    cohesion profile; exact, oracle-checked."""
+    emb = Tables(spark, sf_dir).embeddings
+    cents = S.label_centroids(emb)
+    joined = emb.join(F.broadcast(cents), "label")
+    sim = S.cosine(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")), F.col("centroid")
+    )
+    return (
+        joined.select("label", sim.alias("csim"))
+        .groupBy("label")
+        .agg(F.round(F.avg("csim") + F.lit(5e-8), 4).alias("avg_cohesion"), F.count("*").alias("n_vectors"))
+        .orderBy("label")
+    )
+
+
+SIM_COHESION_SQL = """
+WITH expl AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, avg(x) AS m FROM expl GROUP BY label, pos
+), cvec AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label
+), scored AS (
+  SELECT e.label, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) + 0.0000000005, 6) AS csim
+  FROM embeddings e JOIN cvec c ON e.label = c.label
+)
+SELECT label, round(avg(csim) + 0.00000005, 4) AS avg_cohesion, count(*) AS n_vectors
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
+# --- Multimodal --------------------------------------------------------------
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing over documents-as-media: payload bytes +
+    sniffed MIME, all JVM-side."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.text_to_media(docs)
+    return media.select(
+        "media_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.mime").alias("mime")
+    )
+
+
+MEDIA_META_SQL = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       'application/octet-stream' AS mime
+FROM documents
+"""
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode+feature path (stub decoder, real plumbing) —
+    no oracle (rows-only check)."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.text_to_media(docs)
+    feats = M.extract_image_features(media)
+    return feats.select("media_id", "width", "height", "n_bytes")
+
+
+QUERIES: dict[str, dict] = {
+    "doc_text_features": {"fn": doc_text_features, "oracle": DOC_FEATURES_SQL},
+    "doc_lang_quality_summary": {"fn": doc_lang_quality_summary, "oracle": DOC_LANG_SUMMARY_SQL},
+    "doc_rolling_fingerprint": {"fn": doc_rolling_fingerprint, "oracle": DOC_ROLLFP_SQL},
+    "dedup_exact_groups": {"fn": dedup_exact_groups, "oracle": DEDUP_EXACT_SQL},
+    "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard, "oracle": DEDUP_JACCARD_SQL},
+    "dedup_minhash_lsh": {"fn": dedup_minhash_lsh, "oracle": DEDUP_MINHASH_SQL},
+    "dedup_simhash": {"fn": dedup_simhash, "oracle": DEDUP_SIMHASH_SQL},
+    "sim_brute_force_topk": {"fn": sim_brute_force_topk, "oracle": SIM_TOPK_SQL},
+    "sim_ivf_topk": {"fn": sim_ivf_topk, "oracle": None},
+    "sim_label_centroid_distance": {"fn": sim_label_centroid_distance, "oracle": SIM_COHESION_SQL},
+    "media_metadata": {"fn": media_metadata, "oracle": MEDIA_META_SQL},
+    "media_features": {"fn": media_features, "oracle": None},
+}

@@ -1,0 +1,416 @@
+"""Relational/app-layer query suite (SURVEY.md §2.3) over the TPC-H-ish
+test tables.
+
+The reference's relational surface is ActiveRecord CRUD + FK joins +
+latest-per-group + tree prefix filters (R1-R12, evidence: db/schema.rb
+indexes :26,:36,:47,:48,:71-74). Those patterns are exercised here against
+the driver's star schema, widened with the standard OLAP shapes the
+reference lacked (multi-way joins, rollup, set ops, top-k per group) that
+SURVEY.md §2.3 marks Prov-A "free in Spark".
+
+Every query is a pure function (spark, sf_dir) -> DataFrame paired with a
+DuckDB oracle. Hash-stability conventions (see plans/_exact.py):
+- identical aliases on both sides;
+- sums/averages of fixed-decimal money columns use exact integer-cents
+  arithmetic (bit-identical across engines);
+- all float outputs go through the boundary-nudged r4/r6 rounding.
+
+Scale notes: dimension joins (region/nation/supplier/customer/part) are
+broadcast-able and Catalyst broadcasts them at defaults; fact-side
+aggregates are partial (map-side combine) before the shuffle. AQE handles
+skew/coalescing at 100 TB (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rearview_spark.plans._exact import exact_avg, exact_sum, int_sum, r4
+from rearview_spark.sources.loader import Tables
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan aggregate with map-side partial agg; the
+    canonical whole-stage-codegen pipeline (scan -> filter -> hash agg)."""
+    li = Tables(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(exact_sum(F.col("l_quantity"), 100)).alias("sum_qty"),
+            r4(exact_sum(F.col("l_extendedprice"), 100)).alias("sum_base_price"),
+            r4(exact_sum(disc_price, 10_000)).alias("sum_disc_price"),
+            r4(exact_sum(charge, 1_000_000)).alias("sum_charge"),
+            r4(exact_avg(F.col("l_quantity"), 100)).alias("avg_qty"),
+            r4(exact_avg(F.col("l_extendedprice"), 100)).alias("avg_price"),
+            r4(exact_avg(F.col("l_discount"), 100)).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 + 0.00000005, 4) AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 + 0.00000005, 4) AS sum_base_price,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0 + 0.00000005, 4) AS sum_disc_price,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0) AS BIGINT)) / 1000000.0 + 0.00000005, 4) AS sum_charge,
+       round(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 / count(l_quantity) + 0.00000005, 4) AS avg_qty,
+       round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 / count(l_extendedprice) + 0.00000005, 4) AS avg_price,
+       round(sum(CAST(round(l_discount * 100.0) AS BIGINT)) / 100.0 / count(l_discount) + 0.00000005, 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# Shared SQL fragment: exact revenue sum (4-decimal units of
+# extendedprice*(1-discount), summed as int64).
+REV_SQL = "round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0 + 0.00000005, 4)"
+
+
+def _revenue() -> F.Column:
+    return r4(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000))
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-10 by
+    revenue. customer is broadcast; orders->lineitem is the only shuffle.
+    The ordering key (exact revenue) is bit-identical across engines, so
+    the LIMIT cutoff is deterministic."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    ord_ = t.orders.filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = t.lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {REV_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join where supplier and customer must share a
+    nation. All dims broadcast; single fact shuffle on orderkey."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(F.broadcast(t.supplier), t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name, {REV_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + scalar aggregate. The whole predicate is
+    pushed to the parquet scan (PushedFilters on shipdate/discount/qty)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(r4(exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 10_000)).alias("revenue"))
+
+
+Q6_SQL = """
+SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 10000.0) AS BIGINT)) / 10000.0 + 0.00000005, 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (R8/G19 pattern): window row_number over a
+    pre-aggregated (small) frame, never over the raw fact table."""
+    t = Tables(spark, sf_dir)
+    per_part = (
+        t.lineitem.join(F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(_revenue().alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rank")
+    )
+
+
+TOP3_SQL = f"""
+WITH per_part AS (
+  SELECT p_brand, p_partkey, {REV_SQL} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rank
+  FROM per_part
+) WHERE rank <= 3
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (Prov-A in the reference; free in Spark)."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_revenue().alias("revenue"), F.count("*").alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, {REV_SQL} AS revenue, count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 — latest-row-per-group, the job_data chart-load pattern
+    (db/schema.rb:36 index), as row_number window."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    latest = (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return latest.join(F.broadcast(t.customer), latest.o_custkey == t.customer.c_custkey).select(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate", r4(F.col("o_totalprice")).alias("totalprice")
+    )
+
+
+LATEST_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, round(o_totalprice + 0.00000005, 4) AS totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) o JOIN customer ON o_custkey = c_custkey
+WHERE rn = 1
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) on the dim side."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+NO_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def mktsegment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational asPercent (G8 shape): share of order value by segment.
+    Both the per-segment subtotal and the grand total stay exact int64
+    until the final division, so the percentage is deterministic."""
+    t = Tables(spark, sf_dir)
+    per_seg = (
+        t.orders.join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(int_sum(F.col("o_totalprice"), 100).alias("_cents"))
+    )
+    total = F.sum("_cents").over(Window.partitionBy())
+    return per_seg.select(
+        "c_mktsegment",
+        r4(F.col("_cents") / F.lit(100.0)).alias("seg_revenue"),
+        r4(F.col("_cents") / total * 100.0).alias("pct"),
+    ).orderBy("c_mktsegment")
+
+
+SEGMENT_SHARE_SQL = """
+WITH per_seg AS (
+  SELECT c_mktsegment, sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       round(cents / 100.0 + 0.00000005, 4) AS seg_revenue,
+       round(cents / sum(cents) OVER () * 100.0 + 0.00000005, 4) AS pct
+FROM per_seg
+ORDER BY c_mktsegment
+"""
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension aggregate: truncation + exact count distinct."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            r4(exact_sum(F.col("o_totalprice"), 100)).alias("revenue"),
+        )
+        .orderBy("month", "o_orderpriority")
+    )
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 + 0.00000005, 4) AS revenue
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + HAVING-style filter: customers whose exact order total
+    exceeds 10x their account balance."""
+    t = Tables(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        (int_sum(F.col("o_totalprice"), 100) / F.lit(100.0)).alias("_total")
+    )
+    return (
+        t.customer.join(per_cust, t.customer.c_custkey == per_cust.o_custkey)
+        .filter(F.col("_total") > 10 * F.col("c_acctbal"))
+        .select(
+            "c_custkey", "c_name",
+            r4(F.col("c_acctbal")).alias("acctbal"),
+            r4(F.col("_total")).alias("order_total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+HIGH_VALUE_SQL = """
+SELECT c_custkey, c_name,
+       round(c_acctbal + 0.00000005, 4) AS acctbal,
+       round(t.total + 0.00000005, 4) AS order_total
+FROM customer
+JOIN (SELECT o_custkey, sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS total
+      FROM orders GROUP BY o_custkey) t
+  ON c_custkey = t.o_custkey
+WHERE t.total > 10 * c_acctbal
+ORDER BY c_custkey
+"""
+
+
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + multi-agg incl. exact median over groups."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            r4(exact_avg(F.col("l_discount"), 100)).alias("avg_disc"),
+            r4(F.expr("percentile(l_quantity, 0.5)")).alias("median_qty"),
+            r4(F.max("l_extendedprice")).alias("max_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("p_type")
+    )
+
+
+PART_TYPE_SQL = """
+SELECT p_type,
+       round(sum(CAST(round(l_discount * 100.0) AS BIGINT)) / 100.0 / count(l_discount) + 0.00000005, 4) AS avg_disc,
+       round(quantile_cont(l_quantity, 0.5) + 0.00000005, 4) AS median_qty,
+       round(max(l_extendedprice) + 0.00000005, 4) AS max_price,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
+def nation_customer_minus_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops surface: nations that have customers but no suppliers
+    (EXCEPT), reference Prov-A category."""
+    t = Tables(spark, sf_dir)
+    cust_nations = t.customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = t.supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return (
+        cust_nations.exceptAll(supp_nations)
+        .join(F.broadcast(t.nation), F.col("nationkey") == t.nation.n_nationkey)
+        .select("nationkey", "n_name")
+        .orderBy("nationkey")
+    )
+
+
+EXCEPT_SQL = """
+SELECT nationkey, n_name
+FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+) t JOIN nation ON nationkey = n_nationkey
+ORDER BY nationkey
+"""
+
+
+QUERIES: dict[str, dict] = {
+    "q1_pricing_summary": {"fn": q1_pricing_summary, "oracle": Q1_SQL},
+    "q3_shipping_priority": {"fn": q3_shipping_priority, "oracle": Q3_SQL},
+    "q5_local_supplier_volume": {"fn": q5_local_supplier_volume, "oracle": Q5_SQL},
+    "q6_revenue_change": {"fn": q6_revenue_change, "oracle": Q6_SQL},
+    "top3_parts_per_brand": {"fn": top3_parts_per_brand, "oracle": TOP3_SQL},
+    "rollup_revenue": {"fn": rollup_revenue, "oracle": ROLLUP_SQL},
+    "latest_order_per_customer": {"fn": latest_order_per_customer, "oracle": LATEST_SQL},
+    "customers_without_orders": {"fn": customers_without_orders, "oracle": NO_ORDERS_SQL},
+    "mktsegment_share": {"fn": mktsegment_share, "oracle": SEGMENT_SHARE_SQL},
+    "orders_by_month": {"fn": orders_by_month, "oracle": ORDERS_BY_MONTH_SQL},
+    "high_value_customers": {"fn": high_value_customers, "oracle": HIGH_VALUE_SQL},
+    "part_type_stats": {"fn": part_type_stats, "oracle": PART_TYPE_SQL},
+    "nation_customer_minus_supplier": {"fn": nation_customer_minus_supplier, "oracle": EXCEPT_SQL},
+}

@@ -1,0 +1,551 @@
+"""G-layer (Graphite render semantics, SURVEY.md §2.1) exercised over the
+driver's `events` table, each paired with a DuckDB oracle.
+
+`events(event_id, ts, user_id, event_type, value, props)` maps onto the
+canonical tall timeseries as metric=event_type (loader.events_as_timeseries).
+Raw events are irregular, so most queries first regularize with
+``resample``/``summarize`` (G15) to hourly buckets — exactly the shape the
+reference consumed from Graphite (fixed-step series, README.md:6) — then
+apply the operator under test. Rounding to 4 decimals happens once, at the
+end, on both sides.
+
+Non-SQL-expressible ops (pandas-UDF recurrences) either get a closed-form
+oracle (EMA: the unrolled recurrence as a window sum) or a positional
+oracle (interpolate), so even the "hard" operators are hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import timeseries as G
+from rearview_spark.plans._exact import exact_avg, r4
+from rearview_spark.sources.loader import Tables, events_as_timeseries
+
+R = 4
+
+# Shared CTE prefix: hourly sum per event_type — the regularized series.
+HOURLY_CTE = """
+WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS ts, sum(value) AS value
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    return G.summarize(series, "1 hour", "sum")
+
+
+def _rounded(df: DataFrame) -> DataFrame:
+    return df.select("metric", "ts", r4(F.col("value")).alias("value"))
+
+
+# --- G15 summarize -----------------------------------------------------------
+
+def ts_hourly_summarize(spark, sf_dir):
+    return _rounded(_hourly(spark, sf_dir))
+
+
+TS_HOURLY_SQL = HOURLY_CTE + "SELECT metric, ts, round(value + 0.00000005, 4) AS value FROM hourly"
+
+
+def ts_daily_stats(spark, sf_dir):
+    """G15 with multiple agg fns at a coarser step (1 day, avg/max/min/count)."""
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    return (
+        series.groupBy("metric", F.window("ts", "1 day").alias("w"))
+        .agg(
+            r4(exact_avg(F.col("value"), 100)).alias("avg_value"),
+            r4(F.max("value")).alias("max_value"),
+            r4(F.min("value")).alias("min_value"),
+            F.count("value").alias("n_points"),
+        )
+        .select("metric", F.col("w.start").alias("ts"), "avg_value", "max_value", "min_value", "n_points")
+    )
+
+
+TS_DAILY_SQL = """
+SELECT event_type AS metric, date_trunc('day', ts) AS ts,
+       round(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 / count(value) + 0.00000005, 4) AS avg_value,
+       round(max(value) + 0.00000005, 4) AS max_value,
+       round(min(value) + 0.00000005, 4) AS min_value,
+       count(value) AS n_points
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- G5 point-wise combines --------------------------------------------------
+
+def ts_combine_series(spark, sf_dir):
+    """G5 — sum/avg/min/max/range/count across series per ts, one pass."""
+    hourly = _hourly(spark, sf_dir)
+    return (
+        hourly.groupBy("ts")
+        .agg(
+            r4(F.sum("value")).alias("sum_value"),
+            r4(F.avg("value")).alias("avg_value"),
+            r4(F.min("value")).alias("min_value"),
+            r4(F.max("value")).alias("max_value"),
+            r4(F.max("value") - F.min("value")).alias("range_value"),
+            F.count("metric").alias("n_series"),
+        )
+    )
+
+
+TS_COMBINE_SQL = HOURLY_CTE + """
+SELECT ts,
+       round(sum(value) + 0.00000005, 4) AS sum_value,
+       round(avg(value) + 0.00000005, 4) AS avg_value,
+       round(min(value) + 0.00000005, 4) AS min_value,
+       round(max(value) + 0.00000005, 4) AS max_value,
+       round(max(value) - min(value) + 0.00000005, 4) AS range_value,
+       count(metric) AS n_series
+FROM hourly GROUP BY ts
+"""
+
+
+def ts_multiply_series(spark, sf_dir):
+    """G5 multiplySeries — sign-aware exp-sum-log composition (no product
+    aggregate in Spark); oracle uses DuckDB's native product(). The series
+    are pre-scaled by 0.1 to keep the product's magnitude where the
+    exp-sum-log path's relative error stays far below the 4-decimal
+    rounding granularity."""
+    scaled = G.scale(_hourly(spark, sf_dir), 0.1)
+    return _rounded(G.multiply_series(scaled).withColumn("metric", F.lit("multiplySeries")))
+
+
+TS_MULTIPLY_SQL = HOURLY_CTE + """
+SELECT 'multiplySeries' AS metric, ts, round(product(value * 0.1) + 0.00000005, 4) AS value
+FROM hourly GROUP BY ts
+"""
+
+
+def ts_percentile_of_series(spark, sf_dir):
+    """G25 — point-wise exact p75 across series."""
+    return _rounded(G.percentile_of_series(_hourly(spark, sf_dir), 75.0, name="p75"))
+
+
+TS_PCTL_SQL = HOURLY_CTE + """
+SELECT 'p75' AS metric, ts, round(quantile_cont(value, 0.75) + 0.00000005, 4) AS value
+FROM hourly GROUP BY ts
+"""
+
+
+# --- G6/G7/G8 — diff, ratio, percent-of-total -------------------------------
+
+def ts_diff_series(spark, sf_dir):
+    return _rounded(G.diff_series(_hourly(spark, sf_dir), "click", name="diffSeries"))
+
+
+TS_DIFF_SQL = HOURLY_CTE + """
+SELECT 'diffSeries' AS metric, ts,
+       round(coalesce(sum(CASE WHEN metric = 'click' THEN value END), 0)
+           - coalesce(sum(CASE WHEN metric <> 'click' THEN value END), 0) + 0.00000005, 4) AS value
+FROM hourly GROUP BY ts
+"""
+
+
+def ts_divide_series(spark, sf_dir):
+    return _rounded(G.divide_series(_hourly(spark, sf_dir), "error", "click", name="error_per_click"))
+
+
+TS_DIVIDE_SQL = HOURLY_CTE + """
+SELECT 'error_per_click' AS metric, ts,
+       round(CASE WHEN max(CASE WHEN metric = 'click' THEN value END) = 0 THEN NULL
+             ELSE max(CASE WHEN metric = 'error' THEN value END)
+                  / max(CASE WHEN metric = 'click' THEN value END) END + 0.00000005, 4) AS value
+FROM hourly GROUP BY ts
+"""
+
+
+def ts_as_percent(spark, sf_dir):
+    return _rounded(G.as_percent(_hourly(spark, sf_dir)))
+
+
+TS_ASPCT_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(CASE WHEN sum(value) OVER (PARTITION BY ts) = 0 THEN NULL
+             ELSE value / sum(value) OVER (PARTITION BY ts) * 100.0 END + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+# --- G9 scalar math ----------------------------------------------------------
+
+def ts_scalar_math(spark, sf_dir):
+    """G9 chain: sqrt(abs(value * 2 - 5)) — scale → offset → absolute →
+    squareRoot composed; stays in one codegen stage."""
+    out = G.square_root(G.absolute(G.offset(G.scale(_hourly(spark, sf_dir), 2.0), -5.0)))
+    return _rounded(out)
+
+
+TS_SCALAR_SQL = HOURLY_CTE + """
+SELECT metric, ts, round(sqrt(abs(value * 2.0 - 5.0)) + 0.00000005, 4) AS value FROM hourly
+"""
+
+
+# --- G10/G11 — deltas, integral ---------------------------------------------
+
+def ts_derivative(spark, sf_dir):
+    return _rounded(G.derivative(_hourly(spark, sf_dir)))
+
+
+TS_DERIV_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(value - lag(value) OVER (PARTITION BY metric ORDER BY ts) + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_nonneg_derivative(spark, sf_dir):
+    return _rounded(G.non_negative_derivative(_hourly(spark, sf_dir)))
+
+
+TS_NNDERIV_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(CASE WHEN value - lag(value) OVER (PARTITION BY metric ORDER BY ts) >= 0
+             THEN value - lag(value) OVER (PARTITION BY metric ORDER BY ts) END + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_integral(spark, sf_dir):
+    return _rounded(G.integral(_hourly(spark, sf_dir)))
+
+
+TS_INTEGRAL_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(sum(value) OVER (PARTITION BY metric ORDER BY ts ROWS UNBOUNDED PRECEDING) + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+# --- G12/G13 — trailing windows ---------------------------------------------
+
+def ts_moving_average(spark, sf_dir):
+    return _rounded(G.moving_average(_hourly(spark, sf_dir), 4))
+
+
+TS_MOVAVG_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(avg(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_moving_median(spark, sf_dir):
+    return _rounded(G.moving_median(_hourly(spark, sf_dir), 5))
+
+
+TS_MOVMED_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(quantile_cont(value, 0.5) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_stdev(spark, sf_dir):
+    return _rounded(G.stdev(_hourly(spark, sf_dir), 6))
+
+
+TS_STDEV_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(stddev_pop(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_ema(spark, sf_dir):
+    """G13 EMA (pandas-UDF recurrence) over one day of hourly buckets;
+    oracle = the recurrence unrolled to a closed-form window sum:
+    y_t = (1-a)^t * [ x_1 (1-a)^-1 + a * sum_{i=2..t} x_i (1-a)^-i ]."""
+    hourly = _hourly(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-01-06"))
+    )
+    return _rounded(G.exponential_moving_average(hourly, 5))
+
+
+TS_EMA_SQL = HOURLY_CTE + """
+, day AS (
+  SELECT * FROM hourly
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY metric ORDER BY ts) AS DOUBLE) AS rn FROM day
+)
+SELECT metric, ts,
+       round(pow(2.0/3.0, rn) * sum(value * pow(2.0/3.0, -rn) * CASE WHEN rn = 1 THEN 1.0 ELSE 1.0/3.0 END)
+             OVER (PARTITION BY metric ORDER BY rn ROWS UNBOUNDED PRECEDING) + 0.00000005, 4) AS value
+FROM r
+"""
+
+
+# --- G14 — timeShift ---------------------------------------------------------
+
+def ts_day_over_day(spark, sf_dir):
+    """G14 timeShift: yesterday's series presented at today's timestamps,
+    joined with today for the delta."""
+    hourly = _hourly(spark, sf_dir)
+    shifted = G.time_shift(hourly, "1 DAY").withColumnRenamed("value", "prev_value")
+    joined = hourly.join(shifted, ["metric", "ts"])
+    return joined.select(
+        "metric", "ts",
+        r4(F.col("value")).alias("value"),
+        r4(F.col("prev_value")).alias("prev_value"),
+        r4(F.col("value") - F.col("prev_value")).alias("dod_delta"),
+    )
+
+
+TS_DOD_SQL = HOURLY_CTE + """
+SELECT a.metric, a.ts,
+       round(a.value + 0.00000005, 4) AS value,
+       round(b.value + 0.00000005, 4) AS prev_value,
+       round(a.value - b.value + 0.00000005, 4) AS dod_delta
+FROM hourly a JOIN hourly b
+  ON a.metric = b.metric AND a.ts = b.ts + INTERVAL 1 DAY
+"""
+
+
+# --- G16 — hitcount ----------------------------------------------------------
+
+def ts_hitcount(spark, sf_dir):
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    return _rounded(G.hitcount(series, "6 hours", 60))
+
+
+TS_HITCOUNT_SQL = """
+SELECT event_type AS metric,
+       to_timestamp(floor(epoch(ts) / 21600) * 21600) AS ts,
+       round(sum(value) * 60.0 + 0.00000005, 4) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- G17 — null handling (nulls synthesized by thresholding) ----------------
+
+def _gappy(spark, sf_dir):
+    """Hourly series with synthetic gaps: value nulled where > 40."""
+    hourly = _hourly(spark, sf_dir)
+    return hourly.withColumn("value", F.when(F.col("value") <= 40, F.col("value")))
+
+
+GAPPY_CTE = HOURLY_CTE + """
+, gappy AS (
+  SELECT metric, ts, CASE WHEN value <= 40 THEN value END AS value FROM hourly
+)
+"""
+
+
+def ts_transform_null(spark, sf_dir):
+    return _rounded(G.transform_null(_gappy(spark, sf_dir), -1.0))
+
+
+TS_TNULL_SQL = GAPPY_CTE + "SELECT metric, ts, round(coalesce(value, -1.0) + 0.00000005, 4) AS value FROM gappy"
+
+
+def ts_keep_last_value(spark, sf_dir):
+    return _rounded(G.keep_last_value(_gappy(spark, sf_dir)))
+
+
+TS_LOCF_SQL = GAPPY_CTE + """
+SELECT metric, ts,
+       round(last_value(value IGNORE NULLS) OVER (PARTITION BY metric ORDER BY ts ROWS UNBOUNDED PRECEDING) + 0.00000005, 4) AS value
+FROM gappy
+"""
+
+
+def ts_interpolate(spark, sf_dir):
+    """G17 linear interpolation (pandas-UDF); oracle interpolates
+    positionally between bracketing non-null rows."""
+    return _rounded(G.interpolate(_gappy(spark, sf_dir)))
+
+
+TS_INTERP_SQL = GAPPY_CTE + """
+, r AS (SELECT *, row_number() OVER (PARTITION BY metric ORDER BY ts) AS rn FROM gappy),
+f AS (
+  SELECT *,
+    last_value(value IGNORE NULLS) OVER (PARTITION BY metric ORDER BY rn ROWS UNBOUNDED PRECEDING) AS prev_v,
+    last_value(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS)
+      OVER (PARTITION BY metric ORDER BY rn ROWS UNBOUNDED PRECEDING) AS prev_rn,
+    first_value(value IGNORE NULLS)
+      OVER (PARTITION BY metric ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS)
+      OVER (PARTITION BY metric ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rn
+  FROM r)
+SELECT metric, ts,
+       round(CASE WHEN value IS NOT NULL THEN value
+             WHEN prev_rn IS NOT NULL AND next_rn IS NOT NULL
+               THEN prev_v + (next_v - prev_v) * (rn - prev_rn) / (next_rn - prev_rn)
+             END + 0.00000005, 4) AS value
+FROM f
+"""
+
+
+# --- G18 — point filtering ---------------------------------------------------
+
+def ts_remove_outliers(spark, sf_dir):
+    """G18 removeAbovePercentile(90): per-series threshold computed once and
+    broadcast back (no windowed percentile over the fact table)."""
+    return _rounded(G.remove_above_percentile(_hourly(spark, sf_dir), 90.0))
+
+
+TS_RM_PCTL_SQL = HOURLY_CTE + """
+, th AS (SELECT metric, quantile_cont(value, 0.90) AS thresh FROM hourly GROUP BY metric)
+SELECT h.metric, h.ts, round(CASE WHEN h.value <= th.thresh THEN h.value END + 0.00000005, 4) AS value
+FROM hourly h JOIN th ON h.metric = th.metric
+"""
+
+
+def ts_clamp(spark, sf_dir):
+    return _rounded(G.clamp(_hourly(spark, sf_dir), lo=10.0, hi=60.0))
+
+
+TS_CLAMP_SQL = HOURLY_CTE + """
+SELECT metric, ts, round(least(greatest(value, 10.0), 60.0) + 0.00000005, 4) AS value FROM hourly
+"""
+
+
+# --- G19/G20/G21 — series-level selection -----------------------------------
+
+def ts_highest_average(spark, sf_dir):
+    """G19 highestAverage(2): top-k on the per-series aggregate, semi-join
+    back to points."""
+    return _rounded(G.highest(_hourly(spark, sf_dir), 2, "average"))
+
+
+TS_HIGHEST_SQL = HOURLY_CTE + """
+, top AS (SELECT metric FROM hourly GROUP BY metric ORDER BY avg(value) DESC, metric LIMIT 2)
+SELECT h.metric, h.ts, round(h.value + 0.00000005, 4) AS value
+FROM hourly h SEMI JOIN top ON h.metric = top.metric
+"""
+
+
+def ts_average_above(spark, sf_dir):
+    """G20 averageAbove: keep series whose mean exceeds the threshold."""
+    return _rounded(G.filter_series(_hourly(spark, sf_dir), "average", ">", 25.0))
+
+
+TS_AVGABOVE_SQL = HOURLY_CTE + """
+, keep AS (SELECT metric FROM hourly GROUP BY metric HAVING avg(value) > 25.0)
+SELECT h.metric, h.ts, round(h.value + 0.00000005, 4) AS value
+FROM hourly h SEMI JOIN keep ON h.metric = keep.metric
+"""
+
+
+def ts_limit_series(spark, sf_dir):
+    """G21 limit(3): first 3 series by name."""
+    return _rounded(G.limit_series(_hourly(spark, sf_dir), 3))
+
+
+TS_LIMIT_SQL = HOURLY_CTE + """
+, names AS (SELECT DISTINCT metric FROM hourly ORDER BY metric LIMIT 3)
+SELECT h.metric, h.ts, round(h.value + 0.00000005, 4) AS value
+FROM hourly h SEMI JOIN names ON h.metric = names.metric
+"""
+
+
+def ts_current_values(spark, sf_dir):
+    """G19 'current' stat surface: latest non-null value per series
+    (max_by), the R8 latest-per-group shape on timeseries."""
+    hourly = _hourly(spark, sf_dir)
+    return (
+        hourly.groupBy("metric")
+        .agg(r4(F.expr("max_by(value, ts) FILTER (WHERE value IS NOT NULL)")).alias("current"))
+        .orderBy("metric")
+    )
+
+
+TS_CURRENT_SQL = HOURLY_CTE + """
+SELECT metric, round(arg_max(value, ts) + 0.00000005, 4) AS current FROM hourly GROUP BY metric ORDER BY metric
+"""
+
+
+# --- G23/G24 — name filtering & rewriting -----------------------------------
+
+def _prefixed(spark, sf_dir):
+    """Series keyed by a 2-node dot path: u<user_id%3>.<event_type>."""
+    ev = Tables(spark, sf_dir).events
+    series = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 3).cast("string"), F.lit("."), F.col("event_type")).alias("metric"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    return G.summarize(series, "1 hour", "sum")
+
+
+PREFIXED_CTE = """
+WITH hourly AS (
+  SELECT 'u' || CAST(user_id % 3 AS VARCHAR) || '.' || event_type AS metric,
+         date_trunc('hour', ts) AS ts, sum(value) AS value
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def ts_grep_exclude(spark, sf_dir):
+    """G23 grep + exclude chained: keep u0.* and u1.* then drop errors."""
+    kept = G.exclude(G.grep(_prefixed(spark, sf_dir), "^u[01]\\."), "\\.error$")
+    return _rounded(kept)
+
+
+TS_GREP_SQL = PREFIXED_CTE + r"""
+SELECT metric, ts, round(value + 0.00000005, 4) AS value FROM hourly
+WHERE regexp_matches(metric, '^u[01]\.') AND NOT regexp_matches(metric, '\.error$')
+"""
+
+
+def ts_alias_by_node(spark, sf_dir):
+    """G24 aliasByNode(1): rename each series to its event-type node."""
+    return _rounded(G.alias_by_node(_prefixed(spark, sf_dir), 1))
+
+
+TS_ALIAS_SQL = PREFIXED_CTE + """
+SELECT split_part(metric, '.', 2) AS metric, ts, round(value + 0.00000005, 4) AS value FROM hourly
+"""
+
+
+def ts_group_by_node(spark, sf_dir):
+    """G28 groupByNode(1, sum): collapse the user dimension."""
+    return _rounded(G.group_by_node(_prefixed(spark, sf_dir), 1, "sum"))
+
+
+TS_GROUPNODE_SQL = PREFIXED_CTE + """
+SELECT split_part(metric, '.', 2) AS metric, ts, round(sum(value) + 0.00000005, 4) AS value
+FROM hourly GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, dict] = {
+    "ts_hourly_summarize": {"fn": ts_hourly_summarize, "oracle": TS_HOURLY_SQL},
+    "ts_daily_stats": {"fn": ts_daily_stats, "oracle": TS_DAILY_SQL},
+    "ts_combine_series": {"fn": ts_combine_series, "oracle": TS_COMBINE_SQL},
+    "ts_multiply_series": {"fn": ts_multiply_series, "oracle": TS_MULTIPLY_SQL},
+    "ts_percentile_of_series": {"fn": ts_percentile_of_series, "oracle": TS_PCTL_SQL},
+    "ts_diff_series": {"fn": ts_diff_series, "oracle": TS_DIFF_SQL},
+    "ts_divide_series": {"fn": ts_divide_series, "oracle": TS_DIVIDE_SQL},
+    "ts_as_percent": {"fn": ts_as_percent, "oracle": TS_ASPCT_SQL},
+    "ts_scalar_math": {"fn": ts_scalar_math, "oracle": TS_SCALAR_SQL},
+    "ts_derivative": {"fn": ts_derivative, "oracle": TS_DERIV_SQL},
+    "ts_nonneg_derivative": {"fn": ts_nonneg_derivative, "oracle": TS_NNDERIV_SQL},
+    "ts_integral": {"fn": ts_integral, "oracle": TS_INTEGRAL_SQL},
+    "ts_moving_average": {"fn": ts_moving_average, "oracle": TS_MOVAVG_SQL},
+    "ts_moving_median": {"fn": ts_moving_median, "oracle": TS_MOVMED_SQL},
+    "ts_stdev": {"fn": ts_stdev, "oracle": TS_STDEV_SQL},
+    "ts_ema": {"fn": ts_ema, "oracle": TS_EMA_SQL},
+    "ts_day_over_day": {"fn": ts_day_over_day, "oracle": TS_DOD_SQL},
+    "ts_hitcount": {"fn": ts_hitcount, "oracle": TS_HITCOUNT_SQL},
+    "ts_transform_null": {"fn": ts_transform_null, "oracle": TS_TNULL_SQL},
+    "ts_keep_last_value": {"fn": ts_keep_last_value, "oracle": TS_LOCF_SQL},
+    "ts_interpolate": {"fn": ts_interpolate, "oracle": TS_INTERP_SQL},
+    "ts_remove_outliers": {"fn": ts_remove_outliers, "oracle": TS_RM_PCTL_SQL},
+    "ts_clamp": {"fn": ts_clamp, "oracle": TS_CLAMP_SQL},
+    "ts_highest_average": {"fn": ts_highest_average, "oracle": TS_HIGHEST_SQL},
+    "ts_average_above": {"fn": ts_average_above, "oracle": TS_AVGABOVE_SQL},
+    "ts_limit_series": {"fn": ts_limit_series, "oracle": TS_LIMIT_SQL},
+    "ts_current_values": {"fn": ts_current_values, "oracle": TS_CURRENT_SQL},
+    "ts_grep_exclude": {"fn": ts_grep_exclude, "oracle": TS_GREP_SQL},
+    "ts_alias_by_node": {"fn": ts_alias_by_node, "oracle": TS_ALIAS_SQL},
+    "ts_group_by_node": {"fn": ts_group_by_node, "oracle": TS_GROUPNODE_SQL},
+}

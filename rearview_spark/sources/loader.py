@@ -1,0 +1,94 @@
+"""Parquet source layer for the driver-provided test tables.
+
+The reference pulled series from Graphite over HTTP and config from an
+RDBMS (reference: config/database.yml:1-20, README.md:6). Our engine owns
+its storage: everything is columnar parquet read through the DataSource V2
+path so Catalyst gets predicate pushdown, column pruning and (when the
+layout provides it) partition pruning for free.
+
+Scale notes: at 100 TB the `metrics`/`events` table is written partitioned
+by ``date(ts)`` and bucketed by series key (SURVEY.md §4.1); these loaders
+only *read* — layout decisions live in :mod:`rearview_spark.sources.layout`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Tables:
+    """Lazy handle on one scale-factor directory of parquet tables.
+
+    ``Tables(spark, sf_dir).lineitem`` returns the DataFrame; each is read
+    once and cached as an attribute (the *plan* is cached, not the data —
+    no ``.cache()`` here; callers decide what to persist).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self._spark = spark
+        self._dir = sf_dir.rstrip("/")
+        self._dfs: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+        if name not in self._dfs:
+            self._dfs[name] = load_table(self._spark, self._dir, name)
+        return self._dfs[name]
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for the SQL API."""
+        for name in TABLE_NAMES:
+            getattr(self, name).createOrReplaceTempView(name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects. Read nanos as long, then integer-divide to micros
+        # (`div`, not `/` — ns epoch values exceed double's exact-int
+        # range) and rebuild the timestamp. Matches DuckDB's ns -> us
+        # truncation exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Tables:
+    return Tables(spark, sf_dir)
+
+
+def events_as_timeseries(events: DataFrame) -> DataFrame:
+    """Map the `events` table onto the engine's canonical tall timeseries
+    shape ``(metric string, ts timestamp, value double)``.
+
+    ``event_type`` plays the role of the Graphite dot-path metric name
+    (reference: jobs.metrics db/schema.rb:65). Pure projection — no shuffle.
+    """
+    return events.select(
+        F.col("event_type").alias("metric"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+    )

@@ -1,0 +1,132 @@
+"""Tests for dedup / text / similarity / multimodal operators on synthetic
+docs with known duplicates (the driver's documents table has none)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import dedup as D
+from rearview_spark.operators import multimodal as M
+from rearview_spark.operators import similarity as S
+from rearview_spark.operators import text as X
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The quick  brown fox jumps over the lazy dog"),  # exact dup after normalize
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (4, "completely different content about spark engines and data"),
+    (5, "the quick brown fox jumps over the lazy dog today"),  # near dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    sizes = sorted(g["group_size"] for g in groups)
+    assert sizes == [1, 1, 1, 2]
+    dup = [g for g in groups if g["group_size"] == 2][0]
+    assert dup["canonical_id"] == 1
+    assert D.drop_exact_duplicates(docs).count() == 4
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after normalize
+    assert (1, 5) in pairs  # prefix overlap
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recovers_exact_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_near_duplicates(docs, threshold=0.9).collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_close_for_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_near_duplicates(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0  # identical text -> identical signature
+    assert pairs[(1, 3)] <= pairs.get((1, 4), 16)  # near dup closer than unrelated
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame([(1, "The cat and the dog!")], "doc_id long, text string")
+    row = X.with_text_features(df).collect()[0]
+    assert row["n_tokens"] == 5
+    assert row["n_bpe_tokens"] == 6  # the, cat, and, the, dog, !
+    assert row["stop_ratio"] == pytest.approx(3 / 5, abs=1e-6)
+    assert row["punct_ratio"] == pytest.approx(1 / 20, abs=1e-6)
+    assert row["lang_pred"] == "en"
+    assert len(row["fp_md5"]) == 32
+
+
+def test_lang_id_unk(spark):
+    df = spark.createDataFrame([(1, "zzz qqq xxx yyy www")], "doc_id long, text string")
+    assert X.with_text_features(df).collect()[0]["lang_pred"] == "unk"
+
+
+def test_rolling_fingerprint_stable_under_suffix_edit(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally other words here now")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", X.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    # appending a word usually keeps the min-shingle-hash; disjoint text differs
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_cosine_and_brute_force_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = S.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    rows = {r["rank"]: r for r in out.collect()}
+    assert rows[1]["vec_id"] == 1 and rows[1]["cosine_sim"] == pytest.approx(1.0, abs=1e-5)
+    assert rows[2]["vec_id"] == 3
+
+
+def test_ivf_matches_brute_force_on_probed_buckets(spark, sf_dir):
+    from rearview_spark.sources.loader import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") == 0)
+    bf = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=5).collect()}
+    ivf = {r["vec_id"] for r in S.ivf_topk(emb, q, k=5, nprobe=10).collect()}
+    # probing all 10 buckets == exact
+    assert ivf == bf
+
+
+def test_media_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n123456")), (2, bytearray(b"plain bytes"))],
+        "media_id long, payload binary",
+    )
+    meta = {r["media_id"]: r["meta"] for r in M.with_media_meta(df).collect()}
+    assert meta[1]["mime"] == "image/png"
+    assert meta[2]["mime"] == "application/octet-stream"
+    assert meta[1]["n_bytes"] == 12
+
+    feats = {r["media_id"]: r for r in M.extract_image_features(df).collect()}
+    assert 64 <= feats[1]["width"] <= 1984
+    assert len(feats[1]["feat"]) == 8
+    assert sum(feats[1]["feat"]) == pytest.approx(1.0)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"))], "media_id long, payload binary"
+    )
+    media = M.with_media_meta(df).withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.lit(3500).cast("long"))
+    )
+    frames = M.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]

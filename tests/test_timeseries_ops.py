@@ -1,0 +1,236 @@
+"""Unit tests for the G-layer operator library against hand-computed small
+series, with emphasis on Graphite null semantics (SURVEY.md §5.2: nulls
+preserved through transforms; combines skip nulls; derivative nulls across
+gaps; movingAverage over leading nulls)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import timeseries as G
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(i: int) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=i)
+
+
+def make_series(spark, data: dict[str, list[float | None]]):
+    rows = [
+        (metric, ts(i), float(v) if v is not None else None)
+        for metric, vals in data.items()
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+
+def values(df, metric: str | None = None) -> list:
+    rows = df.orderBy("metric", "ts").collect()
+    if metric is not None:
+        rows = [r for r in rows if r["metric"] == metric]
+    return [r["value"] for r in rows]
+
+
+def test_select_glob(spark):
+    df = make_series(
+        spark, {"stats.prod.cpu": [1], "stats.dev.cpu": [2], "stats.prod.mem": [3]}
+    )
+    got = sorted(r["metric"] for r in G.select_glob(df, "stats.*.cpu").collect())
+    assert got == ["stats.dev.cpu", "stats.prod.cpu"]
+    # * must not cross dots
+    assert G.select_glob(df, "stats.*").count() == 0
+    got = sorted(r["metric"] for r in G.select_glob(df, "stats.prod.{cpu,mem}").collect())
+    assert got == ["stats.prod.cpu", "stats.prod.mem"]
+
+
+def test_sum_series_null_semantics(spark):
+    df = make_series(spark, {"a": [1, None, None], "b": [2, 3, None]})
+    assert values(G.sum_series(df)) == [3.0, 3.0, None]
+
+
+def test_average_and_count(spark):
+    df = make_series(spark, {"a": [1, None], "b": [3, 3]})
+    assert values(G.average_series(df)) == [2.0, 3.0]
+    # count counts series with a row at that ts (null value still counts a row)
+    assert values(G.count_series(df)) == [2.0, 2.0]
+
+
+def test_multiply_series(spark):
+    df = make_series(spark, {"a": [2, -3, 0, None], "b": [4, 5, 6, 7]})
+    got = values(G.multiply_series(df))
+    # exp-sum-log composition: equal to the true product modulo float noise
+    assert got[0] == pytest.approx(8.0) and got[1] == pytest.approx(-15.0)
+    assert got[2] == 0.0 and got[3] is None
+
+
+def test_diff_series(spark):
+    # Graphite safeDiff: missing values treated as 0 unless all null
+    df = make_series(spark, {"a": [10, None, None], "b": [3, 4, None], "c": [2, None, None]})
+    assert values(G.diff_series(df, "a")) == [5.0, -4.0, None]
+
+
+def test_divide_series(spark):
+    df = make_series(spark, {"n": [10, 5, None, 1], "d": [2, 0, 3, None]})
+    assert values(G.divide_series(df, "n", "d")) == [5.0, None, None, None]
+
+
+def test_as_percent(spark):
+    df = make_series(spark, {"a": [1, 0], "b": [3, 0]})
+    out = G.as_percent(df)
+    assert values(out, "a") == [25.0, None]
+    assert values(out, "b") == [75.0, None]
+
+
+def test_scalar_math_null_preserved(spark):
+    df = make_series(spark, {"a": [4, None, -9]})
+    assert values(G.scale(df, 2)) == [8.0, None, -18.0]
+    assert values(G.absolute(df)) == [4.0, None, 9.0]
+    assert values(G.invert(make_series(spark, {"a": [2, 0]}))) == [0.5, None]
+    assert values(G.square_root(df)) == [2.0, None, None]
+    got = values(G.logarithm(make_series(spark, {"a": [100, 0, -1]}), 10))
+    assert got[0] == pytest.approx(2.0) and got[1] is None and got[2] is None
+
+
+def test_derivative_family(spark):
+    df = make_series(spark, {"a": [1, 4, None, 10, 3]})
+    assert values(G.derivative(df)) == [None, 3.0, None, None, -7.0]
+    assert values(G.non_negative_derivative(df)) == [None, 3.0, None, None, None]
+    assert values(G.per_second(df, 60)) == [None, 0.05, None, None, pytest.approx(-7 / 60)]
+
+
+def test_integral(spark):
+    df = make_series(spark, {"a": [1, None, 2, 3]})
+    assert values(G.integral(df)) == [1.0, None, 3.0, 6.0]
+
+
+def test_moving_average_leading_nulls(spark):
+    df = make_series(spark, {"a": [None, None, 3, 5]})
+    # windows over leading nulls: all-null window -> null; else avg of non-null
+    assert values(G.moving_average(df, 2)) == [None, None, 3.0, 4.0]
+    assert values(G.moving_sum(df, 2)) == [None, None, 3.0, 8.0]
+    assert values(G.moving_max(df, 2)) == [None, None, 3.0, 5.0]
+
+
+def test_moving_median(spark):
+    df = make_series(spark, {"a": [1, 9, 5, 3]})
+    assert values(G.moving_median(df, 3)) == [1.0, 5.0, 5.0, 5.0]
+
+
+def test_stdev_population(spark):
+    df = make_series(spark, {"a": [2, 4]})
+    # Graphite stddev is population: sqrt(mean((x-mean)^2)) = 1.0 for [2,4]
+    assert values(G.stdev(df, 2)) == [0.0, 1.0]
+
+
+def test_ema(spark):
+    df = make_series(spark, {"a": [10, 20, 30]})
+    # alpha = 2/(n+1) = 0.5 for n=3: y = [10, 15, 22.5]
+    assert values(G.exponential_moving_average(df, 3)) == [10.0, 15.0, 22.5]
+
+
+def test_time_shift(spark):
+    df = make_series(spark, {"a": [1]})
+    out = G.time_shift(df, "1 DAY").collect()[0]
+    assert out["ts"] == T0 + dt.timedelta(days=1)
+
+
+def test_summarize_and_hitcount(spark):
+    df = make_series(spark, {"a": [1, 2, 3, 4, 5, 6]})  # 1-min step, 6 points
+    out = G.summarize(df, "5 minutes", "sum")
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    assert got[T0] == 15.0 and got[T0 + dt.timedelta(minutes=5)] == 6.0
+    hc = G.hitcount(df, "5 minutes", 60)
+    got = {r["ts"]: r["value"] for r in hc.collect()}
+    assert got[T0] == 15.0 * 60
+
+
+def test_transform_null_and_locf(spark):
+    df = make_series(spark, {"a": [1, None, None, None, 5]})
+    assert values(G.transform_null(df, 0)) == [1.0, 0.0, 0.0, 0.0, 5.0]
+    assert values(G.keep_last_value(df)) == [1.0, 1.0, 1.0, 1.0, 5.0]
+    # limit: fill at most 2 consecutive nulls
+    assert values(G.keep_last_value(df, limit=2)) == [1.0, 1.0, 1.0, None, 5.0]
+
+
+def test_interpolate(spark):
+    df = make_series(spark, {"a": [None, 1, None, None, 7, None]})
+    # interior gaps linear by position; leading/trailing stay null
+    assert values(G.interpolate(df)) == [None, 1.0, 3.0, 5.0, 7.0, None]
+
+
+def test_remove_and_clamp(spark):
+    df = make_series(spark, {"a": [1, 5, 10]})
+    assert values(G.remove_above_value(df, 5)) == [1.0, 5.0, None]
+    assert values(G.remove_below_value(df, 5)) == [None, 5.0, 10.0]
+    assert values(G.clamp(df, lo=2, hi=8)) == [2.0, 5.0, 8.0]
+
+
+def test_remove_above_percentile(spark):
+    df = make_series(spark, {"a": [1, 2, 3, 4, 100]})
+    out = values(G.remove_above_percentile(df, 80))
+    assert out == [1.0, 2.0, 3.0, 4.0, None]
+
+
+def test_highest_lowest_filter(spark):
+    df = make_series(spark, {"a": [1, 1], "b": [10, 10], "c": [5, 5]})
+    assert set(r["metric"] for r in G.highest(df, 2, "average").collect()) == {"b", "c"}
+    assert set(r["metric"] for r in G.lowest(df, 1, "max").collect()) == {"a"}
+    assert set(r["metric"] for r in G.filter_series(df, "average", ">", 4).collect()) == {"b", "c"}
+    assert set(r["metric"] for r in G.limit_series(df, 2).collect()) == {"a", "b"}
+
+
+def test_current_stat_ignores_trailing_null(spark):
+    df = make_series(spark, {"a": [1, 9, None]})
+    out = G.highest(df, 1, "current").collect()
+    assert {r["metric"] for r in out} == {"a"}
+
+
+def test_alias_by_node(spark):
+    df = make_series(spark, {"stats.prod.web01.cpu": [1]})
+    assert G.alias_by_node(df, 2).collect()[0]["metric"] == "web01"
+    assert G.alias_by_node(df, 1, 3).collect()[0]["metric"] == "prod.cpu"
+    out = G.alias_sub(df, r"web\d+", "host").collect()[0]["metric"]
+    assert out == "stats.prod.host.cpu"
+
+
+def test_group_by_node(spark):
+    df = make_series(
+        spark, {"stats.prod.cpu": [1], "stats.dev.cpu": [2], "other.prod.cpu": [4]}
+    )
+    out = {r["metric"]: r["value"] for r in G.group_by_node(df, 1, "sum").collect()}
+    assert out == {"prod": 5.0, "dev": 2.0}
+
+
+def test_constant_line_and_time_function(spark):
+    out = G.constant_line(spark, 7.5, "2024-01-01 00:00:00", "2024-01-01 00:02:00", 60)
+    assert values(out) == [7.5, 7.5, 7.5]
+    tf = G.time_function(spark, "2024-01-01 00:00:00", "2024-01-01 00:01:00", 60)
+    got = values(tf)
+    assert got[1] - got[0] == 60.0
+
+
+def test_holt_winters_forecast_converges(spark):
+    # constant series -> forecast converges to the constant
+    df = make_series(spark, {"a": [10.0] * 50})
+    out = values(G.holt_winters_forecast(df, season_points=5))
+    assert out[-1] == pytest.approx(10.0, rel=1e-3)
+
+
+def test_holt_winters_aberration_flags_spike(spark):
+    vals = [10.0] * 30 + [10.0, 200.0, 10.0] + [10.0] * 7
+    df = make_series(spark, {"a": vals})
+    out = values(G.holt_winters_aberration(df, season_points=5))
+    assert out[31] > 0  # the spike deviates above the band
+    assert out[5] == 0.0
+
+
+def test_resample(spark):
+    df = make_series(spark, {"a": [1, 2, 3, 4, 5, 6]})
+    out = G.resample(df, "5 minutes", "avg")
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    assert got[T0] == 3.0 and got[T0 + dt.timedelta(minutes=5)] == 6.0
