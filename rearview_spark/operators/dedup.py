@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rearview_spark.operators._util import ensure_parallelism
 from rearview_spark.operators.text import normalize_text, tokens
 
 # Fixed, public hash-mixing constants (string salts keep the scheme
@@ -92,18 +93,43 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature as ``sig: array<long>`` of length
     ``num_hashes``. Permutation k is md5(shingle || ':k'); the signature
-    element is the min over shingles — computed entirely inside one array
-    expression (no explode, no shuffle)."""
-    sh = word_shingles(F.col(text_col), shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, k=k: _hash60(F.concat(s, F.lit(f":{k}"))))
-            )
-            for k in range(num_hashes)
-        ]
+    element is the min over shingles.
+
+    Shape: explode shingles -> one row per (doc, shingle) carrying all
+    ``num_hashes`` hashes -> hash-aggregate back to one row per doc with
+    ``num_hashes`` min() columns. Keeping each expression small holds the
+    whole pipeline inside whole-stage codegen (a single projection with
+    num_hashes nested array-lambdas trips Janino's method-size limits and
+    silently falls back to interpreted evaluation, ~100x slower). The
+    min() aggregation is map-side partial, so the shuffle carries one
+    pre-reduced row per doc per partition."""
+    df = ensure_parallelism(df, id_col)
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return signature_from_shingles(shingled, id_col, num_hashes)
+
+
+def signature_from_shingles(
+    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """MinHash signatures from a precomputed ``(id, sh: array<string>)``
+    frame (lets callers share one shingling pass across signature and
+    verification stages)."""
+    exploded = shingled.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    hashed = exploded.select(
+        id_col,
+        *[
+            _hash60(F.concat(F.col("shingle"), F.lit(f":{k}"))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{k}").alias(f"m{k}") for k in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"m{k}") for k in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -152,9 +178,14 @@ def minhash_near_duplicates(
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
     Jaccard verification on candidates only. Returns (id_a, id_b, jaccard)
     with jaccard >= threshold."""
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    df = ensure_parallelism(df, id_col)
+    # One shingling pass, cached: feeds the signature stage and both sides
+    # of the verification join (shingle frames are narrow: id + array).
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).cache()
+    sigs = signature_from_shingles(shingled, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -181,7 +212,7 @@ def ngram_jaccard_pairs(
     inverted shingle index: explode → self-join on shingle → count common
     → Jaccard. Exact but worst-case quadratic; at scale prefer
     :func:`minhash_near_duplicates` and use this to verify candidates."""
-    shingled = df.select(
+    shingled = ensure_parallelism(df, id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     inv = shingled.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
@@ -210,6 +241,7 @@ def simhash_signature(
     """``bits``-wide SimHash over tokens: bit j of the signature is 1 iff
     the sum over tokens of (+1 if bit j of hash(token) else -1) is > 0.
     Pure array arithmetic (no explode)."""
+    df = ensure_parallelism(df, id_col)
     toks = tokens(F.col(text_col))
     h = F.transform(toks, _hash60)
 
