@@ -1,0 +1,225 @@
+"""Monitor evaluation — the reference's sandbox layer on Spark.
+
+Reference behavior (SURVEY.md §2.2, §3.1): each run fetches the monitor's
+trailing window for every target expression, binds the resulting series to
+variables ``a, b, c, ...``, evaluates ``monitor_expr`` in an out-of-process
+sandbox (sandbox/.ruby-version:1 — a separate MRI runtime), and a raised
+exception signals "alert". Our port:
+
+- target expressions compile to Catalyst plans (functions/graphite.py) —
+  the window fetch + render functions all run JVM-side;
+- the per-monitor computation runs in ``applyInPandas`` keyed by job id:
+  the Python worker is a separate OS process from the JVM, the same
+  isolation boundary class as the reference's sandbox exec;
+- arbitrary Ruby is NOT ported. ``monitor_expr`` is a restricted Python
+  expression over pandas/NumPy (documented compatibility boundary,
+  SURVEY.md §7 hard-part 5): variables ``a..z`` (one per target), ``np``,
+  ``pd``, ``math`` and a small builtin whitelist. A truthy result fires
+  the alert (equivalent to the reference's ``raise``).
+
+Statuses (reference state machine, SURVEY.md §2.4 S4 — distinct graphite
+-error vs monitor-failure paths, hence the second status column on
+job_errors): 'success' | 'failed' (expr truthy) | 'error' (empty window or
+expression error).
+
+Scale: one Spark job evaluates ALL due monitors — each target's plan is
+tagged (job_id, var) and unioned, so Catalyst sees a single DAG and the
+grouped-map UDF fans out across executors by job_id. Per-job input is
+capped (``max_points_per_job``) before collection into the worker.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from dataclasses import dataclass
+from typing import Iterable, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rearview_spark.functions.graphite import compile_target
+from rearview_spark.monitors.schemas import RUN_RESULT
+from rearview_spark.operators.timeseries import window_fetch
+
+SAFE_BUILTINS = {
+    "abs": abs, "min": min, "max": max, "len": len, "round": round,
+    "float": float, "int": int, "sum": sum, "any": any, "all": all,
+    "sorted": sorted, "True": True, "False": False, "None": None,
+}
+
+MAX_POINTS_PER_JOB_DEFAULT = 100_000
+
+
+@dataclass
+class MonitorSpec:
+    """Driver-side view of one jobs row (db/schema.rb:50-74 columns that
+    matter to evaluation)."""
+
+    id: int
+    metrics: list[str]
+    monitor_expr: str | None
+    minutes: int
+    to_date: dt.datetime | None = None
+    name: str = ""
+    description: str | None = None
+
+    @classmethod
+    def from_row(cls, row) -> "MonitorSpec":
+        return cls(
+            id=row["id"],
+            metrics=list(row["metrics"]),
+            monitor_expr=row["monitor_expr"],
+            minutes=int(row["minutes"]),
+            to_date=row["to_date"],
+            name=row["name"],
+            description=row["description"],
+        )
+
+
+def _var_name(i: int) -> str:
+    return chr(ord("a") + i)
+
+
+def evaluate_expr(expr: str, variables: Mapping[str, object]) -> object:
+    """Evaluate a restricted monitor expression. No dunder access, no
+    imports, whitelisted builtins only — the compatibility boundary for
+    the reference's arbitrary-Ruby scripts."""
+    if "__" in expr:
+        raise ValueError("double underscore not allowed in monitor_expr")
+    env = {"np": __import__("numpy"), "pd": pd, "math": math, **SAFE_BUILTINS, **variables}
+    return eval(compile(expr, "<monitor_expr>", "eval"), {"__builtins__": {}}, env)
+
+
+def bind_variables(pdf: pd.DataFrame) -> dict[str, object]:
+    """Bind each target's window to its variable: a single-series target
+    becomes a ts-sorted pandas Series; a multi-series target becomes a
+    (ts x metric) DataFrame (both support .mean()/.max()/arithmetic)."""
+    out: dict[str, object] = {}
+    for var, grp in pdf.groupby("var"):
+        grp = grp.sort_values("ts")
+        if grp["metric"].nunique() <= 1:
+            out[var] = pd.Series(grp["value"].values, index=grp["ts"].values, name=var)
+        else:
+            out[var] = grp.pivot_table(
+                index="ts", columns="metric", values="value", aggfunc="first"
+            ).sort_index()
+    return out
+
+
+def evaluate_monitors(
+    spark: SparkSession,
+    monitors: Iterable[MonitorSpec],
+    metrics: DataFrame,
+    now: dt.datetime,
+    max_points_per_job: int = MAX_POINTS_PER_JOB_DEFAULT,
+) -> DataFrame:
+    """Evaluate every monitor's window in ONE Spark job; returns a
+    DataFrame with RUN_RESULT schema.
+
+    The monitors list is config-scale (the reference preloads all jobs
+    into its scheduler, Rakefile:4-7) — iterating it on the driver builds
+    the plan; no data moves through the driver.
+    """
+    specs = list(monitors)
+    if not specs:
+        return spark.createDataFrame([], RUN_RESULT)
+
+    tagged_frames = []
+    plan_errors: dict[int, str] = {}
+    scheduled: dict[int, dt.datetime] = {}
+    for spec in specs:
+        end = spec.to_date or now
+        start = end - dt.timedelta(minutes=spec.minutes)
+        scheduled[spec.id] = end
+        windowed = window_fetch(metrics, start, end)
+        for i, target in enumerate(spec.metrics):
+            try:
+                plan = compile_target(target)
+                df = plan(windowed)
+            except Exception as e:  # noqa: BLE001 — bad target -> error status
+                plan_errors[spec.id] = f"target {target!r}: {e}"
+                break
+            tagged_frames.append(
+                df.select(
+                    F.lit(spec.id).alias("job_id"),
+                    F.lit(_var_name(i)).alias("var"),
+                    "metric", "ts", "value",
+                )
+            )
+
+    exprs = {
+        s.id: (s.monitor_expr, s.description or s.name, scheduled[s.id].isoformat())
+        for s in specs
+    }
+    b_exprs = spark.sparkContext.broadcast(exprs)
+    evaluated_ids = {s.id for s in specs if s.id not in plan_errors}
+
+    def _eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        job_id = int(pdf["job_id"].iloc[0])
+        expr, label, sched_iso = b_exprs.value[job_id]
+        sched = pd.Timestamp(sched_iso)
+        if len(pdf) > max_points_per_job:
+            pdf = pdf.sort_values("ts").tail(max_points_per_job)
+        graph = (
+            pdf.sort_values(["var", "metric", "ts"])[["metric", "ts", "value"]]
+            .reset_index(drop=True)
+        )
+        graph_records = graph.to_dict("records")
+
+        def result(status: str, message: str | None, output: str | None) -> pd.DataFrame:
+            return pd.DataFrame(
+                [
+                    {
+                        "job_id": job_id,
+                        "scheduled_ts": sched,
+                        "status": status,
+                        "message": message,
+                        "output": output,
+                        "graph_data": graph_records,
+                    }
+                ]
+            )
+
+        if pdf["value"].notna().sum() == 0:
+            return result("error", "no data in window", None)
+        if not expr:
+            return result("success", None, None)
+        try:
+            variables = bind_variables(pdf)
+            value = evaluate_expr(expr, variables)
+        except Exception as e:  # noqa: BLE001 — expression error -> 'error'
+            return result("error", f"monitor_expr error: {e}", None)
+        if isinstance(value, pd.DataFrame):
+            fired = bool(value.any().any())
+        elif isinstance(value, pd.Series):
+            fired = bool(value.any())
+        else:
+            fired = bool(value)
+        if fired:
+            return result("failed", f"alert: {label} ({expr})", repr(value))
+        return result("success", None, repr(value))
+
+    if tagged_frames:
+        union = tagged_frames[0]
+        for f in tagged_frames[1:]:
+            union = union.unionByName(f)
+        # cache: consumed twice (seen-id check + returned frame)
+        results = union.groupBy("job_id").applyInPandas(_eval_group, RUN_RESULT).cache()
+    else:
+        results = spark.createDataFrame([], RUN_RESULT)
+
+    # Monitors whose window produced zero rows never reach the UDF — they
+    # are the reference's graphite-error path. Same for bad targets.
+    rows = []
+    seen = {r["job_id"] for r in results.select("job_id").collect()} if tagged_frames else set()
+    for spec in specs:
+        if spec.id in seen:
+            continue
+        msg = plan_errors.get(spec.id, "no data in window")
+        rows.append((spec.id, scheduled[spec.id], "error", msg, None, None))
+    if rows:
+        extra = spark.createDataFrame(rows, RUN_RESULT)
+        results = results.unionByName(extra) if tagged_frames else extra
+    return results

@@ -1,0 +1,175 @@
+"""The monitor scheduler: cron-driven evaluation loop (SURVEY.md §3.1).
+
+Reference lifecycle per tick (reconstructed from Rakefile:4-7 preload,
+celluloid timer actors Gemfile.lock:160, jobs.next_run/last_run
+db/schema.rb:55,62):
+
+  select due jobs (R7) -> compute/persist next_run -> fetch windows ->
+  evaluate -> persist job_data -> status transition + debounce ->
+  open/close job_errors -> fan out alerts.
+
+This class drives the same steps with Spark doing every data-touching
+stage in one job per tick. Time is injected (``tick(now)``) so golden
+tests and backtests replay deterministically — the same mechanism serves
+the reference's `to_date` historical runs (db/schema.rb:68).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rearview_spark.monitors.cron import next_fire
+from rearview_spark.monitors.evaluate import MonitorSpec, evaluate_monitors
+from rearview_spark.monitors.lifecycle import RESOLVED, TRIGGERED, transition
+from rearview_spark.monitors.notify import AlertRouter
+from rearview_spark.monitors.schemas import JOB_ERRORS, MONITORS
+from rearview_spark.monitors.store import JobStore
+
+
+class MonitorScheduler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: JobStore,
+        metrics: DataFrame,
+        router: AlertRouter | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.metrics = metrics
+        self.router = router or AlertRouter()
+
+    # -- due-job selection (R2/R6/R7 access paths) --------------------------
+
+    def due_monitors(self, now: dt.datetime) -> list[dict]:
+        rows = (
+            self.store.read("monitors")
+            .filter(F.col("active") & F.col("deleted_at").isNull())
+            .filter(F.col("next_run").isNull() | (F.col("next_run") <= F.lit(now)))
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    # -- one tick -----------------------------------------------------------
+
+    def tick(self, now: dt.datetime) -> dict:
+        """Run all due monitors once. Returns a summary dict."""
+        due = self.due_monitors(now)
+        if not due:
+            return {"ran": 0, "alerts": 0}
+
+        specs = [MonitorSpec.from_row(r) for r in due]
+        results = evaluate_monitors(self.spark, specs, self.metrics, now)
+        by_id = {r["job_id"]: r for r in results.collect()}
+
+        # persist job_data (S8)
+        self.store.append_job_data(results, now)
+
+        # status transitions + debounce (S4/S5) on the driver: due list is
+        # config-scale; the heavy work already happened in the Spark job.
+        errors_df = self.store.read("job_errors")
+        open_errors = {
+            r["job_id"]: r.asDict()
+            for r in errors_df.filter(F.col("status") == TRIGGERED).collect()
+        }
+        new_error_rows: list[tuple] = []
+        closed_job_ids: set[int] = set()
+        updated_monitors: list[dict] = []
+        n_alerts = 0
+        next_error_id = (errors_df.agg(F.max("id")).collect()[0][0] or 0) + 1
+
+        for mon in due:
+            res = by_id.get(mon["id"])
+            if res is None:
+                continue
+            prev_alerted = None
+            if mon["id"] in open_errors:
+                prev_alerted = open_errors[mon["id"]]["last_alerted_at"]
+            tr = transition(
+                mon["status"], prev_alerted, res["status"], now, mon["error_timeout"] or 0
+            )
+            if tr.incident == "open" or (
+                tr.new_status in ("failed", "error") and mon["id"] not in open_errors
+            ):
+                new_error_rows.append(
+                    (
+                        next_error_id, mon["id"], now, now,
+                        res["message"], TRIGGERED,
+                        now if tr.should_alert else None,
+                    )
+                )
+                next_error_id += 1
+            elif tr.incident == "close":
+                closed_job_ids.add(mon["id"])
+            elif tr.new_status in ("failed", "error") and tr.should_alert:
+                # re-alert on an already-open incident: bump last_alerted_at
+                open_errors[mon["id"]]["last_alerted_at"] = now
+                open_errors[mon["id"]]["updated_at"] = now
+
+            if tr.should_alert:
+                n_alerts += self.router.dispatch(
+                    mon["id"], mon["alert_keys"], res["message"] or "", now, tr.new_status
+                )
+
+            mon = dict(mon)
+            mon["status"] = tr.new_status
+            mon["last_run"] = now
+            if mon["cron_expr"]:
+                mon["next_run"] = next_fire(mon["cron_expr"], now)
+            updated_monitors.append(mon)
+
+        self._merge_monitors(updated_monitors)
+        self._merge_errors(open_errors, new_error_rows, closed_job_ids, now)
+        return {"ran": len(due), "alerts": n_alerts}
+
+    # -- persistence merges (single-writer; Delta MERGE in production) ------
+
+    def _merge_monitors(self, updated: list[dict]) -> None:
+        if not updated:
+            return
+        current = self.store.read("monitors")
+        upd_df = self.spark.createDataFrame(
+            [tuple(m[f.name] for f in MONITORS.fields) for m in updated], MONITORS
+        )
+        ids = [m["id"] for m in updated]
+        merged = current.filter(~F.col("id").isin(ids)).unionByName(upd_df)
+        self.store.save_monitors(merged)
+
+    def _merge_errors(
+        self,
+        open_errors: dict[int, dict],
+        new_rows: list[tuple],
+        closed_job_ids: set[int],
+        now: dt.datetime,
+    ) -> None:
+        current = self.store.read("job_errors")
+        touched = set(open_errors) | closed_job_ids
+        rows = []
+        for r in current.collect():
+            d = r.asDict()
+            if d["status"] == TRIGGERED and d["job_id"] in closed_job_ids:
+                d["status"] = RESOLVED
+                d["updated_at"] = now
+            elif d["status"] == TRIGGERED and d["job_id"] in open_errors:
+                d = open_errors[d["job_id"]]
+            rows.append(tuple(d[f.name] for f in JOB_ERRORS.fields))
+        rows.extend(new_rows)
+        if rows or touched:
+            self.store.overwrite(
+                "job_errors", self.spark.createDataFrame(rows, JOB_ERRORS)
+            )
+
+    # -- simulated run loop (tests / backtest) ------------------------------
+
+    def run_between(self, start: dt.datetime, end: dt.datetime, step_minutes: int = 1) -> list[dict]:
+        """Advance simulated time, ticking at each step — deterministic
+        replay for goldens and `to_date` backtests."""
+        out = []
+        t = start
+        while t <= end:
+            out.append(self.tick(t))
+            t += dt.timedelta(minutes=step_minutes)
+        return out

@@ -7,10 +7,15 @@ from __future__ import annotations
 
 
 def all_queries() -> dict:
-    from rearview_spark.plans import relational, timeseries_queries, pipeline_queries
+    from rearview_spark.plans import (
+        monitor_queries,
+        pipeline_queries,
+        relational,
+        timeseries_queries,
+    )
 
     out: dict = {}
-    for mod in (relational, timeseries_queries, pipeline_queries):
+    for mod in (relational, timeseries_queries, pipeline_queries, monitor_queries):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")

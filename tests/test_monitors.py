@@ -1,0 +1,242 @@
+"""Golden monitor scenarios (FIXTURES.md §8): threshold-fires,
+threshold-holds, null-window error path, debounce-suppressed,
+re-alert-after-timeout, recovery, backtest with to_date."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from rearview_spark.monitors.cron import next_fire
+from rearview_spark.monitors.evaluate import MonitorSpec, evaluate_monitors, evaluate_expr
+from rearview_spark.monitors.lifecycle import transition
+from rearview_spark.monitors.notify import AlertRouter, CollectingNotifier
+from rearview_spark.monitors.schemas import MONITORS
+from rearview_spark.monitors.scheduler import MonitorScheduler
+from rearview_spark.monitors.store import JobStore
+
+T0 = dt.datetime(2024, 1, 1, 0, 0)
+NOW = T0 + dt.timedelta(minutes=60)
+
+
+def make_metrics(spark, data: dict[str, list[float | None]], start=T0):
+    rows = [
+        (m, start + dt.timedelta(minutes=i), float(v) if v is not None else None)
+        for m, vals in data.items()
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+
+def spec(id=1, metrics=("stats.req",), expr="a.mean() > 100", minutes=60, to_date=None):
+    return MonitorSpec(
+        id=id, metrics=list(metrics), monitor_expr=expr, minutes=minutes,
+        to_date=to_date, name=f"mon{id}", description=f"monitor {id}",
+    )
+
+
+# --- evaluation layer --------------------------------------------------------
+
+def test_threshold_fires(spark):
+    m = make_metrics(spark, {"stats.req": [200.0] * 61})
+    out = evaluate_monitors(spark, [spec()], m, NOW).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["status"] == "failed"
+    assert "alert" in r["message"]
+    assert len(r["graph_data"]) == 61
+    assert r["graph_data"][0]["metric"] == "stats.req"
+
+
+def test_threshold_holds(spark):
+    m = make_metrics(spark, {"stats.req": [50.0] * 61})
+    out = evaluate_monitors(spark, [spec()], m, NOW).collect()
+    assert out[0]["status"] == "success"
+
+
+def test_null_window_is_error(spark):
+    # series exists but only outside the window -> graphite-error path
+    m = make_metrics(spark, {"stats.req": [1.0] * 10}, start=T0 - dt.timedelta(days=2))
+    out = evaluate_monitors(spark, [spec()], m, NOW).collect()
+    assert out[0]["status"] == "error"
+    assert "no data" in out[0]["message"]
+
+
+def test_all_null_window_is_error(spark):
+    m = make_metrics(spark, {"stats.req": [None] * 61})
+    out = evaluate_monitors(spark, [spec()], m, NOW).collect()
+    assert out[0]["status"] == "error"
+
+
+def test_expression_error_status(spark):
+    m = make_metrics(spark, {"stats.req": [1.0] * 61})
+    out = evaluate_monitors(spark, [spec(expr="a.nope()")], m, NOW).collect()
+    assert out[0]["status"] == "error"
+    assert "monitor_expr error" in out[0]["message"]
+
+
+def test_bad_target_is_error(spark):
+    m = make_metrics(spark, {"stats.req": [1.0] * 61})
+    out = evaluate_monitors(spark, [spec(metrics=["noSuchFn(stats.req)"])], m, NOW).collect()
+    assert out[0]["status"] == "error"
+    assert "target" in out[0]["message"]
+
+
+def test_multi_target_binding(spark):
+    m = make_metrics(spark, {"stats.a": [10.0] * 61, "stats.b": [4.0] * 61})
+    s = spec(metrics=["stats.a", "stats.b"], expr="(a - b).max() > 5")
+    out = evaluate_monitors(spark, [s], m, NOW).collect()
+    assert out[0]["status"] == "failed"
+
+
+def test_target_with_function_pipeline(spark):
+    vals = [10.0] * 50 + [500.0] * 11
+    m = make_metrics(spark, {"stats.req": vals})
+    s = spec(metrics=["movingAverage(stats.req, 5)"], expr="a.max() > 100")
+    out = evaluate_monitors(spark, [s], m, NOW).collect()
+    assert out[0]["status"] == "failed"
+
+
+def test_backtest_to_date(spark):
+    # data only in the first hour; to_date points the window there
+    m = make_metrics(spark, {"stats.req": [200.0] * 30})
+    backtest_end = T0 + dt.timedelta(minutes=30)
+    s = spec(to_date=backtest_end)
+    out = evaluate_monitors(spark, [s], m, now=NOW + dt.timedelta(days=5)).collect()
+    assert out[0]["status"] == "failed"
+    assert out[0]["scheduled_ts"] == backtest_end
+
+
+def test_many_monitors_one_job(spark):
+    m = make_metrics(spark, {"stats.a": [200.0] * 61, "stats.b": [1.0] * 61})
+    specs = [
+        spec(id=1, metrics=["stats.a"]),
+        spec(id=2, metrics=["stats.b"]),
+        spec(id=3, metrics=["stats.missing"]),
+    ]
+    out = {r["job_id"]: r["status"] for r in evaluate_monitors(spark, specs, m, NOW).collect()}
+    assert out == {1: "failed", 2: "success", 3: "error"}
+
+
+def test_expr_sandbox_blocks_dunder():
+    with pytest.raises(ValueError):
+        evaluate_expr("().__class__", {})
+    with pytest.raises(Exception):
+        evaluate_expr("open('/etc/passwd')", {})
+
+
+# --- lifecycle state machine -------------------------------------------------
+
+def test_transition_first_failure_alerts():
+    tr = transition("success", None, "failed", NOW, 60)
+    assert tr.new_status == "failed" and tr.should_alert and tr.incident == "open"
+    assert tr.new_last_alerted_at == NOW
+
+
+def test_transition_debounce_suppresses():
+    recent = NOW - dt.timedelta(minutes=10)
+    tr = transition("failed", recent, "failed", NOW, 60)
+    assert not tr.should_alert
+    assert tr.new_last_alerted_at == recent
+
+
+def test_transition_realert_after_timeout():
+    old = NOW - dt.timedelta(minutes=61)
+    tr = transition("failed", old, "failed", NOW, 60)
+    assert tr.should_alert and tr.new_last_alerted_at == NOW
+
+
+def test_transition_zero_timeout_always_alerts():
+    tr = transition("failed", NOW - dt.timedelta(seconds=30), "failed", NOW, 0)
+    assert tr.should_alert
+
+
+def test_transition_recovery_closes():
+    tr = transition("failed", NOW, "success", NOW, 60)
+    assert tr.new_status == "success" and tr.incident == "close" and not tr.should_alert
+
+
+# --- end-to-end scheduler goldens -------------------------------------------
+
+def monitor_row(id=1, cron="* * * * *", expr="a.mean() > 100", error_timeout=60,
+                alert_keys=("email:ops@example.com",), metrics=("stats.req",),
+                status="success", active=True):
+    return (
+        id, f"mon{id}", active, None, None, cron, status, 1,
+        list(alert_keys), None, error_timeout, f"monitor {id}", 1,
+        list(metrics), expr, 60, None, T0, T0,
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return JobStore(spark, str(tmp_path / "jobstore"))
+
+
+def test_scheduler_fire_debounce_realert_recover(spark, store):
+    # spiky series: high for first 2h, low afterwards
+    m = make_metrics(spark, {"stats.req": [200.0] * 120 + [10.0] * 120})
+    collector = CollectingNotifier()
+    router = AlertRouter(default=collector)
+    store.save_monitors(spark.createDataFrame([monitor_row(error_timeout=60)], MONITORS))
+    sched = MonitorScheduler(spark, store, m, router)
+
+    # t=60min: fires
+    s1 = sched.tick(T0 + dt.timedelta(minutes=60))
+    assert s1 == {"ran": 1, "alerts": 1}
+    errors = store.read("job_errors").collect()
+    assert len(errors) == 1 and errors[0]["status"] == "triggered"
+
+    # t=90min: still failing, within 60-min debounce -> suppressed
+    s2 = sched.tick(T0 + dt.timedelta(minutes=90))
+    assert s2 == {"ran": 1, "alerts": 0}
+
+    # t=121min: past debounce -> re-alerts (window still mostly high)
+    s3 = sched.tick(T0 + dt.timedelta(minutes=121))
+    assert s3 == {"ran": 1, "alerts": 1}
+
+    # t=200min: window is low -> recovery closes the incident
+    s4 = sched.tick(T0 + dt.timedelta(minutes=200))
+    assert s4 == {"ran": 1, "alerts": 0}
+    errors = store.read("job_errors").collect()
+    assert len(errors) == 1 and errors[0]["status"] == "resolved"
+    mon = store.read("monitors").collect()[0]
+    assert mon["status"] == "success"
+    assert len(collector.sent) == 2
+    assert collector.sent[0].key == "email:ops@example.com"
+
+    # job_data accumulated one row per tick
+    assert store.read("job_data").count() == 4
+    latest = store.latest_job_data().collect()
+    assert len(latest) == 1 and latest[0]["data"]["status"] == "success"
+
+
+def test_scheduler_respects_cron_and_next_run(spark, store):
+    m = make_metrics(spark, {"stats.req": [10.0] * 240})
+    store.save_monitors(
+        spark.createDataFrame([monitor_row(cron="*/15 * * * *")], MONITORS)
+    )
+    sched = MonitorScheduler(spark, store, m)
+    t1 = T0 + dt.timedelta(minutes=60)
+    assert sched.tick(t1)["ran"] == 1
+    nr = store.read("monitors").collect()[0]["next_run"]
+    assert nr == next_fire("*/15 * * * *", t1)
+    # before next_run: nothing due
+    assert sched.tick(t1 + dt.timedelta(minutes=1))["ran"] == 0
+    # at next_run: due again
+    assert sched.tick(nr)["ran"] == 1
+
+
+def test_scheduler_skips_inactive_and_deleted(spark, store):
+    m = make_metrics(spark, {"stats.req": [10.0] * 120})
+    rows = [monitor_row(id=1, active=False), monitor_row(id=2)]
+    df = spark.createDataFrame(rows, MONITORS)
+    df = df.withColumn(
+        "deleted_at",
+        F.when(F.col("id") == 2, F.lit(NOW)).otherwise(F.lit(None).cast("timestamp")),
+    )
+    store.save_monitors(df)
+    sched = MonitorScheduler(spark, store, m)
+    assert sched.tick(NOW)["ran"] == 0
