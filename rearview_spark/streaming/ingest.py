@@ -1,0 +1,83 @@
+"""Structured Streaming ingest: events -> the tall `metrics` table.
+
+The reference *pulls* pre-indexed series from Graphite on each cron firing
+(README.md:6 — Graphite is the system of record; SURVEY.md §1.4). Our
+engine owns the store, so ingest is a streaming inversion of that
+contract (BASELINE.json spark_approach: "Structured Streaming for ingest
++ DataFrame queries for monitoring dashboards"):
+
+    readStream(events) -> map to (metric, ts, value)
+      -> withWatermark(ts, delay)          # S9: bounded out-of-orderness
+      -> writeStream partitioned by date   # the batch G-layer reads this
+
+Batch/stream unification: the transform is the SAME
+``events_as_timeseries`` projection the batch path uses; monitors then
+read closed windows from the table. File-source streaming is what the
+test container supports; on a cluster the source line changes to Kafka
+and nothing else does.
+
+Scale: the sink partitions by ``date(ts)`` — the layout that gives the
+batch window fetch (G4) partition pruning, and bounds any late-data
+rewrite to one day's partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, source_dir: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-source event stream (schema pinned — streaming requires it)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def to_metrics(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """events -> canonical tall series with a watermark bound (S9)."""
+    return (
+        events.select(
+            F.col("event_type").alias("metric"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        .withWatermark("ts", watermark)
+    )
+
+
+def ingest_to_metrics(
+    spark: SparkSession,
+    source_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+) -> StreamingQuery:
+    """Start the ingest stream writing the date-partitioned metrics table.
+    Exactly-once per file via the checkpoint (file source + parquet sink)."""
+    metrics = to_metrics(events_stream(spark, source_dir), watermark)
+    return (
+        metrics.withColumn("dt", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", metrics_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("dt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

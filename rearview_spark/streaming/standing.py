@@ -1,0 +1,89 @@
+"""Standing queries: the streaming form of a monitor (SURVEY.md §2.4).
+
+The reference's cron model re-reads a trailing window each firing — a
+*sliding window whose slide is the cron period* (S2). Structured
+Streaming expresses the same thing incrementally: windowed aggregation
+with a watermark emits each closed window exactly once, and a
+``foreachBatch`` sink runs the alert decision + fan-out transactionally
+per micro-batch (S4-S6 in streaming form).
+
+The threshold predicate here covers the common monitor shape
+(``a.mean() > k`` over the window); arbitrary restricted expressions
+reuse the batch evaluator on each closed window's rows inside
+foreachBatch — same code, streaming trigger.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from rearview_spark.monitors.notify import AlertRouter
+
+
+def standing_window_agg(
+    metrics: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    fns: tuple[str, ...] = ("avg", "min", "max", "count"),
+) -> DataFrame:
+    """Sliding/tumbling per-metric window stats — the S2 shape. ``metrics``
+    must already carry a watermark (ingest.to_metrics)."""
+    available = {
+        "avg": F.avg("value").alias("avg_value"),
+        "min": F.min("value").alias("min_value"),
+        "max": F.max("value").alias("max_value"),
+        "count": F.count("value").alias("n_points"),
+        "sum": F.sum("value").alias("sum_value"),
+    }
+    aggs = [available[f] for f in fns]
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        metrics.groupBy(F.col("metric"), win.alias("w"))
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def streaming_threshold_alerts(
+    metrics: DataFrame,
+    router: AlertRouter,
+    job_id: int,
+    alert_keys: list[str],
+    threshold: float,
+    window: str = "5 minutes",
+    checkpoint_dir: str | None = None,
+    queryName: str = "monitor_alerts",
+) -> StreamingQuery:
+    """A monitor as a standing query: windowed mean per metric; any closed
+    window whose mean exceeds ``threshold`` fires through the router in
+    foreachBatch (at-least-once + debounce state = reference semantics,
+    SURVEY.md S6)."""
+    windowed = standing_window_agg(metrics, window, fns=("avg", "count"))
+    breaches = windowed.filter(F.col("avg_value") > threshold)
+    # update mode: breaches fire as soon as a window's running aggregate
+    # crosses the threshold (monitoring wants early alerts, not
+    # closed-window finality); re-fires on the same window are bounded by
+    # the router's debounce state — the reference's at-least-once semantic.
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        for row in batch_df.collect():
+            router.dispatch(
+                job_id,
+                alert_keys,
+                f"alert: mean {row['avg_value']:.2f} > {threshold} for "
+                f"{row['metric']} @ {row['window_start']}",
+                dt.datetime.utcnow(),
+                "failed",
+            )
+
+    writer = breaches.writeStream.outputMode("update").foreachBatch(sink).queryName(queryName)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
