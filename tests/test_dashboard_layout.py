@@ -1,0 +1,123 @@
+"""Dashboard read layer (R3/R8/R9/R10/R11) + metrics storage layout."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from rearview_spark.monitors import dashboard as DB
+from rearview_spark.monitors.schemas import APPLICATIONS, JOB_ERRORS, MONITORS, USERS
+from rearview_spark.sources.layout import read_metrics_dir, write_metrics_dir
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def apps(spark):
+    rows = [
+        # two trees: 1 -> (2 -> 4), 3; paths are ancestor id chains
+        (1, 1, "root-a", None, "", T0, T0, None),
+        (2, 1, "child-a1", None, "1", T0, T0, None),
+        (4, 1, "grandchild", None, "1/2", T0, T0, None),
+        (3, 2, "root-b", None, "", T0, T0, None),
+        (5, 2, "deleted-child", None, "3", T0, T0, T0),
+    ]
+    return spark.createDataFrame(rows, APPLICATIONS)
+
+
+def test_app_tree(apps):
+    roots = {r["id"] for r in DB.app_roots(apps).collect()}
+    assert roots == {1, 3}
+    desc = {r["id"] for r in DB.app_descendants(apps, 1, "").collect()}
+    assert desc == {2, 4}
+    kids = {r["id"] for r in DB.app_children(apps, 1, "").collect()}
+    assert kids == {2}
+    # soft-deleted children excluded
+    assert DB.app_descendants(apps, 3, "").count() == 0
+
+
+@pytest.fixture(scope="module")
+def monitors_df(spark):
+    def row(id, app_id, user_id, status, active=True, deleted=None):
+        return (
+            id, f"m{id}", active, T0, None, "* * * * *", status, user_id,
+            [], deleted, 60, None, app_id, ["x"], "a.mean() > 1", 60, None, T0, T0,
+        )
+
+    rows = [
+        row(10, 1, 1, "success"),
+        row(11, 1, 1, "failed"),
+        row(12, 2, 2, "error", active=False),
+        row(13, 1, 2, "success", deleted=T0),
+    ]
+    return spark.createDataFrame(rows, MONITORS)
+
+
+def test_job_listings(monitors_df):
+    assert {r["id"] for r in DB.jobs_by_app(monitors_df, 1).collect()} == {10, 11}
+    assert {r["id"] for r in DB.jobs_by_user(monitors_df, 2).collect()} == {12}
+    assert {r["id"] for r in DB.jobs_by_status(monitors_df, "failed", "error").collect()} == {11, 12}
+
+
+def test_error_history_and_overview(spark, monitors_df):
+    err_rows = [
+        (1, 11, T0, T0, "boom", "triggered", T0),
+        (2, 11, T0 - dt.timedelta(hours=1), T0, "old", "resolved", None),
+        (3, 12, T0, T0, "fetch failed", "triggered", T0),
+    ]
+    errors = spark.createDataFrame(err_rows, JOB_ERRORS)
+    hist = DB.error_history(errors, 11, limit=1).collect()
+    assert len(hist) == 1 and hist[0]["message"] == "boom"
+    assert DB.open_errors(errors).count() == 2
+
+    from rearview_spark.monitors.schemas import JOB_DATA
+    overview = {r["app_id"]: r for r in DB.dashboard_overview(
+        monitors_df, spark.createDataFrame([], JOB_DATA), errors
+    ).collect()}
+    assert overview[1]["n_jobs"] == 2  # deleted excluded
+    assert overview[1]["n_failed"] == 1
+    assert overview[1]["n_open_incidents"] == 1
+    assert overview[2]["n_open_incidents"] == 1
+
+
+def test_user_by_email(spark):
+    users = spark.createDataFrame(
+        [(1, "admin@localhost", "Ad", "Min", T0, {"tz": "UTC"}, T0, T0)], USERS
+    )
+    assert DB.user_by_email(users, "admin@localhost").count() == 1
+    assert DB.user_by_email(users, "nobody@x").count() == 0
+
+
+def test_preview_run(spark):
+    rows = [("stats.req", T0 + dt.timedelta(minutes=i), 200.0) for i in range(30)]
+    metrics = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    out = DB.preview_run(
+        spark, metrics, ["stats.req"], "a.mean() > 100", minutes=60,
+        now=T0 + dt.timedelta(minutes=30),
+    )
+    assert out["status"] == "failed"
+    assert len(out["graph_data"]) == 30
+
+
+def test_metrics_layout_roundtrip(spark, tmp_path):
+    rows = [
+        ("m.a", T0 + dt.timedelta(hours=h), float(h)) for h in range(48)
+    ] + [("m.b", T0 + dt.timedelta(hours=h), 2.0 * h) for h in range(48)]
+    metrics = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    path = str(tmp_path / "metrics")
+    write_metrics_dir(metrics, path)
+    # partition dirs by date
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("dt="))[:2] == [
+        "dt=2024-01-01", "dt=2024-01-02",
+    ]
+    back = read_metrics_dir(spark, path)
+    assert back.count() == 96
+    assert set(back.columns) == {"metric", "ts", "value"}
+    # date-filter reads prune partitions (plan shows PartitionFilters)
+    pruned = back.filter(F.col("ts") >= "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 48

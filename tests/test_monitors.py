@@ -240,3 +240,19 @@ def test_scheduler_skips_inactive_and_deleted(spark, store):
     store.save_monitors(df)
     sched = MonitorScheduler(spark, store, m)
     assert sched.tick(NOW)["ran"] == 0
+
+
+def test_observe_metrics(spark):
+    from rearview_spark.monitors.observe import TickMetrics, observed_run_results
+
+    m = make_metrics(spark, {"stats.a": [200.0] * 61, "stats.b": [1.0] * 61})
+    specs = [spec(id=1, metrics=["stats.a"]), spec(id=2, metrics=["stats.b"])]
+    results = evaluate_monitors(spark, specs, m, NOW)
+    observed, obs = observed_run_results(results)
+    observed.collect()
+    got = obs.get
+    assert got["runs"] == 2 and got["failed"] == 1 and got["errors"] == 0
+
+    lines = TickMetrics(ran=2, alerts=1, failed=1, tick_seconds=0.5).to_statsd_lines()
+    assert "rearview.scheduler.ran:2|c" in lines
+    assert "rearview.scheduler.tick_ms:500|ms" in lines
