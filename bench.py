@@ -37,6 +37,9 @@ HEADLINE = [
     "doc_text_features",
     "dedup_minhash_lsh",
     "sim_brute_force_topk",
+    "q7_nation_volume",
+    "ev_sessionization",
+    "monitor_run_statuses",
 ]
 
 

@@ -1,0 +1,139 @@
+"""Event-log analytics: JSON property extraction, sessionization, user
+activity — the ingestion-side query shapes (the reference's dynamic JSON
+columns, SURVEY.md §1.3: job_data.data / alert_keys / preferences were
+schema-on-read JSON; here the same handling is shown on events.props)
+plus classic clickstream patterns (sessionization = lag + gap cumsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rearview_spark.sources.loader import Tables
+
+
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: extract props.k, bucket it, aggregate. The
+    extraction is get_json_object (JVM Jackson path, no UDF)."""
+    ev = Tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"), "value")
+        .withColumn("k_bucket", (F.col("k") % 10).cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k") + F.lit(5e-8), 4).alias("avg_k"),
+            F.round(F.sum("value") + F.lit(5e-8), 4).alias("sum_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+EV_JSON_SQL = """
+SELECT event_type,
+       CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+       count(*) AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)) + 0.00000005, 4) AS avg_k,
+       round(sum(value) + 0.00000005, 4) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (30-min inactivity boundary):
+    lag -> new-session flag -> running cumsum = session id; then session
+    stats. Two window passes over the same (user_id, ts) ordering — one
+    shuffle, Catalyst collapses the Window nodes."""
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = ev.select("user_id", "ts", "event_id").withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    with_id = with_flag.withColumn(
+        "session_seq", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EV_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), ids AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+FROM ids GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface (Prov-A category): events-per-day wide by type."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+EV_PIVOT_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view",
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates surface: HLL++ distinct users per type,
+    alongside the exact count the oracle verifies. The approx column is
+    engine-specific by nature, so the query returns its absolute error
+    bound check (|approx-exact|/exact < 5%) rather than the raw sketch."""
+    ev = Tables(spark, sf_dir).events
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    )
+    ok = (F.abs(F.col("_approx") - F.col("exact_users")) / F.col("exact_users")) < 0.05
+    return per_type.select(
+        "event_type", "exact_users", ok.alias("approx_within_5pct")
+    ).orderBy("event_type")
+
+
+EV_APPROX_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS approx_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES: dict[str, dict] = {
+    "ev_json_props": {"fn": ev_json_props, "oracle": EV_JSON_SQL},
+    "ev_sessionization": {"fn": ev_sessionization, "oracle": EV_SESSION_SQL},
+    "ev_type_pivot": {"fn": ev_type_pivot, "oracle": EV_PIVOT_SQL},
+    "ev_approx_distinct": {"fn": ev_approx_distinct, "oracle": EV_APPROX_SQL},
+}

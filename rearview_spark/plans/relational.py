@@ -414,3 +414,109 @@ QUERIES: dict[str, dict] = {
     "part_type_stats": {"fn": part_type_stats, "oracle": PART_TYPE_SQL},
     "nation_customer_minus_supplier": {"fn": nation_customer_minus_supplier, "oracle": EXCEPT_SQL},
 }
+
+
+# --- additions: cube, intersect, exists-subquery shapes ----------------------
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets surface over two dims."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_revenue().alias("revenue"), F.count("*").alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, {REV_SQL} AS revenue, count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = t.supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return (
+        cust.intersect(supp)
+        .join(F.broadcast(t.nation), F.col("nationkey") == t.nation.n_nationkey)
+        .select("nationkey", "n_name")
+        .orderBy("nationkey")
+    )
+
+
+INTERSECT_SQL = """
+SELECT nationkey, n_name
+FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+) t JOIN nation ON nationkey = n_nationkey
+ORDER BY nationkey
+"""
+
+
+def q4_priority_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-subquery (left-semi) -> priority counts."""
+    t = Tables(spark, sf_dir)
+    big = t.lineitem.filter(F.col("l_quantity") >= 45).select("l_orderkey")
+    return (
+        t.orders.join(big, t.orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation yearly volume."""
+    t = Tables(spark, sf_dir)
+    sn = t.nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = t.nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(F.broadcast(t.supplier), t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_revenue().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year, {REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+QUERIES.update(
+    {
+        "cube_revenue": {"fn": cube_revenue, "oracle": CUBE_SQL},
+        "nations_with_both": {"fn": nations_with_both, "oracle": INTERSECT_SQL},
+        "q4_priority_with_big_items": {"fn": q4_priority_with_big_items, "oracle": Q4_SQL},
+        "q7_nation_volume": {"fn": q7_nation_volume, "oracle": Q7_SQL},
+    }
+)

@@ -549,3 +549,70 @@ QUERIES: dict[str, dict] = {
     "ts_alias_by_node": {"fn": ts_alias_by_node, "oracle": TS_ALIAS_SQL},
     "ts_group_by_node": {"fn": ts_group_by_node, "oracle": TS_GROUPNODE_SQL},
 }
+
+
+# --- additions: G10 perSecond, G14 timeSlice, G26 Holt-Winters, parser path --
+
+def ts_per_second(spark, sf_dir):
+    """G10 perSecond: hourly-sum delta divided by the 3600s step."""
+    return _rounded(G.per_second(_hourly(spark, sf_dir), 3600))
+
+
+TS_PERSEC_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round((value - lag(value) OVER (PARTITION BY metric ORDER BY ts)) / 3600.0 + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_time_slice(spark, sf_dir):
+    """G14 timeSlice: blank values outside [Jan 10, Jan 20], keep points."""
+    return _rounded(G.time_slice(_hourly(spark, sf_dir), "2024-01-10", "2024-01-20"))
+
+
+TS_TIMESLICE_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(CASE WHEN ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
+             THEN value END + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_holt_winters(spark, sf_dir):
+    """G26 Holt-Winters forecast over hourly sums (season = 24 h). The
+    triple-smoothing recurrence has no closed form a SQL oracle can
+    reproduce faithfully -> rows-only check (the recurrence itself is
+    golden-tested in tests/test_timeseries_ops.py)."""
+    return _rounded(G.holt_winters_forecast(_hourly(spark, sf_dir), season_points=24))
+
+
+def ts_parsed_target(spark, sf_dir):
+    """The Graphite front-end inside the gate: a nested render-target
+    string compiled to a Catalyst plan (parser -> sumSeries -> movingAverage)."""
+    from rearview_spark.functions.graphite import evaluate_target
+
+    series = _prefixed(spark, sf_dir)
+    out = evaluate_target("movingAverage(sumSeries(u0.click, u1.click, u2.click), 4)", series)
+    return _rounded(out)
+
+
+TS_PARSED_SQL = PREFIXED_CTE + """
+, combined AS (
+  SELECT 'sumSeries' AS metric, ts, sum(value) AS value
+  FROM hourly WHERE metric IN ('u0.click', 'u1.click', 'u2.click')
+  GROUP BY ts
+)
+SELECT metric, ts,
+       round(avg(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS value
+FROM combined
+"""
+
+
+QUERIES.update(
+    {
+        "ts_per_second": {"fn": ts_per_second, "oracle": TS_PERSEC_SQL},
+        "ts_time_slice": {"fn": ts_time_slice, "oracle": TS_TIMESLICE_SQL},
+        "ts_holt_winters": {"fn": ts_holt_winters, "oracle": None},
+        "ts_parsed_target": {"fn": ts_parsed_target, "oracle": TS_PARSED_SQL},
+    }
+)
