@@ -114,6 +114,7 @@ def evaluate_monitors(
     metrics: DataFrame,
     now: dt.datetime,
     max_points_per_job: int = MAX_POINTS_PER_JOB_DEFAULT,
+    with_graph: bool = True,
 ) -> DataFrame:
     """Evaluate every monitor's window in ONE Spark job; returns a
     DataFrame with RUN_RESULT schema.
@@ -162,11 +163,17 @@ def evaluate_monitors(
         sched = pd.Timestamp(sched_iso)
         if len(pdf) > max_points_per_job:
             pdf = pdf.sort_values("ts").tail(max_points_per_job)
-        graph = (
-            pdf.sort_values(["var", "metric", "ts"])[["metric", "ts", "value"]]
-            .reset_index(drop=True)
-        )
-        graph_records = graph.to_dict("records")
+        if with_graph:
+            graph = (
+                pdf.sort_values(["var", "metric", "ts"])[["metric", "ts", "value"]]
+                .reset_index(drop=True)
+            )
+            graph_records = graph.to_dict("records")
+        else:
+            # status-only callers (scheduler status sweep, dashboards)
+            # skip building the per-point record list — at 100k points/job
+            # that dict conversion + Arrow struct encode dominates the run
+            graph_records = []
 
         def result(status: str, message: str | None, output: str | None) -> pd.DataFrame:
             return pd.DataFrame(

@@ -110,17 +110,41 @@ def minhash_signature(
     return signature_from_shingles(shingled, id_col, num_hashes)
 
 
+# Fixed 2-universal permutation constants (odd 31-bit ints, seed 42) for
+# the one-base-hash MinHash family: perm_k(s) = A[k]*h1(s) + B[k]*h2(s) + k
+# where h1/h2 are independent 28-bit md5 prefixes. Products stay < 2^59 and
+# the sum < 2^60 — overflow-free bigint math in Spark AND DuckDB, so the
+# oracle reproduces it with plain arithmetic (Broder-style linear
+# permutations; one md5 per shingle instead of num_hashes of them — the
+# md5+radix-conv per permutation was 80% of signature CPU).
+_MH_A = [
+    1373158607, 239081665, 53710185, 1592467583, 590620973, 525901257,
+    479341425, 299655413, 1581559893, 220106709, 1453201079, 1590571867,
+    1915941033, 1171165723, 186699715, 1268073013,
+]
+_MH_B = [
+    906070221, 68252795, 63989049, 201209007, 469521479, 499635469,
+    1085242217, 1292825379, 56985563, 1205264597, 427000597, 1537640409,
+    1395616197, 1506083911, 1170252925, 900911955,
+]
+
+
 def signature_from_shingles(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """MinHash signatures from a precomputed ``(id, sh: array<string>)``
     frame (lets callers share one shingling pass across signature and
     verification stages)."""
+    if num_hashes > len(_MH_A):
+        raise ValueError(f"num_hashes > {len(_MH_A)} needs more permutation constants")
     exploded = shingled.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    md5 = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md5, 1, 7), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 8, 7), 16, 10).cast("long")
     hashed = exploded.select(
         id_col,
         *[
-            _hash60(F.concat(F.col("shingle"), F.lit(f":{k}"))).alias(f"h{k}")
+            (F.lit(_MH_A[k]) * h1 + F.lit(_MH_B[k]) * h2 + F.lit(k)).alias(f"h{k}")
             for k in range(num_hashes)
         ],
     )

@@ -652,11 +652,37 @@ def holt_winters_aberration(ts: DataFrame, season_points: int, delta: float = 3.
 # Resample/align (SURVEY.md §4.2 #3) — raw events -> fixed-step series
 # ---------------------------------------------------------------------------
 
-def resample(ts: DataFrame, step: str, fn: str = "avg", fill: float | None = None) -> DataFrame:
+def resample(
+    ts: DataFrame,
+    step: str,
+    fn: str = "avg",
+    fill: float | None = None,
+    densify: bool = False,
+) -> DataFrame:
     """Regularize an irregular series to a fixed step: tumbling-window
     aggregate + optional constant fill for empty buckets. Composition of
-    summarize (G15) + transformNull (G17)."""
+    summarize (G15) + transformNull (G17).
+
+    ``densify=True`` reproduces Graphite's fixed-step alignment exactly:
+    buckets with no points appear as explicit (null or ``fill``) rows.
+    The per-metric grid is built from each series' own [min, max] bucket
+    range with ``sequence``+``explode`` (rows generated executor-side,
+    ~8 bytes/point — no driver materialization), then right-joined back.
+    The grid side is tiny relative to the fact scan, and both sides share
+    the (metric) partitioning, so at 100 TB this adds one map-side
+    explode + one shuffle-free-able join per metric partition."""
     out = summarize(ts, step, fn)
+    if densify:
+        bounds = out.groupBy(METRIC).agg(
+            F.min(TS).alias("_lo"), F.max(TS).alias("_hi")
+        )
+        grid = bounds.select(
+            METRIC,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}"))
+            ).alias(TS),
+        )
+        out = grid.join(out, [METRIC, TS], "left")
     if fill is not None:
         out = transform_null(out, fill)
     return out

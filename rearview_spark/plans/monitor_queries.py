@@ -43,7 +43,7 @@ def monitor_run_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end monitor evaluation: target compile -> window fetch ->
     variable binding -> restricted expression -> status."""
     metrics = events_as_timeseries(Tables(spark, sf_dir).events)
-    results = evaluate_monitors(spark, SPECS, metrics, now=WINDOW_END)
+    results = evaluate_monitors(spark, SPECS, metrics, now=WINDOW_END, with_graph=False)
     return results.select("job_id", "scheduled_ts", "status", "message").orderBy("job_id")
 
 

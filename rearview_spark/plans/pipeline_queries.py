@@ -178,10 +178,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_MINHASH_SQL = SHINGLE_CTE + """
-, sigs AS (
+, hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(shingle), 8, 7)) AS BIGINT) AS h2
+  FROM inv
+), sigs AS (
   SELECT doc_id, k.k,
-         min(CAST(concat('0x', substr(md5(shingle || ':' || k.k), 1, 15)) AS BIGINT)) AS mh
-  FROM inv CROSS JOIN (SELECT unnest(range(0, 16)) AS k) k
+         min(([1373158607, 239081665, 53710185, 1592467583, 590620973, 525901257,
+               479341425, 299655413, 1581559893, 220106709, 1453201079, 1590571867,
+               1915941033, 1171165723, 186699715, 1268073013])[k.k + 1] * h1
+           + ([906070221, 68252795, 63989049, 201209007, 469521479, 499635469,
+               1085242217, 1292825379, 56985563, 1205264597, 427000597, 1537640409,
+               1395616197, 1506083911, 1170252925, 900911955])[k.k + 1] * h2
+           + k.k) AS mh
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS k) k
   GROUP BY doc_id, k.k
 ), bands AS (
   SELECT doc_id, CAST(k // 4 AS INT) AS band,

@@ -15,10 +15,12 @@ DuckDB oracle. Hash-stability conventions (see plans/_exact.py):
   arithmetic (bit-identical across engines);
 - all float outputs go through the boundary-nudged r4/r6 rounding.
 
-Scale notes: dimension joins (region/nation/supplier/customer/part) are
-broadcast-able and Catalyst broadcasts them at defaults; fact-side
-aggregates are partial (map-side combine) before the shuffle. AQE handles
-skew/coalescing at 100 TB (session.py).
+Scale notes: only constant-size dims (region=5, nation=25 rows) are
+force-broadcast. customer/supplier/part grow proportionally with the fact
+tables (TPC-H scaling), so at 100 TB a forced broadcast would OOM the
+executors — those joins are left to AQE, which picks broadcast at small SF
+and sort-merge (with runtime skew splitting) at scale. Fact-side
+aggregates are partial (map-side combine) before the shuffle.
 """
 
 from __future__ import annotations
@@ -80,7 +82,8 @@ def _revenue() -> F.Column:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> top-10 by
-    revenue. customer is broadcast; orders->lineitem is the only shuffle.
+    revenue. customer is AQE-broadcast at this SF; orders->lineitem is
+    the big join.
     The ordering key (exact revenue) is bit-identical across engines, so
     the LIMIT cutoff is deterministic."""
     t = Tables(spark, sf_dir)
@@ -89,7 +92,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
         li.join(ord_, li.l_orderkey == ord_.o_orderkey)
-        .join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+        .join(cust, ord_.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_revenue().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -113,12 +116,12 @@ LIMIT 10
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-way join where supplier and customer must share a
-    nation. All dims broadcast; single fact shuffle on orderkey."""
+    nation. Constant dims force-broadcast, sized dims AQE-planned."""
     t = Tables(spark, sf_dir)
     return (
         t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
-        .join(F.broadcast(t.supplier), t.lineitem.l_suppkey == t.supplier.s_suppkey)
-        .join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        .join(t.supplier, t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == t.nation.n_nationkey)
         .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
@@ -168,7 +171,7 @@ def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated (small) frame, never over the raw fact table."""
     t = Tables(spark, sf_dir)
     per_part = (
-        t.lineitem.join(F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey)
+        t.lineitem.join(t.part, t.lineitem.l_partkey == t.part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(_revenue().alias("revenue"))
     )
@@ -221,7 +224,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    return latest.join(F.broadcast(t.customer), latest.o_custkey == t.customer.c_custkey).select(
+    return latest.join(t.customer, latest.o_custkey == t.customer.c_custkey).select(
         "c_custkey", "c_name", "o_orderkey", "o_orderdate", r4(F.col("o_totalprice")).alias("totalprice")
     )
 
@@ -260,7 +263,7 @@ def mktsegment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the final division, so the percentage is deterministic."""
     t = Tables(spark, sf_dir)
     per_seg = (
-        t.orders.join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(int_sum(F.col("o_totalprice"), 100).alias("_cents"))
     )
@@ -347,10 +350,10 @@ ORDER BY c_custkey
 
 
 def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast dim join + multi-agg incl. exact median over groups."""
+    """Dim join (AQE-planned) + multi-agg incl. exact median over groups."""
     t = Tables(spark, sf_dir)
     return (
-        t.lineitem.join(F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey)
+        t.lineitem.join(t.part, t.lineitem.l_partkey == t.part.p_partkey)
         .groupBy("p_type")
         .agg(
             r4(exact_avg(F.col("l_discount"), 100)).alias("avg_disc"),
@@ -487,8 +490,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = t.nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     return (
         t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
-        .join(F.broadcast(t.supplier), t.lineitem.l_suppkey == t.supplier.s_suppkey)
-        .join(F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey)
+        .join(t.supplier, t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))

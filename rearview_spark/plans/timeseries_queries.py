@@ -616,3 +616,149 @@ QUERIES.update(
         "ts_parsed_target": {"fn": ts_parsed_target, "oracle": TS_PARSED_SQL},
     }
 )
+
+
+# --- additions 2: movingSum/Min/Max, sortBy, aliasSub, constantLine,
+# --- glob select, Holt-Winters aberration, densified resample ---------------
+
+def ts_moving_sum(spark, sf_dir):
+    """G12 movingSum(6): trailing 6-point sum."""
+    return _rounded(G.moving_sum(_hourly(spark, sf_dir), 6))
+
+
+TS_MOVSUM_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(sum(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_moving_min_max(spark, sf_dir):
+    """G12 movingMin + movingMax over the same trailing frame, joined on
+    (metric, ts). Catalyst collapses both Window nodes onto one sort —
+    single shuffle by metric."""
+    hourly = _hourly(spark, sf_dir)
+    mn = G.moving_min(hourly, 4).withColumnRenamed("value", "min_value")
+    mx = G.moving_max(hourly, 4).withColumnRenamed("value", "max_value")
+    return mn.join(mx, ["metric", "ts"]).select(
+        "metric", "ts", r4(F.col("min_value")).alias("min_value"),
+        r4(F.col("max_value")).alias("max_value"),
+    )
+
+
+TS_MOVMINMAX_SQL = HOURLY_CTE + """
+SELECT metric, ts,
+       round(min(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS min_value,
+       round(max(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS max_value
+FROM hourly
+"""
+
+
+def ts_sort_by_total(spark, sf_dir):
+    """G22 sortByTotal: points ordered by per-series total. The hash
+    compare is order-insensitive, so the series total rides along as a
+    verifiable column (the ordering key itself)."""
+    hourly = _hourly(spark, sf_dir)
+    totals = hourly.groupBy("metric").agg(F.sum("value").alias("_stat"))
+    out = G.sort_by(hourly, "total", descending=True).join(
+        F.broadcast(totals), "metric"
+    )
+    return out.select(
+        "metric", "ts", r4(F.col("value")).alias("value"),
+        r4(F.col("_stat")).alias("series_total"),
+    )
+
+
+TS_SORTBY_SQL = HOURLY_CTE + """
+SELECT metric, ts, round(value + 0.00000005, 4) AS value,
+       round(sum(value) OVER (PARTITION BY metric) + 0.00000005, 4) AS series_total
+FROM hourly
+"""
+
+
+def ts_alias_sub(spark, sf_dir):
+    """G24 aliasSub: regex rewrite of series names (u<N>. -> user-<N>.)."""
+    return _rounded(G.alias_sub(_prefixed(spark, sf_dir), "^u([0-9]+)\\.", "user-$1."))
+
+
+TS_ALIASSUB_SQL = PREFIXED_CTE + r"""
+SELECT regexp_replace(metric, '^u([0-9]+)\.', 'user-\1.') AS metric, ts,
+       round(value + 0.00000005, 4) AS value
+FROM hourly
+"""
+
+
+def ts_constant_line(spark, sf_dir):
+    """G27 constantLine + timeFunction: synthetic series generated
+    executor-side (sequence/explode — no driver loop), unioned (G28
+    group)."""
+    lo, hi, step = "2024-01-01", "2024-01-03", 21600
+    const = G.constant_line(spark, 42.5, lo, hi, step)
+    tfn = G.time_function(spark, lo, hi, step, name="timeFunction")
+    return _rounded(G.group(const, tfn))
+
+
+TS_CONSTLINE_SQL = """
+WITH grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-03', INTERVAL 6 HOUR)) AS ts
+)
+SELECT 'constantLine(42.5)' AS metric, ts, 42.5 AS value FROM grid
+UNION ALL
+SELECT 'timeFunction', ts, round(epoch(ts) + 0.00000005, 4) FROM grid
+"""
+
+
+def ts_glob_select(spark, sf_dir):
+    """G2 glob select: Graphite wildcard u{0,2}.* compiled to an anchored
+    regex where * stops at dots (one path node per wildcard)."""
+    return _rounded(G.select_glob(_prefixed(spark, sf_dir), "u{0,2}.*"))
+
+
+TS_GLOB_SQL = PREFIXED_CTE + r"""
+SELECT metric, ts, round(value + 0.00000005, 4) AS value FROM hourly
+WHERE regexp_matches(metric, '^(u0|u2)\.[^.]*$')
+"""
+
+
+def ts_hw_aberration(spark, sf_dir):
+    """G26 holtWintersAberration: residual outside the delta*sigma band
+    around the HW forecast. Same non-closed-form recurrence as the
+    forecast -> rows-only check (recurrence golden-tested in
+    tests/test_timeseries_ops.py)."""
+    return _rounded(G.holt_winters_aberration(_hourly(spark, sf_dir), season_points=24))
+
+
+def ts_resample_fill(spark, sf_dir):
+    """Resample/align (SURVEY.md §4.2 #3): purchase events to a dense
+    15-minute grid — empty buckets materialized and zero-filled (Graphite
+    fixed-step alignment; the shape the sandbox consumed)."""
+    ev = Tables(spark, sf_dir).events
+    series = events_as_timeseries(ev.filter(F.col("event_type") == "purchase"))
+    return _rounded(G.resample(series, "15 minutes", "sum", fill=0.0, densify=True))
+
+
+TS_RESAMPLE_SQL = """
+WITH pts AS (
+  SELECT event_type AS metric, to_timestamp(floor(epoch(ts) / 900) * 900) AS ts, sum(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), grid AS (
+  SELECT metric, unnest(generate_series(min(ts), max(ts), INTERVAL 15 MINUTE)) AS ts
+  FROM pts GROUP BY metric
+)
+SELECT g.metric, g.ts, round(coalesce(p.value, 0.0) + 0.00000005, 4) AS value
+FROM grid g LEFT JOIN pts p ON g.metric = p.metric AND g.ts = p.ts
+"""
+
+
+QUERIES.update(
+    {
+        "ts_moving_sum": {"fn": ts_moving_sum, "oracle": TS_MOVSUM_SQL},
+        "ts_moving_min_max": {"fn": ts_moving_min_max, "oracle": TS_MOVMINMAX_SQL},
+        "ts_sort_by_total": {"fn": ts_sort_by_total, "oracle": TS_SORTBY_SQL},
+        "ts_alias_sub": {"fn": ts_alias_sub, "oracle": TS_ALIASSUB_SQL},
+        "ts_constant_line": {"fn": ts_constant_line, "oracle": TS_CONSTLINE_SQL},
+        "ts_glob_select": {"fn": ts_glob_select, "oracle": TS_GLOB_SQL},
+        "ts_hw_aberration": {"fn": ts_hw_aberration, "oracle": None},
+        "ts_resample_fill": {"fn": ts_resample_fill, "oracle": TS_RESAMPLE_SQL},
+    }
+)
