@@ -40,6 +40,7 @@ HEADLINE = [
     "q7_nation_volume",
     "ev_sessionization",
     "monitor_run_statuses",
+    "stream_hourly_stats",
 ]
 
 
@@ -50,7 +51,7 @@ def main() -> None:
     qs = all_queries()
 
     # warmup: prime JVM/codegen on the smallest SF
-    for name in ("q1_pricing_summary", "ts_hourly_summarize"):
+    for name in ("q1_pricing_summary", "ts_hourly_summarize", "ts_ema"):
         qs[name]["fn"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}

@@ -9,6 +9,7 @@ from __future__ import annotations
 def all_queries() -> dict:
     from rearview_spark.plans import (
         events_queries,
+        streaming_queries,
         monitor_queries,
         pipeline_queries,
         relational,
@@ -16,7 +17,7 @@ def all_queries() -> dict:
     )
 
     out: dict = {}
-    for mod in (relational, timeseries_queries, pipeline_queries, monitor_queries, events_queries):
+    for mod in (relational, timeseries_queries, pipeline_queries, monitor_queries, events_queries, streaming_queries):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")
