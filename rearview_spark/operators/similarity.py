@@ -117,3 +117,89 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (random-hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix: component (p, d) is
+    md5("p:d") mapped into [-1, 1]. Public md5-arithmetic scheme (same
+    family as dedup._hash60) so any engine — including the DuckDB oracle —
+    reproduces the planes bit-for-bit from the formula alone."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:7], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate vector pairs via sign-random-projection LSH: each
+    vector's sign bits against ``planes`` fixed hyperplanes, banded into
+    ``bands`` bucket keys; only same-bucket pairs are candidates, then
+    exact cosine verifies ``>= threshold``.
+
+    Scale shape (the 100 TB story, mirroring MinHash-LSH): signature is
+    one JVM projection (zip_with dot per plane, no Python); the candidate
+    join shuffles on (band, band_bits) so work is proportional to
+    colliding pairs, not n**2; exact cosine runs only on candidates.
+    P(bit agrees) = 1 - angle/pi, so near-identical vectors collide in
+    some band with probability ~1 while the bulk of the corpus never
+    meets."""
+    from pyspark.sql import Window  # noqa: F401  (parity with module imports)
+
+    W = hyperplane_weights(planes, dim)
+    v = _as_double(F.col(vec_col))
+    bits = [
+        (_dot(v, F.array(*[F.lit(w) for w in W[p]])) > 0).cast("int").cast("string")
+        for p in range(planes)
+    ]
+    per_band = planes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("", *bits[b * per_band : (b + 1) * per_band]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    sigs = corpus.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), v.alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), v.alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")) + F.lit(5e-10), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

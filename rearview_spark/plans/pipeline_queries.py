@@ -340,3 +340,71 @@ QUERIES: dict[str, dict] = {
     "media_metadata": {"fn": media_metadata, "oracle": MEDIA_META_SQL},
     "media_features": {"fn": media_features, "oracle": None},
 }
+
+
+# --- Embedding-cosine near-dup (random-hyperplane LSH) -----------------------
+
+_HP_W = S.hyperplane_weights(8, 64)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the corpus unioned with a derived
+    jittered copy (deterministic elementwise distortion, cosine ~0.9996 to
+    its source — the synthetic embeddings contain no natural near-dups,
+    max pairwise cosine ~0.51), then sign-random-projection LSH ->
+    same-bucket candidates -> exact-cosine verification >= 0.99. The
+    oracle reproduces the full pipeline (jitter, hyperplanes, banding,
+    verification) from the same md5-derived constants."""
+    emb = Tables(spark, sf_dir).embeddings
+    orig = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    jit = emb.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + ((i % 7) - 3).cast("double") * F.lit(0.01)),
+        ).alias("embedding"),
+    )
+    corpus = orig.unionByName(jit)
+    return S.embedding_near_duplicates(corpus, threshold=0.99, planes=8, bands=2)
+
+
+def _hp_wlit(p: int) -> str:
+    return "[" + ", ".join(repr(x) for x in _HP_W[p]) + "]"
+
+
+_HP_BITS = [
+    f"CASE WHEN list_inner_product(cv, {_hp_wlit(p)}) > 0 THEN '1' ELSE '0' END"
+    for p in range(8)
+]
+
+DEDUP_EMB_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+corpus AS (
+  SELECT vec_id, cv FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(0, 64), d -> cv[d + 1] * (1.0 + 0.01 * ((d % 7) - 3)))
+  FROM base
+),
+sig AS (
+  SELECT vec_id, 0 AS band, {" || ".join(_HP_BITS[0:4])} AS bh FROM corpus
+  UNION ALL
+  SELECT vec_id, 1, {" || ".join(_HP_BITS[4:8])} FROM corpus
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(va.cv, vb.cv) + 0.0000000005, 6) AS cosine_sim
+FROM cands c
+JOIN corpus va ON c.id_a = va.vec_id
+JOIN corpus vb ON c.id_b = vb.vec_id
+WHERE round(list_cosine_similarity(va.cv, vb.cv) + 0.0000000005, 6) >= 0.99
+"""
+
+
+QUERIES["dedup_embedding_cosine"] = {"fn": dedup_embedding_cosine, "oracle": DEDUP_EMB_SQL}
