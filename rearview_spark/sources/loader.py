@@ -92,3 +92,50 @@ def events_as_timeseries(events: DataFrame) -> DataFrame:
         F.col("ts"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSON ingest parity (SURVEY.md §2.3 Prov-A: file-format sources)
+# ---------------------------------------------------------------------------
+
+# Default text-format timestamp pattern: the stock Spark pattern carries
+# millisecond precision only, silently truncating parquet's micros on a
+# csv/json round-trip — pin micros explicitly on BOTH sides.
+TS_FORMAT_MICROS = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema, header: bool = True,
+    ts_format: str = TS_FORMAT_MICROS,
+) -> DataFrame:
+    """Schema-pinned CSV reader (never inferSchema — an inference pass is
+    a full extra scan and non-deterministic under data drift; at 100 TB a
+    schema is a contract, not a guess)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("timestampFormat", ts_format)
+        .csv(path)
+    )
+
+
+def read_json_lines(spark: SparkSession, path: str, schema, ts_format: str = TS_FORMAT_MICROS) -> DataFrame:
+    """Schema-pinned JSON-lines reader. Unknown keys are dropped by the
+    schema (schema-on-write stance, SURVEY.md §1.3); corrupt records fail
+    loudly (FAILFAST) rather than silently nulling a 100 TB ingest."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", ts_format)
+        .json(path)
+    )
+
+
+def write_ingest_formats(df: DataFrame, base_dir: str) -> dict[str, str]:
+    """Round-trip helper for ingest-parity tests: materialize a frame as
+    csv + json-lines next to each other (micros-precision timestamps)."""
+    paths = {"csv": f"{base_dir}/csv", "json": f"{base_dir}/json"}
+    (df.write.mode("overwrite").option("header", "true")
+       .option("timestampFormat", TS_FORMAT_MICROS).csv(paths["csv"]))
+    df.write.mode("overwrite").option("timestampFormat", TS_FORMAT_MICROS).json(paths["json"])
+    return paths

@@ -94,3 +94,86 @@ def test_streaming_threshold_alerts(spark, events_dir, tmp_path):
     assert len(collector.sent) == 1
     alert = collector.sent[0]
     assert alert.job_id == 7 and "click" in alert.message and alert.key == "email:ops@example.com"
+
+
+def test_csv_json_ingest_parity(spark, tmp_path):
+    """CSV and JSON-lines sources round-trip the events schema and agree
+    with the parquet-sourced frame value-for-value."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.sources.loader import (
+        Tables, read_csv, read_json_lines, write_ingest_formats,
+    )
+    from rearview_spark.streaming.ingest import EVENTS_SCHEMA
+
+    events = Tables(spark, "/root/testdata/sf0.001").events.limit(500)
+    base = events.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 6).alias("value"), "props",
+    )
+    paths = write_ingest_formats(base, str(tmp_path))
+    csv_df = read_csv(spark, paths["csv"], EVENTS_SCHEMA)
+    json_df = read_json_lines(spark, paths["json"], EVENTS_SCHEMA)
+
+    want = {tuple(r) for r in base.drop("props").collect()}
+    assert {tuple(r) for r in csv_df.drop("props").collect()} == want
+    assert {tuple(r) for r in json_df.drop("props").collect()} == want
+    assert csv_df.schema == json_df.schema == base.schema
+
+
+def test_stateful_alert_lifecycle(spark, tmp_path):
+    """applyInPandasWithState lifecycle across four micro-batches (one
+    file each, event-time driven): ok -> fire -> debounced -> recover."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import types as T
+
+    from rearview_spark.streaming.stateful import stateful_alert_lifecycle
+
+    schema = T.StructType(
+        [
+            T.StructField("metric", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    batches = [
+        [("m", base + dt.timedelta(minutes=1), 1.0), ("m", base + dt.timedelta(minutes=2), 2.0)],
+        [("m", base + dt.timedelta(minutes=11), 50.0)],
+        [("m", base + dt.timedelta(minutes=21), 60.0)],
+        [("m", base + dt.timedelta(minutes=31), 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i:02d}"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "b*"))
+    )
+    out = stateful_alert_lifecycle(stream, threshold=10.0, error_timeout_minutes=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_alerts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["run_status"], r["new_status"], r["should_alert"], r["incident"])
+        for r in spark.table("stateful_alerts").orderBy("eval_ts").collect()
+    ]
+    assert got == [
+        ("success", "success", False, None),
+        ("failed", "failed", True, "open"),     # fires, opens incident
+        ("failed", "failed", False, None),      # within 60-min debounce
+        ("success", "success", False, "close"), # recovery closes incident
+    ]
