@@ -762,3 +762,27 @@ QUERIES.update(
         "ts_resample_fill": {"fn": ts_resample_fill, "oracle": TS_RESAMPLE_SQL},
     }
 )
+
+
+def ts_lowest_current(spark, sf_dir):
+    """G19 lowestCurrent(2) composed with G20 currentBelow: the bottom-2
+    series by latest value, restricted to series whose latest value is
+    under 60 — both per-series-stat prunes semi-joined back to points."""
+    hourly = _hourly(spark, sf_dir)
+    return _rounded(G.lowest(G.filter_series(hourly, "current", "<", 60.0), 2, "current"))
+
+
+TS_LOWEST_SQL = HOURLY_CTE + """
+, cur AS (SELECT metric, arg_max(value, ts) AS c FROM hourly WHERE value IS NOT NULL GROUP BY metric),
+keep AS (SELECT metric, c FROM cur WHERE c < 60.0),
+bottom AS (SELECT metric FROM keep ORDER BY c ASC, metric LIMIT 2)
+SELECT h.metric, h.ts, round(h.value + 0.00000005, 4) AS value
+FROM hourly h SEMI JOIN bottom b ON h.metric = b.metric
+"""
+
+
+QUERIES.update(
+    {
+        "ts_lowest_current": {"fn": ts_lowest_current, "oracle": TS_LOWEST_SQL},
+    }
+)
