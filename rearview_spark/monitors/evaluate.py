@@ -127,40 +127,61 @@ def evaluate_monitors(
     if not specs:
         return spark.createDataFrame([], RUN_RESULT)
 
-    tagged_frames = []
+    # Shared-window dedup: monitors watching the same (targets, window)
+    # evaluate over ONE copy of the data. Groups are keyed by the window
+    # signature, so shuffle + Arrow-transfer volume is proportional to
+    # *distinct* windows, not monitor count — with fleets of monitors on
+    # the same golden metrics (the common production shape) that is the
+    # difference between O(monitors) and O(distinct targets) scan work.
     plan_errors: dict[int, str] = {}
     scheduled: dict[int, dt.datetime] = {}
+    groups: dict[str, list[MonitorSpec]] = {}
     for spec in specs:
         end = spec.to_date or now
-        start = end - dt.timedelta(minutes=spec.minutes)
         scheduled[spec.id] = end
+        key = f"{','.join(spec.metrics)}|{end.isoformat()}|{spec.minutes}"
+        groups.setdefault(key, []).append(spec)
+
+    tagged_frames = []
+    group_exprs: dict[str, list[tuple]] = {}
+    for key, members in groups.items():
+        lead = members[0]
+        end = scheduled[lead.id]
+        start = end - dt.timedelta(minutes=lead.minutes)
         windowed = window_fetch(metrics, start, end)
-        for i, target in enumerate(spec.metrics):
+        ok = True
+        for i, target in enumerate(lead.metrics):
             try:
                 plan = compile_target(target)
                 df = plan(windowed)
             except Exception as e:  # noqa: BLE001 — bad target -> error status
-                plan_errors[spec.id] = f"target {target!r}: {e}"
+                for m in members:
+                    plan_errors[m.id] = f"target {target!r}: {e}"
+                ok = False
                 break
             tagged_frames.append(
                 df.select(
-                    F.lit(spec.id).alias("job_id"),
+                    F.lit(key).alias("grp"),
                     F.lit(_var_name(i)).alias("var"),
                     "metric", "ts", "value",
                 )
             )
+        if ok:
+            group_exprs[key] = [
+                (
+                    m.id,
+                    m.monitor_expr,
+                    m.description or m.name,
+                    scheduled[m.id].isoformat(),
+                )
+                for m in members
+            ]
 
-    exprs = {
-        s.id: (s.monitor_expr, s.description or s.name, scheduled[s.id].isoformat())
-        for s in specs
-    }
-    b_exprs = spark.sparkContext.broadcast(exprs)
-    evaluated_ids = {s.id for s in specs if s.id not in plan_errors}
+    b_exprs = spark.sparkContext.broadcast(group_exprs)
 
     def _eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        job_id = int(pdf["job_id"].iloc[0])
-        expr, label, sched_iso = b_exprs.value[job_id]
-        sched = pd.Timestamp(sched_iso)
+        key = pdf["grp"].iloc[0]
+        members = b_exprs.value[key]
         if len(pdf) > max_points_per_job:
             pdf = pdf.sort_values("ts").tail(max_points_per_job)
         if with_graph:
@@ -175,45 +196,60 @@ def evaluate_monitors(
             # that dict conversion + Arrow struct encode dominates the run
             graph_records = []
 
-        def result(status: str, message: str | None, output: str | None) -> pd.DataFrame:
-            return pd.DataFrame(
-                [
-                    {
-                        "job_id": job_id,
-                        "scheduled_ts": sched,
-                        "status": status,
-                        "message": message,
-                        "output": output,
-                        "graph_data": graph_records,
-                    }
-                ]
+        has_data = pdf["value"].notna().sum() > 0
+        variables: dict | None = None
+        bind_error: str | None = None
+        if has_data:
+            try:
+                variables = bind_variables(pdf)
+            except Exception as e:  # noqa: BLE001
+                bind_error = f"monitor_expr error: {e}"
+
+        out = []
+
+        def emit(job_id, sched_iso, status, message, output):
+            out.append(
+                {
+                    "job_id": job_id,
+                    "scheduled_ts": pd.Timestamp(sched_iso),
+                    "status": status,
+                    "message": message,
+                    "output": output,
+                    "graph_data": graph_records,
+                }
             )
 
-        if pdf["value"].notna().sum() == 0:
-            return result("error", "no data in window", None)
-        if not expr:
-            return result("success", None, None)
-        try:
-            variables = bind_variables(pdf)
-            value = evaluate_expr(expr, variables)
-        except Exception as e:  # noqa: BLE001 — expression error -> 'error'
-            return result("error", f"monitor_expr error: {e}", None)
-        if isinstance(value, pd.DataFrame):
-            fired = bool(value.any().any())
-        elif isinstance(value, pd.Series):
-            fired = bool(value.any())
-        else:
-            fired = bool(value)
-        if fired:
-            return result("failed", f"alert: {label} ({expr})", repr(value))
-        return result("success", None, repr(value))
+        for job_id, expr, label, sched_iso in members:
+            if not has_data:
+                emit(job_id, sched_iso, "error", "no data in window", None)
+            elif not expr:
+                emit(job_id, sched_iso, "success", None, None)
+            elif bind_error is not None:
+                emit(job_id, sched_iso, "error", bind_error, None)
+            else:
+                try:
+                    value = evaluate_expr(expr, variables)
+                except Exception as e:  # noqa: BLE001 — expr error -> 'error'
+                    emit(job_id, sched_iso, "error", f"monitor_expr error: {e}", None)
+                    continue
+                if isinstance(value, pd.DataFrame):
+                    fired = bool(value.any().any())
+                elif isinstance(value, pd.Series):
+                    fired = bool(value.any())
+                else:
+                    fired = bool(value)
+                if fired:
+                    emit(job_id, sched_iso, "failed", f"alert: {label} ({expr})", repr(value))
+                else:
+                    emit(job_id, sched_iso, "success", None, repr(value))
+        return pd.DataFrame(out)
 
     if tagged_frames:
         union = tagged_frames[0]
         for f in tagged_frames[1:]:
             union = union.unionByName(f)
         # cache: consumed twice (seen-id check + returned frame)
-        results = union.groupBy("job_id").applyInPandas(_eval_group, RUN_RESULT).cache()
+        results = union.groupBy("grp").applyInPandas(_eval_group, RUN_RESULT).cache()
     else:
         results = spark.createDataFrame([], RUN_RESULT)
 
