@@ -149,8 +149,8 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed to the parquet scan (PushedFilters on shipdate/discount/qty)."""
     li = Tables(spark, sf_dir).lineitem
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(r4(exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 10_000)).alias("revenue"))
@@ -521,5 +521,114 @@ QUERIES.update(
         "nations_with_both": {"fn": nations_with_both, "oracle": INTERSECT_SQL},
         "q4_priority_with_big_items": {"fn": q4_priority_with_big_items, "oracle": Q4_SQL},
         "q7_nation_volume": {"fn": q7_nation_volume, "oracle": Q7_SQL},
+    }
+)
+
+
+# --- additions 2: Q10/Q12 shapes, ntile distribution -------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    Selective fact filter (l_returnflag='R') reaches the scan; the
+    orderkey join is the only big shuffle; top-k via exact-revenue sort.
+    Ties broken by custkey so LIMIT is deterministic."""
+    t = Tables(spark, sf_dir)
+    returned = t.lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(t.orders, returned.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == t.nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name, {REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional aggregation — CASE inside sum — after
+    a pushed range filter; grouped by l_returnflag since the driver's
+    reduced lineitem schema carries no l_shipmode)."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t.orders, li.l_orderkey == t.orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank window surface: customers bucketed into revenue
+    deciles, per-decile totals. Two-level aggregate: per-customer revenue
+    (map-side partial) -> ntile over the small per-customer frame."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.orders.groupBy("o_custkey")
+        .agg(r4(exact_sum(F.col("o_totalprice"), 100)).alias("cust_revenue"))
+    )
+    w = Window.orderBy(F.col("cust_revenue").desc(), F.col("o_custkey"))
+    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            r4(exact_sum(F.col("cust_revenue"), 10_000)).alias("decile_revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 + 0.00000005, 4) AS cust_revenue
+  FROM orders GROUP BY 1
+), deciled AS (
+  SELECT *, ntile(10) OVER (ORDER BY cust_revenue DESC, o_custkey) AS decile FROM per_cust
+)
+SELECT decile, count(*) AS n_customers,
+       round(sum(CAST(round(cust_revenue * 10000.0) AS BIGINT)) / 10000.0 + 0.00000005, 4) AS decile_revenue
+FROM deciled GROUP BY decile ORDER BY decile
+"""
+
+
+QUERIES.update(
+    {
+        "q10_returned_items": {"fn": q10_returned_items, "oracle": Q10_SQL},
+        "q12_shipmode_priority": {"fn": q12_shipmode_priority, "oracle": Q12_SQL},
+        "customer_value_deciles": {"fn": customer_value_deciles, "oracle": DECILE_SQL},
     }
 )
