@@ -319,6 +319,9 @@ def _eval(node, ts: DataFrame) -> DataFrame:
         # today's position" -> shift timestamps forward by |interval|.
         amount = -iv[0] if iv[0] < 0 else iv[0]
         return G.time_shift(_eval(args[0], ts), f"{amount} {iv[1]}")
+    if name == "timeSlice":
+        end = _str(args[2], name) if len(args) > 2 else "9999-12-31"
+        return G.time_slice(_eval(args[0], ts), _str(args[1], name), end)
     if name == "summarize":
         fn = _str(args[2], name) if len(args) > 2 else "sum"
         return G.summarize(_eval(args[0], ts), spark_interval(_str(args[1], name)), fn)

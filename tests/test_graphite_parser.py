@@ -116,3 +116,11 @@ def test_unknown_function(spark):
     df = make_series(spark, {"m": [1]})
     with pytest.raises(ValueError, match="unsupported"):
         evaluate_target("noSuchFn(m)", df)
+
+
+def test_time_slice_parsed(spark):
+    df = make_series(spark, {"cpu.user": [1, 2, 3, 4, 5, 6]})
+    out = evaluate_target('timeSlice(cpu.user, "2024-01-01 00:02:00", "2024-01-01 00:04:00")', df)
+    rows = {r["ts"].minute: r["value"] for r in out.collect()}
+    assert all(v is None for m, v in rows.items() if m < 2 or m > 4)
+    assert all(v is not None for m, v in rows.items() if 2 <= m <= 4)

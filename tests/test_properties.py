@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): G-layer operators vs independent
+pandas reference implementations over randomized series with nulls.
+
+These target the divergence-prone semantics SURVEY.md §5.2 flags — null
+propagation through windows, LOCF, delta across gaps — on inputs the
+hand-written table tests don't enumerate. Example counts are kept small
+(each example runs Spark jobs); the value is the randomized null
+patterns, not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rearview_spark.operators import timeseries as G
+
+T0 = dt.datetime(2024, 1, 1)
+
+series_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, vals):
+    rows = [
+        ("m", T0 + dt.timedelta(minutes=i), float(v) if v is not None else None)
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+
+def _out(df):
+    return [r["value"] for r in df.orderBy("ts").collect()]
+
+
+def _close(a, b):
+    if a is None and (b is None or (isinstance(b, float) and math.isnan(b))):
+        return True
+    if a is None or b is None or (isinstance(b, float) and math.isnan(b)):
+        return False
+    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@SETTINGS
+@given(vals=series_strategy)
+def test_keep_last_value_is_ffill(spark, vals):
+    got = _out(G.keep_last_value(_df(spark, vals)))
+    want = pd.Series(vals, dtype="float64").ffill().tolist()
+    assert all(_close(g, w) for g, w in zip(got, want, strict=True))
+
+
+@SETTINGS
+@given(vals=series_strategy, n=st.integers(min_value=1, max_value=5))
+def test_moving_average_matches_pandas_rolling(spark, vals, n):
+    got = _out(G.moving_average(_df(spark, vals), n))
+    want = pd.Series(vals, dtype="float64").rolling(n, min_periods=1).mean().tolist()
+    assert all(_close(g, w) for g, w in zip(got, want, strict=True))
+
+
+@SETTINGS
+@given(vals=series_strategy)
+def test_derivative_is_diff_with_null_gaps(spark, vals):
+    got = _out(G.derivative(_df(spark, vals)))
+    s = pd.Series(vals, dtype="float64")
+    # Graphite semantics: delta vs the immediately preceding POINT (null
+    # neighbor -> null), not the last non-null observation.
+    want = (s - s.shift(1)).tolist()
+    assert all(_close(g, w) for g, w in zip(got, want, strict=True))
+
+
+@SETTINGS
+@given(vals=series_strategy)
+def test_integral_is_nan_skipping_cumsum(spark, vals):
+    got = _out(G.integral(_df(spark, vals)))
+    s = pd.Series(vals, dtype="float64")
+    want = s.fillna(0).cumsum().where(s.notna()).tolist()
+    assert all(_close(g, w) for g, w in zip(got, want, strict=True))
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.125, max_value=1e5, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_summarize_sum_matches_pandas_resample(spark, vals):
+    # contiguous 1-min series -> every 10-min bucket in range is non-empty,
+    # so Spark's sparse output and pandas' dense resample coincide
+    got = G.summarize(_df(spark, vals), "10 minutes", "sum")
+    got_map = {r["ts"]: r["value"] for r in got.collect()}
+    idx = pd.DatetimeIndex([T0 + dt.timedelta(minutes=i) for i in range(len(vals))])
+    want = pd.Series([float(v) for v in vals], index=idx).resample("10min").sum()
+    want_map = {t.to_pydatetime(): v for t, v in want.items()}
+    assert set(got_map) == set(want_map)
+    assert all(_close(got_map[t], want_map[t]) for t in got_map)
+
+
+@SETTINGS
+@given(vals=series_strategy)
+def test_transform_null_leaves_no_nulls(spark, vals):
+    got = _out(G.transform_null(_df(spark, vals), -1.0))
+    assert None not in got
+    want = pd.Series(vals, dtype="float64").fillna(-1.0).tolist()
+    assert all(_close(g, w) for g, w in zip(got, want, strict=True))
+
+
+@pytest.mark.parametrize("n", [2, 7])
+def test_minhash_signature_identical_docs_collide(spark, n):
+    """Deterministic MinHash property: identical text -> identical
+    signature, regardless of permutation family constants."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * n) for i in range(4)],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signature(docs).select(F.col("sig").cast("string")).distinct()
+    assert sigs.count() == 1
