@@ -17,33 +17,39 @@ point of the ingest design, streaming/ingest.py).
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rearview_spark.plans._exact import r4
-from rearview_spark.sources.loader import Tables
-from rearview_spark.streaming.ingest import events_stream, to_metrics
+from rearview_spark.streaming.ingest import to_metrics
 from rearview_spark.streaming.standing import standing_window_agg
 
 WATERMARK = "10 minutes"
 
 
 def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage events as a single-file stream source, run the standing
-    hourly aggregation with a 10-minute watermark to completion
-    (availableNow), and return the append-mode emissions from the memory
-    sink. The last (still-open) window stays in state and is NOT emitted
-    — the oracle asserts that too."""
-    events = Tables(spark, sf_dir).events
-    src = tempfile.mkdtemp(prefix="rv_stream_src_")
-    events.coalesce(1).write.mode("overwrite").parquet(src)
-
-    stream = to_metrics(
-        events_stream(spark, src, max_files_per_trigger=1_000_000), WATERMARK
+    """Stream the events file directly (no staging copy — the nanos-ts
+    rebuild the batch loader uses works identically on the streaming
+    reader), run the standing hourly aggregation with a 10-minute
+    watermark to completion (availableNow), and return the append-mode
+    emissions from the memory sink. The source is one file -> one data
+    micro-batch -> deterministic final watermark. The last (still-open)
+    window stays in state and is NOT emitted — the oracle asserts that
+    too."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        # the streaming file source rejects a bare file path ("basePath
+        # must be a directory"); a glob form makes it derive basePath from
+        # the directory prefix while still matching exactly this file
+        .parquet(f"{sf_dir.rstrip('/')}/events.parque[t]")
     )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = to_metrics(events, WATERMARK)
     agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
     q = (
