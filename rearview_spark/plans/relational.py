@@ -159,8 +159,8 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q6_SQL = """
 SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 10000.0) AS BIGINT)) / 10000.0 + 0.00000005, 4) AS revenue
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l_shipdate <  TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
