@@ -309,3 +309,78 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate groups: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components of the near-dup pair graph -> one row per
+    member ``(id, component)`` where component = min id in the component
+    (the canonical representative a dedup pass keeps).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — converges in O(graph
+    diameter) rounds (dup clusters are shallow; a handful of rounds in
+    practice, bounded by ``max_iter``). Each round is one shuffle-join +
+    one aggregate; ``localCheckpoint`` truncates the growing lineage so
+    round N's plan does not replay rounds 1..N-1 (the classic iterative-
+    DataFrame trap). Label state is 16 bytes/node — billions of nodes fit
+    a modest cluster; this is the scalable alternative to collecting the
+    pair graph to the driver."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def duplicate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> per-group summary
+    (component id = canonical doc to keep, group size, member span)."""
+    pairs = minhash_near_duplicates(df, text_col, id_col, threshold)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .withColumn("canonical_is_min", F.col("component") == F.col("min_id"))
+    )

@@ -408,3 +408,46 @@ WHERE round(list_cosine_similarity(va.cv, vb.cv) + 0.0000000005, 6) >= 0.99
 
 
 QUERIES["dedup_embedding_cosine"] = {"fn": dedup_embedding_cosine, "oracle": DEDUP_EMB_SQL}
+
+
+# --- Duplicate groups: iterative connected components, recursive-CTE oracle --
+
+# The minhash pipeline's CTE chain (everything up to its final SELECT),
+# reused so the component oracle runs over the exact same verified pairs.
+_MINHASH_CTES = DEDUP_MINHASH_SQL.rsplit("SELECT id_a, id_b, jaccard", 1)[0]
+
+
+def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs -> connected components (iterative min-label
+    propagation, an algorithm with no single-query SQL form) -> per-group
+    dedup decision table. The oracle reproduces the components with a
+    recursive transitive-closure CTE — DuckDB recursion checks Spark
+    iteration."""
+    return D.duplicate_groups(
+        Tables(spark, sf_dir).documents, threshold=0.05
+    ).select("component", "n_members", "min_id", "max_id", "canonical_is_min")
+
+
+DEDUP_GROUPS_SQL = (
+    "WITH RECURSIVE"
+    + _MINHASH_CTES.lstrip()[4:]
+    + """, pairs AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.05
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+), comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_members, min(id) AS min_id, max(id) AS max_id,
+       component = min(id) AS canonical_is_min
+FROM comp GROUP BY component
+"""
+)
+
+
+QUERIES["dedup_duplicate_groups"] = {"fn": dedup_duplicate_groups, "oracle": DEDUP_GROUPS_SQL}

@@ -130,3 +130,16 @@ def test_frame_sample_plan(spark):
     )
     frames = M.frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_connected_components_merges_chains(spark):
+    """a-b, b-c, plus isolated pair d-e: two components keyed by min id;
+    chain merging needs >1 propagation round."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (8, 9), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (8, 8), (9, 8)}
