@@ -119,6 +119,58 @@ def extract_image_features(df: DataFrame, target_rows_per_batch: int = 256) -> D
     return df.select("media_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, max_dim: int = 256, target_rows_per_batch: int = 256) -> DataFrame:
+    """Resize via mapInPandas: decode (stub) -> scale the dimensions to
+    fit ``max_dim`` preserving aspect ratio -> re-encode (stub: payload
+    passes through; a real implementation re-encodes the scaled raster).
+    The Spark-side contract — batch bounding, binary in/out schema,
+    aspect-ratio math — is real and tested."""
+
+    def fn(batches):
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                rows = []
+                for _, r in chunk.iterrows():
+                    payload = r["payload"]
+                    w, h = _decode_image_stub(payload)
+                    scale = min(1.0, max_dim / max(w, h))
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "width": max(1, int(w * scale)),
+                            "height": max(1, int(h * scale)),
+                            "payload": payload,
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
+
+    return df.select("media_id", "payload").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = "media_id long, chunk_idx int, start_ms long, end_ms long"
+
+
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
+    """Audio chunking *plan*: each media row expands to the fixed-length
+    windows a transcription/feature pass would decode (the decode is the
+    stub boundary). Pure JVM sequence/explode, like frame_sample_plan —
+    the fan-out never touches Python."""
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0).cast("long"))
+    starts = F.sequence(F.lit(0).cast("long"), dur, F.lit(chunk_ms).cast("long"))
+    chunks = F.filter(starts, lambda st: st < F.greatest(dur, F.lit(1).cast("long")))
+    out = df.select("media_id", F.col("meta.duration_ms").alias("_dur"), F.posexplode(chunks).alias("chunk_idx", "start_ms"))
+    return out.select(
+        "media_id",
+        F.col("chunk_idx").cast("int"),
+        "start_ms",
+        F.least(F.col("start_ms") + chunk_ms, F.coalesce(F.col("_dur"), F.lit(0).cast("long"))).alias("end_ms"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each media row into the frame
     timestamps a decoder would extract (the decode itself is the stub

@@ -143,3 +143,25 @@ def test_connected_components_merges_chains(spark):
         for r in D.connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (8, 8), (9, 8)}
+
+
+def test_resize_and_audio_chunks(spark):
+    """Resize preserves aspect ratio within max_dim; audio chunking tiles
+    the duration with a trimmed final chunk."""
+    from rearview_spark.operators import multimodal as M
+
+    media = M.text_to_media(
+        spark.createDataFrame([(1, "x" * 100), (2, "y" * 5000)], "doc_id long, text string")
+    ).withColumn(
+        "meta", F.struct(
+            F.col("meta.mime"), F.col("meta.width"), F.col("meta.height"),
+            F.col("meta.n_bytes"), F.lit(65_000).cast("long").alias("duration_ms"),
+        )
+    )
+    resized = {r["media_id"]: r for r in M.resize_images(media, max_dim=128).collect()}
+    for r in resized.values():
+        assert max(r["width"], r["height"]) <= 128 and min(r["width"], r["height"]) >= 1
+    chunks = M.audio_chunk_plan(media, chunk_ms=30_000).filter(F.col("media_id") == 1).collect()
+    assert [(c["chunk_idx"], c["start_ms"], c["end_ms"]) for c in sorted(chunks, key=lambda c: c["chunk_idx"])] == [
+        (0, 0, 30000), (1, 30000, 60000), (2, 60000, 65000),
+    ]
