@@ -208,7 +208,9 @@ def minhash_near_duplicates(
     shingled = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).cache()
-    sigs = signature_from_shingles(shingled, id_col, num_hashes)
+    # signatures are one narrow row per doc; caching stops the banded
+    # self-join's two aliases from re-running the shingle->hash pipeline
+    sigs = signature_from_shingles(shingled, id_col, num_hashes).cache()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
