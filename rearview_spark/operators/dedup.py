@@ -295,18 +295,43 @@ def simhash_near_duplicates(
     bits: int = 16,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs whose SimHash signatures differ in <= max_hamming bits.
-    Self-join on the signature table with bit_count(xor) filter — fine at
-    dimension-table size; at 100 TB, split the signature into
-    (max_hamming+1) chunks and hash-join on exact chunk matches
-    (pigeonhole) before verifying."""
-    sigs = simhash_signature(df, text_col, id_col, bits)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
+    """Pairs whose SimHash signatures differ in <= max_hamming bits, via
+    the pigeonhole chunk join: split the signature into (max_hamming+1)
+    bit chunks — any pair within the Hamming budget must agree EXACTLY on
+    at least one chunk — so candidates come from an equi-join on
+    (chunk_idx, chunk_value), shuffle proportional to chunk collisions
+    rather than n**2, then bit_count(xor) verifies exactly. Recall is
+    100% (pigeonhole is a guarantee, not a probability)."""
+    sigs = simhash_signature(df, text_col, id_col, bits).cache()
+    n_chunks = max_hamming + 1
+    chunk_structs = []
+    for c in range(n_chunks):
+        lo = c * bits // n_chunks
+        hi = (c + 1) * bits // n_chunks
+        width = hi - lo
+        val = F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << width) - 1))
+        chunk_structs.append(F.struct(F.lit(c).alias("ci"), val.alias("cv")))
+    chunked = sigs.select(
+        F.col(id_col), F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select(id_col, "ch.ci", "ch.cv")
+
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

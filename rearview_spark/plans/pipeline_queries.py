@@ -451,3 +451,35 @@ FROM comp GROUP BY component
 
 
 QUERIES["dedup_duplicate_groups"] = {"fn": dedup_duplicate_groups, "oracle": DEDUP_GROUPS_SQL}
+
+
+# --- SimHash near-dup pairs (pigeonhole chunk join) --------------------------
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 1 via the pigeonhole
+    chunk join (2 exact-match chunks of 8 bits — guaranteed recall; a
+    16-bit signature is dense at corpus scale, so the tight budget keeps
+    "near" meaningful). The oracle reproduces chunking, candidate join
+    and bit_count verification."""
+    return D.simhash_near_duplicates(
+        Tables(spark, sf_dir).documents, max_hamming=1
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sig AS ({DEDUP_SIMHASH_SQL}),
+chunks AS (
+  SELECT doc_id, c.c AS ci, (simhash >> (c.c * 8)) & 255 AS cv
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS c) c
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cands c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
+"""
+
+
+QUERIES["dedup_simhash_pairs"] = {"fn": dedup_simhash_pairs, "oracle": DEDUP_SIMHASH_PAIRS_SQL}
