@@ -107,3 +107,121 @@ QUERIES: dict[str, dict] = {
     "monitor_run_statuses": {"fn": monitor_run_statuses, "oracle": MONITOR_RUN_SQL},
     "monitor_graph_data_points": {"fn": monitor_graph_data_points, "oracle": MONITOR_GRAPH_SQL},
 }
+
+
+# --- Dashboard read paths (R3/R5/R6/R9/R10) over fixture literals ------------
+# The reference's config tables don't exist in the driver's testdata, so
+# these gate entries build the fixture rows inline (deterministic
+# literals) and run the real dashboard functions; the oracle reproduces
+# the same rows with VALUES CTEs.
+
+_APP_ROWS = [
+    (1, "root", "", None),
+    (2, "payments", "1", None),
+    (3, "checkout", "1/2", None),
+    (4, "legacy", "1", dt.datetime(2024, 1, 15)),
+    (5, "search", "1", None),
+    (6, "other-root", "", None),
+]
+
+_MON_ROWS = [
+    # id, app_id, user_id, active, status, last_run, deleted_at
+    (10, 2, 1, True, "success", dt.datetime(2024, 2, 1, 10), None),
+    (11, 2, 1, True, "failed", dt.datetime(2024, 2, 1, 11), None),
+    (12, 2, 2, False, "error", dt.datetime(2024, 2, 1, 9), None),
+    (13, 3, 2, True, "success", dt.datetime(2024, 2, 1, 8), None),
+    (14, 2, 1, True, "success", None, dt.datetime(2024, 1, 20)),
+]
+
+_ERR_ROWS = [
+    # id, job_id, status, created_at
+    (100, 11, "triggered", dt.datetime(2024, 2, 1, 11)),
+    (101, 11, "resolved", dt.datetime(2024, 1, 31, 11)),
+    (102, 12, "triggered", dt.datetime(2024, 2, 1, 9)),
+    (103, 14, "triggered", dt.datetime(2024, 1, 19)),
+]
+
+
+def dash_app_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: descendants of the root app via the materialized-path prefix
+    filter (ancestry scheme) — soft-deleted nodes excluded (R5)."""
+    from rearview_spark.monitors.dashboard import app_descendants
+
+    apps = spark.createDataFrame(
+        _APP_ROWS, "id long, name string, path string, deleted_at timestamp"
+    )
+    return app_descendants(apps, 1, "").select("id", "name", "path").orderBy("id")
+
+
+DASH_TREE_SQL = """
+WITH apps(id, name, path, deleted_at) AS (VALUES
+  (1, 'root', '', CAST(NULL AS TIMESTAMP)),
+  (2, 'payments', '1', NULL),
+  (3, 'checkout', '1/2', NULL),
+  (4, 'legacy', '1', TIMESTAMP '2024-01-15'),
+  (5, 'search', '1', NULL),
+  (6, 'other-root', '', NULL))
+SELECT CAST(id AS BIGINT) AS id, name, path
+FROM apps
+WHERE (path = '1' OR path LIKE '1/%') AND deleted_at IS NULL
+ORDER BY id
+"""
+
+
+def dash_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 page load in one pass: per-app job counts by status (R3/R6),
+    open incidents (R9), last run — live jobs only (R5)."""
+    from rearview_spark.monitors.dashboard import dashboard_overview
+
+    monitors = spark.createDataFrame(
+        _MON_ROWS,
+        "id long, app_id long, user_id long, active boolean, status string, "
+        "last_run timestamp, deleted_at timestamp",
+    )
+    errors = spark.createDataFrame(
+        _ERR_ROWS, "id long, job_id long, status string, created_at timestamp"
+    )
+    job_data = spark.createDataFrame([], "id long, job_id long, updated_at timestamp")
+    return dashboard_overview(monitors, job_data, errors).orderBy("app_id")
+
+
+DASH_OVERVIEW_SQL = """
+WITH monitors(id, app_id, user_id, active, status, last_run, deleted_at) AS (VALUES
+  (10, 2, 1, true, 'success', TIMESTAMP '2024-02-01 10:00:00', CAST(NULL AS TIMESTAMP)),
+  (11, 2, 1, true, 'failed', TIMESTAMP '2024-02-01 11:00:00', NULL),
+  (12, 2, 2, false, 'error', TIMESTAMP '2024-02-01 09:00:00', NULL),
+  (13, 3, 2, true, 'success', TIMESTAMP '2024-02-01 08:00:00', NULL),
+  (14, 2, 1, true, 'success', CAST(NULL AS TIMESTAMP), TIMESTAMP '2024-01-20')),
+errors(id, job_id, status, created_at) AS (VALUES
+  (100, 11, 'triggered', TIMESTAMP '2024-02-01 11:00:00'),
+  (101, 11, 'resolved', TIMESTAMP '2024-01-31 11:00:00'),
+  (102, 12, 'triggered', TIMESTAMP '2024-02-01 09:00:00'),
+  (103, 14, 'triggered', TIMESTAMP '2024-01-19 00:00:00')),
+jobs_agg AS (
+  SELECT CAST(app_id AS BIGINT) AS app_id,
+         count(*) AS n_jobs,
+         CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+         CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         max(last_run) AS last_run
+  FROM monitors WHERE deleted_at IS NULL GROUP BY app_id
+),
+incidents AS (
+  SELECT CAST(m.app_id AS BIGINT) AS app_id, count(*) AS n
+  FROM errors e JOIN monitors m ON e.job_id = m.id
+  WHERE e.status = 'triggered'
+  GROUP BY 1
+)
+SELECT j.app_id, j.n_jobs, j.n_active, j.n_failed, j.n_error, j.last_run,
+       coalesce(i.n, 0) AS n_open_incidents
+FROM jobs_agg j LEFT JOIN incidents i ON j.app_id = i.app_id
+ORDER BY j.app_id
+"""
+
+
+QUERIES.update(
+    {
+        "dash_app_tree": {"fn": dash_app_tree, "oracle": DASH_TREE_SQL},
+        "dash_overview": {"fn": dash_overview, "oracle": DASH_OVERVIEW_SQL},
+    }
+)
