@@ -41,6 +41,9 @@ HEADLINE = [
     "ev_sessionization",
     "monitor_run_statuses",
     "stream_hourly_stats",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
+    "q10_returned_items",
 ]
 
 

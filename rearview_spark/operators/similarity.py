@@ -143,7 +143,7 @@ def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.9,
-    planes: int = 8,
+    planes: int = 16,
     bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -160,7 +160,10 @@ def embedding_near_duplicates(
     colliding pairs, not n**2; exact cosine runs only on candidates.
     P(bit agrees) = 1 - angle/pi, so near-identical vectors collide in
     some band with probability ~1 while the bulk of the corpus never
-    meets."""
+    meets. Band width controls selectivity: 8-bit bands = 256 buckets
+    per band, keeping candidate volume ~collisions, not corpus**2 (4-bit
+    bands at corpus scale put hundreds of vectors per bucket and the
+    verify stage degenerates toward all-pairs)."""
     from pyspark.sql import Window  # noqa: F401  (parity with module imports)
 
     W = hyperplane_weights(planes, dim)

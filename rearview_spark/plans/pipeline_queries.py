@@ -344,7 +344,7 @@ QUERIES: dict[str, dict] = {
 
 # --- Embedding-cosine near-dup (random-hyperplane LSH) -----------------------
 
-_HP_W = S.hyperplane_weights(8, 64)
+_HP_W = S.hyperplane_weights(16, 64)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +368,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = orig.unionByName(jit)
-    return S.embedding_near_duplicates(corpus, threshold=0.99, planes=8, bands=2)
+    return S.embedding_near_duplicates(corpus, threshold=0.99, planes=16, bands=2)
 
 
 def _hp_wlit(p: int) -> str:
@@ -377,7 +377,7 @@ def _hp_wlit(p: int) -> str:
 
 _HP_BITS = [
     f"CASE WHEN list_inner_product(cv, {_hp_wlit(p)}) > 0 THEN '1' ELSE '0' END"
-    for p in range(8)
+    for p in range(16)
 ]
 
 DEDUP_EMB_SQL = f"""
@@ -390,9 +390,9 @@ corpus AS (
   FROM base
 ),
 sig AS (
-  SELECT vec_id, 0 AS band, {" || ".join(_HP_BITS[0:4])} AS bh FROM corpus
+  SELECT vec_id, 0 AS band, {" || ".join(_HP_BITS[0:8])} AS bh FROM corpus
   UNION ALL
-  SELECT vec_id, 1, {" || ".join(_HP_BITS[4:8])} FROM corpus
+  SELECT vec_id, 1, {" || ".join(_HP_BITS[8:16])} FROM corpus
 ),
 cands AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
