@@ -206,3 +206,111 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means coarse quantizer (Lloyd iterations as DataFrame ops)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on DataFrames -> codebook ``(bucket, centroid)``.
+
+    Deterministic init: the k vectors with the smallest ids (no RNG — the
+    fit is reproducible run to run, which resume/backfill at 100 TB
+    requires). Each iteration is (a) assign: corpus x broadcast(codebook)
+    nearest-centroid argmin, (b) update: posexplode to (bucket, dim) and
+    average — the same narrow-shuffle shape as label_centroids. Lineage
+    is truncated per iteration (localCheckpoint) so iteration N's plan
+    does not replay 1..N-1. Empty clusters keep their previous centroid
+    (standard Lloyd degenerate-case handling)."""
+    from pyspark.sql import Window
+
+    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    codebook = (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("bucket"),
+            F.col("cv").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = assign_buckets(vecs, codebook)
+        exploded = assigned.select("bucket", F.posexplode("cv").alias("pos", "x"))
+        means = exploded.groupBy("bucket", "pos").agg(F.avg("x").alias("m"))
+        new_codebook = (
+            means.groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("bucket", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+        # empty clusters: fall back to the previous centroid
+        codebook = (
+            codebook.select("bucket", F.col("centroid").alias("_prev"))
+            .join(new_codebook, "bucket", "left")
+            .select("bucket", F.coalesce("centroid", "_prev").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return codebook
+
+
+def assign_buckets(
+    vecs: DataFrame, codebook: DataFrame, vec_expr: str = "cv"
+) -> DataFrame:
+    """Nearest-centroid assignment (cosine): corpus x broadcast(codebook),
+    argmin via max_by over the tiny per-row candidate set."""
+    scored = vecs.crossJoin(F.broadcast(codebook)).withColumn(
+        "_sim", cosine(F.col(vec_expr), F.col("centroid"))
+    )
+    best = scored.groupBy(*[c for c in vecs.columns]).agg(
+        F.expr("max_by(bucket, struct(_sim, -bucket))").alias("bucket")
+    )
+    return best
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_buckets: int = 16,
+    nprobe: int = 3,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a true k-means coarse quantizer: fit the codebook,
+    assign the corpus once (at scale: persisted, partitioned by bucket ->
+    probing = partition pruning), then per query probe the ``nprobe``
+    nearest centroids and run exact cosine inside those buckets only."""
+    from pyspark.sql import Window
+
+    codebook = kmeans_fit(corpus, n_buckets, iters, id_col, vec_col)
+    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    bucketed = assign_buckets(vecs, codebook)
+
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    qc = q.crossJoin(F.broadcast(codebook)).select(
+        "query_id", "qv", "bucket", cosine(F.col("qv"), F.col("centroid")).alias("csim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("bucket"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qv", "bucket")
+    )
+    scored = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(5e-10), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -483,3 +483,17 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
 
 
 QUERIES["dedup_simhash_pairs"] = {"fn": dedup_simhash_pairs, "oracle": DEDUP_SIMHASH_PAIRS_SQL}
+
+
+# --- IVF with a true k-means coarse quantizer (iterative, rows-only) ---------
+
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 with a Lloyd-iteration k-means codebook (deterministic
+    init) — iterative fit + approximate probe, so no SQL oracle; recall
+    vs brute force is asserted in tests/test_pipeline_ops.py."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_kmeans_topk(emb, queries, k=10, n_buckets=16, nprobe=3, iters=3)
+
+
+QUERIES["sim_ivf_kmeans_topk"] = {"fn": sim_ivf_kmeans_topk, "oracle": None}

@@ -165,3 +165,33 @@ def test_resize_and_audio_chunks(spark):
     assert [(c["chunk_idx"], c["start_ms"], c["end_ms"]) for c in sorted(chunks, key=lambda c: c["chunk_idx"])] == [
         (0, 0, 30000), (1, 30000, 60000), (2, 60000, 65000),
     ]
+
+
+def test_kmeans_ivf_recall_vs_brute_force(spark, sf_dir):
+    """k-means IVF with generous nprobe recovers most of the exact top-5
+    (approximate by design; recall, not equality, is the contract)."""
+    from rearview_spark.operators import similarity as S
+    from rearview_spark.sources.loader import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ivf_kmeans_topk(emb, queries, k=5, n_buckets=8, nprobe=4, iters=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_kmeans_fit_deterministic(spark, sf_dir):
+    from rearview_spark.operators import similarity as S
+    from rearview_spark.sources.loader import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    c1 = {r["bucket"]: r["centroid"] for r in S.kmeans_fit(emb, k=4, iters=2).collect()}
+    c2 = {r["bucket"]: r["centroid"] for r in S.kmeans_fit(emb, k=4, iters=2).collect()}
+    assert c1 == c2
