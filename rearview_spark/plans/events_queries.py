@@ -137,3 +137,48 @@ QUERIES: dict[str, dict] = {
     "ev_type_pivot": {"fn": ev_type_pivot, "oracle": EV_PIVOT_SQL},
     "ev_approx_distinct": {"fn": ev_approx_distinct, "oracle": EV_APPROX_SQL},
 }
+
+
+def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 session windows via Spark's native session_window (30-min gap):
+    same sessions as the lag+cumsum construction in ev_sessionization —
+    the oracle derives window bounds from that construction
+    (window_end = last event + gap timeout)."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+EV_SESSION_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         -- Spark session_window: a new session starts when the gap REACHES
+         -- the timeout (epoch diff >= 1800s, microsecond precision)
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), ids AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM ids GROUP BY user_id, session_seq ORDER BY user_id, session_start
+"""
+
+
+QUERIES.update(
+    {
+        "ev_session_window_native": {"fn": ev_session_window_native, "oracle": EV_SESSION_NATIVE_SQL},
+    }
+)
