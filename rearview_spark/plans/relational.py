@@ -632,3 +632,68 @@ QUERIES.update(
         "customer_value_deciles": {"fn": customer_value_deciles, "oracle": DECILE_SQL},
     }
 )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join (customers with zero orders kept)
+    -> per-customer order count -> histogram of counts. Two aggregations,
+    both map-side partial; the outer join is the only wide shuffle."""
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share — ratio of two exact
+    integer-cents sums (bit-identical across engines), one month of
+    lineitem with the range filter pushed to the scan."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    joined = li.join(t.part, li.l_partkey == t.part.p_partkey)
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0)))
+    total = F.sum(rev_cents)
+    return joined.agg(
+        r4(F.lit(100.0) * promo / total).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0
+  * sum(CASE WHEN p_type = 'PROMO' THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) ELSE 0 END)
+  / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT))
+  + 0.00000005, 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+QUERIES.update(
+    {
+        "q13_customer_distribution": {"fn": q13_customer_distribution, "oracle": Q13_SQL},
+        "q14_promo_revenue_share": {"fn": q14_promo_revenue_share, "oracle": Q14_SQL},
+    }
+)
