@@ -697,3 +697,34 @@ QUERIES.update(
         "q14_promo_revenue_share": {"fn": q14_promo_revenue_share, "oracle": Q14_SQL},
     }
 )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL form, distinct from cube/rollup):
+    revenue by (returnflag, linestatus), by (returnflag), and grand
+    total, with grouping_id distinguishing the levels."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("_li_gs")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               {REV_SQL.replace('0.00000005', '0.00000005')} AS revenue,
+               count(*) AS n_rows
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+
+
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       {REV_SQL} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+QUERIES["grouping_sets_revenue"] = {"fn": grouping_sets_revenue, "oracle": GROUPING_SETS_SQL}
