@@ -87,11 +87,30 @@ def glob_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
-def select_glob(ts: DataFrame, pattern: str) -> DataFrame:
-    """G2 — glob/wildcard series selection."""
+def select_glob(ts: DataFrame, pattern: str, metric_names: DataFrame | None = None) -> DataFrame:
+    """G2 — glob/wildcard series selection.
+
+    With ``metric_names`` (the metric-name dimension table — thousands to
+    millions of rows, a fraction of a fact partition) the glob resolves
+    driver-side to an explicit IN-list, which Catalyst pushes to the
+    parquet scan as an ``In`` filter — dictionary/bloom row-group skipping
+    and, on the bucketed layout (sources/layout.py), bucket pruning. A
+    bare ``rlike`` never pushes down, so at 100 TB the dimension-resolved
+    path is the difference between scanning every row-group and touching
+    only the matched series' buckets (SURVEY.md §4.2 #5)."""
     if not any(ch in pattern for ch in "*?{["):
         return select_metric(ts, pattern)
-    return ts.filter(F.col(METRIC).rlike(glob_to_regex(pattern)))
+    rx = glob_to_regex(pattern)
+    if metric_names is not None:
+        names = [
+            r[0]
+            for r in metric_names.filter(F.col(METRIC).rlike(rx))
+            .select(METRIC)
+            .distinct()
+            .collect()
+        ]
+        return ts.filter(F.col(METRIC).isin(names))
+    return ts.filter(F.col(METRIC).rlike(rx))
 
 
 def window_fetch(ts: DataFrame, lo, hi) -> DataFrame:

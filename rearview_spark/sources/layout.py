@@ -75,3 +75,12 @@ def write_metrics_table(
 def read_metrics_dir(spark, path: str) -> DataFrame:
     """Read back the canonical shape (dt is a pruning column, dropped)."""
     return spark.read.parquet(path).select("metric", "ts", "value")
+
+
+def metric_names_dimension(metrics: DataFrame) -> DataFrame:
+    """Distinct metric names — the dimension table that turns glob
+    selection (G2) into a pushed IN-list filter (bucket pruning on the
+    bucketed layout; see operators/timeseries.py select_glob). Maintain
+    it incrementally at ingest (foreachBatch upsert of new names), not by
+    re-scanning the fact table."""
+    return metrics.select("metric").distinct()

@@ -234,3 +234,26 @@ def test_resample(spark):
     out = G.resample(df, "5 minutes", "avg")
     got = {r["ts"]: r["value"] for r in out.collect()}
     assert got[T0] == 3.0 and got[T0 + dt.timedelta(minutes=5)] == 6.0
+
+
+def test_select_glob_dimension_pushdown(spark, tmp_path):
+    """Glob resolved against the metric-name dimension becomes an In/EqualTo
+    filter in PushedFilters — the rlike path pushes nothing."""
+    import io
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path / "m")
+    spark.createDataFrame(
+        [("a.cpu", 1.0), ("b.cpu", 2.0), ("a.mem", 3.0)], "metric string, value double"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    names = df.select("metric").distinct()
+
+    out = G.select_glob(df, "*.cpu", metric_names=names)
+    assert {r["metric"] for r in out.collect()} == {"a.cpu", "b.cpu"}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    pushed = [l for l in buf.getvalue().splitlines() if "PushedFilters" in l]
+    assert any(("In(metric" in l) or ("EqualTo(metric" in l) for l in pushed), pushed
