@@ -1,0 +1,133 @@
+"""As-of and range joins — timeseries join shapes Spark lacks as primitives.
+
+The reference's only joins are FK equi-joins and point-wise ts-equi series
+combines (SURVEY.md §2.3, Prov-A "joins beyond FK" — no range/as-of shape
+exists in `/root/reference/db/schema.rb`); these operators close that gap
+for the engine's own event/metric surface, where "latest reading at or
+before t" and "points inside an interval" are the natural join shapes.
+
+Both are built to scale:
+
+- ``asof_join`` is the union + last-observation-carried-forward plan: ONE
+  shuffle on the `by` key, one sort by (`on`, side) — the same cost as a
+  sort-merge join, with none of the range-condition explosion a naive
+  ``left.ts >= right.ts`` theta-join produces (Spark plans that as
+  BroadcastNestedLoop / cartesian, O(n*m) per key).
+- ``range_join`` buckets time into fixed-width cells and explodes each
+  interval into the cells it covers, turning the interval predicate into
+  an equi-join Catalyst hash-partitions; the residual range filter then
+  runs post-join on co-located rows. Explosion factor = interval_len /
+  bucket_width, so pick the bucket near the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] | list[str] = (),
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the payload of the
+    nearest right row with ``right.on <= left.on`` (backward, inclusive —
+    pandas ``merge_asof`` semantics) or ``right.on >= left.on``
+    (forward), matching on the ``by`` key columns.
+
+    Right payload columns that collide with a left column get ``suffix``;
+    the matched right ``on`` value is always emitted as ``f"{on}{suffix}"``.
+    With ``tolerance_s``, matches farther than that many seconds are
+    nulled out (row is kept — it is a LEFT join).
+
+    Ties: if the right side has several rows at the same (`by`, `on`),
+    which one wins is unspecified — pre-aggregate the right side to one
+    row per key (as the gate query does) when that matters.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    key = set(by) | {on}
+    lpayload = [c for c in left.columns if c not in key]
+    rpayload = [c for c in right.columns if c not in key]
+    lcols = set(left.columns)
+    rmap = {c: (c + suffix if c in lcols else c) for c in rpayload}
+    ron = on + suffix
+
+    lrows = left.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("_side"),
+        *lpayload,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(rmap[c]) for c in rpayload],
+        F.lit(None).cast(right.schema[on].dataType).alias(ron),
+    )
+    rrows = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpayload],
+        *[F.col(c).alias(rmap[c]) for c in rpayload],
+        F.col(on).alias(ron),
+    )
+    # At equal `on`, the right row sorts first (_side 0 < 1) in both
+    # directions, so the left row sees it: inclusive match.
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled_cols = [rmap[c] for c in rpayload] + [ron]
+    u = lrows.unionByName(rrows)
+    filled = u.select(
+        *by,
+        on,
+        "_side",
+        *lpayload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in filled_cols],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_s is not None:
+        delta = F.abs(F.col(on).cast("double") - F.col(ron).cast("double"))
+        keep = F.col(ron).isNotNull() & (delta <= F.lit(float(tolerance_s)))
+        for c in [rmap[c] for c in rpayload]:
+            out = out.withColumn(c, F.when(keep, F.col(c)))
+        out = out.withColumn(ron, F.when(keep, F.col(ron)))
+    return out
+
+
+def range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket_s: int = 86400,
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Inner join of fact rows into the intervals that contain them
+    (``start <= ts < end``, or ``<= end`` with ``end_inclusive``), as a
+    bucketed equi-join instead of a theta-join.
+
+    Each interval is exploded to the ``bucket_s``-second cells it covers
+    (``sequence`` — JVM-side, no UDF); each fact row computes its single
+    cell; the join runs hash-partitioned on the cell, and the exact range
+    predicate filters co-located rows. A fact row matches one cell per
+    interval, so no post-join dedup is needed.
+    """
+    cell = (F.col(ts_col).cast("double") / bucket_s).cast("long")
+    lo = (F.col(start_col).cast("double") / bucket_s).cast("long")
+    hi = (F.col(end_col).cast("double") / bucket_s).cast("long")
+    iv = intervals.withColumn("_cell", F.explode(F.sequence(lo, hi)))
+    fc = fact.withColumn("_cell", cell)
+    in_range = F.col(ts_col) >= F.col(start_col)
+    in_range &= (
+        F.col(ts_col) <= F.col(end_col) if end_inclusive else F.col(ts_col) < F.col(end_col)
+    )
+    return fc.join(iv, on="_cell", how="inner").filter(in_range).drop("_cell")

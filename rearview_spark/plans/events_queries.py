@@ -182,3 +182,90 @@ QUERIES.update(
         "ev_session_window_native": {"fn": ev_session_window_native, "oracle": EV_SESSION_NATIVE_SQL},
     }
 )
+
+
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): each click event picks up the
+    user's most recent purchase at-or-before it (backward inclusive).
+    Purchases are pre-aggregated to one row per (user, ts) so the match
+    is deterministic; the oracle is DuckDB's native ASOF LEFT JOIN — an
+    independent implementation of the same semantics."""
+    from rearview_spark.operators.joins import asof_join
+
+    ev = Tables(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    j = asof_join(clicks, purch, on="ts", by=("user_id",), suffix="_p")
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_p").alias("purchase_ts"),
+        "purchase_value",
+    ).orderBy("event_id")
+
+
+EV_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def ev_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.py): signup events bucketed into
+    overlapping 3-day review windows anchored at each calendar day that
+    had an error event — interval containment as a bucketed equi-join
+    (no BroadcastNestedLoop; test_joins asserts the plan shape)."""
+    from rearview_spark.operators.joins import range_join
+
+    ev = Tables(spark, sf_dir).events
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("day", "ts").alias("w_start"))
+        .distinct()
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 3 DAYS"))
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("ts", "user_id")
+    j = range_join(signups, windows, ts_col="ts", bucket_s=86400)
+    return (
+        j.groupBy("w_start")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("w_start")
+    )
+
+
+EV_RANGE_SQL = """
+WITH windows AS (
+  SELECT DISTINCT date_trunc('day', ts) AS w_start,
+         date_trunc('day', ts) + INTERVAL 3 DAY AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT w.w_start, count(*) AS n_signups, count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN windows w
+  ON e.ts >= w.w_start AND e.ts < w.w_end
+WHERE e.event_type = 'signup'
+GROUP BY w.w_start ORDER BY w.w_start
+"""
+
+
+QUERIES.update(
+    {
+        "ev_asof_last_purchase": {"fn": ev_asof_last_purchase, "oracle": EV_ASOF_SQL},
+        "ev_range_join_windows": {"fn": ev_range_join_windows, "oracle": EV_RANGE_SQL},
+    }
+)

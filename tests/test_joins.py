@@ -1,0 +1,100 @@
+"""asof_join / range_join semantics against hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.joins import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(0), 100), ("u1", _ts(5), 101), ("u1", _ts(10), 102), ("u2", _ts(3), 200)],
+        "k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(5), 1.0), ("u1", _ts(9), 2.0), ("u2", _ts(4), 3.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["lid"]: (r["v"], r["ts_r"])
+        for r in asof_join(left, right, on="ts", by=("k",)).collect()
+    }
+    assert got[100] == (None, None)  # nothing at-or-before t0
+    assert got[101] == (1.0, _ts(5))  # inclusive: equal ts matches
+    assert got[102] == (2.0, _ts(9))  # latest at-or-before wins
+    assert got[200] == (None, None)  # u2's only right row is after t3
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(0), 1), ("u1", _ts(6), 2)], "k string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(5), 10.0), ("u1", _ts(60), 20.0)], "k string, ts timestamp, v double"
+    )
+    fwd = {
+        r["lid"]: r["v"]
+        for r in asof_join(left, right, on="ts", by=("k",), direction="forward").collect()
+    }
+    assert fwd == {1: 10.0, 2: 20.0}  # nearest at-or-after
+    tol = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, on="ts", by=("k",), direction="forward", tolerance_s=600
+        ).collect()
+    }
+    assert tol == {1: 10.0, 2: None}  # 54 min away > 10-min tolerance
+
+
+def test_asof_collision_suffix(spark):
+    left = spark.createDataFrame([("u1", _ts(1), 1.0)], "k string, ts timestamp, v double")
+    right = spark.createDataFrame([("u1", _ts(0), 9.0)], "k string, ts timestamp, v double")
+    out = asof_join(left, right, on="ts", by=("k",))
+    assert "v" in out.columns and "v_r" in out.columns and "ts_r" in out.columns
+    row = out.collect()[0]
+    assert (row["v"], row["v_r"]) == (1.0, 9.0)
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The plan must contain exactly one Exchange — the union+LOCF shape —
+    and no BroadcastNestedLoop/Cartesian (what a theta-join would plan)."""
+    left = spark.createDataFrame([("a", _ts(1), 1)], "k string, ts timestamp, lid int")
+    right = spark.createDataFrame([("a", _ts(0), 2.0)], "k string, ts timestamp, v double")
+    plan = asof_join(left, right, on="ts", by=("k",))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_buckets(spark):
+    fact = spark.createDataFrame(
+        [(i, _ts(i * 30)) for i in range(10)], "fid int, ts timestamp"
+    )  # every 30 min over 4.5h
+    iv = spark.createDataFrame(
+        [("w1", _ts(0), _ts(60)), ("w2", _ts(45), _ts(180))],
+        "name string, w_start timestamp, w_end timestamp",
+    )
+    out = range_join(fact, iv, bucket_s=3600)
+    got = sorted((r["name"], r["fid"]) for r in out.collect())
+    # w1 = [0, 60): fids 0,1 (t=0,30); t=60 excluded (half-open)
+    # w2 = [45, 180): fids 2..5 (t=60..150)
+    assert got == [("w1", 0), ("w1", 1), ("w2", 2), ("w2", 3), ("w2", 4), ("w2", 5)]
+    inc = range_join(fact, iv, bucket_s=3600, end_inclusive=True)
+    assert sorted((r["name"], r["fid"]) for r in inc.collect()) == [
+        ("w1", 0), ("w1", 1), ("w1", 2), ("w2", 2), ("w2", 3), ("w2", 4), ("w2", 5), ("w2", 6),
+    ]
+
+
+def test_range_join_no_nested_loop(spark):
+    fact = spark.createDataFrame([(1, _ts(1))], "fid int, ts timestamp")
+    iv = spark.createDataFrame([("w", _ts(0), _ts(5))], "name string, w_start timestamp, w_end timestamp")
+    plan = range_join(fact, iv)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
