@@ -728,3 +728,312 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 
 
 QUERIES["grouping_sets_revenue"] = {"fn": grouping_sets_revenue, "oracle": GROUPING_SETS_SQL}
+
+
+# --- additions 3: remaining TPC-H shapes expressible on the reduced schema ---
+# (no partsupp table and no commitdate/receiptdate columns in the driver's
+# star schema, so Q2/Q11/Q20/Q21 have no faithful equivalent; Q8, Q9, Q15,
+# Q16, Q17, Q18, Q19, Q22 below are adapted to the available columns.)
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of ASIA's ECONOMY-part order
+    revenue per year. Share = ratio of two exact integer-cents sums
+    (conditional numerator), so the division is deterministic."""
+    t = Tables(spark, sf_dir)
+    sn = t.nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = t.nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        t.lineitem.join(t.part.filter(F.col("p_type") == "ECONOMY"),
+                        t.lineitem.l_partkey == t.part.p_partkey)
+        .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+              F.col("c_rk") == t.region.r_regionkey)
+        .join(t.supplier, t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_5", rev_cents).otherwise(F.lit(0)))
+             ).alias("_nation_cents"),
+            F.sum(rev_cents).alias("_all_cents"),
+        )
+        .select(
+            "o_year",
+            r4(F.col("_nation_cents") / F.col("_all_cents") * 100.0).alias("mkt_share_pct"),
+            r4(F.col("_all_cents") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_5' THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) ELSE 0 END)
+             / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) * 100.0 + 0.00000005, 4) AS mkt_share_pct,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0 + 0.00000005, 4) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year over parts named
+    '%widget%'. The reference schema has no partsupp/ps_supplycost, so
+    cost is modeled as 10% of p_retailprice per unit — the plan shape
+    (scan with LIKE filter -> 4-way join -> two-level agg) is Q9's."""
+    t = Tables(spark, sf_dir)
+    profit_cents = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+         - F.col("p_retailprice") * 0.1 * F.col("l_quantity")) * 10000
+    ).cast("long")
+    return (
+        t.lineitem.join(t.part.filter(F.col("p_name").like("%widget%")),
+                        t.lineitem.l_partkey == t.part.p_partkey)
+        .join(t.supplier, t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == t.nation.n_nationkey)
+        .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(r4(F.sum(profit_cents) / F.lit(10000.0)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity) * 10000.0) AS BIGINT)) / 10000.0 + 0.00000005, 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view over a quarter -> supplier(s) at the
+    exact maximum (scalar-subquery max as a whole-frame window, no second
+    scan of the base data; ties all returned, like the spec)."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        int_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000).alias("_cents")
+    )
+    mx = rev.agg(F.max("_cents").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("_cents") == F.col("_mx"))
+    return (
+        top.join(t.supplier, top.supplier_no == t.supplier.s_suppkey)
+        .select("s_suppkey", "s_name", r4(F.col("_cents") / F.lit(10000.0)).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(cents / 10000.0 + 0.00000005, 4) AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE cents = (SELECT max(cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    with exclusion filters. lineitem's (partkey, suppkey) pairs stand in
+    for the absent partsupp table; the pair-distinct happens before the
+    dim join so the heavy dedup is on narrow columns."""
+    t = Tables(spark, sf_dir)
+    bridge = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    parts = t.part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 36)
+    )
+    return (
+        bridge.join(parts, bridge.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 28, 36)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + equi-join; average uses
+    the exact integer-cents scheme so the 0.2*avg threshold is
+    bit-identical across engines."""
+    t = Tables(spark, sf_dir)
+    parts = t.part.filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL"))
+    li = t.lineitem.join(parts, t.lineitem.l_partkey == parts.p_partkey)
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (exact_avg(F.col("l_quantity"), 100) * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(r4(exact_sum(F.col("l_extendedprice"), 100) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+), thresholds AS (
+  SELECT l_partkey AS t_partkey,
+         sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 / count(l_quantity) * 0.2 AS qty_threshold
+  FROM li GROUP BY 1
+)
+SELECT round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 / 7.0 + 0.00000005, 4) AS avg_yearly
+FROM li JOIN thresholds ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate (orders whose total
+    quantity exceeds 200) -> join back to orders + customer. The
+    per-order agg is map-side partial; only qualifying orderkeys reach
+    the dim joins."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg((int_sum(F.col("l_quantity"), 100) / F.lit(100.0)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(t.orders, big.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            r4(F.col("o_totalprice")).alias("totalprice"),
+            r4(F.col("sum_qty")).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice + 0.00000005, 4) AS totalprice,
+       round(sq.sum_qty + 0.00000005, 4) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 > 200
+) sq
+JOIN orders ON sq.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of three conjunctive brand/size/
+    quantity branches — the classic OR-of-ANDs predicate Catalyst turns
+    into a single scan with the common join key; revenue over the union
+    of branches."""
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.join(t.part, t.lineitem.l_partkey == t.part.p_partkey)
+    b1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11)
+    b2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20)
+    b3 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30)
+    return j.filter(b1 | b2 | b3).agg(_revenue().alias("revenue"))
+
+
+Q19_SQL = f"""
+SELECT {REV_SQL} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (average positive balance,
+    broadcast as a 1-row frame — no collect) + NOT EXISTS anti-join
+    against recent orders, grouped by nation (standing in for the absent
+    phone country code)."""
+    t = Tables(spark, sf_dir)
+    nations = [1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23]
+    cust = t.customer.filter(F.col("c_nationkey").isin(nations))
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(exact_avg(F.col("c_acctbal"), 100).alias("_avg_bal"))
+    )
+    recent = t.orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            r4(exact_sum(F.col("c_acctbal"), 100)).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+WITH cust AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23)
+), avg_bal AS (
+  SELECT sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0 / count(c_acctbal) AS a
+  FROM cust WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0 + 0.00000005, 4) AS totacctbal
+FROM cust, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+QUERIES.update(
+    {
+        "q8_market_share": {"fn": q8_market_share, "oracle": Q8_SQL},
+        "q9_product_profit": {"fn": q9_product_profit, "oracle": Q9_SQL},
+        "q15_top_supplier": {"fn": q15_top_supplier, "oracle": Q15_SQL},
+        "q16_supplier_part_counts": {"fn": q16_supplier_part_counts, "oracle": Q16_SQL},
+        "q17_small_quantity_revenue": {"fn": q17_small_quantity_revenue, "oracle": Q17_SQL},
+        "q18_large_volume_customers": {"fn": q18_large_volume_customers, "oracle": Q18_SQL},
+        "q19_discounted_revenue": {"fn": q19_discounted_revenue, "oracle": Q19_SQL},
+        "q22_global_sales_opportunity": {"fn": q22_global_sales_opportunity, "oracle": Q22_SQL},
+    }
+)
