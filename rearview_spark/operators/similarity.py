@@ -52,14 +52,20 @@ def brute_force_topk(
     Excludes self-matches. Ties broken by vec_id for determinism."""
     from pyspark.sql import Window
 
+    qv = _as_double(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), qv.alias("qv"), _norm(qv).alias("qn")
     )
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    cv = _as_double(F.col(vec_col))
+    c = corpus.select(F.col(id_col), cv.alias("cv"), _norm(cv).alias("cn"))
+    # norms precomputed per row (not per pair): one interpreted fold per
+    # scored pair instead of three; identical doubles (same fold order).
+    denom = F.col("qn") * F.col("cn")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("qv"), F.col("cv")) / denom)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(5e-10), 6).alias("cosine_sim"))
+        .select("query_id", id_col, F.round(sim + F.lit(5e-10), 6).alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return (
@@ -99,21 +105,27 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cents = label_centroids(corpus, vec_col, label_col)
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv"), _norm(qv).alias("qn")
+    )
     # nearest nprobe centroids per query (tiny cross join: |labels| x |queries|)
     qc = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", label_col, cosine(F.col("qv"), F.col("centroid")).alias("csim"))
+        .select("query_id", "qv", "qn", label_col, cosine(F.col("qv"), F.col("centroid")).alias("csim"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col(label_col))
     probes = qc.withColumn("r", F.row_number().over(wq)).filter(F.col("r") <= nprobe).select(
-        "query_id", "qv", label_col
+        "query_id", "qv", "qn", label_col
     )
-    c = corpus.select(F.col(id_col), F.col(label_col), _as_double(F.col(vec_col)).alias("cv"))
+    cv = _as_double(F.col(vec_col))
+    c = corpus.select(F.col(id_col), F.col(label_col), cv.alias("cv"), _norm(cv).alias("cn"))
+    denom = F.col("qn") * F.col("cn")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("qv"), F.col("cv")) / denom)
     scored = (
         c.join(F.broadcast(probes), label_col)
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(5e-10), 6).alias("cosine_sim"))
+        .select("query_id", id_col, F.round(sim + F.lit(5e-10), 6).alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -167,11 +179,21 @@ def embedding_near_duplicates(
     from pyspark.sql import Window  # noqa: F401  (parity with module imports)
 
     W = hyperplane_weights(planes, dim)
-    v = _as_double(F.col(vec_col))
-    bits = [
-        (_dot(v, F.array(*[F.lit(w) for w in W[p]])) > 0).cast("int").cast("string")
-        for p in range(planes)
-    ]
+    # Each plane's sign bit is built as ONE SQL string parsed JVM-side:
+    # the Column-API form (even via F.lit(list), which expands per element)
+    # issues planes*dim Py4J round-trips — >1s of driver wall per plan
+    # build at 16x64. repr() doubles round-trip exactly through the SQL
+    # parser, so the constants are bit-identical to the Python matrix.
+    vexpr = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    bits = []
+    for p in range(planes):
+        arr = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in W[p]) + ")"
+        bits.append(
+            F.expr(
+                f"CAST(CAST(aggregate(zip_with({vexpr}, {arr}, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b) > 0 AS INT) AS STRING)"
+            )
+        )
     per_band = planes // bands
     band_structs = [
         F.struct(
@@ -180,9 +202,14 @@ def embedding_near_duplicates(
         )
         for b in range(bands)
     ]
-    sigs = corpus.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bh")
+    # One signature pass, cached: the banded self-join's two aliases would
+    # otherwise each re-run the 16-hyperplane projection over the corpus
+    # (same pattern as dedup.minhash_near_duplicates).
+    sigs = (
+        corpus.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(id_col, "bb.band", "bb.bh")
+        .cache()
+    )
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cands = (
@@ -195,14 +222,25 @@ def embedding_near_duplicates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), v.alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), v.alias("vb"))
+    # Norms are per-vector, not per-pair: compute once into the cached
+    # frame so verification does ONE interpreted higher-order fold (the
+    # dot product) per candidate instead of three. Same fold order as
+    # cosine(), so the doubles — and the 6-decimal rounded output — are
+    # bit-identical.
+    dv = _as_double(F.col(vec_col))
+    vecs = corpus.select(
+        F.col(id_col), dv.alias("_v"), _norm(dv).alias("_n")
+    ).cache()
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("va"), F.col("vb")) / denom)
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")) + F.lit(5e-10), 6).alias("cosine_sim"),
+            F.round(sim + F.lit(5e-10), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -292,24 +330,27 @@ def ivf_kmeans_topk(
 
     codebook = kmeans_fit(corpus, n_buckets, iters, id_col, vec_col)
     vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    bucketed = assign_buckets(vecs, codebook)
+    bucketed = assign_buckets(vecs, codebook).withColumn("cn", _norm(F.col("cv")))
 
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"), _norm(qv).alias("qn"))
     qc = q.crossJoin(F.broadcast(codebook)).select(
-        "query_id", "qv", "bucket", cosine(F.col("qv"), F.col("centroid")).alias("csim")
+        "query_id", "qv", "qn", "bucket", cosine(F.col("qv"), F.col("centroid")).alias("csim")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("bucket"))
     probes = (
         qc.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= nprobe)
-        .select("query_id", "qv", "bucket")
+        .select("query_id", "qv", "qn", "bucket")
     )
+    denom = F.col("qn") * F.col("cn")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("qv"), F.col("cv")) / denom)
     scored = (
         bucketed.join(F.broadcast(probes), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id", id_col,
-            F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(5e-10), 6).alias("cosine_sim"),
+            F.round(sim + F.lit(5e-10), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
