@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_simhash_pairs",
     "q10_returned_items",
+    "ev_asof_last_purchase",
+    "q8_market_share",
 ]
 
 
@@ -53,8 +55,11 @@ def main() -> None:
     spark = get_spark("rearview_bench")
     qs = all_queries()
 
-    # warmup: prime JVM/codegen on the smallest SF
-    for name in ("q1_pricing_summary", "ts_hourly_summarize", "ts_ema"):
+    # warmup: prime JVM JIT + whole-stage-codegen class compilation for
+    # EVERY headline plan shape on the smallest SF, so the timed sf0.1 runs
+    # measure engine throughput, not first-compile of the generated code
+    # (codegen classes are keyed by plan shape and reused across SFs).
+    for name in HEADLINE:
         qs[name]["fn"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
