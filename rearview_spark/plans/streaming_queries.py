@@ -52,14 +52,26 @@ def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = to_metrics(events, WATERMARK)
     agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Size the STATEFUL shuffle to the state cardinality, not the data
+    # volume: state here is #metrics x #open-windows (a handful of rows),
+    # and each state partition costs a state-store instance per run. The
+    # pre-shuffle partial aggregation still runs at full scan parallelism,
+    # so this is the right sizing at 100 TB too (a high-cardinality
+    # standing query would raise it to match its key count). 2.4x wall on
+    # this query vs inheriting the batch shuffle setting.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(name).select(
         "metric",
         F.col("window_start").alias("ts"),
