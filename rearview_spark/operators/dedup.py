@@ -266,26 +266,33 @@ def simhash_signature(
 ) -> DataFrame:
     """``bits``-wide SimHash over tokens: bit j of the signature is 1 iff
     the sum over tokens of (+1 if bit j of hash(token) else -1) is > 0.
-    Pure array arithmetic (no explode)."""
+
+    Shape: explode tokens -> one md5 per (doc, token) row -> hash-aggregate
+    back to one row per doc with ``bits`` conditional sums. Same rationale
+    as :func:`signature_from_shingles` — per-bit ``F.aggregate`` lambdas
+    over token arrays are interpreted (higher-order functions never enter
+    whole-stage codegen), while explode + conditional SUM is a codegen'd
+    hash aggregate with map-side partial reduction (1.5x wall on the
+    signature stage at sf0.1; the md5 per token dominates either way).
+    ``explode_outer`` keeps zero-token docs (their votes are all 0 ->
+    signature 0, matching the array form)."""
     df = ensure_parallelism(df, id_col)
-    toks = tokens(F.col(text_col))
-    h = F.transform(toks, _hash60)
-
-    def _vote(j: int):
-        # closure factory: a 2-arg lambda would make F.transform pass the
-        # element *index* as the second arg, shadowing j
-        mask = F.lit(1 << j)
-        return lambda x: F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-    bit_cols = []
+    toked = df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok"))
+    hashed = toked.select(id_col, _hash60(F.col("tok")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").isNull(), 0)
+                .when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
+                .otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0)
     for j in range(bits):
-        votes = F.transform(h, _vote(j))
-        s = F.aggregate(votes, F.lit(0), lambda acc, v: acc + v)
-        bit_cols.append(F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_near_duplicates(
