@@ -398,6 +398,19 @@ def _eval(node, ts: DataFrame) -> DataFrame:
     if name == "holtWintersAberration":
         season = int(_num(args[1], name)) if len(args) > 1 else 1440
         return G.holt_winters_aberration(_eval(args[0], ts), season)
+    if name == "holtWintersConfidenceBands":
+        season = int(_num(args[1], name)) if len(args) > 1 else 1440
+        return G.holt_winters_confidence_bands(_eval(args[0], ts), season)
+
+    # --- clipping (G18)
+    if name == "clamp":
+        return G.clamp(_eval(args[0], ts), _num(args[1], name), _num(args[2], name))
+
+    # --- synthetic series (G27): render window implicit = input frame span
+    if name == "constantLine":
+        return G.constant_line_over(ts, _num(args[0], name))
+    if name == "timeFunction":
+        return G.time_function_over(ts)
 
     raise ValueError(f"unsupported Graphite function: {name}")
 

@@ -588,6 +588,30 @@ def time_function(spark, lo, hi, step_seconds: int, name: str = "timeFunction") 
     return _value(base, F.unix_timestamp(TS).cast("double"))
 
 
+def constant_line_over(ts: DataFrame, v: float, step_seconds: int = 60, name: str | None = None) -> DataFrame:
+    """G27 — constantLine for the target compiler, where the render window
+    is implicit: spans the input frame's [min(ts), max(ts)] at a fixed
+    step. Bounds stay a 1-row DataFrame (no driver collect); the grid is
+    generated executor-side with sequence+explode."""
+    name = name or f"constantLine({v:g})"
+    bounds = ts.agg(F.min(TS).alias("_lo"), F.max(TS).alias("_hi"))
+    return (
+        bounds.filter(F.col("_lo").isNotNull())
+        .select(
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step_seconds} SECONDS"))
+            ).alias(TS)
+        )
+        .select(F.lit(name).alias(METRIC), TS, F.lit(float(v)).alias(VALUE))
+    )
+
+
+def time_function_over(ts: DataFrame, step_seconds: int = 60, name: str = "timeFunction") -> DataFrame:
+    """G27 — timeFunction over the input frame's implicit window."""
+    base = constant_line_over(ts, 0.0, step_seconds, name)
+    return _value(base, F.unix_timestamp(TS).cast("double"))
+
+
 def group(*series: DataFrame) -> DataFrame:
     """G28 — merge target lists (plain union; no dedup, Graphite keeps all)."""
     out = series[0]
@@ -649,6 +673,32 @@ def holt_winters_forecast(
         return pdf[[METRIC, TS, VALUE]]
 
     return ts.select(METRIC, TS, VALUE).groupBy(METRIC).applyInPandas(hw, schema)
+
+
+def holt_winters_confidence_bands(
+    ts: DataFrame, season_points: int, delta: float = 3.0
+) -> DataFrame:
+    """G26 — upper/lower confidence band series around the Holt-Winters
+    forecast: forecast ± delta * running stddev of residuals (the same
+    band the aberration operator measures against). Emits two series per
+    input metric, named holtWintersConfidenceUpper(m) / ...Lower(m) —
+    Graphite 0.9's output shape for this function."""
+    fc = holt_winters_forecast(ts, season_points).withColumnRenamed(VALUE, "_fc")
+    joined = ts.join(fc, [METRIC, TS])
+    resid = F.col(VALUE) - F.col("_fc")
+    band = F.stddev_pop(resid).over(_series_win().rowsBetween(Window.unboundedPreceding, 0)) * delta
+    with_band = joined.select(METRIC, TS, F.col("_fc"), band.alias("_band"))
+    upper = with_band.select(
+        F.concat(F.lit("holtWintersConfidenceUpper("), METRIC, F.lit(")")).alias(METRIC),
+        TS,
+        (F.col("_fc") + F.col("_band")).alias(VALUE),
+    )
+    lower = with_band.select(
+        F.concat(F.lit("holtWintersConfidenceLower("), METRIC, F.lit(")")).alias(METRIC),
+        TS,
+        (F.col("_fc") - F.col("_band")).alias(VALUE),
+    )
+    return upper.unionByName(lower)
 
 
 def holt_winters_aberration(ts: DataFrame, season_points: int, delta: float = 3.0) -> DataFrame:

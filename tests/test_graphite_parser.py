@@ -124,3 +124,26 @@ def test_time_slice_parsed(spark):
     rows = {r["ts"].minute: r["value"] for r in out.collect()}
     assert all(v is None for m, v in rows.items() if m < 2 or m > 4)
     assert all(v is not None for m, v in rows.items() if 2 <= m <= 4)
+
+
+def test_clamp_parsed(spark):
+    df = make_series(spark, {"m": [1, 5, 9]})
+    assert vals(evaluate_target("clamp(m, 2, 8)", df)) == [2.0, 5.0, 8.0]
+
+
+def test_constant_line_parsed(spark):
+    df = make_series(spark, {"m": [1, 2, 3]})
+    out = evaluate_target("constantLine(4.5)", df).collect()
+    assert {r["value"] for r in out} == {4.5}
+    assert out[0]["metric"] == "constantLine(4.5)"
+    assert len(out) == 3  # spans the input frame's window at 60s step
+
+
+def test_hw_confidence_bands_parsed(spark):
+    df = make_series(spark, {"m": [10.0] * 20})
+    out = evaluate_target("holtWintersConfidenceBands(m, 5)", df)
+    names = {r["metric"] for r in out.collect()}
+    assert names == {
+        "holtWintersConfidenceUpper(m)",
+        "holtWintersConfidenceLower(m)",
+    }

@@ -257,3 +257,21 @@ def test_select_glob_dimension_pushdown(spark, tmp_path):
         out.explain("formatted")
     pushed = [l for l in buf.getvalue().splitlines() if "PushedFilters" in l]
     assert any(("In(metric" in l) or ("EqualTo(metric" in l) for l in pushed), pushed
+
+
+def test_holt_winters_confidence_bands(spark):
+    df = make_series(spark, {"a": [10.0] * 30})
+    out = G.holt_winters_confidence_bands(df, season_points=5)
+    rows = out.collect()
+    names = {r["metric"] for r in rows}
+    assert names == {
+        "holtWintersConfidenceUpper(a)",
+        "holtWintersConfidenceLower(a)",
+    }
+    by = {}
+    for r in rows:
+        by.setdefault(r["metric"], {})[r["ts"]] = r["value"]
+    up = by["holtWintersConfidenceUpper(a)"]
+    lo = by["holtWintersConfidenceLower(a)"]
+    assert set(up) == set(lo) and len(up) == 30
+    assert all(up[t] >= lo[t] for t in up)  # band is symmetric around fc
