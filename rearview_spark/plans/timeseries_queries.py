@@ -786,3 +786,33 @@ QUERIES.update(
         "ts_lowest_current": {"fn": ts_lowest_current, "oracle": TS_LOWEST_SQL},
     }
 )
+
+
+def ts_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous aggregate (sources/rollup.py): hourly
+    partial-state rollup -> cascaded to daily (sums of sums, no raw
+    rescan) -> exact avg finalized as sum/count. The oracle computes
+    daily averages directly from raw events, proving the mergeable-state
+    cascade is value-identical to a raw scan."""
+    from rearview_spark.sources import rollup as RU
+
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    hourly = RU.rollup_from_raw(series, "1 hour")
+    daily = RU.resolved_summarize(hourly, "1 day", "avg")
+    return daily.select("metric", "ts", r4(F.col("value")).alias("value")).orderBy(
+        "metric", "ts"
+    )
+
+
+TS_ROLLUP_SQL = """
+SELECT event_type AS metric, date_trunc('day', ts) AS ts,
+       round(sum(value) / count(value) + 0.00000005, 4) AS value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "ts_rollup_cascade": {"fn": ts_rollup_cascade, "oracle": TS_ROLLUP_SQL},
+    }
+)

@@ -1,0 +1,57 @@
+"""Continuous-aggregate rollup cascade + resolution router."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import timeseries as G
+from rearview_spark.sources import rollup as RU
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _series(spark, n_hours=50, per_hour=4):
+    rows = []
+    for h in range(n_hours):
+        for i in range(per_hour):
+            rows.append(("m1", T0 + dt.timedelta(hours=h, minutes=i * 13), float(h * 10 + i)))
+    return spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+
+def test_cascade_matches_direct(spark):
+    raw = _series(spark)
+    hourly = RU.rollup_from_raw(raw, "1 hour")
+    daily_from_cascade = RU.resolved_summarize(hourly, "1 day", "avg")
+    direct = G.summarize(raw, "1 day", "avg")
+    got = {r["ts"]: r["value"] for r in daily_from_cascade.collect()}
+    want = {r["ts"]: r["value"] for r in direct.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_avg_is_exact_not_avg_of_avgs(spark):
+    # hour 0 has 1 point (value 0), hour 1 has 3 points (value 6) -> true
+    # daily avg = (0 + 18)/4 = 4.5; avg-of-hourly-avgs would be 3.0
+    rows = [("m", T0, 0.0)] + [("m", T0 + dt.timedelta(hours=1, minutes=i), 6.0) for i in range(3)]
+    raw = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    hourly = RU.rollup_from_raw(raw, "1 hour")
+    out = RU.resolved_summarize(hourly, "1 day", "avg").collect()
+    assert out[0]["value"] == 4.5
+
+
+def test_write_and_route(spark, tmp_path):
+    raw = _series(spark)
+    paths = RU.write_rollups(raw, str(tmp_path / "ru"))
+    assert set(paths) == {"1 hour", "1 day"}
+    assert RU.pick_resolution(86400) == "1 day"
+    assert RU.pick_resolution(7200) == "1 hour"
+    assert RU.pick_resolution(5400) is None  # 90 min: no tier divides -> raw
+    tier = RU.read_rollup(spark, str(tmp_path / "ru"), "1 hour")
+    served = RU.resolved_summarize(tier, "2 hours", "sum")
+    direct = G.summarize(raw, "2 hours", "sum")
+    got = {r["ts"]: r["value"] for r in served.collect()}
+    want = {r["ts"]: r["value"] for r in direct.collect()}
+    assert got == want
