@@ -256,11 +256,50 @@ SELECT query_id, vec_id, cosine_sim, rank FROM (
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k probing 3 of 10 label-centroid buckets.
-    Approximate by construction -> no SQL oracle (rows-only check)."""
+    """IVF top-k probing 3 of the label-centroid buckets. Approximate
+    w.r.t. brute force, but fully DETERMINISTIC given the data — the
+    oracle reproduces the whole pipeline (centroids, probe selection,
+    in-bucket exact cosine) in SQL, so the gate hash-checks the IVF
+    semantics themselves, not just row counts."""
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(emb, queries, k=10, nprobe=3)
+
+
+SIM_IVF_SQL = """
+WITH expl AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(x) AS m FROM expl GROUP BY 1, 2)
+  GROUP BY label
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, c.label,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.label) AS r
+    FROM q CROSS JOIN cent c
+  ) WHERE r <= 3
+),
+scored AS (
+  SELECT p.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) + 0.0000000005, 6) AS cosine_sim
+  FROM probes p
+  JOIN embeddings e ON e.label = p.label
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
 
 
 def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +374,7 @@ QUERIES: dict[str, dict] = {
     "dedup_minhash_lsh": {"fn": dedup_minhash_lsh, "oracle": DEDUP_MINHASH_SQL},
     "dedup_simhash": {"fn": dedup_simhash, "oracle": DEDUP_SIMHASH_SQL},
     "sim_brute_force_topk": {"fn": sim_brute_force_topk, "oracle": SIM_TOPK_SQL},
-    "sim_ivf_topk": {"fn": sim_ivf_topk, "oracle": None},
+    "sim_ivf_topk": {"fn": sim_ivf_topk, "oracle": SIM_IVF_SQL},
     "sim_label_centroid_distance": {"fn": sim_label_centroid_distance, "oracle": SIM_COHESION_SQL},
     "media_metadata": {"fn": media_metadata, "oracle": MEDIA_META_SQL},
     "media_features": {"fn": media_features, "oracle": None},
