@@ -527,12 +527,84 @@ QUERIES["dedup_simhash_pairs"] = {"fn": dedup_simhash_pairs, "oracle": DEDUP_SIM
 # --- IVF with a true k-means coarse quantizer (iterative, rows-only) ---------
 
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 with a Lloyd-iteration k-means codebook (deterministic
-    init) — iterative fit + approximate probe, so no SQL oracle; recall
-    vs brute force is asserted in tests/test_pipeline_ops.py."""
+    """ANN top-10 with a Lloyd-iteration k-means codebook. The fit is
+    deterministic (smallest-id init, fixed 3 iterations, tie-broken
+    argmax), so the oracle UNROLLS the three Lloyd iterations as chained
+    CTEs — DuckDB re-derives the codebook, the bucket assignment, the
+    probe selection, and the in-bucket exact cosine from scratch."""
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_kmeans_topk(emb, queries, k=10, n_buckets=16, nprobe=3, iters=3)
 
 
-QUERIES["sim_ivf_kmeans_topk"] = {"fn": sim_ivf_kmeans_topk, "oracle": None}
+def _kmeans_iteration_sql(i: int) -> str:
+    """One Lloyd iteration as CTEs: assign under cb{i-1} -> per-bucket
+    means -> cb{i} (empty buckets keep the previous centroid)."""
+    return f"""
+it{i} AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT b.vec_id, b.v, c.bucket,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.bucket) AS rn
+    FROM base b CROSS JOIN cb{i - 1} c
+  ) WHERE rn = 1
+),
+up{i} AS (
+  SELECT bucket, list(m ORDER BY pos) AS centroid FROM (
+    SELECT bucket, pos, avg(x) AS m FROM (
+      SELECT bucket, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM it{i}
+    ) GROUP BY bucket, pos
+  ) GROUP BY bucket
+),
+cb{i} AS (
+  SELECT c.bucket, COALESCE(u.centroid, c.centroid) AS centroid
+  FROM cb{i - 1} c LEFT JOIN up{i} u ON c.bucket = u.bucket
+)"""
+
+
+SIM_KMEANS_SQL = (
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, v AS centroid
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
+),"""
+    + ",".join(_kmeans_iteration_sql(i) for i in (1, 2, 3))
+    + """,
+assigned AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT b.vec_id, b.v, c.bucket,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.bucket) AS rn
+    FROM base b CROSS JOIN cb3 c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, bucket FROM (
+    SELECT q.query_id, c.bucket,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.bucket) AS r
+    FROM q CROSS JOIN cb3 c
+  ) WHERE r <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.v, q.qv) + 0.0000000005, 6) AS cosine_sim
+  FROM probes p
+  JOIN assigned a ON a.bucket = p.bucket
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+)
+
+
+QUERIES["sim_ivf_kmeans_topk"] = {"fn": sim_ivf_kmeans_topk, "oracle": SIM_KMEANS_SQL}
