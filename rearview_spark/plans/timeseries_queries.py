@@ -580,9 +580,9 @@ FROM hourly
 
 def ts_holt_winters(spark, sf_dir):
     """G26 Holt-Winters forecast over hourly sums (season = 24 h). The
-    triple-smoothing recurrence has no closed form a SQL oracle can
-    reproduce faithfully -> rows-only check (the recurrence itself is
-    golden-tested in tests/test_timeseries_ops.py)."""
+    oracle replays the triple-smoothing recurrence as a recursive CTE
+    (TS_HW_SQL below) — sequential IEEE math, so DuckDB reproduces the
+    pandas-UDF output bit-for-bit before rounding."""
     return _rounded(G.holt_winters_forecast(_hourly(spark, sf_dir), season_points=24))
 
 
@@ -722,9 +722,8 @@ WHERE regexp_matches(metric, '^(u0|u2)\.[^.]*$')
 
 def ts_hw_aberration(spark, sf_dir):
     """G26 holtWintersAberration: residual outside the delta*sigma band
-    around the HW forecast. Same non-closed-form recurrence as the
-    forecast -> rows-only check (recurrence golden-tested in
-    tests/test_timeseries_ops.py)."""
+    around the HW forecast. Oracle = the recursive-CTE forecast plus an
+    expanding-window stddev band (TS_HW_AB_SQL)."""
     return _rounded(G.holt_winters_aberration(_hourly(spark, sf_dir), season_points=24))
 
 
@@ -816,3 +815,75 @@ QUERIES.update(
         "ts_rollup_cascade": {"fn": ts_rollup_cascade, "oracle": TS_ROLLUP_SQL},
     }
 )
+
+
+# --- G26 Holt-Winters: recursive-CTE oracles ---------------------------------
+# The triple-smoothing recurrence is sequential IEEE-double math — one fixed
+# evaluation order, no accumulation ambiguity — so a recursive CTE that
+# mirrors the Python recurrence EXPRESSION-FOR-EXPRESSION produces
+# bit-identical doubles. Two care points: smoothing complements are written
+# (1 - 0.1), never 0.9 (different doubles!), and the seasonal state rides
+# along as a 24-element list updated by slice-concat.
+
+_HW_ZEROS = "[" + ", ".join(["0.0"] * 24) + "]"
+
+HW_FORECAST_CTE = HOURLY_CTE.replace("WITH hourly", "WITH RECURSIVE hourly", 1) + f"""
+, pts AS (
+  SELECT metric, ts, value,
+         CAST(row_number() OVER (PARTITION BY metric ORDER BY ts) AS BIGINT) AS i,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM hourly
+),
+rec AS NOT MATERIALIZED (
+  SELECT metric, CAST(0 AS BIGINT) AS i, CAST(NULL AS DOUBLE) AS forecast,
+         COALESCE(value, 0.0) AS level, CAST(0.0 AS DOUBLE) AS trend,
+         CAST({_HW_ZEROS} AS DOUBLE[]) AS seasonal
+  FROM pts WHERE i = 1 AND n >= 2
+  UNION ALL
+  SELECT p.metric, p.i,
+         r.level + r.trend + r.seasonal[CAST(r.i % 24 AS INT) + 1] AS forecast,
+         CASE WHEN p.value IS NULL THEN r.level
+              ELSE 0.1 * (p.value - r.seasonal[CAST(r.i % 24 AS INT) + 1])
+                   + (1 - 0.1) * (r.level + r.trend) END AS level,
+         CASE WHEN p.value IS NULL THEN r.trend
+              ELSE 0.0035 * ((0.1 * (p.value - r.seasonal[CAST(r.i % 24 AS INT) + 1])
+                              + (1 - 0.1) * (r.level + r.trend)) - r.level)
+                   + (1 - 0.0035) * r.trend END AS trend,
+         CASE WHEN p.value IS NULL THEN r.seasonal
+              ELSE list_slice(r.seasonal, 1, CAST(r.i % 24 AS INT))
+                   || [0.1 * (p.value - (0.1 * (p.value - r.seasonal[CAST(r.i % 24 AS INT) + 1])
+                                         + (1 - 0.1) * (r.level + r.trend)))
+                       + (1 - 0.1) * r.seasonal[CAST(r.i % 24 AS INT) + 1]]
+                   || list_slice(r.seasonal, CAST(r.i % 24 AS INT) + 2, 24) END AS seasonal
+  FROM rec r JOIN pts p ON p.metric = r.metric AND p.i = r.i + 1
+),
+fc AS (
+  SELECT p.metric, p.ts, r.forecast
+  FROM pts p LEFT JOIN rec r ON r.metric = p.metric AND r.i = p.i
+)
+"""
+
+TS_HW_SQL = (
+    HW_FORECAST_CTE
+    + "SELECT metric, ts, round(forecast + 0.00000005, 4) AS value FROM fc"
+)
+
+TS_HW_AB_SQL = HW_FORECAST_CTE + """
+, resid AS (
+  SELECT h.metric, h.ts, h.value - f.forecast AS r
+  FROM hourly h JOIN fc f ON f.metric = h.metric AND f.ts = h.ts
+),
+banded AS (
+  SELECT metric, ts, r,
+         stddev_pop(r) OVER (PARTITION BY metric ORDER BY ts ROWS UNBOUNDED PRECEDING) * 3.0 AS band
+  FROM resid
+)
+SELECT metric, ts,
+       round(CASE WHEN r > band THEN r - band
+                  WHEN r < -band THEN r + band
+                  ELSE 0.0 END + 0.00000005, 4) AS value
+FROM banded
+"""
+
+QUERIES["ts_holt_winters"] = {"fn": ts_holt_winters, "oracle": TS_HW_SQL}
+QUERIES["ts_hw_aberration"] = {"fn": ts_hw_aberration, "oracle": TS_HW_AB_SQL}
