@@ -269,3 +269,57 @@ QUERIES.update(
         "ev_range_join_windows": {"fn": ev_range_join_windows, "oracle": EV_RANGE_SQL},
     }
 )
+
+
+def ev_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage's
+    earliest qualifying timestamp must follow the previous stage's. Three
+    chained filter+min aggregates (each map-side partial) — no window
+    over the raw stream, no self-join explosion; timestamps are exact so
+    the oracle is float-free."""
+    ev = Tables(spark, sf_dir).events
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vt"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ct
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pt
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+"""
+
+
+QUERIES.update(
+    {
+        "ev_conversion_funnel": {"fn": ev_conversion_funnel, "oracle": EV_FUNNEL_SQL},
+    }
+)

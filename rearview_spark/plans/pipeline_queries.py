@@ -608,3 +608,54 @@ SELECT query_id, vec_id, cosine_sim, rank FROM (
 
 
 QUERIES["sim_ivf_kmeans_topk"] = {"fn": sim_ivf_kmeans_topk, "oracle": SIM_KMEANS_SQL}
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: explode tokens -> tf per
+    (doc, term) -> document frequency -> smoothed idf — every stage a
+    codegen'd hash aggregate; the corpus size joins in as a broadcast
+    1-row aggregate (no driver collect). The ranking runs on the scored
+    (doc, term) frame, never the raw token stream."""
+    from pyspark.sql import Window
+
+    docs = Tables(spark, sf_dir).documents
+    toked = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round(F.col("score") + F.lit(5e-10), 6).alias("score"), "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+DOC_TFIDF_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+  FROM tf t JOIN dfreq USING (term), nd
+)
+SELECT doc_id, term, round(score + 0.0000000005, 6) AS score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+QUERIES["doc_tfidf_top_terms"] = {"fn": doc_tfidf_top_terms, "oracle": DOC_TFIDF_SQL}
