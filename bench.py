@@ -46,6 +46,8 @@ HEADLINE = [
     "q10_returned_items",
     "ev_asof_last_purchase",
     "q8_market_share",
+    "ts_rollup_cascade",
+    "doc_tfidf_top_terms",
 ]
 
 

@@ -5,8 +5,9 @@ DuckDB oracles wherever the computation is SQL-expressible.
 Every hash (minhash permutations, simhash bits, fingerprints) is
 md5-prefix-based specifically so the oracle can reproduce the arithmetic
 bit-for-bit — the correctness gate covers the *whole* pipeline, not just
-the SQL-shaped parts. Approximate/stubbed ops (IVF probe, image decode)
-are declared without oracles (driver records rows-only).
+the SQL-shaped parts. Even the iterative k-means IVF is value-checked
+(its oracle unrolls the Lloyd iterations as chained CTEs); the single
+remaining rows-only entry is the stubbed media decode.
 """
 
 from __future__ import annotations

@@ -9,9 +9,11 @@ reference consumed from Graphite (fixed-step series, README.md:6) — then
 apply the operator under test. Rounding to 4 decimals happens once, at the
 end, on both sides.
 
-Non-SQL-expressible ops (pandas-UDF recurrences) either get a closed-form
-oracle (EMA: the unrolled recurrence as a window sum) or a positional
-oracle (interpolate), so even the "hard" operators are hash-checked.
+Non-SQL-expressible ops (pandas-UDF recurrences) still get value-level
+oracles: a closed form where one exists (EMA: the unrolled recurrence as
+a window sum), a positional oracle (interpolate), and a recursive CTE
+that replays the recurrence step-for-step (Holt-Winters) — so even the
+"hard" operators are hash-checked.
 """
 
 from __future__ import annotations
