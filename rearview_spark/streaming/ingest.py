@@ -81,3 +81,14 @@ def ingest_to_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once event ingest under at-least-once delivery: watermarked
+    ``dropDuplicates`` on the event key. State holds one entry per
+    event_id only until the watermark passes its timestamp — bounded
+    state, the streaming form of the exact-dedup operator
+    (operators/dedup.py). A replayed/duplicate event inside the watermark
+    horizon is dropped; beyond the horizon the upstream source's own
+    exactly-once guarantee (e.g. Kafka offsets) takes over."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])

@@ -87,3 +87,44 @@ def streaming_threshold_alerts(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def stream_stream_purchase_attribution(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    attribution_window: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the same
+    user's click at most ``attribution_window`` before it. Both sides are
+    watermarked, and the time-bound join condition lets Spark expire
+    click state once the watermark passes click.ts + window — bounded
+    state on an unbounded stream (without the bound the join would
+    buffer both streams forever)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "purchase_id", "purchase_ts", F.col("p_user").alias("user_id"),
+        "click_id", "click_ts", "amount",
+    )

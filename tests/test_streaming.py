@@ -177,3 +177,56 @@ def test_stateful_alert_lifecycle(spark, tmp_path):
         ("failed", "failed", False, None),      # within 60-min debounce
         ("success", "success", False, "close"), # recovery closes incident
     ]
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Duplicate event_ids across micro-batch files are dropped."""
+    from rearview_spark.streaming.ingest import dedup_stream
+
+    src = tmp_path / "dup_src"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows1 = [(1, T0, 10, "click", 1.0, "{}"), (2, T0 + dt.timedelta(minutes=1), 11, "click", 2.0, "{}")]
+    rows2 = [(1, T0, 10, "click", 1.0, "{}"), (3, T0 + dt.timedelta(minutes=2), 12, "click", 3.0, "{}")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2, 3]  # the replayed event 1 was dropped
+
+
+def test_stream_stream_attribution(spark, tmp_path):
+    """Purchases join the same user's click within the window; clicks
+    outside the attribution window don't match."""
+    from rearview_spark.streaming.standing import stream_stream_purchase_attribution
+
+    src = tmp_path / "attr_src"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [
+        (1, T0, 10, "click", 0.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=5), 10, "purchase", 9.99, "{}"),   # attributed to 1
+        (3, T0, 11, "click", 0.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=45), 11, "purchase", 5.0, "{}"),   # outside 30-min window
+        (5, T0 + dt.timedelta(minutes=2), 12, "purchase", 1.0, "{}"),    # no click at all
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = events_stream(spark, str(src))
+    q = (
+        stream_stream_purchase_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("attr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["purchase_id"], r["click_id"]) for r in spark.sql("SELECT * FROM attr_out").collect()}
+    assert got == {(2, 1)}
