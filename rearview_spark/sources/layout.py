@@ -58,14 +58,20 @@ def write_metrics_table(
     table: str,
     buckets: int = DEFAULT_BUCKETS,
     mode: str = "append",
+    path: str | None = None,
 ) -> None:
     """Metastore-backed layout adding metric bucketing (co-located
-    series joins; bucket pruning for exact-metric scans)."""
-    (
+    series joins; bucket pruning for exact-metric scans). ``path`` makes
+    it an external table (storage outside the warehouse dir)."""
+    writer = (
         with_date_partition(metrics)
         .repartition(buckets, "metric")
         .write.mode(mode)
-        .partitionBy("dt")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    (
+        writer.partitionBy("dt")
         .bucketBy(buckets, "metric")
         .sortBy("metric", "ts")
         .saveAsTable(table)

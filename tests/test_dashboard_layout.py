@@ -121,3 +121,51 @@ def test_metrics_layout_roundtrip(spark, tmp_path):
     pruned = back.filter(F.col("ts") >= "2024-01-02")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() == 48
+
+
+def test_bucketed_layout_colocated_join_and_pruning(spark, tmp_path):
+    """The two claims the bucketed layout makes at 100 TB (layout.py):
+    same-bucket self-joins need NO shuffle, and exact-metric scans prune
+    to one bucket."""
+    import datetime as dtm
+
+    from rearview_spark.sources.layout import write_metrics_table
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (f"m{i % 8}", t0 + dtm.timedelta(minutes=j), float(i + j))
+        for i in range(8)
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    spark.sql("DROP TABLE IF EXISTS m_bucket_test")
+    write_metrics_table(df, "m_bucket_test", buckets=4, mode="overwrite", path=str(tmp_path / "tbl"))
+    t = spark.table("m_bucket_test")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = t.select("metric", "ts", "value")
+        b = t.select("metric", F.col("value").alias("value_b"))
+        j = a.join(b, "metric")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # bucketed-by-metric scans already satisfy the join's required
+        # distribution: no Exchange anywhere in the physical plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 8 * 20 * 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # bucket pruning: autoBucketedScan turns bucketed reads off when no
+    # operator needs the distribution, which also forgoes pruning — pin
+    # it on to observe the pruned scan (at scale the win is real: 1 of N
+    # buckets read for an exact-metric lookup)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        pruned = t.filter(F.col("metric") == "m3")
+        pplan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in pplan, pplan
+        assert pruned.count() == 20
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS m_bucket_test")
