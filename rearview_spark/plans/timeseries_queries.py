@@ -711,9 +711,16 @@ SELECT 'timeFunction', ts, round(epoch(ts) + 0.00000005, 4) FROM grid
 
 
 def ts_glob_select(spark, sf_dir):
-    """G2 glob select: Graphite wildcard u{0,2}.* compiled to an anchored
-    regex where * stops at dots (one path node per wildcard)."""
-    return _rounded(G.select_glob(_prefixed(spark, sf_dir), "u{0,2}.*"))
+    """G2 glob select through the metric-name dimension: the glob resolves
+    driver-side against the (tiny) distinct-names frame to an explicit
+    IN-list the scan can push down — the 100 TB path (see
+    operators/timeseries.select_glob; the rlike fallback never pushes)."""
+    from rearview_spark.sources.layout import metric_names_dimension
+
+    series = _prefixed(spark, sf_dir)
+    return _rounded(
+        G.select_glob(series, "u{0,2}.*", metric_names=metric_names_dimension(series))
+    )
 
 
 TS_GLOB_SQL = PREFIXED_CTE + r"""
