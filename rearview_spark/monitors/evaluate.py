@@ -30,8 +30,12 @@ capped (``max_points_per_job``) before collection into the worker.
 
 from __future__ import annotations
 
+import ast
 import datetime as dt
+import json
 import math
+import signal
+import threading
 from dataclasses import dataclass
 from typing import Iterable, Mapping
 
@@ -47,9 +51,84 @@ SAFE_BUILTINS = {
     "abs": abs, "min": min, "max": max, "len": len, "round": round,
     "float": float, "int": int, "sum": sum, "any": any, "all": all,
     "sorted": sorted, "True": True, "False": False, "None": None,
+    "range": range, "enumerate": enumerate, "zip": zip,
 }
 
 MAX_POINTS_PER_JOB_DEFAULT = 100_000
+
+EXPR_TIMEOUT_DEFAULT = 5.0
+
+# AST node types a monitor_expr may contain.  Notably ABSENT: Lambda,
+# Await/Yield, NamedExpr (walrus), JoinedStr (f-strings), Starred,
+# comprehension `async for`, and any statement node — `ast.parse(mode=
+# "eval")` plus this set means an expression can only combine literals,
+# bound variables, whitelisted calls and whitelisted attribute reads.
+_ALLOWED_NODES = (
+    ast.Expression,
+    ast.BoolOp, ast.And, ast.Or,
+    ast.BinOp, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv,
+    ast.Mod, ast.Pow, ast.BitAnd, ast.BitOr, ast.BitXor,
+    ast.UnaryOp, ast.USub, ast.UAdd, ast.Not, ast.Invert,
+    ast.Compare, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.In, ast.NotIn, ast.Is, ast.IsNot,
+    ast.Call, ast.keyword,
+    ast.Constant,
+    ast.Name, ast.Load,
+    ast.IfExp,
+    ast.Tuple, ast.List, ast.Dict, ast.Set,
+    ast.Subscript, ast.Slice,
+    ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp,
+    ast.comprehension, ast.Store,  # Store: comprehension loop variables
+    ast.Attribute,
+)
+
+# The only attribute names an expression may read — pandas Series /
+# DataFrame / Rolling reductions, numpy/math functions and constants.
+# An attribute walk like ``pd.io.common.os.system`` (the round-1 escape,
+# ADVICE r01) dies at its first non-whitelisted hop ('io'); module-object
+# traversal is impossible because no module-valued attribute is listed.
+_ALLOWED_ATTRS = frozenset({
+    # pandas Series/DataFrame reductions & transforms
+    "mean", "median", "std", "var", "sum", "min", "max", "abs", "any",
+    "all", "count", "quantile", "head", "tail", "shift", "diff",
+    "pct_change", "fillna", "dropna", "isna", "notna", "isnull",
+    "notnull", "clip", "round", "cumsum", "cummax", "cummin", "idxmax",
+    "idxmin", "item", "values", "empty", "size", "shape", "index",
+    "iloc", "rolling", "ewm", "last", "first", "astype", "sort_values",
+    "sort_index", "nunique", "unique", "tolist",
+    # numpy / math functions and constants (non-module-valued only)
+    "nanmean", "nanmedian", "nanstd", "nansum", "nanmax", "nanmin",
+    "percentile", "minimum", "maximum", "where", "log", "log10", "log2",
+    "exp", "sqrt", "floor", "ceil", "isnan", "isfinite", "pi", "e",
+    "nan", "inf", "fabs", "pow", "hypot",
+    # pandas namespace constructors (class-valued, not module-valued)
+    "Series", "Timestamp", "concat",
+})
+
+
+def _validate_expr(tree: ast.Expression) -> None:
+    """Reject any AST shape outside the restricted-expression grammar.
+
+    The reference evaluated monitor scripts in a dedicated locked-down
+    interpreter (sandbox/.ruby-version:1, config.sandbox_exec
+    README.md:54); a name/attr blacklist is not equivalent — round 1's
+    '__'-filter was escapable via attribute walks through the np/pd
+    module objects.  This validator whitelists node types and attribute
+    names instead, so only the documented series/np/math surface is
+    reachable.
+    """
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(
+                f"monitor_expr: {type(node).__name__} not allowed"
+            )
+        if isinstance(node, ast.Attribute):
+            if node.attr.startswith("_") or node.attr not in _ALLOWED_ATTRS:
+                raise ValueError(
+                    f"monitor_expr: attribute {node.attr!r} not allowed"
+                )
+        if isinstance(node, ast.Name) and node.id.startswith("_"):
+            raise ValueError(f"monitor_expr: name {node.id!r} not allowed")
 
 
 @dataclass
@@ -82,14 +161,39 @@ def _var_name(i: int) -> str:
     return chr(ord("a") + i)
 
 
-def evaluate_expr(expr: str, variables: Mapping[str, object]) -> object:
-    """Evaluate a restricted monitor expression. No dunder access, no
-    imports, whitelisted builtins only — the compatibility boundary for
-    the reference's arbitrary-Ruby scripts."""
+def evaluate_expr(
+    expr: str,
+    variables: Mapping[str, object],
+    timeout_s: float | None = EXPR_TIMEOUT_DEFAULT,
+) -> object:
+    """Evaluate a restricted monitor expression — the compatibility
+    boundary for the reference's sandboxed Ruby scripts.
+
+    Two guards mirror the reference's sandbox_exec (README.md:54):
+    an AST whitelist (node types + attribute names, see
+    ``_validate_expr``) and a wall-clock deadline — the reference kills
+    runaway scripts; here a SIGALRM itimer bounds the eval when running
+    on the thread that can receive it (the Spark Python worker's main
+    thread, which is where applyInPandas UDFs execute).
+    """
     if "__" in expr:
         raise ValueError("double underscore not allowed in monitor_expr")
+    tree = ast.parse(expr, "<monitor_expr>", mode="eval")
+    _validate_expr(tree)
+    code = compile(tree, "<monitor_expr>", "eval")
     env = {"np": __import__("numpy"), "pd": pd, "math": math, **SAFE_BUILTINS, **variables}
-    return eval(compile(expr, "<monitor_expr>", "eval"), {"__builtins__": {}}, env)
+    if timeout_s and threading.current_thread() is threading.main_thread():
+        def _deadline(signum, frame):
+            raise TimeoutError(f"monitor_expr exceeded {timeout_s}s wall-clock")
+
+        prev_handler = signal.signal(signal.SIGALRM, _deadline)
+        prev_timer = signal.setitimer(signal.ITIMER_REAL, timeout_s)
+        try:
+            return eval(code, {"__builtins__": {}}, env)
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, max(prev_timer[0], 0.0))
+            signal.signal(signal.SIGALRM, prev_handler)
+    return eval(code, {"__builtins__": {}}, env)
 
 
 def bind_variables(pdf: pd.DataFrame) -> dict[str, object]:
@@ -139,7 +243,9 @@ def evaluate_monitors(
     for spec in specs:
         end = spec.to_date or now
         scheduled[spec.id] = end
-        key = f"{','.join(spec.metrics)}|{end.isoformat()}|{spec.minutes}"
+        # json.dumps is injective here (targets legally contain commas, so
+        # a ','.join key could collide two different metrics lists).
+        key = json.dumps([spec.metrics, end.isoformat(), spec.minutes])
         groups.setdefault(key, []).append(spec)
 
     tagged_frames = []

@@ -6,6 +6,22 @@ gate) and ``bench.py``."""
 from __future__ import annotations
 
 
+# The driver's correctness gate hashes the FIRST 50 entries of this dict
+# (insertion order).  Round 1 spent that window on the relational + early
+# timeseries queries (all green, CORRECTNESS_r01.json); round 2 rotates the
+# 55 never-driver-checked queries to the front so the window covers them.
+# Five timeseries entries that are near-identical siblings of already-green
+# queries (per_second ≈ derivative, moving_sum/min_max ≈ moving_average,
+# limit/current trivia) are deferred along with the proven round-1 set.
+_DEFERRED = (
+    "ts_per_second",
+    "ts_moving_sum",
+    "ts_moving_min_max",
+    "ts_limit_series",
+    "ts_current_values",
+)
+
+
 def all_queries() -> dict:
     from rearview_spark.plans import (
         events_queries,
@@ -16,10 +32,21 @@ def all_queries() -> dict:
         timeseries_queries,
     )
 
+    import json
+    import os
+
     out: dict = {}
-    for mod in (relational, timeseries_queries, pipeline_queries, monitor_queries, events_queries, streaming_queries):
+    for mod in (pipeline_queries, monitor_queries, events_queries, streaming_queries, timeseries_queries, relational):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")
             out[name] = spec
-    return out
+
+    r01 = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "CORRECTNESS_r01.json")
+    checked_r01: set = set()
+    if os.path.exists(r01):
+        with open(r01) as f:
+            checked_r01 = set(json.load(f))
+    back = set(_DEFERRED) | checked_r01
+    ordered = [n for n in out if n not in back] + [n for n in out if n in back]
+    return {n: out[n] for n in ordered}

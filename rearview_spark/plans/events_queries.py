@@ -79,7 +79,7 @@ WITH flagged AS (
   SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
 FROM ids GROUP BY user_id, session_seq ORDER BY user_id, session_seq
@@ -90,7 +90,11 @@ def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot surface (Prov-A category): events-per-day wide by type."""
     ev = Tables(spark, sf_dir).events
     return (
-        ev.groupBy(F.to_date("ts").alias("day"))
+        # date_trunc (timestamp), not to_date: Spark DateType surfaces as
+        # python-date objects in the comparison frame while DuckDB DATE
+        # arrives as datetime64 — a dtype-family mismatch under the
+        # driver's type-sensitive hash. Midnight timestamps agree on both.
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .count()
         .na.fill(0)
@@ -99,7 +103,7 @@ def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EV_PIVOT_SQL = """
-SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
        CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view",
        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,

@@ -115,7 +115,7 @@ WITH base AS (
 SELECT source, lang_pred, count(*) AS n_docs,
        round(avg(quality) + 0.00000005, 4) AS avg_quality,
        round(quantile_cont(n_tokens, 0.5) + 0.00000005, 4) AS median_tokens,
-       sum(n_bpe_tokens) AS total_bpe_tokens
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens
 FROM scored GROUP BY source, lang_pred ORDER BY source, lang_pred
 """
 

@@ -319,7 +319,7 @@ def ts_hitcount(spark, sf_dir):
 
 TS_HITCOUNT_SQL = """
 SELECT event_type AS metric,
-       to_timestamp(floor(epoch(ts) / 21600) * 21600) AS ts,
+       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS ts,
        round(sum(value) * 60.0 + 0.00000005, 4) AS value
 FROM events GROUP BY 1, 2
 """
@@ -747,7 +747,7 @@ def ts_resample_fill(spark, sf_dir):
 
 TS_RESAMPLE_SQL = """
 WITH pts AS (
-  SELECT event_type AS metric, to_timestamp(floor(epoch(ts) / 900) * 900) AS ts, sum(value) AS value
+  SELECT event_type AS metric, CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS ts, sum(value) AS value
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 ), grid AS (
   SELECT metric, unnest(generate_series(min(ts), max(ts), INTERVAL 15 MINUTE)) AS ts

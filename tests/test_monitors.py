@@ -5,6 +5,9 @@ re-alert-after-timeout, recovery, backtest with to_date."""
 from __future__ import annotations
 
 import datetime as dt
+import time
+
+import pandas as pd
 
 import pytest
 from pyspark.sql import functions as F
@@ -125,6 +128,70 @@ def test_expr_sandbox_blocks_dunder():
         evaluate_expr("().__class__", {})
     with pytest.raises(Exception):
         evaluate_expr("open('/etc/passwd')", {})
+
+
+def test_expr_sandbox_blocks_attribute_walks():
+    """The round-1 escapes (ADVICE r01): module-object traversal through
+    the whitelisted np/pd names must die at the first non-whitelisted
+    attribute hop."""
+    for evil in [
+        "pd.io.common.os.system('true')",
+        "np.ctypeslib.ctypes",
+        "pd.compat.os.environ",
+        "np.f2py",
+        "a.to_pickle('/tmp/x')",
+    ]:
+        with pytest.raises(ValueError, match="not allowed"):
+            evaluate_expr(evil, {"a": pd.Series([1.0])})
+
+
+def test_expr_sandbox_blocks_lambda_and_fstrings():
+    with pytest.raises(ValueError, match="not allowed"):
+        evaluate_expr("(lambda: 1)()", {})
+    with pytest.raises(ValueError, match="not allowed"):
+        evaluate_expr("f'{a}'", {"a": 1})
+
+
+def test_expr_sandbox_allows_documented_surface():
+    a = pd.Series([10.0, 20.0, 30.0])
+    b = pd.Series([1.0, 2.0, 3.0])
+    assert not evaluate_expr("a.mean() > 100", {"a": a})
+    assert bool(evaluate_expr("(a - b).max() > 5", {"a": a, "b": b}))
+    assert evaluate_expr("np.percentile(a, 50)", {"a": a}) == 20.0
+    assert evaluate_expr("math.sqrt(a.max()) < 6", {"a": a})
+    assert evaluate_expr("a.rolling(2).mean().max() > 24", {"a": a})
+    assert evaluate_expr("sorted([x for x in a])[0]", {"a": a}) == 10.0
+
+
+def test_expr_sandbox_wall_clock_guard():
+    start = time.monotonic()
+    with pytest.raises(TimeoutError, match="wall-clock"):
+        evaluate_expr(
+            "sum(x * x for x in range(10 ** 10))", {}, timeout_s=1.0
+        )
+    assert time.monotonic() - start < 5.0
+
+
+def test_monitor_expr_timeout_yields_error_status(spark):
+    m = make_metrics(spark, {"stats.req": [200.0] * 61})
+    s = spec(expr="sum(x * x for x in range(10 ** 10))")
+    out = evaluate_monitors(spark, [s], m, NOW).collect()
+    assert out[0]["status"] == "error"
+    assert "monitor_expr error" in out[0]["message"]
+
+
+def test_shared_window_key_injective(spark):
+    """Targets legally contain commas — two monitors whose comma-joined
+    metrics collide must still bind their own variables (ADVICE r01)."""
+    m = make_metrics(spark, {"stats.a": [200.0] * 61, "stats.b": [1.0] * 61})
+    specs = [
+        spec(id=1, metrics=["scale(stats.a, 2)"]),           # a -> 400s
+        spec(id=2, metrics=["scale(stats.a", "2)"]),          # invalid split
+    ]
+    out = {r["job_id"]: r for r in evaluate_monitors(spark, specs, m, NOW).collect()}
+    assert out[1]["status"] == "failed"          # 400 > 100 fires
+    assert out[2]["status"] == "error"           # bad target -> its own error
+    assert "target" in out[2]["message"]
 
 
 # --- lifecycle state machine -------------------------------------------------

@@ -30,19 +30,62 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family used for the schema-faithfulness check.
+
+    The driver's hash is computed on the raw comparison frames, so a
+    Spark decimal vs DuckDB double, bigint vs HUGEINT(->float64), or a
+    tz-aware vs naive timestamp all fail its gate even when the values
+    agree.  Round 1's local replica coerced those away and reported "0
+    failures" while the driver saw 3 (VERDICT r01 #4); this family check
+    makes the local sweep reproduce the driver verdict.
+    """
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        return "timestamp[tz]"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "timestamp"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if s.dtype == object:
+        import datetime
+        import decimal
+
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, datetime.datetime):
+                return "timestamp[tz]" if v.tzinfo else "timestamp"
+            if isinstance(v, datetime.date):
+                return "date"
+            if isinstance(v, (bytes, bytearray)):
+                return "binary"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                return "array"
+            return type(v).__name__
+        return "all-null"
+    return str(s.dtype)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value (the driver compares
+    order-insensitively after a column-name sort) — NO dtype coercion."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            try:
-                df[c] = df[c].dt.tz_localize(None)
-            except TypeError:
-                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+    sortable = df.copy()
+    for c in sortable.columns:
+        if dtype_family(sortable[c]) == "array":
+            sortable[c] = sortable[c].map(lambda v: str(v))
+    order = sortable.sort_values(
+        list(sortable.columns), na_position="last", kind="mergesort"
+    ).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
@@ -53,17 +96,31 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if scols != dcols:
         problems.append(f"columns: spark={scols} duck={dcols}")
         return problems
+    # dtype families must agree BEFORE any coercion — this is what the
+    # driver's type-sensitive hash sees.
+    for c in scols:
+        sf_, df_ = dtype_family(spark_pdf[c]), dtype_family(duck_pdf[c])
+        if sf_ != df_ and "all-null" not in (sf_, df_):
+            problems.append(
+                f"col {c}: dtype family spark={sf_}({spark_pdf[c].dtype}) "
+                f"duck={df_}({duck_pdf[c].dtype})"
+            )
     if problems:
         return problems
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+        fam = dtype_family(sv)
+        if fam == "float":
             sa = pd.to_numeric(sv, errors="coerce")
             da = pd.to_numeric(dv, errors="coerce")
+            # exact: the oracle contract (integer-cents sums, round+eps)
+            # exists precisely to make Spark and DuckDB bit-identical.
+            mismatch = ~((sa.isna() & da.isna()) | (sa == da))
+        elif fam == "array":
             mismatch = ~(
-                (sa.isna() & da.isna())
-                | ((sa - da).abs() <= 1e-9 + 1e-9 * da.abs())
+                (sv.isna() & dv.isna())
+                | (sv.map(lambda v: str(v)) == dv.map(lambda v: str(v)))
             )
         else:
             mismatch = ~((sv.isna() & dv.isna()) | (sv == dv))
