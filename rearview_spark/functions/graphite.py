@@ -314,11 +314,11 @@ def _eval(node, ts: DataFrame) -> DataFrame:
 
     # --- time manipulation (G14-G16)
     if name == "timeShift":
-        iv = parse_interval(_str(args[1], name))
-        # Graphite timeShift("-1d") means "draw the data from 1 day ago at
-        # today's position" -> shift timestamps forward by |interval|.
-        amount = -iv[0] if iv[0] < 0 else iv[0]
-        return G.time_shift(_eval(args[0], ts), f"{amount} {iv[1]}")
+        n, unit = parse_interval(_str(args[1], name))
+        # Graphite timeShift("-1d") draws the data from 1 day ago at
+        # today's position (shift ts forward by 1d); "+1d" draws data
+        # from 1 day ahead at today's position (shift ts backward).
+        return G.time_shift(_eval(args[0], ts), f"{-n} {unit}")
     if name == "timeSlice":
         end = _str(args[2], name) if len(args) > 2 else "9999-12-31"
         return G.time_slice(_eval(args[0], ts), _str(args[1], name), end)
@@ -415,10 +415,49 @@ def _eval(node, ts: DataFrame) -> DataFrame:
     raise ValueError(f"unsupported Graphite function: {name}")
 
 
+# Upper-bound seconds per unit for fetch-window extension (months/years
+# over-approximated — overshooting the fetch is harmless, undershooting
+# would reintroduce the empty-shifted-window bug).
+_BOUND_SECONDS = {**_SECONDS, "months": 31 * 86400, "years": 366 * 86400}
+
+
+def _shift_bounds(node) -> tuple[int, int]:
+    """(lookback_s, lookahead_s) of source data the plan needs BEYOND the
+    render window.  timeShift('-1d') presents yesterday's data at today's
+    position, so its input must be fetched from one day before the window
+    start; '+1d' needs data past the window end.  Nested shifts compose
+    along each path (outer shift applies to everything its child needs)."""
+    if not isinstance(node, FuncNode):
+        return 0, 0
+    child = [_shift_bounds(a) for a in node.args]
+    lb = max((b[0] for b in child), default=0)
+    la = max((b[1] for b in child), default=0)
+    if node.name == "timeShift" and len(node.args) > 1:
+        try:
+            n, unit = parse_interval(_str(node.args[1], "timeShift"))
+        except ValueError:
+            return lb, la
+        secs = abs(n) * _BOUND_SECONDS[unit]
+        if n < 0:
+            lb += secs
+        else:
+            la += secs
+    return lb, la
+
+
 def compile_target(target: str) -> Plan:
-    """Parse once; returns a reusable ``DataFrame -> DataFrame`` plan."""
+    """Parse once; returns a reusable ``DataFrame -> DataFrame`` plan.
+
+    The plan carries ``lookback_s`` / ``lookahead_s`` attributes so
+    window-fetch callers (monitors/evaluate.py) can extend the fetch
+    range by the target's net time shifts and re-filter afterwards —
+    Graphite fetches the *shifted* window for a timeShift'd series; a
+    fetch-then-shift pipeline with no extension would compare against an
+    empty frame."""
     ast = parse_target(target)
-    return lambda ts: _eval(ast, ts)
+    plan = lambda ts: _eval(ast, ts)  # noqa: E731
+    plan.lookback_s, plan.lookahead_s = _shift_bounds(ast)
+    return plan
 
 
 def evaluate_target(target: str, ts: DataFrame) -> DataFrame:

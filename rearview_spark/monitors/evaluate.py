@@ -259,7 +259,21 @@ def evaluate_monitors(
         for i, target in enumerate(lead.metrics):
             try:
                 plan = compile_target(target)
-                df = plan(windowed)
+                lb = getattr(plan, "lookback_s", 0)
+                la = getattr(plan, "lookahead_s", 0)
+                if lb or la:
+                    # timeShift targets need source data OUTSIDE the render
+                    # window (Graphite fetches the shifted window): extend
+                    # the fetch by the plan's reported bounds, then clamp
+                    # the transformed frame back to [start, end].
+                    src = window_fetch(
+                        metrics,
+                        start - dt.timedelta(seconds=lb),
+                        end + dt.timedelta(seconds=la),
+                    )
+                    df = window_fetch(plan(src), start, end)
+                else:
+                    df = plan(windowed)
             except Exception as e:  # noqa: BLE001 — bad target -> error status
                 for m in members:
                     plan_errors[m.id] = f"target {target!r}: {e}"

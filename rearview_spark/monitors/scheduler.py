@@ -56,7 +56,17 @@ class MonitorScheduler:
     # -- one tick -----------------------------------------------------------
 
     def tick(self, now: dt.datetime) -> dict:
-        """Run all due monitors once. Returns a summary dict."""
+        """Run all due monitors once. Returns a summary dict.
+
+        Exactly-once under overlapping ticks: the monitors-table version
+        is snapshotted with the due list, and every persist/dispatch
+        happens only AFTER the compare-and-swap on that table succeeds
+        (``_merge_monitors``).  A second tick computed from the same
+        snapshot fails the CAS with ``ConcurrentWriteError`` before it
+        appends job_data or sends any alert — its work is discarded
+        whole, never half-applied.
+        """
+        monitors_version, _ = self.store.current_version("monitors")
         due = self.due_monitors(now)
         if not due:
             return {"ran": 0, "alerts": 0}
@@ -64,9 +74,6 @@ class MonitorScheduler:
         specs = [MonitorSpec.from_row(r) for r in due]
         results = evaluate_monitors(self.spark, specs, self.metrics, now)
         by_id = {r["job_id"]: r for r in results.collect()}
-
-        # persist job_data (S8)
-        self.store.append_job_data(results, now)
 
         # status transitions + debounce (S4/S5) on the driver: due list is
         # config-scale; the heavy work already happened in the Spark job.
@@ -78,7 +85,7 @@ class MonitorScheduler:
         new_error_rows: list[tuple] = []
         closed_job_ids: set[int] = set()
         updated_monitors: list[dict] = []
-        n_alerts = 0
+        deferred_alerts: list[tuple] = []
         next_error_id = (errors_df.agg(F.max("id")).collect()[0][0] or 0) + 1
 
         for mon in due:
@@ -110,8 +117,8 @@ class MonitorScheduler:
                 open_errors[mon["id"]]["updated_at"] = now
 
             if tr.should_alert:
-                n_alerts += self.router.dispatch(
-                    mon["id"], mon["alert_keys"], res["message"] or "", now, tr.new_status
+                deferred_alerts.append(
+                    (mon["id"], mon["alert_keys"], res["message"] or "", tr.new_status)
                 )
 
             mon = dict(mon)
@@ -121,22 +128,30 @@ class MonitorScheduler:
                 mon["next_run"] = next_fire(mon["cron_expr"], now)
             updated_monitors.append(mon)
 
-        self._merge_monitors(updated_monitors)
+        # CAS gate: the monitors swap is the tick's serialization point.
+        # An overlapped tick that computed from the same snapshot raises
+        # ConcurrentWriteError HERE — before any job_data row is appended
+        # or any alert leaves the process.
+        self._merge_monitors(updated_monitors, expect_version=monitors_version)
+        self.store.append_job_data(results, now)  # persist job_data (S8)
         self._merge_errors(open_errors, new_error_rows, closed_job_ids, now)
+        n_alerts = 0
+        for job_id, alert_keys, message, new_status in deferred_alerts:
+            n_alerts += self.router.dispatch(job_id, alert_keys, message, now, new_status)
         return {"ran": len(due), "alerts": n_alerts}
 
     # -- persistence merges (single-writer; Delta MERGE in production) ------
 
-    def _merge_monitors(self, updated: list[dict]) -> None:
-        if not updated:
-            return
+    def _merge_monitors(
+        self, updated: list[dict], expect_version: int | None = None
+    ) -> None:
         current = self.store.read("monitors")
         upd_df = self.spark.createDataFrame(
             [tuple(m[f.name] for f in MONITORS.fields) for m in updated], MONITORS
         )
         ids = [m["id"] for m in updated]
         merged = current.filter(~F.col("id").isin(ids)).unionByName(upd_df)
-        self.store.save_monitors(merged)
+        self.store.save_monitors(merged, expect_version=expect_version)
 
     def _merge_errors(
         self,

@@ -110,6 +110,23 @@ def test_time_shift_semantics(spark):
     df = make_series(spark, {"m": [1, 2]})
     out = evaluate_target('timeShift(m, "-1d")', df).collect()
     assert min(r["ts"] for r in out) == T0 + dt.timedelta(days=1)
+    # '+1d' draws FUTURE data at today's position -> ts shifted backward
+    # (round 1 discarded the sign, ADVICE r01)
+    out = evaluate_target('timeShift(m, "+1d")', df).collect()
+    assert min(r["ts"] for r in out) == T0 - dt.timedelta(days=1)
+
+
+def test_time_shift_bounds_reported():
+    from rearview_spark.functions.graphite import compile_target
+
+    p = compile_target('diffSeries(m, timeShift(m, "-1d"))')
+    assert p.lookback_s == 86400 and p.lookahead_s == 0
+    p = compile_target('timeShift(timeShift(m, "-1d"), "-2h")')
+    assert p.lookback_s == 86400 + 7200
+    p = compile_target('timeShift(m, "+30min")')
+    assert p.lookahead_s == 1800 and p.lookback_s == 0
+    p = compile_target("sumSeries(m)")
+    assert p.lookback_s == 0 and p.lookahead_s == 0
 
 
 def test_unknown_function(spark):

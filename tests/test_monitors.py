@@ -180,6 +180,33 @@ def test_monitor_expr_timeout_yields_error_status(spark):
     assert "monitor_expr error" in out[0]["message"]
 
 
+def test_timeshift_monitor_compares_against_prior_day(spark):
+    """Canonical timeShift use (ADVICE r01): today vs same window
+    yesterday.  Data exists for both days; the shifted series must be
+    fetched from BEFORE the monitor window, not come back empty."""
+    two_days = [100.0] * 1440 + [300.0] * 1440  # day 1 flat 100, day 2 flat 300
+    m = make_metrics(spark, {"stats.req": two_days})
+    now = T0 + dt.timedelta(days=2)
+    s = spec(
+        metrics=['divideSeries(stats.req, timeShift(stats.req, "-1d"))'],
+        expr="a.mean() > 2",  # 300/100 = 3 -> fires
+        minutes=60,
+        to_date=now,
+    )
+    out = evaluate_monitors(spark, [s], m, now).collect()
+    assert out[0]["status"] == "failed", out[0]["message"]
+    # with no prior-day data at all, the ratio has no rows -> error path
+    s2 = spec(
+        id=2,
+        metrics=['divideSeries(stats.req, timeShift(stats.req, "-1d"))'],
+        expr="a.mean() > 2",
+        minutes=30,
+        to_date=T0 + dt.timedelta(minutes=30),  # shifted fetch predates data
+    )
+    out2 = evaluate_monitors(spark, [s2], m, now).collect()
+    assert out2[0]["status"] == "error"  # divide by empty shift -> no rows
+
+
 def test_shared_window_key_injective(spark):
     """Targets legally contain commas — two monitors whose comma-joined
     metrics collide must still bind their own variables (ADVICE r01)."""
@@ -307,6 +334,87 @@ def test_scheduler_skips_inactive_and_deleted(spark, store):
     store.save_monitors(df)
     sched = MonitorScheduler(spark, store, m)
     assert sched.tick(NOW)["ran"] == 0
+
+
+def test_store_versioned_swap_and_cas(spark, store):
+    from rearview_spark.monitors.store import ConcurrentWriteError
+
+    df1 = spark.createDataFrame([monitor_row(id=1)], MONITORS)
+    assert store.save_monitors(df1) == 1
+    assert store.save_monitors(df1, expect_version=1) == 2
+    with pytest.raises(ConcurrentWriteError):
+        store.save_monitors(df1, expect_version=1)  # stale snapshot
+    assert store.read("monitors").count() == 1
+    assert store.current_version("monitors")[0] == 2
+    # the pointer always names a fully-written version: the previous one
+    # is retained until the next swap, so a crash mid-write can't lose
+    # the table (round 1's rmtree-then-rename window, ADVICE r01)
+    vdir = store._versions_dir("monitors")
+    assert (vdir / "v00000002").exists()
+
+
+def test_store_reads_legacy_unversioned_dir(spark, tmp_path):
+    root = tmp_path / "legacy_store"
+    df = spark.createDataFrame([monitor_row(id=7)], MONITORS)
+    df.write.parquet(str(root / "monitors"))  # round-1 layout: bare dir
+    st = JobStore(spark, str(root))
+    assert st.current_version("monitors") == (0, root / "monitors")
+    assert st.read("monitors").collect()[0]["id"] == 7
+    # first overwrite migrates to versioned layout and drops the legacy dir
+    st.save_monitors(df, expect_version=0)
+    assert st.current_version("monitors")[0] == 1
+    assert not (root / "monitors").exists()
+    assert st.read("monitors").collect()[0]["id"] == 7
+
+
+def test_overlapping_ticks_exactly_once(spark, tmp_path):
+    """VERDICT r01 #5: two ticks computed from the same monitors snapshot
+    must produce ONE status transition, ONE job_data row, ONE alert — the
+    loser aborts whole at the CAS, before persisting or dispatching."""
+    import threading
+
+    from rearview_spark.monitors.store import ConcurrentWriteError
+
+    barrier = threading.Barrier(2, timeout=180)
+
+    class RacingStore(JobStore):
+        def overwrite(self, table, df, expect_version=None):
+            if table == "monitors" and expect_version is not None:
+                # rendezvous: both ticks computed from the same snapshot
+                # before either swaps
+                barrier.wait()
+            return super().overwrite(table, df, expect_version)
+
+    st = RacingStore(spark, str(tmp_path / "race_store"))
+    m = make_metrics(spark, {"stats.req": [200.0] * 120})
+    collector = CollectingNotifier()
+    st.save_monitors(spark.createDataFrame([monitor_row()], MONITORS))
+    sched = MonitorScheduler(spark, st, m, AlertRouter(default=collector))
+
+    now = T0 + dt.timedelta(minutes=60)
+    outcomes: list[object] = []
+
+    def run_tick():
+        try:
+            outcomes.append(sched.tick(now))
+        except ConcurrentWriteError as e:
+            outcomes.append(e)
+
+    threads = [threading.Thread(target=run_tick) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    done = [o for o in outcomes if isinstance(o, dict)]
+    aborted = [o for o in outcomes if isinstance(o, ConcurrentWriteError)]
+    assert len(done) == 1 and len(aborted) == 1, outcomes
+    assert done[0] == {"ran": 1, "alerts": 1}
+    mons = st.read("monitors").collect()
+    assert len(mons) == 1 and mons[0]["status"] == "failed"
+    assert st.read("job_data").count() == 1  # no duplicate persistence
+    assert st.read("job_errors").count() == 1  # single opened incident
+    assert len(collector.sent) == 1  # no duplicate alert
 
 
 def test_observe_metrics(spark):
