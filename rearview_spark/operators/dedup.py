@@ -15,9 +15,21 @@ for 100 TB:
 - **n-gram Jaccard**: exact pairwise scores via an inverted shingle index
   (explode + self-join on shingle). Quadratic in the worst case — the
   *verification* primitive, not the discovery path at scale.
-- **SimHash**: 16-bit sign-sum signature; near-dups = signatures within
-  Hamming distance k. Hamming-ball probing (generate the k-bit flips)
-  keeps lookup a hash join rather than a cross join.
+- **SimHash**: 60-bit sign-sum signature; near-dups = signatures within
+  Hamming distance k via the pigeonhole chunk join (k+1 chunks of >=15
+  bits each — >=32k distinct values per chunk, so the equi-join stays
+  selective at corpus scale; round 1's 16-bit signature had 16-value
+  chunks that degenerated toward n²/16). 60 bits, not 64: the md5-prefix
+  token hash has exactly 60 usable bits (wider signatures would carry
+  constant-zero high bits = one degenerate all-match chunk), and staying
+  under the sign bit keeps Spark ``long`` and DuckDB ``BIGINT`` shift/
+  mask semantics identical for the oracle.
+- **Bucket caps**: every LSH-style candidate join (minhash bands, simhash
+  chunks, embedding hyperplane bands) drops buckets larger than
+  ``max_bucket_size`` before the self-join — a degenerate key (e.g. a
+  fleet of empty docs) would otherwise go quadratic inside one bucket.
+  The cap is part of the operator contract and reproduced in the SQL
+  oracles (COUNT() OVER the same key).
 
 All hashing is md5-prefix-based (``conv(substr(md5(x),1,15),16,10)``) so a
 SQL oracle can reproduce every stage bit-for-bit.
@@ -35,6 +47,28 @@ from rearview_spark.operators.text import normalize_text, tokens
 # reproducible in any engine with md5).
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 16 hashes / 4 bands = 4 rows per band
+DEFAULT_SIMHASH_BITS = 60  # full width of the 60-bit md5-prefix token hash
+# Largest LSH bucket that may enter a candidate self-join. A bucket of b
+# docs yields ~b²/2 pairs; 1000 bounds any single key at ~500k pairs while
+# leaving legitimate near-dup buckets (tens of docs) untouched.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop rows of LSH buckets holding more than ``max_bucket_size`` docs.
+    The window count shares the shuffle partitioning of the candidate
+    self-join that follows (same keys), so the cap costs no extra
+    exchange; oversized buckets are dropped WHOLE (their members still
+    meet through their other bands/chunks, and a degenerate key — empty
+    docs, a boilerplate header — can't go quadratic)."""
+    if max_bucket_size is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
 
 
 def _hash60(col: Column) -> Column:
@@ -161,10 +195,13 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id_a < id_b) sharing at
     least one band. The per-band bucket join is the scale path: shuffle is
-    keyed on (band_idx, band_hash) so only colliding docs meet."""
+    keyed on (band_idx, band_hash) so only colliding docs meet; buckets
+    larger than ``max_bucket_size`` are dropped whole (see
+    :func:`_cap_buckets`)."""
     rows = num_hashes // bands
     banded = signatures.select(
         id_col,
@@ -180,6 +217,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -198,6 +236,7 @@ def minhash_near_duplicates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
     Jaccard verification on candidates only. Returns (id_a, id_b, jaccard)
@@ -211,7 +250,7 @@ def minhash_near_duplicates(
     # signatures are one narrow row per doc; caching stops the banded
     # self-join's two aliases from re-running the shingle->hash pipeline
     sigs = signature_from_shingles(shingled, id_col, num_hashes).cache()
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket_size)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -262,10 +301,14 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = DEFAULT_SIMHASH_BITS,
 ) -> DataFrame:
     """``bits``-wide SimHash over tokens: bit j of the signature is 1 iff
     the sum over tokens of (+1 if bit j of hash(token) else -1) is > 0.
+    Max width 60 — the md5-prefix token hash has 60 usable bits; requesting
+    more would produce constant-zero high bits (degenerate chunks in the
+    pigeonhole join).
 
     Shape: explode tokens -> one md5 per (doc, token) row -> hash-aggregate
     back to one row per doc with ``bits`` conditional sums. Same rationale
@@ -276,6 +319,8 @@ def simhash_signature(
     signature stage at sf0.1; the md5 per token dominates either way).
     ``explode_outer`` keeps zero-token docs (their votes are all 0 ->
     signature 0, matching the array form)."""
+    if bits > 60:
+        raise ValueError("simhash bits > 60 exceeds the 60-bit token hash")
     df = ensure_parallelism(df, id_col)
     toked = df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok"))
     hashed = toked.select(id_col, _hash60(F.col("tok")).alias("h"))
@@ -299,8 +344,9 @@ def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = DEFAULT_SIMHASH_BITS,
     max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Pairs whose SimHash signatures differ in <= max_hamming bits, via
     the pigeonhole chunk join: split the signature into (max_hamming+1)
@@ -308,7 +354,11 @@ def simhash_near_duplicates(
     at least one chunk — so candidates come from an equi-join on
     (chunk_idx, chunk_value), shuffle proportional to chunk collisions
     rather than n**2, then bit_count(xor) verifies exactly. Recall is
-    100% (pigeonhole is a guarantee, not a probability)."""
+    100% (pigeonhole is a guarantee, not a probability) — except for docs
+    in a bucket past ``max_bucket_size``, which is dropped whole rather
+    than allowed to go quadratic (a 60-bit signature makes chunks >=15
+    bits wide, so only a pathological corpus — thousands of bitwise-equal
+    chunks — ever hits the cap)."""
     sigs = simhash_signature(df, text_col, id_col, bits).cache()
     n_chunks = max_hamming + 1
     chunk_structs = []
@@ -321,6 +371,7 @@ def simhash_near_duplicates(
     chunked = sigs.select(
         F.col(id_col), F.explode(F.array(*chunk_structs)).alias("ch")
     ).select(id_col, "ch.ci", "ch.cv")
+    chunked = _cap_buckets(chunked, ["ci", "cv"], max_bucket_size)
 
     a, b = chunked.alias("a"), chunked.alias("b")
     cands = (

@@ -160,11 +160,14 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate vector pairs via sign-random-projection LSH: each
     vector's sign bits against ``planes`` fixed hyperplanes, banded into
-    ``bands`` bucket keys; only same-bucket pairs are candidates, then
-    exact cosine verifies ``>= threshold``.
+    ``bands`` bucket keys; only same-bucket pairs are candidates (buckets
+    past ``max_bucket_size`` dropped whole — a hot band, e.g. a fleet of
+    zero vectors, can't go quadratic), then exact cosine verifies
+    ``>= threshold``.
 
     Scale shape (the 100 TB story, mirroring MinHash-LSH): signature is
     one JVM projection (zip_with dot per plane, no Python); the candidate
@@ -210,8 +213,11 @@ def embedding_near_duplicates(
         .select(id_col, "bb.band", "bb.bh")
         .cache()
     )
+    from rearview_spark.operators.dedup import _cap_buckets
 
-    a, b = sigs.alias("a"), sigs.alias("b")
+    capped = _cap_buckets(sigs, ["band", "bh"], max_bucket_size)
+
+    a, b = capped.alias("a"), capped.alias("b")
     cands = (
         a.join(
             b,

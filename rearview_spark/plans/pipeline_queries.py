@@ -199,6 +199,8 @@ DEDUP_MINHASH_SQL = SHINGLE_CTE + """
   SELECT doc_id, CAST(k // 4 AS INT) AS band,
          md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS bh
   FROM sigs GROUP BY doc_id, k // 4
+  QUALIFY count(*) OVER (PARTITION BY k // 4,
+            md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k))) <= 1000
 ), cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -224,10 +226,11 @@ hashed AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
 ), votes AS (
   SELECT doc_id, j.j, sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS j) j
   GROUP BY doc_id, j.j
 )
-SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -429,10 +432,14 @@ corpus AS (
          list_transform(range(0, 64), d -> cv[d + 1] * (1.0 + 0.01 * ((d % 7) - 3)))
   FROM base
 ),
-sig AS (
+sig0 AS (
   SELECT vec_id, 0 AS band, {" || ".join(_HP_BITS[0:8])} AS bh FROM corpus
   UNION ALL
   SELECT vec_id, 1, {" || ".join(_HP_BITS[8:16])} FROM corpus
+),
+sig AS (
+  SELECT vec_id, band, bh FROM sig0
+  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 1000
 ),
 cands AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -497,10 +504,10 @@ QUERIES["dedup_duplicate_groups"] = {"fn": dedup_duplicate_groups, "oracle": DED
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 1 via the pigeonhole
-    chunk join (2 exact-match chunks of 8 bits — guaranteed recall; a
-    16-bit signature is dense at corpus scale, so the tight budget keeps
-    "near" meaningful). The oracle reproduces chunking, candidate join
-    and bit_count verification."""
+    chunk join (2 exact-match chunks of 30 bits — guaranteed recall, ~1e9
+    distinct values per chunk, so the equi-join stays selective at corpus
+    scale). The oracle reproduces chunking, the bucket-size cap, the
+    candidate join and bit_count verification."""
     return D.simhash_near_duplicates(
         Tables(spark, sf_dir).documents, max_hamming=1
     ).orderBy("id_a", "id_b")
@@ -509,8 +516,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SIMHASH_PAIRS_SQL = f"""
 WITH sig AS ({DEDUP_SIMHASH_SQL}),
 chunks AS (
-  SELECT doc_id, c.c AS ci, (simhash >> (c.c * 8)) & 255 AS cv
+  SELECT doc_id, c.c AS ci, (simhash >> (c.c * 30)) & 1073741823 AS cv
   FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS c) c
+  QUALIFY count(*) OVER (PARTITION BY c.c, (simhash >> (c.c * 30)) & 1073741823) <= 1000
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
