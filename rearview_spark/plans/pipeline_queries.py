@@ -361,12 +361,33 @@ FROM documents
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode+feature path (stub decoder, real plumbing) —
-    no oracle (rows-only check)."""
+    """mapInPandas decode+feature path over REAL synthesized container
+    bytes (PNG/WAV/GIF headers built per doc): the Spark side must parse
+    the binary headers; the oracle computes the expected fields from the
+    same closed-form id formulas — so the hash check validates the
+    decoder round-trip, not just row counts."""
     docs = Tables(spark, sf_dir).documents
-    media = M.text_to_media(docs)
-    feats = M.extract_image_features(media)
-    return feats.select("media_id", "width", "height", "n_bytes")
+    media = M.synthesize_media_payloads(docs)
+    feats = M.extract_media_features(media)
+    return feats.select("media_id", "mime", "width", "height", "duration_ms", "n_bytes")
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       ELSE 'image/gif' END AS mime,
+  CASE WHEN doc_id % 3 = 1 THEN NULL
+       ELSE CAST(doc_id % 2000 + 16 AS INT) END AS width,
+  CASE WHEN doc_id % 3 = 1 THEN NULL
+       ELSE CAST((doc_id * 7) % 1000 + 16 AS INT) END AS height,
+  CASE WHEN doc_id % 3 = 1
+       THEN CAST(((doc_id % 1000) * 2 + 2000) * 1000
+                 // ((doc_id % 5 + 1) * 16000) AS BIGINT)
+       ELSE NULL END AS duration_ms,
+  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 49 WHEN 1 THEN 60 ELSE 26 END
+       AS BIGINT) AS n_bytes
+FROM documents
+"""
 
 
 QUERIES: dict[str, dict] = {
@@ -381,7 +402,7 @@ QUERIES: dict[str, dict] = {
     "sim_ivf_topk": {"fn": sim_ivf_topk, "oracle": SIM_IVF_SQL},
     "sim_label_centroid_distance": {"fn": sim_label_centroid_distance, "oracle": SIM_COHESION_SQL},
     "media_metadata": {"fn": media_metadata, "oracle": MEDIA_META_SQL},
-    "media_features": {"fn": media_features, "oracle": None},
+    "media_features": {"fn": media_features, "oracle": MEDIA_FEATURES_SQL},
 }
 
 

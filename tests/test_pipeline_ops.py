@@ -143,20 +143,93 @@ def test_ivf_matches_brute_force_on_probed_buckets(spark, sf_dir):
     assert ivf == bf
 
 
+def _png_bytes(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+
+
+def _wav_bytes(sample_rate: int, data_size: int) -> bytes:
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + data_size.to_bytes(4, "little")
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    # SOI + APP0 stub + SOF0 frame header
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11"
+    )
+    return b"\xff\xd8\xff" + app0[1:] + sof0
+
+
+def test_decode_header_parses_real_containers():
+    assert M.decode_header(_png_bytes(640, 480)) == {
+        "mime": "image/png", "width": 640, "height": 480, "duration_ms": None,
+    }
+    assert M.decode_header(b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"xx") == {
+        "mime": "image/gif", "width": 320, "height": 200, "duration_ms": None,
+    }
+    assert M.decode_header(_jpeg_bytes(800, 600)) == {
+        "mime": "image/jpeg", "width": 800, "height": 600, "duration_ms": None,
+    }
+    # 32000 B/s byte rate, 64000 data bytes -> exactly 2000 ms
+    assert M.decode_header(_wav_bytes(16000, 64000))["duration_ms"] == 2000
+    for corrupt in (b"plain bytes here", b"\x89PNG\r\n\x1a\nXXXXJUNK----------", None):
+        with pytest.raises(ValueError):
+            M.decode_header(corrupt)
+
+
 def test_media_plumbing(spark):
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG\r\n123456")), (2, bytearray(b"plain bytes"))],
+        [(1, bytearray(_png_bytes(1024, 768))), (2, bytearray(b"plain bytes"))],
         "media_id long, payload binary",
     )
     meta = {r["media_id"]: r["meta"] for r in M.with_media_meta(df).collect()}
     assert meta[1]["mime"] == "image/png"
     assert meta[2]["mime"] == "application/octet-stream"
-    assert meta[1]["n_bytes"] == 12
+    assert meta[1]["n_bytes"] == 33
 
-    feats = {r["media_id"]: r for r in M.extract_image_features(df).collect()}
-    assert 64 <= feats[1]["width"] <= 1984
+    feats = {r["media_id"]: r for r in M.extract_media_features(df).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (1024, 768)
+    assert feats[2]["width"] is None and feats[2]["mime"] is None  # corrupt -> typed nulls
     assert len(feats[1]["feat"]) == 8
     assert sum(feats[1]["feat"]) == pytest.approx(1.0)
+
+
+def test_synthesized_payloads_decode_to_formula_values(spark):
+    """The synthesizer emits real container bytes; the decoder must
+    recover exactly the closed-form fields the oracle predicts."""
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(9)], "doc_id long, text string"
+    )
+    media = M.synthesize_media_payloads(docs)
+    feats = {r["media_id"]: r for r in M.extract_media_features(media).collect()}
+    for i in range(9):
+        kind = i % 3
+        if kind == 0:
+            assert feats[i]["mime"] == "image/png"
+            assert feats[i]["width"] == 16 + i % 2000
+            assert feats[i]["height"] == 16 + (i * 7) % 1000
+            assert feats[i]["n_bytes"] == 49
+        elif kind == 1:
+            assert feats[i]["mime"] == "audio/wav"
+            expected = ((i % 1000) * 2 + 2000) * 1000 // ((i % 5 + 1) * 16000)
+            assert feats[i]["duration_ms"] == expected
+            assert feats[i]["n_bytes"] == 60
+        else:
+            assert feats[i]["mime"] == "image/gif"
+            assert feats[i]["width"] == 16 + i % 2000
+            assert feats[i]["n_bytes"] == 26
 
 
 def test_frame_sample_plan(spark):
@@ -196,9 +269,13 @@ def test_resize_and_audio_chunks(spark):
             F.col("meta.n_bytes"), F.lit(65_000).cast("long").alias("duration_ms"),
         )
     )
-    resized = {r["media_id"]: r for r in M.resize_images(media, max_dim=128).collect()}
-    for r in resized.values():
-        assert max(r["width"], r["height"]) <= 128 and min(r["width"], r["height"]) >= 1
+    imgs = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(1000, 500))), (2, bytearray(_png_bytes(64, 32)))],
+        "media_id long, payload binary",
+    )
+    resized = {r["media_id"]: r for r in M.resize_images(imgs, max_dim=128).collect()}
+    assert (resized[1]["width"], resized[1]["height"]) == (128, 64)
+    assert (resized[2]["width"], resized[2]["height"]) == (64, 32)  # already fits
     chunks = M.audio_chunk_plan(media, chunk_ms=30_000).filter(F.col("media_id") == 1).collect()
     assert [(c["chunk_idx"], c["start_ms"], c["end_ms"]) for c in sorted(chunks, key=lambda c: c["chunk_idx"])] == [
         (0, 0, 30000), (1, 30000, 60000), (2, 60000, 65000),
