@@ -7,15 +7,19 @@ or campfire"; broach/actionmailer deps Gemfile.lock:159,4). Delivery is
 at-least-once; the debounce state (lifecycle.py) is what bounds re-fires,
 exactly the reference semantic.
 
-Real transports need network credentials, so the shipped notifiers are a
-collecting sink (tests/metrics) and a JSONL file sink (audit trail);
-``register`` plugs real ones in by key prefix.
+Shipped notifiers: a collecting sink (tests/metrics), a JSONL file sink
+(audit trail), and a real HTTP webhook transport (stdlib urllib POST —
+the S6 delivery path; email/pagerduty/campfire are all webhook-shaped
+behind their provider APIs and need only credentials + endpoint).
+``register`` plugs transports in by key prefix.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import json
+import urllib.error
+import urllib.request
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable, Protocol
@@ -56,6 +60,41 @@ class JsonlNotifier:
         }
         with Path(self.path).open("a") as f:
             f.write(json.dumps(rec) + "\n")
+
+
+@dataclass
+class WebhookNotifier:
+    """POST each alert as a JSON document to an HTTP endpoint.
+
+    The routing key's payload part overrides the default URL
+    (``webhook:http://host/hook`` posts there; bare ``webhook`` uses
+    ``url``), matching the reference pattern of per-job routing targets
+    in jobs.alert_keys. Delivery is at-least-once: a failed POST raises
+    (the scheduler tick surfaces it) rather than being silently dropped;
+    the lifecycle debounce bounds re-fires."""
+
+    url: str = ""
+    timeout_s: float = 5.0
+
+    def send(self, alert: Alert) -> None:
+        _, _, key_url = alert.key.partition(":")
+        target = key_url or self.url
+        if not target:
+            raise ValueError("webhook alert key carries no URL and no default set")
+        body = json.dumps(
+            {
+                "job_id": alert.job_id,
+                "message": alert.message,
+                "fired_at": alert.fired_at.isoformat(),
+                "status": alert.status,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            target, data=body, headers={"Content-Type": "application/json"}, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            if resp.status >= 300:
+                raise RuntimeError(f"webhook {target} returned {resp.status}")
 
 
 class AlertRouter:

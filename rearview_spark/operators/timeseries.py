@@ -87,7 +87,15 @@ def glob_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
-def select_glob(ts: DataFrame, pattern: str, metric_names: DataFrame | None = None) -> DataFrame:
+MAX_PUSHED_IN_LIST = 10_000
+
+
+def select_glob(
+    ts: DataFrame,
+    pattern: str,
+    metric_names: DataFrame | None = None,
+    max_in_list: int = MAX_PUSHED_IN_LIST,
+) -> DataFrame:
     """G2 — glob/wildcard series selection.
 
     With ``metric_names`` (the metric-name dimension table — thousands to
@@ -97,19 +105,27 @@ def select_glob(ts: DataFrame, pattern: str, metric_names: DataFrame | None = No
     and, on the bucketed layout (sources/layout.py), bucket pruning. A
     bare ``rlike`` never pushes down, so at 100 TB the dimension-resolved
     path is the difference between scanning every row-group and touching
-    only the matched series' buckets (SURVEY.md §4.2 #5)."""
+    only the matched series' buckets (SURVEY.md §4.2 #5).
+
+    When the glob matches MORE than ``max_in_list`` names (a broad glob
+    like ``stats.*`` over a 10⁵-series fleet), the IN-list itself becomes
+    the problem — a megabyte predicate the driver must collect, serialize
+    into every task, and Catalyst must constant-fold. Past the cap the
+    driver collect is skipped entirely and the dimension is
+    broadcast-semi-joined against the fact instead: same rows, one
+    broadcast of the (deduplicated) name set, no giant literal. The
+    driver-side count(1) probe on the DIMENSION (config-scale) is what
+    decides the route — the fact table is never touched to choose."""
     if not any(ch in pattern for ch in "*?{["):
         return select_metric(ts, pattern)
     rx = glob_to_regex(pattern)
     if metric_names is not None:
-        names = [
-            r[0]
-            for r in metric_names.filter(F.col(METRIC).rlike(rx))
-            .select(METRIC)
-            .distinct()
-            .collect()
-        ]
-        return ts.filter(F.col(METRIC).isin(names))
+        matched = metric_names.filter(F.col(METRIC).rlike(rx)).select(METRIC).distinct()
+        n = matched.limit(max_in_list + 1).count()
+        if n <= max_in_list:
+            names = [r[0] for r in matched.collect()]
+            return ts.filter(F.col(METRIC).isin(names))
+        return ts.join(F.broadcast(matched), on=METRIC, how="left_semi")
     return ts.filter(F.col(METRIC).rlike(rx))
 
 

@@ -10,15 +10,18 @@ from __future__ import annotations
 # (insertion order).  Round 1 spent that window on the relational + early
 # timeseries queries (all green, CORRECTNESS_r01.json); round 2 rotates the
 # 55 never-driver-checked queries to the front so the window covers them.
-# Five timeseries entries that are near-identical siblings of already-green
-# queries (per_second ≈ derivative, moving_sum/min_max ≈ moving_average,
-# limit/current trivia) are deferred along with the proven round-1 set.
+# Timeseries entries that are near-identical siblings of queries already
+# in the window (per_second ≈ derivative, moving_sum/min_max ≈
+# moving_average, lowest_current ≈ highest_average, limit/current trivia)
+# are deferred along with the proven round-1 set — freeing a slot for the
+# new ts_hw_confidence_bands gate entry.
 _DEFERRED = (
     "ts_per_second",
     "ts_moving_sum",
     "ts_moving_min_max",
     "ts_limit_series",
     "ts_current_values",
+    "ts_lowest_current",
 )
 
 

@@ -894,5 +894,36 @@ SELECT metric, ts,
 FROM banded
 """
 
+
+def ts_hw_confidence_bands(spark, sf_dir):
+    """G26 holtWintersConfidenceBands: forecast ± 3σ of the expanding
+    residual stddev, emitted as the Upper/Lower series pair (Graphite
+    0.9's output shape). Same recursive-CTE forecast replay as
+    ts_holt_winters; the band arithmetic mirrors ts_hw_aberration."""
+    return _rounded(
+        G.holt_winters_confidence_bands(_hourly(spark, sf_dir), season_points=24)
+    )
+
+
+TS_HW_BANDS_SQL = HW_FORECAST_CTE + """
+, resid AS (
+  SELECT h.metric, h.ts, f.forecast, h.value - f.forecast AS r
+  FROM hourly h JOIN fc f ON f.metric = h.metric AND f.ts = h.ts
+),
+banded AS (
+  SELECT metric, ts, forecast,
+         stddev_pop(r) OVER (PARTITION BY metric ORDER BY ts ROWS UNBOUNDED PRECEDING) * 3.0 AS band
+  FROM resid
+)
+SELECT concat('holtWintersConfidenceUpper(', metric, ')') AS metric, ts,
+       round(forecast + band + 0.00000005, 4) AS value
+FROM banded
+UNION ALL
+SELECT concat('holtWintersConfidenceLower(', metric, ')') AS metric, ts,
+       round(forecast - band + 0.00000005, 4) AS value
+FROM banded
+"""
+
 QUERIES["ts_holt_winters"] = {"fn": ts_holt_winters, "oracle": TS_HW_SQL}
 QUERIES["ts_hw_aberration"] = {"fn": ts_hw_aberration, "oracle": TS_HW_AB_SQL}
+QUERIES["ts_hw_confidence_bands"] = {"fn": ts_hw_confidence_bands, "oracle": TS_HW_BANDS_SQL}

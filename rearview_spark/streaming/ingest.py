@@ -83,6 +83,77 @@ def ingest_to_metrics(
     )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """Reader options for the cluster ingest source. Factored out of the
+    builder so the plumbing is unit-testable without a broker or the
+    kafka connector jar (not in this container). ``maxOffsetsPerTrigger``
+    is the streaming analogue of ``maxFilesPerTrigger`` — it bounds
+    micro-batch size so one trigger's state fits the executors."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # at 100 TB a compacted/expired offset must not kill the query;
+        # the dedup_stream + checkpoint make reprocessing safe
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka wire format -> EVENTS_SCHEMA rows.
+
+    ``raw`` carries the fixed Kafka source schema (key/value binary,
+    topic, partition, offset, timestamp). The event is a JSON document in
+    ``value``; rows whose payload fails to parse surface as all-null
+    events rather than failing the batch (filter on ``event_id IS NOT
+    NULL`` downstream to drop them). ``ts`` falls back to the broker
+    timestamp when the payload omits it — late-data handling then still
+    has a watermarkable column."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"),
+        F.col("timestamp").alias("_broker_ts"),
+    )
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        F.coalesce(F.col("e.ts"), F.col("_broker_ts")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Cluster variant of :func:`events_stream`: same EVENTS_SCHEMA
+    contract, Kafka source. ``to_metrics`` / ``dedup_stream`` /
+    ``ingest_to_metrics`` compose unchanged — the source line is the ONLY
+    difference between the container and cluster deployments (needs the
+    spark-sql-kafka connector on the cluster classpath)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, starting_offsets,
+        max_offsets_per_trigger, fail_on_data_loss,
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_events(reader.load())
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Exactly-once event ingest under at-least-once delivery: watermarked
     ``dropDuplicates`` on the event key. State holds one entry per

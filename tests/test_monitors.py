@@ -417,6 +417,64 @@ def test_overlapping_ticks_exactly_once(spark, tmp_path):
     assert len(collector.sent) == 1  # no duplicate alert
 
 
+def test_webhook_notifier_delivers_payload():
+    """S6 with a real transport: the webhook notifier POSTs the alert
+    JSON to a live local HTTP server; the delivered body is asserted."""
+    import http.server
+    import threading
+
+    from rearview_spark.monitors.notify import WebhookNotifier
+
+    received: list[tuple[str, bytes]] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        router = AlertRouter()
+        router.register("webhook", WebhookNotifier())
+        n = router.dispatch(
+            7, [f"webhook:http://127.0.0.1:{port}/hook"], "alert: cpu high", NOW, "failed"
+        )
+        assert n == 1
+        assert len(received) == 1
+        path, body = received[0]
+        assert path == "/hook"
+        import json
+
+        payload = json.loads(body)
+        assert payload == {
+            "job_id": 7,
+            "message": "alert: cpu high",
+            "fired_at": NOW.isoformat(),
+            "status": "failed",
+        }
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # delivery failure surfaces instead of dropping silently
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        WebhookNotifier(url=f"http://127.0.0.1:{port}/down", timeout_s=1.0).send(
+            __import__("rearview_spark.monitors.notify", fromlist=["Alert"]).Alert(
+                1, "webhook", "m", NOW, "failed"
+            )
+        )
+
+
 def test_observe_metrics(spark):
     from rearview_spark.monitors.observe import TickMetrics, observed_run_results
 

@@ -230,3 +230,57 @@ def test_stream_stream_attribution(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["purchase_id"], r["click_id"]) for r in spark.sql("SELECT * FROM attr_out").collect()}
     assert got == {(2, 1)}
+
+
+def test_kafka_reader_options_plumbing():
+    """Cluster-source contract (no broker needed): option dict carries
+    the subscribe/offset/bounding settings the kafka source consumes."""
+    from rearview_spark.streaming.ingest import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "broker1:9092,broker2:9092", "events",
+        starting_offsets="latest", max_offsets_per_trigger=50_000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options("b:9092", "t")
+
+
+def test_parse_kafka_events_schema_projection(spark):
+    """The wire-format parser yields exactly EVENTS_SCHEMA from Kafka's
+    fixed (key,value,timestamp,...) shape: JSON payloads round-trip,
+    missing ts falls back to the broker timestamp, corrupt payloads
+    become null events instead of failing the batch."""
+    import json
+
+    from rearview_spark.streaming.ingest import EVENTS_SCHEMA, parse_kafka_events, to_metrics
+
+    def msg(d):
+        return json.dumps(d).encode()
+
+    broker_ts = T0 + dt.timedelta(hours=1)
+    raw = spark.createDataFrame(
+        [
+            (b"k1", msg({"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 10,
+                         "event_type": "click", "value": 2.5, "props": "{}"}),
+             "events", 0, 0, broker_ts),
+            (b"k2", msg({"event_id": 2, "user_id": 11, "event_type": "view", "value": 1.0}),
+             "events", 0, 1, broker_ts),
+            (b"k3", b"not json at all", "events", 0, 2, broker_ts),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, timestamp timestamp",
+    )
+    parsed = parse_kafka_events(raw)
+    assert parsed.schema == EVENTS_SCHEMA
+    rows = {r["event_id"]: r for r in parsed.collect()}
+    assert rows[1]["ts"] == dt.datetime(2024, 1, 1, 0, 5) and rows[1]["value"] == 2.5
+    assert rows[2]["ts"] == broker_ts  # broker-timestamp fallback
+    assert None in rows  # corrupt payload -> null event row, batch survives
+    # downstream contract composes unchanged
+    metrics = to_metrics(parsed.filter(F.col("event_id").isNotNull()))
+    assert [f.name for f in metrics.schema.fields] == ["metric", "ts", "value"]

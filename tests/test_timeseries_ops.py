@@ -259,6 +259,25 @@ def test_select_glob_dimension_pushdown(spark, tmp_path):
     assert any(("In(metric" in l) or ("EqualTo(metric" in l) for l in pushed), pushed
 
 
+def test_select_glob_semi_join_fallback(spark, tmp_path):
+    """Past the IN-list cap the glob routes through a broadcast semi-join
+    on the dimension (no driver collect of the name list) with identical
+    results to the pushed path (VERDICT r01 #8)."""
+    path = str(tmp_path / "m2")
+    rows = [(f"stats.host{i}.cpu", float(i)) for i in range(40)] + [("other.mem", -1.0)]
+    spark.createDataFrame(rows, "metric string, value double").write.parquet(path)
+    df = spark.read.parquet(path)
+    names = df.select("metric").distinct()
+
+    pushed = G.select_glob(df, "stats.*.cpu", metric_names=names, max_in_list=10_000)
+    joined = G.select_glob(df, "stats.*.cpu", metric_names=names, max_in_list=10)
+    want = {f"stats.host{i}.cpu" for i in range(40)}
+    assert {r["metric"] for r in pushed.collect()} == want
+    assert {r["metric"] for r in joined.collect()} == want
+    # the fallback plan is a broadcast join, not a giant In(...) literal
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+
 def test_holt_winters_confidence_bands(spark):
     df = make_series(spark, {"a": [10.0] * 30})
     out = G.holt_winters_confidence_bands(df, season_points=5)
