@@ -55,20 +55,27 @@ DEFAULT_MAX_BUCKET_SIZE = 1000
 
 
 def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
-    """Drop rows of LSH buckets holding more than ``max_bucket_size`` docs.
-    The window count shares the shuffle partitioning of the candidate
-    self-join that follows (same keys), so the cap costs no extra
-    exchange; oversized buckets are dropped WHOLE (their members still
-    meet through their other bands/chunks, and a degenerate key — empty
-    docs, a boilerplate header — can't go quadratic)."""
+    """Drop rows of LSH buckets holding more than ``max_bucket_size`` docs;
+    oversized buckets are dropped WHOLE (their members still meet through
+    their other bands/chunks, and a degenerate key — empty docs, a
+    boilerplate header — can't go quadratic).
+
+    Shape: the hot-key list is BY DEFINITION tiny (keys with >cap
+    members), so it's computed with a map-side-combined count aggregate
+    (shuffle carries one row per distinct key per partition, not the
+    corpus) and removed with a broadcast anti-join — the banded rows
+    themselves are never re-shuffled. A count window over (keys) would
+    shuffle every row before the self-join even gets to pick its own
+    join strategy (~2x on the LSH gate queries at sf0.1)."""
     if max_bucket_size is None:
         return df
-    w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select(*keys)
     )
+    return df.join(F.broadcast(hot), keys, "left_anti")
 
 
 def _hash60(col: Column) -> Column:
