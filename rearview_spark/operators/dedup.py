@@ -182,19 +182,26 @@ def signature_from_shingles(
     md5 = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(md5, 1, 7), 16, 10).cast("long")
     h2 = F.conv(F.substring(md5, 8, 7), 16, 10).cast("long")
+    # Permutations, mins, and the array reassembly are built as one SQL
+    # string per column (F.expr): the equivalent Column-API chains cost a
+    # Py4J driver round-trip PER OPERATOR (~100 for 16 permutations),
+    # which at one plan build per query is pure driver latency.
     hashed = exploded.select(
+        F.col(id_col).alias(id_col),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+    ).select(
         id_col,
         *[
-            (F.lit(_MH_A[k]) * h1 + F.lit(_MH_B[k]) * h2 + F.lit(k)).alias(f"h{k}")
+            F.expr(f"{_MH_A[k]}L * _h1 + {_MH_B[k]}L * _h2 + {k}").alias(f"h{k}")
             for k in range(num_hashes)
         ],
     )
     mins = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{k}").alias(f"m{k}") for k in range(num_hashes)]
+        *[F.expr(f"min(h{k})").alias(f"m{k}") for k in range(num_hashes)]
     )
-    return mins.select(
-        F.col(id_col), F.array(*[F.col(f"m{k}") for k in range(num_hashes)]).alias("sig")
-    )
+    arr = "array(" + ", ".join(f"m{k}" for k in range(num_hashes)) + ")"
+    return mins.select(F.col(id_col), F.expr(arr).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -210,19 +217,17 @@ def lsh_candidate_pairs(
     larger than ``max_bucket_size`` are dropped whole (see
     :func:`_cap_buckets`)."""
     rows = num_hashes // bands
+    band_structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bh)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig[{b * rows + r}] AS STRING)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = signatures.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        id_col, F.explode(F.expr(f"array({band_structs})")).alias("bb")
     ).select(id_col, "bb.band", "bb.bh")
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     a = banded.alias("a")
@@ -325,7 +330,9 @@ def simhash_signature(
     hash aggregate with map-side partial reduction (1.5x wall on the
     signature stage at sf0.1; the md5 per token dominates either way).
     ``explode_outer`` keeps zero-token docs (their votes are all 0 ->
-    signature 0, matching the array form)."""
+    signature 0, matching the array form). The 60 vote sums and the
+    signature reassembly are SQL-string expressions (one Py4J round trip
+    each, not one per operator — ~5x plan-build wall at 60 bits)."""
     if bits > 60:
         raise ValueError("simhash bits > 60 exceeds the 60-bit token hash")
     df = ensure_parallelism(df, id_col)
@@ -333,18 +340,15 @@ def simhash_signature(
     hashed = toked.select(id_col, _hash60(F.col("tok")).alias("h"))
     votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.col("h").isNull(), 0)
-                .when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
-                .otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN h IS NULL THEN 0"
+                f" WHEN (h & {1 << j}L) != 0 THEN 1 ELSE -1 END)"
             ).alias(f"s{j}")
             for j in range(bits)
         ]
     )
-    sig = F.lit(0)
-    for j in range(bits):
-        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    sig = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(bits))
+    return votes.select(F.col(id_col), F.expr(f"CAST({sig} AS BIGINT)").alias("simhash"))
 
 
 def simhash_near_duplicates(
