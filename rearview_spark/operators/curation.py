@@ -1,0 +1,252 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, stratified sampling, repetition (Gopher-style) quality
+metrics, and sequence packing.
+
+Not rearview parity (the reference has no text processing) — these are
+BASELINE.json north-star extensions, shaped for 100 TB:
+
+- **decontamination**: the benchmark side is tiny by construction
+  (benchmarks are MBs, the corpus is TBs), so its distinct n-gram set
+  broadcasts and the corpus side is scanned once with a broadcast hash
+  join — no shuffle of the training data at all.
+- **stratified sampling**: a pure narrow map — keep/drop is a
+  deterministic md5 threshold on the doc id, so the sample is
+  reproducible across runs/retries (resumable backfills at scale) and
+  needs no count-first pass or RNG state.
+- **repetition metrics**: explode + codegen'd hash aggregates with
+  map-side partial reduction (the same shape as the SimHash votes);
+  nothing quadratic, shuffle keyed on doc_id.
+- **sequence packing**: greedy first-fit packing is inherently a
+  sequential recurrence, so it runs per *shard* (``doc_id % n_shards``):
+  each shard packs independently inside one ``applyInPandas`` group —
+  shard count scales with the cluster while the per-shard loop stays
+  linear. This mirrors how production packers shard by file/partition.
+
+All hashing is the md5-prefix scheme (``conv(substr(md5(x),1,15),16,10)``)
+so the DuckDB oracles reproduce every decision bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rearview_spark.operators._util import ensure_parallelism
+from rearview_spark.operators.dedup import _hash60, word_shingles
+from rearview_spark.operators.text import token_count, tokens
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training docs sharing at least one word ``n``-gram with any
+    benchmark doc (the public GPT-3/PaLM decontamination recipe:
+    13-gram overlap flags a training doc as contaminated; ``n`` is a
+    parameter because the right width depends on tokenizer and corpus).
+
+    Returns ``(doc_id, n_shared_grams, n_bench_docs)`` — distinct
+    overlapping n-grams and distinct benchmark docs touched — for
+    flagged docs only.
+
+    Scale shape: the benchmark gram set is broadcast (eval sets are MBs
+    against a TB corpus), so the training side is one scan + broadcast
+    semi-join + one aggregate keyed on doc_id; the corpus never
+    shuffles on gram.
+    """
+    tgrams = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    bgrams = (
+        bench.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        tgrams.join(F.broadcast(bgrams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by a
+    deterministic md5 threshold on the id — the training-mix primitive
+    (e.g. upsample en, downsample boilerplate sources).
+
+    ``keep ⇔ md5_60(id || ':' || salt) mod 10000 < rate * 10000`` — no
+    RNG, so reruns/backfills keep exactly the same rows, and the filter
+    is a narrow map evaluated at scan time (predicate pushdown applies;
+    no count-first pass, no sampleBy approximation).
+    """
+    bucket = F.pmod(
+        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+        F.lit(10000),
+    )
+    rate = F.lit(int(default_rate * 10000))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(int(v * 10000))).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition profile (public Gopher quality-rule family):
+
+    - ``top_token_ratio`` — occurrences of the most frequent token over
+      all tokens (Gopher: "fraction of most common word").
+    - ``top_bigram_ratio`` — same for word 2-grams.
+    - ``distinct_token_ratio`` — type/token ratio (low = repetitive).
+
+    Shape: two explode → hash-aggregate passes (tokens, bigrams), both
+    map-side partial, joined on doc_id. No arrays are carried through
+    the shuffle — only (doc, term, count) rows.
+    """
+    df = ensure_parallelism(df, id_col)
+    toks = tokens(F.col(text_col))
+    toked = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    tok_stats = (
+        toked.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_tok"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    # bigrams: adjacent pairs, NOT distinct (counts matter)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    grams = F.when(
+        n >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    bigrammed = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    bg_stats = (
+        bigrammed.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg"))
+    )
+    r6 = lambda c: F.round(c + F.lit(5e-10), 6)  # noqa: E731
+    return (
+        tok_stats.join(bg_stats, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            r6(F.col("top_tok") / F.col("n_tokens")).alias("top_token_ratio"),
+            r6(F.col("top_bg") / F.col("n_bigrams")).alias("top_bigram_ratio"),
+            r6(F.col("n_distinct") / F.col("n_tokens")).alias("distinct_token_ratio"),
+        )
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_top_token_ratio: float = 0.10,
+    max_top_bigram_ratio: float = 0.04,
+    min_distinct_ratio: float = 0.5,
+) -> DataFrame:
+    """Repetition metrics plus the pass/fail verdict a curation pipeline
+    filters on. Thresholds are parameters; defaults are in the spirit of
+    the published Gopher rules, scaled to short synthetic docs."""
+    m = repetition_metrics(df, text_col, id_col)
+    passed = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("top_token_ratio") <= max_top_token_ratio)
+        & (F.col("top_bigram_ratio") <= max_top_bigram_ratio)
+        & (F.col("distinct_token_ratio") >= min_distinct_ratio)
+    )
+    return m.withColumn("gopher_pass", passed)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (greedy first-fit per shard)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences: within each
+    shard (``id mod n_shards``), walk docs in id order and start a new
+    pack whenever adding the next doc would exceed ``budget`` (docs
+    longer than the budget get a pack of their own — the standard greedy
+    packer used to build pretraining batches).
+
+    Returns one row per doc: ``(doc_id, shard, n_tokens, pack_seq,
+    pack_pos, pack_fill)`` — pack index within the shard, position
+    within the pack, and cumulative tokens through this doc.
+
+    Scale shape: packing is a sequential recurrence, so it is sharded —
+    each shard's docs meet in ONE ``applyInPandas`` group (one shuffle
+    keyed on shard; Arrow-batched, linear loop per shard). n_shards
+    scales with the cluster; determinism comes from the id ordering, not
+    arrival order. At 100 TB, shard by file/partition id instead so the
+    shuffle disappears entirely (sortWithinPartitions + mapInPandas);
+    the mod-shard form keeps the oracle enumerable.
+    """
+    docs = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seqs, poss, fills = [], [], []
+        pack_seq, fill, pos = 0, 0, 0
+        for nt in pdf["n_tokens"]:
+            if pos > 0 and fill + nt > budget:
+                pack_seq += 1
+                fill, pos = 0, 0
+            fill += nt
+            pos += 1
+            seqs.append(pack_seq)
+            poss.append(pos)
+            fills.append(fill)
+        pdf["pack_seq"] = pd.Series(seqs, dtype="int64")
+        pdf["pack_pos"] = pd.Series(poss, dtype="int64")
+        pdf["pack_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    out_schema = (
+        f"{id_col} long, shard long, n_tokens long, "
+        "pack_seq long, pack_pos long, pack_fill long"
+    )
+    return docs.groupBy("shard").applyInPandas(pack, schema=out_schema)

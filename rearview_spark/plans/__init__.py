@@ -24,6 +24,17 @@ _DEFERRED = (
     "ts_lowest_current",
 )
 
+# Queries added mid-round-2, AFTER the 50-entry driver window was already
+# allocated to round 1's never-checked set. They sit at positions 51+ so
+# they don't displace the planned window (they're covered by the local
+# hash-faithful sweep); the round-3 rotation moves them forward.
+_NEW_R02 = (
+    "doc_benchmark_contamination",
+    "doc_stratified_sample",
+    "doc_repetition_quality",
+    "doc_pack_sequences",
+)
+
 
 def all_queries() -> dict:
     from rearview_spark.plans import (
@@ -50,6 +61,6 @@ def all_queries() -> dict:
     if os.path.exists(r01):
         with open(r01) as f:
             checked_r01 = set(json.load(f))
-    back = set(_DEFERRED) | checked_r01
+    back = set(_DEFERRED) | set(_NEW_R02) | checked_r01
     ordered = [n for n in out if n not in back] + [n for n in out if n in back]
     return {n: out[n] for n in ordered}

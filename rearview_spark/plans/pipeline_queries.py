@@ -689,3 +689,157 @@ ORDER BY doc_id, rank
 
 
 QUERIES["doc_tfidf_top_terms"] = {"fn": doc_tfidf_top_terms, "oracle": DOC_TFIDF_SQL}
+
+
+# --- Corpus curation: decontamination / sampling / quality / packing ---------
+
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing a word 3-gram with the
+    held-out 'benchmark' slice (doc_id % 97 == 0 — a deterministic
+    stand-in for a real eval set). Benchmark gram set broadcasts; the
+    corpus side never shuffles on gram."""
+    from rearview_spark.operators import curation as C
+
+    docs = Tables(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return C.benchmark_contamination(train, bench, n=3).orderBy("doc_id")
+
+
+DOC_CONTAMINATION_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+           ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+),
+tr AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 97 <> 0),
+be AS (SELECT DISTINCT doc_id AS bench_id, gram FROM
+         (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 97 = 0))
+SELECT tr.doc_id,
+       CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+       CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_docs
+FROM tr JOIN be USING (gram)
+GROUP BY tr.doc_id ORDER BY tr.doc_id
+"""
+
+QUERIES["doc_benchmark_contamination"] = {
+    "fn": doc_benchmark_contamination, "oracle": DOC_CONTAMINATION_SQL,
+}
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (training-mix primitive): keep 50%
+    of en, 30% of de, 20% elsewhere, decided by an md5 threshold on the
+    doc id; summarized per (lang, source)."""
+    from rearview_spark.operators import curation as C
+
+    docs = Tables(spark, sf_dir).documents
+    kept = C.stratified_sample(docs, {"en": 0.5, "de": 0.3}, default_rate=0.2)
+    return (
+        kept.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+DOC_STRATIFIED_SQL = """
+SELECT lang, source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':strat')), 1, 15)) AS BIGINT) % 10000)
+      < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 2000 END)
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+QUERIES["doc_stratified_sample"] = {
+    "fn": doc_stratified_sample, "oracle": DOC_STRATIFIED_SQL,
+}
+
+
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics + pass/fail verdict per doc."""
+    from rearview_spark.operators import curation as C
+
+    docs = Tables(spark, sf_dir).documents
+    return C.gopher_quality_filter(docs).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok
+),
+tok_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok,
+         count(*) AS n_distinct
+  FROM tok_counts GROUP BY doc_id
+),
+bgs AS (
+  SELECT doc_id, CASE WHEN len(t) >= 2
+           THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+           ELSE [array_to_string(t, ' ')] END AS bg
+  FROM toks
+),
+bg_counts AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS b FROM bgs) GROUP BY doc_id, b
+),
+bg_stats AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg FROM bg_counts GROUP BY doc_id
+),
+m AS (
+  SELECT t.doc_id, t.n_tokens,
+         round(t.top_tok * 1.0 / t.n_tokens + 0.0000000005, 6) AS top_token_ratio,
+         round(b.top_bg * 1.0 / b.n_bigrams + 0.0000000005, 6) AS top_bigram_ratio,
+         round(t.n_distinct * 1.0 / t.n_tokens + 0.0000000005, 6) AS distinct_token_ratio
+  FROM tok_stats t JOIN bg_stats b USING (doc_id)
+)
+SELECT *,
+       (n_tokens >= 20 AND top_token_ratio <= 0.10
+        AND top_bigram_ratio <= 0.04 AND distinct_token_ratio >= 0.5) AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+QUERIES["doc_repetition_quality"] = {
+    "fn": doc_repetition_quality, "oracle": DOC_REPETITION_SQL,
+}
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-shard sequence packing into 256-token training
+    sequences (8 shards). The oracle replays the packing recurrence with
+    a recursive CTE — the round-1 Holt-Winters technique."""
+    from rearview_spark.operators import curation as C
+
+    docs = Tables(spark, sf_dir).documents
+    return C.pack_sequences(docs, budget=256, n_shards=8).orderBy("doc_id")
+
+
+DOC_PACK_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id % 8 AS shard, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks
+),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_seq, CAST(1 AS BIGINT) AS pack_pos,
+         n_tokens AS pack_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.pack_fill + o.n_tokens > 256 THEN p.pack_seq + 1 ELSE p.pack_seq END,
+         CASE WHEN p.pack_fill + o.n_tokens > 256 THEN CAST(1 AS BIGINT) ELSE p.pack_pos + 1 END,
+         CASE WHEN p.pack_fill + o.n_tokens > 256 THEN o.n_tokens ELSE p.pack_fill + o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, pack_seq, pack_pos, pack_fill
+FROM packed ORDER BY doc_id
+"""
+
+QUERIES["doc_pack_sequences"] = {"fn": doc_pack_sequences, "oracle": DOC_PACK_SQL}

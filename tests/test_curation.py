@@ -1,0 +1,121 @@
+"""Corpus-curation operators: decontamination, stratified sampling,
+repetition metrics, sequence packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_benchmark_contamination_planted_overlap(spark):
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta", "en"),          # shares 'alpha beta gamma'
+        (2, "zeta eta theta iota", "en"),              # clean
+        (3, "x alpha beta gamma y beta gamma delta", "en"),  # shares two grams
+    ])
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon", "en")])
+    out = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in C.benchmark_contamination(train, bench, n=3).collect()
+    }
+    assert out == {1: (2, 1), 3: (2, 1)}  # doc 2 clean; doc 1 shares both grams
+
+
+def test_benchmark_contamination_short_doc_full_text_fallback(spark):
+    train = _docs(spark, [(1, "tiny doc", "en")])
+    bench = _docs(spark, [(9, "tiny doc", "en")])
+    rows = C.benchmark_contamination(train, bench, n=8).collect()
+    assert [(r["doc_id"], r["n_shared_grams"]) for r in rows] == [(1, 1)]
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    df = _docs(spark, [(i, "w", "en" if i % 2 else "de") for i in range(2000)])
+    kept1 = sorted(r["doc_id"] for r in C.stratified_sample(df, {"en": 0.5, "de": 0.1}).collect())
+    kept2 = sorted(r["doc_id"] for r in C.stratified_sample(df, {"en": 0.5, "de": 0.1}).collect())
+    assert kept1 == kept2  # rerun-stable
+    en = sum(1 for i in kept1 if i % 2)
+    de = len(kept1) - en
+    assert 400 <= en <= 600 and 50 <= de <= 150  # ~50% of 1000 / ~10% of 1000
+
+    # exact replica of the decision rule for one row
+    def keep(doc_id, rate):
+        h = int(hashlib.md5(f"{doc_id}:strat".encode()).hexdigest()[:15], 16)
+        return h % 10000 < rate * 10000
+    expect_en = sorted(i for i in range(2000) if i % 2 and keep(i, 0.5))
+    assert [i for i in kept1 if i % 2] == expect_en
+
+
+def test_stratified_sample_default_rate_for_unlisted_stratum(spark):
+    df = _docs(spark, [(i, "w", "xx") for i in range(1000)])
+    kept = C.stratified_sample(df, {"en": 0.9}, default_rate=0.2).count()
+    assert 120 <= kept <= 280
+
+
+def test_repetition_metrics_hand_computed(spark):
+    # tokens: a a a b  -> top_tok 3/4; bigrams: 'a a' x2, 'a b' -> 2/3
+    df = _docs(spark, [(1, "a a a b", "en")])
+    r = C.repetition_metrics(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["top_token_ratio"] == 0.75
+    assert r["top_bigram_ratio"] == round(2 / 3 + 5e-10, 6)
+    assert r["distinct_token_ratio"] == 0.5
+
+
+def test_gopher_filter_flags_repetitive_doc(spark):
+    repetitive = " ".join(["spam spam"] * 20)
+    natural = " ".join(f"w{i}" for i in range(40))
+    df = _docs(spark, [(1, repetitive, "en"), (2, natural, "en")])
+    out = {r["doc_id"]: r["gopher_pass"] for r in C.gopher_quality_filter(df).collect()}
+    assert out == {1: False, 2: True}
+
+
+def test_pack_sequences_greedy_hand_case(spark):
+    # one shard (n_shards=1); budgets force breaks: 100+100 fits 256,
+    # +100 would exceed -> new pack; a 300-token doc overflows alone.
+    rows = [
+        (0, " ".join(["w"] * 100), "en"),
+        (1, " ".join(["w"] * 100), "en"),
+        (2, " ".join(["w"] * 100), "en"),
+        (3, " ".join(["w"] * 300), "en"),
+        (4, " ".join(["w"] * 10), "en"),
+    ]
+    out = {
+        r["doc_id"]: (r["pack_seq"], r["pack_pos"], r["pack_fill"])
+        for r in C.pack_sequences(_docs(spark, rows), budget=256, n_shards=1).collect()
+    }
+    assert out == {
+        0: (0, 1, 100),
+        1: (0, 2, 200),
+        2: (1, 1, 100),   # 300 would not fit after doc 2? no: doc3 breaks
+        3: (2, 1, 300),   # oversized doc gets its own pack
+        4: (3, 1, 10),    # 300-fill pack is over budget, next doc starts fresh
+    }
+
+
+def test_pack_sequences_invariants_and_shards(spark):
+    rows = [(i, " ".join(["w"] * (7 + i % 90)), "en") for i in range(400)]
+    out = C.pack_sequences(_docs(spark, rows), budget=128, n_shards=4)
+    bad = out.filter((F.col("pack_fill") > 128) & (F.col("pack_pos") > 1)).count()
+    assert bad == 0  # only a pack's FIRST doc may overflow the budget
+    assert out.count() == 400
+    assert out.select("shard").distinct().count() == 4
+    # within a shard, pack_seq is nondecreasing in doc order
+    w_bad = (
+        out.withColumn(
+            "prev",
+            F.lag("pack_seq").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("shard").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("prev").isNotNull() & (F.col("pack_seq") < F.col("prev")))
+        .count()
+    )
+    assert w_bad == 0
