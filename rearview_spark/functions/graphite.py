@@ -267,6 +267,16 @@ def _eval(node, ts: DataFrame) -> DataFrame:
         return G.as_percent(_series_args(args, ts))
     if name == "percentileOfSeries":
         return G.percentile_of_series(_eval(args[0], ts), _num(args[1], name))
+    if name == "stddevSeries":
+        return G.stddev_series(_series_args(args, ts), name="stddevSeries")
+    if name == "weightedAverage":
+        return G.weighted_average(
+            _eval(args[0], ts), _eval(args[1], ts), int(_num(args[2], name))
+        )
+    if name in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+        fn = "sum" if name.startswith("sum") else "avg"
+        positions = [int(_num(a, name)) for a in args[1:]]
+        return G.series_with_wildcards(_eval(args[0], ts), fn, *positions)
 
     # --- scalar math (G9)
     if name == "scale":
@@ -284,6 +294,12 @@ def _eval(node, ts: DataFrame) -> DataFrame:
         return G.pow_(_eval(args[0], ts), _num(args[1], name))
     if name == "squareRoot":
         return G.square_root(_eval(args[0], ts))
+    if name == "scaleToSeconds":
+        return G.scale_to_seconds(_eval(args[0], ts), _num(args[1], name))
+    if name == "offsetToZero":
+        return G.offset_to_zero(_eval(args[0], ts))
+    if name == "isNonNull":
+        return G.is_non_null(_eval(args[0], ts))
 
     # --- deltas / accumulations (G10, G11)
     if name == "derivative":
@@ -328,6 +344,9 @@ def _eval(node, ts: DataFrame) -> DataFrame:
     if name == "hitcount":
         # step defaults to 60s (the fixture metric step)
         return G.hitcount(_eval(args[0], ts), spark_interval(_str(args[1], name)), 60)
+    if name == "smartSummarize":
+        fn = _str(args[2], name) if len(args) > 2 else "sum"
+        return G.smart_summarize(_eval(args[0], ts), interval_seconds(_str(args[1], name)), fn)
 
     # --- null handling (G17)
     if name == "transformNull":
@@ -357,12 +376,21 @@ def _eval(node, ts: DataFrame) -> DataFrame:
         stat = {"lowestAverage": "average", "lowestCurrent": "current"}[name]
         return G.lowest(_eval(args[0], ts), int(_num(args[1], name)), stat)
     if name in ("averageAbove", "averageBelow", "maximumAbove", "maximumBelow",
-                "currentAbove", "currentBelow"):
-        stat = {"average": "average", "maximum": "max", "current": "current"}[
-            re.match(r"(average|maximum|current)", name).group(1)
+                "minimumAbove", "minimumBelow", "currentAbove", "currentBelow"):
+        stat = {"average": "average", "maximum": "max", "minimum": "min",
+                "current": "current"}[
+            re.match(r"(average|maximum|minimum|current)", name).group(1)
         ]
         op = ">" if name.endswith("Above") else "<"
         return G.filter_series(_eval(args[0], ts), stat, op, _num(args[1], name))
+    if name == "nPercentile":
+        return G.n_percentile(_eval(args[0], ts), _num(args[1], name))
+    if name == "mostDeviant":
+        # 0.9.x signature is mostDeviant(n, seriesList); 1.x flipped the
+        # argument order — accept both.
+        if isinstance(args[0], NumberNode):
+            return G.most_deviant(_eval(args[1], ts), int(_num(args[0], name)))
+        return G.most_deviant(_eval(args[0], ts), int(_num(args[1], name)))
     if name == "limit":
         return G.limit_series(_eval(args[0], ts), int(_num(args[1], name)))
     if name == "sortByName":
@@ -383,6 +411,26 @@ def _eval(node, ts: DataFrame) -> DataFrame:
         return G.alias_by_node(_eval(args[0], ts), *nodes)
     if name == "aliasSub":
         return G.alias_sub(_eval(args[0], ts), _str(args[1], name), _str(args[2], name))
+    if name == "aliasByMetric":
+        return G.alias_by_metric(_eval(args[0], ts))
+    if name == "substr":
+        start = int(_num(args[1], name)) if len(args) > 1 else 0
+        stop = int(_num(args[2], name)) if len(args) > 2 else 0
+        return G.substr_series(_eval(args[0], ts), start, stop)
+
+    # --- display-only decorations: no effect on the data frame (the
+    # reference rendered these in graphite-web; our consumer is the monitor
+    # expression, which sees values only)
+    if name in ("stacked", "secondYAxis", "drawAsInfinite", "lineWidth",
+                "dashed", "color", "cactiStyle", "areaBetween", "legendValue"):
+        return _eval(args[0], ts)
+    if name == "threshold":
+        line = G.constant_line_over(ts, _num(args[0], name))
+        if len(args) > 1:
+            return G.alias_series(line, _str(args[1], name))
+        return line
+    if name == "identity":
+        return G.time_function_over(ts, name=_str(args[0], name) if args else "identity")
 
     # --- grouping (G28)
     if name == "group":

@@ -193,6 +193,59 @@ def multiply_series(ts: DataFrame, name: str = "multiplySeries") -> DataFrame:
     return _combine(ts, prod, name)
 
 
+def stddev_series(ts: DataFrame, name: str = "stddevSeries") -> DataFrame:
+    """G5 long tail — point-wise population standard deviation across
+    series (Graphite safeStdDev divides by N, not N-1)."""
+    return _combine(ts, F.stddev_pop(VALUE), name)
+
+
+def weighted_average(avg_ts: DataFrame, weight_ts: DataFrame, node: int,
+                     name: str = "weightedAverage") -> DataFrame:
+    """weightedAverage(seriesListAvg, seriesListWeight, node) — pair the
+    two lists by the metric-name node, multiply point-wise, and emit
+    ``sum(avg*weight) / sum(weight)`` as one series (Graphite 0.9.x:
+    divideSeries(sumSeries(products), sumSeries(weights))).
+
+    Null semantics follow safeMul/safeSum/safeDiv: a product is null if
+    either side is null; sums skip nulls (null only when all inputs
+    are); the ratio nulls on zero/null denominator. Pairing is a join on
+    (node key, ts) — one shuffle keyed by the pair, then a ts-keyed
+    combine; weights with no avg partner still count in the denominator
+    (full outer pairing), as in the reference implementation."""
+    key = F.element_at(F.split(F.col(METRIC), r"\."), node + 1)
+    a = avg_ts.select(key.alias("_k"), F.col(TS), F.col(VALUE).alias("_a"))
+    w = weight_ts.select(key.alias("_k"), F.col(TS), F.col(VALUE).alias("_w"))
+    paired = a.join(w, ["_k", TS], "full_outer")
+    product = F.when(
+        F.col("_a").isNotNull() & F.col("_w").isNotNull(), F.col("_a") * F.col("_w")
+    )
+    per_ts = paired.groupBy(TS).agg(
+        F.sum(product).alias("_num"), F.sum("_w").alias("_den")
+    )
+    val = F.when(
+        F.col("_den").isNull() | (F.col("_den") == 0) | F.col("_num").isNull(), None
+    ).otherwise(F.col("_num") / F.col("_den"))
+    return per_ts.select(
+        F.lit(name).alias(METRIC), F.col(TS), val.cast("double").alias(VALUE)
+    )
+
+
+def series_with_wildcards(ts: DataFrame, fn: str = "sum", *positions: int) -> DataFrame:
+    """sum/averageSeriesWithWildcards(series, pos...) — drop the given
+    name nodes and aggregate series that collapse to the same remaining
+    name. Pure narrow map + one hash aggregate keyed on (new name, ts)."""
+    parts = F.split(F.col(METRIC), r"\.")
+    pos_list = [int(p) for p in positions]
+    keep = F.filter(parts, lambda x, i: ~i.isin(pos_list))
+    agg = {"sum": F.sum, "avg": F.avg, "average": F.avg}[fn](VALUE)
+    return (
+        ts.withColumn(METRIC, F.array_join(keep, "."))
+        .groupBy(METRIC, TS)
+        .agg(agg.alias(VALUE))
+        .select(METRIC, TS, F.col(VALUE).cast("double"))
+    )
+
+
 def diff_series(ts: DataFrame, first_metric: str, name: str = "diffSeries") -> DataFrame:
     """G6 — ``first - sum(rest)`` point-wise. Graphite safeDiff: None inputs
     are treated as absent (0) unless *all* are None."""
@@ -261,6 +314,26 @@ def pow_(ts: DataFrame, k: float) -> DataFrame:
 
 def square_root(ts: DataFrame) -> DataFrame:
     return _value(ts, F.when(F.col(VALUE) >= 0, F.sqrt(F.col(VALUE))).otherwise(None))
+
+
+def scale_to_seconds(ts: DataFrame, seconds: float, step_seconds: int = 60) -> DataFrame:
+    """scaleToSeconds(series, N) — normalize a per-step value to a
+    per-N-seconds rate (Graphite: value * N / step)."""
+    return _value(ts, F.col(VALUE) * F.lit(float(seconds) / float(step_seconds)))
+
+
+def offset_to_zero(ts: DataFrame) -> DataFrame:
+    """offsetToZero — subtract each series' own minimum. The per-series
+    min is a tiny aggregate broadcast back (same shape as the percentile
+    thresholds in G18)."""
+    mins = ts.groupBy(METRIC).agg(F.min(VALUE).alias("_min"))
+    joined = ts.join(F.broadcast(mins), METRIC)
+    return _value(joined, F.col(VALUE) - F.col("_min")).drop("_min")
+
+
+def is_non_null(ts: DataFrame) -> DataFrame:
+    """isNonNull — 1 where the point has data, 0 where it is null."""
+    return _value(ts, F.col(VALUE).isNotNull().cast("double"))
 
 
 # ---------------------------------------------------------------------------
@@ -399,6 +472,28 @@ def hitcount(ts: DataFrame, interval: str, step_seconds: int) -> DataFrame:
     )
 
 
+def smart_summarize(ts: DataFrame, interval_seconds: int, fn: str = "sum") -> DataFrame:
+    """smartSummarize — like G15 summarize, but buckets are aligned to the
+    start of the fetched range instead of wall-clock interval boundaries.
+    The anchor (global min ts) is a 1-row aggregate broadcast to every
+    partition; bucketing is then a pure projection + one hash aggregate —
+    no second scan, no driver round trip."""
+    anchor = ts.agg(F.min(TS).alias("_t0"))
+    agg = {"sum": F.sum, "avg": F.avg, "average": F.avg,
+           "max": F.max, "min": F.min, "last": lambda c: F.last(c, ignorenulls=True)}[fn](VALUE)
+    idx = F.floor(
+        (F.unix_timestamp(F.col(TS)) - F.unix_timestamp(F.col("_t0"))) / interval_seconds
+    )
+    bucket = F.timestamp_seconds(F.unix_timestamp(F.col("_t0")) + idx * interval_seconds)
+    return (
+        ts.crossJoin(F.broadcast(anchor))
+        .withColumn("_b", bucket)
+        .groupBy(METRIC, "_b")
+        .agg(agg.alias(VALUE))
+        .select(METRIC, F.col("_b").alias(TS), F.col(VALUE).cast("double"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # G17 — null handling
 # ---------------------------------------------------------------------------
@@ -483,6 +578,24 @@ def remove_below_percentile(ts: DataFrame, n: float) -> DataFrame:
     return _value(joined, F.when(F.col(VALUE) >= F.col("_thresh"), F.col(VALUE)).otherwise(None)).drop(
         "_thresh"
     )
+
+
+def n_percentile(ts: DataFrame, n: float) -> DataFrame:
+    """nPercentile — flatten each series to its own nth-percentile value
+    (exact, linear interpolation). Same broadcast-threshold shape as the
+    G18 percentile filters."""
+    th = _per_series_percentile(ts, n)
+    return _value(ts.join(F.broadcast(th), METRIC), F.col("_thresh")).drop("_thresh")
+
+
+def most_deviant(ts: DataFrame, n: int) -> DataFrame:
+    """mostDeviant — keep the n series with the largest population
+    variance (Graphite's "square of the standard deviation", nulls
+    ignored). Top-k on the tiny per-series aggregate, broadcast semi-join
+    back — the fact table is never sorted."""
+    stats = ts.groupBy(METRIC).agg(F.var_pop(VALUE).alias("_stat"))
+    top = stats.orderBy(F.col("_stat").desc_nulls_last(), METRIC).limit(n)
+    return ts.join(F.broadcast(top.select(METRIC)), METRIC, "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -579,6 +692,23 @@ def alias_sub(ts: DataFrame, pattern: str, replacement: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # G27/G28 — synthetic series, grouping by path node
 # ---------------------------------------------------------------------------
+
+def alias_by_metric(ts: DataFrame) -> DataFrame:
+    """aliasByMetric — rename each series to its last name node."""
+    return ts.withColumn(METRIC, F.element_at(F.split(F.col(METRIC), r"\."), -1))
+
+
+def substr_series(ts: DataFrame, start: int = 0, stop: int = 0) -> DataFrame:
+    """substr(series, start, stop) — slice the dotted name to nodes
+    [start, stop) (0-based; stop=0 means through the end), Graphite's
+    name-trimming primitive. Pure projection."""
+    parts = F.split(F.col(METRIC), r"\.")
+    if stop == 0:
+        sliced = F.slice(parts, start + 1, F.size(parts) - start)
+    else:
+        sliced = F.slice(parts, start + 1, F.lit(stop - start))
+    return ts.withColumn(METRIC, F.array_join(sliced, "."))
+
 
 def constant_line(spark, v: float, lo, hi, step_seconds: int, name: str | None = None) -> DataFrame:
     """G27 — synthetic constant series over [lo, hi) at a fixed step."""

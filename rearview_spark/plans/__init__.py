@@ -33,6 +33,11 @@ _NEW_R02 = (
     "doc_stratified_sample",
     "doc_repetition_quality",
     "doc_pack_sequences",
+    "ts_weighted_average",
+    "ts_wildcard_rollup",
+    "ts_most_deviant_band",
+    "ts_pointwise_extras",
+    "ts_smart_summarize",
 )
 
 

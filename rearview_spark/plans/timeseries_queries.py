@@ -927,3 +927,116 @@ FROM banded
 QUERIES["ts_holt_winters"] = {"fn": ts_holt_winters, "oracle": TS_HW_SQL}
 QUERIES["ts_hw_aberration"] = {"fn": ts_hw_aberration, "oracle": TS_HW_AB_SQL}
 QUERIES["ts_hw_confidence_bands"] = {"fn": ts_hw_confidence_bands, "oracle": TS_HW_BANDS_SQL}
+
+
+# --- Graphite long tail: weightedAverage / wildcards / deviance / extras -----
+
+def ts_weighted_average(spark, sf_dir):
+    """weightedAverage(u0.*, u1.*, 1): pair the two user slices by
+    event-type node, sum(avg*weight)/sum(weight) point-wise."""
+    series = _prefixed(spark, sf_dir)
+    a = G.grep(series, r"^u0\.")
+    w = G.grep(series, r"^u1\.")
+    return _rounded(G.weighted_average(a, w, 1))
+
+
+TS_WEIGHTED_AVG_SQL = PREFIXED_CTE + """
+, a AS (SELECT split_part(metric, '.', 2) AS k, ts, value AS av
+        FROM hourly WHERE metric LIKE 'u0.%'),
+w AS (SELECT split_part(metric, '.', 2) AS k, ts, value AS wv
+      FROM hourly WHERE metric LIKE 'u1.%'),
+paired AS (
+  SELECT coalesce(a.ts, w.ts) AS ts, wv,
+         CASE WHEN av IS NOT NULL AND wv IS NOT NULL THEN av * wv END AS prod
+  FROM a FULL JOIN w ON a.k = w.k AND a.ts = w.ts
+),
+per_ts AS (SELECT ts, sum(prod) AS num, sum(wv) AS den FROM paired GROUP BY ts)
+SELECT 'weightedAverage' AS metric, ts,
+       round(CASE WHEN den IS NULL OR den = 0 OR num IS NULL THEN NULL
+             ELSE num / den END + 0.00000005, 4) AS value
+FROM per_ts
+"""
+
+
+def ts_wildcard_rollup(spark, sf_dir):
+    """averageSeriesWithWildcards(u*.<type>, 0): drop the user node and
+    average series that collapse to the same remaining name."""
+    return _rounded(G.series_with_wildcards(_prefixed(spark, sf_dir), "avg", 0))
+
+
+TS_WILDCARD_SQL = PREFIXED_CTE + """
+SELECT split_part(metric, '.', 2) AS metric, ts,
+       round(avg(value) + 0.00000005, 4) AS value
+FROM hourly GROUP BY 1, 2
+"""
+
+
+def ts_most_deviant_band(spark, sf_dir):
+    """nPercentile(mostDeviant(series, 3), 90): the 3 most variable
+    series flattened to their own 90th percentile."""
+    return _rounded(G.n_percentile(G.most_deviant(_prefixed(spark, sf_dir), 3), 90.0))
+
+
+TS_DEVIANT_SQL = PREFIXED_CTE + """
+, dev AS (
+  SELECT metric FROM (
+    SELECT metric, var_pop(value) AS v FROM hourly GROUP BY metric
+  ) ORDER BY v DESC, metric LIMIT 3
+),
+kept AS (SELECT h.* FROM hourly h JOIN dev USING (metric)),
+th AS (SELECT metric, quantile_cont(value, 0.9) AS t FROM kept GROUP BY metric)
+SELECT metric, ts, round(t + 0.00000005, 4) AS value
+FROM kept JOIN th USING (metric)
+"""
+
+
+def ts_pointwise_extras(spark, sf_dir):
+    """isNonNull / offsetToZero / scaleToSeconds over a frame with real
+    nulls (removeAbovePercentile(80) nulls the top quintile)."""
+    base = G.remove_above_percentile(_prefixed(spark, sf_dir), 80.0)
+    nn = G.is_non_null(base).select("metric", "ts", F.col("value").alias("non_null"))
+    z = G.offset_to_zero(base).select("metric", "ts", r4(F.col("value")).alias("zeroed"))
+    s = G.scale_to_seconds(base, 1).select("metric", "ts", r4(F.col("value")).alias("per_sec"))
+    return nn.join(z, ["metric", "ts"]).join(s, ["metric", "ts"])
+
+
+TS_EXTRAS_SQL = PREFIXED_CTE + """
+, th AS (SELECT metric, quantile_cont(value, 0.8) AS t FROM hourly GROUP BY metric),
+filt AS (
+  SELECT h.metric, h.ts, CASE WHEN h.value <= t THEN h.value END AS value
+  FROM hourly h JOIN th USING (metric)
+),
+mins AS (SELECT metric, min(value) AS mn FROM filt GROUP BY metric)
+SELECT f.metric, f.ts,
+       CASE WHEN f.value IS NULL THEN 0.0 ELSE 1.0 END AS non_null,
+       round(f.value - mn + 0.00000005, 4) AS zeroed,
+       round(f.value / 60.0 + 0.00000005, 4) AS per_sec
+FROM filt f JOIN mins USING (metric)
+"""
+
+
+def ts_smart_summarize(spark, sf_dir):
+    """smartSummarize('90min', sum): buckets anchored to the fetch start
+    (global min ts), not wall-clock boundaries."""
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    return _rounded(G.smart_summarize(series, 5400, "sum"))
+
+
+TS_SMART_SUMMARIZE_SQL = """
+WITH t0 AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS e0 FROM events),
+b AS (
+  SELECT event_type AS metric,
+         CAST(to_timestamp(e0 + CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - e0) / 5400.0) AS BIGINT) * 5400)
+              AS TIMESTAMP) AS ts,
+         value
+  FROM events, t0
+)
+SELECT metric, ts, round(sum(value) + 0.00000005, 4) AS value FROM b GROUP BY 1, 2
+"""
+
+
+QUERIES["ts_weighted_average"] = {"fn": ts_weighted_average, "oracle": TS_WEIGHTED_AVG_SQL}
+QUERIES["ts_wildcard_rollup"] = {"fn": ts_wildcard_rollup, "oracle": TS_WILDCARD_SQL}
+QUERIES["ts_most_deviant_band"] = {"fn": ts_most_deviant_band, "oracle": TS_DEVIANT_SQL}
+QUERIES["ts_pointwise_extras"] = {"fn": ts_pointwise_extras, "oracle": TS_EXTRAS_SQL}
+QUERIES["ts_smart_summarize"] = {"fn": ts_smart_summarize, "oracle": TS_SMART_SUMMARIZE_SQL}

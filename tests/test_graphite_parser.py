@@ -164,3 +164,61 @@ def test_hw_confidence_bands_parsed(spark):
         "holtWintersConfidenceUpper(m)",
         "holtWintersConfidenceLower(m)",
     }
+
+
+def test_long_tail_weighted_average(spark):
+    series = make_series(spark, {
+        "a.cpu": [2.0, 4.0], "a.mem": [10.0, 10.0],
+        "w.cpu": [1.0, 3.0], "w.mem": [3.0, 1.0],
+    })
+    out = evaluate_target(
+        "weightedAverage(grep(a.*, '^a\\.'), grep(w.*, '^w\\.'), 1)", series
+    )
+    # ts0: (2*1 + 10*3) / (1+3) = 8.0 ; ts1: (4*3 + 10*1) / (3+1) = 5.5
+    assert vals(out) == [8.0, 5.5]
+
+
+def test_long_tail_wildcards_and_stddev(spark):
+    series = make_series(spark, {"u0.req": [1.0, 3.0], "u1.req": [3.0, 5.0]})
+    avg = evaluate_target("averageSeriesWithWildcards(u*.req, 0)", series)
+    assert [r["metric"] for r in avg.collect()][0] == "req"
+    assert vals(avg) == [2.0, 4.0]
+    sd = evaluate_target("stddevSeries(u0.req, u1.req)", series)
+    assert vals(sd) == [1.0, 1.0]  # population stddev of {1,3} / {3,5}
+
+
+def test_long_tail_npercentile_most_deviant(spark):
+    series = make_series(spark, {
+        "flat": [5.0, 5.0, 5.0, 5.0],
+        "wild": [0.0, 10.0, 0.0, 10.0],
+        "mild": [4.0, 6.0, 4.0, 6.0],
+    })
+    kept = evaluate_target("mostDeviant(2, *)", series)  # 0.9.x arg order
+    assert set(r["metric"] for r in kept.collect()) == {"wild", "mild"}
+    kept2 = evaluate_target("mostDeviant(*, 2)", series)  # 1.x arg order
+    assert set(r["metric"] for r in kept2.collect()) == {"wild", "mild"}
+    np_ = evaluate_target("nPercentile(flat, 50)", series)
+    assert set(vals(np_, "flat")) == {5.0}
+
+
+def test_long_tail_pointwise_and_naming(spark):
+    series = make_series(spark, {"x.y.z": [60.0, None, 120.0]})
+    assert vals(evaluate_target("scaleToSeconds(x.y.z, 1)", series)) == [1.0, None, 2.0]
+    assert vals(evaluate_target("offsetToZero(x.y.z)", series)) == [0.0, None, 60.0]
+    assert vals(evaluate_target("isNonNull(x.y.z)", series)) == [1.0, 0.0, 1.0]
+    assert [r["metric"] for r in evaluate_target("aliasByMetric(x.y.z)", series).collect()][0] == "z"
+    assert [r["metric"] for r in evaluate_target("substr(x.y.z, 1)", series).collect()][0] == "y.z"
+    assert [r["metric"] for r in evaluate_target("substr(x.y.z, 0, 2)", series).collect()][0] == "x.y"
+    assert vals(evaluate_target("minimumAbove(x.y.z, 100)", series)) == []
+    # display decorations are data no-ops
+    assert vals(evaluate_target("secondYAxis(stacked(x.y.z))", series)) == [60.0, None, 120.0]
+
+
+def test_long_tail_smart_summarize(spark):
+    # points at minutes 0..4; 2-minute buckets anchored at min ts
+    series = make_series(spark, {"m": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = evaluate_target("smartSummarize(m, '2min', 'sum')", series)
+    assert vals(out) == [3.0, 7.0, 5.0]
+    thr = evaluate_target("threshold(4, 'limit')", series)
+    assert set(r["metric"] for r in thr.collect()) == {"limit"}
+    assert set(vals(thr)) == {4.0}
