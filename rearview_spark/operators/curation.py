@@ -61,7 +61,7 @@ def benchmark_contamination(
     semi-join + one aggregate keyed on doc_id; the corpus never
     shuffles on gram.
     """
-    tgrams = train.select(
+    tgrams = ensure_parallelism(train, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )
     bgrams = (
