@@ -378,3 +378,167 @@ def ivf_kmeans_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double arrays — sequential fold,
+    (x-y)*(x-y) so Spark and the SQL oracle share the exact op."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(df: DataFrame, m: int, sub: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, s, sv): each vector split into m contiguous subvectors of
+    ``sub`` dims — one narrow projection + explode, no shuffle."""
+    dv = _as_double(F.col(vec_col))
+    pieces = F.array(*[
+        F.struct(F.lit(s).alias("s"), F.slice(dv, s * sub + 1, sub).alias("sv"))
+        for s in range(m)
+    ])
+    return df.select(F.col(id_col), F.explode(pieces).alias("p")).select(
+        id_col, "p.s", "p.sv"
+    )
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebooks (public Jegou et al. PQ scheme):
+    split each vector into ``m`` subspaces and run L2 k-means per
+    subspace -> ``(s, code, centroid)`` with ``m*k`` rows total.
+
+    All subspaces train SIMULTANEOUSLY: the subvector frame carries the
+    subspace id ``s``, so one assign-join + one update-aggregate per
+    Lloyd iteration covers every subspace (iterations cost O(n*m*k)
+    joined rows, not m separate fits). Deterministic init (the k
+    smallest ids' subvectors) and smallest-code tie-breaks keep the fit
+    reproducible — the property the recursive SQL oracle relies on.
+    Lineage is truncated per iteration (localCheckpoint)."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    subs = _subvectors(corpus, m, sub, id_col, vec_col).cache()
+    seed_ids = corpus.select(id_col).orderBy(id_col).limit(k)
+    codebook = (
+        subs.join(F.broadcast(seed_ids), id_col)
+        .select(
+            "s",
+            (F.row_number().over(Window.partitionBy("s").orderBy(id_col)) - 1).alias("code"),
+            F.col("sv").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        d = _sq_l2(F.col("sv"), F.col("centroid"))
+        assigned = (
+            subs.join(F.broadcast(codebook), "s")
+            .select(id_col, "s", "sv", F.struct(d.alias("d"), F.col("code").alias("c")).alias("dc"))
+            .groupBy(id_col, "s")
+            .agg(F.min("dc").alias("dc"), F.first("sv").alias("sv"))
+            .select(id_col, "s", F.col("dc.c").alias("code"), "sv")
+        )
+        means = (
+            assigned.select("s", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("s", "code", F.transform("pm", lambda t: t["m"]).alias("centroid"))
+        )
+        codebook = (
+            codebook.select("s", "code", F.col("centroid").alias("_prev"))
+            .join(means, ["s", "code"], "left")
+            .select("s", "code", F.coalesce("centroid", "_prev").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return codebook
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes: (id, s, code) — the
+    nearest codebook centroid per subspace. This is the 100 TB payoff:
+    a 64-dim float vector (256-512 B) becomes m bytes (~4 B), so a
+    billion-vector index fits executor memory and the ANN scan reads
+    codes, not vectors. Broadcast codebook, map-side argmin — the corpus
+    never shuffles."""
+    sub = dim // m
+    subs = _subvectors(corpus, m, sub, id_col, vec_col)
+    d = _sq_l2(F.col("sv"), F.col("centroid"))
+    return (
+        subs.join(F.broadcast(codebook), "s")
+        .select(id_col, "s", F.struct(d.alias("d"), F.col("code").alias("c")).alias("dc"))
+        .groupBy(id_col, "s")
+        .agg(F.min("dc").alias("dc"))
+        .select(id_col, "s", F.col("dc.c").alias("code"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, compute
+    the m*k table of (subspace, code) -> squared-L2 partial distances
+    once, then every corpus vector's approximate distance is m table
+    lookups summed — no vector arithmetic in the scan.
+
+    Returns (query_id, vec_id, approx_dist, rank), ascending distance.
+
+    Scale shape: the distance tables are |queries| * m * k rows —
+    broadcast; the codes frame joins them on (s, code) and aggregates by
+    (query, vec): the only corpus-sized shuffle carries (query, vec,
+    partial) triples. At 100 TB, compose with the IVF router
+    (:func:`ivf_topk`) so ADC scans only the probed buckets' codes —
+    IVF prunes, PQ compresses; together they are the standard
+    billion-scale recipe."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    codebook = pq_fit(corpus, m, k_codes, iters, id_col, vec_col, dim)
+    codes = pq_encode(corpus, codebook, m, id_col, vec_col, dim)
+    qsubs = _subvectors(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        m, sub, "query_id", vec_col,
+    )
+    dtable = qsubs.join(F.broadcast(codebook), "s").select(
+        "query_id", "s", "code", _sq_l2(F.col("sv"), F.col("centroid")).alias("d")
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["s", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d").alias("dist"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            F.round(F.col("dist") + F.lit(5e-10), 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)

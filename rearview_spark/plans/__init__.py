@@ -38,6 +38,7 @@ _NEW_R02 = (
     "ts_most_deviant_band",
     "ts_pointwise_extras",
     "ts_smart_summarize",
+    "sim_pq_topk",
 )
 
 

@@ -843,3 +843,88 @@ FROM packed ORDER BY doc_id
 """
 
 QUERIES["doc_pack_sequences"] = {"fn": doc_pack_sequences, "oracle": DOC_PACK_SQL}
+
+
+# --- Product quantization ADC top-k ------------------------------------------
+
+def _pq_iteration_sql(i: int) -> str:
+    """One per-subspace Lloyd iteration as CTEs (same unrolling technique
+    as _kmeans_iteration_sql, with the subspace id carried through)."""
+    return f"""
+pit{i} AS (
+  SELECT vec_id, s, sv, code FROM (
+    SELECT sub.vec_id, sub.s, sub.sv, c.code,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                              ORDER BY list_sum([(sub.sv[j+1] - c.centroid[j+1]) * (sub.sv[j+1] - c.centroid[j+1]) for j in range(16)]) ASC, c.code) AS rn
+    FROM psubs sub JOIN pcb{i - 1} c ON c.s = sub.s
+  ) WHERE rn = 1
+),
+pup{i} AS (
+  SELECT s, code, list(m ORDER BY pos) AS centroid FROM (
+    SELECT s, code, pos, avg(x) AS m FROM (
+      SELECT s, code, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM pit{i}
+    ) GROUP BY s, code, pos
+  ) GROUP BY s, code
+),
+pcb{i} AS (
+  SELECT c.s, c.code, COALESCE(u.centroid, c.centroid) AS centroid
+  FROM pcb{i - 1} c LEFT JOIN pup{i} u ON c.s = u.s AND c.code = u.code
+)"""
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: 4 subspaces x 16 codes, 2 Lloyd
+    iterations, asymmetric distance tables. The oracle re-derives the
+    per-subspace codebooks, the code assignments, and the ADC sums —
+    chained-CTE unrolling, as with the k-means IVF gate."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.pq_topk(emb, queries, topk=10, m=4, k_codes=16, iters=2)
+
+
+SIM_PQ_SQL = (
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+psubs AS (
+  SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv
+  FROM base, (SELECT unnest(range(4)) AS s)
+),
+pcb0 AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+         sv AS centroid
+  FROM psubs
+  WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 16)
+),"""
+    + ",".join(_pq_iteration_sql(i) for i in (1, 2))
+    + """,
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, c.code,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                              ORDER BY list_sum([(sub.sv[j+1] - c.centroid[j+1]) * (sub.sv[j+1] - c.centroid[j+1]) for j in range(16)]) ASC, c.code) AS rn
+    FROM psubs sub JOIN pcb2 c ON c.s = sub.s
+  ) WHERE rn = 1
+),
+dtable AS (
+  SELECT q.vec_id AS query_id, q.s, c.code,
+         list_sum([(q.sv[j+1] - c.centroid[j+1]) * (q.sv[j+1] - c.centroid[j+1]) for j in range(16)]) AS d
+  FROM psubs q JOIN pcb2 c ON c.s = q.s
+  WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT d.query_id, codes.vec_id,
+         round(sum(d.d) + 0.0000000005, 6) AS approx_dist
+  FROM codes JOIN dtable d ON d.s = codes.s AND d.code = codes.code
+  WHERE codes.vec_id <> d.query_id
+  GROUP BY d.query_id, codes.vec_id
+)
+SELECT query_id, vec_id, approx_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+)
+
+QUERIES["sim_pq_topk"] = {"fn": sim_pq_topk, "oracle": SIM_PQ_SQL}

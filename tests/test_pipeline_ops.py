@@ -310,3 +310,51 @@ def test_kmeans_fit_deterministic(spark, sf_dir):
     c1 = {r["bucket"]: r["centroid"] for r in S.kmeans_fit(emb, k=4, iters=2).collect()}
     c2 = {r["bucket"]: r["centroid"] for r in S.kmeans_fit(emb, k=4, iters=2).collect()}
     assert c1 == c2
+
+
+def test_pq_codes_compact_and_deterministic(spark, sf_dir):
+    from rearview_spark.sources.loader import load_table
+    from rearview_spark.operators.similarity import pq_fit, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb1 = pq_fit(emb, m=4, k=16, iters=2)
+    cb2 = pq_fit(emb, m=4, k=16, iters=2)
+    assert cb1.count() == 64  # 4 subspaces x 16 codes
+    # deterministic fit: identical codebooks row for row
+    assert cb1.exceptAll(cb2).count() == 0
+    codes = pq_encode(emb, cb1, m=4)
+    n = emb.count()
+    assert codes.count() == n * 4
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert rng[0] >= 0 and rng[1] <= 15
+
+
+def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    from rearview_spark.sources.loader import load_table
+    from rearview_spark.operators.similarity import brute_force_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # cosine brute-force as ground truth: PQ approximates L2, so the
+    # overlap bound is loose — it guards against collapse, not parity
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk(emb, queries, topk=10).collect()
+    }
+    # 16x compression is lossy; expect meaningful-but-imperfect overlap
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.2, f"PQ recall vs brute force collapsed: {overlap}"
+    # ranks are 1..10 per query, ascending distance
+    rows = pq_topk(emb, queries, topk=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["approx_dist"]))
+    for q, rr in by_q.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, 11))
+        dists = [x[1] for x in rr]
+        assert dists == sorted(dists)
