@@ -385,6 +385,10 @@ def _eval(node, ts: DataFrame) -> DataFrame:
         return G.filter_series(_eval(args[0], ts), stat, op, _num(args[1], name))
     if name == "nPercentile":
         return G.n_percentile(_eval(args[0], ts), _num(args[1], name))
+    if name == "averageOutsidePercentile":
+        return G.average_outside_percentile(_eval(args[0], ts), _num(args[1], name))
+    if name == "removeBetweenPercentile":
+        return G.remove_between_percentile(_eval(args[0], ts), _num(args[1], name))
     if name == "mostDeviant":
         # 0.9.x signature is mostDeviant(n, seriesList); 1.x flipped the
         # argument order — accept both.

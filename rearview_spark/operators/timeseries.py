@@ -588,6 +588,43 @@ def n_percentile(ts: DataFrame, n: float) -> DataFrame:
     return _value(ts.join(F.broadcast(th), METRIC), F.col("_thresh")).drop("_thresh")
 
 
+def average_outside_percentile(ts: DataFrame, n: float) -> DataFrame:
+    """averageOutsidePercentile — keep series whose average lies outside
+    the [n, 100-n] percentile band of all series' averages. The band is a
+    1-row aggregate over the (tiny) per-series means, broadcast back."""
+    lo_p, hi_p = min(n, 100 - n) / 100.0, max(n, 100 - n) / 100.0
+    avgs = ts.groupBy(METRIC).agg(F.avg(VALUE).alias("_avg"))
+    band = avgs.agg(
+        F.expr(f"percentile(_avg, {lo_p})").alias("_lo"),
+        F.expr(f"percentile(_avg, {hi_p})").alias("_hi"),
+    )
+    keep = (
+        avgs.crossJoin(F.broadcast(band))
+        .filter((F.col("_avg") < F.col("_lo")) | (F.col("_avg") > F.col("_hi")))
+        .select(METRIC)
+    )
+    return ts.join(F.broadcast(keep), METRIC, "left_semi")
+
+
+def remove_between_percentile(ts: DataFrame, n: float) -> DataFrame:
+    """removeBetweenPercentile — keep series with at least one point
+    outside the per-timestamp [n, 100-n] percentile band across series.
+    Band per ts is one hash aggregate; the escape test is a semi-join on
+    metric — the fact table shuffles once on ts, never sorts globally."""
+    lo_p, hi_p = min(n, 100 - n) / 100.0, max(n, 100 - n) / 100.0
+    band = ts.groupBy(TS).agg(
+        F.expr(f"percentile(value, {lo_p})").alias("_lo"),
+        F.expr(f"percentile(value, {hi_p})").alias("_hi"),
+    )
+    escapes = (
+        ts.join(band, TS)
+        .filter((F.col(VALUE) < F.col("_lo")) | (F.col(VALUE) > F.col("_hi")))
+        .select(METRIC)
+        .distinct()
+    )
+    return ts.join(F.broadcast(escapes), METRIC, "left_semi")
+
+
 def most_deviant(ts: DataFrame, n: int) -> DataFrame:
     """mostDeviant — keep the n series with the largest population
     variance (Graphite's "square of the standard deviation", nulls

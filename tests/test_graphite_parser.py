@@ -222,3 +222,27 @@ def test_long_tail_smart_summarize(spark):
     thr = evaluate_target("threshold(4, 'limit')", series)
     assert set(r["metric"] for r in thr.collect()) == {"limit"}
     assert set(vals(thr)) == {4.0}
+
+
+def test_long_tail_percentile_band_filters(spark):
+    series = make_series(spark, {
+        "low":  [1.0, 1.0, 1.0, 1.0],
+        "mid1": [5.0, 5.0, 5.0, 5.0],
+        "mid2": [5.5, 5.5, 5.5, 5.5],
+        "mid3": [6.0, 6.0, 6.0, 6.0],
+        "high": [9.0, 9.0, 9.0, 9.0],
+    })
+    out = evaluate_target("averageOutsidePercentile(*, 20)", series)
+    assert set(r["metric"] for r in out.collect()) == {"low", "high"}
+    # one mid series spikes outside the per-ts band once -> it survives
+    series2 = make_series(spark, {
+        "low":  [1.0, 1.0, 1.0, 1.0],
+        "mid":  [5.0, 99.0, 5.0, 5.0],
+        "mid2": [5.5, 5.5, 5.5, 5.5],
+        "mid3": [5.2, 5.2, 5.2, 5.2],
+        "high": [9.0, 9.0, 9.0, 9.0],
+    })
+    out2 = evaluate_target("removeBetweenPercentile(*, 20)", series2)
+    kept = set(r["metric"] for r in out2.collect())
+    assert "mid" in kept and "low" in kept and "high" in kept
+    assert "mid2" not in kept and "mid3" not in kept
