@@ -137,3 +137,58 @@ def test_minhash_signature_identical_docs_collide(spark, n):
     )
     sigs = D.minhash_signature(docs).select(F.col("sig").cast("string")).distinct()
     assert sigs.count() == 1
+
+
+# --- curation operators ------------------------------------------------------
+
+token_counts_strategy = st.lists(
+    st.integers(min_value=1, max_value=120), min_size=1, max_size=60
+)
+
+
+@given(counts=token_counts_strategy, budget=st.integers(min_value=16, max_value=200))
+@SETTINGS
+def test_pack_sequences_greedy_invariants(spark, counts, budget):
+    """Independent replay of the greedy recurrence + structural
+    invariants, over randomized doc lengths and budgets (single shard so
+    the recurrence is global)."""
+    from rearview_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * c), "en") for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: (r["pack_seq"], r["pack_pos"], r["pack_fill"])
+        for r in pack_sequences(df, budget=budget, n_shards=1).collect()
+    }
+    # reference replay
+    seq, fill, pos = 0, 0, 0
+    for i, c in enumerate(counts):
+        if pos > 0 and fill + c > budget:
+            seq, fill, pos = seq + 1, 0, 0
+        fill += c
+        pos += 1
+        assert out[i] == (seq, pos, fill), (i, counts, budget)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                 max_size=80, unique=True),
+    rate=st.sampled_from([0.0, 0.15, 0.5, 1.0]),
+)
+@SETTINGS
+def test_stratified_sample_matches_md5_rule_exactly(spark, ids, rate):
+    import hashlib
+
+    from rearview_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame([(i, "t", "xx") for i in ids],
+                               "doc_id long, text string, lang string")
+    kept = sorted(
+        r["doc_id"] for r in stratified_sample(df, {}, default_rate=rate).collect()
+    )
+    expect = sorted(
+        i for i in ids
+        if int(hashlib.md5(f"{i}:strat".encode()).hexdigest()[:15], 16) % 10000
+        < rate * 10000
+    )
+    assert kept == expect
