@@ -52,12 +52,18 @@ def brute_force_topk(
     Excludes self-matches. Ties broken by vec_id for determinism."""
     from pyspark.sql import Window
 
+    from rearview_spark.operators._util import ensure_parallelism
+
     qv = _as_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"), qv.alias("qv"), _norm(qv).alias("qn")
     )
     cv = _as_double(F.col(vec_col))
-    c = corpus.select(F.col(id_col), cv.alias("cv"), _norm(cv).alias("cn"))
+    # single-partition small-SF parquet would score the whole corpus on
+    # one thread (no-op at real scale — see _util.ensure_parallelism)
+    c = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col), cv.alias("cv"), _norm(cv).alias("cn")
+    )
     # norms precomputed per row (not per pair): one interpreted fold per
     # scored pair instead of three; identical doubles (same fold order).
     denom = F.col("qn") * F.col("cn")
@@ -118,8 +124,12 @@ def ivf_topk(
     probes = qc.withColumn("r", F.row_number().over(wq)).filter(F.col("r") <= nprobe).select(
         "query_id", "qv", "qn", label_col
     )
+    from rearview_spark.operators._util import ensure_parallelism
+
     cv = _as_double(F.col(vec_col))
-    c = corpus.select(F.col(id_col), F.col(label_col), cv.alias("cv"), _norm(cv).alias("cn"))
+    c = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col), F.col(label_col), cv.alias("cv"), _norm(cv).alias("cn")
+    )
     denom = F.col("qn") * F.col("cn")
     sim = F.when(denom == 0, None).otherwise(_dot(F.col("qv"), F.col("cv")) / denom)
     scored = (
@@ -180,6 +190,13 @@ def embedding_near_duplicates(
     bands at corpus scale put hundreds of vectors per bucket and the
     verify stage degenerates toward all-pairs)."""
     from pyspark.sql import Window  # noqa: F401  (parity with module imports)
+
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # small-SF parquet arrives as ONE partition; the signature projection
+    # and the per-vector norm scan would run single-threaded (no-op at
+    # real scale — see _util.ensure_parallelism)
+    corpus = ensure_parallelism(corpus, id_col)
 
     W = hyperplane_weights(planes, dim)
     # Each plane's sign bit is built as ONE SQL string parsed JVM-side:
@@ -275,7 +292,14 @@ def kmeans_fit(
     (standard Lloyd degenerate-case handling)."""
     from pyspark.sql import Window
 
-    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # cached: every Lloyd iteration reads vecs twice (assign + update) and
+    # the seed scan once — without the cache that is 2*iters+1 parquet
+    # scans + array casts; with it, one parallel scan total.
+    vecs = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).cache()
     codebook = (
         vecs.orderBy(id_col)
         .limit(k)
@@ -319,20 +343,42 @@ def assign_buckets(
     call (VERDICT r01 #6). Ties resolve to the smallest bucket — the
     oracle's ``ORDER BY sim DESC, bucket`` — and zero-norm vectors
     (null cosine) coalesce below the cosine floor, landing in the
-    smallest bucket deterministically."""
+    smallest bucket deterministically.
+
+    Per-row cost: ONE norm fold + k dot folds. Centroid norms are
+    computed driver-side in Python (sequential ``sum`` — the identical
+    IEEE add order as the in-plan fold, so the doubles are bit-equal)
+    and the vector's own norm is a shared column instead of being
+    re-folded once per centroid (k+1 interpreted folds per row, down
+    from 3k — HOFs never enter codegen, so fold count IS the cost).
+    The whole argmax is one parsed SQL expression (one Py4J round
+    trip)."""
+    import math
+
     cents = sorted(codebook.collect(), key=lambda r: r["bucket"])
     structs = []
     for r in cents:
         arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["centroid"]) + ")"
-        sim = cosine(F.col(vec_expr), F.expr(arr))
-        structs.append(
-            F.struct(
-                F.coalesce(sim, F.lit(-2.0)).alias("s"),
-                F.lit(-r["bucket"]).alias("nb"),
-                F.lit(r["bucket"]).alias("b"),
-            )
+        cn = math.sqrt(sum(x * x for x in r["centroid"]))
+        dot = (
+            f"aggregate(zip_with({vec_expr}, {arr}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
         )
-    return vecs.withColumn("bucket", F.array_max(F.array(*structs))["b"])
+        denom = f"(__ncv * CAST({cn!r} AS DOUBLE))"
+        sim = f"(CASE WHEN {denom} = 0 THEN CAST(-2.0 AS DOUBLE) ELSE {dot} / {denom} END)"
+        structs.append(
+            f"named_struct('s', {sim}, 'nb', {-r['bucket']}, 'b', {r['bucket']})"
+        )
+    argmax = f"array_max(array({', '.join(structs)})).b"
+    ncv = (
+        f"sqrt(aggregate(transform({vec_expr}, x -> x * x),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    return (
+        vecs.withColumn("__ncv", F.expr(ncv))
+        .withColumn("bucket", F.expr(argmax))
+        .drop("__ncv")
+    )
 
 
 def ivf_kmeans_topk(
@@ -351,8 +397,12 @@ def ivf_kmeans_topk(
     nearest centroids and run exact cosine inside those buckets only."""
     from pyspark.sql import Window
 
+    from rearview_spark.operators._util import ensure_parallelism
+
     codebook = kmeans_fit(corpus, n_buckets, iters, id_col, vec_col)
-    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    vecs = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).cache()
     bucketed = assign_buckets(vecs, codebook).withColumn("cn", _norm(F.col("cv")))
 
     qv = _as_double(F.col(vec_col))
@@ -429,8 +479,10 @@ def pq_fit(
     Lineage is truncated per iteration (localCheckpoint)."""
     from pyspark.sql import Window
 
+    from rearview_spark.operators._util import ensure_parallelism
+
     sub = dim // m
-    subs = _subvectors(corpus, m, sub, id_col, vec_col).cache()
+    subs = _subvectors(ensure_parallelism(corpus, id_col), m, sub, id_col, vec_col).cache()
     seed_ids = corpus.select(id_col).orderBy(id_col).limit(k)
     codebook = (
         subs.join(F.broadcast(seed_ids), id_col)
@@ -481,8 +533,10 @@ def pq_encode(
     billion-vector index fits executor memory and the ANN scan reads
     codes, not vectors. Broadcast codebook, map-side argmin — the corpus
     never shuffles."""
+    from rearview_spark.operators._util import ensure_parallelism
+
     sub = dim // m
-    subs = _subvectors(corpus, m, sub, id_col, vec_col)
+    subs = _subvectors(ensure_parallelism(corpus, id_col), m, sub, id_col, vec_col)
     d = _sq_l2(F.col("sv"), F.col("centroid"))
     return (
         subs.join(F.broadcast(codebook), "s")
