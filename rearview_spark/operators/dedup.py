@@ -437,27 +437,33 @@ def connected_components(
         .select(F.col("src").alias("id"), F.col("src").alias("comp"))
         .localCheckpoint(eager=True)
     )
+
+    # Convergence test: min-propagation only ever DECREASES labels, so the
+    # exact sum of labels is strictly monotone until the fixpoint — equal
+    # sums mean no label moved. One tiny aggregate over the checkpointed
+    # frame per round, instead of the label-vs-label shuffle join the
+    # first version paid per round (that join doubled the per-iteration
+    # wall on configuration-scale graphs). decimal(38) keeps the sum
+    # exact at any node count.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "comp")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_min)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
