@@ -596,3 +596,83 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    n_buckets: int = 8,
+    nprobe: int = 2,
+    router_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF+PQ: the composed billion-scale ANN recipe. A k-means router
+    assigns every vector to a coarse bucket (IVF — probing prunes the
+    scan to nprobe/n_buckets of the corpus); within the probed buckets,
+    scoring is asymmetric distance over PQ codes (the scan reads m bytes
+    per vector, not the vector). This variant quantizes raw vectors
+    (IVF-Flat+PQ); residual encoding is the classical refinement and
+    slots into the same plan shape.
+
+    Returns (query_id, vec_id, approx_dist, rank) — ascending ADC
+    distance within the probed buckets.
+
+    Scale shape: codebooks and per-query distance tables broadcast; the
+    candidate set is bucket-pruned BEFORE touching codes, so the one
+    corpus-sized shuffle carries (query, vec, partial) rows for probed
+    buckets only. Persist codes partitioned by bucket and the probe
+    join becomes partition pruning."""
+    from pyspark.sql import Window
+
+    from rearview_spark.operators._util import ensure_parallelism
+
+    router = kmeans_fit(corpus, n_buckets, router_iters, id_col, vec_col)
+    vecs = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).cache()
+    bucketed = assign_buckets(vecs, router).select(id_col, "bucket")
+
+    pq_cb = pq_fit(corpus, m, k_codes, pq_iters, id_col, vec_col, dim)
+    codes = pq_encode(corpus, pq_cb, m, id_col, vec_col, dim)
+
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"), _norm(qv).alias("qn"))
+    qc = q.crossJoin(F.broadcast(router)).select(
+        "query_id", "bucket", cosine(F.col("qv"), F.col("centroid")).alias("csim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("bucket"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "bucket")
+    )
+
+    sub = dim // m
+    qsubs = _subvectors(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        m, sub, "query_id", vec_col,
+    )
+    dtable = qsubs.join(F.broadcast(pq_cb), "s").select(
+        "query_id", "s", "code", _sq_l2(F.col("sv"), F.col("centroid")).alias("d")
+    )
+
+    cands = bucketed.join(F.broadcast(probes), "bucket").select("query_id", id_col)
+    scored = (
+        cands.join(codes, id_col)
+        .join(F.broadcast(dtable), ["query_id", "s", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d").alias("dist"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            F.round(F.col("dist") + F.lit(5e-10), 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)

@@ -39,6 +39,7 @@ _NEW_R02 = (
     "ts_pointwise_extras",
     "ts_smart_summarize",
     "sim_pq_topk",
+    "sim_ivf_pq_topk",
 )
 
 

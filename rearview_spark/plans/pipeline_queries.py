@@ -928,3 +928,96 @@ SELECT query_id, vec_id, approx_dist, rank FROM (
 )
 
 QUERIES["sim_pq_topk"] = {"fn": sim_pq_topk, "oracle": SIM_PQ_SQL}
+
+
+# --- IVF+PQ composed ANN -----------------------------------------------------
+
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF router (8 buckets, 2 cosine Lloyd iterations) + PQ codes
+    (4x16, 2 L2 Lloyd iterations) + ADC scoring inside the probed
+    buckets — the composed billion-scale recipe, fully re-derived by the
+    oracle (router CTEs + subspace CTEs + code assignment + ADC sums)."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_pq_topk(
+        emb, queries, topk=10, n_buckets=8, nprobe=2, router_iters=2,
+        m=4, k_codes=16, pq_iters=2,
+    )
+
+
+SIM_IVF_PQ_SQL = (
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, v AS centroid
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)
+),"""
+    + ",".join(_kmeans_iteration_sql(i) for i in (1, 2))
+    + """,
+assigned AS (
+  SELECT vec_id, bucket FROM (
+    SELECT b.vec_id, c.bucket,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.bucket) AS rn
+    FROM base b CROSS JOIN cb2 c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, bucket FROM (
+    SELECT q.query_id, c.bucket,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.bucket) AS r
+    FROM q CROSS JOIN cb2 c
+  ) WHERE r <= 2
+),
+psubs AS (
+  SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv
+  FROM base, (SELECT unnest(range(4)) AS s)
+),
+pcb0 AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+         sv AS centroid
+  FROM psubs
+  WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 16)
+),"""
+    + ",".join(_pq_iteration_sql(i) for i in (1, 2))
+    + """,
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, c.code,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                              ORDER BY list_sum([(sub.sv[j+1] - c.centroid[j+1]) * (sub.sv[j+1] - c.centroid[j+1]) for j in range(16)]) ASC, c.code) AS rn
+    FROM psubs sub JOIN pcb2 c ON c.s = sub.s
+  ) WHERE rn = 1
+),
+dtable AS (
+  SELECT qq.vec_id AS query_id, qq.s, c.code,
+         list_sum([(qq.sv[j+1] - c.centroid[j+1]) * (qq.sv[j+1] - c.centroid[j+1]) for j in range(16)]) AS d
+  FROM psubs qq JOIN pcb2 c ON c.s = qq.s
+  WHERE qq.vec_id < 5
+),
+cands AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.vec_id,
+         round(sum(d.d) + 0.0000000005, 6) AS approx_dist
+  FROM cands cd
+  JOIN codes ON codes.vec_id = cd.vec_id
+  JOIN dtable d ON d.query_id = cd.query_id AND d.s = codes.s AND d.code = codes.code
+  GROUP BY cd.query_id, cd.vec_id
+)
+SELECT query_id, vec_id, approx_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+)
+
+QUERIES["sim_ivf_pq_topk"] = {"fn": sim_ivf_pq_topk, "oracle": SIM_IVF_PQ_SQL}

@@ -358,3 +358,22 @@ def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
         assert [x[0] for x in rr] == list(range(1, 11))
         dists = [x[1] for x in rr]
         assert dists == sorted(dists)
+
+
+def test_ivf_pq_subset_of_pq_within_probed_buckets(spark, sf_dir):
+    """IVF+PQ distances must equal plain-PQ ADC distances for any
+    (query, vec) pair that survives bucket pruning — the router prunes,
+    it must not change scores."""
+    from rearview_spark.sources.loader import load_table
+    from rearview_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = {
+        (r["query_id"], r["vec_id"]): r["approx_dist"]
+        for r in pq_topk(emb, queries, topk=10**9).collect()
+    }
+    pruned = ivf_pq_topk(emb, queries, topk=10).collect()
+    assert len(pruned) == 50
+    for r in pruned:
+        assert full[(r["query_id"], r["vec_id"])] == r["approx_dist"]
