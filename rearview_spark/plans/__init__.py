@@ -40,6 +40,7 @@ _NEW_R02 = (
     "ts_smart_summarize",
     "sim_pq_topk",
     "sim_ivf_pq_topk",
+    "stream_dedup_hourly_counts",
 )
 
 

@@ -92,6 +92,75 @@ FROM hourly, wm WHERE ts + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def stream_dedup_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery -> exactly-once counts, end to end in the
+    stream: the source is read TWICE and unioned (a faithful stand-in for
+    redelivery/replay), watermarked ``dropDuplicates`` on the event key
+    collapses the duplicates with bounded state, and the standing hourly
+    aggregation emits closed windows. Two chained stateful operators
+    (dedup -> windowed agg) with watermark propagation — the oracle sees
+    each event exactly once, so it is the same emission rule over plain
+    distinct events. Deterministic for the same reason as
+    stream_hourly_stats (one data micro-batch)."""
+    from rearview_spark.streaming.ingest import dedup_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def read_events() -> DataFrame:
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, value double, props string"
+            )
+            .parquet(f"{sf_dir.rstrip('/')}/events.parque[t]")
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    doubled = read_events().unionByName(read_events())
+    deduped = dedup_stream(doubled, WATERMARK)
+    # the watermark set before dropDuplicates propagates through; a second
+    # withWatermark on the same column is disallowed across stateful ops
+    stream = deduped.select(
+        F.col("event_type").alias("metric"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table(name).select(
+        "metric",
+        F.col("window_start").alias("ts"),
+        r4(F.col("sum_value")).alias("sum_value"),
+        "n_points",
+    )
+
+
+STREAM_DEDUP_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+uniq AS (SELECT DISTINCT ON (event_id, ts) event_type, ts, value FROM events),
+hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS ts,
+         sum(value) AS sv, count(value) AS n
+  FROM uniq GROUP BY 1, 2
+)
+SELECT metric, ts, round(sv + 0.00000005, 4) AS sum_value, n AS n_points
+FROM hourly, wm WHERE ts + INTERVAL 1 HOUR <= wm.w
+"""
+
+
 QUERIES: dict[str, dict] = {
     "stream_hourly_stats": {"fn": stream_hourly_stats, "oracle": STREAM_HOURLY_SQL},
+    "stream_dedup_hourly_counts": {"fn": stream_dedup_hourly_counts, "oracle": STREAM_DEDUP_SQL},
 }
