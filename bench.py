@@ -48,10 +48,11 @@ HEADLINE = [
     "q8_market_share",
     "ts_rollup_cascade",
     "doc_tfidf_top_terms",
-    # round-2 additions: curation + graphite long tail
+    # round-2 additions: curation + graphite long tail + compressed ANN
     "doc_benchmark_contamination",
     "doc_pack_sequences",
     "ts_weighted_average",
+    "sim_pq_topk",
 ]
 
 
