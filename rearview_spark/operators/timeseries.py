@@ -177,19 +177,23 @@ def count_series(ts: DataFrame, name: str = "countSeries") -> DataFrame:
 
 
 def multiply_series(ts: DataFrame, name: str = "multiplySeries") -> DataFrame:
-    """G5 — point-wise product. No product aggregate in Spark; compose as
-    sign-aware exp(sum(log(abs))) entirely JVM-side. Null if any input at
-    that ts is null (Graphite safeMul semantics: None if any None)."""
+    """G5 — point-wise product. No product aggregate in Spark, so fold an
+    ordered collect_list (sorted by metric — Graphite multiplies in
+    series order). Null if any input at that ts is null (safeMul: None
+    if any None). The first version composed exp(sum(log(abs))), which
+    drifts an ULP on large products — visible at sf0.1 magnitudes
+    (~1e11) after 4-decimal rounding against an exact-multiply oracle;
+    a sorted sequential multiply is bit-reproducible in any engine with
+    an ordered product. The collected list is per-ts series values —
+    config-scale (one element per input series), not data-scale."""
     has_null = F.max(F.col(VALUE).isNull().cast("int")) == 1
-    any_zero = F.max((F.col(VALUE) == 0).cast("int")) == 1
-    neg_cnt = F.sum(F.when(F.col(VALUE) < 0, 1).otherwise(0))
-    magnitude = F.exp(F.sum(F.log(F.abs(F.col(VALUE)))))
-    sign = F.when(neg_cnt % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
-    prod = (
-        F.when(has_null, F.lit(None).cast("double"))
-        .when(any_zero, F.lit(0.0))
-        .otherwise(sign * magnitude)
+    ordered = F.array_sort(F.collect_list(F.struct(F.col(METRIC), F.col(VALUE))))
+    folded = F.aggregate(
+        F.transform(ordered, lambda s: s[VALUE]),
+        F.lit(1.0),
+        lambda acc, v: acc * v,
     )
+    prod = F.when(has_null, F.lit(None).cast("double")).otherwise(folded)
     return _combine(ts, prod, name)
 
 

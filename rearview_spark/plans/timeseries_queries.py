@@ -110,17 +110,23 @@ FROM hourly GROUP BY ts
 
 
 def ts_multiply_series(spark, sf_dir):
-    """G5 multiplySeries — sign-aware exp-sum-log composition (no product
-    aggregate in Spark); oracle uses DuckDB's native product(). The series
-    are pre-scaled by 0.1 to keep the product's magnitude where the
-    exp-sum-log path's relative error stays far below the 4-decimal
-    rounding granularity."""
-    scaled = G.scale(_hourly(spark, sf_dir), 0.1)
+    """G5 multiplySeries — ordered collect-and-fold product (operator);
+    oracle uses DuckDB's ordered product(). The hourly inputs are
+    QUANTIZED to 4 decimals at the stage boundary before multiplying
+    (the engines' hourly sums agree only to an ULP — parallel partial
+    sums add in different orders — and a multi-way product amplifies
+    that past the output rounding), and pre-scaled to O(1) magnitude:
+    above ~1e9 the 4th decimal sits BELOW the double ULP, where two
+    engines' round() land on different neighboring doubles no matter
+    how exact the product is. Quantized O(1) inputs -> bit-identical
+    ordered folds -> representable rounding (_exact.py's rule)."""
+    scaled = _rounded(G.scale(_hourly(spark, sf_dir), 0.01))
     return _rounded(G.multiply_series(scaled).withColumn("metric", F.lit("multiplySeries")))
 
 
 TS_MULTIPLY_SQL = HOURLY_CTE + """
-SELECT 'multiplySeries' AS metric, ts, round(product(value * 0.1) + 0.00000005, 4) AS value
+SELECT 'multiplySeries' AS metric, ts,
+       round(product(round(value * 0.01 + 0.00000005, 4) ORDER BY metric) + 0.00000005, 4) AS value
 FROM hourly GROUP BY ts
 """
 
