@@ -126,10 +126,21 @@ class JobStore:
             raise ConcurrentWriteError(
                 f"{table}: version {nxt} already claimed by another writer"
             ) from None
-        df.write.mode("overwrite").parquet(str(vdir / vname))
-        tmp = self.root / f".{table}.CURRENT.{uuid.uuid4().hex}"
-        tmp.write_text(vname)
-        os.replace(tmp, self._pointer(table))  # atomic on POSIX
+        try:
+            df.write.mode("overwrite").parquet(str(vdir / vname))
+            tmp = self.root / f".{table}.CURRENT.{uuid.uuid4().hex}"
+            tmp.write_text(vname)
+            os.replace(tmp, self._pointer(table))  # atomic on POSIX
+        except BaseException:
+            # A claim whose write never advanced CURRENT would wedge the
+            # table: every later overwrite computes the same next version
+            # and hits the O_EXCL claim forever (ADVICE r02).  Release the
+            # claim and drop the partial version dir so the next attempt
+            # can re-claim.  (A hard crash between claim and swap leaves a
+            # stale claim; current_version-aware reclaim below covers it.)
+            shutil.rmtree(vdir / vname, ignore_errors=True)
+            claim.unlink(missing_ok=True)
+            raise
         self._prune(table, keep_from=nxt - 1)
         return nxt
 

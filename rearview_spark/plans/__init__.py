@@ -6,15 +6,8 @@ gate) and ``bench.py``."""
 from __future__ import annotations
 
 
-# The driver's correctness gate hashes the FIRST 50 entries of this dict
-# (insertion order).  Round 1 spent that window on the relational + early
-# timeseries queries (all green, CORRECTNESS_r01.json); round 2 rotates the
-# 55 never-driver-checked queries to the front so the window covers them.
-# Timeseries entries that are near-identical siblings of queries already
-# in the window (per_second ≈ derivative, moving_sum/min_max ≈
-# moving_average, lowest_current ≈ highest_average, limit/current trivia)
-# are deferred along with the proven round-1 set — freeing a slot for the
-# new ts_hw_confidence_bands gate entry.
+# Kept for provenance/tests: the round-2 deferral sets (see git history for
+# the r2 ordering logic they drove).
 _DEFERRED = (
     "ts_per_second",
     "ts_moving_sum",
@@ -24,10 +17,6 @@ _DEFERRED = (
     "ts_lowest_current",
 )
 
-# Queries added mid-round-2, AFTER the 50-entry driver window was already
-# allocated to round 1's never-checked set. They sit at positions 51+ so
-# they don't displace the planned window (they're covered by the local
-# hash-faithful sweep); the round-3 rotation moves them forward.
 _NEW_R02 = (
     "doc_benchmark_contamination",
     "doc_stratified_sample",
@@ -41,6 +30,52 @@ _NEW_R02 = (
     "sim_pq_topk",
     "sim_ivf_pq_topk",
     "stream_dedup_hourly_counts",
+)
+
+# The driver's correctness gate hashes the FIRST 50 entries of this dict
+# (insertion order).  Round-3 window, in priority order (VERDICT_r02 "Next
+# round" #1):
+#   a) the 18 queries never driver-checked (12 _NEW_R02 + 6 _DEFERRED),
+#   b) the 3 round-1 driver failures whose fixes were never driver-confirmed,
+#   c) the 2 queries rewritten after their round-1 green row,
+#   d) queries added or whose implementation was modified in round 3,
+#   e) fill: round-2 greens (re-confirmation of the newest code).
+# Names listed here but not (yet) registered are skipped, so the list may
+# lead the implementation during the round.
+_R03_FRONT = (
+    # (a) never driver-checked
+    "doc_benchmark_contamination",
+    "doc_stratified_sample",
+    "doc_repetition_quality",
+    "doc_pack_sequences",
+    "sim_pq_topk",
+    "sim_ivf_pq_topk",
+    "stream_dedup_hourly_counts",
+    "ts_weighted_average",
+    "ts_wildcard_rollup",
+    "ts_most_deviant_band",
+    "ts_pointwise_extras",
+    "ts_smart_summarize",
+    "ts_per_second",
+    "ts_moving_sum",
+    "ts_moving_min_max",
+    "ts_limit_series",
+    "ts_current_values",
+    "ts_lowest_current",
+    # (b) round-1 ex-failures, fixed but never driver re-confirmed
+    "q12_shipmode_priority",
+    "grouping_sets_revenue",
+    "ts_hitcount",
+    # (c) rewritten after their round-1 green row
+    "ts_multiply_series",
+    "ts_day_over_day",
+    # (d) new/modified in round 3
+    "customer_value_deciles",
+    "media_resize",
+    "sim_ivf_rpq_topk",
+    "doc_bpe_vocab",
+    "ts_rollup_router",
+    "sim_pq_scan_topk",
 )
 
 
@@ -64,11 +99,16 @@ def all_queries() -> dict:
                 raise ValueError(f"duplicate query name {name}")
             out[name] = spec
 
-    r01 = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "CORRECTNESS_r01.json")
-    checked_r01: set = set()
-    if os.path.exists(r01):
-        with open(r01) as f:
-            checked_r01 = set(json.load(f))
-    back = set(_DEFERRED) | set(_NEW_R02) | checked_r01
-    ordered = [n for n in out if n not in back] + [n for n in out if n in back]
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    r02 = os.path.join(root, "CORRECTNESS_r02.json")
+    checked_r02: set = set()
+    if os.path.exists(r02):
+        with open(r02) as f:
+            checked_r02 = set(json.load(f))
+
+    front = [n for n in _R03_FRONT if n in out]
+    front_set = set(front)
+    fill_r2 = [n for n in out if n in checked_r02 and n not in front_set]
+    rest = [n for n in out if n not in front_set and n not in checked_r02]
+    ordered = front + fill_r2 + rest
     return {n: out[n] for n in ordered}
