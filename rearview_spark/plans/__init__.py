@@ -6,77 +6,29 @@ gate) and ``bench.py``."""
 from __future__ import annotations
 
 
-# Kept for provenance/tests: the round-2 deferral sets (see git history for
-# the r2 ordering logic they drove).
-_DEFERRED = (
-    "ts_per_second",
-    "ts_moving_sum",
-    "ts_moving_min_max",
-    "ts_limit_series",
-    "ts_current_values",
-    "ts_lowest_current",
-)
-
-_NEW_R02 = (
-    "doc_benchmark_contamination",
-    "doc_stratified_sample",
-    "doc_repetition_quality",
-    "doc_pack_sequences",
-    "ts_weighted_average",
-    "ts_wildcard_rollup",
-    "ts_most_deviant_band",
-    "ts_pointwise_extras",
-    "ts_smart_summarize",
-    "sim_pq_topk",
-    "sim_ivf_pq_topk",
-    "stream_dedup_hourly_counts",
-)
-
-# The driver's correctness gate hashes the FIRST 50 entries of this dict
-# (insertion order).  Round-3 window, in priority order (VERDICT_r02 "Next
-# round" #1):
-#   a) the 18 queries never driver-checked (12 _NEW_R02 + 6 _DEFERRED),
-#   b) the 3 round-1 driver failures whose fixes were never driver-confirmed,
-#   c) the 2 queries rewritten after their round-1 green row,
-#   d) queries added or whose implementation was modified in round 3,
-#   e) fill: round-2 greens (re-confirmation of the newest code).
-# Names listed here but not (yet) registered are skipped, so the list may
-# lead the implementation during the round.
-_R03_FRONT = (
-    # (a) never driver-checked
-    "doc_benchmark_contamination",
-    "doc_stratified_sample",
-    "doc_repetition_quality",
-    "doc_pack_sequences",
-    "sim_pq_topk",
-    "sim_ivf_pq_topk",
-    "stream_dedup_hourly_counts",
-    "ts_weighted_average",
-    "ts_wildcard_rollup",
-    "ts_most_deviant_band",
-    "ts_pointwise_extras",
-    "ts_smart_summarize",
-    "ts_per_second",
-    "ts_moving_sum",
-    "ts_moving_min_max",
-    "ts_limit_series",
-    "ts_current_values",
-    "ts_lowest_current",
-    # (b) round-1 ex-failures, fixed but never driver re-confirmed
-    "q12_shipmode_priority",
-    "grouping_sets_revenue",
-    "ts_hitcount",
-    # (c) rewritten after their round-1 green row
-    "ts_multiply_series",
-    "ts_day_over_day",
-    # (d) new/modified in round 3
-    "customer_value_deciles",
+# Names the driver should check FIRST this round, ahead of the generic
+# ordering below. Round-4 priorities (VERDICT_r03 "Next round" #3):
+# the new round-4 operators, so each gets a driver-green row the round it
+# lands. Names listed here but not (yet) registered are skipped, so the
+# list may lead the implementation during the round.
+_R04_NEW = (
     "media_resize",
+    "sim_pq_scan_topk",
     "sim_ivf_rpq_topk",
     "doc_bpe_vocab",
     "ts_rollup_router",
-    "sim_pq_scan_topk",
 )
+
+
+def _green(entry: dict) -> bool:
+    """A driver correctness row counts as green only when every check
+    passed (rows + schema + hash all true, no error)."""
+    return bool(
+        entry.get("rows_match")
+        and entry.get("schema_match")
+        and entry.get("hash_match")
+        and not entry.get("err")
+    )
 
 
 def all_queries() -> dict:
@@ -99,16 +51,40 @@ def all_queries() -> dict:
                 raise ValueError(f"duplicate query name {name}")
             out[name] = spec
 
+    # The driver's correctness gate hashes the FIRST 50 entries of this
+    # dict (insertion order). Round-4 window, in priority order:
+    #   a) round-3 red rows (the events-loader regression set) — confirm
+    #      the repair under the driver, not just locally,
+    #   b) operators new this round (_R04_NEW),
+    #   c) queries never driver-checked in any round,
+    #   d) round-2 greens never re-checked since (oldest confirmation
+    #      first-in),
+    #   e) fill: round-3 greens (freshest confirmations, least urgent).
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    r02 = os.path.join(root, "CORRECTNESS_r02.json")
-    checked_r02: set = set()
-    if os.path.exists(r02):
-        with open(r02) as f:
-            checked_r02 = set(json.load(f))
 
-    front = [n for n in _R03_FRONT if n in out]
-    front_set = set(front)
-    fill_r2 = [n for n in out if n in checked_r02 and n not in front_set]
-    rest = [n for n in out if n not in front_set and n not in checked_r02]
-    ordered = front + fill_r2 + rest
+    def _load(fname: str) -> dict:
+        p = os.path.join(root, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    r02, r03 = _load("CORRECTNESS_r02.json"), _load("CORRECTNESS_r03.json")
+    r03_red = [n for n, e in r03.items() if not _green(e)]
+    r03_green = {n for n, e in r03.items() if _green(e)}
+    r02_green_stale = [n for n, e in r02.items() if _green(e) and n not in r03]
+    checked_ever = set(r02) | set(r03)
+
+    front: list[str] = []
+    for group in (
+        r03_red,
+        _R04_NEW,
+        [n for n in out if n not in checked_ever],
+        r02_green_stale,
+    ):
+        for n in group:
+            if n in out and n not in front:
+                front.append(n)
+    ordered = front + [n for n in out if n in r03_green and n not in front]
+    ordered += [n for n in out if n not in ordered]
     return {n: out[n] for n in ordered}

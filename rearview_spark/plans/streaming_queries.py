@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rearview_spark.plans._exact import r4
+from rearview_spark.sources.loader import load_events_stream
 from rearview_spark.streaming.ingest import to_metrics
 from rearview_spark.streaming.standing import standing_window_agg
 
@@ -30,25 +31,19 @@ WATERMARK = "10 minutes"
 
 
 def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events file directly (no staging copy — the nanos-ts
-    rebuild the batch loader uses works identically on the streaming
-    reader), run the standing hourly aggregation with a 10-minute
+    """Stream the events file directly (no staging copy — the shared
+    schema-adaptive reader keeps batch and stream agreeing on the ts
+    encoding), run the standing hourly aggregation with a 10-minute
     watermark to completion (availableNow), and return the append-mode
     emissions from the memory sink. The source is one file -> one data
     micro-batch -> deterministic final watermark. The last (still-open)
     window stays in state and is NOT emitted — the oracle asserts that
     too."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        # the streaming file source rejects a bare file path ("basePath
-        # must be a directory"); a glob form makes it derive basePath from
-        # the directory prefix while still matching exactly this file
-        .parquet(f"{sf_dir.rstrip('/')}/events.parque[t]")
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # schema-adaptive shared reader (sources/loader.py): nanos files set
+    # nanosAsLong, micros files don't touch any conf — snapshot/restore it
+    # in the finally below either way
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    events = load_events_stream(spark, sf_dir)
     stream = to_metrics(events, WATERMARK)
     agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
@@ -72,6 +67,10 @@ def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return spark.table(name).select(
         "metric",
         F.col("window_start").alias("ts"),
@@ -104,18 +103,10 @@ def stream_dedup_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_hourly_stats (one data micro-batch)."""
     from rearview_spark.streaming.ingest import dedup_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def read_events() -> DataFrame:
-        raw = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, value double, props string"
-            )
-            .parquet(f"{sf_dir.rstrip('/')}/events.parque[t]")
-        )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-    doubled = read_events().unionByName(read_events())
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    doubled = load_events_stream(spark, sf_dir).unionByName(
+        load_events_stream(spark, sf_dir)
+    )
     deduped = dedup_stream(doubled, WATERMARK)
     # the watermark set before dropDuplicates propagates through; a second
     # withWatermark on the same column is disallowed across stateful ops
@@ -139,6 +130,10 @@ def stream_dedup_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return spark.table(name).select(
         "metric",
         F.col("window_start").alias("ts"),

@@ -62,18 +62,78 @@ class Tables:
             getattr(self, name).createOrReplaceTempView(name)
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True when events.ts is physically TIMESTAMP(NANOS) (or a bare int64
+    of epoch-nanos) in the parquet footer. Footer-only metadata read via
+    pyarrow — no data scan, no Spark conf side effects. The driver's
+    testdata has shipped BOTH encodings across rounds, so the loader must
+    branch on the file, never assume."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(path)
+    if p.is_dir():
+        p = sorted(p.rglob("*.parquet"))[0]
+    t = pq.read_schema(str(p)).field("ts").type
+    return (pa.types.is_timestamp(t) and t.unit == "ns") or pa.types.is_int64(t)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read nanos as long, then integer-divide to micros
-        # (`div`, not `/` — ns epoch values exceed double's exact-int
-        # range) and rebuild the timestamp. Matches DuckDB's ns -> us
-        # truncation exactly.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if events_ts_is_nanos(path):
+            # Parquet TIMESTAMP(NANOS), which Spark's reader rejects
+            # natively. Read nanos as long, then integer-divide to micros
+            # (`div`, not `/` — ns epoch values exceed double's exact-int
+            # range) and rebuild the timestamp. Matches DuckDB's ns -> us
+            # truncation exactly. The conf stays set for the session: the
+            # scan re-reads it at execution time, and it is a no-op for
+            # non-NANOS columns, so restoring it here would break the
+            # returned (lazy) plan for zero benefit.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP(MICROS/MILLIS): lands as timestamp or timestamp_ntz
+        # (isAdjustedToUTC=0). Normalize NTZ -> session-tz timestamp so the
+        # whole engine sees one ts type; wall-clock values are preserved
+        # (cast + display both use the session tz), matching DuckDB's
+        # naive-timestamp view of the same file.
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-adaptive streaming read of events.parquet — the streaming
+    twin of :func:`load_table`'s events branch, shared by every standing
+    query (plans/streaming_queries.py) so batch and stream can never
+    disagree about the source encoding again (round-3 regression: a forced
+    ``ts long`` reader schema against a MICROS file silently yielded zero
+    usable rows).
+
+    The streaming file source rejects a bare file path ("basePath must be
+    a directory"); the glob form makes it derive basePath from the
+    directory prefix while still matching exactly this file.
+
+    Nanos branch sets ``spark.sql.legacy.parquet.nanosAsLong`` — callers
+    that care should snapshot/restore it around the query run; for the
+    MICROS encoding no conf is touched.
+    """
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    glob = f"{sf_dir.rstrip('/')}/events.parque[t]"
+    if events_ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).parquet(glob)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Reuse the batch-resolved schema (footer truth) as the reader schema so
+    # the stream sees exactly what load_table sees, then the same cast.
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(glob)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Tables:
