@@ -547,21 +547,24 @@ def pq_encode(
     )
 
 
-def pq_topk(
-    corpus: DataFrame,
+def pq_scan_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
     queries: DataFrame,
     topk: int = 10,
     m: int = 4,
-    k_codes: int = 16,
-    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: per query, compute
-    the m*k table of (subspace, code) -> squared-L2 partial distances
-    once, then every corpus vector's approximate distance is m table
-    lookups summed — no vector arithmetic in the scan.
+    """Serving-path ADC scan over a PREBUILT PQ index (codes + codebook).
+
+    This is the cost a query pays at serving time: per query, compute the
+    m*k table of (subspace, code) -> squared-L2 partial distances once,
+    then every corpus vector's approximate distance is m table lookups
+    summed — no vector arithmetic in the scan, and no fit/encode (the
+    index is built once by :func:`pq_fit`/:func:`pq_encode` and persisted;
+    bench.py times this scan separately from the build).
 
     Returns (query_id, vec_id, approx_dist, rank), ascending distance.
 
@@ -575,8 +578,6 @@ def pq_topk(
     from pyspark.sql import Window
 
     sub = dim // m
-    codebook = pq_fit(corpus, m, k_codes, iters, id_col, vec_col, dim)
-    codes = pq_encode(corpus, codebook, m, id_col, vec_col, dim)
     qsubs = _subvectors(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         m, sub, "query_id", vec_col,
@@ -596,6 +597,25 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """One-shot PQ ANN: fit codebooks + encode corpus + ADC scan in a
+    single plan (see :func:`pq_scan_topk` for the serving-only path and
+    the scale notes)."""
+    codebook = pq_fit(corpus, m, k_codes, iters, id_col, vec_col, dim)
+    codes = pq_encode(corpus, codebook, m, id_col, vec_col, dim)
+    return pq_scan_topk(codes, codebook, queries, topk, m, id_col, vec_col, dim)
 
 
 def ivf_pq_topk(

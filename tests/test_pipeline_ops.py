@@ -276,6 +276,23 @@ def test_resize_and_audio_chunks(spark):
     resized = {r["media_id"]: r for r in M.resize_images(imgs, max_dim=128).collect()}
     assert (resized[1]["width"], resized[1]["height"]) == (128, 64)
     assert (resized[2]["width"], resized[2]["height"]) == (64, 32)  # already fits
+    # re-encode is real: the output payload re-parses with the NEW dims,
+    # and the raster body shrank by the integer area ratio (ceil)
+    rehdr = M.decode_header(bytes(resized[1]["payload"]))
+    assert (rehdr["width"], rehdr["height"]) == (128, 64)
+    body_in = len(_png_bytes(1000, 500)) - 33
+    keep = -(-body_in * 128 * 128 // (1000 * 1000))
+    assert len(bytes(resized[1]["payload"])) == 33 + keep
+    assert bytes(resized[2]["payload"]) == _png_bytes(64, 32)  # no-op passthrough
+    # JPEG: dims patched at the SOF offset, body untouched
+    jp = spark.createDataFrame(
+        [(3, bytearray(_jpeg_bytes(800, 600)))], "media_id long, payload binary"
+    )
+    rj = M.resize_images(jp, max_dim=200).collect()[0]
+    assert (rj["width"], rj["height"]) == (200, 150)
+    jhdr = M.decode_header(bytes(rj["payload"]))
+    assert (jhdr["width"], jhdr["height"]) == (200, 150)
+    assert len(bytes(rj["payload"])) == len(_jpeg_bytes(800, 600))
     chunks = M.audio_chunk_plan(media, chunk_ms=30_000).filter(F.col("media_id") == 1).collect()
     assert [(c["chunk_idx"], c["start_ms"], c["end_ms"]) for c in sorted(chunks, key=lambda c: c["chunk_idx"])] == [
         (0, 0, 30000), (1, 30000, 60000), (2, 60000, 65000),
