@@ -65,11 +65,21 @@ class MonitorScheduler:
         snapshot fails the CAS with ``ConcurrentWriteError`` before it
         appends job_data or sends any alert — its work is discarded
         whole, never half-applied.
+
+        At-least-once alerting across crashes: the alerts a tick owes are
+        committed as an outbox sidecar of the SAME monitors pointer flip
+        that commits their status transitions, then dispatched FROM the
+        outbox (each marked in the dispatch log after its send).  A
+        process death anywhere between the CAS and the last send leaves
+        the owed alerts durable; the next tick's opening drain delivers
+        them (re-sending only the unmarked tail).
         """
+        # drain alerts stranded by a predecessor that died mid-dispatch
+        stranded = self._drain_outbox()
         monitors_version, _ = self.store.current_version("monitors")
         due = self.due_monitors(now)
         if not due:
-            return {"ran": 0, "alerts": 0}
+            return {"ran": 0, "alerts": stranded}
 
         specs = [MonitorSpec.from_row(r) for r in due]
         results = evaluate_monitors(self.spark, specs, self.metrics, now)
@@ -131,19 +141,60 @@ class MonitorScheduler:
         # CAS gate: the monitors swap is the tick's serialization point.
         # An overlapped tick that computed from the same snapshot raises
         # ConcurrentWriteError HERE — before any job_data row is appended
-        # or any alert leaves the process.
-        self._merge_monitors(updated_monitors, expect_version=monitors_version)
+        # or any alert leaves the process. The owed alerts ride the same
+        # pointer flip as an outbox sidecar, so from this commit onward
+        # they survive a crash (at-least-once).
+        self._merge_monitors(
+            updated_monitors,
+            expect_version=monitors_version,
+            outbox=self._outbox_rows(deferred_alerts, now),
+        )
         self.store.append_job_data(results, now)  # persist job_data (S8)
         self._merge_errors(open_errors, new_error_rows, closed_job_ids, now)
-        n_alerts = 0
-        for job_id, alert_keys, message, new_status in deferred_alerts:
-            n_alerts += self.router.dispatch(job_id, alert_keys, message, now, new_status)
-        return {"ran": len(due), "alerts": n_alerts}
+        n_alerts = self._drain_outbox()
+        return {"ran": len(due), "alerts": n_alerts + stranded}
+
+    # -- outbox (at-least-once alert delivery) ------------------------------
+
+    @staticmethod
+    def _alert_id(job_id: int, fired_at: dt.datetime) -> int:
+        """Deterministic 63-bit id: a tick re-run after a crash writes the
+        SAME ids, so duplicated outbox rows collapse in the drain's dedup
+        and an alert marked dispatched is never re-sent."""
+        import hashlib
+
+        h = hashlib.md5(f"{job_id}|{fired_at.isoformat()}".encode()).digest()
+        return int.from_bytes(h[:8], "big") >> 1
+
+    def _outbox_rows(self, deferred_alerts: list[tuple], now: dt.datetime):
+        from rearview_spark.monitors.schemas import ALERT_OUTBOX
+
+        rows = [
+            (self._alert_id(job_id, now), job_id, alert_keys, message, new_status, now)
+            for job_id, alert_keys, message, new_status in deferred_alerts
+        ]
+        return self.spark.createDataFrame(rows, ALERT_OUTBOX)
+
+    def _drain_outbox(self) -> int:
+        """Dispatch every pending outbox alert, marking each in the
+        dispatch log AFTER its send — a crash mid-drain redelivers only
+        the unsent tail on the next tick."""
+        n = 0
+        for row in self.store.pending_alerts():
+            n += self.router.dispatch(
+                row["job_id"], row["alert_keys"], row["message"],
+                row["fired_at"], row["status"],
+            )
+            self.store.mark_alert_dispatched(row["id"], row["fired_at"])
+        return n
 
     # -- persistence merges (single-writer; Delta MERGE in production) ------
 
     def _merge_monitors(
-        self, updated: list[dict], expect_version: int | None = None
+        self,
+        updated: list[dict],
+        expect_version: int | None = None,
+        outbox=None,
     ) -> None:
         current = self.store.read("monitors")
         upd_df = self.spark.createDataFrame(
@@ -151,7 +202,7 @@ class MonitorScheduler:
         )
         ids = [m["id"] for m in updated]
         merged = current.filter(~F.col("id").isin(ids)).unionByName(upd_df)
-        self.store.save_monitors(merged, expect_version=expect_version)
+        self.store.save_monitors(merged, expect_version=expect_version, outbox=outbox)
 
     def _merge_errors(
         self,

@@ -118,6 +118,31 @@ USERS = T.StructType(
     ]
 )
 
+# Pending-alert outbox row: written as a sidecar of the SAME versioned
+# monitors swap that commits the status transitions (store.save_monitors
+# outbox=), so a crash between the CAS and dispatch can never lose an
+# alert — the next tick drains it (at-least-once, notify.py's contract).
+ALERT_OUTBOX = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),  # deterministic (job_id, fired_at) hash
+        T.StructField("job_id", T.LongType(), False),
+        T.StructField("alert_keys", T.ArrayType(T.StringType()), True),
+        T.StructField("message", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("fired_at", T.TimestampType(), False),
+    ]
+)
+
+# Append-only dispatch log: outbox rows anti-joined against it are the
+# pending set. Marked per-alert AFTER the send, so a crash mid-drain
+# redelivers only the unsent tail.
+ALERT_DISPATCHES = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("dispatched_at", T.TimestampType(), False),
+    ]
+)
+
 # Output of one monitor evaluation (pre-persistence).
 RUN_RESULT = T.StructType(
     [

@@ -46,10 +46,15 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class JobStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, claim_ttl_s: float = 60.0):
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # A claim file older than this with CURRENT still below its version
+        # is treated as a hard-crashed writer's orphan and reclaimed. The
+        # TTL protects a LIVE writer mid-write (config tables write in
+        # seconds); tests set 0 to exercise the reclaim path directly.
+        self.claim_ttl_s = claim_ttl_s
 
     # -- versioned table layout ---------------------------------------------
     #
@@ -99,8 +104,43 @@ class JobStore:
         # versioned overwrite is reserved for the mutable config tables.
         df.write.mode("append").parquet(str(self._legacy_path(table)))
 
+    def _claim(self, table: str, vdir: Path, vname: Path, nxt: int) -> Path:
+        """Take the O_EXCL claim for version ``nxt``; on conflict, reclaim
+        a hard-crashed writer's orphan (claim older than ``claim_ttl_s``
+        with CURRENT still below ``nxt`` — a live writer finishes its
+        config-scale write well inside the TTL) and retry once."""
+        import time
+
+        claim = vdir / f"{vname.name}.claim"
+        for attempt in (0, 1):
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return claim
+            except FileExistsError:
+                cur_now, _ = self.current_version(table)
+                try:
+                    age = time.time() - claim.stat().st_mtime
+                except FileNotFoundError:
+                    continue  # owner just released it; retry the claim
+                if attempt == 0 and cur_now < nxt and age >= self.claim_ttl_s:
+                    # orphan: the claimer died between claim and pointer
+                    # swap (its version dir may be absent, partial, or even
+                    # complete-but-unpublished) — remove both and retry
+                    shutil.rmtree(vname, ignore_errors=True)
+                    claim.unlink(missing_ok=True)
+                    continue
+                raise ConcurrentWriteError(
+                    f"{table}: version {nxt} already claimed by another writer"
+                ) from None
+        raise ConcurrentWriteError(f"{table}: could not claim version {nxt}")
+
     def overwrite(
-        self, table: str, df: DataFrame, expect_version: int | None = None
+        self,
+        table: str,
+        df: DataFrame,
+        expect_version: int | None = None,
+        sidecars: dict[str, DataFrame] | None = None,
     ) -> int:
         """Atomic versioned swap; returns the new version number.
 
@@ -108,6 +148,13 @@ class JobStore:
         the table has moved since the caller read that version, and the
         O_EXCL claim file closes the race of two writers who both saw
         the same current version.
+
+        ``sidecars`` maps underscore-prefixed subdir names to frames
+        written INSIDE the new version dir before the pointer swap — the
+        pointer flip commits table + sidecars atomically together (the
+        underscore prefix hides them from the table's own parquet read).
+        The scheduler uses this to make the pending-alert outbox part of
+        the same committed write as the status transitions.
         """
         cur, _ = self.current_version(table)
         if expect_version is not None and cur != expect_version:
@@ -115,31 +162,29 @@ class JobStore:
                 f"{table}: version moved {expect_version} -> {cur}"
             )
         nxt = cur + 1
-        vname = f"v{nxt:08d}"
+        vname_s = f"v{nxt:08d}"
         vdir = self._versions_dir(table)
         vdir.mkdir(exist_ok=True)
-        claim = vdir / f"{vname}.claim"
+        claim = self._claim(table, vdir, vdir / vname_s, nxt)
+        tmp = self.root / f".{table}.CURRENT.{uuid.uuid4().hex}"
         try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                f"{table}: version {nxt} already claimed by another writer"
-            ) from None
-        try:
-            df.write.mode("overwrite").parquet(str(vdir / vname))
-            tmp = self.root / f".{table}.CURRENT.{uuid.uuid4().hex}"
-            tmp.write_text(vname)
+            df.write.mode("overwrite").parquet(str(vdir / vname_s))
+            for sub, sdf in (sidecars or {}).items():
+                assert sub.startswith("_"), "sidecar dirs must be underscore-hidden"
+                sdf.write.mode("overwrite").parquet(str(vdir / vname_s / sub))
+            tmp.write_text(vname_s)
             os.replace(tmp, self._pointer(table))  # atomic on POSIX
         except BaseException:
             # A claim whose write never advanced CURRENT would wedge the
             # table: every later overwrite computes the same next version
             # and hits the O_EXCL claim forever (ADVICE r02).  Release the
-            # claim and drop the partial version dir so the next attempt
-            # can re-claim.  (A hard crash between claim and swap leaves a
-            # stale claim; current_version-aware reclaim below covers it.)
-            shutil.rmtree(vdir / vname, ignore_errors=True)
+            # claim, drop the partial version dir, and clear the temp
+            # pointer so the next attempt can re-claim litter-free.  (A
+            # hard crash between claim and swap leaves a stale claim;
+            # the TTL-based reclaim in _claim covers it.)
+            shutil.rmtree(vdir / vname_s, ignore_errors=True)
             claim.unlink(missing_ok=True)
+            tmp.unlink(missing_ok=True)
             raise
         self._prune(table, keep_from=nxt - 1)
         return nxt
@@ -158,8 +203,54 @@ class JobStore:
 
     # -- typed operations ---------------------------------------------------
 
-    def save_monitors(self, df: DataFrame, expect_version: int | None = None) -> int:
-        return self.overwrite("monitors", df, expect_version)
+    def save_monitors(
+        self,
+        df: DataFrame,
+        expect_version: int | None = None,
+        outbox: DataFrame | None = None,
+    ) -> int:
+        """Swap the monitors table; when ``outbox`` is given, its rows are
+        committed in the SAME pointer flip (sidecar ``_outbox``) — the
+        status transitions and the alerts they owe become visible
+        atomically together."""
+        sidecars = {"_outbox": outbox} if outbox is not None else None
+        return self.overwrite("monitors", df, expect_version, sidecars=sidecars)
+
+    def read_outbox(self) -> DataFrame:
+        """The current monitors version's alert outbox (empty frame when
+        the version carried none)."""
+        _, path = self.current_version("monitors")
+        if path is not None and (Path(path) / "_outbox").exists():
+            return self.spark.read.schema(schemas.ALERT_OUTBOX).parquet(
+                str(Path(path) / "_outbox")
+            )
+        return self.spark.createDataFrame([], schemas.ALERT_OUTBOX)
+
+    def pending_alerts(self) -> list:
+        """Outbox rows not yet marked dispatched, oldest first. Config
+        scale (bounded by alerts-per-tick), so a driver collect is fine."""
+        from pyspark.sql import functions as F
+
+        dispatched = self._read_dispatch_log()
+        return (
+            self.read_outbox()
+            .dropDuplicates(["id"])
+            .join(dispatched, "id", "left_anti")
+            .orderBy(F.col("fired_at"), F.col("id"))
+            .collect()
+        )
+
+    def _read_dispatch_log(self) -> DataFrame:
+        path = self._legacy_path("alert_dispatches")
+        if path.exists() and any(path.iterdir()):
+            return self.spark.read.schema(schemas.ALERT_DISPATCHES).parquet(str(path))
+        return self.spark.createDataFrame([], schemas.ALERT_DISPATCHES)
+
+    def mark_alert_dispatched(self, alert_id: int, now: dt.datetime) -> None:
+        self.append(
+            "alert_dispatches",
+            self.spark.createDataFrame([(alert_id, now)], schemas.ALERT_DISPATCHES),
+        )
 
     def append_job_data(self, run_results: DataFrame, now: dt.datetime) -> None:
         """Materialize run results as job_data rows (R12/S8).

@@ -378,12 +378,12 @@ def test_overlapping_ticks_exactly_once(spark, tmp_path):
     barrier = threading.Barrier(2, timeout=180)
 
     class RacingStore(JobStore):
-        def overwrite(self, table, df, expect_version=None):
+        def overwrite(self, table, df, expect_version=None, sidecars=None):
             if table == "monitors" and expect_version is not None:
                 # rendezvous: both ticks computed from the same snapshot
                 # before either swaps
                 barrier.wait()
-            return super().overwrite(table, df, expect_version)
+            return super().overwrite(table, df, expect_version, sidecars)
 
     st = RacingStore(spark, str(tmp_path / "race_store"))
     m = make_metrics(spark, {"stats.req": [200.0] * 120})
@@ -415,6 +415,74 @@ def test_overlapping_ticks_exactly_once(spark, tmp_path):
     assert st.read("job_data").count() == 1  # no duplicate persistence
     assert st.read("job_errors").count() == 1  # single opened incident
     assert len(collector.sent) == 1  # no duplicate alert
+
+
+def test_alert_outbox_survives_crash_between_cas_and_dispatch(spark, tmp_path):
+    """VERDICT r03 #5: a process death AFTER the monitors CAS but BEFORE
+    dispatch must not lose the alert — the outbox rides the same pointer
+    flip, and the next tick's opening drain delivers it."""
+    st = JobStore(spark, str(tmp_path / "outbox_store"))
+    m = make_metrics(spark, {"stats.req": [200.0] * 240})
+    collector = CollectingNotifier()
+    st.save_monitors(spark.createDataFrame([monitor_row(error_timeout=60)], MONITORS))
+    sched = MonitorScheduler(spark, st, m, AlertRouter(default=collector))
+
+    # simulate the crash: kill the process right after the CAS commit by
+    # making the drain (the first post-CAS dispatch touchpoint) die
+    real_drain = sched._drain_outbox
+    calls = {"n": 0}
+
+    def dying_drain():
+        calls["n"] += 1
+        if calls["n"] == 2:  # first call = opening drain; second = post-CAS
+            raise RuntimeError("simulated SIGKILL before dispatch")
+        return real_drain()
+
+    sched._drain_outbox = dying_drain
+    now = T0 + dt.timedelta(minutes=60)
+    with pytest.raises(RuntimeError, match="simulated SIGKILL"):
+        sched.tick(now)
+    # transitions committed, alert NOT delivered — but it is durable
+    assert st.read("monitors").collect()[0]["status"] == "failed"
+    assert len(collector.sent) == 0
+    assert len(st.pending_alerts()) == 1
+
+    # "restart": a fresh scheduler's next tick redelivers the owed alert
+    sched2 = MonitorScheduler(spark, st, m, AlertRouter(default=collector))
+    s = sched2.tick(now + dt.timedelta(minutes=30))
+    # stranded alert from t=60 delivered; t=90 itself is debounced
+    assert s == {"ran": 1, "alerts": 1}
+    assert len(collector.sent) == 1
+    assert collector.sent[0].fired_at == now
+    # drained: nothing pending, and a re-tick doesn't double-send
+    assert st.pending_alerts() == []
+    sched2.tick(now + dt.timedelta(minutes=31))
+    assert len(collector.sent) == 1
+
+
+def test_store_reclaims_stale_claim_after_hard_crash(spark, tmp_path):
+    """ADVICE r03 (medium): a hard crash between claim creation and the
+    pointer swap must not wedge the table forever. A claim older than the
+    TTL with CURRENT still below its version is reclaimed."""
+    from rearview_spark.monitors.store import ConcurrentWriteError
+
+    st = JobStore(spark, str(tmp_path / "reclaim_store"), claim_ttl_s=0.0)
+    df = spark.createDataFrame([monitor_row(id=1)], MONITORS)
+    assert st.save_monitors(df) == 1
+    # simulate the orphan: claim for v2 exists, version dir half-written,
+    # CURRENT still points at v1 (claimer hard-crashed)
+    vdir = st._versions_dir("monitors")
+    (vdir / "v00000002.claim").touch()
+    (vdir / "v00000002").mkdir()
+    (vdir / "v00000002" / "part-junk.parquet").write_bytes(b"partial")
+    # next writer reclaims and succeeds
+    assert st.save_monitors(df, expect_version=1) == 2
+    assert st.read("monitors").count() == 1
+    # with a real TTL, a fresh claim is NOT stolen (live-writer guard)
+    st2 = JobStore(spark, str(tmp_path / "reclaim_store"), claim_ttl_s=60.0)
+    (vdir / "v00000003.claim").touch()
+    with pytest.raises(ConcurrentWriteError):
+        st2.save_monitors(df, expect_version=2)
 
 
 def test_webhook_notifier_delivers_payload():
