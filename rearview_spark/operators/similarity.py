@@ -618,6 +618,95 @@ def pq_topk(
     return pq_scan_topk(codes, codebook, queries, topk, m, id_col, vec_col, dim)
 
 
+def ivf_rpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    n_buckets: int = 8,
+    nprobe: int = 2,
+    router_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + RESIDUAL PQ (the classical IVFADC refinement, public Jegou
+    et al. scheme): vectors are PQ-encoded as their residual from the
+    assigned router centroid, not raw. Residuals concentrate near zero,
+    so the same m*k code budget spends its quantization resolution on
+    the within-bucket detail the router already localized — recall at
+    equal bytes is >= raw-vector IVF+PQ (:func:`ivf_pq_topk`).
+
+    Query side: for each probed bucket the query's OWN residual against
+    that bucket's centroid feeds the ADC table, so distance tables are
+    keyed (query, bucket, subspace, code) — one table per probe, still
+    |queries| * nprobe * m * k rows, broadcast-scale.
+
+    Scale shape: identical to ivf_pq_topk — bucket-pruned candidates,
+    broadcast codebooks/tables, one corpus-sized shuffle of (query, vec,
+    partial) rows for probed buckets only. The extra cost vs raw IVF+PQ
+    is one broadcast join to materialize residuals at encode time."""
+    from pyspark.sql import Window
+
+    from rearview_spark.operators._util import ensure_parallelism
+
+    router = kmeans_fit(corpus, n_buckets, router_iters, id_col, vec_col)
+    vecs = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).cache()
+    bucketed = assign_buckets(vecs, router)
+    resid = bucketed.join(F.broadcast(router), "bucket").select(
+        id_col, "bucket",
+        F.zip_with("cv", "centroid", lambda x, y: x - y).alias("rv"),
+    )
+    rcb = pq_fit(resid, m, k_codes, pq_iters, id_col, "rv", dim)
+    codes = pq_encode(resid, rcb, m, id_col, "rv", dim)
+
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+    qc = q.crossJoin(F.broadcast(router)).select(
+        "query_id", "qv", "bucket", "centroid",
+        cosine(F.col("qv"), F.col("centroid")).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("bucket"))
+    probes = qc.withColumn("r", F.row_number().over(wq)).filter(F.col("r") <= nprobe)
+
+    sub = dim // m
+    qresid = probes.select(
+        "query_id", "bucket",
+        F.zip_with("qv", "centroid", lambda x, y: x - y).alias("rqv"),
+    )
+    pieces = F.array(*[
+        F.struct(F.lit(s).alias("s"), F.slice(F.col("rqv"), s * sub + 1, sub).alias("sv"))
+        for s in range(m)
+    ])
+    qsubs = qresid.select("query_id", "bucket", F.explode(pieces).alias("p")).select(
+        "query_id", "bucket", "p.s", "p.sv"
+    )
+    dtable = qsubs.join(F.broadcast(rcb), "s").select(
+        "query_id", "bucket", "s", "code",
+        _sq_l2(F.col("sv"), F.col("centroid")).alias("d"),
+    )
+    cands = bucketed.select(id_col, "bucket").join(
+        F.broadcast(probes.select("query_id", "bucket")), "bucket"
+    )
+    scored = (
+        cands.join(codes, id_col)
+        .join(F.broadcast(dtable), ["query_id", "bucket", "s", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d").alias("dist"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            F.round(F.col("dist") + F.lit(5e-10), 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -125,3 +125,85 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint_md5(c).alias("fp_md5"),
         lang_id(c).alias("lang_pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (iterative merge learning)
+# ---------------------------------------------------------------------------
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Learn byte-pair-encoding merges over a corpus (public Sennrich et
+    al. scheme): start from characters, repeatedly count adjacent symbol
+    pairs (frequency-weighted by word count) and merge the most frequent
+    pair. Returns the merge table ``(merge_rank, left, right, merged,
+    pair_count)`` — the training artifact a tokenizer consumes.
+
+    Determinism: ties break on (count DESC, left ASC, right ASC), words
+    are lowercased alphabetic tokens, so the fit is reproducible and a
+    chained-CTE SQL oracle re-derives it exactly.
+
+    Symbol sequences are carried as a pipe-delimited string — each symbol
+    wrapped as ``|sym|``, e.g. ``|l||o||w|`` — so one literal
+    ``replace('|a||b|' -> '|ab|')`` performs the greedy left-to-right
+    non-overlapping merge IDENTICALLY in Spark and in the SQL oracle
+    (symbols are a-z only, so the delimiter can never be shadowed).
+
+    Scale shape (100 TB corpus): the state is the UNIQUE-WORD frequency
+    table, not the corpus — one initial shuffle builds it, after which
+    each Lloyd-style iteration is a narrow map (replace) + one pair-count
+    aggregation over words; the only driver traffic is the 1-row argmax
+    per iteration (same pattern as the k-means codebook collect). Lineage
+    is truncated per iteration (localCheckpoint) so iteration N does not
+    replay 1..N-1."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    seq0 = F.concat(
+        F.lit("|"), F.array_join(F.split(F.col("w"), ""), "||"), F.lit("|")
+    )
+    state = words.select(seq0.alias("seq"), "freq").localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), r"\|\|"
+        ).alias("syms")
+        n = F.size("syms")
+        pairs = (
+            state.select(syms, "freq")
+            .filter(n >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice(F.col("syms"), 2, n - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((rank, a, b, a + b, cnt))
+        state = state.select(
+            F.replace(
+                F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("seq"),
+            "freq",
+        ).localCheckpoint(eager=True)
+
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_count bigint"
+    )

@@ -1110,3 +1110,181 @@ SELECT query_id, vec_id, approx_dist, rank FROM (
 )
 
 QUERIES["sim_ivf_pq_topk"] = {"fn": sim_ivf_pq_topk, "oracle": SIM_IVF_PQ_SQL}
+
+
+# --- IVF + residual PQ (IVFADC) ----------------------------------------------
+
+def sim_ivf_rpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF router + RESIDUAL PQ: codes quantize (vector - assigned router
+    centroid), and each probe's ADC table is built from the query's own
+    residual against that bucket's centroid. The oracle re-derives router
+    CTEs, residual frames, residual-space codebooks, code assignment, and
+    the (query, bucket)-keyed ADC sums — same chained-CTE unrolling as
+    the raw IVF+PQ gate."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_rpq_topk(
+        emb, queries, topk=10, n_buckets=8, nprobe=2, router_iters=2,
+        m=4, k_codes=16, pq_iters=2,
+    )
+
+
+SIM_IVF_RPQ_SQL = (
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, v AS centroid
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)
+),"""
+    + ",".join(_kmeans_iteration_sql(i) for i in (1, 2))
+    + """,
+assigned AS (
+  SELECT vec_id, bucket FROM (
+    SELECT b.vec_id, c.bucket,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.bucket) AS rn
+    FROM base b CROSS JOIN cb2 c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.bucket,
+         [b.v[j+1] - c.centroid[j+1] for j in range(64)] AS rv
+  FROM assigned a
+  JOIN base b ON b.vec_id = a.vec_id
+  JOIN cb2 c ON c.bucket = a.bucket
+),
+psubs AS (
+  SELECT vec_id, s, rv[s*16+1 : s*16+16] AS sv
+  FROM resid, (SELECT unnest(range(4)) AS s)
+),
+pcb0 AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+         sv AS centroid
+  FROM psubs
+  WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 16)
+),"""
+    + ",".join(_pq_iteration_sql(i) for i in (1, 2))
+    + """,
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, c.code,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                              ORDER BY list_sum([(sub.sv[j+1] - c.centroid[j+1]) * (sub.sv[j+1] - c.centroid[j+1]) for j in range(16)]) ASC, c.code) AS rn
+    FROM psubs sub JOIN pcb2 c ON c.s = sub.s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, bucket FROM (
+    SELECT q.query_id, c.bucket,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.bucket) AS r
+    FROM q CROSS JOIN cb2 c
+  ) WHERE r <= 2
+),
+qresid AS (
+  SELECT p.query_id, p.bucket,
+         [q.qv[j+1] - c.centroid[j+1] for j in range(64)] AS rqv
+  FROM probes p
+  JOIN q ON q.query_id = p.query_id
+  JOIN cb2 c ON c.bucket = p.bucket
+),
+qsubs AS (
+  SELECT query_id, bucket, s, rqv[s*16+1 : s*16+16] AS sv
+  FROM qresid, (SELECT unnest(range(4)) AS s)
+),
+dtable AS (
+  SELECT qs.query_id, qs.bucket, qs.s, c.code,
+         list_sum([(qs.sv[j+1] - c.centroid[j+1]) * (qs.sv[j+1] - c.centroid[j+1]) for j in range(16)]) AS d
+  FROM qsubs qs JOIN pcb2 c ON c.s = qs.s
+),
+cands AS (
+  SELECT p.query_id, a.vec_id, a.bucket
+  FROM probes p JOIN assigned a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.vec_id,
+         round(sum(d.d) + 0.0000000005, 6) AS approx_dist
+  FROM cands cd
+  JOIN codes ON codes.vec_id = cd.vec_id
+  JOIN dtable d ON d.query_id = cd.query_id AND d.bucket = cd.bucket
+               AND d.s = codes.s AND d.code = codes.code
+  GROUP BY cd.query_id, cd.vec_id
+)
+SELECT query_id, vec_id, approx_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+)
+
+QUERIES["sim_ivf_rpq_topk"] = {"fn": sim_ivf_rpq_topk, "oracle": SIM_IVF_RPQ_SQL}
+
+
+# --- BPE vocabulary training -------------------------------------------------
+
+def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge learning over the documents table (operators/
+    text.py bpe_train): 8 merge rounds, each = pair-count aggregation +
+    argmax + greedy re-tokenize. The oracle unrolls the same 8 rounds as
+    chained CTEs sharing the pipe-delimited merge representation, so the
+    hash check covers counts, tie-breaks, AND the re-tokenization."""
+    docs = Tables(spark, sf_dir).documents
+    return X.bpe_train(docs, n_merges=8)
+
+
+def _bpe_iteration_sql(i: int) -> str:
+    """One BPE round as CTEs: adjacent-pair counts over s{i-1} -> argmax
+    with (cnt DESC, l, r) tie-break -> greedy merge via delimited
+    replace. MATERIALIZED is load-bearing: each round reads its
+    predecessor twice, so DuckDB's default CTE inlining would expand the
+    8-round chain into a 2^8 plan tree."""
+    return f"""
+ex{i} AS MATERIALIZED (
+  SELECT seq, freq, generate_subscripts(syms, 1) AS idx, unnest(syms) AS sym
+  FROM (SELECT seq, freq,
+               str_split(substr(seq, 2, length(seq) - 2), '||') AS syms
+        FROM s{i - 1})
+),
+b{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM (
+    SELECT a.sym AS l, b.sym AS r, sum(a.freq) AS cnt
+    FROM ex{i} a JOIN ex{i} b ON b.seq = a.seq AND b.idx = a.idx + 1
+    GROUP BY 1, 2
+  ) ORDER BY cnt DESC, l, r LIMIT 1
+),
+s{i} AS MATERIALIZED (
+  SELECT replace(seq, '|' || l || '||' || r || '|', '|' || l || r || '|') AS seq,
+         freq
+  FROM s{i - 1}, b{i}
+)"""
+
+
+DOC_BPE_SQL = (
+    """
+WITH w0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(str_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(str_split(w, ''), '||') || '|' AS seq, freq
+  FROM w0
+),"""
+    + ",".join(_bpe_iteration_sql(i) for i in range(1, 9))
+    + """
+SELECT CAST(merge_rank AS INT) AS merge_rank, l AS "left", r AS "right",
+       l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l, r, cnt FROM b{i}" for i in range(1, 9)
+    )
+    + """)
+"""
+)
+
+QUERIES["doc_bpe_vocab"] = {"fn": doc_bpe_vocab, "oracle": DOC_BPE_SQL}
