@@ -7,15 +7,10 @@ from __future__ import annotations
 
 
 # Names the driver should check FIRST this round, ahead of the generic
-# ordering below. Round-4 priorities (VERDICT_r03 "Next round" #3):
-# the new round-4 operators, so each gets a driver-green row the round it
-# lands. Names listed here but not (yet) registered are skipped, so the
-# list may lead the implementation during the round.
-_R04_NEW = (
-    "media_resize",
-    "sim_pq_scan_topk",
-    "sim_ivf_rpq_topk",
-    "doc_bpe_vocab",
+# staleness ordering below: operators new this round, so each gets a
+# driver-green row the round it lands. Names listed here but not (yet)
+# registered are skipped, so the list may lead the implementation.
+_NEW_THIS_ROUND = (
     "ts_rollup_router",
 )
 
@@ -31,6 +26,35 @@ def _green(entry: dict) -> bool:
     )
 
 
+def _latest_check_by_query(root: str) -> dict:
+    """Scan every CORRECTNESS_r*.json in the repo root and return
+    {query_name: (latest_round_checked, was_green_at_that_check)}.
+
+    Generic across rounds: no hardcoded round numbers, so the rotation
+    logic below keeps working as new rounds append result files.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    latest: dict = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, entry in data.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, _green(entry))
+    return latest
+
+
 def all_queries() -> dict:
     from rearview_spark.plans import (
         events_queries,
@@ -41,7 +65,6 @@ def all_queries() -> dict:
         timeseries_queries,
     )
 
-    import json
     import os
 
     out: dict = {}
@@ -52,39 +75,31 @@ def all_queries() -> dict:
             out[name] = spec
 
     # The driver's correctness gate hashes the FIRST 50 entries of this
-    # dict (insertion order). Round-4 window, in priority order:
-    #   a) round-3 red rows (the events-loader regression set) — confirm
-    #      the repair under the driver, not just locally,
-    #   b) operators new this round (_R04_NEW),
-    #   c) queries never driver-checked in any round,
-    #   d) round-2 greens never re-checked since (oldest confirmation
-    #      first-in),
-    #   e) fill: round-3 greens (freshest confirmations, least urgent).
+    # dict (insertion order). Priority order for the window, derived
+    # from the union of ALL past CORRECTNESS_r*.json files (not just the
+    # last two rounds — VERDICT_r04 "What's wrong" #5):
+    #   a) rows whose LATEST driver check is red — repairs confirm first,
+    #   b) operators new this round (_NEW_THIS_ROUND),
+    #   c) rows never driver-checked in any round,
+    #   d) everything else by oldest latest-green round first (stalest
+    #      confirmation rotates in first; freshest greens fill last).
+    # Registration order breaks ties inside each group.
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-    def _load(fname: str) -> dict:
-        p = os.path.join(root, fname)
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
-        return {}
-
-    r02, r03 = _load("CORRECTNESS_r02.json"), _load("CORRECTNESS_r03.json")
-    r03_red = [n for n, e in r03.items() if not _green(e)]
-    r03_green = {n for n, e in r03.items() if _green(e)}
-    r02_green_stale = [n for n, e in r02.items() if _green(e) and n not in r03]
-    checked_ever = set(r02) | set(r03)
+    latest = _latest_check_by_query(root)
 
     front: list[str] = []
     for group in (
-        r03_red,
-        _R04_NEW,
-        [n for n in out if n not in checked_ever],
-        r02_green_stale,
+        [n for n in out if n in latest and not latest[n][1]],
+        _NEW_THIS_ROUND,
+        [n for n in out if n not in latest],
     ):
         for n in group:
             if n in out and n not in front:
                 front.append(n)
-    ordered = front + [n for n in out if n in r03_green and n not in front]
+    rest = sorted(
+        (n for n in out if n not in front),
+        key=lambda n: latest[n][0],
+    )
+    ordered = front + rest
     ordered += [n for n in out if n not in ordered]
     return {n: out[n] for n in ordered}

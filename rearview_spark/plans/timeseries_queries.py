@@ -832,6 +832,73 @@ QUERIES.update(
 )
 
 
+def ts_rollup_router(spark, sf_dir):
+    """Resolution router (sources/rollup.py pick_resolution): three
+    requested steps routed to the coarsest materialized tier that divides
+    them — 2h -> hourly tier, 2d -> daily tier, 45min -> raw fallback
+    (no tier divides 2700s). Output carries the chosen tier so the
+    oracle asserts BOTH the routing decision and that the routed value
+    (partial-state merge) equals a direct raw-scan aggregate. At 100 TB
+    the 2h/2d requests read the ~fan-in-smaller rollup, never raw."""
+    from rearview_spark.sources import rollup as RU
+
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    tiers = dict(RU.DEFAULT_TIERS)  # {"1 hour": 3600, "1 day": 86400}
+    hourly = RU.rollup_from_raw(series, "1 hour")
+    materialized = {"1 hour": hourly, "1 day": RU.rollup_cascade(hourly, "1 day")}
+
+    parts = []
+    for step_name, secs in (("2 hours", 7200), ("2 days", 172800), ("45 minutes", 2700)):
+        tier = RU.pick_resolution(secs, tiers)
+        if tier is not None:
+            routed = RU.resolved_summarize(materialized[tier], step_name, "avg")
+        else:
+            raw = RU.rollup_from_raw(series, step_name)
+            routed = raw.select(
+                "metric", "ts", (F.col("sum_value") / F.col("n_points")).alias("value")
+            )
+        parts.append(
+            routed.select(
+                F.lit(step_name).alias("req_step"),
+                F.lit(tier or "raw").alias("tier"),
+                "metric",
+                "ts",
+                r4(F.col("value")).alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("req_step", "metric", "ts")
+
+
+TS_ROLLUP_ROUTER_SQL = """
+SELECT * FROM (
+  SELECT '2 hours' AS req_step, '1 hour' AS tier, event_type AS metric,
+         CAST(to_timestamp(floor(epoch(ts) / 7200) * 7200) AS TIMESTAMP) AS ts,
+         round(sum(value) / count(value) + 0.00000005, 4) AS value
+  FROM events GROUP BY 3, 4
+  UNION ALL
+  SELECT '2 days', '1 day', event_type,
+         CAST(to_timestamp(floor(epoch(ts) / 172800) * 172800) AS TIMESTAMP),
+         round(sum(value) / count(value) + 0.00000005, 4)
+  FROM events GROUP BY 3, 4
+  UNION ALL
+  SELECT '45 minutes', 'raw', event_type,
+         CAST(to_timestamp(floor(epoch(ts) / 2700) * 2700) AS TIMESTAMP),
+         round(sum(value) / count(value) + 0.00000005, 4)
+  FROM events GROUP BY 3, 4
+) ORDER BY req_step, metric, ts
+"""
+
+
+QUERIES.update(
+    {
+        "ts_rollup_router": {"fn": ts_rollup_router, "oracle": TS_ROLLUP_ROUTER_SQL},
+    }
+)
+
+
 # --- G26 Holt-Winters: recursive-CTE oracles ---------------------------------
 # The triple-smoothing recurrence is sequential IEEE-double math — one fixed
 # evaluation order, no accumulation ambiguity — so a recursive CTE that

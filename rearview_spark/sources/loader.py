@@ -62,22 +62,84 @@ class Tables:
             getattr(self, name).createOrReplaceTempView(name)
 
 
+# Footer-sniff results, keyed by resolved path. The sniff (pyarrow import
+# + rglob + read_schema) used to run on EVERY load_table/load_events_stream
+# call for events — per-query driver-side overhead and a measured
+# contributor to stream_hourly_stats' bench drift (VERDICT r04 "What's
+# wrong" #2). Testdata files are immutable within a session, so one sniff
+# per resolved path is correct; reset_sniff_cache() exists for tests that
+# rewrite a file in place.
+_SNIFF_CACHE: dict[str, bool] = {}
+
+#: batch-resolved events schema per abspath (see load_events_stream)
+_SCHEMA_CACHE: dict[str, object] = {}
+
+# Epoch magnitude floor for the bare-int64 branch: 10^16 ns = 1970-04-26.
+# Any nanos timestamp from this century is ~1.7e18; the same instant in
+# micros is ~1.7e15 and in millis ~1.7e12 — three-plus orders below the
+# floor — so a file shipping int64 epoch-micros/millis fails loudly here
+# instead of being silently misread 1000x off (ADVICE r04 #3).
+_NANOS_EPOCH_FLOOR = 10**16
+
+
+def reset_sniff_cache() -> None:
+    _SNIFF_CACHE.clear()
+    _SCHEMA_CACHE.clear()
+
+
+def _int64_ts_looks_like_nanos(pf) -> bool:
+    """Magnitude check for a bare-int64 ts column, footer-first: use the
+    row-group statistics max when present (no data scan); otherwise read
+    one ts value from the first row group."""
+    col_idx = pf.schema_arrow.get_field_index("ts")
+    if pf.metadata.num_row_groups:
+        stats = pf.metadata.row_group(0).column(col_idx).statistics
+        if stats is not None and stats.has_min_max:
+            return stats.max >= _NANOS_EPOCH_FLOOR
+        sample = pf.read_row_group(0, columns=["ts"]).column("ts")
+        if len(sample):
+            return sample[0].as_py() >= _NANOS_EPOCH_FLOOR
+    return True  # empty file: either branch reads zero rows
+
+
 def events_ts_is_nanos(path: str) -> bool:
     """True when events.ts is physically TIMESTAMP(NANOS) (or a bare int64
-    of epoch-nanos) in the parquet footer. Footer-only metadata read via
-    pyarrow — no data scan, no Spark conf side effects. The driver's
-    testdata has shipped BOTH encodings across rounds, so the loader must
-    branch on the file, never assume."""
+    whose magnitude is epoch-nanos) in the parquet footer. Footer-only
+    metadata read via pyarrow — no data scan, no Spark conf side effects.
+    The driver's testdata has shipped BOTH encodings across rounds, so the
+    loader must branch on the file, never assume. Memoized per resolved
+    path (immutable testdata; see _SNIFF_CACHE)."""
     import pathlib
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     p = pathlib.Path(path)
+    key = str(p.resolve())
+    if key in _SNIFF_CACHE:
+        return _SNIFF_CACHE[key]
     if p.is_dir():
-        p = sorted(p.rglob("*.parquet"))[0]
+        parts = sorted(p.rglob("*.parquet"))
+        if not parts:
+            raise FileNotFoundError(
+                f"events source {path!r} is a directory with no *.parquet part files"
+            )
+        p = parts[0]
     t = pq.read_schema(str(p)).field("ts").type
-    return (pa.types.is_timestamp(t) and t.unit == "ns") or pa.types.is_int64(t)
+    if pa.types.is_timestamp(t):
+        result = t.unit == "ns"
+    elif pa.types.is_int64(t):
+        if not _int64_ts_looks_like_nanos(pq.ParquetFile(str(p))):
+            raise ValueError(
+                f"events.ts in {p} is bare int64 but its magnitude is below the "
+                f"epoch-nanos range (< {_NANOS_EPOCH_FLOOR}); refusing to guess the "
+                "unit — re-encode as TIMESTAMP(...) or epoch-nanos"
+            )
+        result = True
+    else:
+        result = False
+    _SNIFF_CACHE[key] = result
+    return result
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -131,7 +193,12 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Reuse the batch-resolved schema (footer truth) as the reader schema so
     # the stream sees exactly what load_table sees, then the same cast.
-    schema = spark.read.parquet(path).schema
+    # Memoized alongside the sniff: schema resolution is a JVM file-listing
+    # + footer read per stream build otherwise.
+    key = os.path.abspath(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(glob)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 

@@ -119,3 +119,43 @@ def test_stream_reader_matches_batch(spark, tmp_path, encoding):
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+def test_int64_micros_rejected_loudly(tmp_path):
+    """A bare-int64 ts whose magnitude is epoch-MICROS must raise, not be
+    silently misread 1000x off (ADVICE r04 #3)."""
+    ts = pa.array(
+        [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for t in _TS],
+        type=pa.int64(),
+    )
+    table = pa.table({"event_id": pa.array([1, 2, 3], pa.int64()), "ts": ts})
+    d = tmp_path / "enc_int64_micros"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+    with pytest.raises(ValueError, match="epoch-nanos"):
+        events_ts_is_nanos(str(d / "events.parquet"))
+
+
+def test_empty_directory_raises_descriptive(tmp_path):
+    d = tmp_path / "empty_events.parquet"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError, match="no \\*\\.parquet part files"):
+        events_ts_is_nanos(str(d))
+
+
+def test_sniff_memoized_per_path(tmp_path, monkeypatch):
+    """Second sniff of the same path must not touch the footer again
+    (per-query overhead fix, VERDICT r04 'What's wrong' #2)."""
+    from rearview_spark.sources import loader
+
+    sf_dir = _write_events(tmp_path, "micros")
+    path = f"{sf_dir}/events.parquet"
+    loader.reset_sniff_cache()
+    assert events_ts_is_nanos(path) is False
+
+    def _boom(*a, **k):  # pragma: no cover - called only on cache miss
+        raise AssertionError("footer re-read after memoization")
+
+    monkeypatch.setattr(pq, "read_schema", _boom)
+    assert events_ts_is_nanos(path) is False
+    loader.reset_sniff_cache()
