@@ -104,9 +104,10 @@ class JobStore:
         # versioned overwrite is reserved for the mutable config tables.
         df.write.mode("append").parquet(str(self._legacy_path(table)))
 
-    def _claim(self, table: str, vdir: Path, vname: Path, nxt: int) -> Path:
-        """Take the O_EXCL claim for version ``nxt``; on conflict, reclaim
-        a hard-crashed writer's orphan (claim older than ``claim_ttl_s``
+    def _claim(self, table: str, vdir: Path, vname: Path, nxt: int, token: str) -> Path:
+        """Take the O_EXCL claim for version ``nxt`` and record ``token``
+        (the fencing identity) inside it; on conflict, reclaim a
+        hard-crashed writer's orphan (claim older than ``claim_ttl_s``
         with CURRENT still below ``nxt`` — a live writer finishes its
         config-scale write well inside the TTL) and retry once."""
         import time
@@ -115,7 +116,11 @@ class JobStore:
         for attempt in (0, 1):
             try:
                 fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                try:
+                    os.write(fd, token.encode())
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
                 return claim
             except FileExistsError:
                 cur_now, _ = self.current_version(table)
@@ -125,15 +130,27 @@ class JobStore:
                     continue  # owner just released it; retry the claim
                 if attempt == 0 and cur_now < nxt and age >= self.claim_ttl_s:
                     # orphan: the claimer died between claim and pointer
-                    # swap (its version dir may be absent, partial, or even
-                    # complete-but-unpublished) — remove both and retry
+                    # swap. Remove its published-name dir, any stranded
+                    # writer staging dirs for this version, and the claim,
+                    # then retry. If the "orphan" is actually a live-but-
+                    # stalled writer, the token it wrote into the claim is
+                    # now gone, so its pre-publish fencing check fails and
+                    # it aborts instead of racing us (ADVICE r04 #1).
                     shutil.rmtree(vname, ignore_errors=True)
+                    for stranded in vdir.glob(f"{vname.name}.w-*"):
+                        shutil.rmtree(stranded, ignore_errors=True)
                     claim.unlink(missing_ok=True)
                     continue
                 raise ConcurrentWriteError(
                     f"{table}: version {nxt} already claimed by another writer"
                 ) from None
         raise ConcurrentWriteError(f"{table}: could not claim version {nxt}")
+
+    def _owns_claim(self, claim: Path, token: str) -> bool:
+        try:
+            return claim.read_text() == token
+        except FileNotFoundError:
+            return False
 
     def overwrite(
         self,
@@ -165,26 +182,49 @@ class JobStore:
         vname_s = f"v{nxt:08d}"
         vdir = self._versions_dir(table)
         vdir.mkdir(exist_ok=True)
-        claim = self._claim(table, vdir, vdir / vname_s, nxt)
+        token = uuid.uuid4().hex
+        claim = self._claim(table, vdir, vdir / vname_s, nxt, token)
+        # Each writer stages into its OWN token-suffixed dir — two writers
+        # can never interleave part files in one directory, even across a
+        # TTL reclaim (ADVICE r04 #1: the old shared-dir write could
+        # publish a mix of two writers' files). The stem still parses as
+        # version ``nxt``, so _prune collects abandoned staging dirs.
+        wdir = vdir / f"{vname_s}.w-{token}"
         tmp = self.root / f".{table}.CURRENT.{uuid.uuid4().hex}"
+        published = False
         try:
-            df.write.mode("overwrite").parquet(str(vdir / vname_s))
+            df.write.mode("overwrite").parquet(str(wdir))
             for sub, sdf in (sidecars or {}).items():
                 assert sub.startswith("_"), "sidecar dirs must be underscore-hidden"
-                sdf.write.mode("overwrite").parquet(str(vdir / vname_s / sub))
+                sdf.write.mode("overwrite").parquet(str(wdir / sub))
+            # Fencing: re-verify we still own the claim IMMEDIATELY before
+            # publishing. A reclaimer that stole the claim (TTL expiry
+            # during a stalled write) deleted/replaced the claim file, so
+            # the token no longer matches and we abort rather than
+            # double-publish version ``nxt``.
+            if not self._owns_claim(claim, token):
+                raise ConcurrentWriteError(
+                    f"{table}: claim for version {nxt} was reclaimed by another "
+                    "writer during a stalled write; aborting publish"
+                )
+            os.rename(wdir, vdir / vname_s)  # fails if the thief published first
+            published = True
             tmp.write_text(vname_s)
             os.replace(tmp, self._pointer(table))  # atomic on POSIX
         except BaseException:
             # A claim whose write never advanced CURRENT would wedge the
             # table: every later overwrite computes the same next version
             # and hits the O_EXCL claim forever (ADVICE r02).  Release the
-            # claim, drop the partial version dir, and clear the temp
-            # pointer so the next attempt can re-claim litter-free.  (A
-            # hard crash between claim and swap leaves a stale claim;
-            # the TTL-based reclaim in _claim covers it.)
-            shutil.rmtree(vdir / vname_s, ignore_errors=True)
-            claim.unlink(missing_ok=True)
+            # claim, drop the staging/version dirs, and clear the temp
+            # pointer so the next attempt can re-claim litter-free — but
+            # ONLY what this writer still owns: after a claim theft the
+            # published-name dir and the claim belong to the thief.
+            shutil.rmtree(wdir, ignore_errors=True)
             tmp.unlink(missing_ok=True)
+            if self._owns_claim(claim, token):
+                if published:
+                    shutil.rmtree(vdir / vname_s, ignore_errors=True)
+                claim.unlink(missing_ok=True)
             raise
         self._prune(table, keep_from=nxt - 1)
         return nxt
@@ -212,9 +252,35 @@ class JobStore:
         """Swap the monitors table; when ``outbox`` is given, its rows are
         committed in the SAME pointer flip (sidecar ``_outbox``) — the
         status transitions and the alerts they owe become visible
-        atomically together."""
+        atomically together.
+
+        Still-undispatched rows from the PREVIOUS version's outbox are
+        always carried forward into the new sidecar (union, deduped by
+        deterministic id). Without this, any save_monitors call between a
+        crash and the next tick's opening drain — e.g. a user registering
+        a monitor — would silently discard the owed alerts, and the
+        at-least-once guarantee would hold only if the scheduler were the
+        sole writer (ADVICE r04 #2)."""
+        carried = self._undispatched_outbox()
+        if carried is not None and outbox is not None:
+            outbox = carried.unionByName(outbox).dropDuplicates(["id"])
+        elif carried is not None:
+            outbox = carried
         sidecars = {"_outbox": outbox} if outbox is not None else None
         return self.overwrite("monitors", df, expect_version, sidecars=sidecars)
+
+    def _undispatched_outbox(self) -> DataFrame | None:
+        """Pending rows of the current version's outbox, or None when the
+        current version carries no outbox sidecar (the common case — one
+        existence check, no Spark job)."""
+        _, path = self.current_version("monitors")
+        if path is None or not (Path(path) / "_outbox").exists():
+            return None
+        return (
+            self.read_outbox()
+            .dropDuplicates(["id"])
+            .join(self._read_dispatch_log(), "id", "left_anti")
+        )
 
     def read_outbox(self) -> DataFrame:
         """The current monitors version's alert outbox (empty frame when

@@ -557,3 +557,70 @@ def test_observe_metrics(spark):
     lines = TickMetrics(ran=2, alerts=1, failed=1, tick_seconds=0.5).to_statsd_lines()
     assert "rearview.scheduler.ran:2|c" in lines
     assert "rearview.scheduler.tick_ms:500|ms" in lines
+
+
+def test_claim_fencing_aborts_stalled_writer(spark, tmp_path):
+    """ADVICE r04 (medium): a writer whose write stalls past the claim TTL
+    loses its claim to a reclaimer; fencing (writer token re-verified
+    immediately before publish) makes the stalled writer ABORT instead of
+    double-publishing the same version."""
+    from rearview_spark.monitors.store import ConcurrentWriteError
+
+    root = str(tmp_path / "fence_store")
+    st = JobStore(spark, root, claim_ttl_s=0.0)
+    thief = JobStore(spark, root, claim_ttl_s=0.0)
+    df1 = spark.createDataFrame([monitor_row(id=1)], MONITORS)
+    df2 = spark.createDataFrame([monitor_row(id=2)], MONITORS)
+    assert st.save_monitors(df1) == 1
+
+    orig_owns = st._owns_claim
+    stolen = {"done": False}
+
+    def owns_after_theft(claim, token):
+        # simulate the stall: TTL expires and a second writer reclaims the
+        # claim and publishes v2 while our write is in flight
+        if not stolen["done"]:
+            stolen["done"] = True
+            assert thief.save_monitors(df2, expect_version=1) == 2
+        return orig_owns(claim, token)
+
+    st._owns_claim = owns_after_theft
+    with pytest.raises(ConcurrentWriteError, match="reclaimed"):
+        st.save_monitors(df1, expect_version=1)
+    # the thief's publish is intact — exactly one v2, with the thief's rows
+    assert st.current_version("monitors")[0] == 2
+    assert [r["id"] for r in st.read("monitors").collect()] == [2]
+    # and the table is not wedged: the next writer proceeds normally
+    st._owns_claim = orig_owns
+    assert st.save_monitors(df1, expect_version=2) == 3
+
+
+def test_outbox_carried_forward_across_unrelated_saves(spark, tmp_path):
+    """ADVICE r04 (medium): undispatched outbox rows must survive a
+    save_monitors call that carries no outbox (e.g. a user registering a
+    monitor between a crash and the next tick's opening drain)."""
+    from rearview_spark.monitors.schemas import ALERT_OUTBOX
+
+    st = JobStore(spark, str(tmp_path / "carry_store"))
+    mons = spark.createDataFrame([monitor_row(id=1)], MONITORS)
+    owed = spark.createDataFrame(
+        [(11, 1, ["email:ops@example.com"], "boom", "failed", T0)], ALERT_OUTBOX
+    )
+    st.save_monitors(mons)
+    st.save_monitors(mons, expect_version=1, outbox=owed)
+    # unrelated config write WITHOUT outbox= — must not discard the alert
+    st.save_monitors(mons, expect_version=2)
+    assert [r["id"] for r in st.pending_alerts()] == [11]
+    # a later save with NEW outbox rows unions (deduped by id)
+    owed2 = spark.createDataFrame(
+        [(11, 1, ["email:ops@example.com"], "boom", "failed", T0),
+         (12, 1, ["email:ops@example.com"], "still down", "failed", NOW)],
+        ALERT_OUTBOX,
+    )
+    st.save_monitors(mons, expect_version=3, outbox=owed2)
+    assert sorted(r["id"] for r in st.pending_alerts()) == [11, 12]
+    # dispatched rows stop being carried
+    st.mark_alert_dispatched(11, NOW)
+    st.mark_alert_dispatched(12, NOW)
+    st.save_monitors(mons, expect_version=4)
+    assert st.pending_alerts() == []
