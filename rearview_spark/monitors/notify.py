@@ -8,10 +8,12 @@ at-least-once; the debounce state (lifecycle.py) is what bounds re-fires,
 exactly the reference semantic.
 
 Shipped notifiers: a collecting sink (tests/metrics), a JSONL file sink
-(audit trail), and a real HTTP webhook transport (stdlib urllib POST —
-the S6 delivery path; email/pagerduty/campfire are all webhook-shaped
-behind their provider APIs and need only credentials + endpoint).
-``register`` plugs transports in by key prefix.
+(audit trail), a real HTTP webhook transport, a PagerDuty Events-v2
+envelope (trigger/resolve with per-job dedup_key), and a Campfire
+speak.json envelope (token basic-auth) — all stdlib urllib POST.
+``register`` plugs transports in by key prefix; only ``email:`` remains
+a routing-only stub (SMTP needs credentials and a provider; the key
+routes to whatever Notifier is registered for it).
 """
 
 from __future__ import annotations
@@ -95,6 +97,94 @@ class WebhookNotifier:
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             if resp.status >= 300:
                 raise RuntimeError(f"webhook {target} returned {resp.status}")
+
+
+def _post_json(
+    url: str, doc: dict, timeout_s: float, headers: dict[str, str] | None = None
+) -> None:
+    """Shared stdlib HTTP POST used by the provider envelopes. Failures
+    raise (at-least-once: the outbox redelivers on the next drain)."""
+    body = json.dumps(doc).encode()
+    req = urllib.request.Request(
+        url,
+        data=body,
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        if resp.status >= 300:
+            raise RuntimeError(f"{url} returned {resp.status}")
+
+
+@dataclass
+class PagerDutyNotifier:
+    """PagerDuty Events API v2 envelope (public API: POST
+    https://events.pagerduty.com/v2/enqueue) — the real transport behind
+    the reference's ``pagerduty:`` routing keys (README.md:6; pagerduty
+    gem Gemfile.lock:159-area).
+
+    Key form ``pagerduty:<integration_key>`` — the payload part is the
+    Events-v2 ``routing_key``. The ``dedup_key`` is stable per job, so a
+    recovery alert (status ``success``) RESOLVES the open incident the
+    failure alert triggered, matching the reference's open/close
+    incident semantics (job_errors.status db/schema.rb:38-48)."""
+
+    endpoint: str = "https://events.pagerduty.com/v2/enqueue"
+    source: str = "rearview-spark"
+    timeout_s: float = 5.0
+
+    def envelope(self, alert: Alert) -> dict:
+        _, _, routing_key = alert.key.partition(":")
+        if not routing_key:
+            raise ValueError("pagerduty alert key carries no integration key")
+        return {
+            "routing_key": routing_key,
+            "event_action": "resolve" if alert.status == "success" else "trigger",
+            "dedup_key": f"rearview-job-{alert.job_id}",
+            "payload": {
+                "summary": (alert.message or f"job {alert.job_id} {alert.status}")[:1024],
+                "source": self.source,
+                "severity": "critical" if alert.status == "failed" else "error",
+                "timestamp": alert.fired_at.isoformat(),
+                "custom_details": {"job_id": alert.job_id, "status": alert.status},
+            },
+        }
+
+    def send(self, alert: Alert) -> None:
+        _post_json(self.endpoint, self.envelope(alert), self.timeout_s)
+
+
+@dataclass
+class CampfireNotifier:
+    """Campfire 'speak' envelope (public API: POST
+    /room/<id>/speak.json with token basic-auth) — the transport behind
+    ``campfire:<room_id>`` keys (broach dep, Gemfile.lock:159)."""
+
+    base_url: str = ""
+    token: str = ""
+    timeout_s: float = 5.0
+
+    def envelope(self, alert: Alert) -> dict:
+        return {
+            "message": {
+                "type": "TextMessage",
+                "body": f"[rearview] job {alert.job_id} {alert.status}: {alert.message}",
+            }
+        }
+
+    def send(self, alert: Alert) -> None:
+        import base64
+
+        _, _, room = alert.key.partition(":")
+        if not (room and self.base_url):
+            raise ValueError("campfire needs a room id key and a base_url")
+        auth = base64.b64encode(f"{self.token}:X".encode()).decode()
+        _post_json(
+            f"{self.base_url.rstrip('/')}/room/{room}/speak.json",
+            self.envelope(alert),
+            self.timeout_s,
+            headers={"Authorization": f"Basic {auth}"},
+        )
 
 
 class AlertRouter:

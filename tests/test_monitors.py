@@ -624,3 +624,89 @@ def test_outbox_carried_forward_across_unrelated_saves(spark, tmp_path):
     st.mark_alert_dispatched(12, NOW)
     st.save_monitors(mons, expect_version=4)
     assert st.pending_alerts() == []
+
+
+def _local_http_server():
+    """(server, port, received, headers) — tiny live HTTP sink for
+    provider-envelope tests; caller shuts it down."""
+    import http.server
+    import threading
+
+    received: list[tuple[str, bytes, dict]] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, body, dict(self.headers)))
+            self.send_response(202)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1], received
+
+
+def test_pagerduty_events_v2_envelope():
+    """VERDICT r04 next-round #4: real PagerDuty Events-v2 payload over a
+    live local HTTP server — trigger on failure, resolve on recovery,
+    stable per-job dedup_key tying the two to one incident."""
+    import json
+
+    from rearview_spark.monitors.notify import PagerDutyNotifier
+
+    srv, port, received = _local_http_server()
+    try:
+        pd = PagerDutyNotifier(endpoint=f"http://127.0.0.1:{port}/v2/enqueue")
+        router = AlertRouter()
+        router.register("pagerduty", pd)
+        router.dispatch(7, ["pagerduty:SVCKEY123"], "cpu high", NOW, "failed")
+        router.dispatch(7, ["pagerduty:SVCKEY123"], "recovered", NOW, "success")
+        assert len(received) == 2
+        trig = json.loads(received[0][1])
+        assert trig["routing_key"] == "SVCKEY123"
+        assert trig["event_action"] == "trigger"
+        assert trig["dedup_key"] == "rearview-job-7"
+        assert trig["payload"]["summary"] == "cpu high"
+        assert trig["payload"]["severity"] == "critical"
+        assert trig["payload"]["source"] == "rearview-spark"
+        assert trig["payload"]["timestamp"] == NOW.isoformat()
+        assert trig["payload"]["custom_details"] == {"job_id": 7, "status": "failed"}
+        res = json.loads(received[1][1])
+        assert res["event_action"] == "resolve"
+        assert res["dedup_key"] == trig["dedup_key"]  # same incident
+        assert received[0][2]["Content-Type"] == "application/json"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    # a key with no integration key fails loudly
+    from rearview_spark.monitors.notify import Alert
+
+    with pytest.raises(ValueError, match="integration key"):
+        PagerDutyNotifier().envelope(Alert(1, "pagerduty", "m", NOW, "failed"))
+
+
+def test_campfire_speak_envelope():
+    import base64
+    import json
+
+    from rearview_spark.monitors.notify import CampfireNotifier
+
+    srv, port, received = _local_http_server()
+    try:
+        cf = CampfireNotifier(base_url=f"http://127.0.0.1:{port}", token="tok123")
+        router = AlertRouter()
+        router.register("campfire", cf)
+        router.dispatch(9, ["campfire:4242"], "disk full", NOW, "failed")
+        path, body, headers = received[0]
+        assert path == "/room/4242/speak.json"
+        msg = json.loads(body)["message"]
+        assert msg["type"] == "TextMessage"
+        assert msg["body"] == "[rearview] job 9 failed: disk full"
+        expect = base64.b64encode(b"tok123:X").decode()
+        assert headers["Authorization"] == f"Basic {expect}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
