@@ -58,7 +58,35 @@ HEADLINE = [
     # ADC scan over the persisted index. Build cost is reported as its
     # own line (sim_pq_fit_encode) so neither number hides the other.
     "sim_pq_scan_topk",
+    # round-5: rollup-tier routing (serve summarize from materialized tiers)
+    "ts_rollup_router",
 ]
+
+
+def _previous_bench() -> tuple[str, dict, object] | None:
+    """(round tag, timings) of the newest BENCH_r*.json next to this file
+    — the cross-round drift baseline."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+        # the driver wraps our JSON line under "parsed"; accept both shapes
+        parsed = data.get("parsed") or {}
+        queries = (data.get("queries") or parsed.get("queries")) or {}
+        prev_sf = data.get("sf", parsed.get("sf"))
+        return f"r{best[0]:02d}", dict(queries), prev_sf
+    except (OSError, ValueError, AttributeError):
+        return None
 
 
 def _pq_index_build(spark, sf_dir: str, base: str) -> None:
@@ -117,7 +145,7 @@ def main() -> None:
     # run-to-run variance after warmup is small. Caches created inside a
     # query fn are dropped between repeats so every sample pays the
     # query's real materialization cost.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name == "sim_pq_scan_topk":
@@ -153,7 +181,26 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": repeats,
     }
+    # Cross-round drift, computed on the queries BOTH rounds timed so new
+    # headline lines never skew the comparison (VERDICT r04 next-round #8).
+    prev = _previous_bench()
+    if prev is not None:
+        tag, prev_timings, prev_sf = prev
+        shared = sorted(set(timings) & set(prev_timings))
+        if shared and prev_sf == out["sf"]:  # same scale factor only
+            now_total = round(sum(timings[q] for q in shared), 3)
+            prev_total = round(sum(prev_timings[q] for q in shared), 3)
+            out["comparable"] = {
+                "vs_round": tag,
+                "n_queries": len(shared),
+                "total": now_total,
+                "prev_total": prev_total,
+                "delta_pct": round(100.0 * (now_total - prev_total) / prev_total, 1)
+                if prev_total
+                else None,
+            }
     print(json.dumps(out))
 
 

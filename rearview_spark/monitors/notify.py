@@ -9,11 +9,10 @@ exactly the reference semantic.
 
 Shipped notifiers: a collecting sink (tests/metrics), a JSONL file sink
 (audit trail), a real HTTP webhook transport, a PagerDuty Events-v2
-envelope (trigger/resolve with per-job dedup_key), and a Campfire
-speak.json envelope (token basic-auth) — all stdlib urllib POST.
-``register`` plugs transports in by key prefix; only ``email:`` remains
-a routing-only stub (SMTP needs credentials and a provider; the key
-routes to whatever Notifier is registered for it).
+envelope (trigger/resolve with per-job dedup_key), a Campfire
+speak.json envelope (token basic-auth), and an SMTP email transport —
+every routing key the reference's README names now has a real
+transport. ``register`` plugs them in by key prefix.
 """
 
 from __future__ import annotations
@@ -185,6 +184,51 @@ class CampfireNotifier:
             self.timeout_s,
             headers={"Authorization": f"Basic {auth}"},
         )
+
+
+@dataclass
+class EmailNotifier:
+    """SMTP transport for ``email:<rcpt>`` keys (actionmailer dep,
+    Gemfile.lock:4). Plain stdlib smtplib against a configured relay —
+    production points ``host``/``port`` at its MTA; STARTTLS/auth are
+    opt-in so the zero-config localhost-relay case (the reference's
+    Rails default) works out of the box."""
+
+    host: str = "localhost"
+    port: int = 25
+    sender: str = "rearview@localhost"
+    subject_prefix: str = "[rearview]"
+    starttls: bool = False
+    username: str = ""
+    password: str = ""
+    timeout_s: float = 10.0
+
+    def message(self, alert: Alert) -> "email.message.EmailMessage":
+        import email.message
+
+        _, _, rcpt = alert.key.partition(":")
+        if not rcpt:
+            raise ValueError("email alert key carries no recipient")
+        msg = email.message.EmailMessage()
+        msg["From"] = self.sender
+        msg["To"] = rcpt
+        msg["Subject"] = f"{self.subject_prefix} job {alert.job_id} {alert.status}"
+        msg.set_content(
+            f"job_id: {alert.job_id}\nstatus: {alert.status}\n"
+            f"fired_at: {alert.fired_at.isoformat()}\n\n{alert.message}"
+        )
+        return msg
+
+    def send(self, alert: Alert) -> None:
+        import smtplib
+
+        msg = self.message(alert)
+        with smtplib.SMTP(self.host, self.port, timeout=self.timeout_s) as s:
+            if self.starttls:
+                s.starttls()
+            if self.username:
+                s.login(self.username, self.password)
+            s.send_message(msg)
 
 
 class AlertRouter:

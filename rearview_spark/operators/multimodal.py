@@ -237,6 +237,14 @@ def decode_headers_batch(payloads) -> pd.DataFrame:
         height[i] = hdr["height"] if hdr["height"] is not None else np.nan
         dur[i] = hdr["duration_ms"] if hdr["duration_ms"] is not None else np.nan
 
+    # A corrupt/crafted header can declare dims/durations past the target
+    # integer range; the pd.array conversion would then raise and kill the
+    # whole Arrow batch, violating the "one bad blob costs one row, never
+    # the batch" contract (ADVICE r04 #4). Mask out-of-range values to
+    # NaN so they degrade to null-dim rows instead.
+    width[(width < 0) | (width > 0x7FFFFFFF)] = np.nan
+    height[(height < 0) | (height > 0x7FFFFFFF)] = np.nan
+    dur[(dur < 0) | (dur > float(0x7FFFFFFFFFFFFFFF))] = np.nan
     return pd.DataFrame(
         {
             "mime": mime,

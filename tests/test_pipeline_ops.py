@@ -3,6 +3,7 @@ docs with known duplicates (the driver's documents table has none)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -447,3 +448,15 @@ def test_bpe_train_greedy_merge_and_tiebreaks(spark):
     # after: aaab -> [aa, ab]; ab -> [ab]
     # round 3: (aa,ab) 3
     assert got[2] == (3, "aa", "ab", "aaab", 3)
+
+
+def test_oversized_header_dims_degrade_to_null_row():
+    """ADVICE r04 (low): a crafted PNG declaring width/height >= 2^31 must
+    cost ONE null-dim row, not raise and kill the whole Arrow batch."""
+    crafted = _png_bytes(0x80000001, 0x7FFFFFFF + 5)
+    good = _png_bytes(640, 480)
+    out = M.decode_headers_batch([crafted, good, b"junk"])
+    assert out["mime"][0] == "image/png"  # header itself parsed
+    assert out["width"][0] is pd.NA and out["height"][0] is pd.NA
+    assert (int(out["width"][1]), int(out["height"][1])) == (640, 480)
+    assert out["mime"][2] is None
