@@ -797,3 +797,72 @@ def ivf_pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (cluster-then-prune, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_buckets: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication of an embedding corpus: k-means-cluster the
+    embedding space, then prune near-duplicates WITHIN clusters only —
+    the public SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540).
+    Complements the exact/MinHash/SimHash ladder: those catch lexical
+    twins; this catches paraphrases that share no shingles but sit on
+    top of each other in embedding space.
+
+    Keep rule (deterministic, oracle-checkable without connected
+    components): a vector is PRUNED iff some same-cluster vector with a
+    smaller id has rounded cosine >= ``threshold`` — greedy keep-first
+    in id order, so every kept vector has no earlier near-twin in its
+    cluster. ``threshold`` is corpus-calibrated (cosines concentrate
+    differently per embedding model); pick it off the pair-cosine
+    quantiles of a sample.
+
+    Scale shape: clustering is what bounds the quadratic term — the
+    self-join is per-bucket (equi-join on bucket), so pair volume is
+    sum_c |c|^2, not n^2, and n_buckets grows with the corpus to hold
+    |c| roughly constant (SemDeDup's own regime: tens of thousands of
+    clusters at web scale). Assignment is the shuffle-free broadcast
+    argmax (assign_buckets); the pairwise cosine is the JVM zip_with
+    fold. Returns (id, bucket, kept) for every corpus row.
+    """
+    codebook = kmeans_fit(corpus, n_buckets, iters, id_col, vec_col)
+    dv = _as_double(F.col(vec_col))
+    vecs = corpus.select(F.col(id_col), dv.alias("cv"))
+    assigned = (
+        assign_buckets(vecs, codebook)
+        .withColumn("cn", _norm(F.col("cv")))
+        .select(F.col(id_col), F.col("bucket").cast("int").alias("bucket"), "cv", "cn")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "bucket", F.col("cv").alias("va"), F.col("cn").alias("na")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "bucket", F.col("cv").alias("vb"), F.col("cn").alias("nb")
+    )
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("va"), F.col("vb")) / denom)
+    removed = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", F.round(sim + F.lit(5e-10), 6).alias("s"))
+        .filter(F.col("s") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(removed.withColumn("_rm", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            "bucket",
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
+        )
+    )

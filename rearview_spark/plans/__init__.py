@@ -14,6 +14,7 @@ _NEW_THIS_ROUND = (
     "ts_rollup_router",
     "stream_attribution",
     "skew_salted_agg",
+    "dedup_semantic",
 )
 
 

@@ -1288,3 +1288,52 @@ FROM ("""
 )
 
 QUERIES["doc_bpe_vocab"] = {"fn": doc_bpe_vocab, "oracle": DOC_BPE_SQL}
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup): k-means the embedding space (16 clusters, 3 Lloyd
+    iterations — same deterministic fit as sim_ivf_kmeans_topk), prune
+    within clusters by greedy keep-first (pruned iff a smaller-id
+    same-cluster vector has rounded cosine >= tau). tau=0.3 is the ~p99
+    of this corpus's pair-cosine distribution (these embeddings carry no
+    >0.52 pairs), so the prune is selective but non-empty. The oracle
+    re-derives the whole thing — codebook, assignment, within-cluster
+    pairs, keep flags — from scratch in SQL."""
+    emb = Tables(spark, sf_dir).embeddings
+    out = S.semantic_dedup(emb, threshold=0.3, n_buckets=16, iters=3)
+    return out.orderBy("vec_id")
+
+
+DEDUP_SEM_SQL = (
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, v AS centroid
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
+),"""
+    + ",".join(_kmeans_iteration_sql(i) for i in (1, 2, 3))
+    + """,
+assigned AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT b.vec_id, b.v, c.bucket,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.bucket) AS rn
+    FROM base b CROSS JOIN cb3 c
+  ) WHERE rn = 1
+),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v) + 0.0000000005, 6) >= 0.3
+)
+SELECT a.vec_id, CAST(a.bucket AS INT) AS bucket, (r.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+ORDER BY a.vec_id
+"""
+)
+
+QUERIES["dedup_semantic"] = {"fn": dedup_semantic, "oracle": DEDUP_SEM_SQL}
