@@ -15,6 +15,7 @@ _NEW_THIS_ROUND = (
     "stream_attribution",
     "skew_salted_agg",
     "dedup_semantic",
+    "skew_salted_join",
 )
 
 

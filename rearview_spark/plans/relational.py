@@ -1092,3 +1092,49 @@ ORDER BY l_returnflag, l_linestatus
 
 
 QUERIES["skew_salted_agg"] = {"fn": skew_salted_agg, "oracle": SKEW_AGG_SQL}
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join (operators/skew.py salted_join): lineitem
+    (skewed side — a hot order id would pin one reducer) joined to the
+    urgent-orders subset with the dim replicated 16 ways and the join key
+    widened to (orderkey, salt). Salts derive from (orderkey, linenumber)
+    — varying WITHIN a hot key — so one hot order's lines spread over 16
+    reducers. The gate proves result-set equivalence to a plain join: the
+    oracle runs the unsalted SQL join and the aggregate must match
+    value-level (integer-cents sums; no float drift from the extra
+    replication)."""
+    from rearview_spark.operators.skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    joined = salted_join(
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        urgent,
+        on=["l_orderkey"],
+        salt_src=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        joined.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            r4(exact_sum(F.col("l_extendedprice"), 100)).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_lines,
+       round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 + 0.00000005, 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["skew_salted_join"] = {"fn": skew_salted_join, "oracle": SKEW_JOIN_SQL}
