@@ -24,6 +24,7 @@ Example::
 
 from __future__ import annotations
 
+import contextvars
 import re
 from dataclasses import dataclass
 from typing import Callable
@@ -31,6 +32,18 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 from rearview_spark.operators import timeseries as G
+
+# Metric-name dimension for the CURRENT compile/evaluate call, threaded to
+# every glob inside the target without widening each _eval signature
+# (contextvar: per-thread, exception-safe reset). When set, path globs
+# resolve driver-side to a pushable IN-list / broadcast-semi instead of a
+# non-pushable rlike — SURVEY §4.2 #5's "transparent pruning" done at the
+# compiler layer rather than a Catalyst extension rule (which would need
+# a Scala plugin; same plan either way, and this engine owns the only
+# front-end that produces glob predicates).
+_METRIC_NAMES: contextvars.ContextVar = contextvars.ContextVar(
+    "graphite_metric_names", default=None
+)
 
 # ---------------------------------------------------------------------------
 # Lexer / parser (recursive descent; the grammar is LL(1))
@@ -233,9 +246,9 @@ def _tagged_binary(args, ts: DataFrame, fn) -> DataFrame:
 
 def _eval(node, ts: DataFrame) -> DataFrame:
     if isinstance(node, PathNode):
-        return G.select_glob(ts, node.path)
+        return G.select_glob(ts, node.path, metric_names=_METRIC_NAMES.get())
     if isinstance(node, StringNode):
-        return G.select_glob(ts, node.value)
+        return G.select_glob(ts, node.value, metric_names=_METRIC_NAMES.get())
     if not isinstance(node, FuncNode):
         raise ValueError(f"cannot evaluate {node!r} as a series")
     name, args = node.name, node.args
@@ -497,7 +510,7 @@ def _shift_bounds(node) -> tuple[int, int]:
     return lb, la
 
 
-def compile_target(target: str) -> Plan:
+def compile_target(target: str, metric_names: DataFrame | None = None) -> Plan:
     """Parse once; returns a reusable ``DataFrame -> DataFrame`` plan.
 
     The plan carries ``lookback_s`` / ``lookahead_s`` attributes so
@@ -505,12 +518,27 @@ def compile_target(target: str) -> Plan:
     range by the target's net time shifts and re-filter afterwards —
     Graphite fetches the *shifted* window for a timeShift'd series; a
     fetch-then-shift pipeline with no extension would compare against an
-    empty frame."""
+    empty frame.
+
+    With ``metric_names`` (the metric-name dimension), every glob inside
+    the target resolves to a pushable IN-list / broadcast-semi at plan
+    time instead of an rlike (operators/timeseries.select_glob) — the
+    monitors path passes its names dimension here and gets bucket/row-
+    group pruning on glob'd jobs.metrics without any per-call API."""
     ast = parse_target(target)
-    plan = lambda ts: _eval(ast, ts)  # noqa: E731
+
+    def plan(ts: DataFrame) -> DataFrame:
+        token = _METRIC_NAMES.set(metric_names)
+        try:
+            return _eval(ast, ts)
+        finally:
+            _METRIC_NAMES.reset(token)
+
     plan.lookback_s, plan.lookahead_s = _shift_bounds(ast)
     return plan
 
 
-def evaluate_target(target: str, ts: DataFrame) -> DataFrame:
-    return compile_target(target)(ts)
+def evaluate_target(
+    target: str, ts: DataFrame, metric_names: DataFrame | None = None
+) -> DataFrame:
+    return compile_target(target, metric_names)(ts)

@@ -16,6 +16,7 @@ _NEW_THIS_ROUND = (
     "skew_salted_agg",
     "dedup_semantic",
     "skew_salted_join",
+    "ts_parsed_target_pruned",
 )
 
 

@@ -735,6 +735,34 @@ WHERE regexp_matches(metric, '^(u0|u2)\.[^.]*$')
 """
 
 
+def ts_parsed_target_pruned(spark, sf_dir):
+    """SURVEY §4.2 #5 closed WITHOUT the explicit select_glob API: a glob
+    inside a compiled render-target string resolves through the
+    metric-names dimension to a pushable IN-list at plan time
+    (functions/graphite.compile_target(metric_names=...) threads the
+    dimension to every glob via a contextvar). The emitted plan filters
+    metric IN (resolved names) — no rlike anywhere — which at 100 TB is
+    bucket/row-group pruning on the bucketed layout instead of a
+    full-scan regex. test_graphite_parser pins the plan shape; this row
+    pins the values."""
+    from rearview_spark.functions.graphite import evaluate_target
+    from rearview_spark.sources.layout import metric_names_dimension
+
+    series = _prefixed(spark, sf_dir)
+    out = evaluate_target(
+        "sumSeries(u{0,2}.*)", series, metric_names=metric_names_dimension(series)
+    )
+    return _rounded(out)
+
+
+TS_PARSED_PRUNED_SQL = PREFIXED_CTE + r"""
+SELECT 'sumSeries' AS metric, ts, round(sum(value) + 0.00000005, 4) AS value
+FROM hourly
+WHERE regexp_matches(metric, '^(u0|u2)\.[^.]*$')
+GROUP BY ts
+"""
+
+
 def ts_hw_aberration(spark, sf_dir):
     """G26 holtWintersAberration: residual outside the delta*sigma band
     around the HW forecast. Oracle = the recursive-CTE forecast plus an
@@ -772,6 +800,7 @@ QUERIES.update(
         "ts_alias_sub": {"fn": ts_alias_sub, "oracle": TS_ALIASSUB_SQL},
         "ts_constant_line": {"fn": ts_constant_line, "oracle": TS_CONSTLINE_SQL},
         "ts_glob_select": {"fn": ts_glob_select, "oracle": TS_GLOB_SQL},
+        "ts_parsed_target_pruned": {"fn": ts_parsed_target_pruned, "oracle": TS_PARSED_PRUNED_SQL},
         "ts_hw_aberration": {"fn": ts_hw_aberration, "oracle": None},
         "ts_resample_fill": {"fn": ts_resample_fill, "oracle": TS_RESAMPLE_SQL},
     }

@@ -246,3 +246,29 @@ def test_long_tail_percentile_band_filters(spark):
     kept = set(r["metric"] for r in out2.collect())
     assert "mid" in kept and "low" in kept and "high" in kept
     assert "mid2" not in kept and "mid3" not in kept
+
+
+def test_compiled_glob_resolves_to_in_list_with_names_dimension(spark):
+    """SURVEY §4.2 #5: with a metric-names dimension supplied, a glob
+    inside a compiled target becomes a pushable IN-list (no rlike in the
+    plan); without it, the rlike fallback remains."""
+    from rearview_spark.functions.graphite import evaluate_target
+
+    rows = [(m, i) for m in ("u0.click", "u1.click", "u2.view") for i in range(3)]
+    ts = spark.createDataFrame(
+        [(m, __import__("datetime").datetime(2024, 1, 1, i), float(i)) for m, i in rows],
+        "metric string, ts timestamp, value double",
+    )
+    names = ts.select("metric").distinct()
+
+    pruned = evaluate_target("sumSeries(u{0,2}.*)", ts, metric_names=names)
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    assert "RLIKE" not in plan.upper()
+    assert "u0.click" in plan  # resolved literal IN-list reached the plan
+
+    fallback = evaluate_target("sumSeries(u{0,2}.*)", ts)
+    plan_fb = fallback._jdf.queryExecution().optimizedPlan().toString()
+    assert "RLIKE" in plan_fb.upper()
+
+    # identical values either way
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, fallback.collect()))
