@@ -810,6 +810,7 @@ def semantic_dedup(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = 10_000,
 ) -> DataFrame:
     """Semantic deduplication of an embedding corpus: k-means-cluster the
     embedding space, then prune near-duplicates WITHIN clusters only —
@@ -830,7 +831,14 @@ def semantic_dedup(
     self-join is per-bucket (equi-join on bucket), so pair volume is
     sum_c |c|^2, not n^2, and n_buckets grows with the corpus to hold
     |c| roughly constant (SemDeDup's own regime: tens of thousands of
-    clusters at web scale). Assignment is the shuffle-free broadcast
+    clusters at web scale). A cluster past ``max_cluster_size`` (a
+    degenerate fit — e.g. a fleet of identical vectors collapsing into
+    one centroid) is excluded from pair generation WHOLE rather than
+    allowed to go quadratic; its members come back kept=True
+    (conservative: keep extra data, never blow up the join) — the same
+    hot-bucket policy as the MinHash/SimHash caps (dedup._cap_buckets),
+    enforced via a map-side-combined count + broadcast anti-join, never
+    a window over the pairs. Assignment is the shuffle-free broadcast
     argmax (assign_buckets); the pairwise cosine is the JVM zip_with
     fold. Returns (id, bucket, kept) for every corpus row.
     """
@@ -842,10 +850,19 @@ def semantic_dedup(
         .withColumn("cn", _norm(F.col("cv")))
         .select(F.col(id_col), F.col("bucket").cast("int").alias("bucket"), "cv", "cn")
     )
-    a = assigned.select(
+    pairable = assigned
+    if max_cluster_size is not None:
+        oversized = (
+            assigned.groupBy("bucket")
+            .count()
+            .filter(F.col("count") > max_cluster_size)
+            .select("bucket")
+        )
+        pairable = assigned.join(F.broadcast(oversized), "bucket", "left_anti")
+    a = pairable.select(
         F.col(id_col).alias("id_a"), "bucket", F.col("cv").alias("va"), F.col("cn").alias("na")
     )
-    b = assigned.select(
+    b = pairable.select(
         F.col(id_col).alias("id_b"), "bucket", F.col("cv").alias("vb"), F.col("cn").alias("nb")
     )
     denom = F.col("na") * F.col("nb")

@@ -460,3 +460,19 @@ def test_oversized_header_dims_degrade_to_null_row():
     assert out["width"][0] is pd.NA and out["height"][0] is pd.NA
     assert (int(out["width"][1]), int(out["height"][1])) == (640, 480)
     assert out["mime"][2] is None
+
+
+def test_semantic_dedup_hot_cluster_cap(spark):
+    """A cluster past max_cluster_size is excluded from pair generation
+    whole (members keep=True) instead of going quadratic."""
+    import math
+
+    rows = [(i, [1.0, 0.0] if i < 6 else [math.cos(i), math.sin(i)]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = S.semantic_dedup(df, threshold=0.99, n_buckets=2, iters=2, max_cluster_size=3)
+    out = {r["vec_id"]: r["kept"] for r in capped.collect()}
+    # the 6 identical vectors share one (oversized) cluster -> all kept
+    assert all(out[i] for i in range(6))
+    uncapped = S.semantic_dedup(df, threshold=0.99, n_buckets=2, iters=2, max_cluster_size=None)
+    out2 = {r["vec_id"]: r["kept"] for r in uncapped.collect()}
+    assert out2[0] and not any(out2[i] for i in range(1, 6))  # keep-first prunes the twins
