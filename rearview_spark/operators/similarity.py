@@ -437,7 +437,13 @@ def ivf_kmeans_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # serve-and-release (same cache-scoping as the dedup family): the
+    # top-k result is query-scale — materialize it and drop the
+    # corpus-scale vector cache before handing the frame back.
+    out = out.localCheckpoint(eager=True)
+    vecs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -716,7 +722,13 @@ def ivf_rpq_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+    # serve-and-release (same cache-scoping as the dedup family): the
+    # top-k result is query-scale — materialize it and drop the
+    # corpus-scale vector cache before handing the frame back.
+    out = out.localCheckpoint(eager=True)
+    vecs.unpersist()
+    return out
 
 
 def ivf_pq_topk(
@@ -796,7 +808,13 @@ def ivf_pq_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+    # serve-and-release (same cache-scoping as the dedup family): the
+    # top-k result is query-scale — materialize it and drop the
+    # corpus-scale vector cache before handing the frame back.
+    out = out.localCheckpoint(eager=True)
+    vecs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
