@@ -1103,7 +1103,12 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducers. The gate proves result-set equivalence to a plain join: the
     oracle runs the unsalted SQL join and the aggregate must match
     value-level (integer-cents sums; no float drift from the extra
-    replication)."""
+    replication). Honest scale note: replication multiplies the right
+    side's shuffle 16x, so at 100 TB this exact pairing (orders is a
+    fact) would lean on AQE skew splitting instead — salted_join is for
+    dimension-sized right sides and the streaming micro-batches where
+    AQE cannot re-plan (operators/skew.py docstring); the gate exercises
+    the mechanism's correctness, not a recommendation for this pairing."""
     from rearview_spark.operators.skew import salted_join
 
     t = Tables(spark, sf_dir)
