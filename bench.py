@@ -200,6 +200,14 @@ def main() -> None:
                 "delta_pct": round(100.0 * (now_total - prev_total) / prev_total, 1)
                 if prev_total
                 else None,
+                # per-query outliers past +/-30% so drift triage doesn't
+                # need a side-by-side diff of two rounds' JSON
+                "outliers": {
+                    q: round(100.0 * (timings[q] - prev_timings[q]) / prev_timings[q], 1)
+                    for q in shared
+                    if prev_timings[q] > 0
+                    and abs(timings[q] - prev_timings[q]) / prev_timings[q] > 0.30
+                },
             }
     print(json.dumps(out))
 

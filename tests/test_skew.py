@@ -75,3 +75,34 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert n_distinct == 8  # the hot key really lands on all salt buckets
+
+
+def test_salted_aggregate_equivalence_property(spark):
+    """Hypothesis property: for arbitrary key skew and salt counts, the
+    two-phase salted aggregate is value-identical to one-phase groupBy
+    on every algebraic aggregate (int sums — associativity is exact)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        keys=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+        n_salts=st.integers(1, 9),
+    )
+    def prop(keys, n_salts):
+        rows = [(f"k{k}", i, (i * 7) % 13) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "k string, rid long, v long")
+        aggs = {
+            "s": ("v", "sum"),
+            "n": ("v", "count"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        }
+        salted = salted_aggregate(df, ["k"], aggs, salt_src=["rid"], n_salts=n_salts)
+        plain = df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("n"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    prop()
