@@ -63,18 +63,49 @@ HEADLINE = [
 ]
 
 
+def _current_round(here: str) -> int | None:
+    """The round being run, so the drift baseline never compares a run
+    against its own round's earlier output (ADVICE r05 #3). Inferred from
+    VERDICT.md's header ("# VERDICT — round N" is written at the END of
+    round N, so we are in round N+1); overridable via
+    SPARK_GRAFT_BASELINE_ROUND (baseline pinned to exactly that round)."""
+    import re
+
+    pin = os.environ.get("SPARK_GRAFT_BASELINE_ROUND")
+    if pin:
+        try:
+            return int(pin) + 1  # caller excludes >= current
+        except ValueError:
+            pass
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as f:
+            m = re.search(r"round\s+(\d+)", f.readline())
+        return int(m.group(1)) + 1 if m else None
+    except OSError:
+        return None
+
+
 def _previous_bench() -> tuple[str, dict, object] | None:
-    """(round tag, timings) of the newest BENCH_r*.json next to this file
-    — the cross-round drift baseline."""
+    """(round tag, timings) of the newest BENCH_r*.json from a PRIOR
+    round — the cross-round drift baseline. Files tagged with the
+    current (or a later) round are skipped so the comparable block
+    always measures cross-round drift, even when this round's bench
+    output already sits in the repo root."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    current = _current_round(here)
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if current is not None and rnd >= current:
+            continue
+        if best is None or rnd > best[0]:
+            best = (rnd, p)
     if best is None:
         return None
     try:

@@ -210,6 +210,19 @@ class JobStore:
             os.rename(wdir, vdir / vname_s)  # fails if the thief published first
             published = True
             tmp.write_text(vname_s)
+            # Re-verify ownership once more between the rename and the
+            # pointer flip: a TTL reclaimer firing in that gap rmtrees the
+            # just-renamed vname dir, and flipping CURRENT afterwards would
+            # point at deleted/being-rewritten data (ADVICE r05 #2). This
+            # shrinks the window to the single os.replace syscall; the
+            # residual race is inherent to TTL-based file locking — a
+            # reclaimer can always fire between any check and the flip.
+            # Deployments must set claim_ttl_s >> worst-case publish time.
+            if not self._owns_claim(claim, token):
+                raise ConcurrentWriteError(
+                    f"{table}: claim for version {nxt} was reclaimed between "
+                    "publish and pointer flip; aborting"
+                )
             os.replace(tmp, self._pointer(table))  # atomic on POSIX
         except BaseException:
             # A claim whose write never advanced CURRENT would wedge the

@@ -244,7 +244,10 @@ def decode_headers_batch(payloads) -> pd.DataFrame:
     # NaN so they degrade to null-dim rows instead.
     width[(width < 0) | (width > 0x7FFFFFFF)] = np.nan
     height[(height < 0) | (height > 0x7FFFFFFF)] = np.nan
-    dur[(dur < 0) | (dur > float(0x7FFFFFFFFFFFFFFF))] = np.nan
+    # >= not >: float(2^63-1) rounds UP to exactly 2^63, so any duration
+    # whose float value lands on 2^63 would pass a ">" mask yet still
+    # overflow Int64 in pd.array (ADVICE r05 #1). 2^63 itself must mask.
+    dur[(dur < 0) | (dur >= float(0x7FFFFFFFFFFFFFFF))] = np.nan
     return pd.DataFrame(
         {
             "mime": mime,

@@ -838,12 +838,17 @@ def semantic_dedup(
     top of each other in embedding space.
 
     Keep rule (deterministic, oracle-checkable without connected
-    components): a vector is PRUNED iff some same-cluster vector with a
-    smaller id has rounded cosine >= ``threshold`` — greedy keep-first
-    in id order, so every kept vector has no earlier near-twin in its
-    cluster. ``threshold`` is corpus-calibrated (cosines concentrate
-    differently per embedding model); pick it off the pair-cosine
-    quantiles of a sample.
+    components): a vector is PRUNED iff ANY same-cluster vector with a
+    smaller id has rounded cosine >= ``threshold`` — including earlier
+    vectors that were themselves pruned. Note this is NOT greedy
+    keep-first (which compares only against vectors already KEPT): for a
+    chain a~b, b~c, a!~c, greedy keeps c while this rule prunes it — it
+    prunes a SUPERSET of greedy keep-first (ADVICE r05 #4). The upside
+    is a single self-join + distinct instead of an inherently sequential
+    scan per cluster. ``threshold`` is corpus-calibrated (cosines
+    concentrate differently per embedding model); use
+    :func:`calibrate_semantic_threshold` to pick it off the within-
+    cluster pair-cosine quantiles of a sample.
 
     Scale shape: clustering is what bounds the quadratic term — the
     self-join is per-bucket (equi-join on bucket), so pair volume is

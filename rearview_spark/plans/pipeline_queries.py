@@ -1294,8 +1294,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py
     semantic_dedup): k-means the embedding space (16 clusters, 3 Lloyd
     iterations — same deterministic fit as sim_ivf_kmeans_topk), prune
-    within clusters by greedy keep-first (pruned iff a smaller-id
-    same-cluster vector has rounded cosine >= tau). tau=0.3 is the ~p99
+    within clusters by earlier-near-twin (pruned iff ANY smaller-id
+    same-cluster vector has rounded cosine >= tau — a superset of greedy
+    keep-first; see semantic_dedup's docstring). tau=0.3 is the ~p99
     of this corpus's pair-cosine distribution (these embeddings carry no
     >0.52 pairs), so the prune is selective but non-empty. The oracle
     re-derives the whole thing — codebook, assignment, within-cluster
