@@ -249,6 +249,7 @@ def minhash_near_duplicates(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    scope_caches: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
     Jaccard verification on candidates only. Returns (id_a, id_b, jaccard)
@@ -277,10 +278,14 @@ def minhash_near_duplicates(
     # for the caller's lifetime competes with the shuffle for storage
     # memory at 100 TB (VERDICT r04 "What's wrong" #4). localCheckpoint
     # also truncates the lineage so the returned frame references neither
-    # cache.
-    verified = verified.localCheckpoint(eager=True)
-    sigs.unpersist()
-    shingled.unpersist()
+    # cache. Measured sf0.1 cost of the eager materialization: ~+3% wall
+    # on this operator (see PLANS.md "Cache-scoping cost") — paid for the
+    # scale-safety; pass scope_caches=False to keep the lazy frame and
+    # manage the cache lifetime yourself.
+    if scope_caches:
+        verified = verified.localCheckpoint(eager=True)
+        sigs.unpersist()
+        shingled.unpersist()
     return verified
 
 
@@ -368,6 +373,7 @@ def simhash_near_duplicates(
     bits: int = DEFAULT_SIMHASH_BITS,
     max_hamming: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    scope_caches: bool = True,
 ) -> DataFrame:
     """Pairs whose SimHash signatures differ in <= max_hamming bits, via
     the pigeonhole chunk join: split the signature into (max_hamming+1)
@@ -417,8 +423,13 @@ def simhash_near_duplicates(
     )
     # Same cache-scoping pattern as minhash_near_duplicates: materialize
     # the small pair set, then drop the corpus-scale signature cache.
-    verified = verified.localCheckpoint(eager=True)
-    sigs.unpersist()
+    # Measured sf0.1 cost of the eager materialization on this operator:
+    # see PLANS.md "Cache-scoping cost" (the r05 +16% bench drift was
+    # attributed here). scope_caches=False opts out for callers that
+    # manage cache lifetime themselves.
+    if scope_caches:
+        verified = verified.localCheckpoint(eager=True)
+        sigs.unpersist()
     return verified
 
 

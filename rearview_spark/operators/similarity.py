@@ -171,6 +171,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     dim: int = 64,
     max_bucket_size: int | None = 1000,
+    scope_caches: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs via sign-random-projection LSH: each
     vector's sign bits against ``planes`` fixed hyperplanes, banded into
@@ -270,9 +271,13 @@ def embedding_near_duplicates(
     # Cache-scoping (same pattern as dedup.minhash_near_duplicates):
     # materialize the pairs-scale result, release the corpus-scale
     # signature/vector caches before handing the frame to the caller.
-    verified = verified.localCheckpoint(eager=True)
-    sigs.unpersist()
-    vecs.unpersist()
+    # Measured sf0.1 cost of the eager materialization: see PLANS.md
+    # "Cache-scoping cost" (the r05 +9% bench drift was attributed here).
+    # scope_caches=False opts out for callers managing cache lifetime.
+    if scope_caches:
+        verified = verified.localCheckpoint(eager=True)
+        sigs.unpersist()
+        vecs.unpersist()
     return verified
 
 
