@@ -12,7 +12,8 @@ Shipped notifiers: a collecting sink (tests/metrics), a JSONL file sink
 envelope (trigger/resolve with per-job dedup_key), a Campfire
 speak.json envelope (token basic-auth), and an SMTP email transport —
 every routing key the reference's README names now has a real
-transport. ``register`` plugs them in by key prefix.
+transport. ``register`` plugs them in by key prefix;
+:func:`default_router` wires all four from a config dict in one call.
 """
 
 from __future__ import annotations
@@ -231,8 +232,53 @@ class EmailNotifier:
             s.send_message(msg)
 
 
+def default_router(config: dict | None = None) -> AlertRouter:
+    """One-call wiring of the reference's alert_keys grammar to the four
+    real transports — no manual ``register()`` per prefix.
+
+    The reference routes per-job ``alert_keys`` of the form
+    ``email:<rcpt>`` / ``pagerduty:<svc_key>`` / ``campfire:<room>``
+    (db/schema.rb:59; README.md:6 "email, pagerduty, or campfire");
+    this repo adds ``webhook:<url>``. ``config`` carries optional
+    per-prefix constructor kwargs for the matching notifier dataclass::
+
+        default_router({
+            "email": {"host": "mta.internal", "sender": "rearview@corp"},
+            "pagerduty": {},                        # real Events-v2 endpoint
+            "campfire": {"base_url": "https://acme.campfirenow.com",
+                         "token": "..."},
+            "webhook": {"url": "https://hooks.example.com/rearview"},
+            "default": JsonlNotifier("/var/log/rearview-alerts.jsonl"),
+        })
+
+    Prefixes absent from ``config`` still get a notifier built with its
+    defaults, so every key grammar the reference supports routes to a
+    real transport out of the box. Keys with an unknown prefix go to
+    ``default`` (a :class:`CollectingNotifier` unless overridden) —
+    a typo'd key is observable, not an exception mid-drain.
+    """
+    cfg = dict(config or {})
+    router = AlertRouter(default=cfg.pop("default", None))
+    for prefix, cls in (
+        ("email", EmailNotifier),
+        ("pagerduty", PagerDutyNotifier),
+        ("campfire", CampfireNotifier),
+        ("webhook", WebhookNotifier),
+    ):
+        kwargs = cfg.pop(prefix, {})
+        if kwargs is None:  # explicit opt-out of a transport
+            continue
+        router.register(prefix, cls(**kwargs))
+    if cfg:
+        raise ValueError(f"default_router: unknown config sections {sorted(cfg)}")
+    return router
+
+
 class AlertRouter:
-    """Dispatch alerts to notifiers by key prefix (the part before ':')."""
+    """Dispatch alerts to notifiers by key prefix (the part before ':').
+
+    :func:`default_router` builds one pre-wired with the four real
+    transports from a config dict."""
 
     def __init__(self, default: Notifier | None = None):
         self._by_prefix: dict[str, Notifier] = {}

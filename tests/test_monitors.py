@@ -712,13 +712,11 @@ def test_campfire_speak_envelope():
         srv.server_close()
 
 
-def test_email_notifier_delivers_over_smtp():
-    """S6 email transport: a minimal live SMTP server (socket-level,
-    stdlib) receives the message; envelope + headers + body asserted."""
+def _local_smtp_server():
+    """(server, port, sessions) — minimal live SMTP server (socket-level,
+    stdlib) for email-transport tests; caller shuts it down."""
     import socketserver
     import threading
-
-    from rearview_spark.monitors.notify import EmailNotifier
 
     sessions: list[dict] = []
 
@@ -760,8 +758,16 @@ def test_email_notifier_delivers_over_smtp():
 
     srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), SmtpHandler)
     srv.daemon_threads = True
-    port = srv.server_address[1]
     threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1], sessions
+
+
+def test_email_notifier_delivers_over_smtp():
+    """S6 email transport: a minimal live SMTP server (socket-level,
+    stdlib) receives the message; envelope + headers + body asserted."""
+    from rearview_spark.monitors.notify import EmailNotifier
+
+    srv, port, sessions = _local_smtp_server()
     try:
         em = EmailNotifier(host="127.0.0.1", port=port, sender="rv@example.com")
         router = AlertRouter()
@@ -784,3 +790,102 @@ def test_email_notifier_delivers_over_smtp():
 
     with pytest.raises(ValueError, match="recipient"):
         EmailNotifier().message(Alert(1, "email", "m", NOW, "failed"))
+
+
+def test_default_router_wiring():
+    """default_router() registers all four transports with zero manual
+    register() calls; unknown config sections fail loudly."""
+    from rearview_spark.monitors.notify import (
+        CampfireNotifier,
+        EmailNotifier,
+        JsonlNotifier,
+        PagerDutyNotifier,
+        WebhookNotifier,
+        default_router,
+    )
+
+    r = default_router()
+    assert isinstance(r._by_prefix["email"], EmailNotifier)
+    assert isinstance(r._by_prefix["pagerduty"], PagerDutyNotifier)
+    assert isinstance(r._by_prefix["campfire"], CampfireNotifier)
+    assert isinstance(r._by_prefix["webhook"], WebhookNotifier)
+    assert isinstance(r.default, CollectingNotifier)
+    # kwargs flow into the dataclasses; None opts a transport out
+    r2 = default_router(
+        {
+            "email": {"host": "mta.internal", "sender": "rv@corp"},
+            "campfire": None,
+            "default": JsonlNotifier("/tmp/x.jsonl"),
+        }
+    )
+    assert r2._by_prefix["email"].host == "mta.internal"
+    assert "campfire" not in r2._by_prefix
+    assert isinstance(r2.default, JsonlNotifier)
+    with pytest.raises(ValueError, match="unknown config sections"):
+        default_router({"slack": {}})
+
+
+def test_scheduler_end_to_end_default_router_delivery(spark, store):
+    """VERDICT r05 next-round #3: one scheduler tick drives
+    evaluate → CAS + outbox commit → drain → REAL transports, with the
+    router built by default_router() from a config dict alone (no manual
+    register()). A breaching monitor routed to pagerduty: + email: keys
+    lands as an Events-v2 trigger on a live local HTTP server and as an
+    SMTP message on a live local SMTP server; an unknown-prefix key falls
+    through to the default sink instead of failing the drain."""
+    import json
+
+    from rearview_spark.monitors.notify import default_router
+
+    http_srv, http_port, received = _local_http_server()
+    smtp_srv, smtp_port, sessions = _local_smtp_server()
+    try:
+        router = default_router(
+            {
+                "pagerduty": {"endpoint": f"http://127.0.0.1:{http_port}/v2/enqueue"},
+                "email": {"host": "127.0.0.1", "port": smtp_port, "sender": "rv@example.com"},
+            }
+        )
+        m = make_metrics(spark, {"stats.req": [200.0] * 120})  # always breaching
+        store.save_monitors(
+            spark.createDataFrame(
+                [
+                    monitor_row(
+                        alert_keys=(
+                            "pagerduty:SVCKEY123",
+                            "email:ops@example.com",
+                            "nosuch:key",
+                        )
+                    )
+                ],
+                MONITORS,
+            )
+        )
+        sched = MonitorScheduler(spark, store, m, router)
+        summary = sched.tick(NOW)
+        assert summary == {"ran": 1, "alerts": 3}
+
+        # PagerDuty leg: Events-v2 trigger on the live server
+        assert len(received) == 1
+        path, body, headers = received[0]
+        assert path == "/v2/enqueue"
+        env = json.loads(body)
+        assert env["routing_key"] == "SVCKEY123"
+        assert env["event_action"] == "trigger"
+        assert env["dedup_key"] == "rearview-job-1"
+
+        # email leg: real SMTP session
+        assert len(sessions) == 1
+        assert sessions[0]["rcpt_to"] == ["<ops@example.com>"]
+        assert "Subject: [rearview] job 1 failed" in sessions[0]["data"].decode()
+
+        # unknown prefix: observable on the default sink, drain not failed
+        assert [a.key for a in router.default.sent] == ["nosuch:key"]
+
+        # outbox fully drained — nothing owed after the tick
+        assert store.pending_alerts() == []
+    finally:
+        http_srv.shutdown()
+        http_srv.server_close()
+        smtp_srv.shutdown()
+        smtp_srv.server_close()
