@@ -48,7 +48,10 @@ def salted_join(
 
     Replication multiplies the other side's shuffle volume by
     ``n_salts`` — use for dimension-sized right sides; for fact-fact
-    skew prefer AQE splitting unless one key dominates a partition."""
+    skew prefer AQE splitting unless one key dominates a partition.
+    Driver-gated both ways: ``skew_salted_join_dim`` (plans/relational)
+    is the contract-matching fact x dim example; ``skew_salted_join``
+    exercises the mechanism on a fact-sized right side."""
     sk = skewed.withColumn("_salt", _salt_col(salt_src, n_salts))
     rep = other.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return sk.join(rep, on + ["_salt"], how).drop("_salt")
