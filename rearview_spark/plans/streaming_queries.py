@@ -175,8 +175,54 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment under the driver (VERDICT r05
+    next-round #7): the events stream joined per micro-batch to the
+    static customer dimension (user_id -> c_mktsegment), the canonical
+    micro-batch shape where AQE cannot re-plan and broadcasting the dim
+    is the scale remedy (streaming/standing.py stream_static_enrich;
+    operators/skew.py names this motivation). Stateless join -> append
+    mode emits each enriched row exactly once, so one availableNow pass
+    is deterministic and the oracle is the plain SQL join."""
+    from rearview_spark.sources.loader import Tables
+    from rearview_spark.streaming.standing import stream_static_enrich as enrich
+
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    events = load_events_stream(spark, sf_dir)
+    dim = Tables(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    joined = enrich(events, dim, "user_id").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        r4(F.col("value")).alias("value"),
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    try:
+        sink = run_to_memory_sink(spark, joined, name)
+    finally:
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+    return sink
+
+
+STREAM_ENRICH_SQL = """
+SELECT e.event_id, e.ts, e.user_id, e.event_type,
+       c.c_mktsegment, CAST(c.c_nationkey AS INTEGER) AS c_nationkey,
+       round(e.value + 0.00000005, 4) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 QUERIES: dict[str, dict] = {
     "stream_hourly_stats": {"fn": stream_hourly_stats, "oracle": STREAM_HOURLY_SQL},
     "stream_dedup_hourly_counts": {"fn": stream_dedup_hourly_counts, "oracle": STREAM_DEDUP_SQL},
     "stream_attribution": {"fn": stream_attribution, "oracle": STREAM_ATTR_SQL},
+    "stream_static_enrich": {"fn": stream_static_enrich, "oracle": STREAM_ENRICH_SQL},
 }

@@ -155,6 +155,30 @@ def streaming_threshold_alerts(
     return writer.trigger(availableNow=True).start()
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: every micro-batch of ``stream`` joined to the
+    (bounded) ``dim`` frame, broadcast explicitly.
+
+    This is exactly the shape the skew module's motivation names
+    (operators/skew.py): a streaming micro-batch join PINS its physical
+    plan — AQE cannot re-plan a skewed batch at runtime the way it can
+    for batch sort-merge joins — so the scale remedies are (a) broadcast
+    the dimension, done here, which removes the shuffle entirely and is
+    immune to hot keys on the stream side; or (b) operators/skew.py
+    ``salted_join`` when the static side is too big to broadcast. The
+    static side is re-read per micro-batch (so a dim refresh is picked
+    up on the next batch); keep it dimension-sized or pre-filtered.
+    Stateless — no watermark required, append mode emits every joined
+    row exactly once per arriving stream row. Driver-gated as
+    ``stream_static_enrich`` (plans/streaming_queries.py)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stream_stream_purchase_attribution(
     events: DataFrame,
     watermark: str = "10 minutes",
