@@ -11,12 +11,8 @@ from __future__ import annotations
 # driver-green row the round it lands. Names listed here but not (yet)
 # registered are skipped, so the list may lead the implementation.
 _NEW_THIS_ROUND = (
-    "ts_rollup_router",
-    "stream_attribution",
-    "skew_salted_agg",
-    "dedup_semantic",
-    "skew_salted_join",
-    "ts_parsed_target_pruned",
+    "skew_salted_join_dim",
+    "stream_static_enrich",
 )
 
 
