@@ -85,7 +85,7 @@ def _current_round(here: str) -> int | None:
         return None
 
 
-def _previous_bench() -> tuple[str, dict, object] | None:
+def _previous_bench(here: str | None = None) -> tuple[str, dict, object] | None:
     """(round tag, timings) of the newest BENCH_r*.json from a PRIOR
     round — the cross-round drift baseline. Files tagged with the
     current (or a later) round are skipped so the comparable block
@@ -94,7 +94,8 @@ def _previous_bench() -> tuple[str, dict, object] | None:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     current = _current_round(here)
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):

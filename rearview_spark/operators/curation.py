@@ -113,6 +113,105 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (typed redaction)
+# ---------------------------------------------------------------------------
+
+#: (placeholder, pattern) applied IN ORDER — email first (so an address's
+#: digits can't be half-eaten by the phone rule), then IPv4 (dotted octets
+#: would otherwise partially match the phone rule), then phone. Patterns
+#: stick to the regex subset with identical semantics in Java (Spark) and
+#: RE2 (DuckDB): character classes, bounded repetition, \b, (?:...).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IPV4>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("<PHONE>", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII spans with typed placeholders — the safety-filtering
+    pass every training-data pipeline runs before tokenization. Returns
+    the input plus ``scrubbed`` (text with every match of every pattern
+    replaced by its placeholder) and one ``n_<type>`` count column per
+    pattern (match counts BEFORE redaction — the audit metric a curation
+    report aggregates).
+
+    Scale shape: a pure narrow map — ``regexp_replace``/``regexp_count``
+    are JVM intrinsics inside whole-stage codegen, no UDF, no shuffle;
+    the scan's column pruning and partition pruning are untouched.
+    Counting happens on the original text and each replace feeds the
+    next, in declaration order, so placeholders (letters only) are never
+    re-matched by later numeric patterns. Oracle parity: DuckDB runs the
+    same patterns via ``regexp_replace(..., 'g')`` +
+    ``len(regexp_extract_all(...))`` (gate ``doc_pii_scrub``)."""
+    out = df
+    scrubbed = F.col(text_col)
+    for placeholder, pat in patterns:
+        name = placeholder.strip("<>").lower()
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, placeholder)
+    return out.withColumn("scrubbed", scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# Training-mix upsampling (deterministic fractional epochs)
+# ---------------------------------------------------------------------------
+
+def upsample_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a training mix with FRACTIONAL per-stratum epoch
+    weights: a row with weight ``w`` appears ``floor(w)`` times plus one
+    more with probability ``frac(w)``, decided by the same deterministic
+    md5-threshold used by :func:`stratified_sample` — so ``w=2.5`` means
+    "every doc twice, half the docs a third time", the standard way a
+    data recipe says "see source X for 2.5 epochs". ``w<1`` downsamples
+    (generalizing stratified_sample); ``w=0`` drops the stratum.
+
+    Output adds ``copy`` (1-based repeat index) so downstream shuffling
+    /sharding can treat repeats as distinct rows. Deterministic: reruns
+    and task retries regenerate the identical mix (no RNG), which
+    resumable 100 TB backfills require.
+
+    Scale shape: copies are generated executor-side by exploding
+    ``sequence(1, n_copies)`` — a narrow Generate, no shuffle, no driver
+    involvement; rows with ``n_copies=0`` are filtered at the scan.
+    The weight table is a literal CASE expression (config-scale, like
+    stratified_sample's rates), never a join."""
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"negative weight {v!r} for stratum {k!r}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight {default_weight!r}")
+    w = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(w)
+    whole = F.floor(w).cast("int")
+    frac_bp = (F.round(w * 10000).cast("long") - whole.cast("long") * 10000).cast("int")
+    bucket = F.pmod(
+        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+        F.lit(10000),
+    )
+    n_copies = whole + F.when(bucket < frac_bp, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition metrics (Gopher-style quality rules)
 # ---------------------------------------------------------------------------
 

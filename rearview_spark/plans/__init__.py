@@ -13,6 +13,8 @@ from __future__ import annotations
 _NEW_THIS_ROUND = (
     "skew_salted_join_dim",
     "stream_static_enrich",
+    "doc_pii_scrub",
+    "doc_upsample_mix",
 )
 
 

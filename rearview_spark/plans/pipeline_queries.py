@@ -1338,3 +1338,109 @@ ORDER BY a.vec_id
 )
 
 QUERIES["dedup_semantic"] = {"fn": dedup_semantic, "oracle": DEDUP_SEM_SQL}
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/curation.py pii_scrub): the corpus text
+    carries no digits, so the gate PLANTS one deterministic email, phone,
+    and IPv4 per doc (derived from doc_id — both engines synthesize the
+    identical contact block), then scrubs. The hash check covers the
+    typed placeholders, the byte-exact scrubbed text, and the per-type
+    match counts — i.e. both the redaction and the audit metrics. All
+    three patterns stay inside the Java/RE2-common regex subset
+    (curation.PII_PATTERNS)."""
+    from rearview_spark.operators import curation as C
+
+    docs = Tables(spark, sf_dir).documents
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-"),
+            F.lpad(F.pmod(F.col("doc_id") * 37, 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(F.col("doc_id") * 7919, 10000).cast("string"), 4, "0"),
+            F.lit(" host 10.0."),
+            F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id") * 3, 256).cast("string"),
+        ).alias("text"),
+    )
+    return (
+        C.pii_scrub(planted)
+        .select("doc_id", "scrubbed", "n_email", "n_ipv4", "n_phone")
+        .orderBy("doc_id")
+    )
+
+
+DOC_PII_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel 555-'
+              || lpad(CAST((doc_id * 37) % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0')
+              || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone
+FROM planted
+ORDER BY doc_id
+"""
+
+QUERIES["doc_pii_scrub"] = {"fn": doc_pii_scrub, "oracle": DOC_PII_SQL}
+
+
+def doc_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix materialization (operators/curation.py
+    upsample_mix): src0 seen 2.5 epochs (every doc twice, the md5-chosen
+    half a third time), src1 halved, src2 dropped, everything else 1.0.
+    Returns the full mixed frame (doc_id, source, copy) so the oracle
+    re-derives every whole-copy AND every fractional keep decision from
+    the same md5 threshold — the hash check pins the exact mix, not just
+    its size."""
+    from rearview_spark.operators import curation as C
+
+    docs = Tables(spark, sf_dir).documents
+    mixed = C.upsample_mix(
+        docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0}, default_weight=1.0
+    )
+    return mixed.select("doc_id", "source", "copy").orderBy("doc_id", "copy")
+
+
+DOC_MIX_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.0 ELSE 1.0 END AS w,
+         (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 15)) AS BIGINT) % 10000) AS bucket
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(w) AS INT)
+         + CASE WHEN bucket < CAST(round(w * 10000) AS BIGINT) - CAST(floor(w) AS BIGINT) * 10000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+FROM n WHERE n_copies >= 1
+ORDER BY doc_id, copy
+"""
+
+QUERIES["doc_upsample_mix"] = {"fn": doc_upsample_mix, "oracle": DOC_MIX_SQL}

@@ -1,0 +1,65 @@
+"""The bench comparable block must measure CROSS-round drift: the
+baseline picker skips BENCH files tagged with the round being run, so a
+run never compares against its own round's earlier output (ADVICE r05
+#3 — observed when BENCH_r05.json already sat in the repo root while
+round 5 was still running). No Spark needed."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _write_bench(tmp_path, rnd: int, wrapped: bool) -> None:
+    doc = {"queries": {"q1": 1.0 + rnd}, "sf": 0.1}
+    if wrapped:  # the driver wraps our JSON line under "parsed"
+        doc = {"parsed": doc}
+    (tmp_path / f"BENCH_r{rnd:02d}.json").write_text(json.dumps(doc))
+
+
+def test_current_round_from_verdict_header(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_ROUND", raising=False)
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 5\n\nbody\n")
+    assert bench._current_round(str(tmp_path)) == 6
+    # no VERDICT.md (round 1): no exclusion possible
+    assert bench._current_round(str(tmp_path / "nowhere")) is None
+
+
+def test_current_round_env_pin_wins(tmp_path, monkeypatch):
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 9\n")
+    monkeypatch.setenv("SPARK_GRAFT_BASELINE_ROUND", "4")
+    # pin means "baseline exactly round 4" -> everything >= 5 excluded
+    assert bench._current_round(str(tmp_path)) == 5
+
+
+def test_previous_bench_skips_current_round(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_ROUND", raising=False)
+    _write_bench(tmp_path, 4, wrapped=True)
+    _write_bench(tmp_path, 5, wrapped=True)
+    # mid-round-5 state: BENCH_r05 exists, VERDICT.md still says round 4
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 4\n")
+    tag, queries, sf = bench._previous_bench(str(tmp_path))
+    assert tag == "r04" and queries == {"q1": 5.0} and sf == 0.1
+    # next round: r05 becomes the legitimate baseline
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 5\n")
+    tag, queries, _ = bench._previous_bench(str(tmp_path))
+    assert tag == "r05" and queries == {"q1": 6.0}
+
+
+def test_previous_bench_accepts_unwrapped_shape_and_no_verdict(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_ROUND", raising=False)
+    _write_bench(tmp_path, 3, wrapped=False)
+    tag, queries, sf = bench._previous_bench(str(tmp_path))
+    assert tag == "r03" and queries == {"q1": 4.0} and sf == 0.1
+
+
+def test_previous_bench_none_when_all_excluded(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_ROUND", raising=False)
+    _write_bench(tmp_path, 1, wrapped=True)
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 0\n")
+    assert bench._previous_bench(str(tmp_path)) is None

@@ -119,3 +119,65 @@ def test_pack_sequences_invariants_and_shards(spark):
         .count()
     )
     assert w_bad == 0
+
+
+def test_pii_scrub_typed_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now", "en"),
+            (2, "call 555-867-5309 or 555.867.5309", "en"),
+            (3, "from 192.168.1.200 to 10.0.0.1", "en"),
+            (4, "a@b.io at 8.8.8.8 tel 111-222-3333", "en"),
+            (5, "nothing to see here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in C.pii_scrub(df).collect()}
+    assert out[1]["scrubbed"] == "mail <EMAIL> now"
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 0 and out[1]["n_ipv4"] == 0
+    assert out[2]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert out[2]["n_phone"] == 2
+    assert out[3]["scrubbed"] == "from <IPV4> to <IPV4>"
+    assert out[3]["n_ipv4"] == 2
+    # mixed row: each type redacted by its own rule, counts independent
+    assert out[4]["scrubbed"] == "<EMAIL> at <IPV4> tel <PHONE>"
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 1, 1)
+    # clean text passes through byte-identical
+    assert out[5]["scrubbed"] == "nothing to see here"
+    # original column is preserved (scrub is additive, audit-friendly)
+    assert out[4]["text"].startswith("a@b.io")
+
+
+def test_upsample_mix_deterministic_fractional_epochs(spark):
+    rows = [(i, "t", "en", f"src{i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    mixed = C.upsample_mix(df, {"src0": 2.5, "src1": 0.0}, default_weight=1.0)
+    got = [(r["doc_id"], r["copy"]) for r in mixed.collect()]
+    # src1 dropped entirely
+    assert all(d % 2 == 0 for d, _ in got)
+    # every src0 doc appears 2 or 3 times, copies numbered 1..n
+    from collections import Counter
+
+    per_doc = Counter(d for d, _ in got)
+    assert set(per_doc) == {i for i in range(200) if i % 2 == 0}
+    assert all(n in (2, 3) for n in per_doc.values())
+    assert sorted(c for d, c in got if d == 0) == list(range(1, per_doc[0] + 1))
+    # the fractional third copy lands on the md5-chosen HALF (within noise)
+    n3 = sum(1 for n in per_doc.values() if n == 3)
+    assert 30 <= n3 <= 70  # 100 candidate docs, p=0.5
+    # deterministic: rerun reproduces the identical mix
+    again = [(r["doc_id"], r["copy"]) for r in
+             C.upsample_mix(df, {"src0": 2.5, "src1": 0.0}).collect()]
+    assert sorted(got) == sorted(again)
+    # w < 1 downsamples exactly like stratified_sample's threshold
+    half = C.upsample_mix(df, {"src0": 0.5, "src1": 0.5})
+    kept = C.stratified_sample(
+        df, {"src0": 0.5, "src1": 0.5}, stratum_col="source", salt="mix"
+    )
+    assert sorted(r["doc_id"] for r in half.collect()) == sorted(
+        r["doc_id"] for r in kept.collect()
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="negative weight"):
+        C.upsample_mix(df, {"src0": -1.0})
