@@ -15,6 +15,13 @@ _NEW_THIS_ROUND = (
     "stream_static_enrich",
     "doc_pii_scrub",
     "doc_upsample_mix",
+    "q2_shape_min_cost_supplier",
+    "q11_shape_important_value",
+    "q20_shape_part_promotion",
+    "q21_shape_waiting_suppliers",
+    "doc_chunk_windows",
+    "doc_segment_dedup",
+    "doc_bm25_topk",
 )
 
 
@@ -65,13 +72,14 @@ def all_queries() -> dict:
         monitor_queries,
         pipeline_queries,
         relational,
+        relational_subq,
         timeseries_queries,
     )
 
     import os
 
     out: dict = {}
-    for mod in (pipeline_queries, monitor_queries, events_queries, streaming_queries, timeseries_queries, relational):
+    for mod in (pipeline_queries, monitor_queries, events_queries, streaming_queries, timeseries_queries, relational, relational_subq):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")
