@@ -1,0 +1,106 @@
+"""Gate queries for the chunking / segment-dedup / lexical-retrieval
+operators (operators/chunking.py, operators/retrieval.py) over the
+documents table, each with a value-level DuckDB oracle.
+
+The oracles re-derive the exact same arithmetic (md5 fingerprints,
+int-derived doubles, fixed-order float chains) rather than "the same
+idea", so hash-level agreement is meaningful — see _exact.py and the
+operator docstrings for the determinism contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import chunking as CH
+from rearview_spark.operators import retrieval as R
+from rearview_spark.plans._exact import r6
+from rearview_spark.plans.pipeline_queries import TOKS
+from rearview_spark.sources.loader import Tables
+
+QUERIES: dict[str, dict] = {}
+
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+SEG_LEN, SEG_MAX_COUNT = 16, 2
+BM25_TERMS = ["spark", "join", "window"]
+BM25_K = 20
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token windows (size 64, stride 48) over every document —
+    the pretraining context-window grid. Zero-shuffle narrow plan; the
+    gate pins the window boundaries (chunk count, last-window clamp)
+    and the chunk fingerprints."""
+    docs = Tables(spark, sf_dir).documents
+    return CH.chunk_token_windows(
+        docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+DOC_CHUNK_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+g AS (SELECT doc_id, t,
+             greatest(CAST(ceil((len(t) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS INT) + 1, 1) AS nc
+      FROM toks),
+e AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS ci, t FROM g)
+SELECT doc_id,
+       CAST(ci AS INT) AS chunk_idx,
+       CAST(len(list_slice(t, ci * {CHUNK_STRIDE} + 1, ci * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, ci * {CHUNK_STRIDE} + 1, ci * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')) AS chunk_md5
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["doc_chunk_windows"] = {"fn": doc_chunk_windows, "oracle": DOC_CHUNK_SQL}
+
+
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style repeated-segment removal: 16-token segments occurring
+    more than twice corpus-wide are dropped from every document; the
+    gate pins per-document survivor counts and the md5 of the
+    recomposed text. Hot-set discovery is a map-side-combined count +
+    broadcast anti-join (operators/chunking.py docstring)."""
+    docs = Tables(spark, sf_dir).documents
+    return CH.segment_dedup(
+        docs, seg_len=SEG_LEN, max_count=SEG_MAX_COUNT
+    ).orderBy("doc_id")
+
+
+DOC_SEGDEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+g AS (SELECT doc_id, t,
+             greatest(CAST(ceil(len(t) / {SEG_LEN}.0) AS INT), 1) AS ns
+      FROM toks),
+segs AS (
+  SELECT doc_id, ns AS n_segments,
+         unnest(generate_series(0, ns - 1)) AS seg_idx, t
+  FROM g),
+seg2 AS (
+  SELECT doc_id, n_segments, seg_idx,
+         array_to_string(list_slice(t, seg_idx * {SEG_LEN} + 1, seg_idx * {SEG_LEN} + {SEG_LEN}), ' ') AS seg_text
+  FROM segs),
+counts AS (SELECT md5(seg_text) AS h, count(*) AS cnt FROM seg2 GROUP BY 1),
+kept AS (SELECT * FROM seg2
+         WHERE md5(seg_text) NOT IN (SELECT h FROM counts WHERE cnt > {SEG_MAX_COUNT}))
+SELECT doc_id, n_segments, count(*) AS n_kept,
+       md5(string_agg(seg_text, ' ' ORDER BY seg_idx)) AS kept_md5
+FROM kept GROUP BY doc_id, n_segments ORDER BY doc_id
+"""
+
+QUERIES["doc_segment_dedup"] = {"fn": doc_segment_dedup, "oracle": DOC_SEGDEDUP_SQL}
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query bag (rational-idf deterministic
+    variant — operators/retrieval.py docstring). Ranked on the
+    full-precision double (both engines order the identical bits);
+    rounding happens only in the output projection."""
+    docs = Tables(spark, sf_dir).documents
+    return R.bm25_topk(docs, BM25_TERMS, k=BM25_K).select(
+        "doc_id", r6(F.col("score")).alias("score")
+    )
+
+
+DOC_BM25_SQL = R.bm25_oracle_sql(BM25_TERMS, TOKS, k=BM25_K)
+
+QUERIES["doc_bm25_topk"] = {"fn": doc_bm25_topk, "oracle": DOC_BM25_SQL}

@@ -1,0 +1,97 @@
+"""Unit tests for operators/chunking.py and operators/retrieval.py —
+window-boundary edges, hot-segment removal semantics, and BM25 ranking
+properties the oracle gate can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.chunking import chunk_token_windows, segment_dedup
+from rearview_spark.operators.retrieval import bm25_scores, bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_short_doc_single_window(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    out = chunk_token_windows(docs, size=8, stride=4).collect()
+    assert len(out) == 1
+    assert out[0].chunk_idx == 0 and out[0].n_chunk_tokens == 3
+
+
+def test_chunk_overlap_grid(spark):
+    # 11 tokens, size 4, stride 3 -> ceil((11-4)/3)+1 = 4 windows at
+    # starts 0,3,6,9; the last clamps to 2 tokens. (With 10 tokens the
+    # grid stops at start 6 — window [6,10) already reaches the end.)
+    text = " ".join(f"t{i}" for i in range(11))
+    out = (
+        chunk_token_windows(_docs(spark, [(1, text)]), size=4, stride=3)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 2]
+
+
+def test_chunk_exact_fit_no_empty_tail(spark):
+    # 8 tokens, size 4, stride 4 -> exactly 2 windows, no empty third
+    text = " ".join(f"t{i}" for i in range(8))
+    out = chunk_token_windows(_docs(spark, [(1, text)]), size=4, stride=4).collect()
+    assert sorted(r.n_chunk_tokens for r in out) == [4, 4]
+
+
+def test_segment_dedup_drops_hot_segment(spark):
+    seg = " ".join(f"x{i}" for i in range(4))
+    rows = [(i, seg + f" unique{i}") for i in range(3)]  # seg occurs 3x > max 2
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(
+            _docs(spark, rows), seg_len=4, max_count=2
+        ).collect()
+    }
+    # each doc had 2 segments (4 shared + 1 unique token); shared one dropped
+    assert all(out[i].n_segments == 2 and out[i].n_kept == 1 for i in range(3))
+
+
+def test_segment_dedup_fully_hot_doc_disappears(spark):
+    seg = "a b c d"
+    rows = [(1, seg), (2, seg), (3, seg), (4, seg + " tail")]
+    out = segment_dedup(_docs(spark, rows), seg_len=4, max_count=2)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {4}  # docs 1-3 were a single hot segment each
+
+
+def test_segment_dedup_shuffle_join_matches_broadcast(spark):
+    rows = [(i, f"w{i % 3} common common2 u{i}") for i in range(6)]
+    a = segment_dedup(_docs(spark, rows), seg_len=2, max_count=1, broadcast_hot=True)
+    b = segment_dedup(_docs(spark, rows), seg_len=2, max_count=1, broadcast_hot=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    rows = [(1, "rare word pad pad"), (2, "common word pad pad")] + [
+        (10 + i, f"common filler{i} pad pad") for i in range(8)
+    ]
+    scores = {
+        r.doc_id: r.score
+        for r in bm25_scores(_docs(spark, rows), ["rare", "common"]).collect()
+    }
+    # 'rare' appears in 1 doc, 'common' in 9 -> idf(rare) >> idf(common);
+    # doc 1 and doc 2 have identical tf/dl otherwise.
+    assert scores[1] > scores[2]
+
+
+def test_bm25_topk_bound_and_order(spark):
+    rows = [(i, "hit " * (i + 1) + "pad") for i in range(10)]
+    out = bm25_topk(_docs(spark, rows), ["hit"], k=3).collect()
+    assert len(out) == 3
+    assert out[0].score >= out[1].score >= out[2].score
+
+
+def test_bm25_requires_terms(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_scores(_docs(spark, [(1, "a")]), [])
