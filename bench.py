@@ -60,6 +60,10 @@ HEADLINE = [
     "sim_pq_scan_topk",
     # round-5: rollup-tier routing (serve summarize from materialized tiers)
     "ts_rollup_router",
+    # round-6: subquery-shape join family + new pipeline restructurings
+    "q21_shape_waiting_suppliers",
+    "doc_segment_dedup",
+    "doc_bm25_topk",
 ]
 
 
