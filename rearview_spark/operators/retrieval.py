@@ -3,12 +3,18 @@ the lexical half of a RAG / training-data curation stack (the vector
 half lives in operators/similarity.py).
 
 Not rearview parity; north-star pipeline extension. The whole plan is
-JVM-side DataFrame ops: explode -> filtered hash aggregates for tf/df
--> broadcast 1-row corpus stats -> conditional-aggregation pivot. The
-token stream is filtered to the query terms BEFORE the tf aggregate, so
-the shuffled volume is per-(doc, query-term), never per-token; df and
-avgdl are map-side combined aggregates. At 100 TB this is one scan plus
-key-space-bounded shuffles.
+JVM-side DataFrame ops in a SINGLE pass over the token stream: one
+explode -> one groupBy(doc) computing document length AND the per-term
+tf columns together (conditional aggregation pivot, map-side combined)
+-> a 1-row corpus-stats aggregate broadcast back onto the per-doc
+frame. One scan, one shuffle keyed on doc id; document frequencies and
+avgdl ride in the broadcast row. The stats branch and the scoring
+branch share the SAME per-doc aggregate subtree, so Spark's exchange
+reuse executes it once (`ReusedExchange` in the executed plan — the
+map side, explode included, physically runs a single time). The naive
+formulation — separate tf/df/dl frames joined back up — explodes the
+token stream four times (`.explain` showed 4 Generates), which at
+100 TB is 4x scan cost.
 
 Cross-engine determinism (the oracle gate hashes doubles): the classic
 BM25 idf is ``ln((N - df + .5)/(df + .5) + 1)``, but ``ln`` is the one
@@ -19,13 +25,13 @@ in df exactly like the classic form (so rankings agree), but computed
 with only +,-,*,/ on doubles derived from identical integers, which ARE
 correctly rounded and therefore bit-identical across engines. Same
 reason the per-document score sums its per-term contributions in FIXED
-term order (coalesce chain, not an unordered SUM): float addition is
-not associative, and the gate compares bits.
+term order (a left-associated chain, not an unordered SUM): float
+addition is not associative, and the gate compares bits.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rearview_spark.operators.text import tokens
@@ -51,58 +57,55 @@ def bm25_scores(
     if not terms:
         raise ValueError("terms must be non-empty")
     toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    dl = toked.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs")
+    per_doc = toked.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    tf = (
-        toked.filter(F.col("term").isin(*terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    stats = per_doc.agg(
+        F.sum("dl").alias("sum_dl"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
 
     k1p1 = k1 + 1.0
     one_minus_b = 1.0 - b
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
+    any_match = None
+    for i in range(len(terms)):
+        c = F.col(f"_tf{i}")
+        any_match = c if any_match is None else any_match + c
+
+    joined = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(any_match > 0)
         .withColumn(
             "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-        )
-        .withColumn(
-            "idf",
-            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
-            / (F.col("df").cast("double") + F.lit(0.5)),
         )
         .withColumn(
             "norm",
             F.lit(one_minus_b)
             + (F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))),
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (
-                (F.col("tf").cast("double") * F.lit(k1p1))
-                / (F.col("tf").cast("double") + (F.lit(k1) * F.col("norm")))
-            ),
-        )
     )
-    # Fixed-order reduction: one conditional aggregate per query term,
-    # added in the caller's term order — never an unordered float SUM.
-    per_term = scored.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.col("term") == t, F.col("term_score"))).alias(f"_s{i}")
-            for i, t in enumerate(terms)
-        ]
-    )
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"_df{i}").cast("double") + F.lit(0.5)
+        ) / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
+        s = idf * ((tf * F.lit(k1p1)) / (tf + (F.lit(k1) * F.col("norm"))))
+        return F.when(F.col(f"_tf{i}") > 0, s).otherwise(F.lit(0.0))
+
     total = None
     for i in range(len(terms)):
-        c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-        total = c if total is None else total + c
-    return per_term.select(F.col(id_col), total.alias("score"))
+        s = term_score(i)
+        total = s if total is None else total + s
+    return joined.select(F.col(id_col), total.alias("score"))
 
 
 def bm25_topk(
@@ -128,39 +131,58 @@ def bm25_oracle_sql(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> str:
-    """DuckDB SQL mirroring ``bm25_topk`` EXACTLY — same expression tree,
-    same literal constants (repr round-trips the Python doubles), same
-    fixed-order coalesce chain — so the gate compares bit-identical
-    arithmetic, not merely the same formula."""
-    tlist = ", ".join(f"'{t}'" for t in terms)
-    cases = ",\n       ".join(
-        f"sum(CASE WHEN term = '{t}' THEN term_score END) AS _s{i}"
+    """DuckDB SQL mirroring ``bm25_topk`` EXACTLY — same single-pass
+    pivoted shape, same expression tree, same literal constants (repr
+    round-trips the Python doubles), same left-associated fixed-order
+    score chain — so the gate compares bit-identical arithmetic, not
+    merely the same formula."""
+    tfs = ",\n       ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS _tf{i}"
         for i, t in enumerate(terms)
     )
-    chain = " + ".join(f"coalesce(_s{i}, 0.0)" for i in range(len(terms)))
+    dfs = ",\n       ".join(
+        f"sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS _df{i}"
+        for i in range(len(terms))
+    )
+    any_match = " + ".join(f"_tf{i}" for i in range(len(terms)))
+    score_terms = []
+    for i in range(len(terms)):
+        idf = (
+            f"((CAST(n_docs AS DOUBLE) - CAST(_df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(_df{i} AS DOUBLE) + 0.5))"
+        )
+        s = (
+            f"({idf} * ((CAST(_tf{i} AS DOUBLE) * {k1 + 1.0!r})"
+            f" / (CAST(_tf{i} AS DOUBLE) + ({k1!r} * norm))))"
+        )
+        score_terms.append(f"CASE WHEN _tf{i} > 0 THEN {s} ELSE 0.0 END")
+    chain = " + ".join(score_terms)
     return f"""
 WITH toked AS (SELECT doc_id, unnest({toks_sql}) AS term FROM documents),
-dl AS (SELECT doc_id, count(*) AS dl FROM toked GROUP BY 1),
-stats AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-                 CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM toked
-       WHERE term IN ({tlist}) GROUP BY 1, 2),
-dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-scored AS (
-  SELECT tf.doc_id, tf.term,
-         ((n_docs - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r}) /
-            (CAST(tf AS DOUBLE) + ({k1!r} * ({1.0 - b!r} + ({b!r} * (CAST(dl AS DOUBLE) / avgdl))))))
-         AS term_score
-  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+       {tfs}
+  FROM toked GROUP BY doc_id
 ),
-pivoted AS (
+stats AS (
+  SELECT sum(dl) AS sum_dl, count(*) AS n_docs,
+       {dfs}
+  FROM per_doc
+),
+scored AS (
   SELECT doc_id,
-       {cases}
-  FROM scored GROUP BY doc_id
+         ({chain}) AS score
+  FROM (SELECT per_doc.*, stats.*,
+               ({1.0 - b!r} + ({b!r} * (CAST(dl AS DOUBLE)
+                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS norm
+        FROM per_doc, stats
+        WHERE ({any_match}) > 0)
 )
-SELECT doc_id, round(({chain}) + 0.0000000005, 6) AS score
-FROM pivoted
-ORDER BY ({chain}) DESC, doc_id
-LIMIT {k}
+SELECT doc_id, round(score + 0.0000000005, 6) AS score
+FROM (
+  -- LIMIT on the RAW score (Spark orders pre-rounding); rounding only
+  -- in the outer projection, or the k-boundary could disagree whenever
+  -- two raw scores round equal.
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+)
 """
