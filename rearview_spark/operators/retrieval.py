@@ -124,18 +124,54 @@ def bm25_topk(
     )
 
 
-def bm25_oracle_sql(
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 20,
+    c: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (the standard
+    hybrid-retrieval merge): score(id) = Σ_i 1/(c + rank_i(id)), terms
+    taken as 0 where a list misses the id. Candidate lists are top-k
+    slices — id-space-bounded, so the full-outer join chain broadcasts
+    at any corpus scale (the expensive work already happened inside
+    each retriever). The per-list contributions are added in the
+    caller's list order (left-associated chain), keeping the fused
+    double bit-deterministic cross-engine — ranks are ints, so each
+    1/(c + r) term is a single correctly-rounded IEEE division.
+
+    Returns (id, rrf_score) top-k by (score desc, id) — a total order.
+    """
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    out = None
+    for i, df in enumerate(ranked_lists):
+        d = df.select(F.col(id_col), F.col(rank_col).alias(f"_r{i}"))
+        out = d if out is None else out.join(d, id_col, "full_outer")
+    score = None
+    for i in range(len(ranked_lists)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"_r{i}").cast("double")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        out.select(F.col(id_col), score.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), id_col)
+        .limit(k)
+    )
+
+
+def bm25_scored_cte(
     terms: list[str],
     toks_sql: str,
-    k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> str:
-    """DuckDB SQL mirroring ``bm25_topk`` EXACTLY — same single-pass
-    pivoted shape, same expression tree, same literal constants (repr
-    round-trips the Python doubles), same left-associated fixed-order
-    score chain — so the gate compares bit-identical arithmetic, not
-    merely the same formula."""
+    """The WITH-clause body (toked/per_doc/stats/scored) shared by the
+    BM25 oracle and any oracle composing on top of BM25 rankings (e.g.
+    RRF fusion). ``scored`` exposes (doc_id, score) with the RAW
+    double."""
     tfs = ",\n       ".join(
         f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS _tf{i}"
         for i, t in enumerate(terms)
@@ -157,8 +193,7 @@ def bm25_oracle_sql(
         )
         score_terms.append(f"CASE WHEN _tf{i} > 0 THEN {s} ELSE 0.0 END")
     chain = " + ".join(score_terms)
-    return f"""
-WITH toked AS (SELECT doc_id, unnest({toks_sql}) AS term FROM documents),
+    return f"""toked AS (SELECT doc_id, unnest({toks_sql}) AS term FROM documents),
 per_doc AS (
   SELECT doc_id, count(*) AS dl,
        {tfs}
@@ -177,7 +212,23 @@ scored AS (
                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS norm
         FROM per_doc, stats
         WHERE ({any_match}) > 0)
-)
+)"""
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    toks_sql: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL mirroring ``bm25_topk`` EXACTLY — same single-pass
+    pivoted shape, same expression tree, same literal constants (repr
+    round-trips the Python doubles), same left-associated fixed-order
+    score chain — so the gate compares bit-identical arithmetic, not
+    merely the same formula."""
+    return f"""
+WITH {bm25_scored_cte(terms, toks_sql, k1=k1, b=b)}
 SELECT doc_id, round(score + 0.0000000005, 6) AS score
 FROM (
   -- LIMIT on the RAW score (Spark orders pre-rounding); rounding only

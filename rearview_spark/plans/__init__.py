@@ -22,6 +22,7 @@ _NEW_THIS_ROUND = (
     "doc_chunk_windows",
     "doc_segment_dedup",
     "doc_bm25_topk",
+    "hybrid_rrf_topk",
 )
 
 

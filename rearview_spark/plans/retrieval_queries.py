@@ -104,3 +104,72 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_BM25_SQL = R.bm25_oracle_sql(BM25_TERMS, TOKS, k=BM25_K)
 
 QUERIES["doc_bm25_topk"] = {"fn": doc_bm25_topk, "oracle": DOC_BM25_SQL}
+
+
+RRF_CAND_K = 50
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical candidates fused with exact-cosine
+    vector candidates (query = embedding 0, the driver tables' doc_id ↔
+    vec_id correspondence) by reciprocal-rank fusion. Each side takes
+    its top-50 via orderBy+limit — Spark plans that as a distributed
+    TakeOrderedAndProject, so the only global sort runs over 50 rows
+    (the row_number that assigns ranks); the fusion join is
+    candidate-scale. Ranks are ints, so the fused score is a fixed-order
+    chain of exact IEEE divisions — bit-deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    lex50 = (
+        R.bm25_scores(t.documents, BM25_TERMS)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_CAND_K)
+    )
+    lex_ranked = lex50.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+    )
+    from rearview_spark.operators import similarity as S
+
+    emb = t.embeddings
+    vec_ranked = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=RRF_CAND_K
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    fused = R.rrf_fuse(
+        [lex_ranked.select("doc_id", "rank"), vec_ranked], k=BM25_K
+    )
+    return fused.select("doc_id", r6(F.col("rrf_score")).alias("rrf_score"))
+
+
+HYBRID_RRF_SQL = f"""
+WITH {R.bm25_scored_cte(BM25_TERMS, TOKS)},
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored)
+  WHERE rank <= {RRF_CAND_K}
+),
+vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv) + 0.0000000005, 6) AS cs
+  FROM embeddings e, vq WHERE e.vec_id <> 0
+),
+vec AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INT) AS rank
+    FROM vs)
+  WHERE rank <= {RRF_CAND_K}
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + CAST(lex.rank AS DOUBLE)), 0.0)
+         + coalesce(1.0 / (60.0 + CAST(vec.rank AS DOUBLE)), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, round(rrf + 0.0000000005, 6) AS rrf_score
+FROM (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {BM25_K})
+"""
+
+QUERIES["hybrid_rrf_topk"] = {"fn": hybrid_rrf_topk, "oracle": HYBRID_RRF_SQL}

@@ -95,3 +95,28 @@ def test_bm25_requires_terms(spark):
 
     with pytest.raises(ValueError):
         bm25_scores(_docs(spark, [(1, "a")]), [])
+
+
+def _ranked(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+
+def test_rrf_both_lists_beats_one(spark):
+    from rearview_spark.operators.retrieval import rrf_fuse
+
+    a = _ranked(spark, [(1, 1), (2, 2)])
+    b = _ranked(spark, [(1, 2), (3, 1)])
+    out = rrf_fuse([a, b], k=10).collect()
+    scores = {r.doc_id: r.rrf_score for r in out}
+    # doc 1 appears in both lists; docs 2/3 in one each
+    assert scores[1] > scores[2] and scores[1] > scores[3]
+    assert abs(scores[1] - (1 / 61 + 1 / 62)) < 1e-12
+    assert abs(scores[3] - 1 / 61) < 1e-12
+
+
+def test_rrf_k_bound_and_order(spark):
+    from rearview_spark.operators.retrieval import rrf_fuse
+
+    a = _ranked(spark, [(i, i) for i in range(1, 8)])
+    out = rrf_fuse([a], k=3).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
