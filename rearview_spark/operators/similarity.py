@@ -985,3 +985,115 @@ def calibrate_semantic_threshold(
             "sampling/caps — lower sample_mod or n_buckets"
         )
     return float(row["t"])
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — per-dimension 8-bit codes
+# ---------------------------------------------------------------------------
+
+def sq8_fit(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension [min, max] bounds for 8-bit scalar quantization
+    (FAISS SQ8-style trained range). posexplode + groupBy(pos) keeps the
+    shuffle at one row per dimension (map-side combined); the result is
+    a 1-row frame (mins, maxs) meant to broadcast. min/max of doubles
+    is exact, so the fit is bit-deterministic."""
+    expl = corpus.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+    bounds = expl.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return bounds.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("pm"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("px"),
+    ).select(
+        F.transform("pm", lambda s: s["mn"]).alias("mins"),
+        F.transform("px", lambda s: s["mx"]).alias("maxs"),
+    )
+
+
+def _sq8_code(x: Column, mn: Column, mx: Column) -> Column:
+    """floor-to-256-buckets code, clamped to [0, 255]; a collapsed
+    dimension (mx == mn) codes to 0. floor, not round: round-half
+    behavior differs across engines, floor does not."""
+    scaled = ((x - mn) / (mx - mn)) * F.lit(256.0)
+    return (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(F.least(F.floor(scaled).cast("int"), F.lit(255)))
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to array<int> 8-bit codes against broadcast
+    bounds — a pure narrow map (transform over the dimension index
+    inside codegen); at scale the codes column is the stored index
+    (4 bytes/dim here for gate readability; a production sink packs it
+    to 1 byte/dim with a binary cast on write)."""
+    v = _as_double(F.col(vec_col))
+    enc = F.transform(
+        F.sequence(F.lit(0), F.size(v) - F.lit(1)),
+        lambda i: _sq8_code(
+            F.element_at(v, i + 1),
+            F.element_at(F.col("mins"), i + 1),
+            F.element_at(F.col("maxs"), i + 1),
+        ),
+    )
+    return corpus.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col), enc.alias("codes"), "mins", "maxs"
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over the SQ8-compressed corpus: vectors
+    are dequantized to bucket midpoints (mn + (code + 0.5) * width/256)
+    and scored against FULL-precision queries — the asymmetric scheme
+    (query uncompressed, corpus compressed) every production scalar
+    quantizer uses. Like the PQ family, approximate w.r.t. brute force
+    but fully deterministic given the data, so the oracle replays the
+    fit/encode/dequantize/score pipeline and the gate value-checks the
+    quantization semantics themselves.
+
+    Scale: fit is one dimension-keyed aggregate; encode is a narrow map
+    against broadcast bounds; serving scans codes (4-32x smaller than
+    raw vectors — the point of SQ8: memory-bound ANN scans speed up by
+    the compression factor) and the per-query rank is the same
+    bucket-free top-k as brute_force_topk. Returns (query_id, vec_id,
+    sq_sim, rank)."""
+    from pyspark.sql import Window
+
+    from rearview_spark.operators._util import ensure_parallelism
+
+    bounds = sq8_fit(corpus, vec_col)
+    enc = sq8_encode(ensure_parallelism(corpus, id_col), bounds, id_col, vec_col)
+    dq = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("codes")) - F.lit(1)),
+        lambda i: F.element_at(F.col("mins"), i + 1)
+        + (
+            (F.element_at(F.col("codes"), i + 1).cast("double") + F.lit(0.5))
+            * (
+                (
+                    F.element_at(F.col("maxs"), i + 1)
+                    - F.element_at(F.col("mins"), i + 1)
+                )
+                / F.lit(256.0)
+            )
+        ),
+    )
+    c = enc.select(F.col(id_col), dq.alias("dqv"))
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+    sim = cosine(F.col("qv"), F.col("dqv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, F.round(sim + F.lit(5e-10), 6).alias("sq_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sq_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

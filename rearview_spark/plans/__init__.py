@@ -23,6 +23,7 @@ _NEW_THIS_ROUND = (
     "doc_segment_dedup",
     "doc_bm25_topk",
     "hybrid_rrf_topk",
+    "sim_sq8_topk",
 )
 
 

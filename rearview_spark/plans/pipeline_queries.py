@@ -1225,6 +1225,52 @@ SELECT query_id, vec_id, approx_dist, rank FROM (
 QUERIES["sim_ivf_rpq_topk"] = {"fn": sim_ivf_rpq_topk, "oracle": SIM_IVF_RPQ_SQL}
 
 
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN: per-dimension 8-bit codes, midpoint
+    dequantization, asymmetric cosine scoring (full-precision queries) —
+    the third compression tier beside PQ and IVF+PQ. The oracle replays
+    fit/encode/dequantize/score, so the gate checks the quantizer's
+    semantics, not just shapes."""
+    emb = Tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 3)
+    return S.sq8_topk(emb, queries, k=10)
+
+
+SIM_SQ8_SQL = """
+WITH expl AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+bd AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM expl GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM bd),
+dq AS (
+  SELECT vec_id,
+         [ mins[i] + ((CAST(
+              CASE WHEN maxs[i] = mins[i] THEN 0
+                   ELSE least(CAST(floor(((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                          / (maxs[i] - mins[i])) * 256.0) AS INT), 255)
+              END AS DOUBLE) + 0.5)
+            * ((maxs[i] - mins[i]) / 256.0))
+           for i in range(1, len(embedding) + 1) ] AS dqv
+  FROM embeddings, b
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         round(list_cosine_similarity(d.dqv, q.qv) + 0.0000000005, 6) AS sq_sim
+  FROM dq d CROSS JOIN q WHERE d.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, sq_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+QUERIES["sim_sq8_topk"] = {"fn": sim_sq8_topk, "oracle": SIM_SQ8_SQL}
+
+
 # --- BPE vocabulary training -------------------------------------------------
 
 def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

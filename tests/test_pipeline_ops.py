@@ -513,3 +513,40 @@ def test_calibrate_semantic_threshold(spark):
     )
     with pytest.raises(ValueError, match="q must be"):
         S.calibrate_semantic_threshold(df, q=1.5)
+
+
+def test_sq8_codes_in_range_and_deterministic(spark, sf_dir):
+    from rearview_spark.sources.loader import load_table
+    from rearview_spark.operators.similarity import sq8_fit, sq8_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = sq8_fit(emb)
+    enc = sq8_encode(emb, bounds)
+    stats = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] <= 255
+    a = sorted((r["vec_id"], tuple(r["codes"])) for r in enc.collect())
+    b = sorted((r["vec_id"], tuple(r["codes"])) for r in sq8_encode(emb, bounds).collect())
+    assert a == b
+
+
+def test_sq8_topk_recall_vs_brute_force(spark, sf_dir):
+    from rearview_spark.sources.loader import load_table
+    from rearview_spark.operators.similarity import brute_force_topk, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sq8_topk(emb, queries, k=10).collect()
+    }
+    # 8-bit/dim is mildly lossy: expect HIGH overlap (PQ's bound is 0.2;
+    # SQ8 at 256 levels/dim should nearly reproduce the exact list)
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.7, f"SQ8 recall vs brute force too low: {overlap}"
