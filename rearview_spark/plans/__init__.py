@@ -24,6 +24,7 @@ _NEW_THIS_ROUND = (
     "doc_bm25_topk",
     "hybrid_rrf_topk",
     "sim_sq8_topk",
+    "ev_zorder_keys",
 )
 
 

@@ -327,3 +327,70 @@ QUERIES.update(
         "ev_conversion_funnel": {"fn": ev_conversion_funnel, "oracle": EV_FUNNEL_SQL},
     }
 )
+
+
+def ev_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key computation for the events table clustered on
+    (ts, user_id) — the multi-column data-skipping layout
+    (sources/layout.py: zorder_layout). The gate value-checks the
+    rank-quantization and bit-interleave against an oracle generated
+    from the same expression builder, so what the writer clusters on is
+    exactly what the check pins. Bounds ride in as a broadcast 1-row
+    aggregate; everything downstream is a narrow integer map."""
+    from rearview_spark.sources.layout import quantize_col, zorder_key
+
+    ev = Tables(spark, sf_dir).events
+    sec = F.col("ts").cast("long")
+    bounds = ev.agg(
+        F.min(sec).alias("mn_t"),
+        F.max(sec).alias("mx_t"),
+        F.min("user_id").alias("mn_u"),
+        F.max("user_id").alias("mx_u"),
+    )
+    q = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        quantize_col(sec, F.col("mn_t"), F.col("mx_t")).alias("q_ts"),
+        quantize_col(F.col("user_id"), F.col("mn_u"), F.col("mx_u")).alias("q_user"),
+    )
+    return q.select(
+        "event_id",
+        "q_ts",
+        "q_user",
+        zorder_key([F.col("q_ts"), F.col("q_user")]).alias("zkey"),
+    ).orderBy("event_id")
+
+
+def _ev_zorder_sql() -> str:
+    from rearview_spark.sources.layout import zorder_key_sql
+
+    def quant(x: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} = {mn} THEN 0 ELSE "
+            f"least(CAST(floor(((CAST({x} AS DOUBLE) - CAST({mn} AS DOUBLE)) "
+            f"/ (CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE))) * 256.0) AS INT), 255) END"
+        )
+
+    sec = "CAST(floor(epoch(ts)) AS BIGINT)"
+    z = zorder_key_sql(["q_ts", "q_user"])
+    return f"""
+WITH s AS (
+  SELECT min({sec}) AS mn_t, max({sec}) AS mx_t,
+         min(user_id) AS mn_u, max(user_id) AS mx_u
+  FROM events
+),
+q AS (
+  SELECT event_id,
+         {quant(sec, 's.mn_t', 's.mx_t')} AS q_ts,
+         {quant('user_id', 's.mn_u', 's.mx_u')} AS q_user
+  FROM events, s
+)
+SELECT event_id, q_ts, q_user, CAST({z} AS BIGINT) AS zkey
+FROM q ORDER BY event_id
+"""
+
+
+QUERIES.update(
+    {
+        "ev_zorder_keys": {"fn": ev_zorder_keys, "oracle": _ev_zorder_sql()},
+    }
+)

@@ -169,3 +169,41 @@ def test_bucketed_layout_colocated_join_and_pruning(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     spark.sql("DROP TABLE IF EXISTS m_bucket_test")
+
+
+def test_zorder_spans_shrink_both_dimensions(spark, sf_dir):
+    """Z-order clustering vs linear ts-sort: per-partition user_id spans
+    must shrink decisively (that span IS the file-level min/max stat a
+    scan prunes on), while ts spans stay useful."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.sources.loader import load_table
+    from rearview_spark.sources.layout import quantize_col, zorder_layout
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    bounds = ev.agg(
+        F.min(sec).alias("mn_t"), F.max(sec).alias("mx_t"),
+        F.min("user_id").alias("mn_u"), F.max("user_id").alias("mx_u"),
+    )
+    q = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id", sec.alias("sec"),
+        quantize_col(sec, F.col("mn_t"), F.col("mx_t")).alias("q_ts"),
+        quantize_col(F.col("user_id"), F.col("mn_u"), F.col("mx_u")).alias("q_user"),
+    )
+    n_parts = 8
+
+    def avg_user_span(df):
+        spans = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg((F.max("user_id") - F.min("user_id")).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return float(spans)
+
+    linear = q.repartitionByRange(n_parts, "sec").sortWithinPartitions("sec")
+    zed = zorder_layout(q, [F.col("q_ts"), F.col("q_user")], n_parts)
+    lin_span, z_span = avg_user_span(linear), avg_user_span(zed)
+    assert z_span < 0.7 * lin_span, (lin_span, z_span)
