@@ -1,0 +1,112 @@
+"""Robust per-series anomaly detection: median / MAD (median absolute
+deviation) scoring — the modified z-score of Iglewicz & Hoaglin ("How to
+Detect and Handle Outliers", ASQC 1993): ``z = 0.6745 * (x - med) / MAD``,
+flag when ``|z| > 3.5``.
+
+Reference parity context: the reference's alerting runs user expressions
+over fetched series (monitors/evaluate.py); a robust outlier rule is the
+stock expression every monitoring shop writes first. Mean/stdev breaks
+down exactly when it matters (the outlier inflates the stdev it is
+measured against); median/MAD has a 50% breakdown point, so one bad hour
+cannot mask itself.
+
+Determinism contract (the oracle gate hashes doubles): the median here is
+NOT an interpolated percentile — engines disagree on interpolation
+arithmetic in the last ulp. Instead it is the *rank-explicit* form: order
+each series by (value, ts), take the rows at ranks ``(n+1) div 2`` and
+``n div 2 + 1`` (equal for odd n), and average them with one addition and
+one division — written identically in the DataFrame plan and the oracle
+SQL, so the bits agree. Inputs are exact-cents doubles (plans/_exact.py),
+all downstream ops are single correctly-rounded IEEE operations, and the
+anomaly *comparison* ``|0.6745*(x-med)| > 3.5*MAD`` therefore evaluates
+identically cross-engine (no rounding anywhere before the filter).
+
+Scale: both medians are per-series window ranks — the shuffle key is the
+series, never time, so a 1000-executor cluster splits series across
+executors and each sort is local to one series's points (hourly points
+per series are bounded: one year ≈ 8.8k rows). The two median frames are
+series-cardinality-sized and broadcast back. For billion-point single
+series, swap the exact median for ``percentile_approx`` and drop the
+oracle to rows-only; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Iglewicz-Hoaglin constants: 0.6745 ≈ Φ⁻¹(0.75) makes MAD consistent
+#: with the stdev of a normal; 3.5 is their recommended cutoff.
+MAD_SCALE = 0.6745
+DEFAULT_THRESHOLD = 3.5
+
+
+def _exact_median(
+    df: DataFrame, value_col: str, key_col: str, ts_col: str, out_col: str
+) -> DataFrame:
+    """Per-key exact median in rank-explicit form (module docstring):
+    returns one row per key with ``out_col``. Deterministic total order
+    via (value, ts); ``sum(matched)/count(matched)`` is one addition and
+    one division for even n, identity for odd n."""
+    w = Window.partitionBy(key_col).orderBy(F.col(value_col), F.col(ts_col))
+    ranked = df.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(key_col))
+    )
+    mid = ranked.filter(
+        (F.col("_r") == F.expr("(_n + 1) div 2"))
+        | (F.col("_r") == F.expr("_n div 2 + 1"))
+    )
+    return mid.groupBy(key_col).agg(
+        (F.sum(value_col) / F.count(value_col)).alias(out_col)
+    )
+
+
+def mad_scores(
+    series: DataFrame,
+    value_col: str = "value",
+    key_col: str = "metric",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Attach per-series robust location/scale: ``med`` (median of the
+    value) and ``mad`` (median of |value - med|). Input is the canonical
+    tall series (metric, ts, value); output adds med/mad/dev columns.
+
+    Two series-keyed window ranks + two broadcast joins of
+    series-cardinality frames — no corpus-sized shuffle beyond the
+    per-series sorts."""
+    med = _exact_median(series, value_col, key_col, ts_col, "med")
+    with_med = series.join(F.broadcast(med), key_col).withColumn(
+        "dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = _exact_median(with_med, "dev", key_col, ts_col, "mad")
+    return with_med.join(F.broadcast(mad), key_col)
+
+
+def mad_anomalies(
+    series: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    value_col: str = "value",
+    key_col: str = "metric",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rows whose modified z-score exceeds ``threshold``: returns
+    (key, ts, value, robust_z). The filter compares products, not the
+    quotient (``|0.6745*(x-med)| > threshold*MAD``), so it needs no
+    division guard; series with MAD = 0 (at least half the points
+    identical) yield no anomalies by definition — a constant series with
+    one spike is the degenerate case where MAD-based scoring is
+    documented to punt (use a plain ``x != med`` rule there)."""
+    scored = mad_scores(series, value_col, key_col, ts_col)
+    signed = F.lit(MAD_SCALE) * (F.col(value_col) - F.col("med"))
+    return (
+        scored.filter(
+            (F.col("mad") > 0)
+            & (F.abs(signed) > F.lit(threshold) * F.col("mad"))
+        )
+        .select(
+            key_col,
+            ts_col,
+            value_col,
+            (signed / F.col("mad")).alias("robust_z"),
+        )
+    )

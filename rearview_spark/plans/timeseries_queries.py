@@ -1137,6 +1137,68 @@ SELECT metric, ts, round(sum(value) + 0.00000005, 4) AS value FROM b GROUP BY 1,
 """
 
 
+# --- robust anomaly detection (median/MAD modified z-score) ------------------
+
+def ts_anomaly_mad(spark, sf_dir):
+    """Median/MAD outlier flags over the hourly series — the robust
+    alerting rule (operators/anomaly.py docstring: rank-explicit exact
+    median, so every double is bit-identical cross-engine and the gate
+    hashes the UNROUNDED comparison's survivors). Input values are
+    exact-cents hourly sums; robust_z itself is rounded only at the
+    output edge."""
+    from rearview_spark.operators.anomaly import mad_anomalies
+    from rearview_spark.plans._exact import exact_sum
+
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    hourly = (
+        series.groupBy("metric", F.window("ts", "1 hour").alias("w"))
+        .agg(exact_sum(F.col("value"), 100).alias("value"))
+        .select("metric", F.col("w.start").alias("ts"), "value")
+    )
+    out = mad_anomalies(hourly, threshold=3.5)
+    return out.select(
+        "metric", "ts", "value", r4(F.col("robust_z")).alias("robust_z")
+    ).orderBy("metric", "ts")
+
+
+TS_ANOMALY_MAD_SQL = """
+WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS ts,
+         sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS value
+  FROM events GROUP BY 1, 2
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric ORDER BY value, ts) AS r,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM hourly
+),
+med AS (
+  SELECT metric, sum(value) / count(value) AS med FROM r1
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY metric
+),
+d AS (
+  SELECT r1.metric, r1.ts, r1.value, abs(r1.value - med.med) AS dev, med.med
+  FROM r1 JOIN med USING (metric)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric ORDER BY dev, ts) AS r,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM d
+),
+mad AS (
+  SELECT metric, sum(dev) / count(dev) AS mad FROM r2
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY metric
+)
+SELECT d.metric, d.ts, d.value,
+       round(0.6745 * (d.value - d.med) / mad.mad + 0.00000005, 4) AS robust_z
+FROM d JOIN mad USING (metric)
+WHERE mad.mad > 0 AND abs(0.6745 * (d.value - d.med)) > 3.5 * mad.mad
+ORDER BY d.metric, d.ts
+"""
+
+QUERIES["ts_anomaly_mad"] = {"fn": ts_anomaly_mad, "oracle": TS_ANOMALY_MAD_SQL}
+
+
 QUERIES["ts_weighted_average"] = {"fn": ts_weighted_average, "oracle": TS_WEIGHTED_AVG_SQL}
 QUERIES["ts_wildcard_rollup"] = {"fn": ts_wildcard_rollup, "oracle": TS_WILDCARD_SQL}
 QUERIES["ts_most_deviant_band"] = {"fn": ts_most_deviant_band, "oracle": TS_DEVIANT_SQL}

@@ -294,3 +294,28 @@ def test_holt_winters_confidence_bands(spark):
     lo = by["holtWintersConfidenceLower(a)"]
     assert set(up) == set(lo) and len(up) == 30
     assert all(up[t] >= lo[t] for t in up)  # band is symmetric around fc
+
+
+def test_mad_anomalies_flags_planted_spike(spark):
+    from rearview_spark.operators.anomaly import mad_anomalies, mad_scores
+
+    # 20 calm points around 10 + one spike; a second all-constant series
+    # (MAD = 0) must yield nothing by the documented degenerate rule.
+    calm = [10.0, 10.5, 9.5, 10.2, 9.8] * 4
+    df = make_series(spark, {"a": calm + [50.0], "flat": [7.0] * 10 + [99.0]})
+    out = mad_anomalies(df).collect()
+    assert [(r["metric"], r["value"]) for r in out] == [("a", 50.0)]
+    z = out[0]["robust_z"]
+    scores = {r["metric"]: (r["med"], r["mad"]) for r in mad_scores(df).collect()}
+    med, mad = scores["a"]
+    assert med == 10.0
+    assert z == 0.6745 * (50.0 - med) / mad and z > 3.5
+
+
+def test_mad_exact_median_even_and_odd(spark):
+    from rearview_spark.operators.anomaly import mad_scores
+
+    df = make_series(spark, {"odd": [3.0, 1.0, 2.0], "even": [4.0, 1.0, 2.0, 3.0]})
+    scores = {r["metric"]: r["med"] for r in mad_scores(df).collect()}
+    assert scores["odd"] == 2.0
+    assert scores["even"] == 2.5
