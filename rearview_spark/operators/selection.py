@@ -1,0 +1,189 @@
+"""Data-selection operators for training-corpus curation: a linear
+quality classifier and DSIR-style importance weighting against a target
+distribution.
+
+Not rearview parity — BASELINE.json north-star extensions. Both operators
+are the *selection* stage of an LLM data pipeline: after dedup and rule
+filters (operators/dedup.py, curation.py), production pipelines score
+every document with (a) a trained quality classifier (the CCNet /
+GPT-3-style "looks like reference text" filter) and (b) an importance
+weight matching the corpus to a target domain mix (DSIR,
+arXiv:2302.03169: hashed n-gram features, importance = ratio of target
+to raw feature likelihood).
+
+Spark-first shape:
+
+- **classifier_quality**: one narrow JVM projection — the features are
+  the deterministic ratios from operators/text.py and the model is a
+  fixed-order multiply-add chain, so the score runs inside whole-stage
+  codegen at scan speed, zero shuffle, and the oracle reproduces it
+  bit-for-bit. (Training the weights is offline/out of scope; the
+  operator contract is the scoring plan. The shipped weights are
+  hand-set stand-ins with the documented signs: prose-like stopword
+  density and length help, punctuation excess hurts.)
+- **dsir_importance**: explode (unigram + bigram) features → md5-bucket
+  → two map-side-combined bucket-count aggregates (raw corpus vs target
+  slice) → a B-row weight frame *broadcast* back onto the exploded
+  stream → one doc-keyed re-aggregation. The corpus never shuffles on
+  feature content, only on (doc_id) — the same discipline as
+  benchmark_contamination. B (n_buckets) bounds the weight table at any
+  corpus size.
+
+Determinism contract: bucket hashing is the md5-prefix scheme
+(dedup._hash60) shared with every other gated operator; bucket weights
+are single IEEE divisions of exactly-representable integer products
+(exact through ~10^15 total feature occurrences — beyond that, compute
+weights in log space and drop the oracle to rows-only; the plan shape is
+unchanged). Per-doc sums of B-bounded weight terms carry ~1e-11 absolute
+float noise — far under the r4 nudge (plans/_exact.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.dedup import _hash60
+from rearview_spark.operators.text import (
+    mean_token_length,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier
+# ---------------------------------------------------------------------------
+
+#: (bias, w_len, w_stop, w_punct, w_wordlen) — stand-in weights with the
+#: signs a trained prose-vs-boilerplate model learns; see module docstring.
+QUALITY_WEIGHTS: tuple[float, float, float, float, float] = (
+    -1.0,  # bias: below-threshold by default
+    2.2,   # length factor, saturating at 200 tokens
+    6.0,   # stopword ratio (prose signal)
+    -9.0,  # punctuation ratio (markup/boilerplate signal)
+    0.8,   # mean token length factor, saturating at 8 chars
+)
+
+
+def quality_logit(col: Column, weights: tuple[float, ...] = QUALITY_WEIGHTS) -> Column:
+    """Linear score over the deterministic text features, as a FIXED
+    left-associated multiply-add chain (float addition is not
+    associative; the oracle mirrors the exact parenthesization).
+    Thresholding on the logit is equivalent to thresholding on the
+    sigmoid probability (monotone), and avoids cross-engine ``exp``
+    (IEEE does not require transcendentals correctly rounded)."""
+    b, w_len, w_stop, w_punct, w_mtl = weights
+    len_factor = F.least(token_count(col).cast("double") / F.lit(200.0), F.lit(1.0))
+    mtl_factor = F.least(mean_token_length(col) / F.lit(8.0), F.lit(1.0))
+    return (
+        F.lit(b)
+        + F.lit(w_len) * len_factor
+        + F.lit(w_stop) * stopword_ratio(col)
+        + F.lit(w_punct) * punct_ratio(col)
+        + F.lit(w_mtl) * mtl_factor
+    )
+
+
+def classifier_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = QUALITY_WEIGHTS,
+) -> DataFrame:
+    """Score every document and attach the keep decision (logit > 0).
+    Pure narrow map — composes with predicate pushdown when the caller
+    filters on ``keep`` (the whole chain inlines into the scan stage)."""
+    logit = quality_logit(F.col(text_col), weights)
+    return df.select(
+        F.col(id_col),
+        logit.alias("quality_logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights
+# ---------------------------------------------------------------------------
+
+def doc_features(col: Column) -> Column:
+    """Hashed-n-gram feature bag of a document: unigrams + bigrams of the
+    normalized token stream, occurrences kept (DSIR weights by feature
+    *count*, not presence). Returns array<string>."""
+    toks = tokens(col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-document importance weight for target-distribution matching
+    (DSIR, arXiv:2302.03169 — rational-ratio variant, see below).
+
+    ``target`` is a boolean Column selecting the in-domain slice of
+    ``df`` itself (e.g. ``F.col("lang") == "en"``); the weight of hash
+    bucket b is the add-one-smoothed likelihood ratio
+
+        w_b = ((t_b + 1) * (R + B)) / ((r_b + 1) * (T + B))
+
+    with t/r the target/raw bucket counts and T/R their totals. A
+    document's importance is the MEAN of its features' bucket weights —
+    documents whose feature mix looks like the target score > 1.
+    Downstream, sample with probability proportional to the weight (the
+    deterministic md5 threshold of curation.stratified_sample composes:
+    ``keep ⇔ md5_60(id) mod M < importance * rate * M``).
+
+    DSIR proper averages *log* ratios; the per-bucket likelihood-ratio
+    mean used here ranks identically for single-bucket differences and
+    keeps every operation a correctly-rounded IEEE +,*,/ on
+    integer-derived doubles — the property the oracle gate hashes
+    (module docstring). Returns (id, n_features, importance)."""
+    feats = df.select(
+        F.col(id_col),
+        target.alias("_is_target"),
+        F.explode(doc_features(F.col(text_col))).alias("f"),
+    ).withColumn("bkt", F.pmod(_hash60(F.col("f")), F.lit(n_buckets)))
+
+    counts = feats.groupBy("bkt").agg(
+        F.count("*").alias("r"),
+        F.sum(F.col("_is_target").cast("long")).alias("t"),
+    )
+    totals = counts.agg(
+        F.sum("r").alias("r_total"), F.sum("t").alias("t_total")
+    )
+    w = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            (
+                (
+                    (F.col("t") + F.lit(1)).cast("double")
+                    * (F.col("r_total") + F.lit(n_buckets)).cast("double")
+                )
+                / (
+                    (F.col("r") + F.lit(1)).cast("double")
+                    * (F.col("t_total") + F.lit(n_buckets)).cast("double")
+                )
+            ).alias("wt"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(w), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            (F.sum("wt") / F.count("*")).alias("importance"),
+        )
+    )

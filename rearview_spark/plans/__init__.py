@@ -77,13 +77,14 @@ def all_queries() -> dict:
         relational,
         relational_subq,
         retrieval_queries,
+        selection_queries,
         timeseries_queries,
     )
 
     import os
 
     out: dict = {}
-    for mod in (pipeline_queries, monitor_queries, events_queries, streaming_queries, timeseries_queries, relational, relational_subq, retrieval_queries):
+    for mod in (pipeline_queries, monitor_queries, events_queries, streaming_queries, timeseries_queries, relational, relational_subq, retrieval_queries, selection_queries):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")

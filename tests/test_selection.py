@@ -1,0 +1,60 @@
+"""Unit tests for the data-selection operators (quality classifier +
+DSIR importance weighting)."""
+
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import selection as SEL
+
+
+PROSE = (
+    "the quick brown fox and the lazy dog are in the yard and it is a "
+    "fine day for this kind of walk in the sun with a friend " * 8
+)
+MARKUP = "<div>{{x}}</div>;;;###[1](2)!!!***" * 10
+
+
+def test_classifier_quality_separates_prose_from_markup(spark):
+    df = spark.createDataFrame(
+        [(1, PROSE), (2, MARKUP)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in SEL.classifier_quality(df).collect()}
+    assert rows[1]["keep"] and rows[1]["quality_logit"] > 0
+    assert not rows[2]["keep"] and rows[2]["quality_logit"] < 0
+
+
+def test_quality_logit_weight_override(spark):
+    df = spark.createDataFrame([(1, PROSE)], "doc_id long, text string")
+    # bias-only model: logit == bias regardless of text
+    out = SEL.classifier_quality(df, weights=(0.5, 0.0, 0.0, 0.0, 0.0)).collect()
+    assert out[0]["quality_logit"] == 0.5 and out[0]["keep"]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    # target slice speaks "alpha"; raw background speaks "omega".
+    rows = (
+        [(i, "alpha beta alpha beta alpha", "en") for i in range(8)]
+        + [(10 + i, "omega psi omega psi omega", "xx") for i in range(8)]
+        + [(100, "alpha beta alpha beta alpha", "xx"),  # target-like, not in slice
+           (101, "omega psi omega psi omega", "xx")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["importance"]
+        for r in SEL.dsir_importance(df, target=F.col("lang") == "en").collect()
+    }
+    # the doc that looks like the target outweighs the one that doesn't,
+    # and exact duplicates score identically (deterministic, no RNG)
+    assert out[100] > 1.0 > out[101]
+    assert out[100] == out[0] and out[101] == out[10]
+
+
+def test_dsir_feature_bag_counts_unigrams_and_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_features"]
+        for r in SEL.dsir_importance(df, target=F.lit(True)).collect()
+    }
+    assert out[1] == 5  # 3 unigrams + 2 bigrams
+    assert out[2] == 1  # bigram list empty below 2 tokens
