@@ -162,6 +162,84 @@ def rrf_fuse(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 6,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cosine_sim",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR'98) of a per-query candidate set: greedily select k items
+    maximizing ``lam * rel(d) - (1 - lam) * max_{s in picked} sim(d, s)``
+    — the standard rerank that stops a result list from being k near
+    copies of the best hit (and, in a curation pipeline, picks diverse
+    exemplars from a near-dup cluster).
+
+    The greedy recurrence is inherently sequential, so it runs per QUERY
+    as one ``applyInPandas`` group over that query's candidates — the
+    same sharding discipline as pack_sequences/EMA: groups scale across
+    the cluster, each group is candidate-scale (k and |candidates| are
+    retrieval-sized, tens to hundreds — the corpus-scale work already
+    happened in the retriever that produced the candidates). Pairwise
+    candidate similarity is computed inside the group with one
+    C x C GEMM.
+
+    Determinism (the gate hashes the selection): candidate relevance
+    arrives 6-dp-rounded from the retriever; pairwise cosines are
+    rounded to the same 6 dp with the shared boundary nudge, so every
+    greedy comparison runs on bit-identical doubles in both engines;
+    ties break by ascending id. Returned ``mmr_score`` is the raw
+    double (round at the presentation edge).
+
+    ``candidates`` columns: (query_col, id_col, rel_col, vec_col).
+    Returns (query_col, id_col, mmr_rank 1..k, mmr_score)."""
+    import numpy as np
+    import pandas as pd
+
+    one_minus_lam = 1.0 - lam
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [rel_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype="float64")
+        V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        Vn = V / np.where(norms == 0, 1.0, norms)[:, None]
+        S = np.round(Vn @ Vn.T + 5e-10, 6)
+
+        n = len(pdf)
+        picked = [0]  # row 0 is max (rel desc, id asc) after the sort
+        scores = [lam * rel[0]]
+        avail = set(range(1, n))
+        for _ in range(1, min(k, n)):
+            best, best_sc = -1, -np.inf
+            for i in avail:
+                sc = lam * rel[i] - one_minus_lam * S[i, picked].max()
+                if sc > best_sc or (sc == best_sc and ids[i] < ids[best]):
+                    best, best_sc = i, sc
+            picked.append(best)
+            avail.remove(best)
+            scores.append(best_sc)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[:1].repeat(len(picked)).to_numpy(),
+                id_col: ids[picked],
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype="int32"),
+                "mmr_score": np.asarray(scores, dtype="float64"),
+            }
+        )
+
+    schema = (
+        f"{query_col} long, {id_col} long, mmr_rank int, mmr_score double"
+    )
+    return candidates.groupBy(query_col).applyInPandas(_greedy, schema)
+
+
 def bm25_scored_cte(
     terms: list[str],
     toks_sql: str,

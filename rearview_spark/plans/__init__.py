@@ -25,6 +25,11 @@ _NEW_THIS_ROUND = (
     "hybrid_rrf_topk",
     "sim_sq8_topk",
     "ev_zorder_keys",
+    "ts_anomaly_mad",
+    "doc_quality_logistic",
+    "doc_dsir_importance",
+    "media_frame_sample",
+    "sim_mmr_rerank",
 )
 
 

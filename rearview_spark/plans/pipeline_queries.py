@@ -390,6 +390,38 @@ FROM documents
 """
 
 
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over REAL synthesized containers: the
+    Spark side PARSES the WAV headers (mapInPandas decode) to get
+    duration, then expands each media row into the frame timestamps a
+    decoder would extract (multimodal.frame_sample_plan — pure JVM
+    sequence/explode). Image rows have no duration and contribute the
+    single frame 0. The oracle recomputes durations from the closed-form
+    id formulas, so the gate checks the decode -> fan-out round trip."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_media_payloads(docs)
+    feats = M.extract_media_features(media)
+    plan = M.frame_sample_plan(
+        feats.select("media_id", F.struct("duration_ms").alias("meta")),
+        every_ms=20,
+    )
+    return plan.orderBy("media_id", "frame_ms")
+
+
+MEDIA_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1
+              THEN CAST(((doc_id % 1000) * 2 + 2000) * 1000
+                        // ((doc_id % 5 + 1) * 16000) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS dur
+  FROM documents
+)
+SELECT doc_id AS media_id, unnest(generate_series(0, dur, 20)) AS frame_ms
+FROM m ORDER BY media_id, frame_ms
+"""
+
+
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Honest resize gate: synthesized container bytes -> resize_images
     patches the dimension fields and truncates the raster body by the
@@ -473,6 +505,7 @@ QUERIES: dict[str, dict] = {
     "sim_label_centroid_distance": {"fn": sim_label_centroid_distance, "oracle": SIM_COHESION_SQL},
     "media_metadata": {"fn": media_metadata, "oracle": MEDIA_META_SQL},
     "media_features": {"fn": media_features, "oracle": MEDIA_FEATURES_SQL},
+    "media_frame_sample": {"fn": media_frame_sample, "oracle": MEDIA_FRAMES_SQL},
     "media_resize": {"fn": media_resize, "oracle": MEDIA_RESIZE_SQL},
 }
 

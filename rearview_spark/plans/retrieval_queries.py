@@ -173,3 +173,74 @@ FROM (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {BM25_K})
 """
 
 QUERIES["hybrid_rrf_topk"] = {"fn": hybrid_rrf_topk, "oracle": HYBRID_RRF_SQL}
+
+
+MMR_CAND_K, MMR_K, MMR_LAM = 16, 6, 0.7
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of the exact-cosine top-16 for query vector 0:
+    greedy k=6, lambda=0.7 (operators/retrieval.py: mmr_rerank). The
+    oracle replays the greedy recurrence as a recursive CTE with a
+    LATERAL argmax step, on identically-rounded relevance and pairwise
+    cosines — so the gate pins the entire selection sequence, scores
+    included, not just the output set."""
+    from rearview_spark.operators import retrieval as R2
+    from rearview_spark.operators import similarity as S
+
+    emb = Tables(spark, sf_dir).embeddings
+    cand = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=MMR_CAND_K
+    ).join(emb.select("vec_id", "embedding"), "vec_id")
+    out = R2.mmr_rerank(cand, k=MMR_K, lam=MMR_LAM)
+    return out.select(
+        "query_id", "vec_id", "mmr_rank", r6(F.col("mmr_score")).alias("mmr_score")
+    ).orderBy("mmr_rank")
+
+
+SIM_MMR_SQL = f"""
+WITH RECURSIVE
+vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv)
+               + 0.0000000005, 6) AS rel
+  FROM embeddings e, vq WHERE e.vec_id <> 0
+),
+cand AS (
+  SELECT id, rel FROM (
+    SELECT id, rel, row_number() OVER (ORDER BY rel DESC, id) AS rk FROM scored)
+  WHERE rk <= {MMR_CAND_K}
+),
+cv AS (
+  SELECT c.id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+),
+pairs AS (
+  SELECT a.id AS a, b.id AS b,
+         round(list_cosine_similarity(a.v, b.v) + 0.0000000005, 6) AS sim
+  FROM cv a JOIN cv b ON a.id <> b.id
+),
+sel AS (
+  SELECT 1 AS step,
+         (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1) AS id,
+         {MMR_LAM!r} * (SELECT rel FROM cand ORDER BY rel DESC, id LIMIT 1) AS sc,
+         [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)] AS picked
+  UNION ALL
+  SELECT s.step + 1, nxt.id, nxt.sc, list_append(s.picked, nxt.id)
+  FROM sel s, LATERAL (
+    SELECT c.id,
+           {MMR_LAM!r} * c.rel - {1.0 - MMR_LAM!r} * (
+             SELECT max(p.sim) FROM pairs p
+             WHERE p.a = c.id AND list_contains(s.picked, p.b)) AS sc
+    FROM cand c WHERE NOT list_contains(s.picked, c.id)
+    ORDER BY sc DESC, c.id LIMIT 1
+  ) nxt
+  WHERE s.step < {MMR_K}
+)
+SELECT CAST(0 AS BIGINT) AS query_id, id AS vec_id, CAST(step AS INT) AS mmr_rank,
+       round(sc + 0.0000000005, 6) AS mmr_score
+FROM sel ORDER BY mmr_rank
+"""
+
+QUERIES["sim_mmr_rerank"] = {"fn": sim_mmr_rerank, "oracle": SIM_MMR_SQL}

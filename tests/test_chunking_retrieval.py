@@ -120,3 +120,42 @@ def test_rrf_k_bound_and_order(spark):
     a = _ranked(spark, [(i, i) for i in range(1, 8)])
     out = rrf_fuse([a], k=3).collect()
     assert [r.doc_id for r in out] == [1, 2, 3]
+
+
+def _mmr_cands(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, cosine_sim double, embedding array<double>"
+    )
+
+
+def test_mmr_prefers_diverse_over_near_twin(spark):
+    from rearview_spark.operators.retrieval import mmr_rerank
+
+    # 1 and 2 are near-identical vectors; 3 is orthogonal-ish with lower
+    # relevance. Plain top-3 orders (1, 2, 3); MMR must demote the twin.
+    rows = [
+        (0, 1, 0.99, [1.0, 0.0, 0.0]),
+        (0, 2, 0.98, [0.999, 0.01, 0.0]),
+        (0, 3, 0.80, [0.0, 1.0, 0.0]),
+    ]
+    out = mmr_rerank(_mmr_cands(spark, rows), k=3, lam=0.7).orderBy("mmr_rank").collect()
+    assert [r.vec_id for r in out] == [1, 3, 2]
+    assert out[0].mmr_score == 0.7 * 0.99
+    # the twin's penalized score carries the ~1.0 similarity to pick #1
+    assert out[2].mmr_score < out[1].mmr_score
+
+
+def test_mmr_k_bound_rank_order_and_determinism(spark):
+    from rearview_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (7, i, 1.0 - i / 100.0, [float(i), 1.0, float(i % 3)]) for i in range(1, 9)
+    ]
+    df = _mmr_cands(spark, rows)
+    a = mmr_rerank(df, k=4, lam=0.5).orderBy("mmr_rank").collect()
+    b = mmr_rerank(df, k=4, lam=0.5).orderBy("mmr_rank").collect()
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
+    assert [r.mmr_rank for r in a] == [1, 2, 3, 4]
+    assert all(r.query_id == 7 for r in a)
+    # rank 1 is the max-relevance candidate
+    assert a[0].vec_id == 1
