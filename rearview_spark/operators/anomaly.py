@@ -21,13 +21,14 @@ all downstream ops are single correctly-rounded IEEE operations, and the
 anomaly *comparison* ``|0.6745*(x-med)| > 3.5*MAD`` therefore evaluates
 identically cross-engine (no rounding anywhere before the filter).
 
-Scale: both medians are per-series window ranks — the shuffle key is the
-series, never time, so a 1000-executor cluster splits series across
-executors and each sort is local to one series's points (hourly points
-per series are bounded: one year ≈ 8.8k rows). The two median frames are
-series-cardinality-sized and broadcast back. For billion-point single
-series, swap the exact median for ``percentile_approx`` and drop the
-oracle to rows-only; the plan shape is unchanged.
+Scale: both medians are per-series window computations — the shuffle key
+is the series, never time, so a 1000-executor cluster splits series
+across executors and each sort is local to one series's points (hourly
+points per series are bounded: one year ≈ 8.8k rows). The whole operator
+is ONE scan and ONE series-keyed Exchange feeding two window sorts —
+no joins, no re-derivation of the input subtree. For billion-point
+single series, swap the exact median for ``percentile_approx`` and drop
+the oracle to rows-only; the plan shape is unchanged.
 """
 
 from __future__ import annotations
@@ -41,24 +42,29 @@ MAD_SCALE = 0.6745
 DEFAULT_THRESHOLD = 3.5
 
 
-def _exact_median(
-    df: DataFrame, value_col: str, key_col: str, ts_col: str, out_col: str
-) -> DataFrame:
-    """Per-key exact median in rank-explicit form (module docstring):
-    returns one row per key with ``out_col``. Deterministic total order
-    via (value, ts); ``sum(matched)/count(matched)`` is one addition and
-    one division for even n, identity for odd n."""
-    w = Window.partitionBy(key_col).orderBy(F.col(value_col), F.col(ts_col))
-    ranked = df.withColumn("_r", F.row_number().over(w)).withColumn(
-        "_n", F.count("*").over(Window.partitionBy(key_col))
-    )
-    mid = ranked.filter(
+def _window_median(df: DataFrame, value_col: str, key_col: str, ts_col: str, out_col: str) -> DataFrame:
+    """Attach the per-key exact median as a column, in rank-explicit
+    window form (module docstring): rank by (value, ts), mark the rows
+    at ranks ``(n+1) div 2`` and ``n div 2 + 1`` (equal for odd n), and
+    average the marked values with one whole-partition window sum —
+    at most two addends, so the 'sum' is a single commutative addition
+    and one division. No join, no second scan of the input: the first
+    formulation joined a per-key median frame back, which re-derived
+    the input subtree and quadrupled the fact scan in the physical
+    plan."""
+    wp = Window.partitionBy(key_col)
+    wo = wp.orderBy(F.col(value_col), F.col(ts_col))
+    r = F.row_number().over(wo)
+    n = F.count("*").over(wp)
+    ranked = df.withColumn("_r", r).withColumn("_n", n)
+    matched = F.when(
         (F.col("_r") == F.expr("(_n + 1) div 2"))
-        | (F.col("_r") == F.expr("_n div 2 + 1"))
+        | (F.col("_r") == F.expr("_n div 2 + 1")),
+        F.col(value_col),
     )
-    return mid.groupBy(key_col).agg(
-        (F.sum(value_col) / F.count(value_col)).alias(out_col)
-    )
+    return ranked.withColumn(
+        out_col, F.sum(matched).over(wp) / F.count(matched).over(wp)
+    ).drop("_r", "_n")
 
 
 def mad_scores(
@@ -69,17 +75,15 @@ def mad_scores(
 ) -> DataFrame:
     """Attach per-series robust location/scale: ``med`` (median of the
     value) and ``mad`` (median of |value - med|). Input is the canonical
-    tall series (metric, ts, value); output adds med/mad/dev columns.
+    tall series (metric, ts, value); output adds dev/med/mad columns.
 
-    Two series-keyed window ranks + two broadcast joins of
-    series-cardinality frames — no corpus-sized shuffle beyond the
-    per-series sorts."""
-    med = _exact_median(series, value_col, key_col, ts_col, "med")
-    with_med = series.join(F.broadcast(med), key_col).withColumn(
+    ONE scan, one series-keyed Exchange: both medians are window
+    computations over the same partitioning (two sort orders — value
+    then deviation — so two Sort nodes share one shuffle)."""
+    with_med = _window_median(series, value_col, key_col, ts_col, "med").withColumn(
         "dev", F.abs(F.col(value_col) - F.col("med"))
     )
-    mad = _exact_median(with_med, "dev", key_col, ts_col, "mad")
-    return with_med.join(F.broadcast(mad), key_col)
+    return _window_median(with_med, "dev", key_col, ts_col, "mad")
 
 
 def mad_anomalies(
