@@ -64,6 +64,9 @@ HEADLINE = [
     "q21_shape_waiting_suppliers",
     "doc_segment_dedup",
     "doc_bm25_topk",
+    # round-6: selection + robust-anomaly families
+    "doc_dsir_importance",
+    "ts_anomaly_mad",
 ]
 
 
