@@ -212,6 +212,73 @@ def upsample_mix(
 
 
 # ---------------------------------------------------------------------------
+# Token-budget mix balancing (data-derived sampling rates)
+# ---------------------------------------------------------------------------
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Downsample each stratum to a TOKEN budget — the mix-balancing
+    stage where a recipe says "at most 2B tokens of language X" rather
+    than a fixed rate (:func:`stratified_sample`'s contract). The rate is
+    derived from the data: with ``T_s`` the stratum's total tokens,
+
+        threshold_s = min(10000, (budget_s * 10000) div T_s)
+        keep  ⇔  md5_60(id || ':' || salt) mod 10000 < threshold_s
+
+    Strata without a budget keep everything. The whole decision path is
+    INTEGER arithmetic (token counts, integer div, md5 buckets) — no
+    floats anywhere, so reruns, retries, and the oracle gate agree
+    exactly. Expected kept tokens ≈ budget (binomial over docs; exact
+    budget enforcement would need a sequential prefix-sum cut, which is
+    a per-stratum sort at scale for no curation benefit).
+
+    Two-pass shape, both cheap: a map-side-combined per-stratum token
+    total (|strata| rows, broadcast back), then the narrow keep filter
+    at scan time. Adds ``n_tokens``, ``keep_threshold_bp``; returns kept
+    rows only."""
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"negative budget {v!r} for stratum {k!r}")
+    with_tok = df.withColumn("n_tokens", token_count(F.col(text_col)))
+    totals = with_tok.groupBy(stratum_col).agg(
+        F.sum("n_tokens").alias("_stratum_tokens")
+    )
+    b = F.lit(None).cast("long")
+    for k, v in sorted(budgets.items()):
+        b = F.when(F.col(stratum_col) == k, F.lit(int(v))).otherwise(b)
+    thr = (
+        totals.withColumn("_budget", b)
+        .withColumn(
+            "keep_threshold_bp",
+            F.when(
+                F.col("_budget").isNotNull(),
+                F.least(
+                    F.lit(10000).cast("long"),
+                    F.expr("(_budget * 10000) div _stratum_tokens"),
+                ),
+            )
+            .otherwise(F.lit(10000).cast("long"))
+            .cast("int"),
+        )
+        .select(stratum_col, "keep_threshold_bp")
+    )
+    bucket = F.pmod(
+        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+        F.lit(10000),
+    )
+    return (
+        with_tok.join(F.broadcast(thr), stratum_col)
+        .filter(bucket < F.col("keep_threshold_bp"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition metrics (Gopher-style quality rules)
 # ---------------------------------------------------------------------------
 

@@ -30,6 +30,7 @@ _NEW_THIS_ROUND = (
     "doc_dsir_importance",
     "media_frame_sample",
     "sim_mmr_rerank",
+    "doc_token_budget_mix",
 )
 
 

@@ -111,3 +111,56 @@ FROM b JOIN w USING (bkt) GROUP BY doc_id ORDER BY doc_id
 """
 
 QUERIES["doc_dsir_importance"] = {"fn": doc_dsir_importance, "oracle": DOC_DSIR_SQL}
+
+
+#: en/zh bind at every SF; de's budget only binds at sf0.1+ (so the
+#: min(10000, ...) keep-all cap branch is exercised under the gate too);
+#: fr/es have no budget at all (default keep-everything path).
+MIX_BUDGETS = {"en": 5000, "zh": 2000, "de": 50000}
+
+
+def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix balancing: per-language sampling thresholds
+    derived from the data (budget_tokens / stratum_tokens in pure
+    integer arithmetic), applied as the deterministic md5 keep rule.
+    The gate hashes the per-stratum outcome — threshold, docs kept,
+    tokens kept — so both the rate derivation and the keep decisions
+    are value-checked (operators/curation.py: token_budget_mix)."""
+    from rearview_spark.operators import curation as CUR
+
+    docs = Tables(spark, sf_dir).documents
+    kept = CUR.token_budget_mix(docs, budgets=MIX_BUDGETS, stratum_col="lang")
+    return (
+        kept.groupBy("lang", "keep_threshold_bp")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{k}' THEN least(10000, ({v} * 10000) // st)"
+    for k, v in sorted(MIX_BUDGETS.items())
+)
+
+DOC_MIX_SQL = f"""
+WITH t AS (SELECT doc_id, lang, len({TOKS}) AS n_tokens FROM documents),
+tot AS (SELECT lang, sum(n_tokens) AS st FROM t GROUP BY 1),
+thr AS (
+  SELECT lang, CAST(CASE {_MIX_CASE} ELSE 10000 END AS INT) AS keep_threshold_bp
+  FROM tot
+),
+k AS (
+  SELECT t.lang, t.n_tokens, thr.keep_threshold_bp
+  FROM t JOIN thr USING (lang)
+  WHERE (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':budget')), 1, 15)) AS BIGINT) % 10000)
+        < keep_threshold_bp
+)
+SELECT lang, keep_threshold_bp, count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+FROM k GROUP BY 1, 2 ORDER BY lang
+"""
+
+QUERIES["doc_token_budget_mix"] = {"fn": doc_token_budget_mix, "oracle": DOC_MIX_SQL}

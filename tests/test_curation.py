@@ -181,3 +181,42 @@ def test_upsample_mix_deterministic_fractional_epochs(spark):
 
     with pytest.raises(ValueError, match="negative weight"):
         C.upsample_mix(df, {"src0": -1.0})
+
+
+def test_token_budget_mix_binding_and_free_strata(spark):
+    from rearview_spark.operators.curation import token_budget_mix
+
+    rows = [(i, "tok " * 10, "big") for i in range(200)] + [
+        (1000 + i, "tok " * 10, "small") for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, lang string"
+    )
+    # big: 2000 tokens total, budget 500 -> threshold 2500bp (~25%);
+    # small: no budget -> keep all 5.
+    out = token_budget_mix(df, {"big": 500}, stratum_col="lang")
+    rowsb = out.filter("lang = 'big'").collect()
+    rowss = out.filter("lang = 'small'").collect()
+    assert len(rowss) == 5 and all(r["keep_threshold_bp"] == 10000 for r in rowss)
+    assert 0 < len(rowsb) < 200
+    assert all(r["keep_threshold_bp"] == 2500 for r in rowsb)
+    # deterministic: identical rerun keeps identical ids
+    again = token_budget_mix(df, {"big": 500}, stratum_col="lang")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_token_budget_mix_cap_and_validation(spark):
+    import pytest
+
+    from rearview_spark.operators.curation import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x")], "doc_id long, text string, lang string"
+    )
+    # budget above the stratum total caps at keep-all
+    out = token_budget_mix(df, {"x": 10_000_000}).collect()
+    assert len(out) == 1 and out[0]["keep_threshold_bp"] == 10000
+    with pytest.raises(ValueError):
+        token_budget_mix(df, {"x": -1})
