@@ -22,10 +22,12 @@ Spark-first shape:
   hand-set stand-ins with the documented signs: prose-like stopword
   density and length help, punctuation excess hurts.)
 - **dsir_importance**: explode (unigram + bigram) features → md5-bucket
-  → two map-side-combined bucket-count aggregates (raw corpus vs target
-  slice) → a B-row weight frame *broadcast* back onto the exploded
-  stream → one doc-keyed re-aggregation. The corpus never shuffles on
-  feature content, only on (doc_id) — the same discipline as
+  → ONE map-side-combined reduction to per-(doc, bucket) counts — the
+  explode runs once and the only corpus-derived shuffle carries
+  ≤ |docs| × B rows, never per-token rows. Corpus/target bucket
+  distributions re-aggregate that tiny frame; the B-row weight table
+  *broadcasts* back onto it for the per-doc score. The corpus never
+  shuffles on feature content — the same discipline as
   benchmark_contamination. B (n_buckets) bounds the weight table at any
   corpus size.
 
@@ -150,15 +152,28 @@ def dsir_importance(
     keeps every operation a correctly-rounded IEEE +,*,/ on
     integer-derived doubles — the property the oracle gate hashes
     (module docstring). Returns (id, n_features, importance)."""
-    feats = df.select(
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # single-file small-SF parquet arrives as ONE partition, serializing
+    # the explode+md5 work on one thread (no-op at real scale)
+    feats = ensure_parallelism(df, id_col).select(
         F.col(id_col),
         target.alias("_is_target"),
         F.explode(doc_features(F.col(text_col))).alias("f"),
     ).withColumn("bkt", F.pmod(_hash60(F.col("f")), F.lit(n_buckets)))
 
-    counts = feats.groupBy("bkt").agg(
-        F.count("*").alias("r"),
-        F.sum(F.col("_is_target").cast("long")).alias("t"),
+    # Reduce to per-(doc, bucket) counts FIRST: the explode+md5 runs
+    # once, the shuffle carries <= |docs| * B rows (map-side combined)
+    # instead of every token occurrence, and both downstream branches —
+    # corpus bucket distributions and per-doc scoring — re-aggregate
+    # this same tiny frame (one subtree, exchange-reusable).
+    per_db = feats.groupBy(id_col, "bkt").agg(
+        F.count("*").alias("c"),
+        F.max(F.col("_is_target").cast("int")).alias("is_t"),
+    )
+    counts = per_db.groupBy("bkt").agg(
+        F.sum("c").alias("r"),
+        F.sum(F.col("c") * F.col("is_t")).alias("t"),
     )
     totals = counts.agg(
         F.sum("r").alias("r_total"), F.sum("t").alias("t_total")
@@ -180,10 +195,13 @@ def dsir_importance(
         )
     )
     return (
-        feats.join(F.broadcast(w), "bkt")
+        per_db.join(F.broadcast(w), "bkt")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_features"),
-            (F.sum("wt") / F.count("*")).alias("importance"),
+            F.sum("c").alias("n_features"),
+            (
+                F.sum(F.col("c") * F.col("wt"))
+                / F.sum("c").cast("double")
+            ).alias("importance"),
         )
     )

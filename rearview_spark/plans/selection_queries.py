@@ -94,9 +94,13 @@ b AS (
          CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % {DSIR_BUCKETS} AS bkt
   FROM feats
 ),
+pdb AS (
+  SELECT doc_id, bkt, count(*) AS c,
+         max(CASE WHEN is_t THEN 1 ELSE 0 END) AS is_t
+  FROM b GROUP BY 1, 2
+),
 counts AS (
-  SELECT bkt, count(*) AS r, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t
-  FROM b GROUP BY 1
+  SELECT bkt, sum(c) AS r, sum(c * is_t) AS t FROM pdb GROUP BY 1
 ),
 tot AS (SELECT sum(r) AS rr, sum(t) AS tt FROM counts),
 w AS (
@@ -105,9 +109,9 @@ w AS (
          / (CAST(r + 1 AS DOUBLE) * CAST(tt + {DSIR_BUCKETS} AS DOUBLE)) AS wt
   FROM counts, tot
 )
-SELECT doc_id, count(*) AS n_features,
-       round(sum(wt) / count(*) + 0.00000005, 4) AS importance
-FROM b JOIN w USING (bkt) GROUP BY doc_id ORDER BY doc_id
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+       round(sum(c * wt) / CAST(sum(c) AS DOUBLE) + 0.00000005, 4) AS importance
+FROM pdb JOIN w USING (bkt) GROUP BY doc_id ORDER BY doc_id
 """
 
 QUERIES["doc_dsir_importance"] = {"fn": doc_dsir_importance, "oracle": DOC_DSIR_SQL}
