@@ -192,3 +192,68 @@ def test_stratified_sample_matches_md5_rule_exactly(spark, ids, rate):
         < rate * 10000
     )
     assert kept == expect
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=16),
+        min_size=3,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_mad_scores_match_pandas_median(spark, vals):
+    """Exact per-series median/MAD vs the independent pandas reference."""
+    from rearview_spark.operators.anomaly import mad_scores
+
+    df = _df(spark, vals)
+    row = mad_scores(df).limit(1).collect()[0]
+    s = pd.Series([float(v) for v in vals])
+    med = s.median()
+    mad = (s - med).abs().median()
+    assert _close(row["med"], med) and _close(row["mad"], mad)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=16),
+        min_size=4,
+        max_size=20,
+    ),
+    a=st.floats(min_value=0.5, max_value=3.0, allow_nan=False),
+    b=st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+)
+@SETTINGS
+def test_mad_robust_z_invariant_under_affine_map(spark, vals, a, b):
+    """robust_z is invariant under value -> a*value + b (a > 0): the
+    affine map scales med and MAD together. Flags must not depend on
+    units (ms vs s, bytes vs MB)."""
+    from rearview_spark.operators.anomaly import mad_anomalies
+
+    base = mad_anomalies(_df(spark, vals)).orderBy("ts").collect()
+    mapped_vals = [a * v + b for v in vals]
+    mapped = mad_anomalies(_df(spark, mapped_vals)).orderBy("ts").collect()
+    assert [r["ts"] for r in base] == [r["ts"] for r in mapped]
+    for r1, r2 in zip(base, mapped):
+        assert _close(r1["robust_z"], r2["robust_z"])
+
+
+@given(
+    n=st.integers(min_value=2, max_value=8),
+    k=st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_mmr_lambda_one_is_relevance_topk(spark, n, k):
+    """With lam=1 the diversity term vanishes: MMR must reproduce the
+    relevance ranking exactly, for any candidate count and k."""
+    from rearview_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (0, i, 1.0 - i * 0.01, [float(i % 3), float(i % 5), 1.0])
+        for i in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, cosine_sim double, embedding array<double>"
+    )
+    out = mmr_rerank(df, k=k, lam=1.0).orderBy("mmr_rank").collect()
+    assert [r["vec_id"] for r in out] == list(range(1, min(k, n) + 1))
