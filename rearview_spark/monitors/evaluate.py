@@ -47,11 +47,23 @@ from rearview_spark.functions.graphite import compile_target
 from rearview_spark.monitors.schemas import RUN_RESULT
 from rearview_spark.operators.timeseries import window_fetch
 
+def _robust_z(s):
+    """Modified z-score over a pandas Series (Iglewicz-Hoaglin; the same
+    rule as operators/anomaly.py, here as a monitor_expr convenience so
+    the stock robust alert is one call: ``robust_z(a).abs().max() > 3.5``).
+    Returns an all-NaN series when MAD is 0 (the documented degenerate
+    case — at least half the points identical)."""
+    med = s.median()
+    mad = (s - med).abs().median()
+    return 0.6745 * (s - med) / mad if mad else s * float("nan")
+
+
 SAFE_BUILTINS = {
     "abs": abs, "min": min, "max": max, "len": len, "round": round,
     "float": float, "int": int, "sum": sum, "any": any, "all": all,
     "sorted": sorted, "True": True, "False": False, "None": None,
     "range": range, "enumerate": enumerate, "zip": zip,
+    "robust_z": _robust_z,
 }
 
 MAX_POINTS_PER_JOB_DEFAULT = 100_000

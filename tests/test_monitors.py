@@ -889,3 +889,23 @@ def test_scheduler_end_to_end_default_router_delivery(spark, store):
         http_srv.server_close()
         smtp_srv.shutdown()
         smtp_srv.server_close()
+
+
+def test_robust_z_helper_in_monitor_expr(spark):
+    # calm series + one spike: the stock robust alert fires; without the
+    # spike it holds; a constant series (MAD=0) yields NaN -> no alert.
+    calm = [10.0, 10.5, 9.5, 10.2, 9.8] * 12
+    m = make_metrics(spark, {"stats.req": calm + [500.0]})
+    s = spec(expr="robust_z(a).abs().max() > 3.5", minutes=61)
+    out = evaluate_monitors(spark, [s], m, NOW).collect()
+    assert out[0]["status"] == "failed"
+
+    m2 = make_metrics(spark, {"stats.req": calm + [10.1]})
+    assert (
+        evaluate_monitors(spark, [s], m2, NOW).collect()[0]["status"] == "success"
+    )
+
+    m3 = make_metrics(spark, {"stats.req": [7.0] * 61})
+    assert (
+        evaluate_monitors(spark, [s], m3, NOW).collect()[0]["status"] == "success"
+    )
