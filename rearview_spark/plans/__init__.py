@@ -31,6 +31,7 @@ _NEW_THIS_ROUND = (
     "media_frame_sample",
     "sim_mmr_rerank",
     "doc_token_budget_mix",
+    "stream_anomaly_alerts",
 )
 
 

@@ -220,8 +220,93 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
+def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly alerting in the production shape: the robust
+    baseline (per-metric median/MAD, operators/anomaly.py) is computed
+    OFFLINE on the batch table — exactly how a deployment trains
+    detection stats on history — and broadcast into the stream as a
+    static dimension; each arriving event is then scored statelessly
+    (|0.6745*(x-med)| > 3.5*MAD), so append mode emits each alert
+    exactly once and one availableNow pass is deterministic. No
+    state store, no watermark: the scale cost is the broadcast of a
+    |metrics|-row frame per micro-batch. The oracle re-derives the
+    rank-explicit medians and replays the comparison on identical
+    doubles (anomaly.py determinism contract)."""
+    from rearview_spark.operators.anomaly import mad_scores
+    from rearview_spark.sources.loader import Tables
+    from rearview_spark.streaming.standing import stream_static_enrich as enrich
+
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    series = Tables(spark, sf_dir).events.select(
+        F.col("event_type").alias("metric"), "ts", "value"
+    )
+    baseline = (
+        mad_scores(series)
+        .groupBy("metric")
+        .agg(F.max("med").alias("med"), F.max("mad").alias("mad"))
+    )
+    stream = load_events_stream(spark, sf_dir).select(
+        "event_id", "ts", F.col("event_type").alias("metric"), "value"
+    )
+    signed = F.lit(0.6745) * (F.col("value") - F.col("med"))
+    alerts = (
+        enrich(stream, baseline, "metric")
+        .filter((F.col("mad") > 0) & (F.abs(signed) > F.lit(3.5) * F.col("mad")))
+        .select(
+            "event_id",
+            "metric",
+            "ts",
+            r4(F.col("value")).alias("value"),
+            r4(signed / F.col("mad")).alias("robust_z"),
+        )
+    )
+    name = "stream_anomaly_" + uuid.uuid4().hex[:8]
+    try:
+        sink = run_to_memory_sink(spark, alerts, name)
+    finally:
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+    return sink
+
+
+STREAM_ANOMALY_SQL = """
+WITH r1 AS (
+  SELECT event_id, event_type AS metric, ts, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, ts) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT metric, sum(value) / count(value) AS med FROM r1
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY metric
+),
+d AS (
+  SELECT r1.event_id, r1.metric, r1.ts, r1.value, med.med,
+         abs(r1.value - med.med) AS dev
+  FROM r1 JOIN med USING (metric)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric ORDER BY dev, ts) AS r,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM d
+),
+mad AS (
+  SELECT metric, sum(dev) / count(dev) AS mad FROM r2
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY metric
+)
+SELECT d.event_id, d.metric, d.ts,
+       round(d.value + 0.00000005, 4) AS value,
+       round(0.6745 * (d.value - d.med) / mad.mad + 0.00000005, 4) AS robust_z
+FROM d JOIN mad USING (metric)
+WHERE mad.mad > 0 AND abs(0.6745 * (d.value - d.med)) > 3.5 * mad.mad
+"""
+
+
 QUERIES: dict[str, dict] = {
     "stream_hourly_stats": {"fn": stream_hourly_stats, "oracle": STREAM_HOURLY_SQL},
+    "stream_anomaly_alerts": {"fn": stream_anomaly_alerts, "oracle": STREAM_ANOMALY_SQL},
     "stream_dedup_hourly_counts": {"fn": stream_dedup_hourly_counts, "oracle": STREAM_DEDUP_SQL},
     "stream_attribution": {"fn": stream_attribution, "oracle": STREAM_ATTR_SQL},
     "stream_static_enrich": {"fn": stream_static_enrich, "oracle": STREAM_ENRICH_SQL},
