@@ -272,8 +272,15 @@ def token_budget_mix(
         _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
         F.lit(10000),
     )
+    # null-safe equality: a NULL stratum is a legitimate "no budget"
+    # group (kept whole) — a plain equi-join would silently drop it
+    thr = thr.withColumnRenamed(stratum_col, "_thr_stratum")
     return (
-        with_tok.join(F.broadcast(thr), stratum_col)
+        with_tok.join(
+            F.broadcast(thr),
+            F.col(stratum_col).eqNullSafe(F.col("_thr_stratum")),
+        )
+        .drop("_thr_stratum")
         .filter(bucket < F.col("keep_threshold_bp"))
     )
 

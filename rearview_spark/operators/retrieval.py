@@ -202,9 +202,24 @@ def mmr_rerank(
     one_minus_lam = 1.0 - lam
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # null/NaN relevance (a retriever may emit NULL for zero-norm
+        # vectors) cannot be ordered by the greedy comparisons — drop it
+        # up front rather than let NaN poison every argmax
+        pdf = pdf[pdf[rel_col].notna()]
         pdf = pdf.sort_values(
             [rel_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
+        n = len(pdf)
+        kk = min(k, n)
+        if kk <= 0:
+            return pd.DataFrame(
+                {
+                    query_col: pdf[query_col].iloc[:0],
+                    id_col: pdf[id_col].iloc[:0],
+                    "mmr_rank": pd.array([], dtype="int32"),
+                    "mmr_score": pd.array([], dtype="float64"),
+                }
+            )
         ids = pdf[id_col].to_numpy()
         rel = pdf[rel_col].to_numpy(dtype="float64")
         V = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
@@ -212,15 +227,14 @@ def mmr_rerank(
         Vn = V / np.where(norms == 0, 1.0, norms)[:, None]
         S = np.round(Vn @ Vn.T + 5e-10, 6)
 
-        n = len(pdf)
         picked = [0]  # row 0 is max (rel desc, id asc) after the sort
         scores = [lam * rel[0]]
         avail = set(range(1, n))
-        for _ in range(1, min(k, n)):
+        for _ in range(1, kk):
             best, best_sc = -1, -np.inf
             for i in avail:
                 sc = lam * rel[i] - one_minus_lam * S[i, picked].max()
-                if sc > best_sc or (sc == best_sc and ids[i] < ids[best]):
+                if best < 0 or sc > best_sc or (sc == best_sc and ids[i] < ids[best]):
                     best, best_sc = i, sc
             picked.append(best)
             avail.remove(best)
@@ -234,8 +248,10 @@ def mmr_rerank(
             }
         )
 
+    fields = {f.name: f.dataType.simpleString() for f in candidates.schema.fields}
     schema = (
-        f"{query_col} long, {id_col} long, mmr_rank int, mmr_score double"
+        f"{query_col} {fields[query_col]}, {id_col} {fields[id_col]}, "
+        "mmr_rank int, mmr_score double"
     )
     return candidates.groupBy(query_col).applyInPandas(_greedy, schema)
 

@@ -56,9 +56,15 @@ def stopword_ratio(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are neither alphanumeric nor space."""
+    """Fraction of characters that are neither alphanumeric nor space.
+    Empty text is 0.0, not NULL — 0/0 would otherwise null-poison every
+    expression composed on top (quality_score, classifier logits), and
+    Spark (NULL) and DuckDB (nan/inf) disagree on 0.0/0 so a gate with
+    an empty doc would also hash-diverge."""
     stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
-    return F.length(stripped).cast("double") / F.length(col)
+    return F.when(
+        F.length(col) > 0, F.length(stripped).cast("double") / F.length(col)
+    ).otherwise(F.lit(0.0))
 
 
 def mean_token_length(col: Column) -> Column:

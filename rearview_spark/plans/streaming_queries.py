@@ -18,6 +18,7 @@ point of the ingest design, streaming/ingest.py).
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +31,24 @@ from rearview_spark.streaming.standing import run_to_memory_sink, standing_windo
 WATERMARK = "10 minutes"
 
 
+@contextmanager
+def _nanos_conf_guard(spark: SparkSession):
+    """Snapshot/restore ``spark.sql.legacy.parquet.nanosAsLong`` around a
+    streaming run: the schema-adaptive reader (sources/loader.py) sets it
+    for nanos-encoded event files and leaves it untouched for micros
+    files — either way the session conf must come back to its pre-call
+    state so later batch reads in the same session see their expected
+    encoding."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
 def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events file directly (no staging copy — the shared
     schema-adaptive reader keeps batch and stream agreeing on the ts
@@ -39,23 +58,14 @@ def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch -> deterministic final watermark. The last (still-open)
     window stays in state and is NOT emitted — the oracle asserts that
     too."""
-    # schema-adaptive shared reader (sources/loader.py): nanos files set
-    # nanosAsLong, micros files don't touch any conf — snapshot/restore it
-    # in the finally below either way
-    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    events = load_events_stream(spark, sf_dir)
-    stream = to_metrics(events, WATERMARK)
-    agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
     # state-partition sizing rationale lives with the knob:
     # streaming/standing.py DEFAULT_STATE_PARTITIONS
-    try:
+    with _nanos_conf_guard(spark):
+        events = load_events_stream(spark, sf_dir)
+        stream = to_metrics(events, WATERMARK)
+        agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
         sink = run_to_memory_sink(spark, agg, name)
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return sink.select(
         "metric",
         F.col("window_start").alias("ts"),
@@ -88,27 +98,22 @@ def stream_dedup_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_hourly_stats (one data micro-batch)."""
     from rearview_spark.streaming.ingest import dedup_stream
 
-    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    doubled = load_events_stream(spark, sf_dir).unionByName(
-        load_events_stream(spark, sf_dir)
-    )
-    deduped = dedup_stream(doubled, WATERMARK)
-    # the watermark set before dropDuplicates propagates through; a second
-    # withWatermark on the same column is disallowed across stateful ops
-    stream = deduped.select(
-        F.col("event_type").alias("metric"),
-        "ts",
-        F.col("value").cast("double").alias("value"),
-    )
-    agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    try:
+    with _nanos_conf_guard(spark):
+        doubled = load_events_stream(spark, sf_dir).unionByName(
+            load_events_stream(spark, sf_dir)
+        )
+        deduped = dedup_stream(doubled, WATERMARK)
+        # the watermark set before dropDuplicates propagates through; a
+        # second withWatermark on the same column is disallowed across
+        # stateful ops
+        stream = deduped.select(
+            F.col("event_type").alias("metric"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        agg = standing_window_agg(stream, "1 hour", fns=("sum", "count"))
         sink = run_to_memory_sink(spark, agg, name)
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return sink.select(
         "metric",
         F.col("window_start").alias("ts"),
@@ -143,17 +148,11 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     expire once the watermark passes click_ts + 30min."""
     from rearview_spark.streaming.standing import stream_stream_purchase_attribution
 
-    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    events = load_events_stream(spark, sf_dir)
-    joined = stream_stream_purchase_attribution(events)
     name = "stream_attr_" + uuid.uuid4().hex[:8]
-    try:
+    with _nanos_conf_guard(spark):
+        events = load_events_stream(spark, sf_dir)
+        joined = stream_stream_purchase_attribution(events)
         sink = run_to_memory_sink(spark, joined, name)
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return sink.select(
         "purchase_id",
         "purchase_ts",
@@ -187,28 +186,22 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rearview_spark.sources.loader import Tables
     from rearview_spark.streaming.standing import stream_static_enrich as enrich
 
-    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    events = load_events_stream(spark, sf_dir)
-    dim = Tables(spark, sf_dir).customer.select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
-    )
-    joined = enrich(events, dim, "user_id").select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        "c_mktsegment",
-        F.col("c_nationkey").cast("int").alias("c_nationkey"),
-        r4(F.col("value")).alias("value"),
-    )
     name = "stream_enrich_" + uuid.uuid4().hex[:8]
-    try:
+    with _nanos_conf_guard(spark):
+        events = load_events_stream(spark, sf_dir)
+        dim = Tables(spark, sf_dir).customer.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+        )
+        joined = enrich(events, dim, "user_id").select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "c_mktsegment",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            r4(F.col("value")).alias("value"),
+        )
         sink = run_to_memory_sink(spark, joined, name)
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return sink
 
 
@@ -232,42 +225,43 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     |metrics|-row frame per micro-batch. The oracle re-derives the
     rank-explicit medians and replays the comparison on identical
     doubles (anomaly.py determinism contract)."""
-    from rearview_spark.operators.anomaly import mad_scores
+    from rearview_spark.operators.anomaly import (
+        DEFAULT_THRESHOLD,
+        MAD_SCALE,
+        mad_scores,
+    )
     from rearview_spark.sources.loader import Tables
     from rearview_spark.streaming.standing import stream_static_enrich as enrich
 
-    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    series = Tables(spark, sf_dir).events.select(
-        F.col("event_type").alias("metric"), "ts", "value"
-    )
-    baseline = (
-        mad_scores(series)
-        .groupBy("metric")
-        .agg(F.max("med").alias("med"), F.max("mad").alias("mad"))
-    )
-    stream = load_events_stream(spark, sf_dir).select(
-        "event_id", "ts", F.col("event_type").alias("metric"), "value"
-    )
-    signed = F.lit(0.6745) * (F.col("value") - F.col("med"))
-    alerts = (
-        enrich(stream, baseline, "metric")
-        .filter((F.col("mad") > 0) & (F.abs(signed) > F.lit(3.5) * F.col("mad")))
-        .select(
-            "event_id",
-            "metric",
-            "ts",
-            r4(F.col("value")).alias("value"),
-            r4(signed / F.col("mad")).alias("robust_z"),
-        )
-    )
     name = "stream_anomaly_" + uuid.uuid4().hex[:8]
-    try:
+    with _nanos_conf_guard(spark):
+        series = Tables(spark, sf_dir).events.select(
+            F.col("event_type").alias("metric"), "ts", "value"
+        )
+        baseline = (
+            mad_scores(series)
+            .groupBy("metric")
+            .agg(F.max("med").alias("med"), F.max("mad").alias("mad"))
+        )
+        stream = load_events_stream(spark, sf_dir).select(
+            "event_id", "ts", F.col("event_type").alias("metric"), "value"
+        )
+        signed = F.lit(MAD_SCALE) * (F.col("value") - F.col("med"))
+        alerts = (
+            enrich(stream, baseline, "metric")
+            .filter(
+                (F.col("mad") > 0)
+                & (F.abs(signed) > F.lit(DEFAULT_THRESHOLD) * F.col("mad"))
+            )
+            .select(
+                "event_id",
+                "metric",
+                "ts",
+                r4(F.col("value")).alias("value"),
+                r4(signed / F.col("mad")).alias("robust_z"),
+            )
+        )
         sink = run_to_memory_sink(spark, alerts, name)
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return sink
 
 

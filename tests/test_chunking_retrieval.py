@@ -159,3 +159,33 @@ def test_mmr_k_bound_rank_order_and_determinism(spark):
     assert all(r.query_id == 7 for r in a)
     # rank 1 is the max-relevance candidate
     assert a[0].vec_id == 1
+
+
+def test_mmr_drops_null_relevance_and_k_zero(spark):
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (0, 1, 0.9, [1.0, 0.0]),
+        (0, 2, None, [0.0, 0.0]),  # zero-norm vector -> NULL cosine
+        (0, 3, 0.5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, cosine_sim double, embedding array<double>"
+    )
+    out = mmr_rerank(df, k=5, lam=0.7).orderBy("mmr_rank").collect()
+    assert [r.vec_id for r in out] == [1, 3]  # NULL-rel candidate dropped
+    assert mmr_rerank(df, k=0).count() == 0
+
+
+def test_mmr_schema_follows_input_types(spark):
+    from rearview_spark.operators.retrieval import mmr_rerank
+
+    rows = [("q1", "a", 0.9, [1.0, 0.0]), ("q1", "b", 0.5, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "query_id string, vec_id string, cosine_sim double, embedding array<double>"
+    )
+    out = mmr_rerank(df, k=2).orderBy("mmr_rank").collect()
+    assert [r.vec_id for r in out] == ["a", "b"]
+    assert out[0].query_id == "q1"

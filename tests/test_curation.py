@@ -220,3 +220,17 @@ def test_token_budget_mix_cap_and_validation(spark):
     assert len(out) == 1 and out[0]["keep_threshold_bp"] == 10000
     with pytest.raises(ValueError):
         token_budget_mix(df, {"x": -1})
+
+
+def test_token_budget_mix_keeps_null_stratum(spark):
+    from rearview_spark.operators.curation import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e f", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = token_budget_mix(df, {"x": 10_000_000}).collect()
+    # NULL-stratum row is an unbudgeted group: kept, threshold 10000
+    by = {r["doc_id"]: r for r in out}
+    assert set(by) == {1, 2}
+    assert by[2]["keep_threshold_bp"] == 10000

@@ -60,3 +60,10 @@ def test_dsir_feature_bag_counts_unigrams_and_bigrams(spark):
     }
     assert out[1] == 5  # 3 unigrams + 2 bigrams
     assert out[2] == 1  # bigram list empty below 2 tokens
+
+
+def test_classifier_quality_empty_text_is_classified_not_null(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    row = SEL.classifier_quality(df).collect()[0]
+    assert row["quality_logit"] is not None
+    assert row["keep"] is False
