@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the scale properties PLANS.md claims
+(single scans, exchange reuse, broadcast joins) are asserted here so a
+refactor cannot silently reintroduce a multi-scan or corpus-sized
+shuffle. Complements test_joins' plan assertions for the join family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ts_anomaly_mad_single_scan(spark):
+    """The window-form median rewrite exists to keep ts_anomaly_mad at
+    ONE fact scan (PLANS.md); the first join-based formulation scanned
+    events four times. One ReadSchema in the formatted plan == one
+    logical parquet scan."""
+    from rearview_spark.plans.timeseries_queries import ts_anomaly_mad
+
+    df = ts_anomaly_mad(spark, "/root/testdata/sf0.001")
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("ReadSchema") == 1
+
+
+def test_dsir_reuses_per_doc_bucket_exchange(spark):
+    """Both DSIR branches re-aggregate the per-(doc,bucket) subtree; the
+    executed plan must show ReusedExchange so the explode+md5 pass runs
+    once (PLANS.md)."""
+    from rearview_spark.plans.selection_queries import doc_dsir_importance
+
+    plan = _executed(doc_dsir_importance(spark, "/root/testdata/sf0.001"))
+    assert "ReusedExchange" in plan
+
+
+def test_mad_scores_one_exchange_on_series_key(spark):
+    """Both medians share one series-keyed shuffle: exactly one
+    hashpartitioning Exchange, no join nodes."""
+    from rearview_spark.operators.anomaly import mad_scores
+
+    df = spark.createDataFrame(
+        [("m", i, float(i % 7)) for i in range(50)],
+        "metric string, ts long, value double",
+    )
+    plan = mad_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_token_budget_mix_broadcasts_thresholds(spark):
+    """The threshold frame is |strata|-sized and must come back as a
+    broadcast join — the corpus side never shuffles for the decision."""
+    from rearview_spark.operators.curation import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(i, "w " * 5, "en" if i % 2 else "de") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    out = token_budget_mix(df, {"en": 50})
+    plan = _executed(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

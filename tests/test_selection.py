@@ -67,3 +67,16 @@ def test_classifier_quality_empty_text_is_classified_not_null(spark):
     row = SEL.classifier_quality(df).collect()[0]
     assert row["quality_logit"] is not None
     assert row["keep"] is False
+
+
+def test_dsir_importance_is_exactly_one_when_target_is_corpus(spark):
+    """With target == the whole corpus, every bucket weight is the ratio
+    of identical integers -> exactly 1.0, and every doc's importance is
+    exactly 1.0 (integer-product determinism contract)."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} common text here {i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = SEL.dsir_importance(df, target=F.lit(True)).collect()
+    assert len(out) == 30
+    assert all(r["importance"] == 1.0 for r in out)
