@@ -86,6 +86,69 @@ def mad_scores(
     return _window_median(with_med, "dev", key_col, ts_col, "mad")
 
 
+def cusum_drift(
+    series: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    value_col: str = "value",
+    key_col: str = "metric",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) on the robust z-score
+    — the complement to :func:`mad_anomalies`: MAD flags point spikes, a
+    CUSUM accumulates many small same-signed deviations so a slow drift
+    (memory leak, gradual latency creep) alarms long before any single
+    point would.
+
+        z_t  = 0.6745 * (x_t - med) / MAD        (same robust scale)
+        S+_t = max(0, S+_{t-1} + z_t - k)        S+_0 = 0
+        S-_t = max(0, S-_{t-1} - z_t - k)        S-_0 = 0
+        drift when S+ > h or S- > h              (k=0.5, h=5 standard)
+
+    Execution: z is computed JVM-side from the window-median baseline
+    (bit-identical cross-engine, module docstring); only the inherently
+    sequential recurrence runs as a grouped-pandas pass per series —
+    the EMA/Holt-Winters discipline, parallel across series, linear
+    within one. Series with MAD = 0 are excluded (z undefined; the
+    documented degenerate case). Returns every point with its z,
+    cusum_pos/cusum_neg trajectory, and the drift flag — the statistic
+    trail a dashboard plots, not just the alarms."""
+    import pandas as pd
+
+    scored = mad_scores(series, value_col, key_col, ts_col)
+    z = (F.lit(MAD_SCALE) * (F.col(value_col) - F.col("med"))) / F.col("mad")
+    base = (
+        scored.filter(F.col("mad") > 0)
+        .select(key_col, ts_col, value_col, z.alias("z"))
+    )
+
+    def _cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        sp = sn = 0.0
+        pos, neg = [], []
+        for zv in pdf["z"]:
+            sp = sp + zv - k
+            sp = sp if sp > 0.0 else 0.0
+            sn = sn - zv - k
+            sn = sn if sn > 0.0 else 0.0
+            pos.append(sp)
+            neg.append(sn)
+        pdf["cusum_pos"] = pos
+        pdf["cusum_neg"] = neg
+        pdf["drift"] = (pdf["cusum_pos"] > h) | (pdf["cusum_neg"] > h)
+        return pdf[
+            [key_col, ts_col, value_col, "z", "cusum_pos", "cusum_neg", "drift"]
+        ]
+
+    fields = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    schema = (
+        f"{key_col} {fields[key_col]}, {ts_col} {fields[ts_col]}, "
+        f"{value_col} {fields[value_col]}, z double, "
+        "cusum_pos double, cusum_neg double, drift boolean"
+    )
+    return base.groupBy(key_col).applyInPandas(_cusum, schema)
+
+
 def mad_anomalies(
     series: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,

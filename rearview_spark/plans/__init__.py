@@ -32,6 +32,7 @@ _NEW_THIS_ROUND = (
     "sim_mmr_rerank",
     "doc_token_budget_mix",
     "stream_anomaly_alerts",
+    "ts_cusum_drift",
 )
 
 

@@ -1199,6 +1199,91 @@ ORDER BY d.metric, d.ts
 QUERIES["ts_anomaly_mad"] = {"fn": ts_anomaly_mad, "oracle": TS_ANOMALY_MAD_SQL}
 
 
+def ts_cusum_drift(spark, sf_dir):
+    """Two-sided CUSUM on the robust z over the hourly series
+    (operators/anomaly.py: cusum_drift — spike detection's slow-drift
+    complement). The gate hashes the FULL statistic trajectory: the
+    oracle replays the max(0, S + z - k) recurrence step-for-step as a
+    recursive CTE on bit-identical z inputs, so every cusum value and
+    drift flag is value-checked, not just the alarm set."""
+    from rearview_spark.operators.anomaly import cusum_drift
+    from rearview_spark.plans._exact import exact_sum
+
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    hourly = (
+        series.groupBy("metric", F.window("ts", "1 hour").alias("w"))
+        .agg(exact_sum(F.col("value"), 100).alias("value"))
+        .select("metric", F.col("w.start").alias("ts"), "value")
+    )
+    out = cusum_drift(hourly, k=0.5, h=5.0)
+    return out.select(
+        "metric",
+        "ts",
+        "value",
+        r4(F.col("z")).alias("z"),
+        r4(F.col("cusum_pos")).alias("cusum_pos"),
+        r4(F.col("cusum_neg")).alias("cusum_neg"),
+        "drift",
+    ).orderBy("metric", "ts")
+
+
+TS_CUSUM_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS ts,
+         sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS value
+  FROM events GROUP BY 1, 2
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric ORDER BY value, ts) AS r,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM hourly
+),
+med AS (
+  SELECT metric, sum(value) / count(value) AS med FROM r1
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY metric
+),
+d AS (
+  SELECT r1.metric, r1.ts, r1.value, abs(r1.value - med.med) AS dev, med.med
+  FROM r1 JOIN med USING (metric)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric ORDER BY dev, ts) AS r,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM d
+),
+mad AS (
+  SELECT metric, sum(dev) / count(dev) AS mad FROM r2
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY metric
+),
+pts AS (
+  SELECT d.metric, d.ts, d.value,
+         0.6745 * (d.value - d.med) / mad.mad AS z,
+         CAST(row_number() OVER (PARTITION BY d.metric ORDER BY d.ts) AS BIGINT) AS i
+  FROM d JOIN mad USING (metric)
+  WHERE mad.mad > 0
+),
+rec AS NOT MATERIALIZED (
+  SELECT metric, i, ts, value, z,
+         greatest(0.0 + z - 0.5, 0.0) AS sp,
+         greatest(0.0 - z - 0.5, 0.0) AS sn
+  FROM pts WHERE i = 1
+  UNION ALL
+  SELECT p.metric, p.i, p.ts, p.value, p.z,
+         greatest(r.sp + p.z - 0.5, 0.0),
+         greatest(r.sn - p.z - 0.5, 0.0)
+  FROM rec r JOIN pts p ON p.metric = r.metric AND p.i = r.i + 1
+)
+SELECT metric, ts, value,
+       round(z + 0.00000005, 4) AS z,
+       round(sp + 0.00000005, 4) AS cusum_pos,
+       round(sn + 0.00000005, 4) AS cusum_neg,
+       (sp > 5.0 OR sn > 5.0) AS drift
+FROM rec ORDER BY metric, ts
+"""
+
+QUERIES["ts_cusum_drift"] = {"fn": ts_cusum_drift, "oracle": TS_CUSUM_SQL}
+
+
 QUERIES["ts_weighted_average"] = {"fn": ts_weighted_average, "oracle": TS_WEIGHTED_AVG_SQL}
 QUERIES["ts_wildcard_rollup"] = {"fn": ts_wildcard_rollup, "oracle": TS_WILDCARD_SQL}
 QUERIES["ts_most_deviant_band"] = {"fn": ts_most_deviant_band, "oracle": TS_DEVIANT_SQL}

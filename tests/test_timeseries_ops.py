@@ -319,3 +319,32 @@ def test_mad_exact_median_even_and_odd(spark):
     scores = {r["metric"]: r["med"] for r in mad_scores(df).collect()}
     assert scores["odd"] == 2.0
     assert scores["even"] == 2.5
+
+
+def test_cusum_drift_fires_on_mean_shift_not_before(spark):
+    from rearview_spark.operators.anomaly import cusum_drift
+
+    # stationary around 10 (alternating +-0.5), then a sustained +3 shift:
+    # no single point is a MAD outlier, but the CUSUM accumulates.
+    pre = [10.0 + (0.5 if i % 2 else -0.5) for i in range(30)]
+    post = [13.0 + (0.5 if i % 2 else -0.5) for i in range(10)]
+    df = make_series(spark, {"a": pre + post})
+    rows = cusum_drift(df).orderBy("ts").collect()
+    drift_idx = [i for i, r in enumerate(rows) if r["drift"]]
+    assert drift_idx and min(drift_idx) >= 30  # only after the shift
+    assert rows[-1]["drift"]  # still alarming at the end
+    # trajectory is reset-bounded before the shift
+    assert all(r["cusum_pos"] <= 5.0 for r in rows[:30])
+
+
+def test_cusum_no_drift_on_stationary_and_mad_zero_excluded(spark):
+    from rearview_spark.operators.anomaly import cusum_drift
+
+    df = make_series(
+        spark,
+        {"s": [5.0 + (0.5 if i % 2 else -0.5) for i in range(40)],
+         "flat": [3.0] * 20},
+    )
+    rows = cusum_drift(df).collect()
+    assert all(not r["drift"] for r in rows)
+    assert {r["metric"] for r in rows} == {"s"}  # MAD=0 series excluded
