@@ -942,3 +942,61 @@ def resample(
     if fill is not None:
         out = transform_null(out, fill)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (dashboard decimation)
+# ---------------------------------------------------------------------------
+
+def lttb_downsample(ts: DataFrame, threshold: int) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) to
+    at most ``threshold`` points per series — the standard dashboard
+    decimation: a 2M-point series renders as ~1k points that keep every
+    visually significant spike, where naive bucketing (summarize/avg)
+    flattens them. This is the engine-side answer to Graphite's
+    ``maxDataPoints`` render parameter.
+
+    Algorithm per series (nulls dropped first — LTTB selects drawable
+    points): first and last points are always kept; the middle n-2
+    points split into threshold-2 equal buckets via integer arithmetic
+    (bucket j = indices [1 + j*(n-2)//(t-2), 1 + (j+1)*(n-2)//(t-2)));
+    from each bucket, select the point forming the largest triangle with
+    the PREVIOUSLY selected point and the NEXT bucket's average point.
+    The selection chain is inherently sequential, so it runs as one
+    grouped-pandas pass per series (EMA/CUSUM discipline: parallel
+    across series, linear within one). Deterministic: integer bucket
+    bounds, double triangle areas, ties -> leftmost point (argmax first
+    occurrence).
+
+    Series with <= threshold points (or threshold < 3) pass through
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    def _lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[VALUE]).sort_values(TS).reset_index(drop=True)
+        n = len(pdf)
+        t = threshold
+        if t < 3 or n <= t:
+            return pdf[[METRIC, TS, VALUE]]
+        x = pdf[TS].astype("int64").to_numpy().astype("float64")  # ns epoch
+        y = pdf[VALUE].to_numpy(dtype="float64")
+        keep = [0]
+        a = 0
+        nb = t - 2
+        for j in range(nb):
+            lo = 1 + (j * (n - 2)) // nb
+            hi = 1 + ((j + 1) * (n - 2)) // nb
+            nxt_lo, nxt_hi = hi, (1 + ((j + 2) * (n - 2)) // nb if j + 1 < nb else n)
+            cx = x[nxt_lo:nxt_hi].mean()
+            cy = y[nxt_lo:nxt_hi].mean()
+            ax, ay = x[a], y[a]
+            px, py = x[lo:hi], y[lo:hi]
+            area = np.abs((ax - cx) * (py - ay) - (ax - px) * (ay - cy))
+            a = lo + int(np.argmax(area))
+            keep.append(a)
+        keep.append(n - 1)
+        return pdf.iloc[keep][[METRIC, TS, VALUE]]
+
+    schema = "metric string, ts timestamp, value double"
+    return ts.select(METRIC, TS, VALUE).groupBy(METRIC).applyInPandas(_lttb, schema)

@@ -348,3 +348,27 @@ def test_cusum_no_drift_on_stationary_and_mad_zero_excluded(spark):
     rows = cusum_drift(df).collect()
     assert all(not r["drift"] for r in rows)
     assert {r["metric"] for r in rows} == {"s"}  # MAD=0 series excluded
+
+
+def test_lttb_keeps_endpoints_spike_and_size(spark):
+    # 100 smooth points with one big spike mid-series: LTTB to 12 points
+    # must keep first, last, and the spike (naive averaging would not).
+    vals = [float(i % 5) for i in range(100)]
+    vals[57] = 500.0
+    df = make_series(spark, {"a": vals})
+    out = G.lttb_downsample(df, 12).orderBy("ts").collect()
+    assert len(out) == 12
+    assert out[0]["ts"] == ts(0) and out[-1]["ts"] == ts(99)
+    assert any(r["value"] == 500.0 for r in out)
+    # deterministic rerun
+    again = G.lttb_downsample(df, 12).orderBy("ts").collect()
+    assert [(r["ts"], r["value"]) for r in out] == [
+        (r["ts"], r["value"]) for r in again
+    ]
+
+
+def test_lttb_passthrough_and_null_drop(spark):
+    df = make_series(spark, {"a": [1.0, None, 3.0, 4.0]})
+    # n (after null drop) <= threshold: unchanged, nulls removed
+    out = G.lttb_downsample(df, 10).orderBy("ts").collect()
+    assert [r["value"] for r in out] == [1.0, 3.0, 4.0]
