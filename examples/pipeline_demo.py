@@ -1,0 +1,105 @@
+"""End-to-end training-data curation pipeline over the driver's tables —
+the composition a data team actually runs, each stage an operator this
+repo gates individually:
+
+  documents ─ quality classifier ─ Gopher repetition filter ─ PII scrub
+            ─ exact dedup ─ MinHash near-dedup ─ benchmark decontamination
+            ─ DSIR importance ─ token-budget mix ─ context-window chunks
+            ─ packed training sequences
+
+Usage:  python examples/pipeline_demo.py [sf_dir]       (default sf0.01)
+
+Every stage is deterministic (md5 thresholds, no RNG), so reruns —
+including resumed 100 TB backfills — produce byte-identical output.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from rearview_spark.operators import curation as CUR
+from rearview_spark.operators import dedup as D
+from rearview_spark.operators import selection as SEL
+from rearview_spark.operators.chunking import chunk_token_windows
+from rearview_spark.session import get_spark
+from rearview_spark.sources.loader import Tables
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark("pipeline_demo")
+    docs = Tables(spark, sf_dir).documents
+    n0 = docs.count()
+    print(f"corpus: {n0} docs")
+
+    # 1. classifier quality filter (keep = logit > 0)
+    kept_ids = SEL.classifier_quality(docs).filter("keep").select("doc_id")
+    docs = docs.join(kept_ids, "doc_id")
+    print(f"after quality classifier: {docs.count()}")
+
+    # 2. Gopher repetition rules (thresholds loosened for the short
+    # synthetic docs; production uses the published values)
+    ok = (
+        CUR.gopher_quality_filter(
+            docs,
+            min_tokens=10,
+            max_top_token_ratio=0.5,
+            max_top_bigram_ratio=0.5,
+            min_distinct_ratio=0.2,
+        )
+        .filter("gopher_pass")
+        .select("doc_id")
+    )
+    docs = docs.join(ok, "doc_id")
+    print(f"after repetition filter: {docs.count()}")
+
+    # 3. PII scrub (text rewritten in place, counts audited)
+    scrubbed = CUR.pii_scrub(docs)
+    audit = scrubbed.agg(
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ips"),
+        F.sum("n_phone").alias("phones"),
+    ).collect()[0]
+    docs = scrubbed.drop("text").withColumnRenamed("scrubbed", "text")
+    print(f"PII redacted: {audit['emails']} emails, {audit['ips']} ips, {audit['phones']} phones")
+
+    # 4. exact dedup: keep the canonical (min) doc_id per fingerprint group
+    canon = D.exact_duplicates(docs).select(F.col("canonical_id").alias("doc_id"))
+    docs = docs.join(canon, "doc_id")
+    print(f"after exact dedup: {docs.count()}")
+
+    # 5. MinHash near-dedup: drop the higher id of each near-dup pair
+    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    docs = docs.join(losers, "doc_id", "left_anti")
+    print(f"after near-dedup: {docs.count()}")
+
+    # 6. decontamination against a toy benchmark (3 corpus docs stand in
+    # for an eval set; they flag themselves and are removed)
+    bench = docs.limit(3).select("doc_id", "text")
+    hits = CUR.benchmark_contamination(docs, bench)
+    docs = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+    print(f"after decontamination: {docs.count()}")
+
+    # 7. DSIR importance against the English slice + token-budget mix
+    weights = SEL.dsir_importance(docs, target=F.col("lang") == "en")
+    top = weights.orderBy(F.desc("importance")).limit(3).collect()
+    print("most in-domain docs:", [(r["doc_id"], round(r["importance"], 3)) for r in top])
+    mixed = CUR.token_budget_mix(docs, {"en": 5000, "zh": 2000}, stratum_col="lang")
+    print(f"after token-budget mix: {mixed.count()}")
+
+    # 8. chunk + pack into training sequences
+    chunks = chunk_token_windows(mixed, size=64, stride=48)
+    packed = CUR.pack_sequences(
+        mixed.select("doc_id", "text"), budget=256, n_shards=8
+    )
+    seqs = packed.agg(F.countDistinct("shard", "pack_seq")).collect()[0][0]
+    print(f"chunks: {chunks.count()}  packed sequences: {seqs}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
