@@ -969,7 +969,15 @@ def lttb_downsample(ts: DataFrame, threshold: int) -> DataFrame:
     occurrence).
 
     Series with <= threshold points (or threshold < 3) pass through
-    unchanged."""
+    unchanged.
+
+    The x coordinate is the point RANK, not wall-clock time: for the
+    regular (resampled) series this operator consumes, rank is an affine
+    map of time and triangle areas scale uniformly, so the selection is
+    identical — and rank-x makes the geometry engine-exact (integer
+    coordinates; bucket means of integers are bit-identical across
+    numpy/SQL), which is what lets a DuckDB oracle replay the selection
+    bit-for-bit when the y values are integer-valued too."""
     import numpy as np
     import pandas as pd
 
@@ -979,7 +987,7 @@ def lttb_downsample(ts: DataFrame, threshold: int) -> DataFrame:
         t = threshold
         if t < 3 or n <= t:
             return pdf[[METRIC, TS, VALUE]]
-        x = pdf[TS].astype("int64").to_numpy().astype("float64")  # ns epoch
+        x = np.arange(n, dtype="float64")
         y = pdf[VALUE].to_numpy(dtype="float64")
         keep = [0]
         a = 0

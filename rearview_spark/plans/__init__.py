@@ -33,9 +33,10 @@ _NEW_THIS_ROUND = (
     "doc_token_budget_mix",
     "stream_anomaly_alerts",
     "ts_cusum_drift",
-    # r07 queue (window full at 22 new + 28 stale this round): register a
-    # ts_lttb_downsample gate for operators/timeseries.py lttb_downsample,
-    # then list it here.
+    # r07 queue (window full at 22 new + 28 stale this round): merge
+    # timeseries_queries.PENDING_QUERIES (ts_lttb_downsample — gate +
+    # oracle already staged and parity-tested, tests/test_lttb_oracle.py)
+    # into QUERIES, then list it here.
 )
 
 

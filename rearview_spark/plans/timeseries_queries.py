@@ -1284,6 +1284,106 @@ FROM rec ORDER BY metric, ts
 QUERIES["ts_cusum_drift"] = {"fn": ts_cusum_drift, "oracle": TS_CUSUM_SQL}
 
 
+# --- LTTB downsampling (PENDING r07 registration) ----------------------------
+# The r06 driver window closed at exactly 50 rows (22 new + 28 stale
+# rotations), and any registration displaces a rotation (group-c ordering,
+# plans/__init__.py). The gate below is therefore staged here, verified by
+# tests/test_lttb_oracle.py through the same compare path as
+# tools/oracle_check.py, and moves into QUERIES + _NEW_THIS_ROUND in r07.
+
+LTTB_T = 20
+_LTTB_NB = LTTB_T - 2
+
+
+def ts_lttb_downsample(spark, sf_dir):
+    """LTTB decimation of the hourly series to 20 points per series
+    (operators/timeseries.py: lttb_downsample). The series is fed as
+    integer cents so every bucket mean is a mean of integers —
+    bit-identical across numpy and SQL (operator docstring); the output
+    rescales to currency at the edge."""
+    from rearview_spark.operators.timeseries import lttb_downsample
+    from rearview_spark.plans._exact import int_sum
+
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    hourly_cents = (
+        series.groupBy("metric", F.window("ts", "1 hour").alias("w"))
+        .agg(int_sum(F.col("value"), 100).cast("double").alias("value"))
+        .select("metric", F.col("w.start").alias("ts"), "value")
+    )
+    out = lttb_downsample(hourly_cents, LTTB_T)
+    return out.select(
+        "metric", "ts", (F.col("value") / F.lit(100.0)).alias("value")
+    ).orderBy("metric", "ts")
+
+
+TS_LTTB_SQL = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS ts,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT metric, ts, y,
+         CAST(row_number() OVER (PARTITION BY metric ORDER BY ts) AS BIGINT) AS i,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM hourly
+),
+small AS (SELECT metric, ts, y FROM pts WHERE n <= {LTTB_T}),
+big AS (SELECT DISTINCT metric, n FROM pts WHERE n > {LTTB_T}),
+nxt AS (
+  -- average point of bucket j's NEXT range (the c vertex of the triangle)
+  SELECT b.metric, r.j,
+         avg(CAST(p.i - 1 AS DOUBLE)) AS cx, avg(p.y) AS cy
+  FROM big b
+  CROSS JOIN (SELECT unnest(generate_series(0, {_LTTB_NB} - 1)) AS j) r
+  JOIN pts p ON p.metric = b.metric
+     AND p.i - 1 >= 1 + ((r.j + 1) * (b.n - 2)) // {_LTTB_NB}
+     AND p.i - 1 <  CASE WHEN r.j + 1 < {_LTTB_NB}
+                         THEN 1 + ((r.j + 2) * (b.n - 2)) // {_LTTB_NB}
+                         ELSE b.n END
+  GROUP BY 1, 2
+),
+sel AS NOT MATERIALIZED (
+  SELECT b.metric, b.n, CAST(-1 AS BIGINT) AS j, p.i AS sel_i,
+         CAST(p.i - 1 AS DOUBLE) AS ax, p.y AS ay
+  FROM big b JOIN pts p ON p.metric = b.metric AND p.i = 1
+  UNION ALL
+  SELECT s.metric, s.n, s.j + 1, nx.i,
+         CAST(nx.i - 1 AS DOUBLE), nx.y
+  FROM sel s
+  JOIN nxt x ON x.metric = s.metric AND x.j = s.j + 1,
+  LATERAL (
+    SELECT p.i, p.y
+    FROM pts p
+    WHERE p.metric = s.metric
+      AND p.i - 1 >= 1 + ((s.j + 1) * (s.n - 2)) // {_LTTB_NB}
+      AND p.i - 1 <  1 + ((s.j + 2) * (s.n - 2)) // {_LTTB_NB}
+    ORDER BY abs((s.ax - x.cx) * (p.y - s.ay)
+                 - (s.ax - CAST(p.i - 1 AS DOUBLE)) * (s.ay - x.cy)) DESC,
+             p.i
+    LIMIT 1
+  ) nx
+  WHERE s.j + 1 < {_LTTB_NB}
+),
+picked AS (
+  SELECT metric, sel_i AS i FROM sel
+  UNION ALL
+  SELECT metric, n AS i FROM big
+)
+SELECT metric, ts, value FROM (
+  SELECT p.metric, p.ts, p.y / 100.0 AS value
+  FROM picked k JOIN pts p ON p.metric = k.metric AND p.i = k.i
+  UNION ALL
+  SELECT metric, ts, y / 100.0 AS value FROM small
+) ORDER BY metric, ts
+"""
+
+#: merged into QUERIES (and _NEW_THIS_ROUND) in round 7 — see comment above.
+PENDING_QUERIES: dict[str, dict] = {
+    "ts_lttb_downsample": {"fn": ts_lttb_downsample, "oracle": TS_LTTB_SQL},
+}
+
+
 QUERIES["ts_weighted_average"] = {"fn": ts_weighted_average, "oracle": TS_WEIGHTED_AVG_SQL}
 QUERIES["ts_wildcard_rollup"] = {"fn": ts_wildcard_rollup, "oracle": TS_WILDCARD_SQL}
 QUERIES["ts_most_deviant_band"] = {"fn": ts_most_deviant_band, "oracle": TS_DEVIANT_SQL}
