@@ -59,6 +59,7 @@ def main(sf_dir: str) -> None:
         series.groupBy("metric", F.window("ts", "1 hour").alias("w"))
         .agg(F.sum("value").alias("value"))
         .select("metric", F.col("w.start").alias("ts"), "value")
+        .cache()  # reused by the tick and all four analytics below
     )
     now = hourly.agg(F.max("ts")).collect()[0][0] + dt.timedelta(minutes=1)
     names = [r["metric"] for r in hourly.select("metric").distinct().limit(2).collect()]

@@ -29,16 +29,23 @@ from rearview_spark.session import get_spark
 from rearview_spark.sources.loader import Tables
 
 
+def _stage(df, label: str):
+    """Cache + count each stage so downstream stages (and their counts)
+    reuse the materialized frame instead of re-deriving the whole
+    upstream lineage — at backfill scale the difference between one pass
+    per stage and O(stages^2) recompute."""
+    df = df.cache()
+    print(f"{label}: {df.count()}")
+    return df
+
+
 def main(sf_dir: str) -> None:
     spark = get_spark("pipeline_demo")
-    docs = Tables(spark, sf_dir).documents
-    n0 = docs.count()
-    print(f"corpus: {n0} docs")
+    docs = _stage(Tables(spark, sf_dir).documents, "corpus docs")
 
     # 1. classifier quality filter (keep = logit > 0)
     kept_ids = SEL.classifier_quality(docs).filter("keep").select("doc_id")
-    docs = docs.join(kept_ids, "doc_id")
-    print(f"after quality classifier: {docs.count()}")
+    docs = _stage(docs.join(kept_ids, "doc_id"), "after quality classifier")
 
     # 2. Gopher repetition rules (thresholds loosened for the short
     # synthetic docs; production uses the published values)
@@ -53,8 +60,7 @@ def main(sf_dir: str) -> None:
         .filter("gopher_pass")
         .select("doc_id")
     )
-    docs = docs.join(ok, "doc_id")
-    print(f"after repetition filter: {docs.count()}")
+    docs = _stage(docs.join(ok, "doc_id"), "after repetition filter")
 
     # 3. PII scrub (text rewritten in place, counts audited)
     scrubbed = CUR.pii_scrub(docs)
@@ -63,33 +69,34 @@ def main(sf_dir: str) -> None:
         F.sum("n_ipv4").alias("ips"),
         F.sum("n_phone").alias("phones"),
     ).collect()[0]
-    docs = scrubbed.drop("text").withColumnRenamed("scrubbed", "text")
+    docs = scrubbed.drop("text").withColumnRenamed("scrubbed", "text").cache()
     print(f"PII redacted: {audit['emails']} emails, {audit['ips']} ips, {audit['phones']} phones")
 
-    # 4. exact dedup: keep the canonical (min) doc_id per fingerprint group
-    canon = D.exact_duplicates(docs).select(F.col("canonical_id").alias("doc_id"))
-    docs = docs.join(canon, "doc_id")
-    print(f"after exact dedup: {docs.count()}")
+    # 4. exact dedup: canonical (min-id) row per fingerprint, one window pass
+    docs = _stage(D.drop_exact_duplicates(docs), "after exact dedup")
 
     # 5. MinHash near-dedup: drop the higher id of each near-dup pair
     pairs = D.minhash_near_duplicates(docs, threshold=0.8)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    docs = docs.join(losers, "doc_id", "left_anti")
-    print(f"after near-dedup: {docs.count()}")
+    docs = _stage(docs.join(losers, "doc_id", "left_anti"), "after near-dedup")
 
     # 6. decontamination against a toy benchmark (3 corpus docs stand in
     # for an eval set; they flag themselves and are removed)
-    bench = docs.limit(3).select("doc_id", "text")
+    bench = docs.orderBy("doc_id").limit(3).select("doc_id", "text")
     hits = CUR.benchmark_contamination(docs, bench)
-    docs = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
-    print(f"after decontamination: {docs.count()}")
+    docs = _stage(
+        docs.join(hits.select("doc_id"), "doc_id", "left_anti"),
+        "after decontamination",
+    )
 
     # 7. DSIR importance against the English slice + token-budget mix
     weights = SEL.dsir_importance(docs, target=F.col("lang") == "en")
     top = weights.orderBy(F.desc("importance")).limit(3).collect()
     print("most in-domain docs:", [(r["doc_id"], round(r["importance"], 3)) for r in top])
-    mixed = CUR.token_budget_mix(docs, {"en": 5000, "zh": 2000}, stratum_col="lang")
-    print(f"after token-budget mix: {mixed.count()}")
+    mixed = _stage(
+        CUR.token_budget_mix(docs, {"en": 5000, "zh": 2000}, stratum_col="lang"),
+        "after token-budget mix",
+    )
 
     # 8. chunk + pack into training sequences
     chunks = chunk_token_windows(mixed, size=64, stride=48)

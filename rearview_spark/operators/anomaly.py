@@ -115,7 +115,12 @@ def cusum_drift(
     trail a dashboard plots, not just the alarms."""
     import pandas as pd
 
-    scored = mad_scores(series, value_col, key_col, ts_col)
+    # null values are dropped up front: a NaN z would otherwise reset
+    # both accumulators (max-with-0 maps NaN to 0) and silently clear an
+    # active alarm — a missing point must not un-alarm a drift detector
+    scored = mad_scores(
+        series.filter(F.col(value_col).isNotNull()), value_col, key_col, ts_col
+    )
     z = (F.lit(MAD_SCALE) * (F.col(value_col) - F.col("med"))) / F.col("mad")
     base = (
         scored.filter(F.col("mad") > 0)
@@ -123,7 +128,9 @@ def cusum_drift(
     )
 
     def _cusum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        # (ts, z) sort: a bare ts sort would leave same-timestamp rows in
+        # shuffle arrival order, making the recurrence nondeterministic
+        pdf = pdf.sort_values([ts_col, "z"]).reset_index(drop=True)
         sp = sn = 0.0
         pos, neg = [], []
         for zv in pdf["z"]:

@@ -982,7 +982,13 @@ def lttb_downsample(ts: DataFrame, threshold: int) -> DataFrame:
     import pandas as pd
 
     def _lttb(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.dropna(subset=[VALUE]).sort_values(TS).reset_index(drop=True)
+        # (ts, value) sort: same-timestamp rows would otherwise arrive in
+        # shuffle order and perturb the bucket geometry run-to-run
+        pdf = (
+            pdf.dropna(subset=[VALUE])
+            .sort_values([TS, VALUE])
+            .reset_index(drop=True)
+        )
         n = len(pdf)
         t = threshold
         if t < 3 or n <= t:
