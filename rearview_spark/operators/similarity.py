@@ -80,6 +80,45 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) query — the other half of the vector-search API
+    surface next to top-k: ALL corpus vectors with cosine >= ``radius``
+    per query, unbounded count. Same plan shape as brute_force_topk
+    (queries broadcast, JVM zip_with cosine, corpus stays partitioned)
+    minus the ranking window: the predicate filters at scan+score time,
+    so the result is produced with zero shuffles beyond the scan. The
+    cosine is 6dp-nudge-rounded BEFORE the threshold compare, so the
+    boundary decision is bit-identical cross-engine (the brute-force
+    determinism contract). At scale, compose with the IVF router exactly
+    like topk: probe buckets, then range-filter inside them.
+
+    Returns (query_id, id_col, cosine_sim), self-matches excluded."""
+    from rearview_spark.operators._util import ensure_parallelism
+
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv"), _norm(qv).alias("qn")
+    )
+    cv = _as_double(F.col(vec_col))
+    c = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col), cv.alias("cv"), _norm(cv).alias("cn")
+    )
+    denom = F.col("qn") * F.col("cn")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("qv"), F.col("cv")) / denom)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, F.round(sim + F.lit(5e-10), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= radius)
+    )
+
+
 def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Element-wise mean vector per label — the coarse quantizer codebook.
     posexplode + groupBy(label, pos) keeps the shuffle narrow (one row per

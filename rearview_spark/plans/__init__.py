@@ -33,10 +33,11 @@ _NEW_THIS_ROUND = (
     "doc_token_budget_mix",
     "stream_anomaly_alerts",
     "ts_cusum_drift",
-    # r07 queue (window full at 22 new + 28 stale this round): merge
-    # timeseries_queries.PENDING_QUERIES (ts_lttb_downsample — gate +
-    # oracle already staged and parity-tested, tests/test_lttb_oracle.py)
-    # into QUERIES, then list it here.
+    # r07 queue (window full at 22 new + 28 stale this round): merge the
+    # PENDING_QUERIES dicts of timeseries_queries (ts_lttb_downsample)
+    # and pipeline_queries (sim_range_search, media_audio_chunks) into
+    # QUERIES, then list the three names here. All are already staged
+    # with oracles and parity-tested (tests/test_pending_gates.py).
 )
 
 

@@ -1523,3 +1523,85 @@ ORDER BY doc_id, copy
 """
 
 QUERIES["doc_upsample_mix"] = {"fn": doc_upsample_mix, "oracle": DOC_MIX_SQL}
+
+
+# --- PENDING r07 registration (window-full rule; see plans/__init__.py) ------
+
+RANGE_RADIUS = 0.25
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine radius query for query vectors 0-2: every corpus vector
+    with 6dp-rounded cosine >= 0.25 (operators/similarity.py:
+    range_search — the unbounded-count half of the vector API next to
+    top-k). Boundary decisions compare identical rounded doubles on
+    both engines."""
+    from rearview_spark.operators.similarity import range_search
+
+    emb = Tables(spark, sf_dir).embeddings
+    out = range_search(emb, emb.filter(F.col("vec_id") < 3), RANGE_RADIUS)
+    return out.orderBy("query_id", "vec_id")
+
+
+SIM_RANGE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+               + 0.0000000005, 6) AS cosine_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM scored
+WHERE cosine_sim >= {RANGE_RADIUS}
+ORDER BY query_id, vec_id
+"""
+
+
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-chunking fan-out over real WAV headers (multimodal.py:
+    audio_chunk_plan): durations parsed from synthesized container
+    bytes, then each media row expands to its fixed-length transcription
+    windows (20ms chunks so the short WAVs split). Image rows have no
+    duration and contribute the single empty chunk at 0 — the plan's
+    documented null-duration behavior, pinned by the oracle's
+    closed-form id formulas."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_media_payloads(docs)
+    feats = M.extract_media_features(media)
+    plan = M.audio_chunk_plan(
+        feats.select("media_id", F.struct("duration_ms").alias("meta")),
+        chunk_ms=20,
+    )
+    return plan.orderBy("media_id", "chunk_idx")
+
+
+MEDIA_AUDIO_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1
+              THEN CAST(((doc_id % 1000) * 2 + 2000) * 1000
+                        // ((doc_id % 5 + 1) * 16000) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS dur
+  FROM documents
+),
+s AS (
+  SELECT doc_id, dur, unnest(generate_series(0, dur, 20)) AS start_ms FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_ms) - 1 AS INT) AS chunk_idx,
+       start_ms,
+       least(start_ms + 20, dur) AS end_ms
+FROM s
+WHERE start_ms < greatest(dur, 1)
+ORDER BY media_id, chunk_idx
+"""
+
+#: merged into QUERIES (and _NEW_THIS_ROUND) in round 7; parity-tested now
+#: by tests/test_pending_gates.py through the oracle_check compare path.
+PENDING_QUERIES: dict[str, dict] = {
+    "sim_range_search": {"fn": sim_range_search, "oracle": SIM_RANGE_SQL},
+    "media_audio_chunks": {"fn": media_audio_chunks, "oracle": MEDIA_AUDIO_SQL},
+}

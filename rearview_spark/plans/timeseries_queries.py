@@ -1288,7 +1288,7 @@ QUERIES["ts_cusum_drift"] = {"fn": ts_cusum_drift, "oracle": TS_CUSUM_SQL}
 # The r06 driver window closed at exactly 50 rows (22 new + 28 stale
 # rotations), and any registration displaces a rotation (group-c ordering,
 # plans/__init__.py). The gate below is therefore staged here, verified by
-# tests/test_lttb_oracle.py through the same compare path as
+# tests/test_pending_gates.py through the same compare path as
 # tools/oracle_check.py, and moves into QUERIES + _NEW_THIS_ROUND in r07.
 
 LTTB_T = 20

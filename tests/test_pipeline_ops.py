@@ -550,3 +550,25 @@ def test_sq8_topk_recall_vs_brute_force(spark, sf_dir):
     # SQ8 at 256 levels/dim should nearly reproduce the exact list)
     overlap = len(exact & approx) / len(exact)
     assert overlap >= 0.7, f"SQ8 recall vs brute force too low: {overlap}"
+
+
+def test_range_search_radius_semantics(spark):
+    from rearview_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 0),    # identical -> cosine 1.0
+        (2, [0.9, 0.1, 0.0], 0),    # close
+        (3, [0.0, 1.0, 0.0], 1),    # orthogonal -> 0.0
+        (4, [-1.0, 0.0, 0.0], 1),   # opposite -> -1.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter("vec_id = 0")
+    got = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in S.range_search(df, q, radius=0.5).collect()
+    }
+    assert set(got) == {1, 2}            # orthogonal/opposite excluded, no self
+    assert got[1] == 1.0
+    # radius below -1 admits everything except self
+    assert S.range_search(df, q, radius=-1.0).count() == 4
