@@ -67,6 +67,9 @@ HEADLINE = [
     # round-6: selection + robust-anomaly families
     "doc_dsir_importance",
     "ts_anomaly_mad",
+    # round-7: the r06-staged gates, now registered
+    "ts_lttb_downsample",
+    "sim_range_search",
 ]
 
 

@@ -79,7 +79,15 @@ def mad_scores(
 
     ONE scan, one series-keyed Exchange: both medians are window
     computations over the same partitioning (two sort orders — value
-    then deviation — so two Sort nodes share one shuffle)."""
+    then deviation — so two Sort nodes share one shuffle).
+
+    Null points are dropped up front — Spark's window sort is NULLS
+    FIRST ascending, so null rows would occupy the lowest ranks and
+    inflate ``_n`` while the marked-value average skips them (e.g.
+    [null, 1, 2, 3] would yield median 1.5 instead of 2). A missing
+    sample carries no information about the series' location/scale, so
+    it must not shift the median rank positions either."""
+    series = series.filter(F.col(value_col).isNotNull())
     with_med = _window_median(series, value_col, key_col, ts_col, "med").withColumn(
         "dev", F.abs(F.col(value_col) - F.col("med"))
     )
@@ -115,9 +123,9 @@ def cusum_drift(
     trail a dashboard plots, not just the alarms."""
     import pandas as pd
 
-    # null values are dropped up front: a NaN z would otherwise reset
-    # both accumulators (max-with-0 maps NaN to 0) and silently clear an
-    # active alarm — a missing point must not un-alarm a drift detector
+    # null values are dropped by mad_scores; dropping here too keeps the
+    # guarantee local — a NaN z would otherwise reset both accumulators
+    # (max-with-0 maps NaN to 0) and silently clear an active alarm
     scored = mad_scores(
         series.filter(F.col(value_col).isNotNull()), value_col, key_col, ts_col
     )

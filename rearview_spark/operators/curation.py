@@ -245,7 +245,12 @@ def token_budget_mix(
     for k, v in budgets.items():
         if v < 0:
             raise ValueError(f"negative budget {v!r} for stratum {k!r}")
-    with_tok = df.withColumn("n_tokens", token_count(F.col(text_col)))
+    # greatest-with-0: Spark's size() returns -1 for a NULL array (the
+    # legacy sizeOfNull default), so a null-text doc would otherwise
+    # SUBTRACT from its stratum's token total and from tokens_kept
+    with_tok = df.withColumn(
+        "n_tokens", F.greatest(F.lit(0), token_count(F.col(text_col)))
+    )
     totals = with_tok.groupBy(stratum_col).agg(
         F.sum("n_tokens").alias("_stratum_tokens")
     )

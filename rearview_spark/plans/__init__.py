@@ -11,33 +11,16 @@ from __future__ import annotations
 # driver-green row the round it lands. Names listed here but not (yet)
 # registered are skipped, so the list may lead the implementation.
 _NEW_THIS_ROUND = (
-    "skew_salted_join_dim",
-    "stream_static_enrich",
-    "doc_pii_scrub",
-    "doc_upsample_mix",
-    "q2_shape_min_cost_supplier",
-    "q11_shape_important_value",
-    "q20_shape_part_promotion",
-    "q21_shape_waiting_suppliers",
-    "doc_chunk_windows",
-    "doc_segment_dedup",
-    "doc_bm25_topk",
-    "hybrid_rrf_topk",
-    "sim_sq8_topk",
-    "ev_zorder_keys",
-    "ts_anomaly_mad",
-    "doc_quality_logistic",
-    "doc_dsir_importance",
-    "media_frame_sample",
-    "sim_mmr_rerank",
-    "doc_token_budget_mix",
-    "stream_anomaly_alerts",
-    "ts_cusum_drift",
-    # r07 queue (window full at 22 new + 28 stale this round): merge the
-    # PENDING_QUERIES dicts of timeseries_queries (ts_lttb_downsample)
-    # and pipeline_queries (sim_range_search, media_audio_chunks) into
-    # QUERIES, then list the three names here. All are already staged
-    # with oracles and parity-tested (tests/test_pending_gates.py).
+    # r07: the three gates staged in r06 (window was full at 22 new + 28
+    # stale rotations), now registered. With exactly 3 new names, the r07
+    # window = 3 new + 47 of the 50 r04-stale rotations; the remaining 3
+    # r04 rows rotate first in r08.
+    "ts_lttb_downsample",
+    "sim_range_search",
+    "media_audio_chunks",
+    # r08 queue: dedup_incremental_minhash (operators/dedup.py:
+    #   incremental_minhash_dedup, staged in pipeline_queries.PENDING_QUERIES
+    #   once implemented this round).
 )
 
 

@@ -1599,9 +1599,8 @@ WHERE start_ms < greatest(dur, 1)
 ORDER BY media_id, chunk_idx
 """
 
-#: merged into QUERIES (and _NEW_THIS_ROUND) in round 7; parity-tested now
-#: by tests/test_pending_gates.py through the oracle_check compare path.
-PENDING_QUERIES: dict[str, dict] = {
-    "sim_range_search": {"fn": sim_range_search, "oracle": SIM_RANGE_SQL},
-    "media_audio_chunks": {"fn": media_audio_chunks, "oracle": MEDIA_AUDIO_SQL},
-}
+QUERIES["sim_range_search"] = {"fn": sim_range_search, "oracle": SIM_RANGE_SQL}
+QUERIES["media_audio_chunks"] = {"fn": media_audio_chunks, "oracle": MEDIA_AUDIO_SQL}
+
+#: r07: the two r06-staged gates above are now live; nothing is staged.
+PENDING_QUERIES: dict[str, dict] = {}

@@ -50,7 +50,9 @@ WITH base AS (
   SELECT doc_id,
          least(len(toks) / 200.0, 1.0) AS lf,
          len(list_filter(toks, x -> list_contains({STOPLIST}, x))) * 1.0 / len(toks) AS sr,
-         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text) AS pr,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS pr,
          least((list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)) / 8.0, 1.0) AS mf
   FROM base
 )
@@ -150,7 +152,7 @@ _MIX_CASE = " ".join(
 )
 
 DOC_MIX_SQL = f"""
-WITH t AS (SELECT doc_id, lang, len({TOKS}) AS n_tokens FROM documents),
+WITH t AS (SELECT doc_id, lang, greatest(0, coalesce(len({TOKS}), 0)) AS n_tokens FROM documents),
 tot AS (SELECT lang, sum(n_tokens) AS st FROM t GROUP BY 1),
 thr AS (
   SELECT lang, CAST(CASE {_MIX_CASE} ELSE 10000 END AS INT) AS keep_threshold_bp

@@ -1258,7 +1258,8 @@ mad AS (
 pts AS (
   SELECT d.metric, d.ts, d.value,
          0.6745 * (d.value - d.med) / mad.mad AS z,
-         CAST(row_number() OVER (PARTITION BY d.metric ORDER BY d.ts) AS BIGINT) AS i
+         CAST(row_number() OVER (PARTITION BY d.metric
+              ORDER BY d.ts, 0.6745 * (d.value - d.med) / mad.mad) AS BIGINT) AS i
   FROM d JOIN mad USING (metric)
   WHERE mad.mad > 0
 ),
@@ -1284,12 +1285,11 @@ FROM rec ORDER BY metric, ts
 QUERIES["ts_cusum_drift"] = {"fn": ts_cusum_drift, "oracle": TS_CUSUM_SQL}
 
 
-# --- LTTB downsampling (PENDING r07 registration) ----------------------------
-# The r06 driver window closed at exactly 50 rows (22 new + 28 stale
-# rotations), and any registration displaces a rotation (group-c ordering,
-# plans/__init__.py). The gate below is therefore staged here, verified by
-# tests/test_pending_gates.py through the same compare path as
-# tools/oracle_check.py, and moves into QUERIES + _NEW_THIS_ROUND in r07.
+# --- LTTB downsampling (staged r06, registered r07) --------------------------
+# The r06 driver window closed at exactly 50 rows, so this gate was staged
+# in PENDING_QUERIES for one round (verified by tests/test_pending_gates.py
+# through the same compare path as tools/oracle_check.py) and registered
+# into QUERIES + _NEW_THIS_ROUND in round 7.
 
 LTTB_T = 20
 _LTTB_NB = LTTB_T - 2
@@ -1378,10 +1378,10 @@ SELECT metric, ts, value FROM (
 ) ORDER BY metric, ts
 """
 
-#: merged into QUERIES (and _NEW_THIS_ROUND) in round 7 — see comment above.
-PENDING_QUERIES: dict[str, dict] = {
-    "ts_lttb_downsample": {"fn": ts_lttb_downsample, "oracle": TS_LTTB_SQL},
-}
+QUERIES["ts_lttb_downsample"] = {"fn": ts_lttb_downsample, "oracle": TS_LTTB_SQL}
+
+#: r07: the r06-staged gate above is now live; nothing is staged.
+PENDING_QUERIES: dict[str, dict] = {}
 
 
 QUERIES["ts_weighted_average"] = {"fn": ts_weighted_average, "oracle": TS_WEIGHTED_AVG_SQL}

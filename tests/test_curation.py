@@ -234,3 +234,19 @@ def test_token_budget_mix_keeps_null_stratum(spark):
     by = {r["doc_id"]: r for r in out}
     assert set(by) == {1, 2}
     assert by[2]["keep_threshold_bp"] == 10000
+
+
+def test_token_budget_mix_null_text_counts_zero_tokens(spark):
+    # size(split(NULL)) is -1 in Spark; without the greatest-guard a
+    # null-text doc would SUBTRACT from its stratum's token total.
+    from rearview_spark.operators.curation import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, None, "x")],
+        "doc_id long, text string, lang string",
+    )
+    out = token_budget_mix(df, {"x": 10_000_000}).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[2]["n_tokens"] == 0
+    # stratum total is 3 (not 3 - 1), so keep-all cap still applies
+    assert all(r["keep_threshold_bp"] == 10000 for r in out)

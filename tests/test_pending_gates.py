@@ -48,7 +48,7 @@ def test_pending_names_not_registered(spark):
 
 
 def test_lttb_gate_decimates(spark):
-    from rearview_spark.plans.timeseries_queries import PENDING_QUERIES
+    from rearview_spark.plans.timeseries_queries import QUERIES
 
-    sdf = PENDING_QUERIES["ts_lttb_downsample"]["fn"](spark, SF_DIR).toPandas()
+    sdf = QUERIES["ts_lttb_downsample"]["fn"](spark, SF_DIR).toPandas()
     assert 0 < len(sdf) < 3385  # 20 points per big series

@@ -321,6 +321,22 @@ def test_mad_exact_median_even_and_odd(spark):
     assert scores["even"] == 2.5
 
 
+def test_mad_median_ignores_null_samples(spark):
+    # NULLS FIRST window sort would rank null rows lowest and inflate n,
+    # skewing the median down ([null,1,2,3] -> 1.5); mad_scores must drop
+    # nulls so the median of the observed values (2.0) is returned.
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.anomaly import mad_scores
+
+    df = make_series(spark, {"m": [1.0, 2.0, 3.0, 4.0]}).withColumn(
+        "value", F.when(F.col("value") == 4.0, F.lit(None)).otherwise(F.col("value"))
+    )
+    rows = mad_scores(df).collect()
+    assert all(r["med"] == 2.0 for r in rows)
+    assert len(rows) == 3  # null sample rows are dropped, not scored
+
+
 def test_cusum_drift_fires_on_mean_shift_not_before(spark):
     from rearview_spark.operators.anomaly import cusum_drift
 
