@@ -1,0 +1,307 @@
+"""Small-file compaction for the streaming-ingested metrics table.
+
+Why this exists: ``ingest_to_metrics`` (streaming/ingest.py) appends a
+few files per micro-batch per date partition. At a 100 TB cluster's
+ingest cadence (a trigger every few seconds, hundreds of partitions)
+that accretes tens of thousands of KB-sized files per day — and small
+files are the classic parquet scan killer: per-file open/footer costs
+dominate, row-group stats stop pruning, and the driver's file listing
+itself becomes the bottleneck. Table formats solve this with OPTIMIZE
+(Delta/Iceberg); their jars are not in this container, so this module
+implements the same maintenance pass over the plain-directory layout
+``write_metrics_dir`` produces (sources/layout.py:38) — read a date
+partition, re-sort by (metric, ts), write few large files.
+
+The hard part is NOT the rewrite — it is the file sink's transaction
+log. A Structured Streaming parquet sink maintains ``_spark_metadata``
+at the table root; when that directory exists, a batch read of the ROOT
+path lists files from the log, not the filesystem. Naive compaction
+therefore makes the new files invisible and the deleted ones poison
+every read with FileNotFound. ``optimize_metrics_dir`` handles the log
+explicitly (the on-disk "v1" JSON-lines format is a stable public
+format, written by Spark's FileStreamSinkLog):
+
+- earlier batch files are rewritten as valid empty logs (``v1`` header,
+  zero entries) — names and batch ids preserved, so the restarted
+  stream's compact-interval bookkeeping is untouched;
+- the LATEST batch file is rewritten to list every live data file
+  (for compacted partitions the new files, for untouched partitions
+  their existing files);
+- ``latestBatchId`` therefore never changes, so a restarted ingest
+  stream skips an already-committed batch exactly as before — the
+  sink's idempotent-retry contract survives compaction.
+
+Crash safety: all new files are moved into the live partition dirs
+BEFORE any destructive step, a JSON manifest of (old files to delete,
+new files added) is persisted next to the log, and only then are the
+log rewritten and the old files deleted. A crash mid-way leaves the
+manifest behind; the next ``optimize_metrics_dir`` call replays it to
+completion before doing new work, so the operation is resumable and
+re-runnable. (Directory renames are avoided entirely — every mutation
+is per-file — so the scheme also works on object stores, where the
+maintenance-window requirement below is the only extra care needed.)
+
+Operational contract (documented, not enforceable from here): run this
+while the ingest stream into ``path`` is STOPPED — e.g. from the same
+scheduler slot that owns the stream, between ``stop()`` and restart.
+Cadence: daily against the previous day's partition is the standard
+pattern (yesterday's partition stops receiving appends once the
+watermark passes midnight, so compacting closed partitions never races
+ingest even operationally).
+
+Scale: each partition's rewrite is one executor-side read+sort+write of
+that partition only; the driver handles file LISTS (thousands of names,
+never data). Partitions are processed independently, so a cluster job
+can fan them out; compaction cost is proportional to the data touched,
+which the ``partitions`` argument bounds (compact only closed days).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import posixpath
+
+from pyspark.sql import SparkSession
+
+from rearview_spark.sources.layout import DEFAULT_MAX_RECORDS_PER_FILE
+
+MANIFEST_NAME = "_compact_manifest.json"
+TMP_DIR_NAME = ".compact_tmp"
+SINK_LOG_DIR = "_spark_metadata"
+SINK_LOG_VERSION = "v1"
+
+
+# --------------------------------------------------------------------------
+# Hadoop FileSystem helpers (py4j; the public Hadoop FS API, so the same
+# code path serves file://, hdfs://, and (rename caveats aside) s3a://).
+# --------------------------------------------------------------------------
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
+def _jpath(jvm, p: str):
+    return jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _read_text(fs, jvm, p: str) -> str:
+    stream = fs.open(_jpath(jvm, p))
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _write_text(fs, jvm, p: str, text: str) -> None:
+    out = fs.create(_jpath(jvm, p), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _list_status(fs, jvm, p: str):
+    return list(fs.listStatus(_jpath(jvm, p)))
+
+
+def _is_hidden(name: str) -> bool:
+    return name.startswith(".") or name.startswith("_")
+
+
+# --------------------------------------------------------------------------
+# Sink-log rewrite
+# --------------------------------------------------------------------------
+
+def _rewrite_sink_log(spark: SparkSession, root: str, live_files: list) -> None:
+    """Rewrite ``_spark_metadata`` so its union equals ``live_files``
+    (list of (uri, size, mtime_ms)) without changing latestBatchId:
+    every batch file but the latest becomes an empty valid log, the
+    latest lists everything. No-op when the log directory is absent
+    (batch-written table)."""
+    jvm, fs, _ = _fs(spark, root)
+    log_dir = posixpath.join(root, SINK_LOG_DIR)
+    if not fs.exists(_jpath(jvm, log_dir)):
+        return
+
+    def batch_id(name: str):
+        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        return int(base) if base.isdigit() else None
+
+    names = [
+        s.getPath().getName()
+        for s in _list_status(fs, jvm, log_dir)
+        if not s.isDirectory() and batch_id(s.getPath().getName()) is not None
+    ]
+    if not names:
+        return
+    latest = max(names, key=batch_id)
+
+    entries = "".join(
+        json.dumps(
+            {
+                "path": uri,
+                "size": size,
+                "isDir": False,
+                "modificationTime": mtime,
+                "blockReplication": 1,
+                "blockSize": 33554432,
+                "action": "add",
+            },
+            separators=(",", ":"),
+        )
+        + "\n"
+        for uri, size, mtime in sorted(live_files)
+    )
+    for name in names:
+        body = SINK_LOG_VERSION + "\n" + (entries if name == latest else "")
+        _write_text(fs, jvm, posixpath.join(log_dir, name), body)
+
+
+# --------------------------------------------------------------------------
+# Manifest (crash-safe resume)
+# --------------------------------------------------------------------------
+
+def _apply_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
+    """Finish a compaction from its manifest: rewrite the sink log to the
+    recorded live set, then delete the recorded old files and the
+    manifest itself. Idempotent — every step tolerates having already
+    happened."""
+    jvm, fs, _ = _fs(spark, root)
+    _rewrite_sink_log(spark, root, [tuple(e) for e in manifest["live_files"]])
+    for p in manifest["delete_files"]:
+        fs.delete(_jpath(jvm, p), False)
+    tmp = posixpath.join(root, TMP_DIR_NAME)
+    if fs.exists(_jpath(jvm, tmp)):
+        fs.delete(_jpath(jvm, tmp), True)
+    fs.delete(_jpath(jvm, posixpath.join(root, MANIFEST_NAME)), False)
+
+
+def resume_pending_compaction(spark: SparkSession, path: str) -> bool:
+    """Replay a crashed run's manifest if one exists. Returns True when
+    there was something to finish."""
+    jvm, fs, _ = _fs(spark, path)
+    mpath = posixpath.join(path, MANIFEST_NAME)
+    if not fs.exists(_jpath(jvm, mpath)):
+        return False
+    manifest = json.loads(_read_text(fs, jvm, mpath))
+    _apply_manifest(spark, path, manifest)
+    return True
+
+
+# --------------------------------------------------------------------------
+# The maintenance operator
+# --------------------------------------------------------------------------
+
+def optimize_metrics_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    min_files: int = 4,
+    partitions: list[str] | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> dict:
+    """Compact small files in the date-partitioned metrics table at
+    ``path`` back to the ``write_metrics_dir`` layout (few large files,
+    (metric, ts)-sorted — sources/layout.py:38), preserving the file
+    sink's ``_spark_metadata`` semantics (module docstring).
+
+    - ``target_file_mb``: aim for files of about this many on-disk MB;
+      a partition is rewritten into ``ceil(total_bytes / target)``
+      files (at least one, and never more rows per file than
+      ``max_records_per_file``).
+    - ``min_files``: partitions with fewer files are left alone (the
+      rewrite would churn data for no layout gain).
+    - ``partitions``: optional explicit list of partition dir names
+      (e.g. ``["dt=2024-01-01"]``) — the closed-days cadence; default
+      scans all.
+
+    Returns ``{partition: {"files_before": n, "files_after": m,
+    "bytes": b}}`` for the partitions actually rewritten.
+
+    MUST run while the ingest stream into ``path`` is stopped.
+    """
+    jvm, fs, _ = _fs(spark, path)
+    resume_pending_compaction(spark, path)
+
+    part_dirs = [
+        s.getPath()
+        for s in _list_status(fs, jvm, path)
+        if s.isDirectory() and s.getPath().getName().startswith("dt=")
+    ]
+    if partitions is not None:
+        wanted = set(partitions)
+        part_dirs = [p for p in part_dirs if p.getName() in wanted]
+
+    def data_files(dir_jpath):
+        return [
+            s
+            for s in fs.listStatus(dir_jpath)
+            if not s.isDirectory() and not _is_hidden(s.getPath().getName())
+        ]
+
+    target_bytes = target_file_mb * 1024 * 1024
+    tmp_root = posixpath.join(path, TMP_DIR_NAME)
+    report: dict = {}
+    old_by_part: dict = {}
+    for pdir in part_dirs:
+        files = data_files(pdir)
+        if len(files) < min_files:
+            continue
+        name = pdir.getName()
+        total = sum(s.getLen() for s in files)
+        df = spark.read.parquet(pdir.toString())
+        n_rows = df.count()
+        n_out = max(
+            1,
+            math.ceil(total / target_bytes),
+            math.ceil(n_rows / max_records_per_file),
+        )
+        (
+            df.coalesce(n_out)
+            .sortWithinPartitions("metric", "ts")
+            .write.mode("overwrite")
+            .parquet(posixpath.join(tmp_root, name))
+        )
+        report[name] = {"files_before": len(files), "bytes": total}
+        old_by_part[name] = [s.getPath().toString() for s in files]
+
+    if not report:
+        return report
+
+    # move compacted files into the live partition dirs (additive — the
+    # old files and the untouched sink log still fully describe the
+    # table until the manifest commits below)
+    new_by_part: dict = {}
+    for name in report:
+        moved = []
+        for s in data_files(_jpath(jvm, posixpath.join(tmp_root, name))):
+            dst = posixpath.join(path, name, s.getPath().getName())
+            if not fs.rename(s.getPath(), _jpath(jvm, dst)):
+                raise IOError(f"rename failed: {s.getPath()} -> {dst}")
+            moved.append(dst)
+        new_by_part[name] = moved
+        report[name]["files_after"] = len(moved)
+
+    # final live set = every data file under dt=*/ minus the olds
+    delete = {p for olds in old_by_part.values() for p in olds}
+    live: list = []
+    for s in _list_status(fs, jvm, path):
+        if not s.isDirectory() or not s.getPath().getName().startswith("dt="):
+            continue
+        for f in data_files(s.getPath()):
+            uri = f.getPath().toString()
+            if uri not in delete:
+                live.append((uri, f.getLen(), f.getModificationTime()))
+
+    manifest = {"live_files": live, "delete_files": sorted(delete)}
+    _write_text(
+        fs, jvm, posixpath.join(path, MANIFEST_NAME), json.dumps(manifest)
+    )
+    _apply_manifest(spark, path, manifest)
+    return report

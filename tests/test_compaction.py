@@ -1,0 +1,169 @@
+"""Small-file compaction of the streaming-ingested metrics table
+(sources/compaction.py): the ingest-then-compact cycle the 100 TB
+deployment runs daily. The hard invariant under test is the file sink's
+``_spark_metadata`` transaction log — after compaction, a ROOT-path read
+(which lists files from the log, not the filesystem) must see exactly
+the compacted data, and a RESTARTED ingest stream must keep appending
+with its idempotence bookkeeping intact."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rearview_spark.sources.compaction import (
+    MANIFEST_NAME,
+    optimize_metrics_dir,
+    resume_pending_compaction,
+)
+from rearview_spark.streaming.ingest import ingest_to_metrics
+
+T0 = dt.datetime(2024, 1, 1)
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _add_source_files(spark, src: str, lo: int, hi: int) -> None:
+    """One single-row-group file per i — the pathological many-small-files
+    producer. Days split at i >= 6 so two date partitions exist."""
+    for i in range(lo, hi):
+        day = T0 + dt.timedelta(days=1 if i >= 6 else 0)
+        rows = [
+            (i * 10 + j, day + dt.timedelta(minutes=i * 10 + j), j, "click", float(j), "{}")
+            for j in range(5)
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _run_ingest(spark, src: str, out: str, ckpt: str) -> None:
+    q = ingest_to_metrics(spark, src, out, ckpt)
+    q.awaitTermination()
+
+
+def test_ingest_compact_restart_cycle(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "m"), str(tmp_path / "c")
+    _add_source_files(spark, src, 0, 8)
+    _run_ingest(spark, src, out, ckpt)
+    _add_source_files(spark, src, 8, 10)
+    _run_ingest(spark, src, out, ckpt)
+
+    files_before = glob.glob(out + "/dt=*/*.parquet")
+    before = spark.read.parquet(out)
+    rows_before, sum_before = before.count(), before.agg(F.sum("value")).first()[0]
+    assert len(files_before) >= 8  # the small-file problem is real
+
+    report = optimize_metrics_dir(spark, out, target_file_mb=128, min_files=2)
+    assert set(report) == {"dt=2024-01-01", "dt=2024-01-02"}
+    files_after = glob.glob(out + "/dt=*/*.parquet")
+    assert len(files_after) == 2  # one ~target-sized file per partition
+    assert not set(files_after) & set(files_before)
+
+    # ROOT read goes through the rewritten _spark_metadata log: values
+    # identical, and every file the log lists actually exists
+    after = spark.read.parquet(out)
+    assert after.count() == rows_before
+    assert after.agg(F.sum("value")).first()[0] == sum_before
+    # the compacted partition is (metric, ts)-sorted (layout contract)
+    one = spark.read.parquet(files_after[0]).collect()
+    assert one == sorted(one, key=lambda r: (r["metric"], r["ts"]))
+
+    # restarted ingest appends a new batch on top of the compacted table:
+    # no loss, no duplicates (event minutes are unique by construction)
+    _add_source_files(spark, src, 10, 12)
+    _run_ingest(spark, src, out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == rows_before + 10
+    assert final.select("ts").distinct().count() == rows_before + 10
+
+
+def test_compact_respects_min_files_and_partition_filter(spark, tmp_path):
+    # batch-written table (no sink log): compaction is layout-only
+    out = str(tmp_path / "m")
+    big = [( "a", T0 + dt.timedelta(minutes=i), float(i)) for i in range(40)]
+    df = spark.createDataFrame(big, "metric string, ts timestamp, value double")
+    (
+        df.withColumn("dt", F.to_date("ts")).repartition(8)
+        .write.partitionBy("dt").parquet(out)
+    )
+    part = os.listdir(out)
+    part = [p for p in part if p.startswith("dt=")][0]
+
+    assert optimize_metrics_dir(spark, out, min_files=20) == {}  # below threshold
+    assert optimize_metrics_dir(spark, out, partitions=["dt=1999-01-01"]) == {}
+    report = optimize_metrics_dir(spark, out, min_files=2, partitions=[part])
+    assert report[part]["files_before"] == 8 and report[part]["files_after"] == 1
+    assert spark.read.parquet(out).count() == 40
+
+
+def test_resume_replays_crashed_manifest(spark, tmp_path):
+    # simulate a crash AFTER the manifest committed but BEFORE the
+    # deletes ran: resume must delete the recorded olds so a root read
+    # sees exactly the recorded live set
+    out = str(tmp_path / "m")
+    df = spark.createDataFrame(
+        [("a", T0, 1.0), ("a", T0 + dt.timedelta(minutes=1), 2.0)],
+        "metric string, ts timestamp, value double",
+    )
+    (
+        df.withColumn("dt", F.to_date("ts")).repartition(2)
+        .write.partitionBy("dt").parquet(out)
+    )
+    files = glob.glob(out + "/dt=*/*.parquet")
+    doomed, kept = sorted(files)[0], sorted(files)[1:]
+    manifest = {
+        "live_files": [[f"file:{p}", os.path.getsize(p), 0] for p in kept],
+        "delete_files": [f"file:{doomed}"],
+    }
+    with open(os.path.join(out, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+
+    assert resume_pending_compaction(spark, out) is True
+    assert not os.path.exists(doomed)
+    assert not os.path.exists(os.path.join(out, MANIFEST_NAME))
+    assert resume_pending_compaction(spark, out) is False  # idempotent
+
+
+def test_compact_preserves_a_dotcompact_snapshot_log(spark, tmp_path):
+    # a long-lived stream's log contains N.compact snapshots (every 10th
+    # batch). Fabricate the documented v1 on-disk form: latest batch is
+    # '9.compact' holding the full state; compaction must keep the name
+    # (so the restarted stream's compact-interval inference still sees a
+    # snapshot at batch 9) while swapping the listed files.
+    out = str(tmp_path / "m")
+    rows = [("a", T0 + dt.timedelta(minutes=i), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    (
+        df.withColumn("dt", F.to_date("ts")).repartition(6)
+        .write.partitionBy("dt").parquet(out)
+    )
+    log_dir = os.path.join(out, "_spark_metadata")
+    os.makedirs(log_dir)
+    entries = [
+        json.dumps(
+            {
+                "path": f"file://{p}",
+                "size": os.path.getsize(p),
+                "isDir": False,
+                "modificationTime": 0,
+                "blockReplication": 1,
+                "blockSize": 33554432,
+                "action": "add",
+            }
+        )
+        for p in sorted(glob.glob(out + "/dt=*/*.parquet"))
+    ]
+    with open(os.path.join(log_dir, "9.compact"), "w") as f:
+        f.write("v1\n" + "\n".join(entries) + "\n")
+
+    assert spark.read.parquet(out).count() == 30  # log is coherent
+    report = optimize_metrics_dir(spark, out, min_files=2)
+    assert list(report.values())[0]["files_after"] == 1
+    names = [n for n in os.listdir(log_dir) if not n.startswith(".")]
+    assert names == ["9.compact"]
+    assert spark.read.parquet(out).count() == 30  # root read via snapshot
