@@ -207,3 +207,77 @@ def test_zorder_spans_shrink_both_dimensions(spark, sf_dir):
     zed = zorder_layout(q, [F.col("q_ts"), F.col("q_user")], n_parts)
     lin_span, z_span = avg_user_span(linear), avg_user_span(zed)
     assert z_span < 0.7 * lin_span, (lin_span, z_span)
+
+
+def test_zorder_read_side_skips_more_row_groups(spark, sf_dir, tmp_path):
+    """The span shrink landing where it matters: WRITE both layouts and
+    count, from the parquet footers' per-row-group min/max stats, the
+    rows a stats-pruning scan must read for two-predicate queries.
+    Averaged over a 6x6 grid of 10% x 10% (ts, user_id) windows, the
+    z-ordered table must read decisively fewer rows than the linear
+    ts-sort (measured ~0.6-0.7x at 64 row groups; single windows can
+    flip — z-order trades worst-case alignment for average skipping,
+    which is the documented contract in sources/layout.py)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rearview_spark.sources.loader import load_table
+    from rearview_spark.sources.layout import quantize_col, zorder_layout
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    bounds = ev.agg(
+        F.min(sec).alias("mn_t"), F.max(sec).alias("mx_t"),
+        F.min("user_id").alias("mn_u"), F.max("user_id").alias("mx_u"),
+    )
+    b = bounds.collect()[0]
+    q = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id", sec.alias("sec"),
+        quantize_col(sec, F.col("mn_t"), F.col("mx_t")).alias("q_ts"),
+        quantize_col(F.col("user_id"), F.col("mn_u"), F.col("mx_u")).alias("q_user"),
+    )
+    n = 64
+    lin_path, zed_path = str(tmp_path / "lin"), str(tmp_path / "zed")
+    (
+        q.repartitionByRange(n, "sec").sortWithinPartitions("sec")
+        .drop("q_ts", "q_user").write.parquet(lin_path)
+    )
+    (
+        zorder_layout(q, [F.col("q_ts"), F.col("q_user")], n)
+        .drop("q_ts", "q_user").write.parquet(zed_path)
+    )
+
+    def must_read_rows(path, t_lo, t_hi, u_lo, u_hi):
+        rows = 0
+        for f in g.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                ss = rg.column(idx["sec"]).statistics
+                su = rg.column(idx["user_id"]).statistics
+                if ss.min <= t_hi and ss.max >= t_lo and su.min <= u_hi and su.max >= u_lo:
+                    rows += rg.num_rows
+        return rows
+
+    def window(lo_pct, mn, mx, w_pct=10):
+        return mn + (mx - mn) * lo_pct // 100, mn + (mx - mn) * (lo_pct + w_pct) // 100
+
+    lin_total = zed_total = 0
+    offsets = (0, 18, 36, 54, 72, 88)
+    for tp in offsets:
+        for up in offsets:
+            t_lo, t_hi = window(tp, b.mn_t, b.mx_t)
+            u_lo, u_hi = window(up, b.mn_u, b.mx_u)
+            lin_total += must_read_rows(lin_path, t_lo, t_hi, u_lo, u_hi)
+            zed_total += must_read_rows(zed_path, t_lo, t_hi, u_lo, u_hi)
+    assert zed_total < 0.85 * lin_total, (lin_total, zed_total)
+
+    # the documented trade, also pinned: a ts-ONLY scan favors the
+    # linear sort (z-order spends ts selectivity to buy user selectivity)
+    t_lo, t_hi = window(44, b.mn_t, b.mx_t)
+    lin_ts = must_read_rows(lin_path, t_lo, t_hi, b.mn_u, b.mx_u)
+    zed_ts = must_read_rows(zed_path, t_lo, t_hi, b.mn_u, b.mx_u)
+    assert lin_ts < zed_ts, (lin_ts, zed_ts)
