@@ -4,6 +4,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: logical-plan node names whose presence implies the input already went
+#: (or will go) through an Exchange — parallelism is then at least
+#: spark.sql.shuffle.partitions and the small-scan guard is moot.
+_WIDE_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Repartition",  # also matches RepartitionByExpression
+    "Deduplicate",
+    "Distinct",
+    "Intersect",
+    "Except",
+    "FlatMapGroupsInPandas",
+)
+
 
 def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread a compute-heavy input across the cluster when the source has
@@ -12,9 +27,27 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     Small parquet inputs (a dimension-table-sized documents file) arrive as
     ONE partition, serializing per-row CPU work (md5 shingling, feature
     extraction) on a single thread. At real scale the source already has
-    >= cores partitions and this is a no-op — the check is metadata-only,
-    so the guard never forces a shuffle of an already-parallel 100 TB scan.
+    >= cores partitions and this is a no-op — the guard never forces a
+    shuffle of an already-parallel 100 TB scan.
+
+    Cost discipline: the partition-count probe (``df.rdd``) physically
+    plans the input subtree on the driver, so it only runs for NARROW
+    plans — a scan plus projections/filters, where planning is trivially
+    cheap and the one-partition hazard actually lives. Any plan already
+    containing a wide node (join/agg/window/repartition/…) has crossed an
+    Exchange, whose parallelism is ``spark.sql.shuffle.partitions`` —
+    those inputs return unchanged without being re-planned. The wide-node
+    scan reads the ANALYZED plan (computed eagerly at DataFrame creation,
+    so free), never the optimized/physical one.
     """
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # node names sit at line starts after tree-drawing prefixes; anchoring
+    # there keeps a column that happens to be NAMED "Window…" from
+    # spuriously matching
+    if re.search(r"(?m)^[\s+:>-]*(" + "|".join(_WIDE_NODES) + r")\b", plan):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

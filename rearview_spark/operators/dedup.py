@@ -87,11 +87,26 @@ def _hash60(col: Column) -> Column:
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of normalized text -> array<string>.
     Documents shorter than n tokens contribute their full text as the
-    single shingle."""
+    single shingle.
+
+    Built as an n-way ``zip_with`` fold over shifted slices of the token
+    array rather than ``transform(sequence(...), i -> concat_ws(slice))``:
+    higher-order functions evaluate interpreted (outside whole-stage
+    codegen), and the per-ELEMENT sequence/slice tree made shingling the
+    dominant cost of the whole minhash pipeline at the 100x corpus —
+    the zip_with form is ~5x faster for byte-identical output (same
+    finding as selection.doc_features; PLANS.md round-7 notes)."""
     toks = tokens(col)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    m = F.greatest(cnt - (n - 1), F.lit(1))
+    acc = F.slice(toks, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(cnt >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
     return F.array_distinct(grams)
 
 
@@ -171,17 +186,32 @@ _MH_B = [
 
 
 def signature_from_shingles(
-    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = DEFAULT_NUM_HASHES
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    with_hash_set: bool = False,
 ) -> DataFrame:
     """MinHash signatures from a precomputed ``(id, sh: array<string>)``
     frame (lets callers share one shingling pass across signature and
-    verification stages)."""
+    verification stages).
+
+    ``with_hash_set=True`` additionally returns ``shs: array<long>`` —
+    the doc's distinct 60-bit shingle fingerprints, sorted. It rides the
+    SAME groupBy as the signature mins (one collect_set more in the
+    existing map-side-combined aggregation, zero extra shuffles) and is
+    what the verification stage intersects instead of the raw string
+    shingles: ~8 bytes per shingle instead of ~30, so the candidate-pair
+    join shuffles ~4x less (the measured disk blow-up at the 100x
+    corpus). 60-bit md5 fingerprint equality stands in for string
+    equality exactly as in :func:`exact_duplicates`'s md5 keys — a
+    collision inside one document pair is ~|sh|^2/2^60 ≈ 1e-15."""
     if num_hashes > len(_MH_A):
         raise ValueError(f"num_hashes > {len(_MH_A)} needs more permutation constants")
     exploded = shingled.select(F.col(id_col), F.explode("sh").alias("shingle"))
     md5 = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(md5, 1, 7), 16, 10).cast("long")
     h2 = F.conv(F.substring(md5, 8, 7), 16, 10).cast("long")
+    h60 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
     # Permutations, mins, and the array reassembly are built as one SQL
     # string per column (F.expr): the equivalent Column-API chains cost a
     # Py4J driver round-trip PER OPERATOR (~100 for 16 permutations),
@@ -190,18 +220,24 @@ def signature_from_shingles(
         F.col(id_col).alias(id_col),
         h1.alias("_h1"),
         h2.alias("_h2"),
+        h60.alias("_h60"),
     ).select(
         id_col,
+        "_h60",
         *[
             F.expr(f"{_MH_A[k]}L * _h1 + {_MH_B[k]}L * _h2 + {k}").alias(f"h{k}")
             for k in range(num_hashes)
         ],
     )
-    mins = hashed.groupBy(id_col).agg(
-        *[F.expr(f"min(h{k})").alias(f"m{k}") for k in range(num_hashes)]
-    )
+    aggs = [F.expr(f"min(h{k})").alias(f"m{k}") for k in range(num_hashes)]
+    if with_hash_set:
+        aggs.append(F.sort_array(F.collect_set("_h60")).alias("shs"))
+    mins = hashed.groupBy(id_col).agg(*aggs)
     arr = "array(" + ", ".join(f"m{k}" for k in range(num_hashes)) + ")"
-    return mins.select(F.col(id_col), F.expr(arr).alias("sig"))
+    cols = [F.col(id_col), F.expr(arr).alias("sig")]
+    if with_hash_set:
+        cols.append(F.col("shs"))
+    return mins.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -255,17 +291,29 @@ def minhash_near_duplicates(
     Jaccard verification on candidates only. Returns (id_a, id_b, jaccard)
     with jaccard >= threshold."""
     df = ensure_parallelism(df, id_col)
-    # One shingling pass, cached: feeds the signature stage and both sides
-    # of the verification join (shingle frames are narrow: id + array).
     shingled = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    # ONE shingle->explode->md5->aggregate pass produces BOTH the minhash
+    # signature and the doc's 60-bit shingle-fingerprint set (see
+    # signature_from_shingles): the banding stage reads sig, the
+    # verification stage intersects shs. Cached because the banded
+    # self-join and the two verification sides are three consumers; the
+    # per-doc row is narrow (16 longs + ~|sh| longs).
+    sigs = signature_from_shingles(
+        shingled, id_col, num_hashes, with_hash_set=True
     ).cache()
-    # signatures are one narrow row per doc; caching stops the banded
-    # self-join's two aliases from re-running the shingle->hash pipeline
-    sigs = signature_from_shingles(shingled, id_col, num_hashes).cache()
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket_size)
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    cands = lsh_candidate_pairs(
+        sigs.select(id_col, "sig"), id_col, num_hashes, bands, max_bucket_size
+    )
+    # Exact Jaccard on the fingerprint SETS (not the raw strings): the
+    # candidate join shuffles pair rows carrying one doc's set each —
+    # at the 100x adversarial corpus (~65M genuine candidate pairs) the
+    # string-array form shuffled ~130 GB and overran local disk; the
+    # long-array form is ~4x smaller and intersects without string
+    # comparisons.
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("shs").alias("sh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("shs").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -274,18 +322,17 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
     )
     # Materialize the (pairs-scale, small) verified result and release the
-    # corpus-scale caches before returning: an unbounded .cache() pinned
+    # corpus-scale cache before returning: an unbounded .cache() pinned
     # for the caller's lifetime competes with the shuffle for storage
     # memory at 100 TB (VERDICT r04 "What's wrong" #4). localCheckpoint
-    # also truncates the lineage so the returned frame references neither
-    # cache. Measured sf0.1 cost of the eager materialization: ~+3% wall
-    # on this operator (see PLANS.md "Cache-scoping cost") — paid for the
-    # scale-safety; pass scope_caches=False to keep the lazy frame and
-    # manage the cache lifetime yourself.
+    # also truncates the lineage so the returned frame references the
+    # cache no longer. Measured sf0.1 cost of the eager materialization:
+    # ~+3% wall on this operator (see PLANS.md "Cache-scoping cost") —
+    # paid for the scale-safety; pass scope_caches=False to keep the lazy
+    # frame and manage the cache lifetime yourself.
     if scope_caches:
         verified = verified.localCheckpoint(eager=True)
         sigs.unpersist()
-        shingled.unpersist()
     return verified
 
 
