@@ -240,6 +240,32 @@ def signature_from_shingles(
     return mins.select(*cols)
 
 
+def band_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Explode ``(id, sig)`` into the banded LSH form ``(id, band, bh)``
+    — one row per band, ``bh`` the md5 of that band's signature slice.
+    The (band, bh) pair is the LSH bucket key every candidate join keys
+    on; persisting THIS projection (bucketed by bh) is what makes the
+    incremental store join prune."""
+    rows = num_hashes // bands
+    band_structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bh)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig[{b * rows + r}] AS STRING)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return signatures.select(
+        id_col, F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -252,19 +278,7 @@ def lsh_candidate_pairs(
     keyed on (band_idx, band_hash) so only colliding docs meet; buckets
     larger than ``max_bucket_size`` are dropped whole (see
     :func:`_cap_buckets`)."""
-    rows = num_hashes // bands
-    band_structs = ", ".join(
-        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bh)".format(
-            b=b,
-            cols=", ".join(
-                f"CAST(sig[{b * rows + r}] AS STRING)" for r in range(rows)
-            ),
-        )
-        for b in range(bands)
-    )
-    banded = signatures.select(
-        id_col, F.explode(F.expr(f"array({band_structs})")).alias("bb")
-    ).select(id_col, "bb.band", "bb.bh")
+    banded = band_signatures(signatures, id_col, num_hashes, bands)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -334,6 +348,180 @@ def minhash_near_duplicates(
         verified = verified.localCheckpoint(eager=True)
         sigs.unpersist()
     return verified
+
+
+def minhash_store_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The signature-store row for each doc: ``(id, sig, shs)`` — the
+    minhash signature plus the 60-bit shingle-fingerprint set, i.e.
+    everything :func:`incremental_minhash_dedup` needs to match FUTURE
+    documents against this one without re-reading its text. ~200 bytes
+    per doc; the store for a billion-doc corpus is ~200 GB of parquet,
+    not the corpus."""
+    shingled = ensure_parallelism(df, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    return signature_from_shingles(shingled, id_col, num_hashes, with_hash_set=True)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup dedup of a NEW batch against an existing signature store
+    — the shape a continuously ingesting corpus pipeline actually runs
+    (batch :func:`minhash_near_duplicates` re-pairs the whole corpus
+    every time; here history participates only through its ~200-byte
+    signature rows, never its text).
+
+    ``store`` is the accumulated :func:`minhash_store_rows` frame
+    (``None`` for the first batch). Returns one row per NEW doc:
+    ``(id, sig, shs, dup_of, jaccard)`` — ``dup_of`` is the store doc or
+    the smaller-id batch-mate it duplicates (best match by exact
+    verified Jaccard, match id ascending as tie-break; NULL = unique).
+    Append ``.filter(dup_of IS NULL).select(id, sig, shs)`` to the
+    store; that recurrence is packaged by
+    :func:`incremental_dedup_foreach_batch` for Structured Streaming.
+
+    Scale shape: the new batch is signature-banded once; the join
+    against the store is keyed on (band, bh) — persist the store's
+    :func:`band_signatures` projection bucketed by ``bh`` and each
+    micro-batch probes only the buckets its own band hashes hit
+    (bucket-pruned stream-static join, the S11 machinery). Bucket caps
+    apply to the UNION of store+new occupancy, so a boilerplate bucket
+    that grows without bound in the store is dropped the same way the
+    batch operator drops it. A new doc's decision depends only on the
+    store and smaller-id batch-mates — NOT on whether the mate itself
+    was kept (transitive canonicalization is
+    :func:`duplicate_groups`'s job; ingest needs drop decisions now).
+    """
+    new_sigs = minhash_store_rows(
+        new_docs, text_col, id_col, num_hashes, shingle_n
+    ).cache()
+    banded_new = band_signatures(
+        new_sigs.select(id_col, "sig"), id_col, num_hashes, bands
+    ).withColumn("_new", F.lit(True))
+    if store is not None:
+        store = store.select(id_col, "sig", "shs").cache()
+        banded_store = band_signatures(
+            store.select(id_col, "sig"), id_col, num_hashes, bands
+        ).withColumn("_new", F.lit(False))
+        banded = banded_new.unionByName(banded_store)
+    else:
+        banded = banded_new
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # candidate (new_id, match_id): new-vs-store on bucket equality, plus
+    # new-vs-smaller-new within the batch
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & F.col("a._new")
+            & (
+                (~F.col("b._new"))
+                | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("_nid"),
+            F.col(f"b.{id_col}").alias("_mid"),
+        )
+        .distinct()
+    )
+    sides = new_sigs.select(F.col(id_col).alias("_nid"), F.col("shs").alias("_sh_n"))
+    pool = new_sigs.select(F.col(id_col), F.col("shs"))
+    if store is not None:
+        pool = pool.unionByName(store.select(id_col, "shs"))
+    matches = cands.join(sides, "_nid").join(
+        pool.select(F.col(id_col).alias("_mid"), F.col("shs").alias("_sh_m")),
+        "_mid",
+    )
+    inter = F.size(F.array_intersect("_sh_n", "_sh_m")).cast("double")
+    union = F.size(F.array_union("_sh_n", "_sh_m")).cast("double")
+    scored = matches.select(
+        "_nid",
+        "_mid",
+        F.round(inter / union + F.lit(5e-10), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    best = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_nid").orderBy(
+                    F.col("jaccard").desc(), F.col("_mid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_nid").alias(id_col), F.col("_mid").alias("dup_of"), "jaccard"
+        )
+    )
+    out = new_sigs.join(best, id_col, "left").localCheckpoint(eager=True)
+    new_sigs.unpersist()
+    if store is not None:
+        store.unpersist()
+    return out
+
+
+def incremental_dedup_foreach_batch(
+    spark,
+    store_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decisions_dir: str | None = None,
+):
+    """Package :func:`incremental_minhash_dedup` as a Structured
+    Streaming ``foreachBatch`` callback: each micro-batch of documents
+    dedups against the parquet signature store at ``store_dir``, the
+    batch's UNIQUE docs' signature rows are appended to the store, and
+    (optionally) every decision row is appended to ``decisions_dir``
+    for audit. The store read is the static side of a stream-static
+    join re-read per micro-batch — S11's machinery, so a store
+    compaction is picked up on the next batch."""
+    import glob as _glob
+    import os
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        has_store = os.path.isdir(store_dir) and _glob.glob(
+            os.path.join(store_dir, "*.parquet")
+        )
+        store = spark.read.parquet(store_dir) if has_store else None
+        decided = incremental_minhash_dedup(
+            batch_df, store, text_col=text_col, id_col=id_col, threshold=threshold
+        )
+        (
+            decided.filter(F.col("dup_of").isNull())
+            .select(id_col, "sig", "shs")
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+        if decisions_dir is not None:
+            (
+                decided.select(id_col, "dup_of", "jaccard")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(decisions_dir)
+            )
+
+    return _process
 
 
 # ---------------------------------------------------------------------------

@@ -1602,5 +1602,58 @@ ORDER BY media_id, chunk_idx
 QUERIES["sim_range_search"] = {"fn": sim_range_search, "oracle": SIM_RANGE_SQL}
 QUERIES["media_audio_chunks"] = {"fn": media_audio_chunks, "oracle": MEDIA_AUDIO_SQL}
 
-#: r07: the two r06-staged gates above are now live; nothing is staged.
-PENDING_QUERIES: dict[str, dict] = {}
+
+# --- Incremental minhash dedup (built r07, staged for r08 registration) ------
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: even-id docs play the accumulated
+    signature store, odd-id docs arrive as the new batch
+    (operators/dedup.py: incremental_minhash_dedup). The gate hashes
+    every new doc's decision — dup_of (store doc or smaller batch-mate,
+    best verified Jaccard, id-ascending tie-break; NULL = unique) and
+    the exact jaccard — so the banding, union bucket cap, store join,
+    and best-match ranking are all value-checked."""
+    docs = Tables(spark, sf_dir).documents
+    store = D.minhash_store_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    out = D.incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1), store, threshold=0.05
+    )
+    return out.select("doc_id", "dup_of", "jaccard").orderBy("doc_id")
+
+
+#: the shared CTE chain of DEDUP_MINHASH_SQL up THROUGH the capped bands
+#: (the incremental form bands store+new together, so the cap-over-union
+#: matches the batch oracle's QUALIFY exactly)
+_MINHASH_BANDS_CTES = DEDUP_MINHASH_SQL.split("), cands AS")[0] + ")"
+
+DEDUP_INCREMENTAL_SQL = _MINHASH_BANDS_CTES + """
+, cands AS (
+  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS mid
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id % 2 = 1 AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)
+), verified AS (
+  SELECT c.nid, c.mid,
+         round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) + 0.0000000005, 6) AS jaccard
+  FROM cands c JOIN sh sa ON c.nid = sa.doc_id JOIN sh sb ON c.mid = sb.doc_id
+), best AS (
+  SELECT nid, mid, jaccard FROM verified
+  WHERE jaccard >= 0.05
+  QUALIFY row_number() OVER (PARTITION BY nid ORDER BY jaccard DESC, mid) = 1
+)
+SELECT d.doc_id, b.mid AS dup_of, b.jaccard
+FROM documents d LEFT JOIN best b ON d.doc_id = b.nid
+WHERE d.doc_id % 2 = 1
+ORDER BY d.doc_id
+"""
+
+#: r07: the three r06-staged gates are live; this round stages ONE gate
+#: (the r07-built incremental dedup) for the r08 window — the window-full
+#: discipline of plans/__init__.py. Parity-tested now by
+#: tests/test_pending_gates.py through the oracle_check compare path.
+PENDING_QUERIES: dict[str, dict] = {
+    "dedup_incremental_minhash": {
+        "fn": dedup_incremental_minhash,
+        "oracle": DEDUP_INCREMENTAL_SQL,
+    },
+}

@@ -1,0 +1,143 @@
+"""Incremental minhash dedup: a new batch against the accumulated
+signature store (operators/dedup.py: incremental_minhash_dedup) — the
+continuously-ingesting pipeline's shape, including the streaming
+foreachBatch packaging where batch 2 dedups against batch 1's store."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.dedup import (
+    incremental_dedup_foreach_batch,
+    incremental_minhash_dedup,
+    minhash_near_duplicates,
+    minhash_store_rows,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+OTHER = "completely different content about spark engines and columnar data formats"
+THIRD = "yet another unrelated document mentioning streams watermarks and state stores"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_batch_dedups_within_itself(spark):
+    batch = _docs(spark, [(1, BASE), (2, BASE + " today"), (3, OTHER)])
+    out = incremental_minhash_dedup(batch, None, threshold=0.5)
+    by = {r["doc_id"]: r for r in out.collect()}
+    assert set(by) == {1, 2, 3}
+    assert by[1]["dup_of"] is None  # smallest id is canonical
+    assert by[2]["dup_of"] == 1 and by[2]["jaccard"] >= 0.5
+    assert by[3]["dup_of"] is None
+    # the rows ARE store rows: sig + shs present
+    assert len(by[1]["sig"]) == 16 and len(by[1]["shs"]) > 0
+
+
+def test_second_batch_dedups_against_store_and_itself(spark):
+    first = _docs(spark, [(1, BASE), (3, OTHER)])
+    store = minhash_store_rows(first)
+    second = _docs(
+        spark,
+        [
+            (10, BASE + " again"),   # dup of store doc 1
+            (11, THIRD),             # unique
+            (12, THIRD + " redux"),  # dup of batch-mate 11
+        ],
+    )
+    out = incremental_minhash_dedup(second, store, threshold=0.5)
+    by = {r["doc_id"]: r for r in out.collect()}
+    assert by[10]["dup_of"] == 1
+    assert by[11]["dup_of"] is None
+    assert by[12]["dup_of"] == 11
+    # history matched through signatures only — no text column anywhere
+    assert "text" not in out.columns
+
+
+def test_incremental_matches_batch_operator_decisions(spark, sf_dir):
+    """Feeding the corpus in two halves must drop the same docs the
+    batch operator would identify as duplicate-of-a-smaller-id (modulo
+    bucket-cap interactions, absent at this scale): the incremental
+    form is a refactoring of WHEN pairs are discovered, not WHAT
+    matches."""
+    from rearview_spark.sources.loader import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    batch_rows = minhash_near_duplicates(docs, threshold=0.05).collect()
+    batch_paired = {r["id_a"] for r in batch_rows} | {r["id_b"] for r in batch_rows}
+    batch_dropped = {r["id_b"] for r in batch_rows}
+
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    d1 = incremental_minhash_dedup(half1, None, threshold=0.05)
+    store = d1.filter(F.col("dup_of").isNull()).select("doc_id", "sig", "shs")
+    d2 = incremental_minhash_dedup(half2, store, threshold=0.05)
+    dropped_with_mate = {
+        (r["doc_id"], r["dup_of"])
+        for d in (d1, d2)
+        for r in d.filter(F.col("dup_of").isNotNull()).collect()
+    }
+    inc_dropped = {d for d, _ in dropped_with_mate}
+    # every incremental drop is justified by a batch-discovered pair
+    # (either side: incremental canonicalizes by ARRIVAL order — the
+    # store doc wins even when its id is larger — while the batch view
+    # canonicalizes by id; both legs of each drop must appear paired)
+    assert inc_dropped <= batch_paired
+    assert {m for _, m in dropped_with_mate} <= batch_paired | set()
+    # and the incremental pass finds the bulk of the batch drops
+    if batch_dropped:
+        assert len(inc_dropped) >= len(batch_dropped) * 0.5
+
+
+def test_foreach_batch_streaming_cycle(spark, tmp_path):
+    store_dir = str(tmp_path / "sig_store")
+    dec_dir = str(tmp_path / "decisions")
+    src = str(tmp_path / "src")
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    _docs(spark, [(1, BASE), (2, OTHER)]).coalesce(1).write.mode("append").parquet(src)
+    process = incremental_dedup_foreach_batch(
+        spark, store_dir, threshold=0.5, decisions_dir=dec_dir
+    )
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    assert spark.read.parquet(store_dir).count() == 2  # both unique
+
+    _docs(spark, [(10, BASE + " encore"), (11, THIRD)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream()
+
+    store = {r["doc_id"] for r in spark.read.parquet(store_dir).collect()}
+    assert store == {1, 2, 11}  # 10 was dropped as a dup of store doc 1
+    decisions = {
+        r["doc_id"]: r["dup_of"] for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert decisions[10] == 1 and decisions[11] is None
+    assert len(glob.glob(store_dir + "/*.parquet")) >= 2  # appended per batch
+
+
+def test_bucket_cap_applies_to_union_occupancy(spark):
+    # 600 store docs + 600 new docs share one text: each side alone is
+    # under the 1000 cap, the UNION is over it -> bucket dropped, no
+    # matches (exact-dedup is the right tool for such docs)
+    store_docs = _docs(spark, [(i, BASE) for i in range(600)])
+    new_docs = _docs(spark, [(1000 + i, BASE) for i in range(600)])
+    store = minhash_store_rows(store_docs)
+    out = incremental_minhash_dedup(new_docs, store, threshold=0.9)
+    assert out.filter(F.col("dup_of").isNotNull()).count() == 0
