@@ -476,6 +476,11 @@ def _eval(node, ts: DataFrame) -> DataFrame:
         return G.constant_line_over(ts, _num(args[0], name))
     if name == "timeFunction":
         return G.time_function_over(ts)
+    if name == "sinFunction":
+        amp = _num(args[1], name) if len(args) > 1 else 1.0
+        return G.sin_function_over(ts, amp, name=_str(args[0], name))
+    if name == "randomWalkFunction":
+        return G.random_walk_function_over(ts, name=_str(args[0], name))
 
     raise ValueError(f"unsupported Graphite function: {name}")
 

@@ -235,7 +235,12 @@ def test_mad_robust_z_invariant_under_affine_map(spark, vals, a, b):
     mapped = mad_anomalies(_df(spark, mapped_vals)).orderBy("ts").collect()
     assert [r["ts"] for r in base] == [r["ts"] for r in mapped]
     for r1, r2 in zip(base, mapped):
-        assert _close(r1["robust_z"], r2["robust_z"])
+        # invariance holds at engineering precision, not bit-exactness:
+        # each mapped value rounds once (a*v+b), and (x - med)/MAD
+        # amplifies that ulp by |v|/MAD — for a near-degenerate MAD
+        # (~1e-8 from values ~1) the relative error reaches ~1e-8, which
+        # hypothesis duly found at _close's former rel_tol=1e-9
+        assert r2["robust_z"] == pytest.approx(r1["robust_z"], rel=1e-6)
 
 
 @given(

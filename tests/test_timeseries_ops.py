@@ -388,3 +388,39 @@ def test_lttb_passthrough_and_null_drop(spark):
     # n (after null drop) <= threshold: unchanged, nulls removed
     out = G.lttb_downsample(df, 10).orderBy("ts").collect()
     assert [r["value"] for r in out] == [1.0, 3.0, 4.0]
+
+
+def test_sin_and_random_walk_synthetic_sources(spark):
+    """Graphite 0.9.x test sources (G27 family): sinFunction is exact
+    math.sin on the grid; randomWalkFunction is the documented
+    DETERMINISTIC deviation — same (name, seed, window) renders the same
+    walk, a new seed renders a different one, steps bounded in [-.5, .5)."""
+    import math
+
+    from rearview_spark.operators.timeseries import (
+        random_walk_function,
+        sin_function,
+    )
+    from rearview_spark.functions.graphite import compile_target
+
+    lo, hi, step = "2024-01-01", "2024-01-01 00:10:00", 60
+    sin_rows = sin_function(spark, lo, hi, step, amplitude=2.0).collect()
+    assert len(sin_rows) == 11
+    for r in sin_rows:
+        assert r["value"] == pytest.approx(2.0 * math.sin(r["ts"].timestamp()))
+
+    w1 = random_walk_function(spark, lo, hi, step).collect()
+    w2 = random_walk_function(spark, lo, hi, step).collect()
+    assert [r["value"] for r in w1] == [r["value"] for r in w2]  # rerun-stable
+    w3 = random_walk_function(spark, lo, hi, step, seed="other").collect()
+    assert [r["value"] for r in w1] != [r["value"] for r in w3]
+    vals = [r["value"] for r in sorted(w1, key=lambda r: r["ts"])]
+    steps = [b - a for a, b in zip(vals, vals[1:])]
+    assert all(-0.5 <= s < 0.5 for s in steps)
+
+    # compiler forms render over the implicit input window
+    base = make_series(spark, {"a": [1.0] * 5})
+    out = compile_target("sinFunction('wave', 3)")(base).collect()
+    assert {r["metric"] for r in out} == {"wave"}
+    out2 = compile_target("randomWalkFunction('walk')")(base).collect()
+    assert {r["metric"] for r in out2} == {"walk"} and len(out2) >= 5
