@@ -747,3 +747,171 @@ def duplicate_groups(
         )
         .withColumn("canonical_is_min", F.col("component") == F.col("min_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup: duplicated-span detection + excision
+# ---------------------------------------------------------------------------
+#
+# The document-level operators above drop or group WHOLE near-duplicate
+# documents; training corpora also carry verbatim substrings repeated
+# across otherwise-distinct documents (licenses, navigation boilerplate,
+# quoted passages) — "Deduplicating Training Data Makes Language Models
+# Better" (Lee et al., arXiv:2107.06499) removes exact duplicated
+# substrings above a token threshold with a suffix array. A suffix array
+# is a single-machine structure; the equivalent distributed formulation
+# used here: a substring of >= min_tokens duplicated tokens necessarily
+# duplicates every one of its w-token windows, so positional w-gram
+# fingerprints + island-merging of duplicated window positions recover
+# maximal duplicated spans (window granularity: span boundaries are
+# accurate to the token, but a duplicated run shorter than w is
+# invisible — choose w <= min_tokens, w = min_tokens/2 typical).
+
+
+def positional_ngrams(
+    df: DataFrame,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per w-token window: ``(id, pos, h)`` with ``pos`` the
+    0-based token offset and ``h`` the 60-bit fingerprint of the
+    window's text (the same md5 scheme as :func:`word_shingles`, built
+    with the same codegen-friendly zip_with fold). Docs shorter than
+    ``window`` contribute no rows — whole-document duplication is
+    :func:`exact_duplicates`' job."""
+    toks = tokens(F.col(text_col))
+    cnt = F.size(toks)
+    m = F.greatest(cnt - (window - 1), F.lit(1))
+    acc = F.slice(toks, 1, m)
+    for k in range(1, window):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = df.filter(cnt >= window).select(
+        F.col(id_col), F.posexplode(acc).alias("pos", "_g")
+    )
+    return grams.select(id_col, "pos", _hash60(F.col("_g")).alias("h"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    window: int = 8,
+    min_tokens: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated spans per document: contiguous token ranges
+    every one of whose w-windows occurs in >= ``min_docs`` distinct
+    documents, merged and filtered to >= ``min_tokens`` tokens. Returns
+    ``(id, span_start, span_end, span_tokens, span_md5)`` — start
+    inclusive, end exclusive, 0-based token offsets; ``span_md5``
+    fingerprints the span TEXT, so equal spans in different docs carry
+    equal fingerprints (what :func:`excise_duplicated_spans` groups on).
+
+    Scale shape: one scan explodes positional fingerprints; the
+    duplicated-fingerprint set is two map-side-combined aggregations
+    keyed on the hash (distinct (h, id) then count >= min_docs); the
+    join back to positions is keyed on the same hash (no skew: md5
+    keys); island-merging is two window functions over (id, pos) — one
+    Exchange on the doc id, state per row is one running max. Nothing
+    is ever pairwise: cost is linear in total duplicated POSITIONS, not
+    quadratic in documents sharing a span (the property that makes this
+    formulation survive boilerplate shared by millions of docs, where
+    the pairwise operators above must cap or drop)."""
+    grams = positional_ngrams(df, window, text_col, id_col)
+    dup_h = (
+        grams.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") >= min_docs)
+        .select("h")
+    )
+    dup_pos = grams.join(dup_h, "h").select(id_col, "pos")
+
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # a window starting at or before the running end extends the island;
+    # strictly beyond it starts a new one (end is exclusive, so == is
+    # adjacency of two back-to-back duplicated runs — merged)
+    flagged = dup_pos.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(wo))
+    spans = (
+        flagged.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window)).alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start"))
+        .filter(F.col("span_tokens") >= min_tokens)
+        .drop("_island")
+    )
+    toks = tokens(F.col(text_col))
+    with_text = spans.join(df.select(id_col, text_col), id_col)
+    span_text = F.concat_ws(
+        " ", F.slice(toks, F.col("span_start") + 1, F.col("span_tokens"))
+    )
+    return with_text.select(
+        id_col,
+        "span_start",
+        "span_end",
+        "span_tokens",
+        F.md5(span_text).alias("span_md5"),
+    )
+
+
+def excise_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document's text with its duplicated spans removed
+    (tokens outside every span, re-joined with single spaces — the
+    normalized-text domain all dedup operators share). With
+    ``keep_first`` (Lee et al.'s policy), the single occurrence with
+    the smallest (doc_id, span_start) among equal ``span_md5`` groups
+    is preserved; otherwise every occurrence is excised.
+
+    Adds ``n_tokens_removed``. Docs with no spans pass through with
+    their normalized text and 0 removed. The span list per doc is
+    collected into an array column (spans per doc are few — bounded by
+    text length / min_tokens) and the rewrite is one higher-order
+    filter over the token array: per-doc work, no extra shuffle beyond
+    the (id)-keyed join."""
+    if keep_first:
+        first = Window.partitionBy("span_md5").orderBy(id_col, "span_start")
+        spans = (
+            spans.withColumn("_rk", F.row_number().over(first))
+            .filter(F.col("_rk") > 1)
+            .drop("_rk")
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    out = df.join(per_doc, id_col, "left")
+    toks = tokens(F.col(text_col))
+    no_spans = F.col("_spans").isNull()
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+        ),
+    )
+    cleaned = F.when(no_spans, F.concat_ws(" ", toks)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    removed = F.when(no_spans, F.lit(0)).otherwise(F.size(toks) - F.size(kept))
+    keep_cols = [c for c in df.columns if c != text_col]
+    return out.select(
+        *keep_cols, cleaned.alias(text_col), removed.alias("n_tokens_removed")
+    )

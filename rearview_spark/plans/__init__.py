@@ -18,9 +18,9 @@ _NEW_THIS_ROUND = (
     "ts_lttb_downsample",
     "sim_range_search",
     "media_audio_chunks",
-    # r08 queue: dedup_incremental_minhash (operators/dedup.py:
-    #   incremental_minhash_dedup, staged in pipeline_queries.PENDING_QUERIES
-    #   once implemented this round).
+    # r08 queue (staged in pipeline_queries.PENDING_QUERIES, parity-green):
+    #   dedup_incremental_minhash (operators/dedup.py: incremental_minhash_dedup)
+    #   dedup_duplicated_spans   (operators/dedup.py: duplicated_spans)
 )
 
 

@@ -1647,13 +1647,75 @@ WHERE d.doc_id % 2 = 1
 ORDER BY d.doc_id
 """
 
-#: r07: the three r06-staged gates are live; this round stages ONE gate
-#: (the r07-built incremental dedup) for the r08 window — the window-full
-#: discipline of plans/__init__.py. Parity-tested now by
-#: tests/test_pending_gates.py through the oracle_check compare path.
+# --- Duplicated-span substring dedup (built r07, staged for r08) -------------
+
+_SPAN_W = 8
+_SPAN_MIN = 8
+
+
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. arXiv:2107.06499 as
+    positional w-gram fingerprints + island merging —
+    operators/dedup.py: duplicated_spans). The synthetic corpus carries
+    naturally recurring phrases, so the gate finds real cross-doc spans;
+    it hashes every span's exact (start, end, tokens, text-md5), so the
+    fingerprinting, >= min_docs threshold, island merge, and boundary
+    arithmetic are all value-checked."""
+    docs = Tables(spark, sf_dir).documents
+    out = D.duplicated_spans(docs, window=_SPAN_W, min_tokens=_SPAN_MIN)
+    return out.orderBy("doc_id", "span_start")
+
+
+DEDUP_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {_SPAN_W - 2})) AS i) r
+  WHERE len(t) >= {_SPAN_W}
+),
+duph AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM grams) GROUP BY h HAVING count(*) >= 2
+),
+dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {_SPAN_W}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM dpos
+),
+isl AS (
+  SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {_SPAN_W} AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+SELECT s.doc_id,
+       CAST(span_start AS INT) AS span_start,
+       CAST(span_end AS INT) AS span_end,
+       CAST(span_end - span_start AS INT) AS span_tokens,
+       md5(array_to_string(t[span_start + 1 : span_end], ' ')) AS span_md5
+FROM spans s JOIN toks USING (doc_id)
+WHERE span_end - span_start >= {_SPAN_MIN}
+ORDER BY doc_id, span_start
+"""
+
+#: r07: the three r06-staged gates are live; this round stages TWO gates
+#: (the r07-built incremental dedup and duplicated-span dedup) for the
+#: r08 window — the window-full discipline of plans/__init__.py. Both
+#: parity-tested now by tests/test_pending_gates.py through the
+#: oracle_check compare path.
 PENDING_QUERIES: dict[str, dict] = {
     "dedup_incremental_minhash": {
         "fn": dedup_incremental_minhash,
         "oracle": DEDUP_INCREMENTAL_SQL,
+    },
+    "dedup_duplicated_spans": {
+        "fn": dedup_duplicated_spans,
+        "oracle": DEDUP_SPANS_SQL,
     },
 }
