@@ -80,6 +80,17 @@ def main(sf_dir: str) -> None:
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     docs = _stage(docs.join(losers, "doc_id", "left_anti"), "after near-dedup")
 
+    # 5b. substring-level dedup: excise verbatim cross-doc spans
+    # (licenses/boilerplate), keeping each span's first occurrence
+    spans = D.duplicated_spans(docs, window=8, min_tokens=8)
+    excised = D.excise_duplicated_spans(docs, spans)
+    removed = excised.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+    docs = _stage(
+        excised.drop("n_tokens_removed").filter(F.length("text") > 0),
+        "after span excision",
+    )
+    print(f"duplicated-span tokens excised: {removed}")
+
     # 6. decontamination against a toy benchmark (3 corpus docs stand in
     # for an eval set; they flag themselves and are removed)
     bench = docs.orderBy("doc_id").limit(3).select("doc_id", "text")

@@ -65,3 +65,27 @@ def test_token_budget_mix_broadcasts_thresholds(spark):
     plan = _executed(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_duplicated_spans_never_pairwise(spark):
+    """The span operator's scale claim (PLANS.md): cost linear in
+    duplicated positions — the plan must contain NO pairwise node
+    (cartesian / nested-loop / doc-doc self-join) and at most 4
+    Exchanges (gram-hash agg x2, island window on doc id, span agg
+    sharing it); the dup-hash and doc-text joins are hash joins keyed
+    on h / doc id."""
+    from rearview_spark.operators.dedup import duplicated_spans
+    from rearview_spark.sources.loader import Tables
+
+    docs = Tables(spark, "/root/testdata/sf0.001").documents
+    df = duplicated_spans(docs, window=8, min_tokens=8)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(")
+        and ") Exchange" in line
+    )
+    assert n_exchanges <= 4, plan
