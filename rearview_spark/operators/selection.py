@@ -215,3 +215,75 @@ def dsir_importance(
             ).alias("importance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (embedding-diversity selection)
+# ---------------------------------------------------------------------------
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    per_cluster: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cluster",
+) -> DataFrame:
+    """Embedding-diversity balancing: k-means the corpus in embedding
+    space, then downsample each cluster to ``per_cluster`` rows
+    (default: ceil(N / n_clusters) — the uniform-mix target) with the
+    same deterministic md5-threshold rule as curation's samplers, so a
+    handful of dominant semantic modes (SEO spam, one scraped forum)
+    cannot crowd the training mix while sparse clusters are kept whole.
+    The cluster-then-cap shape is the diversity-balancing complement of
+    SemDeDup's cluster-then-prune (similarity.semantic_dedup): that
+    removes redundancy WITHIN a tight cluster; this equalizes mass
+    ACROSS clusters.
+
+        threshold_c = min(10000, (per_cluster * 10000) div size_c)
+        keep  ⇔  md5_60(id || ':' || salt) mod 10000 < threshold_c
+
+    Integer arithmetic end to end (the token_budget_mix discipline), so
+    reruns, retries, and the oracle gate agree exactly. Returns kept
+    rows as ``(id, bucket, keep_threshold_bp)``.
+
+    Scale shape: the k-means fit is the deterministic Lloyd's of
+    similarity.kmeans_fit (codebook broadcast per iteration; corpus
+    never leaves executors); assignment is a zero-shuffle narrow
+    projection (assign_buckets); sizes are one |clusters|-row aggregate
+    broadcast back; the keep rule is a scan-time filter. Beyond the
+    fit, the whole pass adds NO corpus-scale shuffle."""
+    import math
+
+    from rearview_spark.operators.similarity import (
+        _as_double,
+        assign_buckets,
+        kmeans_fit,
+    )
+
+    codebook = kmeans_fit(corpus, n_clusters, iters, id_col, vec_col)
+    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    assigned = assign_buckets(vecs, codebook).select(id_col, "bucket")
+    sizes = assigned.groupBy("bucket").agg(F.count("*").alias("_size"))
+    if per_cluster is None:
+        total = assigned.count()
+        per_cluster = math.ceil(total / n_clusters)
+    thr = sizes.select(
+        "bucket",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr(f"(CAST({int(per_cluster)} AS BIGINT) * 10000) div _size"),
+        )
+        .cast("int")
+        .alias("keep_threshold_bp"),
+    )
+    bucket_hash = F.pmod(
+        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+        F.lit(10000),
+    )
+    return (
+        assigned.join(F.broadcast(thr), "bucket")
+        .filter(bucket_hash < F.col("keep_threshold_bp"))
+        .select(id_col, "bucket", "keep_threshold_bp")
+    )

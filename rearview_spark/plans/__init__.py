@@ -21,6 +21,7 @@ _NEW_THIS_ROUND = (
     # r08 queue (staged in pipeline_queries.PENDING_QUERIES, parity-green):
     #   dedup_incremental_minhash (operators/dedup.py: incremental_minhash_dedup)
     #   dedup_duplicated_spans   (operators/dedup.py: duplicated_spans)
+    #   sel_cluster_balanced     (operators/selection.py: cluster_balanced_sample)
 )
 
 

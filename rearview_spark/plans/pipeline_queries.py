@@ -1704,11 +1704,62 @@ WHERE span_end - span_start >= {_SPAN_MIN}
 ORDER BY doc_id, span_start
 """
 
-#: r07: the three r06-staged gates are live; this round stages TWO gates
-#: (the r07-built incremental dedup and duplicated-span dedup) for the
-#: r08 window — the window-full discipline of plans/__init__.py. Both
-#: parity-tested now by tests/test_pending_gates.py through the
-#: oracle_check compare path.
+# --- Cluster-balanced sampling (built r07, staged for r08) -------------------
+
+def sel_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-diversity balancing: deterministic k-means (2 Lloyd
+    iterations, the sim_ivf_kmeans_topk fit) then per-cluster
+    md5-threshold downsampling to ceil(N/16) rows
+    (operators/selection.py: cluster_balanced_sample). The gate hashes
+    every kept row's (id, bucket, threshold), value-checking the fit,
+    the assignment, the integer threshold derivation, and each keep
+    decision."""
+    from rearview_spark.operators.selection import cluster_balanced_sample
+
+    emb = Tables(spark, sf_dir).embeddings
+    out = cluster_balanced_sample(emb, n_clusters=16, iters=2)
+    return out.orderBy("vec_id")
+
+
+SEL_CLUSTER_SQL = (
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, v AS centroid
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
+),"""
+    + ",".join(_kmeans_iteration_sql(i) for i in (1, 2))
+    + """,
+assigned AS (
+  SELECT vec_id, bucket FROM (
+    SELECT b.vec_id, c.bucket,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.bucket) AS rn
+    FROM base b CROSS JOIN cb2 c
+  ) WHERE rn = 1
+),
+sizes AS (SELECT bucket, count(*) AS sz FROM assigned GROUP BY bucket),
+tot AS (SELECT CAST(ceil(count(*) * 1.0 / 16) AS BIGINT) AS per_cluster FROM assigned),
+thr AS (
+  SELECT bucket, CAST(least(10000, (t.per_cluster * 10000) // sz) AS INT) AS keep_threshold_bp
+  FROM sizes, tot t
+)
+SELECT a.vec_id, CAST(a.bucket AS INT) AS bucket, thr.keep_threshold_bp
+FROM assigned a JOIN thr USING (bucket)
+WHERE (CAST(concat('0x', substr(md5(concat(CAST(a.vec_id AS VARCHAR), ':cluster')), 1, 15)) AS BIGINT) % 10000)
+      < thr.keep_threshold_bp
+ORDER BY a.vec_id
+"""
+)
+
+
+#: r07: the three r06-staged gates are live; this round stages THREE
+#: gates (incremental dedup, duplicated-span dedup, cluster-balanced
+#: sampling) for the r08 window — the window-full discipline of
+#: plans/__init__.py. All parity-tested now by tests/test_pending_gates.py
+#: through the oracle_check compare path.
 PENDING_QUERIES: dict[str, dict] = {
     "dedup_incremental_minhash": {
         "fn": dedup_incremental_minhash,
@@ -1717,5 +1768,9 @@ PENDING_QUERIES: dict[str, dict] = {
     "dedup_duplicated_spans": {
         "fn": dedup_duplicated_spans,
         "oracle": DEDUP_SPANS_SQL,
+    },
+    "sel_cluster_balanced": {
+        "fn": sel_cluster_balanced,
+        "oracle": SEL_CLUSTER_SQL,
     },
 }

@@ -80,3 +80,49 @@ def test_dsir_importance_is_exactly_one_when_target_is_corpus(spark):
     out = SEL.dsir_importance(df, target=F.lit(True)).collect()
     assert len(out) == 30
     assert all(r["importance"] == 1.0 for r in out)
+
+
+def test_cluster_balanced_sample_caps_dominant_mode(spark):
+    """Three well-separated embedding modes, one dominant (120 of 140
+    vectors): the dominant cluster is thresholded below 10000 bp and
+    shrinks toward per_cluster; sparse clusters keep everything. Rerun
+    gives identical rows (md5 rule, deterministic k-means)."""
+    from rearview_spark.operators.selection import cluster_balanced_sample
+
+    rows = []
+    for i in range(120):  # dominant mode along +x
+        rows.append((i, [10.0, float(i % 7) * 0.01, 0.0]))
+    for i in range(10):   # mode along +y
+        rows.append((200 + i, [0.0, 10.0, float(i) * 0.01]))
+    for i in range(10):   # mode along +z
+        rows.append((300 + i, [0.0, float(i) * 0.01, 10.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_balanced_sample(emb, n_clusters=3, iters=3).collect()
+    by_thr = {}
+    for r in out:
+        by_thr.setdefault(r["bucket"], set()).add(r["keep_threshold_bp"])
+    assert all(len(v) == 1 for v in by_thr.values())  # one threshold per cluster
+
+    kept_ids = {r["vec_id"] for r in out}
+    # sparse modes: threshold 10000, kept whole
+    sparse_kept = {r["vec_id"] for r in out if r["keep_threshold_bp"] == 10000}
+    assert set(range(200, 210)) | set(range(300, 310)) <= sparse_kept
+    # dominant mode capped: per_cluster = ceil(140/3) = 47 -> thr 3916 bp
+    dom = [r for r in out if r["keep_threshold_bp"] < 10000]
+    assert dom and all(r["vec_id"] < 120 for r in dom)
+    assert len(dom) < 120  # genuinely downsampled
+    # deterministic rerun
+    again = {(r["vec_id"], r["bucket"]) for r in cluster_balanced_sample(emb, n_clusters=3, iters=3).collect()}
+    assert again == {(r["vec_id"], r["bucket"]) for r in out}
+
+
+def test_cluster_balanced_sample_explicit_budget(spark):
+    from rearview_spark.operators.selection import cluster_balanced_sample
+
+    rows = [(i, [1.0, float(i % 5)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(emb, n_clusters=2, iters=2, per_cluster=1000)
+    # budget above every cluster size: keep-all, threshold 10000
+    assert out.count() == 50
+    assert out.filter("keep_threshold_bp != 10000").count() == 0
