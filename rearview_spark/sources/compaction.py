@@ -198,6 +198,12 @@ def resume_pending_compaction(spark: SparkSession, path: str) -> bool:
 # The maintenance operator
 # --------------------------------------------------------------------------
 
+#: partition-name key used when a directory has no dt= partitions and
+#: the ROOT itself is compacted as one unit (e.g. the incremental-dedup
+#: signature store, a flat append-written parquet dir)
+ROOT_PARTITION = "."
+
+
 def optimize_metrics_dir(
     spark: SparkSession,
     path: str,
@@ -205,11 +211,25 @@ def optimize_metrics_dir(
     min_files: int = 4,
     partitions: list[str] | None = None,
     max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    sort_cols: tuple[str, ...] | None = None,
 ) -> dict:
-    """Compact small files in the date-partitioned metrics table at
-    ``path`` back to the ``write_metrics_dir`` layout (few large files,
-    (metric, ts)-sorted — sources/layout.py:38), preserving the file
-    sink's ``_spark_metadata`` semantics (module docstring).
+    """Compact small files in the parquet directory at ``path``,
+    preserving the file sink's ``_spark_metadata`` semantics when
+    present (module docstring). Two layouts:
+
+    - **date-partitioned** (the metrics table): each ``dt=`` partition
+      with >= ``min_files`` files is rewritten back to the
+      ``write_metrics_dir`` layout (few large (metric, ts)-sorted
+      files — sources/layout.py:38);
+    - **flat** (no ``dt=`` subdirs — e.g. the incremental-dedup
+      signature store, which appends one file set per micro-batch):
+      the root is compacted as one unit, reported under the key
+      ``"."``.
+
+    ``sort_cols`` fixes the within-file sort; default: (metric, ts)
+    when those columns exist, else the frame's first column (keeps
+    min/max stats selective on the leading key — doc_id for the
+    signature store).
 
     - ``target_file_mb``: aim for files of about this many on-disk MB;
       a partition is rewritten into ``ceil(total_bytes / target)``
@@ -224,9 +244,9 @@ def optimize_metrics_dir(
     Returns ``{partition: {"files_before": n, "files_after": m,
     "bytes": b}}`` for the partitions actually rewritten.
 
-    MUST run while the ingest stream into ``path`` is stopped.
+    MUST run while the writer into ``path`` is stopped.
     """
-    jvm, fs, _ = _fs(spark, path)
+    jvm, fs, root_jpath = _fs(spark, path)
     resume_pending_compaction(spark, path)
 
     part_dirs = [
@@ -234,6 +254,9 @@ def optimize_metrics_dir(
         for s in _list_status(fs, jvm, path)
         if s.isDirectory() and s.getPath().getName().startswith("dt=")
     ]
+    flat = not part_dirs
+    if flat:
+        part_dirs = [root_jpath]
     if partitions is not None:
         wanted = set(partitions)
         part_dirs = [p for p in part_dirs if p.getName() in wanted]
@@ -253,9 +276,23 @@ def optimize_metrics_dir(
         files = data_files(pdir)
         if len(files) < min_files:
             continue
-        name = pdir.getName()
+        name = ROOT_PARTITION if flat else pdir.getName()
         total = sum(s.getLen() for s in files)
-        df = spark.read.parquet(pdir.toString())
+        if flat:
+            # read the FILES, not the dir: the tmp subdir must not feed
+            # back into its own rewrite on a re-run
+            df = spark.read.parquet(*[s.getPath().toString() for s in files])
+        else:
+            df = spark.read.parquet(pdir.toString())
+        cols = (
+            sort_cols
+            if sort_cols is not None
+            else (
+                ("metric", "ts")
+                if {"metric", "ts"} <= set(df.columns)
+                else (df.columns[0],)
+            )
+        )
         n_rows = df.count()
         n_out = max(
             1,
@@ -264,7 +301,7 @@ def optimize_metrics_dir(
         )
         (
             df.coalesce(n_out)
-            .sortWithinPartitions("metric", "ts")
+            .sortWithinPartitions(*cols)
             .write.mode("overwrite")
             .parquet(posixpath.join(tmp_root, name))
         )
@@ -280,21 +317,30 @@ def optimize_metrics_dir(
     new_by_part: dict = {}
     for name in report:
         moved = []
+        dst_dir = path if name == ROOT_PARTITION else posixpath.join(path, name)
         for s in data_files(_jpath(jvm, posixpath.join(tmp_root, name))):
-            dst = posixpath.join(path, name, s.getPath().getName())
+            dst = posixpath.join(dst_dir, s.getPath().getName())
             if not fs.rename(s.getPath(), _jpath(jvm, dst)):
                 raise IOError(f"rename failed: {s.getPath()} -> {dst}")
             moved.append(dst)
         new_by_part[name] = moved
         report[name]["files_after"] = len(moved)
 
-    # final live set = every data file under dt=*/ minus the olds
+    # final live set = every data file (partition dirs, or the flat
+    # root) minus the olds
     delete = {p for olds in old_by_part.values() for p in olds}
     live: list = []
-    for s in _list_status(fs, jvm, path):
-        if not s.isDirectory() or not s.getPath().getName().startswith("dt="):
-            continue
-        for f in data_files(s.getPath()):
+    live_dirs = (
+        [root_jpath]
+        if flat
+        else [
+            s.getPath()
+            for s in _list_status(fs, jvm, path)
+            if s.isDirectory() and s.getPath().getName().startswith("dt=")
+        ]
+    )
+    for d in live_dirs:
+        for f in data_files(d):
             uri = f.getPath().toString()
             if uri not in delete:
                 live.append((uri, f.getLen(), f.getModificationTime()))

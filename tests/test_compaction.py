@@ -167,3 +167,47 @@ def test_compact_preserves_a_dotcompact_snapshot_log(spark, tmp_path):
     names = [n for n in os.listdir(log_dir) if not n.startswith(".")]
     assert names == ["9.compact"]
     assert spark.read.parquet(out).count() == 30  # root read via snapshot
+
+
+def test_flat_dir_compaction_for_signature_store(spark, tmp_path):
+    """The incremental-dedup signature store appends one file set per
+    micro-batch (no dt= partitions): compaction must treat the flat
+    root as one unit, sort by the leading column, and leave the store
+    readable with identical rows — then keep working incrementally."""
+    from rearview_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_store_rows,
+    )
+
+    store_dir = str(tmp_path / "sigs")
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red orange yellow green blue indigo violet",
+        "do re mi fa sol la ti",
+    ]
+    for b, t in enumerate(texts):  # 4 appends -> >= 4 files
+        df = spark.createDataFrame([(b, t)], "doc_id long, text string")
+        minhash_store_rows(df).coalesce(1).write.mode("append").parquet(store_dir)
+
+    before = glob.glob(store_dir + "/*.parquet")
+    assert len(before) >= 4
+    rows_before = spark.read.parquet(store_dir).count()
+
+    report = optimize_metrics_dir(spark, store_dir, min_files=2)
+    assert report["."]["files_before"] == len(before)
+    assert report["."]["files_after"] == 1
+    after = glob.glob(store_dir + "/*.parquet")
+    assert len(after) == 1 and not set(after) & set(before)
+    store = spark.read.parquet(store_dir)
+    assert store.count() == rows_before
+    # sorted by the leading column (doc_id) -> selective min/max stats
+    ids = [r["doc_id"] for r in spark.read.parquet(after[0]).collect()]
+    assert ids == sorted(ids)
+
+    # the compacted store still drives incremental dedup
+    nxt = spark.createDataFrame(
+        [(10, texts[0] + " encore")], "doc_id long, text string"
+    )
+    out = incremental_minhash_dedup(nxt, store, threshold=0.5).collect()
+    assert out[0]["dup_of"] == 0
