@@ -351,3 +351,47 @@ def optimize_metrics_dir(
     )
     _apply_manifest(spark, path, manifest)
     return report
+
+
+# --------------------------------------------------------------------------
+# Scheduled maintenance (the cadence PLANS.md documents, as code)
+# --------------------------------------------------------------------------
+
+def closed_partitions(
+    spark: SparkSession, path: str, now, watermark_days: int = 1
+) -> list:
+    """The ``dt=`` partitions closed to further appends at ``now``:
+    strictly older than ``now - watermark_days`` days. With the ingest
+    watermark bounded at minutes (streaming/ingest.py), any partition
+    before yesterday can no longer receive late rows — compacting only
+    these never races the (stopped-or-not) ingest stream's late data."""
+    import datetime as dt
+
+    jvm, fs, _ = _fs(spark, path)
+    cutoff = (now - dt.timedelta(days=watermark_days)).date().isoformat()
+    out = []
+    for s in _list_status(fs, jvm, path):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith("dt=") and name[3:] < cutoff:
+            out.append(name)
+    return sorted(out)
+
+
+def compaction_tick(
+    spark: SparkSession, path: str, now, min_files: int = 4, **kwargs
+) -> dict:
+    """One scheduled maintenance pass: compact exactly the CLOSED date
+    partitions (see :func:`closed_partitions`). Drive it from the same
+    scheduler slot that owns the ingest stream — e.g. a daily
+    ``monitors/cron.py`` entry — with the stream stopped around the
+    call; time is injected (``now``) so backtests and golden tests
+    replay deterministically, the same discipline as
+    ``MonitorScheduler.tick``. Idempotent: already-compacted partitions
+    fall under ``min_files`` and are skipped, so a retried tick is a
+    no-op."""
+    parts = closed_partitions(spark, path, now)
+    if not parts:
+        return {}
+    return optimize_metrics_dir(
+        spark, path, min_files=min_files, partitions=parts, **kwargs
+    )

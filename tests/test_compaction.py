@@ -211,3 +211,33 @@ def test_flat_dir_compaction_for_signature_store(spark, tmp_path):
     )
     out = incremental_minhash_dedup(nxt, store, threshold=0.5).collect()
     assert out[0]["dup_of"] == 0
+
+
+def test_compaction_tick_compacts_only_closed_partitions(spark, tmp_path):
+    """The scheduled cadence: a tick at `now` compacts partitions
+    strictly before yesterday and never touches today's (still
+    appendable inside the watermark horizon); a retried tick is a
+    no-op (compacted partitions fall under min_files)."""
+    from rearview_spark.sources.compaction import (
+        closed_partitions,
+        compaction_tick,
+    )
+
+    out = str(tmp_path / "m")
+    now = dt.datetime(2024, 1, 3, 6, 0)
+    rows = []
+    for day in (1, 2, 3):  # Jan 1 (closed), Jan 2 (watermark edge), Jan 3 (today)
+        for i in range(24):
+            rows.append(("a", dt.datetime(2024, 1, day, i % 24), float(i)))
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    (
+        df.withColumn("dt", F.to_date("ts")).repartition(6)
+        .write.partitionBy("dt").parquet(out)
+    )
+
+    assert closed_partitions(spark, out, now) == ["dt=2024-01-01"]
+    report = compaction_tick(spark, out, now, min_files=2)
+    assert set(report) == {"dt=2024-01-01"}
+    assert len(glob.glob(out + "/dt=2024-01-01/*.parquet")) == 1
+    assert len(glob.glob(out + "/dt=2024-01-03/*.parquet")) > 1  # untouched
+    assert compaction_tick(spark, out, now, min_files=2) == {}  # idempotent
