@@ -648,3 +648,29 @@ def test_ann_recall_operating_points(spark, sf_dir):
     sq8 = recall_at_k(exact, S.sq8_topk(emb, queries, k=10).collect())
     assert sq8 >= 0.9
     emb.unpersist()
+
+
+def test_embedding_dedup_recall_on_jittered_twins(spark):
+    """Sign-LSH embedding dedup against REALISTIC near-dups (copies with
+    small multiplicative jitter, cosine ~0.999 — the make_scaled.py
+    recipe in miniature): recall of twin pairs must be high and no
+    cross-base pair may survive the exact-cosine verify. Deterministic
+    (seeded numpy)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    n_base, copies, dim = 120, 5, 16
+    for b in range(n_base):
+        v = rng.normal(size=dim)
+        for c in range(copies):
+            jit = 1.0 + rng.uniform(-0.02, 0.02, size=dim) if c else np.ones(dim)
+            rows.append((b * 1000 + c, [float(x) for x in v * jit]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = S.embedding_near_duplicates(emb, threshold=0.999, dim=16).collect()
+    same = [r for r in pairs if r["id_a"] // 1000 == r["id_b"] // 1000]
+    assert len(same) == len(pairs)  # exact verify kills every cross-base pair
+    expected = n_base * (copies * (copies - 1) // 2)
+    recall = len(same) / expected
+    assert recall >= 0.9, recall
