@@ -84,19 +84,20 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text -> array<string>.
-    Documents shorter than n tokens contribute their full text as the
-    single shingle.
+def _ngram_fold(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array, position-ordered, as
+    an n-way ``zip_with`` fold over shifted slices — NOT
+    ``transform(sequence(...), i -> concat_ws(slice))``: higher-order
+    functions evaluate interpreted (outside whole-stage codegen), and
+    the per-ELEMENT sequence/slice tree made n-gram construction the
+    dominant cost of the whole minhash pipeline at the 100x corpus; the
+    zip_with form is ~5x faster for byte-identical output (same finding
+    as selection.doc_features; PLANS.md round-7 notes). Arrays shorter
+    than n yield garbage slices — callers must guard (word_shingles
+    falls back to the full text; positional_ngrams filters).
 
-    Built as an n-way ``zip_with`` fold over shifted slices of the token
-    array rather than ``transform(sequence(...), i -> concat_ws(slice))``:
-    higher-order functions evaluate interpreted (outside whole-stage
-    codegen), and the per-ELEMENT sequence/slice tree made shingling the
-    dominant cost of the whole minhash pipeline at the 100x corpus —
-    the zip_with form is ~5x faster for byte-identical output (same
-    finding as selection.doc_features; PLANS.md round-7 notes)."""
-    toks = tokens(col)
+    SHARED by every operator whose md5 fingerprints must mean the same
+    string (word_shingles, positional_ngrams) — keep it single-sourced."""
     cnt = F.size(toks)
     m = F.greatest(cnt - (n - 1), F.lit(1))
     acc = F.slice(toks, 1, m)
@@ -106,7 +107,17 @@ def word_shingles(col: Column, n: int = 3) -> Column:
             F.slice(toks, k + 1, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    grams = F.when(cnt >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+    return acc
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text -> array<string>.
+    Documents shorter than n tokens contribute their full text as the
+    single shingle. (Construction: :func:`_ngram_fold`.)"""
+    toks = tokens(col)
+    grams = F.when(F.size(toks) >= n, _ngram_fold(toks, n)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
     return F.array_distinct(grams)
 
 
@@ -433,6 +444,11 @@ def incremental_minhash_dedup(
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & F.col("a._new")
+            # never match a doc against its own id: a foreachBatch RETRY
+            # re-processes a batch whose unique rows were already appended
+            # to the store, and without this guard every such doc would
+            # decide dup_of=self (jaccard 1.0) and be dropped
+            & (F.col(f"b.{id_col}") != F.col(f"a.{id_col}"))
             & (
                 (~F.col("b._new"))
                 | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
@@ -487,6 +503,10 @@ def incremental_dedup_foreach_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     decisions_dir: str | None = None,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ):
     """Package :func:`incremental_minhash_dedup` as a Structured
     Streaming ``foreachBatch`` callback: each micro-batch of documents
@@ -495,17 +515,37 @@ def incremental_dedup_foreach_batch(
     (optionally) every decision row is appended to ``decisions_dir``
     for audit. The store read is the static side of a stream-static
     join re-read per micro-batch — S11's machinery, so a store
-    compaction is picked up on the next batch."""
-    import glob as _glob
-    import os
+    compaction is picked up on the next batch.
+
+    The minhash knobs MUST match across every batch that shares a
+    store (banding slices ``sig`` by position — a store built with
+    different ``num_hashes`` would band garbage), so they are plumbed
+    here rather than hardcoded. Retry safety (foreachBatch is
+    at-least-once): self-matches are excluded in the operator, and the
+    store read drops duplicate ids, so a re-run of a half-committed
+    batch decides every doc exactly as the first run did; the only
+    retry residue is a duplicate store ROW, which the id-dedup here
+    masks and a store compaction pass can drop."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        has_store = os.path.isdir(store_dir) and _glob.glob(
-            os.path.join(store_dir, "*.parquet")
-        )
-        store = spark.read.parquet(store_dir) if has_store else None
+        from pyspark.errors import AnalysisException
+
+        try:
+            # probe through Spark (Hadoop FS), not os.path: store_dir may
+            # be hdfs:// or s3a:// where driver-local listing sees nothing
+            store = spark.read.parquet(store_dir).dropDuplicates([id_col])
+        except AnalysisException:  # missing dir / no parquet yet
+            store = None
         decided = incremental_minhash_dedup(
-            batch_df, store, text_col=text_col, id_col=id_col, threshold=threshold
+            batch_df,
+            store,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size,
         )
         (
             decided.filter(F.col("dup_of").isNull())
@@ -776,22 +816,13 @@ def positional_ngrams(
 ) -> DataFrame:
     """One row per w-token window: ``(id, pos, h)`` with ``pos`` the
     0-based token offset and ``h`` the 60-bit fingerprint of the
-    window's text (the same md5 scheme as :func:`word_shingles`, built
-    with the same codegen-friendly zip_with fold). Docs shorter than
-    ``window`` contribute no rows — whole-document duplication is
-    :func:`exact_duplicates`' job."""
+    window's text (the same md5-over-:func:`_ngram_fold` scheme as
+    :func:`word_shingles`, so equal windows fingerprint equal across
+    operators). Docs shorter than ``window`` contribute no rows —
+    whole-document duplication is :func:`exact_duplicates`' job."""
     toks = tokens(F.col(text_col))
-    cnt = F.size(toks)
-    m = F.greatest(cnt - (window - 1), F.lit(1))
-    acc = F.slice(toks, 1, m)
-    for k in range(1, window):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, k + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    grams = df.filter(cnt >= window).select(
-        F.col(id_col), F.posexplode(acc).alias("pos", "_g")
+    grams = df.filter(F.size(toks) >= window).select(
+        F.col(id_col), F.posexplode(_ngram_fold(toks, window)).alias("pos", "_g")
     )
     return grams.select(id_col, "pos", _hash60(F.col("_g")).alias("h"))
 

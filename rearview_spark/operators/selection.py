@@ -269,11 +269,19 @@ def cluster_balanced_sample(
     if per_cluster is None:
         total = assigned.count()
         per_cluster = math.ceil(total / n_clusters)
+    # floor at 1 bp (for a positive budget): a cluster bigger than
+    # per_cluster*10000 rows would otherwise integer-floor to threshold
+    # 0 and VANISH from the mix — the dominant mode the operator exists
+    # to cap, not to delete. per_cluster=0 legitimately keeps nothing.
+    floor_bp = 1 if per_cluster > 0 else 0
     thr = sizes.select(
         "bucket",
         F.least(
             F.lit(10000).cast("long"),
-            F.expr(f"(CAST({int(per_cluster)} AS BIGINT) * 10000) div _size"),
+            F.greatest(
+                F.lit(floor_bp).cast("long"),
+                F.expr(f"(CAST({int(per_cluster)} AS BIGINT) * 10000) div _size"),
+            ),
         )
         .cast("int")
         .alias("keep_threshold_bp"),

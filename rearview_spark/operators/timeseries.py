@@ -799,6 +799,34 @@ def time_function_over(ts: DataFrame, step_seconds: int = 60, name: str = "timeF
     return _value(base, F.unix_timestamp(TS).cast("double"))
 
 
+def _sin_values(base: DataFrame, amplitude: float) -> DataFrame:
+    """``amplitude * sin(epoch_seconds)`` over a synthetic grid frame —
+    shared by the explicit-window and window-implicit (_over) forms so
+    the two can never diverge."""
+    return _value(base, F.lit(float(amplitude)) * F.sin(F.unix_timestamp(TS).cast("double")))
+
+
+def _random_walk_values(base: DataFrame, name: str, seed: str) -> DataFrame:
+    """Deterministic random-walk values over a synthetic grid frame:
+    step at time t = md5(name:seed:t) mapped to [-0.5, 0.5), cumulative
+    window sum per series (the ``integral`` prefix-scan discipline,
+    G11; a display source renders at most a few thousand points).
+    Shared by both forms — the hash keying IS the determinism contract,
+    so it must exist exactly once."""
+    step_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(name), F.lit(seed), F.unix_timestamp(TS).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    step = step_hash / F.lit(float(1 << 60)) - F.lit(0.5)
+    w = Window.partitionBy(METRIC).orderBy(TS).rowsBetween(Window.unboundedPreceding, 0)
+    return _value(base.withColumn("_step", step), F.sum("_step").over(w)).drop("_step")
+
+
 def sin_function(
     spark, lo, hi, step_seconds: int, amplitude: float = 1.0, name: str = "sinFunction"
 ) -> DataFrame:
@@ -806,8 +834,7 @@ def sin_function(
     source: ``amplitude * sin(epoch_seconds)`` on the render grid.
     Synthetic display source for dashboard smoke tests, same contract as
     :func:`time_function`."""
-    base = constant_line(spark, 0.0, lo, hi, step_seconds, name)
-    return _value(base, F.lit(float(amplitude)) * F.sin(F.unix_timestamp(TS).cast("double")))
+    return _sin_values(constant_line(spark, 0.0, lo, hi, step_seconds, name), amplitude)
 
 
 def random_walk_function(
@@ -819,24 +846,10 @@ def random_walk_function(
     point (different data every render); here the step at time t is
     derived from md5(name:seed:t), so a given (name, seed, window) renders
     the SAME walk on every call and on every executor — reruns, retries,
-    and test assertions agree. Pass a new ``seed`` for a fresh walk.
-
-    The cumulative sum runs as a window over the single synthetic series
-    — the same per-series prefix-scan discipline as ``integral`` (G11);
-    a display source renders at most a few thousand points."""
-    base = constant_line(spark, 0.0, lo, hi, step_seconds, name)
-    step_hash = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(name), F.lit(seed), F.unix_timestamp(TS).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    step = step_hash / F.lit(float(1 << 60)) - F.lit(0.5)
-    w = Window.partitionBy(METRIC).orderBy(TS).rowsBetween(Window.unboundedPreceding, 0)
-    return _value(base.withColumn("_step", step), F.sum("_step").over(w)).drop("_step")
+    and test assertions agree. Pass a new ``seed`` for a fresh walk."""
+    return _random_walk_values(
+        constant_line(spark, 0.0, lo, hi, step_seconds, name), name, seed
+    )
 
 
 def sin_function_over(
@@ -844,27 +857,16 @@ def sin_function_over(
 ) -> DataFrame:
     """:func:`sin_function` over the input frame's implicit window (the
     target-compiler form, like :func:`constant_line_over`)."""
-    base = constant_line_over(ts, 0.0, step_seconds, name)
-    return _value(base, F.lit(float(amplitude)) * F.sin(F.unix_timestamp(TS).cast("double")))
+    return _sin_values(constant_line_over(ts, 0.0, step_seconds, name), amplitude)
 
 
 def random_walk_function_over(
     ts: DataFrame, step_seconds: int = 60, name: str = "randomWalkFunction", seed: str = ""
 ) -> DataFrame:
     """:func:`random_walk_function` over the input frame's implicit window."""
-    base = constant_line_over(ts, 0.0, step_seconds, name)
-    step_hash = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(name), F.lit(seed), F.unix_timestamp(TS).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    step = step_hash / F.lit(float(1 << 60)) - F.lit(0.5)
-    w = Window.partitionBy(METRIC).orderBy(TS).rowsBetween(Window.unboundedPreceding, 0)
-    return _value(base.withColumn("_step", step), F.sum("_step").over(w)).drop("_step")
+    return _random_walk_values(
+        constant_line_over(ts, 0.0, step_seconds, name), name, seed
+    )
 
 
 def group(*series: DataFrame) -> DataFrame:

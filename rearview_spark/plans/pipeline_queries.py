@@ -1743,7 +1743,8 @@ assigned AS (
 sizes AS (SELECT bucket, count(*) AS sz FROM assigned GROUP BY bucket),
 tot AS (SELECT CAST(ceil(count(*) * 1.0 / 16) AS BIGINT) AS per_cluster FROM assigned),
 thr AS (
-  SELECT bucket, CAST(least(10000, (t.per_cluster * 10000) // sz) AS INT) AS keep_threshold_bp
+  SELECT bucket,
+         CAST(least(10000, greatest(1, (t.per_cluster * 10000) // sz)) AS INT) AS keep_threshold_bp
   FROM sizes, tot t
 )
 SELECT a.vec_id, CAST(a.bucket AS INT) AS bucket, thr.keep_threshold_bp

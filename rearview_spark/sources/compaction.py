@@ -168,11 +168,19 @@ def _rewrite_sink_log(spark: SparkSession, root: str, live_files: list) -> None:
 # --------------------------------------------------------------------------
 
 def _apply_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
-    """Finish a compaction from its manifest: rewrite the sink log to the
-    recorded live set, then delete the recorded old files and the
-    manifest itself. Idempotent — every step tolerates having already
-    happened."""
+    """Finish a compaction from its manifest: perform any still-pending
+    tmp→live moves, rewrite the sink log to the recorded live set, then
+    delete the recorded old files and the manifest itself. Idempotent —
+    every step tolerates having already happened (a move whose source
+    is gone and whose destination exists was already done), so a crash
+    at ANY point after the manifest commits is completed by replay."""
     jvm, fs, _ = _fs(spark, root)
+    for src, dst in manifest.get("moves", []):
+        src_p, dst_p = _jpath(jvm, src), _jpath(jvm, dst)
+        if fs.exists(dst_p):
+            continue
+        if not fs.rename(src_p, dst_p):
+            raise IOError(f"rename failed: {src} -> {dst}")
     _rewrite_sink_log(spark, root, [tuple(e) for e in manifest["live_files"]])
     for p in manifest["delete_files"]:
         fs.delete(_jpath(jvm, p), False)
@@ -202,6 +210,13 @@ def resume_pending_compaction(spark: SparkSession, path: str) -> bool:
 #: the ROOT itself is compacted as one unit (e.g. the incremental-dedup
 #: signature store, a flat append-written parquet dir)
 ROOT_PARTITION = "."
+
+
+def _tmp_name(partition_name: str) -> str:
+    """Tmp subdir for a partition's rewrite. The flat-root unit reports
+    as '.', but a '.' PATH component is rejected by HDFS
+    (DFSUtilClient.isValidName) — use a sanitized name on disk."""
+    return "_root" if partition_name == ROOT_PARTITION else partition_name
 
 
 def optimize_metrics_dir(
@@ -293,17 +308,17 @@ def optimize_metrics_dir(
                 else (df.columns[0],)
             )
         )
-        n_rows = df.count()
-        n_out = max(
-            1,
-            math.ceil(total / target_bytes),
-            math.ceil(n_rows / max_records_per_file),
-        )
+        # one read total: the byte-derived file count sets parallel
+        # output slices, and maxRecordsPerFile lets the WRITER enforce
+        # the row cap (a df.count() here would re-scan every partition
+        # just to pre-compute what the write option already guarantees)
+        n_out = max(1, math.ceil(total / target_bytes))
         (
             df.coalesce(n_out)
             .sortWithinPartitions(*cols)
             .write.mode("overwrite")
-            .parquet(posixpath.join(tmp_root, name))
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(posixpath.join(tmp_root, _tmp_name(name)))
         )
         report[name] = {"files_before": len(files), "bytes": total}
         old_by_part[name] = [s.getPath().toString() for s in files]
@@ -311,25 +326,32 @@ def optimize_metrics_dir(
     if not report:
         return report
 
-    # move compacted files into the live partition dirs (additive — the
-    # old files and the untouched sink log still fully describe the
-    # table until the manifest commits below)
-    new_by_part: dict = {}
+    # plan the tmp -> live moves (destinations are knowable before any
+    # mutation), then commit the manifest FIRST: from this point the
+    # whole remainder — moves, log rewrite, deletes, cleanup — replays
+    # idempotently from the manifest, so a crash anywhere leaves a
+    # resumable state instead of a duplicated table (the moves-before-
+    # manifest window would permanently double rows on log-less layouts)
+    moves: list = []
+    new_stats: list = []
     for name in report:
-        moved = []
         dst_dir = path if name == ROOT_PARTITION else posixpath.join(path, name)
-        for s in data_files(_jpath(jvm, posixpath.join(tmp_root, name))):
-            dst = posixpath.join(dst_dir, s.getPath().getName())
-            if not fs.rename(s.getPath(), _jpath(jvm, dst)):
-                raise IOError(f"rename failed: {s.getPath()} -> {dst}")
-            moved.append(dst)
-        new_by_part[name] = moved
-        report[name]["files_after"] = len(moved)
+        outs = data_files(_jpath(jvm, posixpath.join(tmp_root, _tmp_name(name))))
+        for s in outs:
+            # scheme-qualify through the FS: the sink log must hold ONE
+            # uri form — mixing "file:/x" (from listStatus) with bare
+            # "/x" reads as two conflicting table roots
+            dst = fs.makeQualified(
+                _jpath(jvm, posixpath.join(dst_dir, s.getPath().getName()))
+            ).toString()
+            moves.append((s.getPath().toString(), dst))
+            new_stats.append((dst, s.getLen(), s.getModificationTime()))
+        report[name]["files_after"] = len(outs)
 
-    # final live set = every data file (partition dirs, or the flat
-    # root) minus the olds
+    # final live set = (current files minus the olds) plus the moved
+    # destinations (rename preserves length and mtime)
     delete = {p for olds in old_by_part.values() for p in olds}
-    live: list = []
+    live: list = list(new_stats)
     live_dirs = (
         [root_jpath]
         if flat
@@ -345,7 +367,11 @@ def optimize_metrics_dir(
             if uri not in delete:
                 live.append((uri, f.getLen(), f.getModificationTime()))
 
-    manifest = {"live_files": live, "delete_files": sorted(delete)}
+    manifest = {
+        "moves": moves,
+        "live_files": live,
+        "delete_files": sorted(delete),
+    }
     _write_text(
         fs, jvm, posixpath.join(path, MANIFEST_NAME), json.dumps(manifest)
     )

@@ -241,3 +241,36 @@ def test_compaction_tick_compacts_only_closed_partitions(spark, tmp_path):
     assert len(glob.glob(out + "/dt=2024-01-01/*.parquet")) == 1
     assert len(glob.glob(out + "/dt=2024-01-03/*.parquet")) > 1  # untouched
     assert compaction_tick(spark, out, now, min_files=2) == {}  # idempotent
+
+
+def test_resume_completes_pending_moves(spark, tmp_path):
+    # crash AFTER the manifest commits but BEFORE any tmp->live move ran:
+    # resume must perform the recorded moves, then the log/delete steps —
+    # without this, log-less layouts could permanently duplicate rows
+    # (review finding r07)
+    from rearview_spark.sources.compaction import TMP_DIR_NAME
+
+    out = str(tmp_path / "m")
+    os.makedirs(os.path.join(out, TMP_DIR_NAME, "_root"))
+    spark.createDataFrame([(1, "x")], "id long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    old = glob.glob(out + "/*.parquet")[0]
+    # the "compacted" replacement sits in tmp, recorded as a pending move
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out, TMP_DIR_NAME, "_root"))
+    src = glob.glob(os.path.join(out, TMP_DIR_NAME, "_root", "*.parquet"))[0]
+    dst = os.path.join(out, "compacted-" + os.path.basename(src))
+    manifest = {
+        "moves": [[f"file:{src}", f"file:{dst}"]],
+        "live_files": [[f"file:{dst}", os.path.getsize(src), 0]],
+        "delete_files": [f"file:{old}"],
+    }
+    with open(os.path.join(out, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+
+    assert resume_pending_compaction(spark, out) is True
+    assert os.path.exists(dst) and not os.path.exists(old)
+    assert not os.path.exists(os.path.join(out, TMP_DIR_NAME))
+    assert spark.read.parquet(out).count() == 2

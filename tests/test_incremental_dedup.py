@@ -141,3 +141,28 @@ def test_bucket_cap_applies_to_union_occupancy(spark):
     store = minhash_store_rows(store_docs)
     out = incremental_minhash_dedup(new_docs, store, threshold=0.9)
     assert out.filter(F.col("dup_of").isNotNull()).count() == 0
+
+
+def test_retry_of_committed_batch_never_self_matches(spark):
+    """foreachBatch is at-least-once: a retried batch sees its OWN rows
+    already in the store. The same id must never decide dup_of=self —
+    the retry must reproduce the first run's decisions exactly."""
+    batch = _docs(spark, [(1, BASE), (2, OTHER)])
+    store = minhash_store_rows(batch)  # the half-committed state
+    out = {r["doc_id"]: r for r in incremental_minhash_dedup(batch, store, threshold=0.5).collect()}
+    assert out[1]["dup_of"] is None and out[2]["dup_of"] is None
+
+
+def test_foreach_batch_plumbs_minhash_knobs(spark, tmp_path):
+    """A store built through the callback with non-default num_hashes
+    must band consistently on the next batch (the knobs are part of the
+    store's schema contract)."""
+    store_dir = str(tmp_path / "sigs8")
+    process = incremental_dedup_foreach_batch(
+        spark, store_dir, threshold=0.5, num_hashes=8, bands=2
+    )
+    process(_docs(spark, [(1, BASE)]), 0)
+    assert len(spark.read.parquet(store_dir).first()["sig"]) == 8
+    process(_docs(spark, [(2, BASE + " encore")]), 1)
+    store = {r["doc_id"] for r in spark.read.parquet(store_dir).collect()}
+    assert store == {1}  # doc 2 matched through the 8-hash banding

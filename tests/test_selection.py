@@ -126,3 +126,18 @@ def test_cluster_balanced_sample_explicit_budget(spark):
     # budget above every cluster size: keep-all, threshold 10000
     assert out.count() == 50
     assert out.filter("keep_threshold_bp != 10000").count() == 0
+
+
+def test_cluster_balanced_threshold_floors_at_one_bp(spark):
+    """A cluster bigger than per_cluster*10000 rows must be CAPPED, not
+    deleted: integer flooring to 0 bp would drop the dominant mode
+    entirely (review finding r07). per_cluster=0 legitimately keeps 0."""
+    from rearview_spark.operators.selection import cluster_balanced_sample
+
+    rows = [(i, [1.0, 0.001 * (i % 3)]) for i in range(12000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(emb, n_clusters=1, iters=1, per_cluster=1)
+    # (1 * 10000) div 12000 == 0 -> floored to 1 bp, never 0
+    thr = {r["keep_threshold_bp"] for r in out.select("keep_threshold_bp").distinct().collect()}
+    assert thr <= {1} and thr != {0}
+    assert cluster_balanced_sample(emb, n_clusters=1, iters=1, per_cluster=0).count() == 0
