@@ -109,10 +109,18 @@ def main(sf_dir: str) -> None:
         "after token-budget mix",
     )
 
-    # 8. chunk + pack into training sequences
-    chunks = chunk_token_windows(mixed, size=64, stride=48)
+    # 8. leakage-safe train/val split: the near-dup pair graph from
+    # stage 5 decides per COMPONENT, so surviving twins stay together
+    comps = D.connected_components(pairs)
+    split = CUR.leakage_safe_split(mixed, comps, val_bp=1000)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(f"split: {counts.get('train', 0)} train / {counts.get('val', 0)} val (component-safe)")
+
+    # 9. chunk + pack into training sequences
+    train = split.filter("split = 'train'")
+    chunks = chunk_token_windows(train, size=64, stride=48)
     packed = CUR.pack_sequences(
-        mixed.select("doc_id", "text"), budget=256, n_shards=8
+        train.select("doc_id", "text"), budget=256, n_shards=8
     )
     seqs = packed.agg(F.countDistinct("shard", "pack_seq")).collect()[0][0]
     print(f"chunks: {chunks.count()}  packed sequences: {seqs}")

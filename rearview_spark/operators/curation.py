@@ -428,3 +428,54 @@ def pack_sequences(
         "pack_seq long, pack_pos long, pack_fill long"
     )
     return docs.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/validation split
+# ---------------------------------------------------------------------------
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    val_bp: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val assignment that cannot leak near-duplicates across the
+    boundary: the md5 split decision is taken per duplicate COMPONENT
+    (connected_components over the near-dup pair graph,
+    operators/dedup.py), never per document — every member of a
+    near-dup cluster lands in the SAME split, so an eval example's
+    near-twin can never sit in train (the contamination mode a naive
+    per-doc split creates in ~every corpus with surviving near-dups).
+
+        split = 'val'  ⇔  md5_60(component || ':' || salt) mod 10000 < val_bp
+
+    ``components`` is the ``(id, component)`` frame from
+    :func:`~rearview_spark.operators.dedup.connected_components`; docs
+    absent from it are singletons (component = own id). ``val_bp`` is
+    the target validation fraction in basis points (1000 = 10%); the
+    achieved fraction is binomial over COMPONENTS, so a corpus
+    dominated by one giant cluster moves whole — by design (splitting
+    it would be the leak). Deterministic: reruns, retries, and the
+    oracle gate agree bit-for-bit.
+
+    Scale shape: one broadcast-or-shuffle join on the doc id (the
+    component table is |dup docs| rows, usually a small fraction of the
+    corpus), then a scan-time hash decision. Adds ``component`` and
+    ``split``."""
+    if not 0 <= val_bp <= 10000:
+        raise ValueError(f"val_bp must be in [0, 10000], got {val_bp}")
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("_comp")
+    )
+    joined = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("_comp"), F.col(id_col))
+    )
+    bucket = F.pmod(
+        _hash60(F.concat(F.col("component").cast("string"), F.lit(f":{salt}"))),
+        F.lit(10000),
+    )
+    return joined.drop("_comp").withColumn(
+        "split", F.when(bucket < val_bp, F.lit("val")).otherwise(F.lit("train"))
+    )

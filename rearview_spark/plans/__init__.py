@@ -22,6 +22,7 @@ _NEW_THIS_ROUND = (
     #   dedup_incremental_minhash (operators/dedup.py: incremental_minhash_dedup)
     #   dedup_duplicated_spans   (operators/dedup.py: duplicated_spans)
     #   sel_cluster_balanced     (operators/selection.py: cluster_balanced_sample)
+    #   doc_leakage_safe_split   (operators/curation.py: leakage_safe_split)
 )
 
 

@@ -1756,11 +1756,42 @@ ORDER BY a.vec_id
 )
 
 
-#: r07: the three r06-staged gates are live; this round stages THREE
+# --- Leakage-safe split (built r07, staged for r08) --------------------------
+
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split taken per duplicate COMPONENT (near-dup pairs →
+    connected components → md5-of-component decision), so an eval doc's
+    near-twin can never land in train (operators/curation.py:
+    leakage_safe_split). The gate hashes every doc's component and
+    split — the pair graph, the component labels, singleton fallback,
+    and each split decision are all value-checked."""
+    from rearview_spark.operators import curation as CUR
+
+    docs = Tables(spark, sf_dir).documents
+    pairs = D.minhash_near_duplicates(docs, threshold=0.05)
+    comps = D.connected_components(pairs)
+    out = CUR.leakage_safe_split(docs, comps, val_bp=2000)
+    return out.select("doc_id", "component", "split").orderBy("doc_id")
+
+
+#: DEDUP_GROUPS_SQL's CTE chain through comp (pairs -> transitive
+#: closure -> min-label components), without its aggregating SELECT
+_COMPONENTS_CTES = DEDUP_GROUPS_SQL.rsplit("SELECT component,", 1)[0]
+
+DOC_SPLIT_SQL = _COMPONENTS_CTES + """
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CASE WHEN (CAST(concat('0x', substr(md5(concat(CAST(coalesce(c.component, d.doc_id) AS VARCHAR), ':split')), 1, 15)) AS BIGINT) % 10000) < 2000
+            THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY d.doc_id
+"""
+
+#: r07: the three r06-staged gates are live; this round stages FOUR
 #: gates (incremental dedup, duplicated-span dedup, cluster-balanced
-#: sampling) for the r08 window — the window-full discipline of
-#: plans/__init__.py. All parity-tested now by tests/test_pending_gates.py
-#: through the oracle_check compare path.
+#: sampling, leakage-safe split) for the r08 window — the window-full
+#: discipline of plans/__init__.py. All parity-tested now by
+#: tests/test_pending_gates.py through the oracle_check compare path.
 PENDING_QUERIES: dict[str, dict] = {
     "dedup_incremental_minhash": {
         "fn": dedup_incremental_minhash,
@@ -1773,5 +1804,9 @@ PENDING_QUERIES: dict[str, dict] = {
     "sel_cluster_balanced": {
         "fn": sel_cluster_balanced,
         "oracle": SEL_CLUSTER_SQL,
+    },
+    "doc_leakage_safe_split": {
+        "fn": doc_leakage_safe_split,
+        "oracle": DOC_SPLIT_SQL,
     },
 }

@@ -250,3 +250,33 @@ def test_token_budget_mix_null_text_counts_zero_tokens(spark):
     assert by[2]["n_tokens"] == 0
     # stratum total is 3 (not 3 - 1), so keep-all cap still applies
     assert all(r["keep_threshold_bp"] == 10000 for r in out)
+
+
+def test_leakage_safe_split_keeps_twins_together(spark):
+    """Near-dup cluster members must land in the SAME split (the whole
+    point); singletons fall back to component = own id; the val
+    fraction tracks val_bp over components; determinism across reruns."""
+    import pytest as _pytest
+
+    from rearview_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    # two clusters: {1,2,3} and {50,51}; everything else singleton
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (50, 50), (51, 50)], "id long, component long"
+    )
+    out = leakage_safe_split(docs, comps, val_bp=3000).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert {by[i]["split"] for i in (1, 2, 3)} == {by[1]["split"]}
+    assert by[50]["split"] == by[51]["split"]
+    assert by[7]["component"] == 7  # singleton fallback
+    n_val = sum(1 for r in out if r["split"] == "val")
+    assert 10 <= n_val <= 55  # ~30% of ~97 components, binomial slack
+
+    again = {(r["doc_id"], r["split"]) for r in leakage_safe_split(docs, comps, val_bp=3000).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, comps, val_bp=10001)
