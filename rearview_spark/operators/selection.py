@@ -68,6 +68,22 @@ QUALITY_WEIGHTS: tuple[float, float, float, float, float] = (
 )
 
 
+def quality_features(col: Column) -> list[Column]:
+    """The classifier's four deterministic text features, in weight
+    order (after the bias): saturating length factor, stopword ratio,
+    punctuation ratio, saturating mean-token-length factor. Single
+    source of the feature DEFINITIONS — shared by the scorer
+    (:func:`quality_logit`) and the trainer
+    (:func:`train_quality_weights`), so a model trained here scores
+    identically at serving time."""
+    return [
+        F.least(token_count(col).cast("double") / F.lit(200.0), F.lit(1.0)),
+        stopword_ratio(col),
+        punct_ratio(col),
+        F.least(mean_token_length(col) / F.lit(8.0), F.lit(1.0)),
+    ]
+
+
 def quality_logit(col: Column, weights: tuple[float, ...] = QUALITY_WEIGHTS) -> Column:
     """Linear score over the deterministic text features, as a FIXED
     left-associated multiply-add chain (float addition is not
@@ -75,16 +91,12 @@ def quality_logit(col: Column, weights: tuple[float, ...] = QUALITY_WEIGHTS) -> 
     Thresholding on the logit is equivalent to thresholding on the
     sigmoid probability (monotone), and avoids cross-engine ``exp``
     (IEEE does not require transcendentals correctly rounded)."""
-    b, w_len, w_stop, w_punct, w_mtl = weights
-    len_factor = F.least(token_count(col).cast("double") / F.lit(200.0), F.lit(1.0))
-    mtl_factor = F.least(mean_token_length(col) / F.lit(8.0), F.lit(1.0))
-    return (
-        F.lit(b)
-        + F.lit(w_len) * len_factor
-        + F.lit(w_stop) * stopword_ratio(col)
-        + F.lit(w_punct) * punct_ratio(col)
-        + F.lit(w_mtl) * mtl_factor
-    )
+    b = weights[0]
+    feats = quality_features(col)
+    out = F.lit(b)
+    for w, f in zip(weights[1:], feats):
+        out = out + F.lit(w) * f
+    return out
 
 
 def classifier_quality(
@@ -102,6 +114,67 @@ def classifier_quality(
         logit.alias("quality_logit"),
         (logit > 0).alias("keep"),
     )
+
+
+def train_quality_weights(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    iters: int = 60,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    init: tuple[float, ...] = (0.0, 0.0, 0.0, 0.0, 0.0),
+) -> tuple[float, ...]:
+    """Train the quality classifier's weights by batch-gradient
+    logistic regression over :func:`quality_features` — turning the
+    shipped stand-in weights into a model FITTED on labeled (or
+    weak-labeled) documents, with zero new serving machinery: the
+    returned tuple plugs straight into :func:`classifier_quality`,
+    whose scoring expression shares the exact feature definitions.
+
+    ``label_col`` is a boolean/0-1 column (1 = keep-quality). Each
+    iteration is ONE aggregation over the cached 5-column feature frame
+    (the gradient is five sums — map-side combined, 5 doubles to the
+    driver), then a driver-side weight update: the classic
+    all-reduce-per-step distributed GD, fine for a 5-parameter model at
+    any corpus size. Deterministic: fixed init, fixed iteration count,
+    no RNG, no data-order dependence (sums are commutative to the
+    ~1e-12 float-reassociation level, far under any decision boundary).
+
+    Training is an OFFLINE stage (like pq_fit / bpe_train); the gate
+    contract stays the scoring plan."""
+    import math
+
+    n_feats = 4
+    feats = quality_features(F.col(text_col))
+    y = F.col(label_col).cast("double")
+    base = df.select(
+        y.alias("_y"), *[feat.alias(f"_x{i}") for i, feat in enumerate(feats)]
+    ).cache()
+    n = base.count()
+    if n == 0:
+        raise ValueError("cannot train on an empty frame")
+
+    w = list(init)
+    for _ in range(iters):
+        # z = w0 + sum(wi * xi); p = sigmoid(z); grads = X^T (p - y) / n
+        z = F.lit(w[0])
+        for i in range(n_feats):
+            z = z + F.lit(w[i + 1]) * F.col(f"_x{i}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("_y")
+        row = base.agg(
+            F.sum(err).alias("g0"),
+            *[F.sum(err * F.col(f"_x{i}")).alias(f"g{i + 1}") for i in range(n_feats)],
+        ).first()
+        grads = [row[f"g{i}"] / n for i in range(n_feats + 1)]
+        for i in range(n_feats + 1):
+            reg = l2 * w[i] if i > 0 else 0.0  # never regularize the bias
+            w[i] -= lr * (grads[i] + reg)
+        if any(math.isnan(x) or math.isinf(x) for x in w):
+            raise ArithmeticError("diverged — lower lr")
+    base.unpersist()
+    return tuple(w)
 
 
 # ---------------------------------------------------------------------------

@@ -141,3 +141,46 @@ def test_cluster_balanced_threshold_floors_at_one_bp(spark):
     thr = {r["keep_threshold_bp"] for r in out.select("keep_threshold_bp").distinct().collect()}
     assert thr <= {1} and thr != {0}
     assert cluster_balanced_sample(emb, n_clusters=1, iters=1, per_cluster=0).count() == 0
+
+
+def test_train_quality_weights_learns_separable_labels(spark):
+    """Logistic GD over the shared feature definitions: on weak labels
+    that follow the features (prose-like vs punctuation-heavy), the
+    trained weights must separate the classes at serving time through
+    classifier_quality — and training must be deterministic."""
+    from rearview_spark.operators.selection import (
+        classifier_quality,
+        train_quality_weights,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and then it naps for a while in the warm sun"
+    markup = "<<<>>> ### !!! ;;; ((())) %%% &&& *** $$$ @@@"
+    rows = [(i, prose + f" w{i}", 1) for i in range(40)]
+    rows += [(100 + i, markup * (1 + i % 3), 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    w = train_quality_weights(df, "label", iters=80, lr=2.0)
+    assert len(w) == 5
+    scored = classifier_quality(df, weights=w).join(
+        df.select("doc_id", "label"), "doc_id"
+    )
+    acc = scored.filter(
+        (F.col("keep") & (F.col("label") == 1))
+        | (~F.col("keep") & (F.col("label") == 0))
+    ).count() / 80
+    assert acc >= 0.95, acc
+    # learned signs match the documented priors: stopwords help (w2),
+    # punctuation hurts (w3)
+    assert w[2] > 0 and w[3] < 0
+    # deterministic retrain
+    assert train_quality_weights(df, "label", iters=80, lr=2.0) == w
+
+
+def test_train_quality_weights_validates_input(spark):
+    import pytest as _pytest
+
+    from rearview_spark.operators.selection import train_quality_weights
+
+    empty = spark.createDataFrame([], "doc_id long, text string, label int")
+    with _pytest.raises(ValueError):
+        train_quality_weights(empty, "label")
