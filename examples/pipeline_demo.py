@@ -43,8 +43,32 @@ def main(sf_dir: str) -> None:
     spark = get_spark("pipeline_demo")
     docs = _stage(Tables(spark, sf_dir).documents, "corpus docs")
 
-    # 1. classifier quality filter (keep = logit > 0)
-    kept_ids = SEL.classifier_quality(docs).filter("keep").select("doc_id")
+    # 1. quality classifier — BOOTSTRAPPED: weak labels from the rule
+    # filters (Gopher repetition pass + recognized language) train the
+    # logistic weights, which then score every doc through the shared
+    # feature definitions (train_quality_weights docstring)
+    from rearview_spark.operators.text import with_text_features
+
+    weak = (
+        CUR.gopher_quality_filter(
+            docs, min_tokens=10, max_top_token_ratio=0.5,
+            max_top_bigram_ratio=0.5, min_distinct_ratio=0.2,
+        )
+        .select("doc_id", "gopher_pass")
+        .join(with_text_features(docs).select("doc_id", "lang_pred"), "doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "label", (F.col("gopher_pass") & (F.col("lang_pred") != "unk")).cast("int")
+        )
+    )
+    # the weak boundary (stop_ratio threshold) is sharp, so the logistic
+    # needs many steps / a hot lr to grow the separating weight — each
+    # step is one 5-sum aggregate, so 400 steps is still seconds
+    weights = SEL.train_quality_weights(weak, "label", iters=400, lr=8.0)
+    print("trained quality weights:", [round(w, 3) for w in weights])
+    kept_ids = (
+        SEL.classifier_quality(docs, weights=weights).filter("keep").select("doc_id")
+    )
     docs = _stage(docs.join(kept_ids, "doc_id"), "after quality classifier")
 
     # 2. Gopher repetition rules (thresholds loosened for the short
