@@ -53,11 +53,13 @@ def sniff_mime(payload_col) -> F.Column:
     """Magic-byte MIME sniffing as a pure JVM expression (hex on the first
     bytes — the payload never crosses into Python)."""
     head = F.hex(F.substring(payload_col, 1, 4))
+    brand = F.hex(F.substring(payload_col, 5, 4))  # ISO-BMFF 'ftyp' at +4
     return (
         F.when(head.startswith("89504E47"), "image/png")
         .when(head.startswith("FFD8FF"), "image/jpeg")
         .when(head.startswith("47494638"), "image/gif")
         .when(head.startswith("52494646"), "audio/wav")
+        .when(brand == "66747970", "video/mp4")
         .otherwise("application/octet-stream")
     )
 
@@ -144,7 +146,70 @@ def decode_header(payload: bytes) -> dict:
             "height": None,
             "duration_ms": (data_size or 0) * 1000 // byte_rate,
         }
+    if buf[4:8] == b"ftyp":
+        return _decode_mp4(buf)
     raise ValueError("unrecognized container magic")
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Walk ISO-BMFF boxes in buf[start:end]: yields (type, payload_lo,
+    payload_hi). size==1 means 64-bit largesize; size==0 means to-end."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        btype = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("MP4: truncated largesize box")
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr:
+            raise ValueError("MP4: bad box size")
+        yield btype, i + hdr, min(i + size, end)
+        i += size
+
+
+def _decode_mp4(buf: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV family): duration from moov/mvhd
+    (duration/timescale, version 0 and 1 layouts), display dims from
+    the first trak/tkhd with a nonzero width (16.16 fixed point)."""
+    duration_ms = None
+    width = height = None
+    for btype, lo, hi in _iter_boxes(buf, 0, len(buf)):
+        if btype != b"moov":
+            continue
+        for ctype, clo, chi in _iter_boxes(buf, lo, hi):
+            if ctype == b"mvhd" and duration_ms is None and chi - clo >= 20:
+                ver = buf[clo]
+                if ver == 1 and chi - clo >= 32:
+                    scale = int.from_bytes(buf[clo + 20 : clo + 24], "big")
+                    dur = int.from_bytes(buf[clo + 24 : clo + 32], "big")
+                else:
+                    scale = int.from_bytes(buf[clo + 12 : clo + 16], "big")
+                    dur = int.from_bytes(buf[clo + 16 : clo + 20], "big")
+                if scale > 0:
+                    duration_ms = dur * 1000 // scale
+            elif ctype == b"trak" and width is None:
+                for ttype, tlo, thi in _iter_boxes(buf, clo, chi):
+                    if ttype != b"tkhd":
+                        continue
+                    off = 88 if buf[tlo] == 1 else 76
+                    if thi - tlo >= off + 8:
+                        w = int.from_bytes(buf[tlo + off : tlo + off + 4], "big") >> 16
+                        h = int.from_bytes(buf[tlo + off + 4 : tlo + off + 8], "big") >> 16
+                        if w > 0:
+                            width, height = w, h
+    if duration_ms is None:
+        raise ValueError("MP4: no moov/mvhd box found")
+    return {
+        "mime": "video/mp4",
+        "width": width,
+        "height": height,
+        "duration_ms": duration_ms,
+    }
 
 
 _PNG_SIG = tuple(b"\x89PNG\r\n\x1a\n")
@@ -225,9 +290,11 @@ def decode_headers_batch(payloads) -> pd.DataFrame:
     mime[ok_wav] = "audio/wav"
     dur[ok_wav] = (le(40, 44)[ok_wav] * 1000) // byte_rate[ok_wav]
 
-    # variable-offset fallbacks: JPEG marker scan, non-canonical RIFF walk
+    # variable-offset fallbacks: JPEG marker scan, non-canonical RIFF
+    # walk, ISO-BMFF (MP4) box walk
     is_jpeg = (plen >= 10) & (head[:, 0] == 0xFF) & (head[:, 1] == 0xD8) & (head[:, 2] == 0xFF)
-    for i in np.nonzero(is_jpeg | (is_riff & ~ok_wav))[0]:
+    is_mp4 = (plen >= 16) & (head[:, 4:8] == np.frombuffer(b"ftyp", np.uint8)).all(axis=1)
+    for i in np.nonzero(is_jpeg | (is_riff & ~ok_wav) | is_mp4)[0]:
         try:
             hdr = decode_header(payloads[i])
         except ValueError:

@@ -674,3 +674,51 @@ def test_embedding_dedup_recall_on_jittered_twins(spark):
     expected = n_base * (copies * (copies - 1) // 2)
     recall = len(same) / expected
     assert recall >= 0.9, recall
+
+
+def _mp4_bytes(duration_ms: int, w: int = 0, h: int = 0, v1: bool = False) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd [+ trak(tkhd)])."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    timescale = 1000
+    if v1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + timescale.to_bytes(4, "big") \
+            + duration_ms.to_bytes(8, "big")
+    else:
+        mvhd = bytes(4) + b"\x00" * 8 + timescale.to_bytes(4, "big") \
+            + duration_ms.to_bytes(4, "big")
+    inner = box(b"mvhd", mvhd)
+    if w:
+        tkhd = bytes(4) + b"\x00" * 72 + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+        inner += box(b"trak", box(b"tkhd", tkhd))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", inner)
+
+
+def test_decode_mp4_headers():
+    hdr = M.decode_header(_mp4_bytes(2500, 1920, 1080))
+    assert hdr == {"mime": "video/mp4", "width": 1920, "height": 1080, "duration_ms": 2500}
+    # audio-only mp4: duration, no dims
+    hdr = M.decode_header(_mp4_bytes(900))
+    assert hdr["mime"] == "video/mp4" and hdr["duration_ms"] == 900
+    assert hdr["width"] is None
+    # version-1 mvhd (64-bit duration field)
+    assert M.decode_header(_mp4_bytes(7200, v1=True))["duration_ms"] == 7200
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.decode_header(b"\x00\x00\x00\x10ftypisom" + b"\x00" * 8)  # no moov
+
+
+def test_mp4_through_batch_and_sniff(spark):
+    payloads = [_mp4_bytes(1500, 640, 360), _png := None]
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4_bytes(1500, 640, 360))), (2, bytearray(b"garbage..."))],
+        "media_id long, payload binary",
+    )
+    sniffed = {r["media_id"]: r["meta"]["mime"] for r in M.with_media_meta(df).collect()}
+    assert sniffed == {1: "video/mp4", 2: "application/octet-stream"}
+    out = M.decode_headers_batch([bytes(_mp4_bytes(1500, 640, 360)), b"junk"])
+    assert out.iloc[0]["mime"] == "video/mp4"
+    assert out.iloc[0]["duration_ms"] == 1500 and out.iloc[0]["width"] == 640
+    assert out.iloc[1]["mime"] is None
