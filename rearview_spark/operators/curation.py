@@ -464,6 +464,8 @@ def leakage_safe_split(
     component table is |dup docs| rows, usually a small fraction of the
     corpus), then a scan-time hash decision. Adds ``component`` and
     ``split``."""
+    from rearview_spark.operators.dedup import md5_bucket
+
     if not 0 <= val_bp <= 10000:
         raise ValueError(f"val_bp must be in [0, 10000], got {val_bp}")
     comp = components.select(
@@ -472,10 +474,7 @@ def leakage_safe_split(
     joined = df.join(comp, id_col, "left").withColumn(
         "component", F.coalesce(F.col("_comp"), F.col(id_col))
     )
-    bucket = F.pmod(
-        _hash60(F.concat(F.col("component").cast("string"), F.lit(f":{salt}"))),
-        F.lit(10000),
-    )
+    bucket = md5_bucket(F.col("component"), salt)
     return joined.drop("_comp").withColumn(
         "split", F.when(bucket < val_bp, F.lit("val")).otherwise(F.lit("train"))
     )

@@ -84,6 +84,24 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def md5_bucket(col: Column, salt: str, mod: int = 10000) -> Column:
+    """The deterministic keep/split decision bucket every sampler shares:
+    ``md5_60(col || ':' || salt) mod ``mod`` — compare against a
+    threshold for rerun-stable sampling with no RNG (stratified_sample,
+    token_budget_mix, cluster_balanced_sample, leakage_safe_split)."""
+    return F.pmod(_hash60(F.concat(col.cast("string"), F.lit(f":{salt}"))), F.lit(mod))
+
+
+def _exact_jaccard(set_a: str, set_b: str) -> Column:
+    """Exact Jaccard of two fingerprint-set array columns, 6dp
+    nudge-rounded (the cross-engine rounding discipline of
+    plans/_exact.py) — the verification expression both the batch and
+    incremental minhash operators decide on, single-sourced."""
+    inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
+    union = F.size(F.array_union(set_a, set_b)).cast("double")
+    return F.round(inter / union + F.lit(5e-10), 6)
+
+
 def _ngram_fold(toks: Column, n: int) -> Column:
     """Space-joined word n-grams of a token array, position-ordered, as
     an n-way ``zip_with`` fold over shifted slices — NOT
@@ -340,10 +358,8 @@ def minhash_near_duplicates(
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("shs").alias("sh_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("shs").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     verified = (
-        joined.select("id_a", "id_b", F.round(inter / union + F.lit(5e-10), 6).alias("jaccard"))
+        joined.select("id_a", "id_b", _exact_jaccard("sh_a", "sh_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     # Materialize the (pairs-scale, small) verified result and release the
@@ -468,12 +484,8 @@ def incremental_minhash_dedup(
         pool.select(F.col(id_col).alias("_mid"), F.col("shs").alias("_sh_m")),
         "_mid",
     )
-    inter = F.size(F.array_intersect("_sh_n", "_sh_m")).cast("double")
-    union = F.size(F.array_union("_sh_n", "_sh_m")).cast("double")
     scored = matches.select(
-        "_nid",
-        "_mid",
-        F.round(inter / union + F.lit(5e-10), 6).alias("jaccard"),
+        "_nid", "_mid", _exact_jaccard("_sh_n", "_sh_m").alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
     best = (
         scored.withColumn(
@@ -526,10 +538,9 @@ def incremental_dedup_foreach_batch(
     batch decides every doc exactly as the first run did; the only
     retry residue is a duplicate store ROW, which the id-dedup here
     masks and a store compaction pass can drop."""
+    from pyspark.errors import AnalysisException
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         try:
             # probe through Spark (Hadoop FS), not os.path: store_dir may
             # be hdfs:// or s3a:// where driver-local listing sees nothing

@@ -186,24 +186,18 @@ def doc_features(col: Column) -> Column:
     normalized token stream, occurrences kept (DSIR weights by feature
     *count*, not presence). Returns array<string>.
 
-    Bigrams are built as ``zip_with(toks[:-1], toks[1:], concat)`` — one
-    pass over two array slices — rather than
-    ``transform(sequence(1, n-1), i -> concat_ws(slice(toks, i, 2)))``:
-    higher-order functions evaluate interpreted (outside whole-stage
-    codegen), so the per-ELEMENT sequence/slice/concat_ws tree was the
-    measured bottleneck of the whole DSIR pass at the 100x corpus —
-    5.8x slower than the zip_with form for byte-identical output
-    (PLANS.md round-7 scaling table)."""
+    Bigrams come from the shared ``dedup._ngram_fold`` (a zip_with fold
+    over shifted slices, NOT ``transform(sequence(...), i -> slice)``:
+    higher-order functions evaluate interpreted, and the per-element
+    tree was the measured bottleneck of the whole DSIR pass at the 100x
+    corpus — 5.8x slower for byte-identical output; PLANS.md round-7
+    scaling table)."""
+    from rearview_spark.operators.dedup import _ngram_fold
+
     toks = tokens(col)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = F.when(F.size(toks) >= 2, _ngram_fold(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.concat(toks, bigrams)
 
 
@@ -359,12 +353,10 @@ def cluster_balanced_sample(
         .cast("int")
         .alias("keep_threshold_bp"),
     )
-    bucket_hash = F.pmod(
-        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
-        F.lit(10000),
-    )
+    from rearview_spark.operators.dedup import md5_bucket
+
     return (
         assigned.join(F.broadcast(thr), "bucket")
-        .filter(bucket_hash < F.col("keep_threshold_bp"))
+        .filter(md5_bucket(F.col(id_col), salt) < F.col("keep_threshold_bp"))
         .select(id_col, "bucket", "keep_threshold_bp")
     )
