@@ -213,3 +213,43 @@ def bpe_train(
     return docs.sparkSession.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-scrape cleaning (HTML strip + entity decode)
+# ---------------------------------------------------------------------------
+
+#: literal entity decodes, applied AFTER tag stripping and in this order —
+#: '&amp;' LAST, so the raw text "&amp;lt;" decodes to the literal text
+#: "&lt;" (one level), never double-decodes into "<" (the classic bug)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def clean_html(col: Column) -> Column:
+    """Strip markup from web-scraped text: drop <script>/<style> blocks
+    WITH their contents, remove comments and all remaining tags, decode
+    the common literal entities (order contract above), and collapse
+    whitespace — the CCNet-style cleaning pass that runs before any
+    token-level curation. Pure JVM regexp/replace chain inside
+    whole-stage codegen: no UDF, no shuffle, composes with predicate
+    pushdown like every other narrow text operator. Patterns stay in
+    the Java/RE2-common regex subset (case-insensitive flags, lazy
+    quantifiers, character classes) so the DuckDB oracle replays them
+    verbatim."""
+    # script/style as two literal patterns, not one with a </\1>
+    # backreference: RE2 (DuckDB) has no backreferences, and the oracle
+    # must replay these verbatim
+    out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for entity, plain in HTML_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(plain))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

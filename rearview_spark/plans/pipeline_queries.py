@@ -1787,11 +1787,71 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 ORDER BY d.doc_id
 """
 
-#: r07: the three r06-staged gates are live; this round stages FOUR
+# --- HTML cleaning (built r07, staged for r08) -------------------------------
+
+def doc_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scrape cleaning on deterministically HTML-ified documents:
+    each doc is wrapped in markup (tags, a script block, comments,
+    entities — varied by doc_id so every rule is exercised), cleaned
+    with operators/text.py: clean_html, and the gate hashes the cleaned
+    text md5 per doc — tag stripping, script-with-content removal,
+    entity decode order (&amp; last), and whitespace collapse are all
+    value-checked."""
+    from rearview_spark.operators.text import clean_html
+
+    docs = Tables(spark, sf_dir).documents
+    htmlized = F.concat(
+        F.lit('<div id="d'), F.col("doc_id").cast("string"), F.lit('">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("<script type='text/javascript'>var x = 1 < 2;</script>"),
+        ).otherwise(F.lit("<!-- comment -->")),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("&amp;lt; &quot;q&quot;&nbsp;&#39;s&#39; &lt;tail&gt;</div>"),
+    )
+    out = docs.select(
+        "doc_id", clean_html(htmlized).alias("clean_text")
+    )
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5")
+    ).orderBy("doc_id")
+
+
+DOC_HTML_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         concat('<div id="d', CAST(doc_id AS VARCHAR), '">',
+                CASE WHEN doc_id % 3 = 0
+                     THEN '<script type=''text/javascript''>var x = 1 < 2;</script>'
+                     ELSE '<!-- comment -->' END,
+                '<p>', text, '</p>',
+                '&amp;lt; &quot;q&quot;&nbsp;&#39;s&#39; &lt;tail&gt;</div>') AS raw
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '(?s)<[^>]+>', ' ', 'g') AS t
+  FROM h
+), decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM stripped
+)
+SELECT doc_id, md5(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS clean_md5
+FROM decoded ORDER BY doc_id
+"""
+
+#: r07: the three r06-staged gates are live; this round stages FIVE
 #: gates (incremental dedup, duplicated-span dedup, cluster-balanced
-#: sampling, leakage-safe split) for the r08 window — the window-full
-#: discipline of plans/__init__.py. All parity-tested now by
-#: tests/test_pending_gates.py through the oracle_check compare path.
+#: sampling, leakage-safe split, HTML cleaning) for the r08 window —
+#: the window-full discipline of plans/__init__.py. All parity-tested
+#: now by tests/test_pending_gates.py through the oracle_check compare
+#: path.
 PENDING_QUERIES: dict[str, dict] = {
     "dedup_incremental_minhash": {
         "fn": dedup_incremental_minhash,
@@ -1809,4 +1869,5 @@ PENDING_QUERIES: dict[str, dict] = {
         "fn": doc_leakage_safe_split,
         "oracle": DOC_SPLIT_SQL,
     },
+    "doc_html_clean": {"fn": doc_html_clean, "oracle": DOC_HTML_SQL},
 }

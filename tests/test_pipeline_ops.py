@@ -722,3 +722,27 @@ def test_mp4_through_batch_and_sniff(spark):
     assert out.iloc[0]["mime"] == "video/mp4"
     assert out.iloc[0]["duration_ms"] == 1500 and out.iloc[0]["width"] == 640
     assert out.iloc[1]["mime"] is None
+
+
+def test_clean_html_rules(spark):
+    """The cleaning contract: script/style blocks go WITH contents,
+    comments and tags go, entities decode one level with &amp; last
+    (so '&amp;lt;' becomes the literal text '&lt;', never '<'),
+    whitespace collapses."""
+    cases = [
+        (1, "<p>hello <b>world</b></p>", "hello world"),
+        (2, "<script>var a = '<p>sneaky</p>';</script>after", "after"),
+        (3, "<style type='x'>p { color: red }</style>text", "text"),
+        (4, "a <!-- hidden <b>bold</b> --> b", "a b"),
+        (5, "x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;y", "x <tag> \"q\" 's' y"),
+        (6, "one &amp;lt; two &amp; three", "one &lt; two & three"),
+        (7, "  lots   of\n\nspace  ", "lots of space"),
+        (8, "no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id long, raw string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", X.clean_html(F.col("raw")).alias("c")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
