@@ -23,6 +23,7 @@ _NEW_THIS_ROUND = (
     #   dedup_duplicated_spans   (operators/dedup.py: duplicated_spans)
     #   sel_cluster_balanced     (operators/selection.py: cluster_balanced_sample)
     #   doc_leakage_safe_split   (operators/curation.py: leakage_safe_split)
+    #   doc_html_clean           (operators/text.py: clean_html)
 )
 
 
