@@ -70,6 +70,13 @@ HEADLINE = [
     # round-7: the r06-staged gates, now registered
     "ts_lttb_downsample",
     "sim_range_search",
+    # round-9: the r07-staged gates, now registered — one line per new
+    # operator family (incremental dedup, span dedup, cluster-balanced
+    # selection); doc_html_clean / doc_leakage_safe_split share plan
+    # families already timed (regexp chain, component join).
+    "dedup_incremental_minhash",
+    "dedup_duplicated_spans",
+    "sel_cluster_balanced",
 ]
 
 
@@ -186,35 +193,41 @@ def main() -> None:
     # load) inflates a single sample up to ~50%, and the engine's own
     # run-to-run variance after warmup is small. Caches created inside a
     # query fn are dropped between repeats so every sample pays the
-    # query's real materialization cost.
+    # query's real materialization cost. The FULL sample spread
+    # [min, median, max] is also emitted per query: round 8 measured
+    # per-query swings up to ±40% on byte-identical code, so drift
+    # adjudication needs the spread, not just the point estimate.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name == "sim_pq_scan_topk":
-            # build once per session (its own line), then time the scan
-            best_fit = float("inf")
-            for _ in range(repeats):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                _pq_index_build(spark, SF_DIR, f"{index_dir}/main")
-                best_fit = min(best_fit, time.perf_counter() - t0)
-            timings["sim_pq_fit_encode"] = round(best_fit, 3)
-            best = float("inf")
-            for _ in range(repeats):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                _pq_scan_from_index(spark, SF_DIR, f"{index_dir}/main").count()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-            continue
-        fn = qs[name]["fn"]
-        best = float("inf")
+
+    def _samples(thunk) -> list[float]:
+        out = []
         for _ in range(repeats):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            thunk()
+            out.append(time.perf_counter() - t0)
+        return sorted(out)
+
+    def _spread(s: list[float]) -> list[float]:
+        med = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+        return [round(s[0], 3), round(med, 3), round(s[-1], 3)]
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        if name == "sim_pq_scan_topk":
+            # build once per session (its own line), then time the scan
+            fit = _samples(lambda: _pq_index_build(spark, SF_DIR, f"{index_dir}/main"))
+            timings["sim_pq_fit_encode"] = round(fit[0], 3)
+            spreads["sim_pq_fit_encode"] = _spread(fit)
+            s = _samples(
+                lambda: _pq_scan_from_index(spark, SF_DIR, f"{index_dir}/main").count()
+            )
+        else:
+            fn = qs[name]["fn"]
+            s = _samples(lambda: fn(spark, SF_DIR).count())
+        timings[name] = round(s[0], 3)
+        spreads[name] = _spread(s)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -224,6 +237,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
+        # per-query [min, median, max] over the repeats — the noise band
+        # a cross-round comparison must clear before calling drift real
+        "spread": spreads,
     }
     # Cross-round drift, computed on the queries BOTH rounds timed so new
     # headline lines never skew the comparison (VERDICT r04 next-round #8).

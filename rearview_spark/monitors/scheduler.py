@@ -73,6 +73,21 @@ class MonitorScheduler:
         process death anywhere between the CAS and the last send leaves
         the owed alerts durable; the next tick's opening drain delivers
         them (re-sending only the unmarked tail).
+
+        Result-sink shape (the 10^5-monitor question): the collect below
+        pulls ONE summary row per due monitor — status + graph-point
+        count, never the series data, which stays in the Spark job and
+        lands in job_data via the store writer. That makes the tick's
+        driver traffic O(active monitors), ~100 B/row: 10^5 due monitors
+        collect ~10 MB and iterate a trivial Python loop, comfortably
+        inside one driver. The scale-out past that is sharding ticks by
+        ``pmod(monitor_id, n_shards)`` (each shard an independent
+        scheduler over a disjoint config slice — the CAS key is
+        per-table, so give each shard its own store prefix), NOT a
+        foreachBatch rewrite: transitions need read-your-writes against
+        the open-error table inside one commit, which a streaming sink
+        can't give without re-introducing the same per-shard serial
+        point.
         """
         # drain alerts stranded by a predecessor that died mid-dispatch
         stranded = self._drain_outbox()

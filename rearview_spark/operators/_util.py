@@ -20,6 +20,24 @@ _WIDE_NODES = (
 )
 
 
+def _has_wide_node(jplan) -> bool:
+    """True when any node in the JVM logical-plan tree (children walk,
+    iterative to dodge py4j recursion depth on tall plans) has a
+    ``nodeName`` starting with one of :data:`_WIDE_NODES`. ``startswith``
+    covers the families: RepartitionByExpression, the
+    FlatMapGroupsInPandas* stateful variants, the Join subclasses."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if any(name.startswith(w) for w in _WIDE_NODES):
+            return True
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return False
+
+
 def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread a compute-heavy input across the cluster when the source has
     fewer partitions than cores.
@@ -37,16 +55,14 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     containing a wide node (join/agg/window/repartition/…) has crossed an
     Exchange, whose parallelism is ``spark.sql.shuffle.partitions`` —
     those inputs return unchanged without being re-planned. The wide-node
-    scan reads the ANALYZED plan (computed eagerly at DataFrame creation,
-    so free), never the optimized/physical one.
+    scan walks the ANALYZED plan's node names through the JVM tree
+    (computed eagerly at DataFrame creation, so free), never the
+    optimized/physical one — matching on ``nodeName`` rather than a
+    regex over ``toString`` so a column that happens to be NAMED
+    "Window…" can't spuriously match and a tree-drawing format change
+    in a future Spark can't silently break the anchor (ADVICE r08 #4).
     """
-    import re
-
-    plan = df._jdf.queryExecution().analyzed().toString()
-    # node names sit at line starts after tree-drawing prefixes; anchoring
-    # there keeps a column that happens to be NAMED "Window…" from
-    # spuriously matching
-    if re.search(r"(?m)^[\s+:>-]*(" + "|".join(_WIDE_NODES) + r")\b", plan):
+    if _has_wide_node(df._jdf.queryExecution().analyzed()):
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism

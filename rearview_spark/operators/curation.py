@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rearview_spark.operators._util import ensure_parallelism
-from rearview_spark.operators.dedup import _hash60, word_shingles
+from rearview_spark.operators.dedup import md5_bucket, word_shingles
 from rearview_spark.operators.text import token_count, tokens
 
 # ---------------------------------------------------------------------------
@@ -102,10 +102,7 @@ def stratified_sample(
     is a narrow map evaluated at scan time (predicate pushdown applies;
     no count-first pass, no sampleBy approximation).
     """
-    bucket = F.pmod(
-        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
-        F.lit(10000),
-    )
+    bucket = md5_bucket(F.col(id_col), salt)
     rate = F.lit(int(default_rate * 10000))
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(int(v * 10000))).otherwise(rate)
@@ -198,10 +195,7 @@ def upsample_mix(
         w = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(w)
     whole = F.floor(w).cast("int")
     frac_bp = (F.round(w * 10000).cast("long") - whole.cast("long") * 10000).cast("int")
-    bucket = F.pmod(
-        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
-        F.lit(10000),
-    )
+    bucket = md5_bucket(F.col(id_col), salt)
     n_copies = whole + F.when(bucket < frac_bp, F.lit(1)).otherwise(F.lit(0))
     return (
         df.withColumn("_n_copies", n_copies)
@@ -273,10 +267,7 @@ def token_budget_mix(
         )
         .select(stratum_col, "keep_threshold_bp")
     )
-    bucket = F.pmod(
-        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
-        F.lit(10000),
-    )
+    bucket = md5_bucket(F.col(id_col), salt)
     # null-safe equality: a NULL stratum is a legitimate "no budget"
     # group (kept whole) — a plain equi-join would silently drop it
     thr = thr.withColumnRenamed(stratum_col, "_thr_stratum")
@@ -464,8 +455,6 @@ def leakage_safe_split(
     component table is |dup docs| rows, usually a small fraction of the
     corpus), then a scan-time hash decision. Adds ``component`` and
     ``split``."""
-    from rearview_spark.operators.dedup import md5_bucket
-
     if not 0 <= val_bp <= 10000:
         raise ValueError(f"val_bp must be in [0, 10000], got {val_bp}")
     comp = components.select(

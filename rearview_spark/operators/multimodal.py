@@ -53,13 +53,25 @@ def sniff_mime(payload_col) -> F.Column:
     """Magic-byte MIME sniffing as a pure JVM expression (hex on the first
     bytes — the payload never crosses into Python)."""
     head = F.hex(F.substring(payload_col, 1, 4))
-    brand = F.hex(F.substring(payload_col, 5, 4))  # ISO-BMFF 'ftyp' at +4
+    box = F.hex(F.substring(payload_col, 5, 4))  # ISO-BMFF 'ftyp' at +4
+    # major brand at +8 disambiguates the ISO-BMFF family: m4a audio and
+    # heic/avif images share the 'ftyp' box with video (ADVICE r08 #3)
+    brand = F.hex(F.substring(payload_col, 9, 4))
     return (
         F.when(head.startswith("89504E47"), "image/png")
         .when(head.startswith("FFD8FF"), "image/jpeg")
         .when(head.startswith("47494638"), "image/gif")
         .when(head.startswith("52494646"), "audio/wav")
-        .when(brand == "66747970", "video/mp4")
+        .when(
+            box == "66747970",
+            # M4A / M4B / M4P | heic / heix / mif1 | avif / avis
+            F.when(
+                brand.isin("4D344120", "4D344220", "4D345020"), "audio/mp4"
+            )
+            .when(brand.isin("68656963", "68656978", "6D696631"), "image/heic")
+            .when(brand.isin("61766966", "61766973"), "image/avif")
+            .otherwise("video/mp4"),
+        )
         .otherwise("application/octet-stream")
     )
 
@@ -172,10 +184,29 @@ def _iter_boxes(buf: bytes, start: int, end: int):
         i += size
 
 
+#: ISO-BMFF major brands that are not video (ADVICE r08 #3): the 'ftyp'
+#: box alone says "BMFF family", the brand says which medium.
+_BMFF_AUDIO_BRANDS = (b"M4A ", b"M4B ", b"M4P ")
+_BMFF_IMAGE_BRANDS = {
+    b"heic": "image/heic",
+    b"heix": "image/heic",
+    b"mif1": "image/heic",
+    b"avif": "image/avif",
+    b"avis": "image/avif",
+}
+
+
 def _decode_mp4(buf: bytes) -> dict:
-    """ISO-BMFF (MP4/MOV family): duration from moov/mvhd
-    (duration/timescale, version 0 and 1 layouts), display dims from
+    """ISO-BMFF (MP4/MOV family): MIME from the ftyp major brand
+    (audio/mp4 for M4A_/M4B_/M4P_, image/heic / image/avif for the
+    still-image brands, video/mp4 otherwise); duration from moov/mvhd
+    (duration/timescale, version 0 and 1 layouts); display dims from
     the first trak/tkhd with a nonzero width (16.16 fixed point)."""
+    brand = buf[8:12]
+    if brand in _BMFF_AUDIO_BRANDS:
+        mime = "audio/mp4"
+    else:
+        mime = _BMFF_IMAGE_BRANDS.get(brand, "video/mp4")
     duration_ms = None
     width = height = None
     for btype, lo, hi in _iter_boxes(buf, 0, len(buf)):
@@ -202,10 +233,12 @@ def _decode_mp4(buf: bytes) -> dict:
                         h = int.from_bytes(buf[tlo + off + 4 : tlo + off + 8], "big") >> 16
                         if w > 0:
                             width, height = w, h
-    if duration_ms is None:
+    if duration_ms is None and not mime.startswith("image/"):
+        # timed media must carry mvhd; still images (heic/avif) keep
+        # their metadata in meta/iprp instead and have no duration
         raise ValueError("MP4: no moov/mvhd box found")
     return {
-        "mime": "video/mp4",
+        "mime": mime,
         "width": width,
         "height": height,
         "duration_ms": duration_ms,
@@ -325,9 +358,89 @@ def decode_headers_batch(payloads) -> pd.DataFrame:
     )
 
 
+def decode_png_pixels(buf: bytes) -> dict:
+    """REAL pixel-level PNG decode in pure stdlib: walk the chunk list,
+    concatenate IDAT, ``zlib.decompress``, then reconstruct scanlines
+    through the five PNG filter types (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Supported: bit depth 8, color types 0 (grayscale),
+    2 (RGB), 6 (RGBA) — the shapes a training pipeline normalizes to
+    anyway. Returns integer pixel stats (``px_count/px_sum/px_min/
+    px_max`` over all channel bytes) so a SQL oracle can re-derive them
+    in exact integer arithmetic; raises ``ValueError`` on anything it
+    cannot faithfully decode (missing IDAT, unsupported layout, bad
+    stream) — callers degrade that row to nulls."""
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("PNG: bad signature")
+    w = int.from_bytes(buf[16:20], "big")
+    h = int.from_bytes(buf[20:24], "big")
+    depth, color = buf[24], buf[25]
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None:
+        raise ValueError(f"PNG: unsupported layout depth={depth} color={color}")
+    # chunk walk (skip sig): length(4) type(4) data crc(4)
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(buf):
+        ln = int.from_bytes(buf[i : i + 4], "big")
+        typ = buf[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat += buf[i + 8 : i + 8 + ln]
+        if typ == b"IEND":
+            break
+        i += 12 + ln
+    if not idat:
+        raise ValueError("PNG: no IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG: decompressed size mismatch")
+    out = bytearray(h * stride)
+    prev_off = -stride
+    for r in range(h):
+        f = raw[r * (1 + stride)]
+        line_in = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
+        off = r * stride
+        if f == 0:  # None
+            out[off : off + stride] = line_in
+        elif f == 1:  # Sub
+            for c in range(stride):
+                a = out[off + c - bpp] if c >= bpp else 0
+                out[off + c] = (line_in[c] + a) & 0xFF
+        elif f == 2:  # Up
+            for c in range(stride):
+                b = out[prev_off + off + c] if r else 0
+                out[off + c] = (line_in[c] + b) & 0xFF
+        elif f == 3:  # Average
+            for c in range(stride):
+                a = out[off + c - bpp] if c >= bpp else 0
+                b = out[prev_off + off + c] if r else 0
+                out[off + c] = (line_in[c] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for c in range(stride):
+                a = out[off + c - bpp] if c >= bpp else 0
+                b = out[prev_off + off + c] if r else 0
+                cc = out[prev_off + off + c - bpp] if (r and c >= bpp) else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out[off + c] = (line_in[c] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter {f}")
+    return {
+        "px_count": len(out),
+        "px_sum": sum(out),
+        "px_min": min(out),
+        "px_max": max(out),
+    }
+
+
 FEATURE_SCHEMA = (
     "media_id long, mime string, width int, height int, "
-    "duration_ms long, n_bytes long, feat array<double>"
+    "duration_ms long, n_bytes long, feat array<double>, "
+    "px_count long, px_sum long, px_min int, px_max int"
 )
 
 
@@ -337,9 +450,12 @@ def extract_media_features(df: DataFrame, target_rows_per_batch: int = 256) -> D
     from :func:`decode_headers_batch` (vectorized real parsing); the
     feature vector is a deterministic 8-dim byte-histogram sketch of the
     payload computed as one bincount over the whole batch (stands in for
-    a real CNN embedding; same shape, same partitioning). Payloads that
-    fail to parse yield null mime/dims — one bad blob costs one row,
-    never the batch."""
+    a real CNN embedding; same shape, same partitioning). PNGs that
+    carry an IDAT additionally get REAL pixel stats
+    (:func:`decode_png_pixels` — zlib inflate + filter reconstruction);
+    header-only PNGs and other formats leave those columns null.
+    Payloads that fail to parse yield null mime/dims — one bad blob
+    costs one row, never the batch."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -367,6 +483,16 @@ def extract_media_features(df: DataFrame, target_rows_per_batch: int = 256) -> D
                 totals = hist.sum(axis=1, keepdims=True)
                 totals[totals == 0] = 1.0
                 feat = hist / totals
+                px = {"px_count": [], "px_sum": [], "px_min": [], "px_max": []}
+                for i, p in enumerate(payloads):
+                    stats = None
+                    if hdr["mime"][i] == "image/png" and p is not None:
+                        try:
+                            stats = decode_png_pixels(bytes(p))
+                        except Exception:  # corrupt stream: null row, not a stage retry
+                            stats = None
+                    for k in px:
+                        px[k].append(stats[k] if stats else None)
                 out = pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].to_numpy(),
@@ -376,6 +502,10 @@ def extract_media_features(df: DataFrame, target_rows_per_batch: int = 256) -> D
                         "duration_ms": hdr["duration_ms"],
                         "n_bytes": [len(p) if p is not None else 0 for p in payloads],
                         "feat": list(feat),
+                        "px_count": pd.array(px["px_count"], dtype="Int64"),
+                        "px_sum": pd.array(px["px_sum"], dtype="Int64"),
+                        "px_min": pd.array(px["px_min"], dtype="Int32"),
+                        "px_max": pd.array(px["px_max"], dtype="Int32"),
                     }
                 )
                 yield out
@@ -546,6 +676,56 @@ def _le_hex(col, nbytes: int):
             for i in range(nbytes)
         ]
     )
+
+
+def synthesize_png_pixel_payloads(
+    df: DataFrame, id_col: str = "doc_id", target_rows_per_batch: int = 256
+) -> DataFrame:
+    """Build COMPLETE grayscale PNGs — signature, IHDR, one
+    zlib-compressed IDAT, IEND, real CRCs — whose pixels are closed-form
+    in the id: ``w = 4 + id % 8``, ``h = 4 + (3*id) % 8``, pixel
+    ``(r, c) = (id + 7*r + 13*c) % 256``. A SQL oracle re-derives any
+    pixel statistic from the formulas with ``range(h) × range(w)``
+    while the Spark path must actually inflate the IDAT and walk the
+    filter bytes (:func:`decode_png_pixels`) — the pixel decode itself
+    is what's under test. Built in bounded ``mapInPandas`` batches
+    (zlib/CRC need Python; each payload is ≤ ~200 B)."""
+    import zlib
+
+    def _png(doc_id: int) -> bytes:
+        w = 4 + doc_id % 8
+        h = 4 + (3 * doc_id) % 8
+        raw = bytearray()
+        for r in range(h):
+            raw.append(0)  # filter: None — the oracle's formula is the raw byte
+            raw.extend((doc_id + 7 * r + 13 * c) % 256 for c in range(w))
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                len(data).to_bytes(4, "big")
+                + typ
+                + data
+                + zlib.crc32(typ + data).to_bytes(4, "big")
+            )
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                ids = pdf[id_col].iloc[start : start + target_rows_per_batch]
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids.to_numpy(),
+                        "payload": [_png(int(i)) for i in ids],
+                    }
+                )
+
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
 def synthesize_media_payloads(

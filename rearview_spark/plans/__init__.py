@@ -11,19 +11,17 @@ from __future__ import annotations
 # driver-green row the round it lands. Names listed here but not (yet)
 # registered are skipped, so the list may lead the implementation.
 _NEW_THIS_ROUND = (
-    # r07: the three gates staged in r06 (window was full at 22 new + 28
-    # stale rotations), now registered. With exactly 3 new names, the r07
-    # window = 3 new + 47 of the 50 r04-stale rotations; the remaining 3
-    # r04 rows rotate first in r08.
-    "ts_lttb_downsample",
-    "sim_range_search",
-    "media_audio_chunks",
-    # r08 queue (staged in pipeline_queries.PENDING_QUERIES, parity-green):
-    #   dedup_incremental_minhash (operators/dedup.py: incremental_minhash_dedup)
-    #   dedup_duplicated_spans   (operators/dedup.py: duplicated_spans)
-    #   sel_cluster_balanced     (operators/selection.py: cluster_balanced_sample)
-    #   doc_leakage_safe_split   (operators/curation.py: leakage_safe_split)
-    #   doc_html_clean           (operators/text.py: clean_html)
+    # r09: the five gates staged in r07 (parity-green a full round via
+    # tests/test_pending_gates.py), now registered. Window = 5 new + 45
+    # rotations; the six r05-stale rows (q17/q18/q19/q22 shapes,
+    # skew_salted_agg, skew_salted_join) rotate in first.
+    "dedup_incremental_minhash",
+    "dedup_duplicated_spans",
+    "sel_cluster_balanced",
+    "doc_leakage_safe_split",
+    "doc_html_clean",
+    # r09-built: pixel-level PNG decode gate
+    "media_png_pixels",
 )
 
 

@@ -6,8 +6,9 @@ Every hash (minhash permutations, simhash bits, fingerprints) is
 md5-prefix-based specifically so the oracle can reproduce the arithmetic
 bit-for-bit — the correctness gate covers the *whole* pipeline, not just
 the SQL-shaped parts. Even the iterative k-means IVF is value-checked
-(its oracle unrolls the Lloyd iterations as chained CTEs); the single
-remaining rows-only entry is the stubbed media decode.
+(its oracle unrolls the Lloyd iterations as chained CTEs). Every entry
+in this module — media included — carries a full value oracle; zero
+rows-only gates remain (COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -438,6 +439,45 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-level decode gate (the r07-verdict north-star item made
+    real): synthesize COMPLETE grayscale PNGs — zlib-compressed IDAT,
+    real CRCs — whose pixel (r, c) is the closed-form
+    ``(id + 7r + 13c) % 256``, then run them through the SAME
+    ``extract_media_features`` path as the header gate. The Spark side
+    must inflate the IDAT and reconstruct scanlines
+    (multimodal.decode_png_pixels); the oracle re-derives every stat
+    from the pixel formula over ``range(h) × range(w)`` — the hash
+    check therefore verifies the inflate + unfilter byte-for-byte in
+    aggregate, not just the header walk."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_png_pixel_payloads(docs)
+    feats = M.extract_media_features(media)
+    return feats.select(
+        "media_id", "mime", "width", "height",
+        "px_count", "px_sum", "px_min", "px_max",
+    )
+
+
+MEDIA_PNG_PIXELS_SQL = """
+WITH dims AS (
+  SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS w,
+         CAST(4 + (3 * doc_id) % 8 AS INT) AS h
+  FROM documents
+), rs AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS r FROM dims
+), cs AS (
+  SELECT doc_id, w, h, r, unnest(generate_series(0, w - 1)) AS c FROM rs
+), px AS (
+  SELECT doc_id, w, h, (doc_id + 7 * r + 13 * c) % 256 AS v FROM cs
+)
+SELECT doc_id AS media_id, 'image/png' AS mime, w AS width, h AS height,
+       CAST(w * h AS BIGINT) AS px_count, CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h ORDER BY media_id
+"""
+
+
 # hex-builder fragments (DuckDB): fixed-width big/little-endian of ints
 def _behex(expr: str, nbytes: int) -> str:
     return f"lpad(upper(to_hex({expr})), {nbytes * 2}, '0')"
@@ -658,7 +698,7 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
 QUERIES["dedup_simhash_pairs"] = {"fn": dedup_simhash_pairs, "oracle": DEDUP_SIMHASH_PAIRS_SQL}
 
 
-# --- IVF with a true k-means coarse quantizer (iterative, rows-only) ---------
+# --- IVF with a true k-means coarse quantizer (iterative, value-oracled) -----
 
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 with a Lloyd-iteration k-means codebook. The fit is
@@ -1846,28 +1886,31 @@ SELECT doc_id, md5(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS clean_md5
 FROM decoded ORDER BY doc_id
 """
 
-#: r07: the three r06-staged gates are live; this round stages FIVE
-#: gates (incremental dedup, duplicated-span dedup, cluster-balanced
-#: sampling, leakage-safe split, HTML cleaning) for the r08 window —
-#: the window-full discipline of plans/__init__.py. All parity-tested
-#: now by tests/test_pending_gates.py through the oracle_check compare
-#: path.
-PENDING_QUERIES: dict[str, dict] = {
-    "dedup_incremental_minhash": {
-        "fn": dedup_incremental_minhash,
-        "oracle": DEDUP_INCREMENTAL_SQL,
-    },
-    "dedup_duplicated_spans": {
-        "fn": dedup_duplicated_spans,
-        "oracle": DEDUP_SPANS_SQL,
-    },
-    "sel_cluster_balanced": {
-        "fn": sel_cluster_balanced,
-        "oracle": SEL_CLUSTER_SQL,
-    },
-    "doc_leakage_safe_split": {
-        "fn": doc_leakage_safe_split,
-        "oracle": DOC_SPLIT_SQL,
-    },
-    "doc_html_clean": {"fn": doc_html_clean, "oracle": DOC_HTML_SQL},
+#: r09: the five r07-staged gates (incremental dedup, duplicated-span
+#: dedup, cluster-balanced sampling, leakage-safe split, HTML cleaning)
+#: are now LIVE below — parity-green since r07 via
+#: tests/test_pending_gates.py. Nothing staged for r10 yet.
+QUERIES["dedup_incremental_minhash"] = {
+    "fn": dedup_incremental_minhash,
+    "oracle": DEDUP_INCREMENTAL_SQL,
 }
+QUERIES["dedup_duplicated_spans"] = {
+    "fn": dedup_duplicated_spans,
+    "oracle": DEDUP_SPANS_SQL,
+}
+QUERIES["sel_cluster_balanced"] = {
+    "fn": sel_cluster_balanced,
+    "oracle": SEL_CLUSTER_SQL,
+}
+QUERIES["doc_leakage_safe_split"] = {
+    "fn": doc_leakage_safe_split,
+    "oracle": DOC_SPLIT_SQL,
+}
+QUERIES["doc_html_clean"] = {"fn": doc_html_clean, "oracle": DOC_HTML_SQL}
+# r09: pixel-level PNG decode (zlib IDAT inflate + filter reconstruction)
+QUERIES["media_png_pixels"] = {
+    "fn": media_png_pixels,
+    "oracle": MEDIA_PNG_PIXELS_SQL,
+}
+
+PENDING_QUERIES: dict[str, dict] = {}

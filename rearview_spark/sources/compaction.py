@@ -118,6 +118,29 @@ def _is_hidden(name: str) -> bool:
 # Sink-log rewrite
 # --------------------------------------------------------------------------
 
+def _sink_batch_id(name: str):
+    base = name[: -len(".compact")] if name.endswith(".compact") else name
+    return int(base) if base.isdigit() else None
+
+
+def _latest_sink_batch(spark: SparkSession, root: str):
+    """Highest batch id in ``_spark_metadata`` (None when there is no
+    sink log, or it is empty). Cheap — one directory listing — so it
+    doubles as the concurrent-ingest tripwire: a running file-sink
+    writer advances this id with every committed micro-batch."""
+    jvm, fs, _ = _fs(spark, root)
+    log_dir = posixpath.join(root, SINK_LOG_DIR)
+    if not fs.exists(_jpath(jvm, log_dir)):
+        return None
+    ids = [
+        _sink_batch_id(s.getPath().getName())
+        for s in _list_status(fs, jvm, log_dir)
+        if not s.isDirectory()
+    ]
+    ids = [i for i in ids if i is not None]
+    return max(ids) if ids else None
+
+
 def _rewrite_sink_log(spark: SparkSession, root: str, live_files: list) -> None:
     """Rewrite ``_spark_metadata`` so its union equals ``live_files``
     (list of (uri, size, mtime_ms)) without changing latestBatchId:
@@ -129,18 +152,14 @@ def _rewrite_sink_log(spark: SparkSession, root: str, live_files: list) -> None:
     if not fs.exists(_jpath(jvm, log_dir)):
         return
 
-    def batch_id(name: str):
-        base = name[: -len(".compact")] if name.endswith(".compact") else name
-        return int(base) if base.isdigit() else None
-
     names = [
         s.getPath().getName()
         for s in _list_status(fs, jvm, log_dir)
-        if not s.isDirectory() and batch_id(s.getPath().getName()) is not None
+        if not s.isDirectory() and _sink_batch_id(s.getPath().getName()) is not None
     ]
     if not names:
         return
-    latest = max(names, key=batch_id)
+    latest = max(names, key=_sink_batch_id)
 
     entries = "".join(
         json.dumps(
@@ -178,6 +197,20 @@ def _apply_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
     for src, dst in manifest.get("moves", []):
         src_p, dst_p = _jpath(jvm, src), _jpath(jvm, dst)
         if fs.exists(dst_p):
+            # "already moved" is only safe when the source is gone
+            # (replaying past a completed rename) or both sides hold the
+            # same bytes; a pre-existing live file under the destination
+            # name would otherwise silently swallow the compacted tmp
+            # file when the tmp dir is deleted below (ADVICE r08 #1).
+            if fs.exists(src_p):
+                src_len = fs.getFileStatus(src_p).getLen()
+                dst_len = fs.getFileStatus(dst_p).getLen()
+                if src_len != dst_len:
+                    raise IOError(
+                        f"compaction collision: {dst} already exists with "
+                        f"{dst_len} B while source {src} still holds "
+                        f"{src_len} B — refusing to discard the tmp file"
+                    )
             continue
         if not fs.rename(src_p, dst_p):
             raise IOError(f"rename failed: {src} -> {dst}")
@@ -263,6 +296,13 @@ def optimize_metrics_dir(
     """
     jvm, fs, root_jpath = _fs(spark, path)
     resume_pending_compaction(spark, path)
+    # Concurrent-ingest tripwire (ADVICE r08 #2): the "writer must be
+    # stopped" contract is enforced best-effort by snapshotting the sink
+    # log's latest batch id now and re-checking it (a) before the
+    # manifest commits — clean abort, nothing mutated — and (b) after
+    # apply — loud failure naming the batch whose files the rewrite may
+    # have orphaned.
+    log_batch_before = _latest_sink_batch(spark, path)
 
     part_dirs = [
         s.getPath()
@@ -372,10 +412,26 @@ def optimize_metrics_dir(
         "live_files": live,
         "delete_files": sorted(delete),
     }
+    if _latest_sink_batch(spark, path) != log_batch_before:
+        # a micro-batch committed while we were planning: abort cleanly
+        # (only the tmp dir was written; the table is untouched)
+        fs.delete(_jpath(jvm, tmp_root), True)
+        raise IOError(
+            f"concurrent ingest detected at {path}: sink log advanced past "
+            f"batch {log_batch_before} during compaction planning — stop the "
+            "writer before running optimize_metrics_dir (nothing was changed)"
+        )
     _write_text(
         fs, jvm, posixpath.join(path, MANIFEST_NAME), json.dumps(manifest)
     )
     _apply_manifest(spark, path, manifest)
+    if _latest_sink_batch(spark, path) != log_batch_before:
+        raise IOError(
+            f"concurrent ingest detected at {path}: a micro-batch committed "
+            f"after batch {log_batch_before} WHILE the sink log was being "
+            "rewritten; its entry may list deleted files — stop the writer "
+            "and re-ingest that batch"
+        )
     return report
 
 

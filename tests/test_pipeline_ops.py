@@ -599,6 +599,28 @@ def test_ensure_parallelism_probes_only_narrow_plans(spark, tmp_path):
     # an EXPLICIT caller coalesce is itself a Repartition node: respected
     squeezed = docs.coalesce(1)
     assert ensure_parallelism(squeezed) is squeezed
+    # pin each remaining _WIDE_NODES family (ADVICE r08 #4: a Spark
+    # upgrade that renames a node must fail HERE, loudly)
+    from pyspark.sql import Window as W
+
+    windowed = docs.withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
+    assert ensure_parallelism(windowed) is windowed
+    distinct = docs.select("text").distinct()
+    assert ensure_parallelism(distinct) is distinct
+    dedup = docs.dropDuplicates(["text"])
+    assert ensure_parallelism(dedup) is dedup
+    inter = docs.select("doc_id").intersect(docs.select("doc_id"))
+    assert ensure_parallelism(inter) is inter
+    exc = docs.select("doc_id").exceptAll(docs.select("doc_id"))
+    assert ensure_parallelism(exc) is exc
+    gmap = docs.groupBy("doc_id").applyInPandas(
+        lambda pdf: pdf, "doc_id long, text string"
+    )
+    assert ensure_parallelism(gmap) is gmap
+    # a column NAMED like a wide node must NOT suppress the spread —
+    # the nodeName walk can't be fooled by identifiers in the tree text
+    tricky = docs.select("doc_id", F.lower("text").alias("Window over Join"))
+    assert ensure_parallelism(tricky).rdd.getNumPartitions() == cores
 
 
 def test_ann_recall_operating_points(spark, sf_dir):
@@ -722,6 +744,152 @@ def test_mp4_through_batch_and_sniff(spark):
     assert out.iloc[0]["mime"] == "video/mp4"
     assert out.iloc[0]["duration_ms"] == 1500 and out.iloc[0]["width"] == 640
     assert out.iloc[1]["mime"] is None
+
+
+def _encode_png(pixels, channels: int = 1, filters=None) -> bytes:
+    """Reference PNG encoder for tests: pixels is h×w×channels nested
+    list; filters picks the per-row filter type (default all 0)."""
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    bpp = channels
+    stride = w * bpp
+    flat = [
+        (px if channels == 1 else comp)
+        for row in pixels
+        for px in row
+        for comp in (px if channels > 1 else [px])
+    ]
+    prev = [0] * stride
+    raw = bytearray()
+    for r in range(h):
+        line = flat[r * stride : (r + 1) * stride]
+        f = (filters or [0] * h)[r]
+        raw.append(f)
+        for c in range(stride):
+            a = line[c - bpp] if c >= bpp else 0
+            b = prev[c]
+            cc = prev[c - bpp] if c >= bpp else 0
+            if f == 0:
+                enc = line[c]
+            elif f == 1:
+                enc = (line[c] - a) & 0xFF
+            elif f == 2:
+                enc = (line[c] - b) & 0xFF
+            elif f == 3:
+                enc = (line[c] - (a + b) // 2) & 0xFF
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc = (line[c] - pred) & 0xFF
+            raw.append(enc)
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return len(data).to_bytes(4, "big") + typ + data + zlib.crc32(typ + data).to_bytes(4, "big")
+
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_pixels_all_filters_and_layouts():
+    """The inflate+unfilter path must invert every PNG filter type and
+    the three supported layouts — checked against a reference encoder
+    that applies the RFC 2083 filter math in the ENCODE direction."""
+    import pytest as _pytest
+
+    gray = [[(r * 31 + c * 7) % 256 for c in range(5)] for r in range(4)]
+    want = {
+        "px_count": 20,
+        "px_sum": sum(sum(r) for r in gray),
+        "px_min": min(min(r) for r in gray),
+        "px_max": max(max(r) for r in gray),
+    }
+    for filters in ([0] * 4, [1] * 4, [2] * 4, [3] * 4, [4] * 4, [0, 1, 2, 4]):
+        got = M.decode_png_pixels(_encode_png(gray, filters=filters))
+        assert got == want, filters
+
+    rgb = [[[(r + c + ch * 50) % 256 for ch in range(3)] for c in range(3)] for r in range(2)]
+    got = M.decode_png_pixels(_encode_png(rgb, channels=3, filters=[4, 4]))
+    assert got["px_count"] == 18
+    assert got["px_sum"] == sum(v for row in rgb for px in row for v in px)
+    rgba = [[[10, 20, 30, 255], [1, 2, 3, 4]]]
+    got = M.decode_png_pixels(_encode_png(rgba, channels=4, filters=[1]))
+    assert got == {"px_count": 8, "px_sum": 325, "px_min": 1, "px_max": 255}
+
+    # unsupported / corrupt inputs raise, never mis-decode
+    with _pytest.raises(ValueError):
+        M.decode_png_pixels(b"\x89PNG\r\n\x1a\x00" + b"\x00" * 30)  # bad sig
+    header_only = _encode_png(gray)[:33]  # sig + IHDR, no IDAT
+    with _pytest.raises(ValueError):
+        M.decode_png_pixels(header_only)
+    palette = bytearray(_encode_png(gray))
+    palette[25] = 3  # color type 3 (palette) unsupported
+    with _pytest.raises(ValueError):
+        M.decode_png_pixels(bytes(palette))
+
+
+def test_synthesize_png_pixels_roundtrip(spark):
+    """End-to-end over the gate path: closed-form pixel PNGs decode to
+    the formula's stats through extract_media_features."""
+    df = spark.createDataFrame([(7,), (12,), (123,)], "doc_id long")
+    media = M.synthesize_png_pixel_payloads(df)
+    out = {
+        r["media_id"]: r
+        for r in M.extract_media_features(media).collect()
+    }
+    for did in (7, 12, 123):
+        w, h = 4 + did % 8, 4 + (3 * did) % 8
+        vals = [(did + 7 * r + 13 * c) % 256 for r in range(h) for c in range(w)]
+        row = out[did]
+        assert row["mime"] == "image/png"
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["px_count"] == len(vals)
+        assert row["px_sum"] == sum(vals)
+        assert row["px_min"] == min(vals) and row["px_max"] == max(vals)
+
+
+def test_bmff_major_brand_disambiguation(spark):
+    """ADVICE r08 #3: the ftyp box alone only says "ISO-BMFF family" —
+    the major brand at +8 distinguishes m4a audio and heic/avif images
+    from video, in BOTH the JVM sniff and the Python header decode."""
+    def with_brand(brand: bytes) -> bytes:
+        base = _mp4_bytes(900)
+        assert base[8:12] == b"isom"
+        return base[:8] + brand + base[12:]
+
+    hdr = M.decode_header(with_brand(b"M4A "))
+    assert hdr["mime"] == "audio/mp4" and hdr["duration_ms"] == 900
+    # still-image brands: no mvhd required, no duration
+    heic = b"\x00\x00\x00\x10ftypheic\x00\x00\x00\x00" + b"\x00" * 8
+    assert M.decode_header(heic)["mime"] == "image/heic"
+    avif = b"\x00\x00\x00\x10ftypavif\x00\x00\x00\x00" + b"\x00" * 8
+    assert M.decode_header(avif)["mime"] == "image/avif"
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(with_brand(b"M4A "))),
+            (2, bytearray(with_brand(b"heic"))),
+            (3, bytearray(with_brand(b"avis"))),
+            (4, bytearray(with_brand(b"mp42"))),
+        ],
+        "media_id long, payload binary",
+    )
+    sniffed = {r["media_id"]: r["meta"]["mime"] for r in M.with_media_meta(df).collect()}
+    assert sniffed == {
+        1: "audio/mp4",
+        2: "image/heic",
+        3: "image/avif",
+        4: "video/mp4",
+    }
 
 
 def test_clean_html_rules(spark):
