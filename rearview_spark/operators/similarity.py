@@ -201,6 +201,38 @@ def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _sign_band_structs(vec_col: str, planes: int, bands: int, dim: int) -> list:
+    """The sign-LSH banding projection as a list of band-struct Columns
+    ``(band int, bh string)`` — shared by the batch pair-finder and the
+    incremental store path so both produce bit-identical bucket keys.
+
+    Each plane's sign bit is built as ONE SQL string parsed JVM-side:
+    the Column-API form (even via F.lit(list), which expands per
+    element) issues planes*dim Py4J round-trips — >1s of driver wall
+    per plan build at 16x64. repr() doubles round-trip exactly through
+    the SQL parser, so the constants are bit-identical to the Python
+    matrix."""
+    W = hyperplane_weights(planes, dim)
+    vexpr = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    bits = []
+    for p in range(planes):
+        arr = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in W[p]) + ")"
+        bits.append(
+            F.expr(
+                f"CAST(CAST(aggregate(zip_with({vexpr}, {arr}, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b) > 0 AS INT) AS STRING)"
+            )
+        )
+    per_band = planes // bands
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("", *bits[b * per_band : (b + 1) * per_band]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -238,30 +270,7 @@ def embedding_near_duplicates(
     # real scale — see _util.ensure_parallelism)
     corpus = ensure_parallelism(corpus, id_col)
 
-    W = hyperplane_weights(planes, dim)
-    # Each plane's sign bit is built as ONE SQL string parsed JVM-side:
-    # the Column-API form (even via F.lit(list), which expands per element)
-    # issues planes*dim Py4J round-trips — >1s of driver wall per plan
-    # build at 16x64. repr() doubles round-trip exactly through the SQL
-    # parser, so the constants are bit-identical to the Python matrix.
-    vexpr = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    bits = []
-    for p in range(planes):
-        arr = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in W[p]) + ")"
-        bits.append(
-            F.expr(
-                f"CAST(CAST(aggregate(zip_with({vexpr}, {arr}, (x, y) -> x * y),"
-                " CAST(0.0 AS DOUBLE), (a, b) -> a + b) > 0 AS INT) AS STRING)"
-            )
-        )
-    per_band = planes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("", *bits[b * per_band : (b + 1) * per_band]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
+    band_structs = _sign_band_structs(vec_col, planes, bands, dim)
     # One signature pass, cached: the banded self-join's two aliases would
     # otherwise each re-run the 16-hyperplane projection over the corpus
     # (same pattern as dedup.minhash_near_duplicates).
@@ -318,6 +327,228 @@ def embedding_near_duplicates(
         sigs.unpersist()
         vecs.unpersist()
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding dedup against a persistent vector store
+# ---------------------------------------------------------------------------
+
+def embedding_store_rows(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """The vector-store row for each embedding: ``(id, bands, emb,
+    nrm)`` — the sign-LSH band keys (computed ONCE, at append time, so
+    future micro-batches never re-project history through the
+    hyperplanes), the double-cast vector, and its norm. The embedding
+    IS the payload here (~8*dim bytes/row), so unlike the minhash store
+    this store is corpus-embedding-sized — but it replaces re-reading
+    (and re-embedding) the raw documents, which is the expensive side
+    at 100 TB. Mirrors dedup.minhash_store_rows for the embedding
+    space."""
+    from rearview_spark.operators._util import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
+    dv = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.array(*_sign_band_structs(vec_col, planes, bands, dim)).alias("bands"),
+        dv.alias("emb"),
+        _norm(dv).alias("nrm"),
+    )
+
+
+def incremental_embedding_dedup(
+    new_vecs: DataFrame,
+    store: DataFrame | None,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-dup of a NEW batch against an existing
+    vector store — the embedding-space analog of
+    dedup.incremental_minhash_dedup (the batch
+    :func:`embedding_near_duplicates` re-pairs the whole corpus every
+    run; here history participates through its stored band keys and
+    vector only).
+
+    ``store`` is the accumulated :func:`embedding_store_rows` frame
+    (``None`` for the first batch). Returns one row per NEW vector:
+    ``(id, bands, emb, nrm, dup_of, cosine_sim)`` — ``dup_of`` is the
+    store vector or smaller-id batch-mate it duplicates (best match by
+    exact verified cosine, match id ascending as tie-break; NULL =
+    unique). Append ``.filter(dup_of IS NULL).select(id, bands, emb,
+    nrm)`` to the store; packaged for Structured Streaming by
+    :func:`incremental_embedding_foreach_batch`.
+
+    Scale shape: the new batch is sign-projected once; the store side
+    arrives with its band keys ALREADY materialized, so the per-batch
+    cost over history is one (band, bh) equi-join — persist the store
+    bucketed by ``bh`` and each micro-batch probes only the buckets its
+    own signatures hit (stream-static, the S11 machinery). Bucket caps
+    apply to the UNION of store+new occupancy, exactly like the batch
+    operator, so a hot bucket (a fleet of near-zero vectors) can't go
+    quadratic as the store grows. A new vector's decision depends only
+    on the store and smaller-id batch-mates — NOT on whether the mate
+    itself was kept (same no-transitivity contract as the minhash
+    form; retries stay deterministic). The LSH knobs (planes, bands,
+    dim) MUST match across every batch sharing a store — band keys are
+    positional in the plane matrix."""
+    from pyspark.sql import Window
+
+    from rearview_spark.operators.dedup import _cap_buckets
+
+    new_rows = embedding_store_rows(
+        new_vecs, id_col, vec_col, planes, bands, dim
+    ).cache()
+    banded_new = (
+        new_rows.select(F.col(id_col), F.explode("bands").alias("bb"))
+        .select(id_col, "bb.band", "bb.bh")
+        .withColumn("_new", F.lit(True))
+    )
+    if store is not None:
+        store = store.select(id_col, "bands", "emb", "nrm").cache()
+        banded_store = (
+            store.select(F.col(id_col), F.explode("bands").alias("bb"))
+            .select(id_col, "bb.band", "bb.bh")
+            .withColumn("_new", F.lit(False))
+        )
+        banded = banded_new.unionByName(banded_store)
+    else:
+        banded = banded_new
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & F.col("a._new")
+            # self-guard: a foreachBatch RETRY re-processes a batch whose
+            # unique rows were already appended to the store; without
+            # this every such vector decides dup_of=self and is dropped
+            & (F.col(f"b.{id_col}") != F.col(f"a.{id_col}"))
+            & (
+                (~F.col("b._new"))
+                | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("_nid"),
+            F.col(f"b.{id_col}").alias("_mid"),
+        )
+        .distinct()
+    )
+    pool = new_rows.select(id_col, "emb", "nrm")
+    if store is not None:
+        pool = pool.unionByName(store.select(id_col, "emb", "nrm"))
+    na = new_rows.select(
+        F.col(id_col).alias("_nid"), F.col("emb").alias("_va"), F.col("nrm").alias("_na")
+    )
+    nb = pool.select(
+        F.col(id_col).alias("_mid"), F.col("emb").alias("_vb"), F.col("nrm").alias("_nb")
+    )
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("_va"), F.col("_vb")) / denom)
+    scored = (
+        cands.join(na, "_nid")
+        .join(nb, "_mid")
+        .select(
+            "_nid", "_mid",
+            F.round(sim + F.lit(5e-10), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    best = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_nid").orderBy(
+                    F.col("cosine_sim").desc(), F.col("_mid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_nid").alias(id_col),
+            F.col("_mid").alias("dup_of"),
+            "cosine_sim",
+        )
+    )
+    out = new_rows.join(best, id_col, "left").localCheckpoint(eager=True)
+    new_rows.unpersist()
+    if store is not None:
+        store.unpersist()
+    return out
+
+
+def incremental_embedding_foreach_batch(
+    spark,
+    store_dir: str,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+    decisions_dir: str | None = None,
+    max_bucket_size: int | None = 1000,
+):
+    """Package :func:`incremental_embedding_dedup` as a Structured
+    Streaming ``foreachBatch`` callback: each micro-batch of vectors
+    dedups against the parquet vector store at ``store_dir``, the
+    batch's UNIQUE vectors' store rows are appended, and (optionally)
+    every decision is appended to ``decisions_dir`` for audit. The
+    store read is the static side of a stream-static join re-read per
+    micro-batch, so a flat-dir compaction of the store
+    (sources/compaction.optimize_metrics_dir — run it between batches,
+    sort_cols=(id_col,)) is picked up on the next batch. Retry safety
+    matches the minhash form: self-matches are excluded in the
+    operator and the store read drops duplicate ids, so a re-run of a
+    half-committed batch decides every vector exactly as the first run
+    did."""
+    from pyspark.errors import AnalysisException
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            store = spark.read.parquet(store_dir).dropDuplicates([id_col])
+        except AnalysisException:  # missing dir / no parquet yet
+            store = None
+        decided = incremental_embedding_dedup(
+            batch_df,
+            store,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            planes=planes,
+            bands=bands,
+            dim=dim,
+            max_bucket_size=max_bucket_size,
+        )
+        (
+            decided.filter(F.col("dup_of").isNull())
+            .select(id_col, "bands", "emb", "nrm")
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+        if decisions_dir is not None:
+            (
+                decided.select(id_col, "dup_of", "cosine_sim")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(decisions_dir)
+            )
+
+    return _process
 
 
 # ---------------------------------------------------------------------------

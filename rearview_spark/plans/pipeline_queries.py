@@ -1886,10 +1886,93 @@ SELECT doc_id, md5(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS clean_md5
 FROM decoded ORDER BY doc_id
 """
 
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup against a persistent vector store
+    (similarity.incremental_embedding_dedup): the original embeddings
+    play the accumulated store; TWO derived jittered copies (+1e6 with
+    a %7 distortion, +2e6 with a %5 distortion — both cosine ~0.9996
+    to their base) arrive as the new batch. Every batch vector's
+    decision — dup_of (store vector or smaller-id batch-mate, best
+    verified cosine, id-ascending tie-break; NULL = unique) and the
+    rounded cosine — is hashed, so the store banding, union bucket
+    cap, stream-static join shape, and best-match ranking are all
+    value-checked. The oracle re-derives the hyperplanes, both
+    jitters, the banding, and the verification from the same
+    md5-derived constants."""
+    emb = Tables(spark, sf_dir).embeddings
+    orig = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    def _jit(offset: int, mod: int, center: int) -> DataFrame:
+        return emb.select(
+            (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                * (F.lit(1.0) + ((i % mod) - center).cast("double") * F.lit(0.01)),
+            ).alias("embedding"),
+        )
+    store = S.embedding_store_rows(orig)
+    batch = _jit(1000000, 7, 3).unionByName(_jit(2000000, 5, 2))
+    decided = S.incremental_embedding_dedup(batch, store, threshold=0.99)
+    return decided.select("vec_id", "dup_of", "cosine_sim").orderBy("vec_id")
+
+
+DEDUP_INCR_EMB_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+batch AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(0, 64), d -> cv[d + 1] * (1.0 + 0.01 * ((d % 7) - 3))) AS cv
+  FROM base
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(range(0, 64), d -> cv[d + 1] * (1.0 + 0.01 * ((d % 5) - 2)))
+  FROM base
+),
+pool AS (
+  SELECT vec_id, cv, FALSE AS isnew FROM base
+  UNION ALL
+  SELECT vec_id, cv, TRUE FROM batch
+),
+sig0 AS (
+  SELECT vec_id, isnew, 0 AS band, {" || ".join(_HP_BITS[0:8])} AS bh FROM pool
+  UNION ALL
+  SELECT vec_id, isnew, 1, {" || ".join(_HP_BITS[8:16])} FROM pool
+),
+sig AS (
+  SELECT vec_id, isnew, band, bh FROM sig0
+  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 1000
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS nid, b.vec_id AS mid
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.isnew AND b.vec_id <> a.vec_id
+    AND (NOT b.isnew OR b.vec_id < a.vec_id)
+),
+scored AS (
+  SELECT c.nid, c.mid,
+         round(list_cosine_similarity(pa.cv, pb.cv) + 0.0000000005, 6) AS cos
+  FROM cands c
+  JOIN batch pa ON c.nid = pa.vec_id
+  JOIN pool pb ON c.mid = pb.vec_id
+  WHERE round(list_cosine_similarity(pa.cv, pb.cv) + 0.0000000005, 6) >= 0.99
+),
+best AS (
+  SELECT nid, mid, cos FROM scored
+  QUALIFY row_number() OVER (PARTITION BY nid ORDER BY cos DESC, mid ASC) = 1
+)
+SELECT b.vec_id, best.mid AS dup_of, best.cos AS cosine_sim
+FROM batch b LEFT JOIN best ON b.vec_id = best.nid
+ORDER BY b.vec_id
+"""
+
+
 #: r09: the five r07-staged gates (incremental dedup, duplicated-span
 #: dedup, cluster-balanced sampling, leakage-safe split, HTML cleaning)
 #: are now LIVE below — parity-green since r07 via
-#: tests/test_pending_gates.py. Nothing staged for r10 yet.
+#: tests/test_pending_gates.py. Staged for r10: the incremental
+#: EMBEDDING dedup gate (built r09, parity-tested through the same
+#: oracle_check compare path by tests/test_pending_gates.py).
 QUERIES["dedup_incremental_minhash"] = {
     "fn": dedup_incremental_minhash,
     "oracle": DEDUP_INCREMENTAL_SQL,
@@ -1913,4 +1996,9 @@ QUERIES["media_png_pixels"] = {
     "oracle": MEDIA_PNG_PIXELS_SQL,
 }
 
-PENDING_QUERIES: dict[str, dict] = {}
+PENDING_QUERIES: dict[str, dict] = {
+    "dedup_incremental_embedding": {
+        "fn": dedup_incremental_embedding,
+        "oracle": DEDUP_INCR_EMB_SQL,
+    },
+}
