@@ -437,6 +437,118 @@ def decode_png_pixels(buf: bytes) -> dict:
     }
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    from ``min_code_size+1`` to 12 bits, little-endian bit packing,
+    clear code resets the table, end-of-information terminates."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        next_code = end + 1
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ValueError("GIF: LZW stream ended without end-of-information")
+
+
+def decode_gif_pixels(buf: bytes) -> dict:
+    """REAL pixel-level GIF decode in pure stdlib: logical screen
+    descriptor -> global color table -> (skipped extensions) -> first
+    image descriptor -> LZW-decompress the index stream -> map through
+    the palette. Returns the same integer stat dict as
+    :func:`decode_png_pixels`, computed over the palette-mapped RGB
+    bytes (3 per pixel). Raises ``ValueError`` on interlaced images,
+    local color tables, or structural corruption."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    flags = buf[10]
+    if not flags & 0x80:
+        raise ValueError("GIF: no global color table")
+    gct_n = 2 << (flags & 0x07)
+    i = 13
+    palette = buf[i : i + 3 * gct_n]
+    if len(palette) < 3 * gct_n:
+        raise ValueError("GIF: truncated color table")
+    i += 3 * gct_n
+    # block walk to the first image descriptor
+    while i < len(buf):
+        b = buf[i]
+        if b == 0x2C:
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(buf) and buf[i]:
+                i += 1 + buf[i]
+            i += 1
+        elif b == 0x3B:
+            raise ValueError("GIF: trailer before any image")
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+    if i + 10 > len(buf):
+        raise ValueError("GIF: truncated image descriptor")
+    w = int.from_bytes(buf[i + 5 : i + 7], "little")
+    h = int.from_bytes(buf[i + 7 : i + 9], "little")
+    iflags = buf[i + 9]
+    if iflags & 0x80:
+        raise ValueError("GIF: local color table unsupported")
+    if iflags & 0x40:
+        raise ValueError("GIF: interlaced image unsupported")
+    i += 10
+    min_code_size = buf[i]
+    i += 1
+    data = bytearray()
+    while i < len(buf) and buf[i]:
+        n = buf[i]
+        data += buf[i + 1 : i + 1 + n]
+        i += 1 + n
+    indices = _gif_lzw_decode(bytes(data), min_code_size)
+    if len(indices) != w * h:
+        raise ValueError("GIF: index count does not match dimensions")
+    if indices and max(indices) >= gct_n:
+        raise ValueError("GIF: index outside color table")
+    rgb = [palette[3 * ix + ch] for ix in indices for ch in range(3)]
+    return {
+        "px_count": len(rgb),
+        "px_sum": sum(rgb),
+        "px_min": min(rgb),
+        "px_max": max(rgb),
+    }
+
+
 FEATURE_SCHEMA = (
     "media_id long, mime string, width int, height int, "
     "duration_ms long, n_bytes long, feat array<double>, "
@@ -484,11 +596,16 @@ def extract_media_features(df: DataFrame, target_rows_per_batch: int = 256) -> D
                 totals[totals == 0] = 1.0
                 feat = hist / totals
                 px = {"px_count": [], "px_sum": [], "px_min": [], "px_max": []}
+                _pixel_decoders = {
+                    "image/png": decode_png_pixels,
+                    "image/gif": decode_gif_pixels,
+                }
                 for i, p in enumerate(payloads):
                     stats = None
-                    if hdr["mime"][i] == "image/png" and p is not None:
+                    dec = _pixel_decoders.get(hdr["mime"][i])
+                    if dec is not None and p is not None:
                         try:
-                            stats = decode_png_pixels(bytes(p))
+                            stats = dec(bytes(p))
                         except Exception:  # corrupt stream: null row, not a stage retry
                             stats = None
                     for k in px:
@@ -722,6 +839,75 @@ def synthesize_png_pixel_payloads(
                     {
                         "media_id": ids.to_numpy(),
                         "payload": [_png(int(i)) for i in ids],
+                    }
+                )
+
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+
+
+def synthesize_gif_pixel_payloads(
+    df: DataFrame, id_col: str = "doc_id", target_rows_per_batch: int = 256
+) -> DataFrame:
+    """Build COMPLETE GIF89a files — grayscale global color table,
+    one LZW-coded image — whose palette indices are closed-form in the
+    id: ``w = 4 + id % 8``, ``h = 4 + (5*id) % 8``, index
+    ``(r, c) = (id + 5*r + 11*c) % 256``. The encoder emits each index
+    as a literal 9-bit code with a CLEAR every 254 symbols (the
+    classic "uncompressed GIF" stream — spec-valid, and the decoder
+    must still run the full table/clear machinery to read it). With
+    the grayscale palette the oracle's pixel stats are
+    ``3×`` the index-formula stats."""
+
+    def _gif(doc_id: int) -> bytes:
+        w = 4 + doc_id % 8
+        h = 4 + (5 * doc_id) % 8
+        indices = [(doc_id + 5 * r + 11 * c) % 256 for r in range(h) for c in range(w)]
+        # LZW: min code size 8 -> clear=256, end=257, 9-bit codes;
+        # clear every 254 literals so the table never forces 10 bits
+        codes: list[int] = [256]
+        for k, ix in enumerate(indices):
+            if k and k % 254 == 0:
+                codes.append(256)
+            codes.append(ix)
+        codes.append(257)
+        acc = nbits = 0
+        packed = bytearray()
+        for code in codes:
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            packed.append(acc & 0xFF)
+        blocks = bytearray()
+        for i in range(0, len(packed), 255):
+            part = packed[i : i + 255]
+            blocks += bytes([len(part)]) + part
+        gct = bytes(v for v in range(256) for _ in range(3))
+        return (
+            b"GIF89a"
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + bytes([0xF7, 0, 0])  # GCT present, 256 entries
+            + gct
+            + b"\x2c" + bytes(4)  # image at (0, 0)
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + bytes([0, 8])  # no LCT/interlace; min code size 8
+            + bytes(blocks)
+            + b"\x00\x3b"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                ids = pdf[id_col].iloc[start : start + target_rows_per_batch]
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids.to_numpy(),
+                        "payload": [_gif(int(i)) for i in ids],
                     }
                 )
 

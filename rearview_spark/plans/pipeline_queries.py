@@ -478,6 +478,44 @@ FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
 
 
+def media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level GIF decode gate: synthesize COMPLETE GIF89a files —
+    grayscale palette, real LZW-coded index stream with clear codes —
+    whose palette index (r, c) is the closed-form
+    ``(id + 5r + 11c) % 256``, then decode through
+    ``extract_media_features``. The Spark side must run the full
+    GIF-LZW machinery (variable code width, table resets, palette
+    mapping — multimodal.decode_gif_pixels); the oracle re-derives the
+    stats from the index formula (×3 for the grayscale RGB triple)."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_gif_pixel_payloads(docs)
+    feats = M.extract_media_features(media)
+    return feats.select(
+        "media_id", "mime", "width", "height",
+        "px_count", "px_sum", "px_min", "px_max",
+    )
+
+
+MEDIA_GIF_PIXELS_SQL = """
+WITH dims AS (
+  SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS w,
+         CAST(4 + (5 * doc_id) % 8 AS INT) AS h
+  FROM documents
+), rs AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS r FROM dims
+), cs AS (
+  SELECT doc_id, w, h, r, unnest(generate_series(0, w - 1)) AS c FROM rs
+), px AS (
+  SELECT doc_id, w, h, (doc_id + 5 * r + 11 * c) % 256 AS v FROM cs
+)
+SELECT doc_id AS media_id, 'image/gif' AS mime, w AS width, h AS height,
+       CAST(3 * w * h AS BIGINT) AS px_count,
+       CAST(3 * sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h ORDER BY media_id
+"""
+
+
 # hex-builder fragments (DuckDB): fixed-width big/little-endian of ints
 def _behex(expr: str, nbytes: int) -> str:
     return f"lpad(upper(to_hex({expr})), {nbytes * 2}, '0')"
@@ -2000,5 +2038,9 @@ PENDING_QUERIES: dict[str, dict] = {
     "dedup_incremental_embedding": {
         "fn": dedup_incremental_embedding,
         "oracle": DEDUP_INCR_EMB_SQL,
+    },
+    "media_gif_pixels": {
+        "fn": media_gif_pixels,
+        "oracle": MEDIA_GIF_PIXELS_SQL,
     },
 }

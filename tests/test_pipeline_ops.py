@@ -857,6 +857,91 @@ def test_synthesize_png_pixels_roundtrip(spark):
         assert row["px_min"] == min(vals) and row["px_max"] == max(vals)
 
 
+def test_decode_gif_pixels_real_lzw():
+    """The GIF path must run real LZW — including table growth past the
+    initial width — not just the literal-only stream the synthesizer
+    emits. Encode a repetitive index stream with an actual compressing
+    encoder and check the decode against the known indices."""
+    def compressing_gif(indices, w, h):
+        # real LZW encoder (greedy longest-match), min code size 8
+        table = {(i,): i for i in range(256)}
+        next_code = 258
+        codes = [256]
+        cur = ()
+        for ix in indices:
+            cand = cur + (ix,)
+            if cand in table:
+                cur = cand
+                continue
+            codes.append(table[cur])
+            table[cand] = next_code
+            next_code += 1
+            cur = (ix,)
+        if cur:
+            codes.append(table[cur])
+        codes.append(257)
+        # pack with the width progression the DECODER will track: it
+        # adds a table entry per code AFTER the first and widens when
+        # its next_code hits 1 << width
+        acc = nbits = 0
+        packed = bytearray()
+        width, dec_next, prev_seen = 9, 258, False
+        for code in codes:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if code == 256:
+                width, dec_next, prev_seen = 9, 258, False
+            elif code != 257:
+                if prev_seen:
+                    dec_next += 1
+                    if dec_next == (1 << width) and width < 12:
+                        width += 1
+                prev_seen = True
+        if nbits:
+            packed.append(acc & 0xFF)
+        blocks = bytearray()
+        for i in range(0, len(packed), 255):
+            part = packed[i : i + 255]
+            blocks += bytes([len(part)]) + part
+        gct = bytes(v for v in range(256) for _ in range(3))
+        return (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0xF7, 0, 0]) + gct
+            + b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0, 8]) + bytes(blocks) + b"\x00\x3b"
+        )
+
+    # low-repetition stream: >254 emitted codes force the decoder
+    # through the 9->10 bit width growth (and table entries past 512)
+    w, h = 32, 32
+    indices = [(i * 7) % 251 for i in range(w * h)]
+    got = M.decode_gif_pixels(compressing_gif(indices, w, h))
+    assert got["px_count"] == 3 * w * h
+    assert got["px_sum"] == 3 * sum(indices)
+    assert got["px_min"] == min(indices) and got["px_max"] == max(indices)
+
+
+def test_synthesize_gif_pixels_roundtrip(spark):
+    df = spark.createDataFrame([(5,), (260,), (999,)], "doc_id long")
+    out = {
+        r["media_id"]: r
+        for r in M.extract_media_features(M.synthesize_gif_pixel_payloads(df)).collect()
+    }
+    for did in (5, 260, 999):
+        w, h = 4 + did % 8, 4 + (5 * did) % 8
+        vals = [(did + 5 * r + 11 * c) % 256 for r in range(h) for c in range(w)]
+        row = out[did]
+        assert row["mime"] == "image/gif"
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["px_count"] == 3 * len(vals)
+        assert row["px_sum"] == 3 * sum(vals)
+        assert (row["px_min"], row["px_max"]) == (min(vals), max(vals))
+
+
 def test_bmff_major_brand_disambiguation(spark):
     """ADVICE r08 #3: the ftyp box alone only says "ISO-BMFF family" —
     the major brand at +8 distinguishes m4a audio and heic/avif images
