@@ -549,6 +549,206 @@ def decode_gif_pixels(buf: bytes) -> dict:
     }
 
 
+def _jpeg_huff_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG Huffman table (ITU T.81 C.2): {(length, code): value}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing (T.81 F.1.2.3)."""
+
+    def __init__(self, buf: bytes, start: int):
+        self.buf = buf
+        self.i = start
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            if self.i >= len(self.buf):
+                raise ValueError("JPEG: entropy data exhausted")
+            b = self.buf[self.i]
+            self.i += 1
+            if b == 0xFF:
+                if self.i >= len(self.buf):
+                    raise ValueError("JPEG: dangling 0xFF")
+                nxt = self.buf[self.i]
+                if nxt == 0x00:
+                    self.i += 1  # stuffed byte
+                else:
+                    raise ValueError("JPEG: unexpected marker in scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("JPEG: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category decode (T.81 F.2.2.1 EXTEND)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(buf: bytes) -> dict:
+    """REAL baseline-JPEG decode in pure stdlib for the shapes a
+    training pipeline normalizes to: 8-bit single-component
+    (grayscale) SOF0, one DC + one AC Huffman table, no restart
+    markers. Runs the full pipeline — marker walk, DQT/DHT parse,
+    canonical-Huffman entropy decode with byte unstuffing, DC
+    prediction, AC run-length/EOB, dequantization, float 2-D IDCT
+    (T.81 A.3.3), level shift + clamp — and returns the same integer
+    pixel stat dict as :func:`decode_png_pixels`. Raises ``ValueError``
+    on progressive/multi-component/unsupported streams."""
+    import math
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: bad SOI")
+    qt: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    w = h = None
+    comp_q = dc_id = ac_id = None
+    i = 2
+    scan_start = None
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("JPEG: marker desync")
+        marker = buf[i + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+        seg = buf[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant table unsupported")
+                qt[tq] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _jpeg_huff_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise ValueError("JPEG: only single-component supported")
+            if seg[7] != 0x11:
+                raise ValueError("JPEG: subsampling unsupported")
+            comp_q = seg[8]
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(f"JPEG: non-baseline SOF 0x{marker:02x} unsupported")
+        elif marker == 0xDD:
+            raise ValueError("JPEG: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("JPEG: scan component count != 1")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            scan_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if scan_start is None or w is None or comp_q not in qt:
+        raise ValueError("JPEG: missing SOS/SOF/DQT")
+    q = qt[comp_q]
+    dc_t = dc_tables.get(dc_id)
+    ac_t = ac_tables.get(ac_id)
+    if dc_t is None or ac_t is None:
+        raise ValueError("JPEG: missing Huffman table")
+
+    # zigzag order -> (row, col): odd diagonals walk row-ascending,
+    # even diagonals row-descending (T.81 figure A.6)
+    zz = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
+    )
+    cos_tab = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)
+    ]
+    cu = [1 / math.sqrt(2)] + [1.0] * 7
+
+    reader = _JpegBitReader(buf, scan_start)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    count = 0
+    total = 0
+    mn, mx = 255, 0
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coeffs = [0] * 64
+            t = reader.read_huff(dc_t)
+            diff = _jpeg_extend(reader.read_bits(t), t) if t else 0
+            pred += diff
+            coeffs[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = reader.read_huff(ac_t)
+                r, s = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += r
+                if k >= 64:
+                    raise ValueError("JPEG: AC index overrun")
+                coeffs[k] = _jpeg_extend(reader.read_bits(s), s) * q[k]
+                k += 1
+            # de-zigzag + IDCT + level shift, stats over the visible crop
+            blk = [[0.0] * 8 for _ in range(8)]
+            for k in range(64):
+                if coeffs[k]:
+                    r, c = zz[k]
+                    blk[r][c] = float(coeffs[k])
+            for y in range(min(8, h - by * 8)):
+                for x in range(min(8, w - bx * 8)):
+                    acc = 0.0
+                    for u in range(8):
+                        cyu = cos_tab[y][u]
+                        for v in range(8):
+                            f = blk[u][v]
+                            if f:
+                                acc += cu[u] * cu[v] * f * cyu * cos_tab[x][v]
+                    px = round(acc / 4) + 128
+                    px = 0 if px < 0 else (255 if px > 255 else px)
+                    count += 1
+                    total += px
+                    mn = px if px < mn else mn
+                    mx = px if px > mx else mx
+    return {"px_count": count, "px_sum": total, "px_min": mn, "px_max": mx}
+
+
 FEATURE_SCHEMA = (
     "media_id long, mime string, width int, height int, "
     "duration_ms long, n_bytes long, feat array<double>, "
@@ -599,6 +799,7 @@ def extract_media_features(df: DataFrame, target_rows_per_batch: int = 256) -> D
                 _pixel_decoders = {
                     "image/png": decode_png_pixels,
                     "image/gif": decode_gif_pixels,
+                    "image/jpeg": decode_jpeg_pixels,
                 }
                 for i, p in enumerate(payloads):
                     stats = None
@@ -735,6 +936,126 @@ def _jpeg_patch_dims(buf: bytes, nw: int, nh: int) -> bytes:
             )
         i += 2 + seg_len
     return buf
+
+
+def decode_wav_samples(buf: bytes) -> dict:
+    """REAL sample-level WAV decode in pure stdlib: RIFF chunk walk to
+    ``fmt `` (PCM, 16-bit only) and ``data``, then unpack the int16
+    little-endian samples and return integer stats
+    (``smp_count/smp_sum/smp_min/smp_max`` over all channel samples).
+    Raises ``ValueError`` on non-PCM, other bit depths, or structural
+    corruption — the same degrade-to-null contract as the pixel
+    decoders."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("WAV: bad RIFF/WAVE header")
+    fmt_ok = False
+    samples = None
+    i = 12
+    while i + 8 <= len(buf):
+        ctype = buf[i : i + 4]
+        sz = int.from_bytes(buf[i + 4 : i + 8], "little")
+        body = buf[i + 8 : i + 8 + sz]
+        if ctype == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV: short fmt chunk")
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"WAV: unsupported fmt={audio_fmt} bits={bits}")
+            fmt_ok = True
+        elif ctype == b"data":
+            n = len(body) // 2
+            samples = struct.unpack(f"<{n}h", body[: 2 * n])
+        i += 8 + sz + (sz & 1)
+    if not fmt_ok or samples is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    if not samples:
+        return {"smp_count": 0, "smp_sum": 0, "smp_min": None, "smp_max": None}
+    return {
+        "smp_count": len(samples),
+        "smp_sum": sum(samples),
+        "smp_min": min(samples),
+        "smp_max": max(samples),
+    }
+
+
+AUDIO_SAMPLE_SCHEMA = (
+    "media_id long, smp_count long, smp_sum long, smp_min int, smp_max int"
+)
+
+
+def extract_audio_samples(
+    df: DataFrame, target_rows_per_batch: int = 256
+) -> DataFrame:
+    """Sample-level audio stats via bounded ``mapInPandas`` — the audio
+    analog of the pixel columns in :func:`extract_media_features` (a
+    real fbank/whisper front-end slots in at the same decode point;
+    schema, batching, and null contract identical). Unparseable or
+    non-PCM payloads yield null stats, one row each."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                rows = {"smp_count": [], "smp_sum": [], "smp_min": [], "smp_max": []}
+                for p in chunk["payload"]:
+                    try:
+                        stats = decode_wav_samples(bytes(p))
+                    except Exception:
+                        stats = {k: None for k in rows}
+                    for k in rows:
+                        rows[k].append(stats[k])
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].to_numpy(),
+                        "smp_count": pd.array(rows["smp_count"], dtype="Int64"),
+                        "smp_sum": pd.array(rows["smp_sum"], dtype="Int64"),
+                        "smp_min": pd.array(rows["smp_min"], dtype="Int32"),
+                        "smp_max": pd.array(rows["smp_max"], dtype="Int32"),
+                    }
+                )
+
+    return df.select("media_id", "payload").mapInPandas(fn, AUDIO_SAMPLE_SCHEMA)
+
+
+def synthesize_wav_sample_payloads(
+    df: DataFrame, id_col: str = "doc_id", target_rows_per_batch: int = 256
+) -> DataFrame:
+    """Build COMPLETE PCM WAVs whose int16 samples are closed-form in
+    the id: ``n = 50 + id % 50`` samples, sample
+    ``k = ((id * 31 + k * 7) % 65536) - 32768`` — so a SQL oracle
+    re-derives any sample statistic from the formula while the Spark
+    path must actually parse the RIFF layout and unpack the PCM body."""
+    import struct
+
+    def _wav(doc_id: int) -> bytes:
+        n = 50 + doc_id % 50
+        vals = [((doc_id * 31 + k * 7) % 65536) - 32768 for k in range(n)]
+        body = struct.pack(f"<{n}h", *vals)
+        sr = 8000
+        fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+        return (
+            b"RIFF"
+            + (4 + 8 + len(fmt) + 8 + len(body)).to_bytes(4, "little")
+            + b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(body).to_bytes(4, "little") + body
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                ids = pdf[id_col].iloc[start : start + target_rows_per_batch]
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids.to_numpy(),
+                        "payload": [_wav(int(i)) for i in ids],
+                    }
+                )
+
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
 AUDIO_CHUNK_SCHEMA = "media_id long, chunk_idx int, start_ms long, end_ms long"
@@ -908,6 +1229,94 @@ def synthesize_gif_pixel_payloads(
                     {
                         "media_id": ids.to_numpy(),
                         "payload": [_gif(int(i)) for i in ids],
+                    }
+                )
+
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+
+
+def synthesize_jpeg_pixel_payloads(
+    df: DataFrame, id_col: str = "doc_id", target_rows_per_batch: int = 256
+) -> DataFrame:
+    """Build COMPLETE baseline JPEGs — real DQT/DHT/SOF0/SOS markers
+    and a Huffman-entropy-coded scan — that are DC-ONLY: every 8×8
+    block holds a single flat value ``v = ((id + 5*bx + 9*by) % 200) -
+    100 + 128`` (flat quant table of 8s makes the IDCT of a DC-only
+    block exactly ``dc + 128``, no rounding ambiguity), with
+    ``w = 8*(1 + id % 4)``, ``h = 8*(1 + (3*id) % 4)``. A SQL oracle
+    re-derives every pixel stat from the block formula (64 pixels per
+    block) while the Spark path must actually Huffman-decode the scan,
+    track the DC predictor, dequantize, and run the IDCT
+    (:func:`decode_jpeg_pixels`) — DC *differences* are what's coded,
+    so a predictor bug corrupts every later block and cannot pass."""
+    #: canonical tables shared with the decoder's DHT parse:
+    #: DC categories 0..8 as 4-bit codes, AC holding only EOB
+    dc_bits = [0, 0, 0, 9] + [0] * 12
+    dc_vals = list(range(9))
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]
+    dc_codes = {v: (l, c) for (l, c), v in _jpeg_huff_table(dc_bits, dc_vals).items()}
+    ac_codes = {v: (l, c) for (l, c), v in _jpeg_huff_table(ac_bits, ac_vals).items()}
+
+    def _jpeg(doc_id: int) -> bytes:
+        w = 8 * (1 + doc_id % 4)
+        h = 8 * (1 + (3 * doc_id) % 4)
+        bw, bh = w // 8, h // 8
+        bits: list[int] = []
+
+        def put(code: int, n: int) -> None:
+            for b in range(n - 1, -1, -1):
+                bits.append((code >> b) & 1)
+
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                dc = (doc_id + 5 * bx + 9 * by) % 200 - 100
+                diff = dc - pred
+                pred = dc
+                t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+                ln, code = dc_codes[t]
+                put(code, ln)
+                if t:
+                    put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                ln, code = ac_codes[0x00]  # EOB: all 63 ACs zero
+                put(code, ln)
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s (T.81 F.1.2.3)
+        scan = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)  # byte stuffing
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+        dqt = seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)) + seg(
+            0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+        )
+        sof = seg(
+            0xC0,
+            bytes([8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]),
+        )
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        return b"\xff\xd8" + dqt + dht + sof + sos + bytes(scan) + b"\xff\xd9"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                ids = pdf[id_col].iloc[start : start + target_rows_per_batch]
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids.to_numpy(),
+                        "payload": [_jpeg(int(i)) for i in ids],
                     }
                 )
 

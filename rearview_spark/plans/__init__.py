@@ -20,8 +20,14 @@ _NEW_THIS_ROUND = (
     "sel_cluster_balanced",
     "doc_leakage_safe_split",
     "doc_html_clean",
-    # r09-built: pixel-level PNG decode gate
+    # r09-built: pixel/sample-level media decode + incremental embedding
+    # dedup. Window = 9 new + 41 rotations (the six r05-stale rows
+    # rotate first).
     "media_png_pixels",
+    "dedup_incremental_embedding",
+    "media_gif_pixels",
+    "media_wav_samples",
+    "media_jpeg_pixels",
 )
 
 

@@ -516,6 +516,72 @@ FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
 
 
+def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level WAV decode gate: synthesize COMPLETE PCM files
+    whose int16 sample ``k`` is the closed-form
+    ``((id*31 + 7k) % 65536) - 32768``, then unpack through
+    ``extract_audio_samples``. The Spark side must walk the RIFF chunks
+    and decode the PCM body; the oracle re-derives every stat from the
+    sample formula."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_wav_sample_payloads(docs)
+    return M.extract_audio_samples(media).orderBy("media_id")
+
+
+MEDIA_WAV_SAMPLES_SQL = """
+WITH dims AS (
+  SELECT doc_id, CAST(50 + doc_id % 50 AS INT) AS n FROM documents
+), ks AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM dims
+), smp AS (
+  SELECT doc_id, n, ((doc_id * 31 + 7 * k) % 65536) - 32768 AS v FROM ks
+)
+SELECT doc_id AS media_id, CAST(n AS BIGINT) AS smp_count,
+       CAST(sum(v) AS BIGINT) AS smp_sum,
+       CAST(min(v) AS INT) AS smp_min, CAST(max(v) AS INT) AS smp_max
+FROM smp GROUP BY doc_id, n ORDER BY media_id
+"""
+
+
+def media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level JPEG decode gate: synthesize COMPLETE baseline
+    JPEGs — real Huffman-entropy-coded scans, DC-only blocks so the
+    IDCT output is integer-exact — and decode through
+    ``extract_media_features``. The Spark side must Huffman-decode the
+    scan, track the DC predictor across blocks, dequantize, and run
+    the IDCT (multimodal.decode_jpeg_pixels); the oracle re-derives
+    every stat from the per-block closed form (flat value
+    ``(id + 5*bx + 9*by) % 200 + 28`` over 64 pixels)."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_jpeg_pixel_payloads(docs)
+    feats = M.extract_media_features(media)
+    return feats.select(
+        "media_id", "mime", "width", "height",
+        "px_count", "px_sum", "px_min", "px_max",
+    )
+
+
+MEDIA_JPEG_PIXELS_SQL = """
+WITH dims AS (
+  SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS bw,
+         CAST(1 + (3 * doc_id) % 4 AS INT) AS bh
+  FROM documents
+), bys AS (
+  SELECT doc_id, bw, bh, unnest(generate_series(0, bh - 1)) AS by FROM dims
+), bxs AS (
+  SELECT doc_id, bw, bh, by, unnest(generate_series(0, bw - 1)) AS bx FROM bys
+), blk AS (
+  SELECT doc_id, bw, bh, ((doc_id + 5 * bx + 9 * by) % 200) + 28 AS v FROM bxs
+)
+SELECT doc_id AS media_id, 'image/jpeg' AS mime,
+       CAST(8 * bw AS INT) AS width, CAST(8 * bh AS INT) AS height,
+       CAST(64 * bw * bh AS BIGINT) AS px_count,
+       CAST(64 * sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM blk GROUP BY doc_id, bw, bh ORDER BY media_id
+"""
+
+
 # hex-builder fragments (DuckDB): fixed-width big/little-endian of ints
 def _behex(expr: str, nbytes: int) -> str:
     return f"lpad(upper(to_hex({expr})), {nbytes * 2}, '0')"
@@ -2008,9 +2074,12 @@ ORDER BY b.vec_id
 #: r09: the five r07-staged gates (incremental dedup, duplicated-span
 #: dedup, cluster-balanced sampling, leakage-safe split, HTML cleaning)
 #: are now LIVE below — parity-green since r07 via
-#: tests/test_pending_gates.py. Staged for r10: the incremental
-#: EMBEDDING dedup gate (built r09, parity-tested through the same
-#: oracle_check compare path by tests/test_pending_gates.py).
+#: tests/test_pending_gates.py. The four r09-built gates (incremental
+#: embedding dedup, GIF/JPEG pixel decode, WAV sample decode) are also
+#: registered immediately: the staging queue exists for FULL windows
+#: (plans/__init__.py), and the r09 window has room — 9 new + 41
+#: rotations still refreshes every r05-stale row. Each passed the
+#: driver's exact compare path locally at sf0.01 before registration.
 QUERIES["dedup_incremental_minhash"] = {
     "fn": dedup_incremental_minhash,
     "oracle": DEDUP_INCREMENTAL_SQL,
@@ -2034,13 +2103,21 @@ QUERIES["media_png_pixels"] = {
     "oracle": MEDIA_PNG_PIXELS_SQL,
 }
 
-PENDING_QUERIES: dict[str, dict] = {
-    "dedup_incremental_embedding": {
-        "fn": dedup_incremental_embedding,
-        "oracle": DEDUP_INCR_EMB_SQL,
-    },
-    "media_gif_pixels": {
-        "fn": media_gif_pixels,
-        "oracle": MEDIA_GIF_PIXELS_SQL,
-    },
+QUERIES["dedup_incremental_embedding"] = {
+    "fn": dedup_incremental_embedding,
+    "oracle": DEDUP_INCR_EMB_SQL,
 }
+QUERIES["media_gif_pixels"] = {
+    "fn": media_gif_pixels,
+    "oracle": MEDIA_GIF_PIXELS_SQL,
+}
+QUERIES["media_wav_samples"] = {
+    "fn": media_wav_samples,
+    "oracle": MEDIA_WAV_SAMPLES_SQL,
+}
+QUERIES["media_jpeg_pixels"] = {
+    "fn": media_jpeg_pixels,
+    "oracle": MEDIA_JPEG_PIXELS_SQL,
+}
+
+PENDING_QUERIES: dict[str, dict] = {}

@@ -942,6 +942,171 @@ def test_synthesize_gif_pixels_roundtrip(spark):
         assert (row["px_min"], row["px_max"]) == (min(vals), max(vals))
 
 
+def test_synthesize_jpeg_pixels_roundtrip(spark):
+    """End-to-end: DC-only baseline JPEGs (real Huffman scan, DC
+    prediction across blocks) decode to the flat-block formula through
+    extract_media_features."""
+    df = spark.createDataFrame([(3,), (17,), (250,)], "doc_id long")
+    out = {
+        r["media_id"]: r
+        for r in M.extract_media_features(M.synthesize_jpeg_pixel_payloads(df)).collect()
+    }
+    for did in (3, 17, 250):
+        bw, bh = 1 + did % 4, 1 + (3 * did) % 4
+        vals = [
+            (did + 5 * bx + 9 * by) % 200 + 28
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+        row = out[did]
+        assert row["mime"] == "image/jpeg"
+        assert (row["width"], row["height"]) == (8 * bw, 8 * bh)
+        assert row["px_count"] == 64 * len(vals)
+        assert row["px_sum"] == 64 * sum(vals)
+        assert (row["px_min"], row["px_max"]) == (min(vals), max(vals))
+
+
+def test_decode_jpeg_pixels_ac_coefficients():
+    """The AC run-length/EOB path and the full 2-D IDCT, checked
+    against an independent numpy IDCT reference: hand-assemble a
+    one-block scan carrying a DC plus two AC coefficients (one after a
+    zero run) and compare every decoded pixel stat."""
+    import numpy as np
+
+    from rearview_spark.operators.multimodal import _jpeg_huff_table
+
+    dc_bits = [0, 0, 0, 9] + [0] * 12
+    dc_vals = list(range(9))
+    # AC table: EOB, ZRL and categories (run, size) we emit
+    ac_bits = [0, 4] + [0] * 14
+    ac_vals = [0x00, 0x11, 0x22, 0xF0]
+    dc_codes = {v: (l, c) for (l, c), v in _jpeg_huff_table(dc_bits, dc_vals).items()}
+    ac_codes = {v: (l, c) for (l, c), v in _jpeg_huff_table(ac_bits, ac_vals).items()}
+
+    bits = []
+
+    def put(code, n):
+        for b in range(n - 1, -1, -1):
+            bits.append((code >> b) & 1)
+
+    def put_coeff(codebook, rs, val):
+        ln, code = codebook[rs]
+        put(code, ln)
+        t = rs & 0x0F
+        put(val if val >= 0 else val + (1 << t) - 1, t)
+
+    put_coeff(dc_codes, 3, -5)         # DC = -5 (category 3)
+    put_coeff(ac_codes, 0x11, 1)       # skip 1 zero, AC k=2 value 1
+    put_coeff(ac_codes, 0x22, -2)      # skip 2 zeros, AC k=5 value -2
+    put(ac_codes[0x00][1], ac_codes[0x00][0])  # EOB
+    while len(bits) % 8:
+        bits.append(1)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    q = 2
+    buf = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(scan)
+        + b"\xff\xd9"
+    )
+
+    # independent reference: zigzag positions 0, 2, 5 -> (0,0), (1,0), (0,2)
+    coeffs = np.zeros((8, 8))
+    coeffs[0, 0] = -5 * q
+    coeffs[1, 0] = 1 * q
+    coeffs[0, 2] = -2 * q
+    cu = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    cosm = np.cos((2 * np.arange(8)[:, None] + 1) * np.arange(8)[None, :] * np.pi / 16)
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            ref[y, x] = sum(
+                cu[u] * cu[v] * coeffs[u, v] * cosm[y, u] * cosm[x, v]
+                for u in range(8)
+                for v in range(8)
+            ) / 4
+    px = np.clip(np.round(ref) + 128, 0, 255).astype(int)
+
+    got = M.decode_jpeg_pixels(buf)
+    assert got == {
+        "px_count": 64,
+        "px_sum": int(px.sum()),
+        "px_min": int(px.min()),
+        "px_max": int(px.max()),
+    }
+
+
+def test_decode_jpeg_rejects_unsupported():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_pixels(b"\xff\xd8\xff\xc2\x00\x05aaa")  # progressive SOF2
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_pixels(b"not a jpeg")
+
+
+def test_decode_wav_samples_and_batch(spark):
+    """PCM sample decode: exact int16 stats, odd-sized chunk padding,
+    rejection of non-PCM/24-bit, and the null-degrade path through
+    extract_audio_samples."""
+    import struct
+
+    import pytest as _pytest
+
+    def wav(vals, audio_fmt=1, bits=16, extra_chunk=False):
+        body = struct.pack(f"<{len(vals)}h", *vals)
+        fmt = struct.pack("<HHIIHH", audio_fmt, 1, 8000, 16000, 2, bits)
+        mid = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        if extra_chunk:  # odd-length chunk before data: pad byte honored
+            mid += b"junk" + (3).to_bytes(4, "little") + b"abc\x00"[:4]
+        mid += b"data" + len(body).to_bytes(4, "little") + body
+        return b"RIFF" + (4 + len(mid)).to_bytes(4, "little") + b"WAVE" + mid
+
+    vals = [0, -32768, 32767, 5, -5]
+    got = M.decode_wav_samples(wav(vals))
+    assert got == {"smp_count": 5, "smp_sum": -1, "smp_min": -32768, "smp_max": 32767}
+    assert M.decode_wav_samples(wav(vals, extra_chunk=True))["smp_sum"] == -1
+    with _pytest.raises(ValueError):
+        M.decode_wav_samples(wav(vals, audio_fmt=3))  # float PCM
+    with _pytest.raises(ValueError):
+        M.decode_wav_samples(wav(vals, bits=24))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(vals))), (2, bytearray(b"not a wav"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in M.extract_audio_samples(df).collect()}
+    assert out[1]["smp_sum"] == -1 and out[1]["smp_count"] == 5
+    assert out[2]["smp_count"] is None  # null row, not a batch failure
+
+    # synthesizer round-trip against the closed-form formula
+    sdf = M.synthesize_wav_sample_payloads(
+        spark.createDataFrame([(42,), (137,)], "doc_id long")
+    )
+    got = {r["media_id"]: r for r in M.extract_audio_samples(sdf).collect()}
+    for did in (42, 137):
+        n = 50 + did % 50
+        formula = [((did * 31 + 7 * k) % 65536) - 32768 for k in range(n)]
+        row = got[did]
+        assert row["smp_count"] == n and row["smp_sum"] == sum(formula)
+        assert (row["smp_min"], row["smp_max"]) == (min(formula), max(formula))
+
+
 def test_bmff_major_brand_disambiguation(spark):
     """ADVICE r08 #3: the ftyp box alone only says "ISO-BMFF family" —
     the major brand at +8 distinguishes m4a audio and heic/avif images
