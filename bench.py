@@ -77,6 +77,9 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "dedup_duplicated_spans",
     "sel_cluster_balanced",
+    # round-9: the bounded-mapInPandas media decode family (synthesize +
+    # zlib inflate + unfilter per row) gets its own perf line
+    "media_png_pixels",
 ]
 
 
