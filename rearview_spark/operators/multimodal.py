@@ -4,11 +4,16 @@ columns with typed metadata, processed through Arrow-batched
 
 North-star extension (BASELINE.json). The decode step parses REAL
 container headers in pure stdlib — PNG IHDR, GIF logical-screen
-descriptor, JPEG SOF marker scan, RIFF/WAV chunk walk
-(:func:`decode_header`) — over real bytes. Only pixel/sample decode
-(which needs PIL/libav, not in this container) is out of scope: a
-cluster deployment swaps the feature sketch for a real CNN/fbank
-embedding and nothing else changes. Payloads that parse as no known
+descriptor, JPEG SOF marker scan, RIFF/WAV chunk walk, ISO-BMFF boxes
+(:func:`decode_header`) — and, since r09, REAL raster/sample payloads:
+PNG (zlib IDAT inflate + the five RFC 2083 filter reconstructions,
+:func:`decode_png_pixels`), GIF (full LZW + palette mapping,
+:func:`decode_gif_pixels`), baseline JPEG (canonical-Huffman entropy
+decode, DC prediction, dequant + 2-D IDCT, :func:`decode_jpeg_pixels`),
+and WAV int16 PCM (:func:`decode_wav_samples`). Only video CODEC decode
+(H.264 etc., needing libav) remains stubbed: a cluster deployment swaps
+the feature sketch for a real CNN/fbank embedding at the same decode
+point and nothing else changes. Payloads that parse as no known
 container yield typed nulls rather than failing the batch — at 100 TB a
 corrupt blob must cost one row, not a stage retry.
 

@@ -89,3 +89,39 @@ def test_duplicated_spans_never_pairwise(spark):
         and ") Exchange" in line
     )
     assert n_exchanges <= 4, plan
+
+
+def test_incremental_embedding_store_side_never_reprojected(spark):
+    """The store's scale contract (similarity.embedding_store_rows):
+    band keys are computed ONCE at append time. Reading the persisted
+    store back and exploding its band keys — exactly what each
+    micro-batch does — must involve ZERO hyperplane math (the
+    aggregate()/zip_with sign projection), while building fresh store
+    rows from raw vectors must show it. A refactor that starts
+    re-projecting history per batch fails the first assertion."""
+    import tempfile
+
+    from rearview_spark.operators.similarity import embedding_store_rows
+    from rearview_spark.sources.loader import Tables
+
+    emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+
+    def fmt(df) -> str:
+        return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ).lower()
+
+    fresh = embedding_store_rows(emb.filter(F.col("vec_id") % 2 == 0))
+    assert "zip_with" in fmt(fresh)  # building rows DOES project
+
+    d = tempfile.mkdtemp(prefix="plan_vec_store_")
+    fresh.write.mode("overwrite").parquet(d)
+    store = spark.read.parquet(d)
+    banded_store = store.select("vec_id", F.explode("bands").alias("bb")).select(
+        "vec_id", "bb.band", "bb.bh"
+    )
+    sp = fmt(banded_store)
+    assert "zip_with" not in sp and "aggregate(" not in sp
+    # and the probe is a pruned columnar read: the stored vector column
+    # is not scanned just to band-join
+    assert "emb" not in sp.split("readschema")[1].split("\n")[0]
