@@ -730,21 +730,23 @@ def decode_jpeg_pixels(buf: bytes) -> dict:
                     raise ValueError("JPEG: AC index overrun")
                 coeffs[k] = _jpeg_extend(reader.read_bits(s), s) * q[k]
                 k += 1
-            # de-zigzag + IDCT + level shift, stats over the visible crop
-            blk = [[0.0] * 8 for _ in range(8)]
-            for k in range(64):
-                if coeffs[k]:
-                    r, c = zz[k]
-                    blk[r][c] = float(coeffs[k])
+            # de-zigzag into a SPARSE coefficient list, then IDCT only
+            # over the nonzero terms — identical math to the dense
+            # double loop, but a typical entropy-coded block has a
+            # handful of nonzero coefficients (a DC-only block has
+            # one), so the per-pixel sum is O(nnz), not O(64)
+            nz = [
+                (zz[k][0], zz[k][1], cu[zz[k][0]] * cu[zz[k][1]] * coeffs[k])
+                for k in range(64)
+                if coeffs[k]
+            ]
             for y in range(min(8, h - by * 8)):
+                row_cos = cos_tab[y]
                 for x in range(min(8, w - bx * 8)):
+                    col_cos = cos_tab[x]
                     acc = 0.0
-                    for u in range(8):
-                        cyu = cos_tab[y][u]
-                        for v in range(8):
-                            f = blk[u][v]
-                            if f:
-                                acc += cu[u] * cu[v] * f * cyu * cos_tab[x][v]
+                    for u, v, wgt in nz:
+                        acc += wgt * row_cos[u] * col_cos[v]
                     px = round(acc / 4) + 128
                     px = 0 if px < 0 else (255 if px > 255 else px)
                     count += 1
