@@ -1065,6 +1065,213 @@ def synthesize_wav_sample_payloads(
     return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
+def decode_mp4_sample_table(buf: bytes) -> list[dict]:
+    """REAL ISO-BMFF sample-table parse: walk
+    moov→trak→mdia→minf→stbl and combine the four tables the way a
+    demuxer does — ``stsz`` (per-sample or uniform sizes), ``stco``/
+    ``co64`` (chunk offsets), ``stsc`` (sample→chunk runs, last chunk
+    takes the remainder), ``stts`` (decode-time deltas) — into one
+    entry per sample: ``{sample_idx, offset, size, dts}`` with byte
+    offsets resolved to chunk offset + intra-chunk size prefix. This
+    IS frame extraction at the container level: the (offset, size)
+    pairs are exactly the reads a codec worker would issue; only the
+    codec itself stays stubbed. Raises ``ValueError`` when the chain
+    or any table is missing/truncated."""
+
+    def find(name, lo, hi):
+        for btype, blo, bhi in _iter_boxes(buf, lo, hi):
+            if btype == name:
+                return blo, bhi
+        raise ValueError(f"MP4: missing {name.decode()} box")
+
+    lo, hi = find(b"moov", 0, len(buf))
+    for name in (b"trak", b"mdia", b"minf", b"stbl"):
+        lo, hi = find(name, lo, hi)
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for btype, blo, bhi in _iter_boxes(buf, lo, hi):
+        tables[btype] = (blo, bhi)
+
+    def u32(i: int) -> int:
+        return int.from_bytes(buf[i : i + 4], "big")
+
+    # stsz: version/flags, sample_size (0 => per-sample table), count
+    if b"stsz" not in tables:
+        raise ValueError("MP4: missing stsz box")
+    slo, _ = tables[b"stsz"]
+    uniform = u32(slo + 4)
+    n = u32(slo + 8)
+    sizes = [uniform] * n if uniform else [u32(slo + 12 + 4 * k) for k in range(n)]
+
+    # stco / co64: chunk offsets
+    if b"stco" in tables:
+        clo, _ = tables[b"stco"]
+        n_chunks = u32(clo + 4)
+        chunk_offsets = [u32(clo + 8 + 4 * k) for k in range(n_chunks)]
+    elif b"co64" in tables:
+        clo, _ = tables[b"co64"]
+        n_chunks = u32(clo + 4)
+        chunk_offsets = [
+            int.from_bytes(buf[clo + 8 + 8 * k : clo + 16 + 8 * k], "big")
+            for k in range(n_chunks)
+        ]
+    else:
+        raise ValueError("MP4: missing stco/co64 box")
+
+    # stsc: (first_chunk, samples_per_chunk, desc) runs
+    if b"stsc" not in tables:
+        raise ValueError("MP4: missing stsc box")
+    plo, _ = tables[b"stsc"]
+    n_runs = u32(plo + 4)
+    runs = [
+        (u32(plo + 8 + 12 * k), u32(plo + 12 + 12 * k)) for k in range(n_runs)
+    ]
+    per_chunk: list[int] = []
+    for i, (first, spc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(chunk_offsets)
+        per_chunk.extend([spc] * (last - first + 1))
+
+    # stts: (count, delta) runs -> dts per sample
+    if b"stts" not in tables:
+        raise ValueError("MP4: missing stts box")
+    tlo, _ = tables[b"stts"]
+    n_t = u32(tlo + 4)
+    dts: list[int] = []
+    t = 0
+    for k in range(n_t):
+        cnt, delta = u32(tlo + 8 + 8 * k), u32(tlo + 12 + 8 * k)
+        for _ in range(cnt):
+            dts.append(t)
+            t += delta
+    if len(dts) < n:
+        raise ValueError("MP4: stts covers fewer samples than stsz")
+
+    out: list[dict] = []
+    s = 0
+    for c, coff in enumerate(chunk_offsets):
+        if s >= n:
+            break
+        take = min(per_chunk[c] if c < len(per_chunk) else per_chunk[-1], n - s)
+        intra = 0
+        for _ in range(take):
+            out.append(
+                {"sample_idx": s, "offset": coff + intra, "size": sizes[s], "dts": dts[s]}
+            )
+            intra += sizes[s]
+            s += 1
+    if s != n:
+        raise ValueError("MP4: chunk tables cover fewer samples than stsz")
+    return out
+
+
+MP4_SAMPLE_SCHEMA = (
+    "media_id long, sample_idx int, offset long, size int, dts long"
+)
+
+
+def extract_mp4_samples(df: DataFrame, target_rows_per_batch: int = 256) -> DataFrame:
+    """Per-sample (frame) read plan from real MP4 sample tables via
+    bounded ``mapInPandas`` — the container half of video decode: each
+    media row fans out to one row per sample with the exact byte range
+    and decode timestamp a codec worker would consume. Unparseable
+    payloads contribute zero rows (logged as absent, same null-degrade
+    philosophy at fan-out granularity)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                ids, idxs, offs, szs, ts = [], [], [], [], []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    try:
+                        rows = decode_mp4_sample_table(bytes(p))
+                    except Exception:
+                        continue
+                    for r in rows:
+                        ids.append(mid)
+                        idxs.append(r["sample_idx"])
+                        offs.append(r["offset"])
+                        szs.append(r["size"])
+                        ts.append(r["dts"])
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.array(ids, dtype="int64"),
+                        "sample_idx": pd.array(idxs, dtype="int32"),
+                        "offset": pd.array(offs, dtype="int64"),
+                        "size": pd.array(szs, dtype="int32"),
+                        "dts": pd.array(ts, dtype="int64"),
+                    }
+                )
+
+    return df.select("media_id", "payload").mapInPandas(fn, MP4_SAMPLE_SCHEMA)
+
+
+def synthesize_mp4_sample_payloads(
+    df: DataFrame, id_col: str = "doc_id", target_rows_per_batch: int = 256
+) -> DataFrame:
+    """Build COMPLETE MP4s — ftyp, a real mdat holding the sample
+    bytes, and a moov/trak/mdia/minf/stbl chain with genuine
+    stts/stsc/stsz/stco tables — whose layout is closed-form in the
+    id: ``n = 5 + id % 10`` samples, sample ``k`` sized
+    ``100 + (id + 13k) % 50`` bytes, uniform time delta
+    ``512 + id % 100``, chunked 2 samples per chunk. mdat comes FIRST
+    (ftyp is 24 bytes, mdat header 8), so sample byte offsets are the
+    constant 32 plus the size prefix sum — SQL-reproducible — while
+    the Spark path must actually resolve them through the chunk
+    tables."""
+
+    def _box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    def _full(btype: bytes, payload: bytes) -> bytes:
+        return _box(btype, bytes(4) + payload)
+
+    def _mp4(doc_id: int) -> bytes:
+        n = 5 + doc_id % 10
+        sizes = [100 + (doc_id + 13 * k) % 50 for k in range(n)]
+        delta = 512 + doc_id % 100
+        ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+        assert len(ftyp) == 24
+        mdat_body = b"".join(
+            bytes([(doc_id + k) % 256]) * sz for k, sz in enumerate(sizes)
+        )
+        mdat = _box(b"mdat", mdat_body)
+        # chunk offsets: 2 samples per chunk, data starts at 32
+        offsets = []
+        pos = 32
+        for k in range(n):
+            if k % 2 == 0:
+                offsets.append(pos)
+            pos += sizes[k]
+        stts = _full(b"stts", (1).to_bytes(4, "big") + n.to_bytes(4, "big") + delta.to_bytes(4, "big"))
+        stsc = _full(b"stsc", (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + (2).to_bytes(4, "big") + (1).to_bytes(4, "big"))
+        stsz = _full(
+            b"stsz",
+            bytes(4) + n.to_bytes(4, "big") + b"".join(s.to_bytes(4, "big") for s in sizes),
+        )
+        stco = _full(
+            b"stco",
+            len(offsets).to_bytes(4, "big")
+            + b"".join(o.to_bytes(4, "big") for o in offsets),
+        )
+        stbl = _box(b"stbl", stts + stsc + stsz + stco)
+        moov = _box(b"moov", _box(b"trak", _box(b"mdia", _box(b"minf", stbl))))
+        return ftyp + mdat + moov
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                ids = pdf[id_col].iloc[start : start + target_rows_per_batch]
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids.to_numpy(),
+                        "payload": [_mp4(int(i)) for i in ids],
+                    }
+                )
+
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+
+
 AUDIO_CHUNK_SCHEMA = "media_id long, chunk_idx int, start_ms long, end_ms long"
 
 

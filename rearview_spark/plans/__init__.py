@@ -28,6 +28,7 @@ _NEW_THIS_ROUND = (
     "media_gif_pixels",
     "media_wav_samples",
     "media_jpeg_pixels",
+    "media_mp4_samples",
 )
 
 

@@ -582,6 +582,42 @@ FROM blk GROUP BY doc_id, bw, bh ORDER BY media_id
 """
 
 
+def media_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level frame extraction gate: synthesize COMPLETE MP4s
+    (ftyp + real mdat + genuine stts/stsc/stsz/stco tables) and fan
+    each out to its per-sample read plan via
+    ``extract_mp4_samples``. The Spark side must resolve byte offsets
+    through the chunk tables (stsc runs → chunk membership → stco base
+    + intra-chunk size prefix); the oracle re-derives offset/size/dts
+    from the closed-form layout (mdat data starts at byte 32, so the
+    offset is 32 + the size prefix sum — computed independently of any
+    chunk walk, which cross-checks the table machinery)."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_mp4_sample_payloads(docs)
+    return M.extract_mp4_samples(media).orderBy("media_id", "sample_idx")
+
+
+MEDIA_MP4_SAMPLES_SQL = """
+WITH dims AS (
+  SELECT doc_id, CAST(5 + doc_id % 10 AS INT) AS n,
+         CAST(512 + doc_id % 100 AS BIGINT) AS delta
+  FROM documents
+), ks AS (
+  SELECT doc_id, n, delta, unnest(generate_series(0, n - 1)) AS k FROM dims
+), sz AS (
+  SELECT doc_id, k, delta, CAST(100 + (doc_id + 13 * k) % 50 AS INT) AS size
+  FROM ks
+)
+SELECT doc_id AS media_id, CAST(k AS INT) AS sample_idx,
+       CAST(32 + COALESCE(SUM(size) OVER (
+         PARTITION BY doc_id ORDER BY k
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS "offset",
+       size, CAST(k * delta AS BIGINT) AS dts
+FROM sz ORDER BY media_id, sample_idx
+"""
+
+
 # hex-builder fragments (DuckDB): fixed-width big/little-endian of ints
 def _behex(expr: str, nbytes: int) -> str:
     return f"lpad(upper(to_hex({expr})), {nbytes * 2}, '0')"
@@ -2118,6 +2154,10 @@ QUERIES["media_wav_samples"] = {
 QUERIES["media_jpeg_pixels"] = {
     "fn": media_jpeg_pixels,
     "oracle": MEDIA_JPEG_PIXELS_SQL,
+}
+QUERIES["media_mp4_samples"] = {
+    "fn": media_mp4_samples,
+    "oracle": MEDIA_MP4_SAMPLES_SQL,
 }
 
 PENDING_QUERIES: dict[str, dict] = {}

@@ -1060,6 +1060,108 @@ def test_decode_jpeg_rejects_unsupported():
         M.decode_jpeg_pixels(b"not a jpeg")
 
 
+def test_decode_mp4_sample_table(spark):
+    """The demuxer path: chunk-table offset resolution (stsc runs, last
+    chunk remainder), per-sample stsz, multi-run stts, and the co64 /
+    uniform-stsz variants."""
+    import pytest as _pytest
+
+    def box(btype, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    def full(btype, payload):
+        return box(btype, bytes(4) + payload)
+
+    def mp4(sizes, chunks, stts_runs, uniform=0, co64=False):
+        # chunks: list of sample counts per chunk (encoded via stsc runs)
+        data_start = 32
+        mdat = box(b"mdat", bytes(sum(sizes)))
+        offsets = []
+        pos, s = data_start, 0
+        for cnt in chunks:
+            offsets.append(pos)
+            pos += sum(sizes[s : s + cnt])
+            s += cnt
+        runs = []
+        for i, cnt in enumerate(chunks):
+            if not runs or runs[-1][1] != cnt:
+                runs.append((i + 1, cnt))
+        stsc = full(
+            b"stsc",
+            len(runs).to_bytes(4, "big")
+            + b"".join(
+                f.to_bytes(4, "big") + c.to_bytes(4, "big") + (1).to_bytes(4, "big")
+                for f, c in runs
+            ),
+        )
+        if uniform:
+            stsz = full(b"stsz", uniform.to_bytes(4, "big") + len(sizes).to_bytes(4, "big"))
+        else:
+            stsz = full(
+                b"stsz",
+                bytes(4) + len(sizes).to_bytes(4, "big")
+                + b"".join(x.to_bytes(4, "big") for x in sizes),
+            )
+        if co64:
+            stco = full(
+                b"co64",
+                len(offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(8, "big") for o in offsets),
+            )
+        else:
+            stco = full(
+                b"stco",
+                len(offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(4, "big") for o in offsets),
+            )
+        stts = full(
+            b"stts",
+            len(stts_runs).to_bytes(4, "big")
+            + b"".join(c.to_bytes(4, "big") + d.to_bytes(4, "big") for c, d in stts_runs),
+        )
+        stbl = box(b"stbl", stts + stsc + stsz + stco)
+        moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+        ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+        return ftyp + mdat + moov
+
+    # 5 samples in chunks of 2,2,1; dts runs 3@10 then 2@20
+    sizes = [10, 20, 30, 40, 50]
+    buf = mp4(sizes, [2, 2, 1], [(3, 10), (2, 20)])
+    rows = M.decode_mp4_sample_table(buf)
+    assert [r["offset"] for r in rows] == [32, 42, 62, 92, 132]
+    assert [r["size"] for r in rows] == sizes
+    assert [r["dts"] for r in rows] == [0, 10, 20, 30, 50]
+
+    # uniform stsz + co64
+    rows = M.decode_mp4_sample_table(
+        mp4([7, 7, 7], [3], [(3, 100)], uniform=7, co64=True)
+    )
+    assert [r["offset"] for r in rows] == [32, 39, 46]
+    assert all(r["size"] == 7 for r in rows)
+
+    with _pytest.raises(ValueError):
+        M.decode_mp4_sample_table(box(b"moov", b""))  # no stbl chain
+
+    # synthesizer round-trip against the closed form
+    sdf = M.synthesize_mp4_sample_payloads(
+        spark.createDataFrame([(9,), (64,)], "doc_id long")
+    )
+    out = M.extract_mp4_samples(sdf).collect()
+    by_id: dict = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for did in (9, 64):
+        n = 5 + did % 10
+        szs = [100 + (did + 13 * k) % 50 for k in range(n)]
+        delta = 512 + did % 100
+        rows = sorted(by_id[did], key=lambda r: r["sample_idx"])
+        assert len(rows) == n
+        for k, r in enumerate(rows):
+            assert r["size"] == szs[k]
+            assert r["offset"] == 32 + sum(szs[:k])
+            assert r["dts"] == k * delta
+
+
 def test_decode_wav_samples_and_batch(spark):
     """PCM sample decode: exact int16 stats, odd-sized chunk padding,
     rejection of non-PCM/24-bit, and the null-degrade path through
