@@ -136,7 +136,8 @@ def _previous_bench(here: str | None = None) -> tuple[str, dict, object] | None:
         parsed = data.get("parsed") or {}
         queries = (data.get("queries") or parsed.get("queries")) or {}
         prev_sf = data.get("sf", parsed.get("sf"))
-        return f"r{best[0]:02d}", dict(queries), prev_sf
+        prev_spread = (data.get("spread") or parsed.get("spread")) or {}
+        return f"r{best[0]:02d}", dict(queries), prev_sf, dict(prev_spread)
     except (OSError, ValueError, AttributeError):
         return None
 
@@ -248,11 +249,33 @@ def main() -> None:
     # headline lines never skew the comparison (VERDICT r04 next-round #8).
     prev = _previous_bench()
     if prev is not None:
-        tag, prev_timings, prev_sf = prev
+        tag, prev_timings, prev_sf, prev_spread = prev
         shared = sorted(set(timings) & set(prev_timings))
         if shared and prev_sf == out["sf"]:  # same scale factor only
             now_total = round(sum(timings[q] for q in shared), 3)
             prev_total = round(sum(prev_timings[q] for q in shared), 3)
+            # Per-query drift candidates past +/-30% (min-vs-min). When
+            # the PREVIOUS round also recorded spread, a candidate only
+            # counts as real drift if the two [min, max] sample ranges
+            # DON'T overlap — round 8 proved overlapping ranges are
+            # measurement noise (±40% swings on byte-identical code).
+            outliers = {}
+            noise = {}
+            for q in shared:
+                if not prev_timings[q]:
+                    continue
+                delta = (timings[q] - prev_timings[q]) / prev_timings[q]
+                if abs(delta) <= 0.30:
+                    continue
+                ps = prev_spread.get(q)
+                cs = spreads.get(q)
+                overlapping = (
+                    ps is not None
+                    and cs is not None
+                    and cs[0] <= ps[2]
+                    and ps[0] <= cs[2]
+                )
+                (noise if overlapping else outliers)[q] = round(100.0 * delta, 1)
             out["comparable"] = {
                 "vs_round": tag,
                 "n_queries": len(shared),
@@ -261,14 +284,10 @@ def main() -> None:
                 "delta_pct": round(100.0 * (now_total - prev_total) / prev_total, 1)
                 if prev_total
                 else None,
-                # per-query outliers past +/-30% so drift triage doesn't
-                # need a side-by-side diff of two rounds' JSON
-                "outliers": {
-                    q: round(100.0 * (timings[q] - prev_timings[q]) / prev_timings[q], 1)
-                    for q in shared
-                    if prev_timings[q] > 0
-                    and abs(timings[q] - prev_timings[q]) / prev_timings[q] > 0.30
-                },
+                "outliers": outliers,
+                # >30% min-vs-min movement whose sample ranges overlap
+                # the prior round's — reported, but adjudicated as noise
+                "within_noise": noise,
             }
     print(json.dumps(out))
 

@@ -378,6 +378,8 @@ def decode_png_pixels(buf: bytes) -> dict:
 
     if buf[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("PNG: bad signature")
+    if buf[12:16] != b"IHDR":
+        raise ValueError("PNG: first chunk is not IHDR")
     w = int.from_bytes(buf[16:20], "big")
     h = int.from_bytes(buf[20:24], "big")
     depth, color = buf[24], buf[25]

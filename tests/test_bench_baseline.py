@@ -15,8 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 
-def _write_bench(tmp_path, rnd: int, wrapped: bool) -> None:
+def _write_bench(tmp_path, rnd: int, wrapped: bool, spread: bool = False) -> None:
     doc = {"queries": {"q1": 1.0 + rnd}, "sf": 0.1}
+    if spread:
+        doc["spread"] = {"q1": [1.0 + rnd, 1.2 + rnd, 1.5 + rnd]}
     if wrapped:  # the driver wraps our JSON line under "parsed"
         doc = {"parsed": doc}
     (tmp_path / f"BENCH_r{rnd:02d}.json").write_text(json.dumps(doc))
@@ -43,19 +45,28 @@ def test_previous_bench_skips_current_round(tmp_path, monkeypatch):
     _write_bench(tmp_path, 5, wrapped=True)
     # mid-round-5 state: BENCH_r05 exists, VERDICT.md still says round 4
     (tmp_path / "VERDICT.md").write_text("# VERDICT — round 4\n")
-    tag, queries, sf = bench._previous_bench(str(tmp_path))
+    tag, queries, sf, _spread = bench._previous_bench(str(tmp_path))
     assert tag == "r04" and queries == {"q1": 5.0} and sf == 0.1
     # next round: r05 becomes the legitimate baseline
     (tmp_path / "VERDICT.md").write_text("# VERDICT — round 5\n")
-    tag, queries, _ = bench._previous_bench(str(tmp_path))
+    tag, queries, _, _ = bench._previous_bench(str(tmp_path))
     assert tag == "r05" and queries == {"q1": 6.0}
 
 
 def test_previous_bench_accepts_unwrapped_shape_and_no_verdict(tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BASELINE_ROUND", raising=False)
     _write_bench(tmp_path, 3, wrapped=False)
-    tag, queries, sf = bench._previous_bench(str(tmp_path))
+    tag, queries, sf, spread = bench._previous_bench(str(tmp_path))
     assert tag == "r03" and queries == {"q1": 4.0} and sf == 0.1
+    assert spread == {}  # pre-spread rounds read back as empty
+
+
+def test_previous_bench_returns_spread_when_recorded(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_ROUND", raising=False)
+    _write_bench(tmp_path, 9, wrapped=True, spread=True)
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 9\n")
+    _tag, _q, _sf, spread = bench._previous_bench(str(tmp_path))
+    assert spread == {"q1": [10.0, 10.2, 10.5]}
 
 
 def test_previous_bench_none_when_all_excluded(tmp_path, monkeypatch):
