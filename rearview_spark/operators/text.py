@@ -253,3 +253,100 @@ def clean_html(col: Column) -> Column:
     for entity, plain in HTML_ENTITIES:
         out = F.replace(out, F.lit(entity), F.lit(plain))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model perplexity (the CCNet/Gopher quality filter family)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_counts(df: DataFrame, text_col: str = "text"):
+    """Train the bigram LM a perplexity filter scores against: returns
+    ``(bigram_counts, left_counts, vocab)`` DataFrames —
+    ``(g, c_bi)`` for each corpus bigram, ``(w1, c_left)`` for each
+    token's occurrences as bigram-left (the conditional's denominator,
+    so the smoothed distribution sums to 1 over the vocab), and a
+    single-row ``(v)`` distinct-token count.
+
+    Scale shape: two hash aggregations over the exploded bigram
+    relation (map-side partial combine; cardinality is unique-bigram,
+    not corpus) plus one distinct-count — all one shuffle each, no
+    joins, nothing driver-side. Tokenization is the repo-canonical
+    :func:`tokens`, so the DuckDB oracle replays it exactly."""
+    from rearview_spark.operators.dedup import _ngram_fold
+
+    toks = tokens(F.col(text_col))
+    grams = df.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, _ngram_fold(toks, 2)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("g")
+    )
+    bigram_counts = grams.groupBy("g").agg(F.count("*").alias("c_bi"))
+    left_counts = (
+        grams.select(F.element_at(F.split(F.col("g"), " "), 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_left"))
+    )
+    vocab = df.select(F.explode(tokens(F.col(text_col))).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    return bigram_counts, left_counts, vocab
+
+
+def doc_perplexity(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    left_counts: DataFrame,
+    vocab: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram perplexity under add-k smoothing —
+    ``P(w2|w1) = (c(w1,w2) + k) / (c_left(w1) + k*V)`` — the classic
+    LM quality filter (CCNet trains on a clean reference corpus and
+    drops high-perplexity docs; Gopher reports the same signal). Emits
+    ``(id, n_bigrams, ppl)``; documents under two tokens have no
+    bigrams and a NULL ppl. ``ppl = exp(-avg log P)``, nudge-rounded
+    to 4dp (plans/_exact.py discipline; the ts_scalar_math gate is the
+    cross-engine ln/exp precedent).
+
+    Scale shape: the doc-bigram explode joins the count tables on
+    their natural keys (g, then w1) — shuffle joins proportional to
+    corpus bigram volume, broadcastable when the model is trained on a
+    small clean reference corpus (the CCNet deployment); the 1-row
+    vocab count is a broadcast cross join; one final per-doc hash
+    re-aggregation."""
+    from rearview_spark.operators.dedup import _ngram_fold
+
+    toks = tokens(F.col(text_col))
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(toks) >= 2, _ngram_fold(toks, 2)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("g"),
+    ).withColumn("w1", F.element_at(F.split(F.col("g"), " "), 1))
+    scored = (
+        doc_grams.join(bigram_counts, "g", "left")
+        .join(left_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c_left"), F.lit(0)) + F.lit(k) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.avg("lp").alias("_avg")
+    )
+    out = df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.col("_avg")) + F.lit(5e-8), 4).alias("ppl"),
+    )
+    return out

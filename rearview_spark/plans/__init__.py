@@ -29,6 +29,7 @@ _NEW_THIS_ROUND = (
     "media_wav_samples",
     "media_jpeg_pixels",
     "media_mp4_samples",
+    "doc_lm_perplexity",
 )
 
 

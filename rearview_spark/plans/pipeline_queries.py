@@ -618,6 +618,49 @@ FROM sz ORDER BY media_id, sample_idx
 """
 
 
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality filter (text.bigram_lm_counts +
+    doc_perplexity — the CCNet/Gopher signal): the LM trains on the
+    corpus itself and every doc is scored under add-0.5 smoothing. The
+    oracle replays tokenization, both count tables, the vocab size,
+    the smoothed conditional, and the exp(-avg ln P) — so the hash
+    check covers the whole train+score pipeline including the
+    left-count denominator and the no-bigram NULL contract."""
+    docs = Tables(spark, sf_dir).documents
+    cb, cl, v = X.bigram_lm_counts(docs)
+    return X.doc_perplexity(docs, cb, cl, v).orderBy("doc_id")
+
+
+DOC_LM_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+), big AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g, t[i] AS w1 FROM pos
+), cb AS (
+  SELECT g, count(*) AS c_bi FROM big GROUP BY g
+), cl AS (
+  SELECT w1, count(*) AS c_left FROM big GROUP BY w1
+), voc AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
+), scored AS (
+  SELECT b.doc_id,
+         ln((COALESCE(cb.c_bi, 0) + 0.5) / (COALESCE(cl.c_left, 0) + 0.5 * voc.v)) AS lp
+  FROM big b
+  LEFT JOIN cb ON b.g = cb.g
+  LEFT JOIN cl ON b.w1 = cl.w1
+  CROSS JOIN voc
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS a FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(exp(-agg.a) + 0.00000005, 4) AS ppl
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # hex-builder fragments (DuckDB): fixed-width big/little-endian of ints
 def _behex(expr: str, nbytes: int) -> str:
     return f"lpad(upper(to_hex({expr})), {nbytes * 2}, '0')"
@@ -2158,6 +2201,10 @@ QUERIES["media_jpeg_pixels"] = {
 QUERIES["media_mp4_samples"] = {
     "fn": media_mp4_samples,
     "oracle": MEDIA_MP4_SAMPLES_SQL,
+}
+QUERIES["doc_lm_perplexity"] = {
+    "fn": doc_lm_perplexity,
+    "oracle": DOC_LM_PPL_SQL,
 }
 
 PENDING_QUERIES: dict[str, dict] = {}

@@ -280,3 +280,43 @@ def test_leakage_safe_split_keeps_twins_together(spark):
 
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, comps, val_bp=10001)
+
+
+def test_bigram_lm_perplexity_hand_corpus(spark):
+    """Hand-derivable LM: counts, smoothing denominator, vocab size,
+    unseen-bigram and unseen-left fallbacks, and the no-bigram NULL."""
+    import math
+
+    from rearview_spark.operators.text import bigram_lm_counts, doc_perplexity
+
+    corpus = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z z")], "doc_id long, text string"
+    )
+    cb, cl, v = bigram_lm_counts(corpus)
+    assert {r["g"]: r["c_bi"] for r in cb.collect()} == {"a b": 3, "b a": 1, "z z": 1}
+    assert {r["w1"]: r["c_left"] for r in cl.collect()} == {"a": 3, "b": 1, "z": 1}
+    assert v.first()["v"] == 3
+
+    # score a held-out batch against the trained counts (k=0.5, V=3)
+    held = spark.createDataFrame(
+        [(10, "a q"), (11, "q"), (12, "q q"), (13, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_perplexity(held, cb, cl, v).collect()}
+    #   P(q|a) = (0+.5)/(3+1.5) = 1/9  -> ppl 9.0     (unseen bigram)
+    #   P(q|q) = (0+.5)/(0+1.5) = 1/3  -> ppl 3.0     (unseen left too)
+    #   P(b|a) = (3+.5)/(3+1.5) = 7/9  -> ppl 9/7
+    assert out[10]["ppl"] == 9.0 and out[10]["n_bigrams"] == 1
+    assert out[11]["ppl"] is None and out[11]["n_bigrams"] == 0
+    assert out[12]["ppl"] == 3.0
+    assert out[13]["ppl"] == round(9 / 7 + 5e-8, 4)
+
+    # multi-bigram doc: geometric mean of inverse probabilities
+    scored = doc_perplexity(corpus, cb, cl, v)
+    got = {r["doc_id"]: r["ppl"] for r in scored.collect()}
+    expect1 = math.exp(
+        -(math.log(3.5 / 4.5) + math.log(1.5 / 2.5) + math.log(3.5 / 4.5)) / 3
+    )
+    assert got[1] == round(expect1 + 5e-8, 4)
+    assert got[2] == round(4.5 / 3.5 + 5e-8, 4)
+    assert got[3] == round(1 / 0.6 + 5e-8, 4)
