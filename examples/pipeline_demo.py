@@ -86,6 +86,17 @@ def main(sf_dir: str) -> None:
     )
     docs = _stage(docs.join(ok, "doc_id"), "after repetition filter")
 
+    # 2b. LM-perplexity filter (CCNet shape): train the bigram LM on the
+    # surviving corpus (production trains on a clean reference corpus
+    # and broadcasts the counts), drop the highest-perplexity tail
+    from rearview_spark.operators.text import bigram_lm_counts, doc_perplexity
+
+    cb, cl, v = bigram_lm_counts(docs)
+    ppl = doc_perplexity(docs, cb, cl, v)
+    cutoff = ppl.filter("ppl IS NOT NULL").approxQuantile("ppl", [0.9], 0.01)[0]
+    keep_ppl = ppl.filter((F.col("ppl").isNull()) | (F.col("ppl") <= cutoff)).select("doc_id")
+    docs = _stage(docs.join(keep_ppl, "doc_id"), f"after perplexity filter (<= {cutoff:.1f})")
+
     # 3. PII scrub (text rewritten in place, counts audited)
     scrubbed = CUR.pii_scrub(docs)
     audit = scrubbed.agg(

@@ -30,6 +30,7 @@ _NEW_THIS_ROUND = (
     "media_jpeg_pixels",
     "media_mp4_samples",
     "doc_lm_perplexity",
+    "ret_maxsim_topk",
 )
 
 

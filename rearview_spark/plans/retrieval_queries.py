@@ -244,3 +244,44 @@ FROM sel ORDER BY mmr_rank
 """
 
 QUERIES["sim_mmr_rerank"] = {"fn": sim_mmr_rerank, "oracle": SIM_MMR_SQL}
+
+
+def ret_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim top-10 (retrieval.maxsim_topk): each
+    embedding splits into 4 contiguous 16-dim sub-vectors standing in
+    for per-token vectors; queries are vec_id < 5. The oracle replays
+    the sub-vector slicing, the per-part 6dp-rounded cosine, the
+    per-(query, doc, part) max, the rounded sum, and the
+    (score desc, id asc) ranking."""
+    emb = Tables(spark, sf_dir).embeddings
+    corpus = R.split_subvectors(emb, m=4, dim=64)
+    queries = R.split_subvectors(emb.filter(F.col("vec_id") < 5), m=4, dim=64)
+    return R.maxsim_topk(corpus, queries, topk=10).orderBy("query_id", "rank")
+
+
+RET_MAXSIM_SQL = """
+WITH parts AS (
+  SELECT vec_id, p.part,
+         list_transform(embedding[p.part * 16 + 1 : p.part * 16 + 16],
+                        x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings, (SELECT unnest(range(4)) AS part) p
+), q AS (
+  SELECT vec_id AS query_id, part, vec FROM parts WHERE vec_id < 5
+), pair AS (
+  SELECT q.query_id, c.vec_id, q.part, c.part AS dpart,
+         round(list_cosine_similarity(q.vec, c.vec) + 0.0000000005, 6) AS cs
+  FROM q JOIN parts c ON c.vec_id <> q.query_id
+), best AS (
+  SELECT query_id, vec_id, part, max(cs) AS mx
+  FROM pair GROUP BY query_id, vec_id, part
+), scored AS (
+  SELECT query_id, vec_id, round(sum(mx) + 0.0000000005, 6) AS score
+  FROM best GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+"""
+
+QUERIES["ret_maxsim_topk"] = {"fn": ret_maxsim_topk, "oracle": RET_MAXSIM_SQL}

@@ -189,3 +189,24 @@ def test_mmr_schema_follows_input_types(spark):
     out = mmr_rerank(df, k=2).orderBy("mmr_rank").collect()
     assert [r.vec_id for r in out] == ["a", "b"]
     assert out[0].query_id == "q1"
+
+
+def test_maxsim_late_interaction_hand_case(spark):
+    """Each query part independently finds its best part ANYWHERE in
+    the doc (that's the late-interaction point); per-part winners sum."""
+    from rearview_spark.operators.retrieval import maxsim_topk, split_subvectors
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),   # query: parts [1,0] and [0,1]
+        (1, [1.0, 0.0, 0.0, 1.0]),   # doc A: perfect on both parts -> 2.0
+        (2, [0.6, 0.8, 1.0, 0.0]),   # doc B: best for qpart0 is B part1
+                                     # (cos 1.0), qpart1 best is 0.8 -> 1.8
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = split_subvectors(df, m=2, dim=4)
+    queries = split_subvectors(df.filter("vec_id = 0"), m=2, dim=4)
+    got = maxsim_topk(corpus, queries, topk=10).orderBy("rank").collect()
+    assert [(r["vec_id"], r["score"], r["rank"]) for r in got] == [
+        (1, 2.0, 1),
+        (2, 1.8, 2),
+    ]
