@@ -105,9 +105,12 @@ def _current_round(here: str) -> int | None:
         return None
 
 
-def _previous_bench(here: str | None = None) -> tuple[str, dict, object] | None:
-    """(round tag, timings) of the newest BENCH_r*.json from a PRIOR
-    round — the cross-round drift baseline. Files tagged with the
+def _previous_bench(
+    here: str | None = None,
+) -> tuple[str, dict, object, dict] | None:
+    """(round tag, timings, sf, spread) of the newest BENCH_r*.json from
+    a PRIOR round — the cross-round drift baseline (spread is {} for
+    rounds before the field existed). Files tagged with the
     current (or a later) round are skipped so the comparable block
     always measures cross-round drift, even when this round's bench
     output already sits in the repo root."""

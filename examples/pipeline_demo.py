@@ -93,9 +93,13 @@ def main(sf_dir: str) -> None:
 
     cb, cl, v = bigram_lm_counts(docs)
     ppl = doc_perplexity(docs, cb, cl, v)
-    cutoff = ppl.filter("ppl IS NOT NULL").approxQuantile("ppl", [0.9], 0.01)[0]
-    keep_ppl = ppl.filter((F.col("ppl").isNull()) | (F.col("ppl") <= cutoff)).select("doc_id")
-    docs = _stage(docs.join(keep_ppl, "doc_id"), f"after perplexity filter (<= {cutoff:.1f})")
+    qs = ppl.filter("ppl IS NOT NULL").approxQuantile("ppl", [0.9], 0.01)
+    if qs:  # all-short corpora have only NULL ppl: nothing to cut
+        cutoff = qs[0]
+        keep_ppl = ppl.filter(
+            (F.col("ppl").isNull()) | (F.col("ppl") <= cutoff)
+        ).select("doc_id")
+        docs = _stage(docs.join(keep_ppl, "doc_id"), f"after perplexity filter (<= {cutoff:.1f})")
 
     # 3. PII scrub (text rewritten in place, counts audited)
     scrubbed = CUR.pii_scrub(docs)

@@ -21,21 +21,29 @@ _WIDE_NODES = (
 
 
 def _has_wide_node(jplan) -> bool:
-    """True when any node in the JVM logical-plan tree (children walk,
-    iterative to dodge py4j recursion depth on tall plans) has a
-    ``nodeName`` starting with one of :data:`_WIDE_NODES`. ``startswith``
-    covers the families: RepartitionByExpression, the
-    FlatMapGroupsInPandas* stateful variants, the Join subclasses."""
-    stack = [jplan]
-    while stack:
-        node = stack.pop()
-        name = node.nodeName()
-        if any(name.startswith(w) for w in _WIDE_NODES):
-            return True
-        it = node.children().iterator()
-        while it.hasNext():
-            stack.append(it.next())
-    return False
+    """True when any node in the logical-plan tree is one of
+    :data:`_WIDE_NODES` (prefix match covers the families:
+    RepartitionByExpression, FlatMapGroupsInPandas* stateful variants,
+    Join subclasses).
+
+    Implementation: ONE Py4J round-trip (``toString`` of the tree) and
+    a local anchored regex — a per-node ``nodeName()``/``children()``
+    walk costs ~4 driver round-trips per node, which on the tall narrow
+    Project/Filter chains this guard exists for is exactly the
+    per-element Py4J hazard the sign-bit builder documents
+    (similarity.py). Node names sit at line starts after tree-drawing
+    prefixes; anchoring there keeps a column NAMED "Window…" from
+    spuriously matching. The rename risk a future Spark brings is
+    covered by pin tests per wide node
+    (tests/test_pipeline_ops.py::test_ensure_parallelism_probes_only_narrow_plans),
+    which fail loudly on an upgrade instead of silently re-planning."""
+    import re
+
+    plan = jplan.toString()
+    return (
+        re.search(r"(?m)^[\s+:>-]*(" + "|".join(_WIDE_NODES) + r")", plan)
+        is not None
+    )
 
 
 def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:

@@ -441,6 +441,16 @@ def incremental_minhash_dedup(
         new_sigs.select(id_col, "sig"), id_col, num_hashes, bands
     ).withColumn("_new", F.lit(True))
     if store is not None:
+        # Retry hygiene: a foreachBatch RETRY sees its own unique rows
+        # already in the store. The candidate join's self-guard alone is
+        # not enough — the duplicate rows still DOUBLE (band, bh) bucket
+        # occupancy, which can flip _cap_buckets and reverse decisions
+        # (drop the bucket the first run matched in). Excluding store
+        # rows whose id is in the batch (broadcast anti-join at
+        # micro-batch scale) restores the first run's world exactly.
+        store = store.join(
+            F.broadcast(new_sigs.select(id_col)), id_col, "left_anti"
+        )
         store = store.select(id_col, "sig", "shs").cache()
         banded_store = band_signatures(
             store.select(id_col, "sig"), id_col, num_hashes, bands

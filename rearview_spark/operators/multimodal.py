@@ -670,6 +670,11 @@ def decode_jpeg_pixels(buf: bytes) -> dict:
                 raise ValueError("JPEG: only 8-bit precision supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            if w == 0 or h == 0:
+                # h=0 is legal (DNL-deferred height, T.81 B.2.2) but not
+                # decodable here; an empty frame must degrade to nulls,
+                # not a min>max stat row (r09 review finding #4)
+                raise ValueError("JPEG: zero or DNL-deferred dimensions")
             if seg[5] != 1:
                 raise ValueError("JPEG: only single-component supported")
             if seg[7] != 0x11:
@@ -758,6 +763,14 @@ def decode_jpeg_pixels(buf: bytes) -> dict:
     return {"px_count": count, "px_sum": total, "px_min": mn, "px_max": mx}
 
 
+#: mime -> pixel-stat decoder: the raster formats whose payloads decode
+#: for real; everything else leaves the px_* columns null
+_PIXEL_DECODERS = {
+    "image/png": decode_png_pixels,
+    "image/gif": decode_gif_pixels,
+    "image/jpeg": decode_jpeg_pixels,
+}
+
 FEATURE_SCHEMA = (
     "media_id long, mime string, width int, height int, "
     "duration_ms long, n_bytes long, feat array<double>, "
@@ -771,12 +784,12 @@ def extract_media_features(df: DataFrame, target_rows_per_batch: int = 256) -> D
     from :func:`decode_headers_batch` (vectorized real parsing); the
     feature vector is a deterministic 8-dim byte-histogram sketch of the
     payload computed as one bincount over the whole batch (stands in for
-    a real CNN embedding; same shape, same partitioning). PNGs that
-    carry an IDAT additionally get REAL pixel stats
-    (:func:`decode_png_pixels` — zlib inflate + filter reconstruction);
-    header-only PNGs and other formats leave those columns null.
-    Payloads that fail to parse yield null mime/dims — one bad blob
-    costs one row, never the batch."""
+    a real CNN embedding; same shape, same partitioning). PNG, GIF, and
+    JPEG payloads that carry real image data additionally get REAL
+    pixel stats (:data:`_PIXEL_DECODERS`); header-only images, other
+    formats, and corrupt streams leave those columns null. Payloads
+    that fail to parse yield null mime/dims — one bad blob costs one
+    row, never the batch."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -805,21 +818,16 @@ def extract_media_features(df: DataFrame, target_rows_per_batch: int = 256) -> D
                 totals[totals == 0] = 1.0
                 feat = hist / totals
                 px = {"px_count": [], "px_sum": [], "px_min": [], "px_max": []}
-                _pixel_decoders = {
-                    "image/png": decode_png_pixels,
-                    "image/gif": decode_gif_pixels,
-                    "image/jpeg": decode_jpeg_pixels,
-                }
                 for i, p in enumerate(payloads):
                     stats = None
-                    dec = _pixel_decoders.get(hdr["mime"][i])
+                    dec = _PIXEL_DECODERS.get(hdr["mime"][i])
                     if dec is not None and p is not None:
                         try:
                             stats = dec(bytes(p))
                         except Exception:  # corrupt stream: null row, not a stage retry
                             stats = None
-                    for k in px:
-                        px[k].append(stats[k] if stats else None)
+                    for stat_col in px:
+                        px[stat_col].append(stats[stat_col] if stats else None)
                 out = pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].to_numpy(),
@@ -975,6 +983,10 @@ def decode_wav_samples(buf: bytes) -> dict:
                 raise ValueError(f"WAV: unsupported fmt={audio_fmt} bits={bits}")
             fmt_ok = True
         elif ctype == b"data":
+            if len(body) < sz:
+                # declared size past end-of-file: stats over the partial
+                # body would be silently wrong (r09 review finding #3)
+                raise ValueError("WAV: truncated data chunk")
             n = len(body) // 2
             samples = struct.unpack(f"<{n}h", body[: 2 * n])
         i += 8 + sz + (sz & 1)
@@ -1097,22 +1109,40 @@ def decode_mp4_sample_table(buf: bytes) -> list[dict]:
     def u32(i: int) -> int:
         return int.from_bytes(buf[i : i + 4], "big")
 
+    def bounded(count: int, tlo: int, thi: int, hdr: int, entry: int, what: str) -> int:
+        # Corruption guard (r09 review finding #2): every count comes
+        # from an untrusted u32; materializing lists sized by it lets a
+        # 156-byte blob allocate gigabytes and OOM-kill the worker —
+        # which a caller's except cannot catch, so "one corrupt blob
+        # costs one row" would become a stage retry. A table's count is
+        # only trusted when its entries actually FIT in its box.
+        if count < 0 or hdr + entry * count > thi - tlo:
+            raise ValueError(f"MP4: {what} count {count} exceeds its box")
+        return count
+
     # stsz: version/flags, sample_size (0 => per-sample table), count
     if b"stsz" not in tables:
         raise ValueError("MP4: missing stsz box")
-    slo, _ = tables[b"stsz"]
+    slo, shi = tables[b"stsz"]
     uniform = u32(slo + 4)
     n = u32(slo + 8)
+    if uniform:
+        # no table bounds the count: cap against what the payload could
+        # possibly hold (every sample needs >= 1 byte somewhere in buf)
+        if n > len(buf):
+            raise ValueError(f"MP4: uniform stsz count {n} exceeds payload")
+    else:
+        bounded(n, slo, shi, 12, 4, "stsz")
     sizes = [uniform] * n if uniform else [u32(slo + 12 + 4 * k) for k in range(n)]
 
     # stco / co64: chunk offsets
     if b"stco" in tables:
-        clo, _ = tables[b"stco"]
-        n_chunks = u32(clo + 4)
+        clo, chi = tables[b"stco"]
+        n_chunks = bounded(u32(clo + 4), clo, chi, 8, 4, "stco")
         chunk_offsets = [u32(clo + 8 + 4 * k) for k in range(n_chunks)]
     elif b"co64" in tables:
-        clo, _ = tables[b"co64"]
-        n_chunks = u32(clo + 4)
+        clo, chi = tables[b"co64"]
+        n_chunks = bounded(u32(clo + 4), clo, chi, 8, 8, "co64")
         chunk_offsets = [
             int.from_bytes(buf[clo + 8 + 8 * k : clo + 16 + 8 * k], "big")
             for k in range(n_chunks)
@@ -1123,29 +1153,34 @@ def decode_mp4_sample_table(buf: bytes) -> list[dict]:
     # stsc: (first_chunk, samples_per_chunk, desc) runs
     if b"stsc" not in tables:
         raise ValueError("MP4: missing stsc box")
-    plo, _ = tables[b"stsc"]
-    n_runs = u32(plo + 4)
+    plo, phi = tables[b"stsc"]
+    n_runs = bounded(u32(plo + 4), plo, phi, 8, 12, "stsc")
     runs = [
         (u32(plo + 8 + 12 * k), u32(plo + 12 + 12 * k)) for k in range(n_runs)
     ]
     per_chunk: list[int] = []
     for i, (first, spc) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(chunk_offsets)
-        per_chunk.extend([spc] * (last - first + 1))
+        # run lengths are bounded by the (already-bounded) chunk count
+        per_chunk.extend([spc] * max(0, min(last, len(chunk_offsets)) - first + 1))
 
-    # stts: (count, delta) runs -> dts per sample
+    # stts: (count, delta) runs -> dts per sample (never materialize
+    # more than the n samples stsz declared)
     if b"stts" not in tables:
         raise ValueError("MP4: missing stts box")
-    tlo, _ = tables[b"stts"]
-    n_t = u32(tlo + 4)
+    tlo, thi = tables[b"stts"]
+    n_t = bounded(u32(tlo + 4), tlo, thi, 8, 8, "stts")
     dts: list[int] = []
     t = 0
+    covered = 0
     for k in range(n_t):
         cnt, delta = u32(tlo + 8 + 8 * k), u32(tlo + 12 + 8 * k)
-        for _ in range(cnt):
+        take = min(cnt, n - len(dts))
+        for _ in range(take):
             dts.append(t)
             t += delta
-    if len(dts) < n:
+        covered += cnt
+    if covered < n:
         raise ValueError("MP4: stts covers fewer samples than stsz")
 
     out: list[dict] = []

@@ -415,6 +415,15 @@ def incremental_embedding_dedup(
         .withColumn("_new", F.lit(True))
     )
     if store is not None:
+        # Retry hygiene (same reasoning as incremental_minhash_dedup):
+        # exclude store rows whose id is in the batch, so a retried
+        # half-committed batch sees exactly the first run's bucket
+        # occupancy — self-guarding candidates alone leaves the
+        # duplicate rows inflating _cap_buckets counts, which can drop
+        # a bucket whole and flip every decision made through it.
+        store = store.join(
+            F.broadcast(new_rows.select(id_col)), id_col, "left_anti"
+        )
         store = store.select(id_col, "bands", "emb", "nrm").cache()
         banded_store = (
             store.select(F.col(id_col), F.explode("bands").alias("bb"))

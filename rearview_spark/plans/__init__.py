@@ -12,17 +12,17 @@ from __future__ import annotations
 # registered are skipped, so the list may lead the implementation.
 _NEW_THIS_ROUND = (
     # r09: the five gates staged in r07 (parity-green a full round via
-    # tests/test_pending_gates.py), now registered. Window = 5 new + 45
-    # rotations; the six r05-stale rows (q17/q18/q19/q22 shapes,
-    # skew_salted_agg, skew_salted_join) rotate in first.
+    # tests/test_pending_gates.py), now registered, plus the eight
+    # r09-built gates. Window = 13 new + 37 rotations; the six
+    # r05-stale rows (q17/q18/q19/q22 shapes, skew_salted_agg,
+    # skew_salted_join) rotate in first, then 31 r06 rows.
     "dedup_incremental_minhash",
     "dedup_duplicated_spans",
     "sel_cluster_balanced",
     "doc_leakage_safe_split",
     "doc_html_clean",
-    # r09-built: pixel/sample-level media decode + incremental embedding
-    # dedup. Window = 9 new + 41 rotations (the six r05-stale rows
-    # rotate first).
+    # r09-built: pixel/sample-level media decode, incremental embedding
+    # dedup, LM perplexity, MaxSim retrieval.
     "media_png_pixels",
     "dedup_incremental_embedding",
     "media_gif_pixels",

@@ -2156,9 +2156,10 @@ ORDER BY b.vec_id
 #: tests/test_pending_gates.py. The four r09-built gates (incremental
 #: embedding dedup, GIF/JPEG pixel decode, WAV sample decode) are also
 #: registered immediately: the staging queue exists for FULL windows
-#: (plans/__init__.py), and the r09 window has room — 9 new + 41
-#: rotations still refreshes every r05-stale row. Each passed the
-#: driver's exact compare path locally at sf0.01 before registration.
+#: (plans/__init__.py), and the r09 window has room — 13 new + 37
+#: rotations still refreshes every r05-stale row (then 31 of the 65
+#: r06 rows). Each passed the driver's exact compare path locally at
+#: sf0.01 before registration.
 QUERIES["dedup_incremental_minhash"] = {
     "fn": dedup_incremental_minhash,
     "oracle": DEDUP_INCREMENTAL_SQL,

@@ -198,10 +198,16 @@ def _apply_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
         src_p, dst_p = _jpath(jvm, src), _jpath(jvm, dst)
         if fs.exists(dst_p):
             # "already moved" is only safe when the source is gone
-            # (replaying past a completed rename) or both sides hold the
-            # same bytes; a pre-existing live file under the destination
-            # name would otherwise silently swallow the compacted tmp
-            # file when the tmp dir is deleted below (ADVICE r08 #1).
+            # (replaying past a completed rename). When BOTH exist
+            # (copy-based FS crashed mid-move, or a genuine name
+            # collision), require equal lengths AND — where the FS
+            # exposes one (HDFS does; local FS returns null) — equal
+            # checksums before treating dst as the finished move; a
+            # pre-existing different file under the destination name
+            # must fail loudly, never silently swallow the compacted
+            # tmp file when the tmp dir is deleted below (ADVICE r08
+            # #1; checksum per r09 review #7 — length alone can agree
+            # on fixed-row-group parquet of different content).
             if fs.exists(src_p):
                 src_len = fs.getFileStatus(src_p).getLen()
                 dst_len = fs.getFileStatus(dst_p).getLen()
@@ -210,6 +216,18 @@ def _apply_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
                         f"compaction collision: {dst} already exists with "
                         f"{dst_len} B while source {src} still holds "
                         f"{src_len} B — refusing to discard the tmp file"
+                    )
+                src_ck = fs.getFileChecksum(src_p)
+                dst_ck = fs.getFileChecksum(dst_p)
+                if (
+                    src_ck is not None
+                    and dst_ck is not None
+                    and not src_ck.equals(dst_ck)
+                ):
+                    raise IOError(
+                        f"compaction collision: {dst} exists with the same "
+                        f"length as source {src} but a different checksum — "
+                        "refusing to discard the tmp file"
                     )
             continue
         if not fs.rename(src_p, dst_p):

@@ -166,3 +166,20 @@ def test_foreach_batch_plumbs_minhash_knobs(spark, tmp_path):
     process(_docs(spark, [(2, BASE + " encore")]), 1)
     store = {r["doc_id"] for r in spark.read.parquet(store_dir).collect()}
     assert store == {1}  # doc 2 matched through the 8-hash banding
+
+
+def test_retry_with_tight_cap_reproduces_first_run(spark):
+    """Regression (r09 review finding #1, minhash side): a retried
+    batch's own store rows must not inflate (band, bh) occupancy past
+    the cap and flip the first run's decisions."""
+    batch = _docs(spark, [(1, BASE), (2, BASE), (3, BASE)])
+
+    def decisions(store):
+        out = incremental_minhash_dedup(
+            batch, store, threshold=0.5, max_bucket_size=3
+        )
+        return {r["doc_id"]: r["dup_of"] for r in out.collect()}
+
+    first = decisions(None)
+    assert first == {1: None, 2: 1, 3: 1}
+    assert decisions(minhash_store_rows(_docs(spark, [(1, BASE)]))) == first

@@ -153,3 +153,23 @@ def test_foreach_batch_streaming_cycle_with_compaction(spark, tmp_path):
     }
     assert decisions[20] == 11  # matched through the compacted store
     assert {r["vec_id"] for r in spark.read.parquet(store_dir).collect()} == store_ids
+
+
+def test_retry_with_tight_cap_reproduces_first_run(spark):
+    """Regression (r09 review finding #1): the retried batch's rows
+    sitting in the store must not inflate bucket occupancy — with a cap
+    of 3 and three identical vectors, the duplicate store copy used to
+    push the bucket to 4, drop it whole, and flip every decision to
+    'unique'."""
+    batch = _vecs(spark, [(1, _base(0)), (2, _base(0)), (3, _base(0))])
+
+    def decisions(store):
+        out = incremental_embedding_dedup(
+            batch, store, threshold=0.99, dim=DIM, max_bucket_size=3
+        )
+        return {r["vec_id"]: r["dup_of"] for r in out.collect()}
+
+    first = decisions(None)
+    assert first == {1: None, 2: 1, 3: 1}
+    half_committed = embedding_store_rows(_vecs(spark, [(1, _base(0))]), dim=DIM)
+    assert decisions(half_committed) == first

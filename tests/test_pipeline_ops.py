@@ -599,6 +599,11 @@ def test_ensure_parallelism_probes_only_narrow_plans(spark, tmp_path):
     # an EXPLICIT caller coalesce is itself a Repartition node: respected
     squeezed = docs.coalesce(1)
     assert ensure_parallelism(squeezed) is squeezed
+    # ...and so is repartition-by-key (RepartitionByExpression: prefix
+    # match — the r09 regex dropped the word boundary that silently
+    # excluded it)
+    rekeyed = docs.repartition(4, "doc_id")
+    assert ensure_parallelism(rekeyed) is rekeyed
     # pin each remaining _WIDE_NODES family (ADVICE r08 #4: a Spark
     # upgrade that renames a node must fail HERE, loudly)
     from pyspark.sql import Window as W
@@ -1058,6 +1063,19 @@ def test_decode_jpeg_rejects_unsupported():
         M.decode_jpeg_pixels(b"\xff\xd8\xff\xc2\x00\x05aaa")  # progressive SOF2
     with _pytest.raises(ValueError):
         M.decode_jpeg_pixels(b"not a jpeg")
+    # zero/DNL-deferred dims (r09 review #4): must raise, not emit a
+    # min>max stat row over zero blocks
+    import rearview_spark.operators.multimodal as _m
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zero_h = (
+        b"\xff\xd8"
+        + seg(0xC0, bytes([8]) + (0).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    )
+    with _pytest.raises(ValueError):
+        _m.decode_jpeg_pixels(zero_h)
 
 
 def test_decode_mp4_sample_table(spark):
@@ -1142,6 +1160,26 @@ def test_decode_mp4_sample_table(spark):
     with _pytest.raises(ValueError):
         M.decode_mp4_sample_table(box(b"moov", b""))  # no stbl chain
 
+    # corruption guards (r09 review #2): untrusted u32 counts must
+    # never drive allocation. A table whose entries exceed its box
+    # raises immediately; an stts RUN claiming 10M samples is capped at
+    # the stsz count (1 row out, instantly) instead of materializing a
+    # 10M-entry list.
+    import time as _time
+
+    t0 = _time.perf_counter()
+    rows = M.decode_mp4_sample_table(mp4([10], [1], [(10_000_000, 1)]))
+    assert len(rows) == 1 and _time.perf_counter() - t0 < 0.5
+    corrupt_stsz = mp4([10], [1], [(1, 1)]).replace(
+        (1).to_bytes(4, "big") + (10).to_bytes(4, "big"),
+        (9_999_999).to_bytes(4, "big") + (10).to_bytes(4, "big"),
+        1,
+    )
+    t0 = _time.perf_counter()
+    with _pytest.raises(ValueError):
+        M.decode_mp4_sample_table(corrupt_stsz)
+    assert _time.perf_counter() - t0 < 0.5  # fail fast, no blow-up
+
     # synthesizer round-trip against the closed form
     sdf = M.synthesize_mp4_sample_payloads(
         spark.createDataFrame([(9,), (64,)], "doc_id long")
@@ -1183,6 +1221,10 @@ def test_decode_wav_samples_and_batch(spark):
     got = M.decode_wav_samples(wav(vals))
     assert got == {"smp_count": 5, "smp_sum": -1, "smp_min": -32768, "smp_max": 32767}
     assert M.decode_wav_samples(wav(vals, extra_chunk=True))["smp_sum"] == -1
+    # truncated data chunk (r09 review #3): declared size past EOF must
+    # raise, never return stats over the partial body
+    with _pytest.raises(ValueError):
+        M.decode_wav_samples(wav(vals)[:-4])
     with _pytest.raises(ValueError):
         M.decode_wav_samples(wav(vals, audio_fmt=3))  # float PCM
     with _pytest.raises(ValueError):
