@@ -258,11 +258,29 @@ def read_json_lines(spark: SparkSession, path: str, schema, ts_format: str = TS_
     )
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC reader (built into Spark, no extra package): columnar like
+    parquet — predicate pushdown, column pruning, and min/max stats all
+    apply, so every operator in this repo runs unchanged over ORC
+    tables. Schema optional (ORC is self-describing; pass one to pin a
+    contract the same way the text readers do)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def write_ingest_formats(df: DataFrame, base_dir: str) -> dict[str, str]:
     """Round-trip helper for ingest-parity tests: materialize a frame as
-    csv + json-lines next to each other (micros-precision timestamps)."""
-    paths = {"csv": f"{base_dir}/csv", "json": f"{base_dir}/json"}
+    csv + json-lines + orc next to each other (micros-precision
+    timestamps for the text formats; orc keeps native micros)."""
+    paths = {
+        "csv": f"{base_dir}/csv",
+        "json": f"{base_dir}/json",
+        "orc": f"{base_dir}/orc",
+    }
     (df.write.mode("overwrite").option("header", "true")
        .option("timestampFormat", TS_FORMAT_MICROS).csv(paths["csv"]))
     df.write.mode("overwrite").option("timestampFormat", TS_FORMAT_MICROS).json(paths["json"])
+    df.write.mode("overwrite").orc(paths["orc"])
     return paths

@@ -274,3 +274,61 @@ def test_resume_completes_pending_moves(spark, tmp_path):
     assert os.path.exists(dst) and not os.path.exists(old)
     assert not os.path.exists(os.path.join(out, TMP_DIR_NAME))
     assert spark.read.parquet(out).count() == 2
+
+
+def test_concurrent_ingest_tripwire_aborts_before_commit(spark, tmp_path, monkeypatch):
+    """r09 guard: a micro-batch committing between compaction planning
+    and the manifest write must abort the run CLEANLY — tmp dir gone,
+    table bytes and log untouched — instead of rewriting a log that
+    erases the new batch."""
+    import rearview_spark.sources.compaction as C
+
+    out = str(tmp_path / "m")
+    rows = [("a", T0 + dt.timedelta(minutes=i), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    (
+        df.withColumn("dt", F.to_date("ts")).repartition(6)
+        .write.partitionBy("dt").parquet(out)
+    )
+    log_dir = os.path.join(out, "_spark_metadata")
+    os.makedirs(log_dir)
+    entries = [
+        json.dumps(
+            {
+                "path": f"file://{p}",
+                "size": os.path.getsize(p),
+                "isDir": False,
+                "modificationTime": 0,
+                "blockReplication": 1,
+                "blockSize": 33554432,
+                "action": "add",
+            }
+        )
+        for p in sorted(glob.glob(out + "/dt=*/*.parquet"))
+    ]
+    with open(os.path.join(log_dir, "0"), "w") as f:
+        f.write("v1\n" + "\n".join(entries) + "\n")
+    before_files = sorted(glob.glob(out + "/dt=*/*.parquet"))
+    before_log = sorted(os.listdir(log_dir))
+
+    # simulate the race: the sink log advances between the entry
+    # snapshot and the pre-commit re-check
+    real = C._latest_sink_batch
+    calls = {"n": 0}
+
+    def racing(spark_, root):
+        calls["n"] += 1
+        return real(spark_, root) + (1 if calls["n"] > 1 else 0)
+
+    monkeypatch.setattr(C, "_latest_sink_batch", racing)
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="concurrent ingest"):
+        C.optimize_metrics_dir(spark, out, min_files=2)
+
+    # clean abort: nothing mutated, no tmp or manifest residue
+    assert sorted(glob.glob(out + "/dt=*/*.parquet")) == before_files
+    assert sorted(os.listdir(log_dir)) == before_log
+    assert not os.path.exists(os.path.join(out, C.TMP_DIR_NAME))
+    assert not os.path.exists(os.path.join(out, C.MANIFEST_NAME))
+    assert spark.read.parquet(out).count() == 30

@@ -120,13 +120,14 @@ def test_streaming_alert_dispatch_cap(spark, events_dir, tmp_path):
     assert all(a.status == "failed" for a in collector.sent)
 
 
-def test_csv_json_ingest_parity(spark, tmp_path):
-    """CSV and JSON-lines sources round-trip the events schema and agree
-    with the parquet-sourced frame value-for-value."""
+def test_csv_json_orc_ingest_parity(spark, tmp_path):
+    """CSV, JSON-lines, and ORC sources round-trip the events schema and
+    agree with the parquet-sourced frame value-for-value; the ORC scan
+    must also push filters down like parquet does."""
     from pyspark.sql import functions as F
 
     from rearview_spark.sources.loader import (
-        Tables, read_csv, read_json_lines, write_ingest_formats,
+        Tables, read_csv, read_json_lines, read_orc, write_ingest_formats,
     )
     from rearview_spark.streaming.ingest import EVENTS_SCHEMA
 
@@ -138,11 +139,18 @@ def test_csv_json_ingest_parity(spark, tmp_path):
     paths = write_ingest_formats(base, str(tmp_path))
     csv_df = read_csv(spark, paths["csv"], EVENTS_SCHEMA)
     json_df = read_json_lines(spark, paths["json"], EVENTS_SCHEMA)
+    orc_df = read_orc(spark, paths["orc"], EVENTS_SCHEMA)
 
     want = {tuple(r) for r in base.drop("props").collect()}
     assert {tuple(r) for r in csv_df.drop("props").collect()} == want
     assert {tuple(r) for r in json_df.drop("props").collect()} == want
-    assert csv_df.schema == json_df.schema == base.schema
+    assert {tuple(r) for r in orc_df.drop("props").collect()} == want
+    assert csv_df.schema == json_df.schema == orc_df.schema == base.schema
+
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        orc_df.filter(F.col("event_id") < 10)._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "LessThan(event_id,10)" in plan
 
 
 def test_stateful_alert_lifecycle(spark, tmp_path):
