@@ -267,11 +267,22 @@ def bigram_lm_counts(df: DataFrame, text_col: str = "text"):
     so the smoothed distribution sums to 1 over the vocab), and a
     single-row ``(v)`` distinct-token count.
 
-    Scale shape: two hash aggregations over the exploded bigram
-    relation (map-side partial combine; cardinality is unique-bigram,
-    not corpus) plus one distinct-count — all one shuffle each, no
-    joins, nothing driver-side. Tokenization is the repo-canonical
-    :func:`tokens`, so the DuckDB oracle replays it exactly."""
+    Scale shape: ONE corpus-scale pass — the exploded-bigram hash
+    aggregation (map-side partial; output cardinality is unique-bigram,
+    not corpus) — eagerly MATERIALIZED (localCheckpoint): the bigram
+    table is the trained model, and without materialization every
+    downstream consumer (the left-count derivation here, both count
+    joins in :func:`doc_perplexity`) would replay the corpus explode —
+    measured: zero ReusedExchange at gate scale, since AQE turns the
+    join sides into broadcast exchanges that never unify with the
+    shuffle form. The left-token denominators DERIVE from the
+    materialized table (``c_left(w1) = Σ c_bi over bigrams starting
+    with w1`` — identical values, since both count every bigram
+    instance); the vocab distinct-count is the only other full scan. A
+    deployment persists all three to parquet (the CCNet shape: train
+    on a clean reference corpus once, score many corpora).
+    Tokenization is the repo-canonical :func:`tokens`, so the DuckDB
+    oracle replays it exactly."""
     from rearview_spark.operators.dedup import _ngram_fold
 
     toks = tokens(F.col(text_col))
@@ -282,11 +293,15 @@ def bigram_lm_counts(df: DataFrame, text_col: str = "text"):
             )
         ).alias("g")
     )
-    bigram_counts = grams.groupBy("g").agg(F.count("*").alias("c_bi"))
+    bigram_counts = grams.groupBy("g").agg(F.count("*").alias("c_bi")).localCheckpoint(
+        eager=True
+    )
     left_counts = (
-        grams.select(F.element_at(F.split(F.col("g"), " "), 1).alias("w1"))
+        bigram_counts.select(
+            F.element_at(F.split(F.col("g"), " "), 1).alias("w1"), "c_bi"
+        )
         .groupBy("w1")
-        .agg(F.count("*").alias("c_left"))
+        .agg(F.sum("c_bi").alias("c_left"))
     )
     vocab = df.select(F.explode(tokens(F.col(text_col))).alias("w")).agg(
         F.countDistinct("w").alias("v")
