@@ -619,6 +619,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All pairs with Broder CONTAINMENT ``max(|A∩B|/|A|, |A∩B|/|B|)``
+    >= threshold — the asymmetric quote/partial-duplication signal
+    resemblance misses: a paragraph fully embedded in a much larger
+    document has low Jaccard (the union is large) but containment ~1.0
+    in one direction, which is exactly what training-data curation
+    needs to catch quoted boilerplate and doc-in-doc inclusion. Emits
+    ``(id_a < id_b, containment_ab, containment_ba, jaccard)`` so the
+    caller can distinguish "A inside B" from "B inside A".
+
+    Same inverted-shingle-index shape (and scale caveat) as
+    :func:`ngram_jaccard_pairs`: exact but worst-case quadratic — at
+    scale, band with :func:`minhash_near_duplicates` first and use
+    this on candidates."""
+    shingled = ensure_parallelism(df, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = shingled.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    c = F.col("n_common").cast("double")
+    out = common.select(
+        "id_a", "id_b",
+        F.round(c / F.col("na") + F.lit(5e-10), 6).alias("containment_ab"),
+        F.round(c / F.col("nb") + F.lit(5e-10), 6).alias("containment_ba"),
+        F.round(
+            c / (F.col("na") + F.col("nb") - F.col("n_common")) + F.lit(5e-10), 6
+        ).alias("jaccard"),
+    )
+    return out.filter(
+        F.greatest(F.col("containment_ab"), F.col("containment_ba")) >= threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ _NEW_THIS_ROUND = (
     "media_mp4_samples",
     "doc_lm_perplexity",
     "ret_maxsim_topk",
+    "dedup_containment_pairs",
 )
 
 

@@ -175,6 +175,34 @@ WHERE round(n_common * 1.0 / (na + nb - n_common) + 0.0000000005, 6) >= 0.1
 """
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment pairs (dedup.ngram_containment_pairs): the
+    asymmetric doc-in-doc signal — both directions + Jaccard hashed, so
+    the oracle verifies the ordered ratios, not just pair membership."""
+    return D.ngram_containment_pairs(
+        Tables(spark, sf_dir).documents, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_CONTAIN_SQL = SHINGLE_CTE + """
+, common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS n_common
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / na + 0.0000000005, 6) AS containment_ab,
+       round(n_common * 1.0 / nb + 0.0000000005, 6) AS containment_ba,
+       round(n_common * 1.0 / (na + nb - n_common) + 0.0000000005, 6) AS jaccard
+FROM common
+WHERE greatest(round(n_common * 1.0 / na + 0.0000000005, 6),
+               round(n_common * 1.0 / nb + 0.0000000005, 6)) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_duplicates(Tables(spark, sf_dir).documents, threshold=0.05)
 
@@ -721,6 +749,10 @@ QUERIES: dict[str, dict] = {
     "doc_rolling_fingerprint": {"fn": doc_rolling_fingerprint, "oracle": DOC_ROLLFP_SQL},
     "dedup_exact_groups": {"fn": dedup_exact_groups, "oracle": DEDUP_EXACT_SQL},
     "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard, "oracle": DEDUP_JACCARD_SQL},
+    "dedup_containment_pairs": {
+        "fn": dedup_containment_pairs,
+        "oracle": DEDUP_CONTAIN_SQL,
+    },
     "dedup_minhash_lsh": {"fn": dedup_minhash_lsh, "oracle": DEDUP_MINHASH_SQL},
     "dedup_simhash": {"fn": dedup_simhash, "oracle": DEDUP_SIMHASH_SQL},
     "sim_brute_force_topk": {"fn": sim_brute_force_topk, "oracle": SIM_TOPK_SQL},

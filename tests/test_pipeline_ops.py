@@ -1308,3 +1308,30 @@ def test_clean_html_rules(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """The asymmetric signal: a short doc fully embedded in a long one
+    has containment 1.0 in one direction while its Jaccard stays small
+    enough that a resemblance threshold would drop the pair."""
+    from rearview_spark.operators.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_doc = short + " " + " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_ab"] == 1.0          # every shingle of 1 is in 2
+    assert r["containment_ba"] < 0.2           # 2 is mostly other content
+    assert r["jaccard"] < 0.2                  # resemblance would miss it
+    # symmetric near-twins still pass through the same operator
+    twins = spark.createDataFrame(
+        [(1, short), (2, short + " zeta")], "doc_id long, text string"
+    )
+    r = ngram_containment_pairs(twins, threshold=0.5).collect()[0]
+    assert r["containment_ab"] == 1.0 and 0.5 <= r["containment_ba"] <= 1.0
