@@ -377,6 +377,56 @@ def minhash_near_duplicates(
     return verified
 
 
+def minhash_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    scope_caches: bool = True,
+) -> DataFrame:
+    """Broder CONTAINMENT at scale: the same banded MinHash-LSH
+    candidate generation as :func:`minhash_near_duplicates` (shuffle
+    proportional to colliding pairs, never n²), with the verification
+    stage computing the asymmetric ratios from the fingerprint sets —
+    ``(id_a < id_b, containment_ab, containment_ba, jaccard)`` filtered
+    on ``max(containment) >= threshold``. This is the production form
+    of :func:`ngram_containment_pairs` (exact inverted-index, worst-case
+    quadratic); note minhash resemblance-banding RECALLS asymmetric
+    pairs only when they still collide in some band — a tiny doc inside
+    a huge one may not, so containment-critical curation should lower
+    band width or run the exact form on a pre-filtered slice."""
+    df = ensure_parallelism(df, id_col)
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sigs = signature_from_shingles(
+        shingled, id_col, num_hashes, with_hash_set=True
+    ).cache()
+    cands = lsh_candidate_pairs(
+        sigs.select(id_col, "sig"), id_col, num_hashes, bands, max_bucket_size
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("shs").alias("sh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("shs").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    verified = joined.select(
+        "id_a", "id_b",
+        F.round(inter / F.size("sh_a") + F.lit(5e-10), 6).alias("containment_ab"),
+        F.round(inter / F.size("sh_b") + F.lit(5e-10), 6).alias("containment_ba"),
+        _exact_jaccard("sh_a", "sh_b").alias("jaccard"),
+    ).filter(
+        F.greatest(F.col("containment_ab"), F.col("containment_ba")) >= threshold
+    )
+    if scope_caches:
+        verified = verified.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return verified
+
+
 def minhash_store_rows(
     df: DataFrame,
     text_col: str = "text",

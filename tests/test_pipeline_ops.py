@@ -1335,3 +1335,34 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
     )
     r = ngram_containment_pairs(twins, threshold=0.5).collect()[0]
     assert r["containment_ab"] == 1.0 and 0.5 <= r["containment_ba"] <= 1.0
+
+
+def test_minhash_containment_matches_exact_form(spark):
+    """The banded containment operator must compute the SAME ordered
+    ratios as the exact inverted-index form for every pair it recalls
+    (fingerprint-set sizes vs string-set sizes agree modulo md5
+    collisions, absent at this scale)."""
+    from rearview_spark.operators.dedup import (
+        minhash_containment_pairs,
+        ngram_containment_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " with a small extra tail"),
+        (3, "completely different content about columnar engines and state"),
+        (4, base + " with a small extra tail and one more"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): (r["containment_ab"], r["containment_ba"], r["jaccard"])
+        for r in ngram_containment_pairs(df, threshold=0.3).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): (r["containment_ab"], r["containment_ba"], r["jaccard"])
+        for r in minhash_containment_pairs(df, threshold=0.3).collect()
+    }
+    assert banded  # the twin cluster collides in some band
+    for pair, ratios in banded.items():
+        assert exact[pair] == ratios, pair
