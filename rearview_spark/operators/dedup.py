@@ -269,17 +269,13 @@ def signature_from_shingles(
     return mins.select(*cols)
 
 
-def band_signatures(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-) -> DataFrame:
-    """Explode ``(id, sig)`` into the banded LSH form ``(id, band, bh)``
-    — one row per band, ``bh`` the md5 of that band's signature slice.
-    The (band, bh) pair is the LSH bucket key every candidate join keys
-    on; persisting THIS projection (bucketed by bh) is what makes the
-    incremental store join prune."""
+def _band_structs_sql(num_hashes: int, bands: int) -> str:
+    """SQL for ``array<struct<band:int, bh:string>>`` over a ``sig``
+    column: one struct per band, ``bh`` the md5 of that band's signature
+    slice. Shared by :func:`band_signatures` (transient banding) and
+    :func:`minhash_store_rows` (banding materialized into store rows) so
+    the two can never drift — a store probed with keys computed by a
+    different slicing would silently match nothing."""
     rows = num_hashes // bands
     band_structs = ", ".join(
         "struct({b} AS band, md5(concat_ws(',', {cols})) AS bh)".format(
@@ -290,8 +286,24 @@ def band_signatures(
         )
         for b in range(bands)
     )
+    return f"array({band_structs})"
+
+
+def band_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Explode ``(id, sig)`` into the banded LSH form ``(id, band, bh)``
+    — one row per band, ``bh`` the md5 of that band's signature slice.
+    The (band, bh) pair is the LSH bucket key every candidate join keys
+    on; the incremental store materializes exactly this projection as a
+    ``bands`` array column at append time (:func:`minhash_store_rows`)
+    so history is never re-banded."""
     return signatures.select(
-        id_col, F.explode(F.expr(f"array({band_structs})")).alias("bb")
+        id_col,
+        F.explode(F.expr(_band_structs_sql(num_hashes, bands))).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
 
 
@@ -433,17 +445,32 @@ def minhash_store_rows(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = 3,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """The signature-store row for each doc: ``(id, sig, shs)`` — the
-    minhash signature plus the 60-bit shingle-fingerprint set, i.e.
-    everything :func:`incremental_minhash_dedup` needs to match FUTURE
-    documents against this one without re-reading its text. ~200 bytes
-    per doc; the store for a billion-doc corpus is ~200 GB of parquet,
-    not the corpus."""
+    """The signature-store row for each doc: ``(id, sig, shs, bands)`` —
+    the minhash signature, the 60-bit shingle-fingerprint set, and the
+    banded LSH keys (``array<struct<band,bh>>``, computed ONCE here, at
+    append time), i.e. everything :func:`incremental_minhash_dedup`
+    needs to match FUTURE documents against this one without re-reading
+    its text OR re-banding its signature. ~350 bytes per doc; the store
+    for a billion-doc corpus is a few hundred GB of parquet, not the
+    corpus. Mirrors similarity.embedding_store_rows: materializing the
+    band keys is what turns each micro-batch's history probe into a
+    plain (band, bh) equi-join over a column-pruned scan instead of an
+    O(store) signature re-projection per batch.
+
+    ``bands`` MUST match the probing operator's ``bands`` — band keys
+    are positional slices of ``sig``."""
     shingled = ensure_parallelism(df, id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    return signature_from_shingles(shingled, id_col, num_hashes, with_hash_set=True)
+    sigs = signature_from_shingles(shingled, id_col, num_hashes, with_hash_set=True)
+    return sigs.select(
+        id_col,
+        "sig",
+        "shs",
+        F.expr(_band_structs_sql(num_hashes, bands)).alias("bands"),
+    )
 
 
 def incremental_minhash_dedup(
@@ -465,31 +492,37 @@ def incremental_minhash_dedup(
 
     ``store`` is the accumulated :func:`minhash_store_rows` frame
     (``None`` for the first batch). Returns one row per NEW doc:
-    ``(id, sig, shs, dup_of, jaccard)`` — ``dup_of`` is the store doc or
-    the smaller-id batch-mate it duplicates (best match by exact
+    ``(id, sig, shs, bands, dup_of, jaccard)`` — ``dup_of`` is the store
+    doc or the smaller-id batch-mate it duplicates (best match by exact
     verified Jaccard, match id ascending as tie-break; NULL = unique).
-    Append ``.filter(dup_of IS NULL).select(id, sig, shs)`` to the
-    store; that recurrence is packaged by
+    Append ``.filter(dup_of IS NULL).select(id, sig, shs, bands)`` to
+    the store; that recurrence is packaged by
     :func:`incremental_dedup_foreach_batch` for Structured Streaming.
 
-    Scale shape: the new batch is signature-banded once; the join
-    against the store is keyed on (band, bh) — persist the store's
-    :func:`band_signatures` projection bucketed by ``bh`` and each
-    micro-batch probes only the buckets its own band hashes hit
-    (bucket-pruned stream-static join, the S11 machinery). Bucket caps
-    apply to the UNION of store+new occupancy, so a boilerplate bucket
-    that grows without bound in the store is dropped the same way the
-    batch operator drops it. A new doc's decision depends only on the
-    store and smaller-id batch-mates — NOT on whether the mate itself
-    was kept (transitive canonicalization is
+    Scale shape: the new batch is signature-banded once; the store
+    arrives with its band keys ALREADY materialized
+    (:func:`minhash_store_rows`'s ``bands`` column), so the per-batch
+    cost over history is one (band, bh) equi-join over a scan that
+    reads only ``(id, shs, bands)`` — never ``sig``, and never an
+    O(store) :func:`band_signatures` re-projection (the r09 finding;
+    plan-pinned by tests/test_plan_shapes.py). Persist the store
+    bucketed/partition-pruned by band hash and each micro-batch probes
+    only the buckets its own signatures hit (stream-static, the S11
+    machinery). Bucket caps apply to the UNION of store+new occupancy,
+    so a boilerplate bucket that grows without bound in the store is
+    dropped the same way the batch operator drops it. A new doc's
+    decision depends only on the store and smaller-id batch-mates — NOT
+    on whether the mate itself was kept (transitive canonicalization is
     :func:`duplicate_groups`'s job; ingest needs drop decisions now).
     """
     new_sigs = minhash_store_rows(
-        new_docs, text_col, id_col, num_hashes, shingle_n
+        new_docs, text_col, id_col, num_hashes, shingle_n, bands
     ).cache()
-    banded_new = band_signatures(
-        new_sigs.select(id_col, "sig"), id_col, num_hashes, bands
-    ).withColumn("_new", F.lit(True))
+    banded_new = (
+        new_sigs.select(F.col(id_col), F.explode("bands").alias("bb"))
+        .select(id_col, "bb.band", "bb.bh")
+        .withColumn("_new", F.lit(True))
+    )
     if store is not None:
         # Retry hygiene: a foreachBatch RETRY sees its own unique rows
         # already in the store. The candidate join's self-guard alone is
@@ -501,10 +534,20 @@ def incremental_minhash_dedup(
         store = store.join(
             F.broadcast(new_sigs.select(id_col)), id_col, "left_anti"
         )
-        store = store.select(id_col, "sig", "shs").cache()
-        banded_store = band_signatures(
-            store.select(id_col, "sig"), id_col, num_hashes, bands
-        ).withColumn("_new", F.lit(False))
+        if "bands" not in store.columns:
+            # Legacy store written before band keys were materialized:
+            # re-band it this once (the old per-batch cost). New writes
+            # carry bands, so the fallback ages out with the next store
+            # rewrite/compaction.
+            store = store.withColumn(
+                "bands", F.expr(_band_structs_sql(num_hashes, bands))
+            )
+        store = store.select(id_col, "shs", "bands").cache()
+        banded_store = (
+            store.select(F.col(id_col), F.explode("bands").alias("bb"))
+            .select(id_col, "bb.band", "bb.bh")
+            .withColumn("_new", F.lit(False))
+        )
         banded = banded_new.unionByName(banded_store)
     else:
         banded = banded_new
@@ -591,8 +634,13 @@ def incremental_dedup_foreach_batch(
 
     The minhash knobs MUST match across every batch that shares a
     store (banding slices ``sig`` by position — a store built with
-    different ``num_hashes`` would band garbage), so they are plumbed
-    here rather than hardcoded. Retry safety (foreachBatch is
+    different ``num_hashes`` or ``bands`` would band garbage; the
+    materialized ``bands`` column bakes the banding in at append time),
+    so they are plumbed here rather than hardcoded. A store written
+    before the ``bands`` column existed must be migrated as a whole
+    (one rewrite through :func:`minhash_store_rows`'s banding expr) —
+    parquet dirs mixing the two schemas are not supported; the
+    operator's legacy fallback covers homogeneous old stores only. Retry safety (foreachBatch is
     at-least-once): self-matches are excluded in the operator, and the
     store read drops duplicate ids, so a re-run of a half-committed
     batch decides every doc exactly as the first run did; the only
@@ -620,7 +668,7 @@ def incremental_dedup_foreach_batch(
         )
         (
             decided.filter(F.col("dup_of").isNull())
-            .select(id_col, "sig", "shs")
+            .select(id_col, "sig", "shs", "bands")
             .write.mode("append")
             .parquet(store_dir)
         )

@@ -11,27 +11,12 @@ from __future__ import annotations
 # driver-green row the round it lands. Names listed here but not (yet)
 # registered are skipped, so the list may lead the implementation.
 _NEW_THIS_ROUND = (
-    # r09: the five gates staged in r07 (parity-green a full round via
-    # tests/test_pending_gates.py), now registered, plus the eight
-    # r09-built gates. Window = 13 new + 37 rotations; the six
-    # r05-stale rows (q17/q18/q19/q22 shapes, skew_salted_agg,
-    # skew_salted_join) rotate in first, then 31 r06 rows.
-    "dedup_incremental_minhash",
-    "dedup_duplicated_spans",
-    "sel_cluster_balanced",
-    "doc_leakage_safe_split",
-    "doc_html_clean",
-    # r09-built: pixel/sample-level media decode, incremental embedding
-    # dedup, LM perplexity, MaxSim retrieval.
-    "media_png_pixels",
-    "dedup_incremental_embedding",
-    "media_gif_pixels",
-    "media_wav_samples",
-    "media_jpeg_pixels",
-    "media_mp4_samples",
-    "doc_lm_perplexity",
-    "ret_maxsim_topk",
-    "dedup_containment_pairs",
+    # r10: empty by design (VERDICT_r09 next-round #1). All 14 r09 gates
+    # went driver-green in CORRECTNESS_r09; leaving them here would burn
+    # window slots re-confirming fresh greens. Gates registered for the
+    # first time this round need no entry — group (c) below ("never
+    # driver-checked") front-loads them automatically — so the window
+    # spends everything else rotating the r06-stale cohort.
 )
 
 

@@ -125,3 +125,41 @@ def test_incremental_embedding_store_side_never_reprojected(spark):
     # and the probe is a pruned columnar read: the stored vector column
     # is not scanned just to band-join
     assert "emb" not in sp.split("readschema")[1].split("\n")[0]
+
+
+def test_incremental_minhash_store_side_never_rebanded(spark):
+    """The minhash store's scale contract (dedup.minhash_store_rows,
+    VERDICT_r09 finding #1): band keys are materialized ONCE at append
+    time. Reading the persisted store back and exploding its band keys
+    — exactly what incremental_minhash_dedup now does on the store side
+    — must involve ZERO signature math (no md5 band hashing, no conv()
+    from the shingle fingerprints), and the scan must not read ``sig``
+    at all; building fresh store rows from text must show the banding.
+    A refactor that reverts to band_signatures-over-history fails the
+    md5 assertion."""
+    import tempfile
+
+    from rearview_spark.operators.dedup import minhash_store_rows
+    from rearview_spark.sources.loader import Tables
+
+    docs = Tables(spark, "/root/testdata/sf0.001").documents
+
+    def fmt(df) -> str:
+        return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ).lower()
+
+    fresh = minhash_store_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    assert "md5" in fmt(fresh)  # building rows DOES band
+
+    d = tempfile.mkdtemp(prefix="plan_sig_store_")
+    fresh.write.mode("overwrite").parquet(d)
+    store = spark.read.parquet(d)
+    # the exact store-side probe projection the incremental operator runs
+    banded_store = store.select("doc_id", F.explode("bands").alias("bb")).select(
+        "doc_id", "bb.band", "bb.bh"
+    )
+    sp = fmt(banded_store)
+    assert "md5" not in sp and "conv(" not in sp
+    read_schema = sp.split("readschema")[1].split("\n")[0]
+    assert "sig" not in read_schema and "shs" not in read_schema
