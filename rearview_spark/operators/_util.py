@@ -63,12 +63,13 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     containing a wide node (join/agg/window/repartition/…) has crossed an
     Exchange, whose parallelism is ``spark.sql.shuffle.partitions`` —
     those inputs return unchanged without being re-planned. The wide-node
-    scan walks the ANALYZED plan's node names through the JVM tree
-    (computed eagerly at DataFrame creation, so free), never the
-    optimized/physical one — matching on ``nodeName`` rather than a
-    regex over ``toString`` so a column that happens to be NAMED
-    "Window…" can't spuriously match and a tree-drawing format change
-    in a future Spark can't silently break the anchor (ADVICE r08 #4).
+    scan inspects the ANALYZED plan (computed eagerly at DataFrame
+    creation, so free), never the optimized/physical one — via
+    :func:`_has_wide_node`'s ONE ``toString()`` round-trip with a
+    line-start-anchored regex (see its docstring for why that beats a
+    per-node ``nodeName`` JVM walk, which costs ~4 Py4J calls per node;
+    the anchor keeps a column NAMED "Window…" from matching, and pin
+    tests cover the node-rename risk of a Spark upgrade).
     """
     if _has_wide_node(df._jdf.queryExecution().analyzed()):
         return df

@@ -66,7 +66,17 @@ def sniff_mime(payload_col) -> F.Column:
         F.when(head.startswith("89504E47"), "image/png")
         .when(head.startswith("FFD8FF"), "image/jpeg")
         .when(head.startswith("47494638"), "image/gif")
-        .when(head.startswith("52494646"), "audio/wav")
+        # RIFF is a container family: the form type at +8 picks the
+        # member (WAVE/WEBP/AVI), mirroring the BMFF brand check below —
+        # labeling every RIFF as audio/wav would mislabel WebP and AVI
+        # (ADVICE r09 #3) and contradict decode_wav's WAVE requirement.
+        .when(
+            head.startswith("52494646"),
+            F.when(brand == "57415645", "audio/wav")  # 'WAVE'
+            .when(brand == "57454250", "image/webp")  # 'WEBP'
+            .when(brand == "41564920", "video/x-msvideo")  # 'AVI '
+            .otherwise("application/octet-stream"),
+        )
         .when(
             box == "66747970",
             # M4A / M4B / M4P | heic / heix / mif1 | avif / avis
@@ -1163,6 +1173,11 @@ def decode_mp4_sample_table(buf: bytes) -> list[dict]:
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(chunk_offsets)
         # run lengths are bounded by the (already-bounded) chunk count
         per_chunk.extend([spc] * max(0, min(last, len(chunk_offsets)) - first + 1))
+    if n and not per_chunk:
+        # zero stsc runs with samples declared: the sample loop below
+        # indexes per_chunk[-1]; keep the ValueError contract instead of
+        # letting IndexError escape to direct callers (ADVICE r09 #2)
+        raise ValueError("MP4: empty stsc")
 
     # stts: (count, delta) runs -> dts per sample (never materialize
     # more than the n samples stsz declared)

@@ -219,14 +219,28 @@ def _apply_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
                     )
                 src_ck = fs.getFileChecksum(src_p)
                 dst_ck = fs.getFileChecksum(dst_p)
-                if (
-                    src_ck is not None
-                    and dst_ck is not None
-                    and not src_ck.equals(dst_ck)
-                ):
+                if src_ck is None or dst_ck is None:
+                    # No FS checksum (raw local FS, many object stores):
+                    # equal length alone must NOT pass — compare bytes
+                    # (JVM-side stream compare; files are
+                    # compaction-sized and this path is the rare
+                    # equal-length collision, ADVICE r09 #4).
+                    s_in, d_in = fs.open(src_p), fs.open(dst_p)
+                    try:
+                        same = jvm.org.apache.commons.io.IOUtils.contentEquals(
+                            s_in, d_in
+                        )
+                    finally:
+                        s_in.close()
+                        d_in.close()
+                elif src_ck.equals(dst_ck):
+                    same = True
+                else:
+                    same = False
+                if not same:
                     raise IOError(
                         f"compaction collision: {dst} exists with the same "
-                        f"length as source {src} but a different checksum — "
+                        f"length as source {src} but different content — "
                         "refusing to discard the tmp file"
                     )
             continue

@@ -129,6 +129,43 @@ def test_resume_replays_crashed_manifest(spark, tmp_path):
     assert resume_pending_compaction(spark, out) is False  # idempotent
 
 
+def test_resume_collision_detected_without_fs_checksum(spark, tmp_path):
+    """Raw local files carry no Hadoop checksum (getFileChecksum is
+    null): the collision guard must fall back to comparing BYTES
+    (ADVICE r09 #4) — an equal-length destination with different
+    content aborts loudly instead of silently discarding the tmp file;
+    an identical destination replays as a completed move."""
+    import pytest
+
+    out = str(tmp_path / "m")
+    src = os.path.join(out, ".compact_tmp", "part-x.parquet")
+    dst = os.path.join(out, "part-x.parquet")
+    os.makedirs(os.path.dirname(src))
+    with open(src, "wb") as f:
+        f.write(b"A" * 64)
+    with open(dst, "wb") as f:
+        f.write(b"B" * 64)  # same length, different bytes
+    manifest = {
+        "moves": [[f"file:{src}", f"file:{dst}"]],
+        "live_files": [],
+        "delete_files": [],
+    }
+    with open(os.path.join(out, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(IOError, match="different content"):
+        resume_pending_compaction(spark, out)
+    assert os.path.exists(src)  # tmp file never discarded on abort
+    assert open(dst, "rb").read() == b"B" * 64  # dst untouched
+
+    # identical bytes: the move already happened on a copy-based FS;
+    # replay treats it as done and finishes the cleanup
+    with open(dst, "wb") as f:
+        f.write(b"A" * 64)
+    assert resume_pending_compaction(spark, out) is True
+    assert not os.path.exists(os.path.dirname(src))  # tmp dir cleaned
+    assert not os.path.exists(os.path.join(out, MANIFEST_NAME))
+
+
 def test_compact_preserves_a_dotcompact_snapshot_log(spark, tmp_path):
     # a long-lived stream's log contains N.compact snapshots (every 10th
     # batch). Fabricate the documented v1 on-disk form: latest batch is

@@ -751,6 +751,35 @@ def test_mp4_through_batch_and_sniff(spark):
     assert out.iloc[1]["mime"] is None
 
 
+def test_sniff_mime_riff_family(spark):
+    """RIFF is a container family: the form type at +8 must pick the
+    member (ADVICE r09 #3) — only 'WAVE' is audio/wav; WebP and AVI get
+    their own types; unknown or truncated RIFF degrades to
+    octet-stream, consistent with decode_wav requiring WAVE."""
+    hdr = b"RIFF" + (100).to_bytes(4, "little")
+    rows = [
+        (1, bytearray(hdr + b"WAVE" + bytes(20))),
+        (2, bytearray(hdr + b"WEBP" + b"VP8 " + bytes(16))),
+        (3, bytearray(hdr + b"AVI " + b"LIST" + bytes(16))),
+        (4, bytearray(hdr + b"XXXX" + bytes(20))),
+        (5, bytearray(b"RIFF")),  # truncated before the form type
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["mime"]
+        for r in df.select(
+            "media_id", M.sniff_mime(F.col("payload")).alias("mime")
+        ).collect()
+    }
+    assert got == {
+        1: "audio/wav",
+        2: "image/webp",
+        3: "video/x-msvideo",
+        4: "application/octet-stream",
+        5: "application/octet-stream",
+    }
+
+
 def _encode_png(pixels, channels: int = 1, filters=None) -> bytes:
     """Reference PNG encoder for tests: pixels is h×w×channels nested
     list; filters picks the per-row filter type (default all 0)."""
@@ -1170,6 +1199,17 @@ def test_decode_mp4_sample_table(spark):
     t0 = _time.perf_counter()
     rows = M.decode_mp4_sample_table(mp4([10], [1], [(10_000_000, 1)]))
     assert len(rows) == 1 and _time.perf_counter() - t0 < 0.5
+    # zero stsc runs with samples declared: ValueError per the contract,
+    # not an IndexError from per_chunk[-1] (ADVICE r09 #2). Same-size
+    # replace keeps every enclosing box length coherent.
+    bad = mp4([10], [1], [(1, 1)]).replace(
+        b"stsc" + bytes(4) + (1).to_bytes(4, "big"),
+        b"stsc" + bytes(4) + (0).to_bytes(4, "big"),
+        1,
+    )
+    with _pytest.raises(ValueError, match="empty stsc"):
+        M.decode_mp4_sample_table(bad)
+
     corrupt_stsz = mp4([10], [1], [(1, 1)]).replace(
         (1).to_bytes(4, "big") + (10).to_bytes(4, "big"),
         (9_999_999).to_bytes(4, "big") + (10).to_bytes(4, "big"),
