@@ -225,3 +225,141 @@ QUERIES.update(
         "dash_overview": {"fn": dash_overview, "oracle": DASH_OVERVIEW_SQL},
     }
 )
+
+
+# --- Alert lifecycle replay (S4/S5 — fire, debounce, re-alert, recover) ------
+# The one §2.4 row that was unit-only through r09: the scheduler's status
+# machine + debounce is gate-expressible as a deterministic replay
+# (VERDICT_r09 next-round #4). The REAL scheduler runs — JobStore CAS,
+# outbox commit, drain, job_errors open/close — against fixture monitors
+# over the events table; the oracle replays the state machine as a
+# recursive CTE over the same windows (the ts_cusum_drift precedent).
+# Reference semantics: state_machine over jobs.status
+# (/root/reference/db/schema.rb:57), error_timeout debounce (:61),
+# job_errors.last_alerted_at re-alert throttle (:43).
+
+_LC_START = dt.datetime(2024, 1, 10, 0)
+_LC_END = dt.datetime(2024, 1, 10, 5)
+
+
+def monitor_lifecycle_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6 hourly scheduler ticks over three monitors: one whose window
+    mean crosses its threshold (fire -> debounce-suppress -> re-alert ->
+    recover at sf0.01), one that never fires, one on a missing metric
+    (error status every tick, throttled by its own longer timeout).
+    Emits every run's (job_id, scheduled_ts, status, alerted) — status
+    read back from the persisted job_data table, alerted observed at the
+    notifier seam after the outbox drain, so the CAS/outbox/dispatch-log
+    plumbing is on the hashed path too. Six ticks is the floor that
+    shows the full pattern at the driver's sf0.01 (each tick runs the
+    real store machinery — two versioned swaps + appends — so tick count
+    is the gate's cost knob; the longer recover->re-open tail is covered
+    by the scheduler unit tests)."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.monitors.notify import AlertRouter
+    from rearview_spark.monitors.scheduler import MonitorScheduler
+    from rearview_spark.monitors.schemas import MONITORS
+    from rearview_spark.monitors.store import JobStore
+
+    fixtures = [
+        # id, name, active, last_run, next_run, cron, status, user_id,
+        # alert_keys, deleted_at, error_timeout, description, app_id,
+        # metrics, monitor_expr, minutes, to_date, created_at, updated_at
+        (1, "error-rate-flip", True, None, None, "0 * * * *", "success", 1,
+         ["log:gate"], None, 150, "flip", 1, ["error"], "a.mean() > 45",
+         360, None, None, None),
+        (2, "never-fires", True, None, None, "0 * * * *", "success", 1,
+         ["log:gate"], None, 150, "hold", 1, ["error"], "a.mean() > 1000000",
+         360, None, None, None),
+        (3, "missing-series", True, None, None, "0 * * * *", "success", 1,
+         ["log:gate"], None, 180, "missing", 1, ["no.such.metric"],
+         "a.mean() > 1", 360, None, None, None),
+    ]
+    tmp = tempfile.mkdtemp(prefix="lifecycle_gate_")
+    try:
+        store = JobStore(spark, tmp)
+        store.overwrite("monitors", spark.createDataFrame(fixtures, MONITORS))
+        router = AlertRouter()  # CollectingNotifier default records sends
+        # one pushed-down window fetch for the whole replay span, pinned
+        # with localCheckpoint so six ticks don't re-scan the parquet —
+        # the same fetch-once shape a backtest over a fixed span uses
+        metrics = events_as_timeseries(Tables(spark, sf_dir).events).filter(
+            F.col("ts").between(
+                F.lit(_LC_START - dt.timedelta(minutes=360)), F.lit(_LC_END)
+            )
+        ).localCheckpoint(eager=True)
+        MonitorScheduler(spark, store, metrics, router).run_between(
+            _LC_START, _LC_END, step_minutes=60
+        )
+        alerted = {(a.job_id, a.fired_at) for a in router.default.sent}
+        jd = store.read("job_data").select(
+            "job_id",
+            F.col("created_at").alias("scheduled_ts"),
+            F.col("data.status").alias("status"),
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [
+        (r["job_id"], r["scheduled_ts"], r["status"],
+         (r["job_id"], r["scheduled_ts"]) in alerted)
+        for r in jd
+    ]
+    return spark.createDataFrame(
+        rows, "job_id long, scheduled_ts timestamp, status string, alerted boolean"
+    ).orderBy("job_id", "scheduled_ts")
+
+
+MONITOR_LIFECYCLE_SQL = """
+WITH RECURSIVE ticks AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                                TIMESTAMP '2024-01-10 05:00:00',
+                                INTERVAL 1 HOUR)) AS tick
+), tix AS (
+  SELECT tick, row_number() OVER (ORDER BY tick) AS i FROM ticks
+), w AS (
+  SELECT t.i, t.tick, count(e.value) AS n, avg(e.value) AS m
+  FROM tix t LEFT JOIN events e
+    ON e.event_type = 'error'
+   AND e.ts >= t.tick - INTERVAL 360 MINUTE AND e.ts <= t.tick
+  GROUP BY t.i, t.tick
+), runs AS (
+  SELECT 1 AS job_id, 150 AS tmo, i, tick,
+         CASE WHEN n = 0 THEN 'error'
+              WHEN m > 45 THEN 'failed' ELSE 'success' END AS run_status
+  FROM w
+  UNION ALL
+  SELECT 2, 150, i, tick,
+         CASE WHEN n = 0 THEN 'error'
+              WHEN m > 1000000 THEN 'failed' ELSE 'success' END
+  FROM w
+  UNION ALL
+  SELECT 3, 180, i, tick, 'error' FROM w
+), state AS (
+  -- lifecycle recurrence: last_alerted_at (laa) lives only while the
+  -- incident is open; success resets it; a non-success run alerts
+  -- unless now < laa + error_timeout
+  SELECT job_id, tmo, i, tick, run_status,
+         run_status <> 'success' AS alerted,
+         CASE WHEN run_status <> 'success' THEN tick END AS laa
+  FROM runs WHERE i = 1
+  UNION ALL
+  SELECT r.job_id, r.tmo, r.i, r.tick, r.run_status,
+         r.run_status <> 'success'
+           AND (s.laa IS NULL OR r.tick >= s.laa + to_minutes(r.tmo)),
+         CASE WHEN r.run_status = 'success' THEN NULL
+              WHEN s.laa IS NULL OR r.tick >= s.laa + to_minutes(r.tmo)
+                THEN r.tick
+              ELSE s.laa END
+  FROM state s JOIN runs r ON r.job_id = s.job_id AND r.i = s.i + 1
+)
+SELECT CAST(job_id AS BIGINT) AS job_id, tick AS scheduled_ts,
+       run_status AS status, alerted
+FROM state ORDER BY job_id, scheduled_ts
+"""
+
+QUERIES["monitor_lifecycle_replay"] = {
+    "fn": monitor_lifecycle_replay,
+    "oracle": MONITOR_LIFECYCLE_SQL,
+}
