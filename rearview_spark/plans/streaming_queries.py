@@ -10,9 +10,12 @@ append mode emits exactly the windows whose end <= final watermark. The
 oracle reproduces that rule, so the gate hash-checks *streaming* output —
 including which late windows were withheld — not just a batch lookalike.
 
-On a cluster the source line becomes Kafka and the trigger becomes
-processingTime; nothing else changes (batch/stream unification is the
-point of the ingest design, streaming/ingest.py).
+On a cluster the source line becomes Kafka — swap ``load_events_stream``
+for ``sources.loader.load_events_stream_kafka`` (same output schema,
+option translation + value decode unit-tested in
+tests/test_loader_dtypes.py) and the trigger becomes processingTime;
+nothing else changes (batch/stream unification is the point of the
+ingest design, streaming/ingest.py).
 """
 
 from __future__ import annotations

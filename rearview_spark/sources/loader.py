@@ -203,6 +203,100 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# --- Kafka events source (production message-bus ingest) --------------------
+#
+# The sandbox has no broker, so the kafka path is split into two
+# independently unit-testable pieces (tests/test_loader_dtypes.py):
+# option translation (pure dict) and the value-decode projection
+# (applied to any DataFrame with Kafka's fixed output schema — a static
+# fixture frame in tests, the real ``format("kafka").load()`` frame in
+# production). The file-source gates (plans/streaming_queries.py) are
+# the sandbox-equivalent end-to-end path: everything downstream of the
+# projection is byte-identical between the two sources.
+
+#: Kafka wire contract for an event record: the JSON value carries the
+#: events-table columns with ``ts`` as epoch MICROSECONDS (matching the
+#: parquet MICROS encoding; an ISO string would re-open the tz/format
+#: ambiguity the footer sniffer exists to close).
+KAFKA_EVENT_VALUE_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict:
+    """Translate engine-level knobs to Kafka source options.
+
+    ``failOnDataLoss=false`` by default: a retention-expired offset on
+    one partition should degrade (gap + warning) rather than kill a
+    standing query that aggregates 100k partitions' worth of metrics.
+    ``maxOffsetsPerTrigger`` is the per-micro-batch backpressure bound —
+    size it so a batch's shuffle fits executor memory at full fan-in.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    return opts
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Project Kafka's fixed record shape (key/value binary, topic,
+    partition, offset, timestamp, …) onto the events-table schema —
+    the exact columns :func:`load_events_stream` yields from files, so
+    every standing query runs unchanged on either source. Malformed
+    JSON degrades to a null-columns row (from_json PERMISSIVE) rather
+    than failing the stream; filter ``event_id IS NOT NULL`` downstream
+    to drop poison-pill records."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENT_VALUE_SCHEMA).alias("e")
+    )
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("e.ts")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+
+
+def load_events_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """The production events source: ``readStream.format("kafka")`` with
+    :func:`kafka_reader_options`, decoded by :func:`parse_kafka_events`.
+    Requires the spark-sql-kafka connector on the classpath (not in this
+    container — the file twin :func:`load_events_stream` is the sandbox
+    path; both yield the same schema, so swapping sources is a one-line
+    change in the standing-query entry point)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets,
+        max_offsets_per_trigger,
+        fail_on_data_loss,
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_events(reader.load())
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Tables:
     return Tables(spark, sf_dir)
 

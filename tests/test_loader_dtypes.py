@@ -159,3 +159,82 @@ def test_sniff_memoized_per_path(tmp_path, monkeypatch):
     monkeypatch.setattr(pq, "read_schema", _boom)
     assert events_ts_is_nanos(path) is False
     loader.reset_sniff_cache()
+
+
+# --- Kafka source plumbing (no broker in the sandbox) -----------------------
+
+
+def test_kafka_reader_options_translation():
+    """Engine knobs -> Kafka source options, including the degrade-don't-
+    die failOnDataLoss default and the backpressure bound."""
+    from rearview_spark.sources.loader import kafka_reader_options
+
+    opts = kafka_reader_options("b1:9092,b2:9092", "events")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    opts = kafka_reader_options(
+        "b:9092", "ev", starting_offsets="latest",
+        max_offsets_per_trigger=50_000, fail_on_data_loss=True,
+    )
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["failOnDataLoss"] == "true"
+
+
+def test_kafka_value_decode_matches_file_source(spark, tmp_path):
+    """parse_kafka_events over Kafka's fixed record shape must land the
+    IDENTICAL frame (schema and values, micros preserved) as the file
+    source reading the same events — the contract that lets standing
+    queries swap sources without change. Includes a poison-pill record
+    (malformed JSON -> null columns, stream survives)."""
+    import json
+
+    from rearview_spark.sources.loader import parse_kafka_events
+
+    sf_dir = _write_events(tmp_path, "micros")
+    batch = load_table(spark, sf_dir, "events")
+
+    def wire(row):
+        d = row.asDict()
+        d["ts"] = int(
+            d["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+        return json.dumps(d).encode()
+
+    kafka_rows = [
+        (None, wire(r), "events", 0, i, dt.datetime(2024, 3, 3), 0)
+        for i, r in enumerate(batch.collect())
+    ] + [(None, b"{not json", "events", 0, 99, dt.datetime(2024, 3, 3), 0)]
+    raw = spark.createDataFrame(
+        kafka_rows,
+        "key binary, value binary, topic string, partition int, offset long,"
+        " timestamp timestamp, timestampType int",
+    )
+    decoded = parse_kafka_events(raw)
+    assert [f.simpleString() for f in decoded.schema.fields] == [
+        f.simpleString() for f in batch.schema.fields
+    ]
+    good = decoded.filter("event_id IS NOT NULL")
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, batch.collect()))
+    # the poison pill degraded to nulls instead of failing the stream
+    assert decoded.count() == batch.count() + 1
+
+
+def test_kafka_stream_builder_requires_connector(spark):
+    """load_events_stream_kafka wires format('kafka') + options; without
+    the connector jar the source lookup fails by NAME — proving the
+    branch reaches Kafka's DataSource resolution, not some silent
+    fallback. (With the jar present this builds a streaming frame whose
+    schema parse_kafka_events consumes — covered by the decode test.)"""
+    from rearview_spark.sources.loader import load_events_stream_kafka
+
+    try:
+        df = load_events_stream_kafka(spark, "b:9092", "events")
+    except Exception as e:  # noqa: BLE001 — expected without the jar
+        assert "kafka" in str(e).lower()
+    else:  # pragma: no cover - only when a connector jar is present
+        assert df.isStreaming and "event_id" in df.columns
