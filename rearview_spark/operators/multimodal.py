@@ -1198,6 +1198,16 @@ def decode_mp4_sample_table(buf: bytes) -> list[dict]:
     if covered < n:
         raise ValueError("MP4: stts covers fewer samples than stsz")
 
+    # stss: sync-sample (keyframe) table, OPTIONAL. Absent means every
+    # sample is a sync sample (ISO 14496-12 §8.6.2); present — even
+    # empty — means membership decides. Entries are 1-based sample
+    # numbers.
+    sync: set[int] | None = None
+    if b"stss" in tables:
+        ylo, yhi = tables[b"stss"]
+        n_sync = bounded(u32(ylo + 4), ylo, yhi, 8, 4, "stss")
+        sync = {u32(ylo + 8 + 4 * k) for k in range(n_sync)}
+
     out: list[dict] = []
     s = 0
     for c, coff in enumerate(chunk_offsets):
@@ -1207,7 +1217,13 @@ def decode_mp4_sample_table(buf: bytes) -> list[dict]:
         intra = 0
         for _ in range(take):
             out.append(
-                {"sample_idx": s, "offset": coff + intra, "size": sizes[s], "dts": dts[s]}
+                {
+                    "sample_idx": s,
+                    "offset": coff + intra,
+                    "size": sizes[s],
+                    "dts": dts[s],
+                    "keyframe": True if sync is None else (s + 1) in sync,
+                }
             )
             intra += sizes[s]
             s += 1
@@ -1217,7 +1233,8 @@ def decode_mp4_sample_table(buf: bytes) -> list[dict]:
 
 
 MP4_SAMPLE_SCHEMA = (
-    "media_id long, sample_idx int, offset long, size int, dts long"
+    "media_id long, sample_idx int, offset long, size int, dts long,"
+    " keyframe boolean"
 )
 
 
@@ -1233,7 +1250,7 @@ def extract_mp4_samples(df: DataFrame, target_rows_per_batch: int = 256) -> Data
         for pdf in batches:
             for start in range(0, len(pdf), target_rows_per_batch):
                 chunk = pdf.iloc[start : start + target_rows_per_batch]
-                ids, idxs, offs, szs, ts = [], [], [], [], []
+                ids, idxs, offs, szs, ts, kfs = [], [], [], [], [], []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
                     try:
                         rows = decode_mp4_sample_table(bytes(p))
@@ -1245,6 +1262,7 @@ def extract_mp4_samples(df: DataFrame, target_rows_per_batch: int = 256) -> Data
                         offs.append(r["offset"])
                         szs.append(r["size"])
                         ts.append(r["dts"])
+                        kfs.append(r["keyframe"])
                 yield pd.DataFrame(
                     {
                         "media_id": pd.array(ids, dtype="int64"),
@@ -1252,6 +1270,7 @@ def extract_mp4_samples(df: DataFrame, target_rows_per_batch: int = 256) -> Data
                         "offset": pd.array(offs, dtype="int64"),
                         "size": pd.array(szs, dtype="int32"),
                         "dts": pd.array(ts, dtype="int64"),
+                        "keyframe": pd.array(kfs, dtype="boolean"),
                     }
                 )
 
@@ -1270,7 +1289,10 @@ def synthesize_mp4_sample_payloads(
     (ftyp is 24 bytes, mdat header 8), so sample byte offsets are the
     constant 32 plus the size prefix sum — SQL-reproducible — while
     the Spark path must actually resolve them through the chunk
-    tables."""
+    tables. EVEN ids additionally carry an ``stss`` sync-sample table
+    marking every 3rd sample (1-based 1, 4, 7, …) a keyframe; odd ids
+    omit the box (spec default: all samples sync) — so both keyframe
+    paths of :func:`decode_mp4_sample_table` are under the oracle."""
 
     def _box(btype: bytes, payload: bytes) -> bytes:
         return (8 + len(payload)).to_bytes(4, "big") + btype + payload
@@ -1306,7 +1328,15 @@ def synthesize_mp4_sample_payloads(
             len(offsets).to_bytes(4, "big")
             + b"".join(o.to_bytes(4, "big") for o in offsets),
         )
-        stbl = _box(b"stbl", stts + stsc + stsz + stco)
+        stss = b""
+        if doc_id % 2 == 0:
+            syncs = [k + 1 for k in range(n) if k % 3 == 0]
+            stss = _full(
+                b"stss",
+                len(syncs).to_bytes(4, "big")
+                + b"".join(x.to_bytes(4, "big") for x in syncs),
+            )
+        stbl = _box(b"stbl", stts + stsc + stsz + stco + stss)
         moov = _box(b"moov", _box(b"trak", _box(b"mdia", _box(b"minf", stbl))))
         return ftyp + mdat + moov
 
@@ -1348,11 +1378,42 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each media row into the frame
     timestamps a decoder would extract (the decode itself is the stub
     boundary). Pure JVM sequence/explode — demonstrates the fan-out shape
-    without Python."""
+    without Python. When the demuxed sample table is available, prefer
+    :func:`keyframe_sample_plan` — seeking to a sync sample costs one
+    read; hitting an arbitrary timestamp costs decoding the whole GOP."""
     dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0).cast("long"))
     frames = F.sequence(F.lit(0).cast("long"), dur, F.lit(every_ms).cast("long"))
     return df.select(
         "media_id", F.explode(frames).alias("frame_ms")
+    )
+
+
+def keyframe_sample_plan(samples: DataFrame, every_units: int = 2048) -> DataFrame:
+    """Keyframe-aware frame sampling over the demuxed sample table
+    (:func:`extract_mp4_samples` output): keep the FIRST keyframe in
+    each ``every_units``-wide dts bucket — the exact reads a thumbnail /
+    frame-embedding pass issues, since a sync sample decodes standalone
+    while any other timestamp costs decoding its whole GOP. Files
+    without an stss table have every sample flagged keyframe (spec
+    default), so dense streams still sample at the requested cadence.
+
+    Scale shape: filter + one map-side-combined ``min_by`` groupBy on
+    (media_id, bucket) — no window sort, no per-media explode; shuffle
+    volume is one ~40 B row per KEPT frame."""
+    kf = samples.filter(F.col("keyframe")).withColumn(
+        "_bucket", (F.col("dts") / F.lit(int(every_units))).cast("long")
+    )
+    picked = kf.groupBy("media_id", "_bucket").agg(
+        F.min_by(
+            F.struct("sample_idx", "offset", "size", "dts"), F.col("dts")
+        ).alias("s")
+    )
+    return picked.select(
+        "media_id",
+        F.col("s.sample_idx").alias("sample_idx"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.size").alias("size"),
+        F.col("s.dts").alias("dts"),
     )
 
 

@@ -641,8 +641,54 @@ SELECT doc_id AS media_id, CAST(k AS INT) AS sample_idx,
          PARTITION BY doc_id ORDER BY k
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          AS "offset",
-       size, CAST(k * delta AS BIGINT) AS dts
+       size, CAST(k * delta AS BIGINT) AS dts,
+       CASE WHEN doc_id % 2 = 0 THEN (k % 3 = 0) ELSE TRUE END AS keyframe
 FROM sz ORDER BY media_id, sample_idx
+"""
+
+
+def media_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-aware frame sampling (multimodal.keyframe_sample_plan):
+    demux the synthesized MP4s (even ids carry a real stss sync table,
+    odd ids rely on the spec's all-sync default) and keep the first
+    keyframe per 2048-dts-unit bucket — the seek plan a thumbnail /
+    frame-embedding pass issues. The oracle re-derives keyframe
+    membership and the bucket argmin from the closed-form layout, so
+    the stss parse AND the min_by bucketing are value-checked."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_mp4_sample_payloads(docs)
+    samples = M.extract_mp4_samples(media)
+    return M.keyframe_sample_plan(samples, every_units=2048).orderBy(
+        "media_id", "sample_idx"
+    )
+
+
+MEDIA_MP4_KEYFRAMES_SQL = """
+WITH dims AS (
+  SELECT doc_id, CAST(5 + doc_id % 10 AS INT) AS n,
+         CAST(512 + doc_id % 100 AS BIGINT) AS delta
+  FROM documents
+), ks AS (
+  SELECT doc_id, n, delta, unnest(generate_series(0, n - 1)) AS k FROM dims
+), sz AS (
+  SELECT doc_id, k, delta,
+         CAST(100 + (doc_id + 13 * k) % 50 AS INT) AS size,
+         CASE WHEN doc_id % 2 = 0 THEN (k % 3 = 0) ELSE TRUE END AS kf
+  FROM ks
+), off AS (
+  SELECT doc_id, k, delta, size, kf,
+         32 + COALESCE(SUM(size) OVER (PARTITION BY doc_id ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM sz
+), pick AS (
+  SELECT doc_id, (k * delta) // 2048 AS bucket, min(k) AS k
+  FROM off WHERE kf GROUP BY doc_id, (k * delta) // 2048
+)
+SELECT p.doc_id AS media_id, CAST(o.k AS INT) AS sample_idx,
+       CAST(o.o AS BIGINT) AS "offset", o.size,
+       CAST(o.k * o.delta AS BIGINT) AS dts
+FROM pick p JOIN off o ON p.doc_id = o.doc_id AND p.k = o.k
+ORDER BY media_id, sample_idx
 """
 
 
@@ -2234,6 +2280,10 @@ QUERIES["media_jpeg_pixels"] = {
 QUERIES["media_mp4_samples"] = {
     "fn": media_mp4_samples,
     "oracle": MEDIA_MP4_SAMPLES_SQL,
+}
+QUERIES["media_mp4_keyframes"] = {
+    "fn": media_mp4_keyframes,
+    "oracle": MEDIA_MP4_KEYFRAMES_SQL,
 }
 QUERIES["doc_lm_perplexity"] = {
     "fn": doc_lm_perplexity,

@@ -1119,7 +1119,7 @@ def test_decode_mp4_sample_table(spark):
     def full(btype, payload):
         return box(btype, bytes(4) + payload)
 
-    def mp4(sizes, chunks, stts_runs, uniform=0, co64=False):
+    def mp4(sizes, chunks, stts_runs, uniform=0, co64=False, stss=None):
         # chunks: list of sample counts per chunk (encoded via stsc runs)
         data_start = 32
         mdat = box(b"mdat", bytes(sum(sizes)))
@@ -1166,7 +1166,14 @@ def test_decode_mp4_sample_table(spark):
             len(stts_runs).to_bytes(4, "big")
             + b"".join(c.to_bytes(4, "big") + d.to_bytes(4, "big") for c, d in stts_runs),
         )
-        stbl = box(b"stbl", stts + stsc + stsz + stco)
+        sync = b""
+        if stss is not None:
+            sync = full(
+                b"stss",
+                len(stss).to_bytes(4, "big")
+                + b"".join(x.to_bytes(4, "big") for x in stss),
+            )
+        stbl = box(b"stbl", stts + stsc + stsz + stco + sync)
         moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
         ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
         return ftyp + mdat + moov
@@ -1178,6 +1185,17 @@ def test_decode_mp4_sample_table(spark):
     assert [r["offset"] for r in rows] == [32, 42, 62, 92, 132]
     assert [r["size"] for r in rows] == sizes
     assert [r["dts"] for r in rows] == [0, 10, 20, 30, 50]
+    # no stss box: every sample is a sync sample (ISO 14496-12 default)
+    assert [r["keyframe"] for r in rows] == [True] * 5
+
+    # stss present: 1-based membership decides; an EMPTY stss means NO
+    # sync samples, not "all" — presence flips the default
+    rows = M.decode_mp4_sample_table(
+        mp4(sizes, [2, 2, 1], [(5, 10)], stss=[1, 4])
+    )
+    assert [r["keyframe"] for r in rows] == [True, False, False, True, False]
+    rows = M.decode_mp4_sample_table(mp4(sizes, [2, 2, 1], [(5, 10)], stss=[]))
+    assert [r["keyframe"] for r in rows] == [False] * 5
 
     # uniform stsz + co64
     rows = M.decode_mp4_sample_table(
