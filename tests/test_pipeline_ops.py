@@ -1424,3 +1424,47 @@ def test_minhash_containment_matches_exact_form(spark):
     assert banded  # the twin cluster collides in some band
     for pair, ratios in banded.items():
         assert exact[pair] == ratios, pair
+
+
+def test_active_pixel_decoders_policy(monkeypatch):
+    """The fast-path policy: lossless formats auto-upgrade to PIL when
+    importable (bit-exact), JPEG only under REARVIEW_JPEG_FAST=1 (IDCT
+    rounding is implementation-defined — a curation run must not change
+    decisions based on what a worker can import)."""
+    from rearview_spark.operators import multimodal as mm
+
+    monkeypatch.delenv("REARVIEW_JPEG_FAST", raising=False)
+    if mm._pil_image() is None:
+        # this container: pure fallback IS the active table
+        assert mm.active_pixel_decoders() == mm._PIXEL_DECODERS
+        monkeypatch.setattr(mm, "_pil_image", lambda: object())  # simulate PIL
+    decs = mm.active_pixel_decoders()
+    assert decs["image/png"] is mm._pil_png_pixel_stats
+    assert decs["image/gif"] is mm._pil_gif_pixel_stats
+    assert decs["image/jpeg"] is mm.decode_jpeg_pixels  # opt-in only
+    monkeypatch.setenv("REARVIEW_JPEG_FAST", "1")
+    assert mm.active_pixel_decoders()["image/jpeg"] is mm._pil_jpeg_pixel_stats
+
+
+def test_pil_fast_path_bit_exact(spark):
+    """When PIL IS present (not in this container — importorskip), the
+    lossless fast paths must agree byte-for-byte with the reference
+    decoders on the synthesized corpora, and reject what they reject
+    (palette PNG stays null-degraded under both)."""
+    pytest.importorskip("PIL")
+    from rearview_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(7,), (123,), (998,)], "doc_id long")
+    for synth, pure, fast in (
+        (mm.synthesize_png_pixel_payloads, mm.decode_png_pixels, mm._pil_png_pixel_stats),
+        (mm.synthesize_gif_pixel_payloads, mm.decode_gif_pixels, mm._pil_gif_pixel_stats),
+    ):
+        for r in synth(df).collect():
+            b = bytes(r["payload"])
+            assert fast(b) == pure(b)
+    # JPEG fast path runs and lands within the documented ±1 LSB band
+    for r in mm.synthesize_jpeg_pixel_payloads(df).collect():
+        b = bytes(r["payload"])
+        ref, got = mm.decode_jpeg_pixels(b), mm._pil_jpeg_pixel_stats(b)
+        assert got["px_count"] == ref["px_count"]
+        assert abs(got["px_sum"] - ref["px_sum"]) <= ref["px_count"]
