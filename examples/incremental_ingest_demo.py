@@ -7,10 +7,13 @@ text or re-pairing the whole corpus:
               ──► incremental embedding dedup ─► vector store (append)
   (maintenance) ─ flat-dir store compaction between batches
 
-History participates through its ~200-byte signature rows (text side)
-and its precomputed sign-LSH band keys + vector (embedding side); both
-stores are plain parquet dirs compacted by the same sink-log-aware
-maintenance operator as the metrics table.
+History participates through its compact signature rows with
+materialized band keys (text side) and its precomputed sign-LSH band
+keys + vector (embedding side); both stores are plain parquet dirs
+compacted by the same sink-log-aware maintenance operator as the
+metrics table. For trickle ingest against a huge store, pass
+``layout="pruned"`` to keep the partition-pruned banded layout instead
+(see minhash_store_pruned_rows' sizing rule).
 
 Usage:  python examples/incremental_ingest_demo.py [sf_dir]   (default sf0.01)
 

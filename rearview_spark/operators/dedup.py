@@ -611,6 +611,210 @@ def incremental_minhash_dedup(
     return out
 
 
+def minhash_store_pruned_rows(
+    store_rows: DataFrame, id_col: str = "doc_id", prefix_chars: int = 2
+) -> DataFrame:
+    """Explode :func:`minhash_store_rows` output into the
+    PARTITION-PRUNABLE store layout: one row per (doc, band) —
+    ``(pfx, band, bh, id, shs)``, ``pfx`` the first ``prefix_chars``
+    hex chars of the band hash (16^prefix_chars partition values).
+    Persisted ``partitionBy("pfx")``, the incremental probe scans only
+    the prefixes the batch hits.
+
+    ``shs`` rides along per banded row (~3-4x the compact row store's
+    bytes): the verify stage reads it off the matched row itself, so a
+    probe is ONE pruned scan — no second full-table fetch of
+    fingerprint sets. That inflation sets the SIZING RULE (measured,
+    PLANS.md r10): the probe reads ~``min(1, bands·batch/16^prefix_chars)
+    × inflation × store_bytes``, so it beats the compact full scan only
+    when the hit fraction is well under ~1/3 — size ``prefix_chars`` so
+    ``16^prefix_chars ≳ 12 × bands × batch_docs``. Micro-batches of
+    thousands of docs need prefix_chars=4 (65k dirs — an object-store
+    layout, not local FS); a 2-char prefix suits trickle ingest (≤ ~20
+    docs/batch). For batch sizes that hit most prefixes anyway, the
+    compact :func:`minhash_store_rows` layout's full scan is the faster
+    plan and remains the default. The probing operator must be called
+    with the SAME ``prefix_chars`` the store was written with."""
+    return store_rows.select(
+        F.col(id_col), F.col("shs"), F.explode("bands").alias("bb")
+    ).select(
+        F.substring(F.col("bb.bh"), 1, int(prefix_chars)).alias("pfx"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+        F.col(id_col),
+        F.col("shs"),
+    )
+
+
+def _pruned_store_prefixes(spark, store_path: str) -> list[str]:
+    """The pfx partition values present under a pruned store root — ONE
+    driver-side Hadoop listStatus of the root dir (works on hdfs://
+    and s3a:// alike), never Spark's recursive partition discovery
+    (which runs a distributed listing job over EVERY partition dir on
+    each read). Empty list when the root doesn't exist yet."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("pfx="):
+            out.append(name[4:])
+    return out
+
+
+def incremental_minhash_dedup_pruned(
+    new_docs: DataFrame,
+    spark,
+    store_path: str | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """:func:`incremental_minhash_dedup` against a PERSISTED
+    :func:`minhash_store_pruned_rows` store — decision-identical output
+    (same columns, same dup_of/jaccard; tests pin equality), but the
+    history side is a partition-pruned scan of only the band-hash
+    prefixes the batch actually hits instead of a full store read.
+    ``prefix_chars`` MUST match the store's (see the sizing rule on
+    :func:`minhash_store_pruned_rows` — this path wins only when the
+    batch hits well under a third of the prefix space).
+
+    Why identical: pruning is by ``pfx = substr(bh, 1, 2)``, so every
+    store member of a HIT (band, bh) bucket shares the prefix and
+    survives the prune — bucket occupancy (the `_cap_buckets` input) is
+    exactly what the unpruned union sees for those buckets, and un-hit
+    buckets can never produce a candidate (a candidate needs a batch
+    row in the bucket). Retry hygiene also survives pruning: a retried
+    batch's store residue has the SAME text, hence the same band
+    hashes, hence lives inside the hit prefixes where the anti-join
+    removes it.
+
+    Scale: the probe lists the store ROOT once (one driver-side
+    listStatus — 16^prefix_chars entries), intersects with the batch's
+    hit prefixes, and reads ONLY those partition dirs by explicit path
+    (``basePath`` read with an explicit schema). This matters twice: a
+    plain ``read.parquet(root).filter(pfx.isin(...))`` prunes the SCAN
+    but still pays an O(all dirs) distributed listing job per batch
+    (measured: ~6 s over 4096 dirs at 1M rows — larger than the scan it
+    was saving), and partition-value type inference would mangle
+    leading-zero hex prefixes. The batch side is broadcast into the
+    join, so the store side never shuffles at all; a metastore/Delta
+    log replaces the root listing in a long-lived deployment."""
+    new_sigs = minhash_store_rows(
+        new_docs, text_col, id_col, num_hashes, shingle_n, bands
+    ).cache()
+    banded_new = (
+        new_sigs.select(F.col(id_col), F.explode("bands").alias("bb"))
+        .select(id_col, "bb.band", "bb.bh")
+        .withColumn("_new", F.lit(True))
+    ).cache()
+
+    store_hit = None
+    if store_path is not None:
+        # the batch's hit prefixes: bounded by
+        # min(16^prefix_chars, bands*batch) values, collected
+        # driver-side to drive the partition-dir selection
+        pfxs = {
+            r[0]
+            for r in banded_new.select(
+                F.substring("bh", 1, int(prefix_chars)).alias("pfx")
+            ).distinct().collect()
+        }
+        hit_dirs = sorted(pfxs & set(_pruned_store_prefixes(spark, store_path)))
+        if hit_dirs:
+            schema = f"band int, bh string, {id_col} long, shs array<long>, pfx string"
+            store_hit = (
+                spark.read.option("basePath", store_path)
+                .schema(schema)
+                .parquet(*[f"{store_path.rstrip('/')}/pfx={p}" for p in hit_dirs])
+            )
+            # retry hygiene: exclude the batch's own residue (same
+            # reasoning as incremental_minhash_dedup — residue shares
+            # the batch's band hashes, so it lives inside hit prefixes)
+            # a crashed append can leave a doc's banded rows twice; one
+            # row per (id, band) restores exact occupancy counts (the
+            # rows-layout read's dropDuplicates(id), pruned-scale)
+            store_hit = (
+                store_hit.join(
+                    F.broadcast(new_sigs.select(id_col)), id_col, "left_anti"
+                )
+                .dropDuplicates([id_col, "band"])
+                .cache()
+            )
+
+    if store_hit is not None:
+        banded_store = store_hit.select(id_col, "band", "bh").withColumn(
+            "_new", F.lit(False)
+        )
+        banded = banded_new.unionByName(banded_store)
+    else:
+        banded = banded_new
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & F.col("a._new")
+            & (F.col(f"b.{id_col}") != F.col(f"a.{id_col}"))
+            & (
+                (~F.col("b._new"))
+                | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("_nid"),
+            F.col(f"b.{id_col}").alias("_mid"),
+        )
+        .distinct()
+    )
+    sides = new_sigs.select(F.col(id_col).alias("_nid"), F.col("shs").alias("_sh_n"))
+    pool = new_sigs.select(F.col(id_col), F.col("shs"))
+    if store_hit is not None:
+        pool = pool.unionByName(
+            store_hit.select(id_col, "shs").dropDuplicates([id_col])
+        )
+    matches = cands.join(sides, "_nid").join(
+        pool.select(F.col(id_col).alias("_mid"), F.col("shs").alias("_sh_m")),
+        "_mid",
+    )
+    scored = matches.select(
+        "_nid", "_mid", _exact_jaccard("_sh_n", "_sh_m").alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    best = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_nid").orderBy(
+                    F.col("jaccard").desc(), F.col("_mid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_nid").alias(id_col), F.col("_mid").alias("dup_of"), "jaccard"
+        )
+    )
+    out = new_sigs.join(best, id_col, "left").localCheckpoint(eager=True)
+    new_sigs.unpersist()
+    banded_new.unpersist()
+    if store_hit is not None:
+        store_hit.unpersist()
+    return out
+
+
 def incremental_dedup_foreach_batch(
     spark,
     store_dir: str,
@@ -622,6 +826,8 @@ def incremental_dedup_foreach_batch(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    layout: str = "rows",
+    prefix_chars: int = 2,
 ):
     """Package :func:`incremental_minhash_dedup` as a Structured
     Streaming ``foreachBatch`` callback: each micro-batch of documents
@@ -631,6 +837,15 @@ def incremental_dedup_foreach_batch(
     for audit. The store read is the static side of a stream-static
     join re-read per micro-batch — S11's machinery, so a store
     compaction is picked up on the next batch.
+
+    ``layout="rows"`` (default) keeps the compact one-row-per-doc store
+    and reads it whole each batch; ``layout="pruned"`` keeps the
+    :func:`minhash_store_pruned_rows` banded layout partitioned by band
+    -hash prefix and probes it with :func:`incremental_minhash_dedup_pruned`
+    — the store scan prunes to the batch's hit prefixes, which is the
+    sub-linear serving path once the store dwarfs a micro-batch. The
+    two layouts make IDENTICAL decisions (tests pin equality); a store
+    dir must use one layout throughout.
 
     The minhash knobs MUST match across every batch that shares a
     store (banding slices ``sig`` by position — a store built with
@@ -648,30 +863,58 @@ def incremental_dedup_foreach_batch(
     masks and a store compaction pass can drop."""
     from pyspark.errors import AnalysisException
 
+    if layout not in ("rows", "pruned"):
+        raise ValueError(f"unknown store layout {layout!r}")
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            # probe through Spark (Hadoop FS), not os.path: store_dir may
-            # be hdfs:// or s3a:// where driver-local listing sees nothing
-            store = spark.read.parquet(store_dir).dropDuplicates([id_col])
-        except AnalysisException:  # missing dir / no parquet yet
-            store = None
-        decided = incremental_minhash_dedup(
-            batch_df,
-            store,
-            text_col=text_col,
-            id_col=id_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
-            max_bucket_size=max_bucket_size,
-        )
-        (
-            decided.filter(F.col("dup_of").isNull())
-            .select(id_col, "sig", "shs", "bands")
-            .write.mode("append")
-            .parquet(store_dir)
-        )
+        if layout == "pruned":
+            decided = incremental_minhash_dedup_pruned(
+                batch_df,
+                spark,
+                store_dir,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                max_bucket_size=max_bucket_size,
+                prefix_chars=prefix_chars,
+            )
+            uniques = decided.filter(F.col("dup_of").isNull()).select(
+                id_col, "sig", "shs", "bands"
+            )
+            (
+                minhash_store_pruned_rows(uniques, id_col, prefix_chars)
+                .write.partitionBy("pfx")
+                .mode("append")
+                .parquet(store_dir)
+            )
+        else:
+            try:
+                # probe through Spark (Hadoop FS), not os.path: store_dir
+                # may be hdfs:// or s3a:// where driver-local listing sees
+                # nothing
+                store = spark.read.parquet(store_dir).dropDuplicates([id_col])
+            except AnalysisException:  # missing dir / no parquet yet
+                store = None
+            decided = incremental_minhash_dedup(
+                batch_df,
+                store,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                max_bucket_size=max_bucket_size,
+            )
+            (
+                decided.filter(F.col("dup_of").isNull())
+                .select(id_col, "sig", "shs", "bands")
+                .write.mode("append")
+                .parquet(store_dir)
+            )
         if decisions_dir is not None:
             (
                 decided.select(id_col, "dup_of", "jaccard")

@@ -183,3 +183,129 @@ def test_retry_with_tight_cap_reproduces_first_run(spark):
     first = decisions(None)
     assert first == {1: None, 2: 1, 3: 1}
     assert decisions(minhash_store_rows(_docs(spark, [(1, BASE)]))) == first
+
+
+def test_pruned_layout_matches_rows_layout_decisions(spark, sf_dir, tmp_path):
+    """The partition-pruned store (minhash_store_pruned_rows +
+    incremental_minhash_dedup_pruned) must make IDENTICAL decisions to
+    the rows-layout operator on the same data — pruning by band-hash
+    prefix keeps every member of every HIT bucket, so candidates,
+    occupancy caps, and verified jaccards all agree."""
+    from rearview_spark.operators.dedup import (
+        incremental_minhash_dedup_pruned,
+        minhash_store_pruned_rows,
+    )
+    from rearview_spark.sources.loader import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    rows_out = incremental_minhash_dedup(
+        batch, minhash_store_rows(store_docs), threshold=0.05
+    )
+    want = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"]) for r in rows_out.collect()
+    }
+
+    d = str(tmp_path / "pruned_store")
+    minhash_store_pruned_rows(minhash_store_rows(store_docs)).write.partitionBy(
+        "pfx"
+    ).parquet(d)
+    got_df = incremental_minhash_dedup_pruned(batch, spark, d, threshold=0.05)
+    got = {r["doc_id"]: (r["dup_of"], r["jaccard"]) for r in got_df.collect()}
+    assert got == want
+    assert set(got_df.columns) == set(rows_out.columns)
+
+
+def test_pruned_probe_reads_only_hit_dirs(spark, tmp_path):
+    """The scale contract: the probe must touch ONLY the partition dirs
+    the batch's band hashes hit — by explicit path (basePath read), so
+    neither the scan NOR the listing is O(all dirs); Spark's recursive
+    partition discovery runs a distributed listing job over every dir
+    per read, which the measurement (PLANS.md r10) showed costing more
+    than the scan it pruned. With a one-doc batch at most bands(=4)
+    prefixes exist to hit."""
+    import glob as _glob
+
+    from rearview_spark.operators.dedup import (
+        _pruned_store_prefixes,
+        incremental_minhash_dedup_pruned,
+        minhash_store_pruned_rows,
+    )
+
+    store_docs = _docs(
+        spark, [(i, f"{OTHER} variant {i} tokens {i * 7} {i * 13}") for i in range(200)]
+    )
+    d = str(tmp_path / "pstore")
+    minhash_store_pruned_rows(minhash_store_rows(store_docs)).write.partitionBy(
+        "pfx"
+    ).parquet(d)
+    n_dirs = len(_glob.glob(d + "/pfx=*"))
+    assert n_dirs > 8  # enough prefixes that pruning is observable
+    assert len(_pruned_store_prefixes(spark, d)) == n_dirs
+
+    batch = _docs(spark, [(9999, BASE)])
+    pfxs = {
+        r[0]
+        for r in minhash_store_pruned_rows(minhash_store_rows(batch))
+        .select("pfx")
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(pfxs) <= 4
+    # reproduce the operator's read shape and pin its input files
+    hit = sorted(pfxs & set(_pruned_store_prefixes(spark, d)))
+    if hit:  # BASE may hash clear of the store's prefixes
+        reader = (
+            spark.read.option("basePath", d)
+            .schema("band int, bh string, doc_id long, shs array<long>, pfx string")
+            .parquet(*[f"{d}/pfx={p}" for p in hit])
+        )
+        touched = {f.split("/pfx=")[1].split("/")[0] for f in reader.inputFiles()}
+        assert touched == set(hit) and len(touched) < n_dirs
+        # leading-zero-style prefixes survive (explicit schema, no
+        # partition type inference)
+        assert reader.schema["pfx"].dataType.simpleString() == "string"
+    # and the decisions still come out right end-to-end
+    out = incremental_minhash_dedup_pruned(
+        _docs(spark, [(9999, BASE), (10000, BASE + " encore")]), spark, d, threshold=0.5
+    )
+    by = {r["doc_id"]: r["dup_of"] for r in out.collect()}
+    assert by == {9999: None, 10000: 9999}
+
+
+def test_foreach_batch_pruned_layout_cycle(spark, tmp_path):
+    """The streaming packaging with layout='pruned': batch 2 dedups
+    against batch 1's banded store through the partition-pruned probe;
+    the store accumulates exploded (pfx, band, bh, id, shs) rows."""
+    store_dir = str(tmp_path / "pruned_sig_store")
+    dec_dir = str(tmp_path / "pruned_decisions")
+    process = incremental_dedup_foreach_batch(
+        spark, store_dir, threshold=0.5, decisions_dir=dec_dir, layout="pruned"
+    )
+    process(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    store = spark.read.parquet(store_dir)
+    assert set(store.columns) == {"pfx", "band", "bh", "doc_id", "shs"}
+    assert store.select("doc_id").distinct().count() == 2
+    assert store.count() == 2 * 4  # one row per (doc, band)
+
+    process(_docs(spark, [(10, BASE + " encore"), (11, THIRD)]), 1)
+    ids = {r["doc_id"] for r in store.select("doc_id").distinct().collect()}
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(store_dir).select("doc_id").distinct().collect()
+    }
+    assert ids == {1, 2, 11}  # 10 dropped as dup of store doc 1
+    decisions = {
+        r["doc_id"]: r["dup_of"] for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert decisions[10] == 1 and decisions[11] is None
+
+    # retry of the half-committed batch: same decisions, no self-match
+    process(_docs(spark, [(10, BASE + " encore"), (11, THIRD)]), 1)
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(store_dir).select("doc_id").distinct().collect()
+    }
+    assert ids == {1, 2, 11}
