@@ -467,3 +467,86 @@ def leakage_safe_split(
     return joined.drop("_comp").withColumn(
         "split", F.when(bucket < val_bp, F.lit("val")).otherwise(F.lit("train"))
     )
+
+
+def source_cap_sample(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "srccap",
+    boundary_buckets: int = 1024,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source/domain — the
+    RefinedWeb/C4-style anti-spam primitive (one link farm must not
+    become 4% of the training mix), selected by deterministic md5 order
+    so reruns and backfills keep exactly the same rows.
+
+    The naive form — ``row_number() OVER (PARTITION BY source ORDER BY
+    hash)`` then ``rank <= cap`` — puts every document of a source in
+    ONE task; the exact source this operator exists for (a crawl
+    domain with 100M pages) is the one that straddles task memory. So
+    selection runs as distributed quantile selection instead:
+
+    1. Hash every doc into one of ``boundary_buckets`` ordered buckets
+       (md5 — uniform, deterministic).
+    2. Per (source, bucket) counts — map-side combined, ≤ sources ×
+       buckets rows — then a per-source running total over the ≤
+       ``boundary_buckets`` bucket rows locates the bucket where the
+       cap boundary falls. This frame is dimension-sized; it
+       broadcasts.
+    3. Docs in buckets strictly below the boundary pass outright (a
+       scan-time integer filter). Only the SINGLE boundary bucket per
+       source — 1/``boundary_buckets`` of the source's docs — needs an
+       exact ``row_number`` (ordered by full 60-bit hash, id), so the
+       window partition is bounded at ~|source|/buckets rows no matter
+       how hot the domain.
+
+    Exactly ``min(cap, |source|)`` docs survive per source (exact, not
+    approximate: the boundary bucket's window finishes the count the
+    full buckets started). Adds nothing; returns the surviving rows
+    with original columns."""
+    from pyspark.sql import Window
+
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    h = md5_bucket(F.col(id_col), salt, mod=10 ** 15)
+    b = F.pmod(h, F.lit(boundary_buckets))
+    hashed = df.withColumn("_h", h).withColumn("_b", b)
+
+    per_bucket = hashed.groupBy(source_col, "_b").agg(F.count("*").alias("_bc"))
+    wcum = (
+        Window.partitionBy(source_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # rows in earlier buckets; the per-source frame is <= boundary_buckets rows
+    bounds = per_bucket.withColumn(
+        "_before", F.coalesce(F.sum("_bc").over(wcum), F.lit(0))
+    ).select(source_col, "_b", "_bc", "_before")
+
+    # one pass: the broadcast bound-filter kills every bucket past the
+    # boundary AT THE SCAN (only ~cap + one-bucket rows per source
+    # survive into the shuffle), then the (source, bucket) window ranks
+    # within surviving buckets only — partitions bounded by
+    # ~|source|/boundary_buckets rows no matter how hot the domain. A
+    # full bucket's rows all pass the rank predicate (r <= bucket
+    # count), the boundary bucket's rank finishes the count, dead
+    # buckets never shuffle. (A first cut unioned a no-sort full-bucket
+    # branch with a windowed boundary branch — Spark re-executed the
+    # whole join subtree per branch: 4 scans, 3 windows. This form is 2
+    # scans — counts pass + decision pass — and one candidate-sized
+    # shuffle.)
+    joined = hashed.join(F.broadcast(bounds), [source_col, "_b"]).filter(
+        F.col("_before") < cap
+    )
+    wb = Window.partitionBy(source_col, "_b").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_before") + F.col("_r") <= cap)
+        .drop("_r", "_h", "_b", "_bc", "_before")
+    )
+
+

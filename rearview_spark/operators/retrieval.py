@@ -413,3 +413,79 @@ def maxsim_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation — nDCG@k / MRR / recall@k over a run + qrels
+# ---------------------------------------------------------------------------
+
+def retrieval_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-quality metrics for a retrieval run against binary
+    relevance judgments — the eval harness every retriever in this
+    module (BM25, RRF, MaxSim, the ANN family) plugs into.
+
+    ``run``: (query, doc, rank) with rank 1-based within query;
+    ``qrels``: (query, doc) rows marking relevant pairs. Returns one
+    row per judged query: ``n_rel``, ``hits_at_k``, ``recall_at_k``,
+    ``mrr`` (reciprocal of the first relevant rank, 0 when no hit),
+    ``ndcg_at_k`` (binary gains; IDCG over min(k, n_rel) ideal ranks).
+
+    Cross-engine determinism (the gate hashes doubles): each DCG term
+    ``1/log2(rank+1)`` is 6dp nudge-rounded BEFORE summation — ``log``
+    is the one op IEEE-754 leaves implementation-defined, and the
+    quantization makes every engine agree on the addends; the sums of
+    ≤k quantized terms then re-round to 6dp (reassociation error
+    ~1e-15, far inside the 5e-10 nudge), and the final ndcg division
+    runs on bit-identical inputs (IEEE division IS correctly rounded).
+    The fold runs over ``sort_array(collect_list(rank))`` — a fixed
+    ascending order, not an unordered SUM.
+
+    Scale shape: run and qrels are retrieval-sized relations (ranks ≤ k
+    per query; judgments are human-bounded), orders of magnitude below
+    the corpus the run was computed FROM — every join here keys on
+    (query, doc) and every aggregate is map-side partial on ≤ |queries|
+    groups. The expensive part of evaluation is the retriever, never
+    the metrics."""
+    runk = run.filter(F.col("rank") <= k).select(
+        query_col, id_col, F.col("rank").cast("int").alias("rank")
+    )
+    hits = runk.join(qrels.select(query_col, id_col), [query_col, id_col])
+    term = "round(1.0 / log2(r + 1) + 5e-10, 6)"
+    agg = hits.groupBy(query_col).agg(
+        F.count("*").alias("hits_at_k"),
+        F.min("rank").alias("_first"),
+        F.expr(
+            "round(aggregate(sort_array(collect_list(rank)), cast(0.0 as double), "
+            f"(acc, r) -> acc + {term}) + 5e-10, 6)"
+        ).alias("_dcg"),
+    )
+    nrel = qrels.groupBy(query_col).agg(F.count("*").alias("n_rel"))
+    idcg = F.expr(
+        f"round(aggregate(sequence(1, least({int(k)}, n_rel)), cast(0.0 as double), "
+        f"(acc, r) -> acc + {term}) + 5e-10, 6)"
+    )
+    out = nrel.join(agg, query_col, "left").withColumn("_idcg", idcg)
+    z = F.lit(0.0)
+    return out.select(
+        query_col,
+        "n_rel",
+        F.coalesce(F.col("hits_at_k"), F.lit(0)).alias("hits_at_k"),
+        F.round(
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("double")
+            / F.col("n_rel").cast("double")
+            + F.lit(5e-10),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("_first").cast("double"), z) + F.lit(5e-10), 6
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("_dcg") / F.col("_idcg"), z) + F.lit(5e-10), 6
+        ).alias("ndcg_at_k"),
+    )

@@ -394,3 +394,74 @@ QUERIES.update(
         "ev_zorder_keys": {"fn": ev_zorder_keys, "oracle": _ev_zorder_sql()},
     }
 )
+
+
+HH_K = 120
+
+
+def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent users (operators/sketch.py heavy_hitters): every
+    user with > n/(k+1) of all events, found by per-partition
+    Misra-Gries candidate summaries + an exact candidate recount — two
+    scans, zero corpus-scale shuffle, no full GROUP BY over the key
+    domain. The answer is EXACT (the sketch only bounds the candidate
+    set), so the oracle is the plain HAVING-count formulation."""
+    from rearview_spark.operators.sketch import heavy_hitters
+
+    ev = Tables(spark, sf_dir).events
+    return heavy_hitters(ev, "user_id", k=HH_K).orderBy("user_id")
+
+
+EV_HH_SQL = f"""
+SELECT user_id, count(*) AS n_rows
+FROM events
+GROUP BY user_id
+HAVING count(*) * {HH_K + 1} > (SELECT count(*) FROM events)
+ORDER BY user_id
+"""
+
+
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, then
+    distinct active users per (cohort week, weeks-since) cell — the
+    standard growth-analytics triangle. Two aggregates keyed on
+    user_id (first-seen, then the join back) share one hash
+    partitioning; the final cell aggregate is cohort-cardinality-sized.
+    Week offsets are integer epoch arithmetic — float-free."""
+    ev = Tables(spark, sf_dir).events
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("w")).join(
+        first, "user_id"
+    )
+    offset = (
+        (F.col("w").cast("long") - F.col("cohort_week").cast("long")) / (7 * 86400)
+    ).cast("int")
+    return (
+        activity.groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EV_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT f.cohort_week,
+       CAST((CAST(floor(epoch(date_trunc('week', e.ts))) AS BIGINT)
+             - CAST(floor(epoch(f.cohort_week)) AS BIGINT)) / (7 * 86400) AS INT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "ev_heavy_hitters": {"fn": ev_heavy_hitters, "oracle": EV_HH_SQL},
+        "ev_cohort_retention": {"fn": ev_cohort_retention, "oracle": EV_COHORT_SQL},
+    }
+)

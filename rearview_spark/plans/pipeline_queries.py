@@ -2291,3 +2291,44 @@ QUERIES["doc_lm_perplexity"] = {
 }
 
 PENDING_QUERIES: dict[str, dict] = {}
+
+
+SRC_CAP = 18
+
+
+def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (curation.source_cap_sample): at most 18
+    docs survive per source, chosen by deterministic md5 order via
+    distributed quantile selection — full buckets pass on a scan-time
+    integer filter and only each source's single boundary bucket pays
+    an exact rank, so no task ever sorts a whole hot domain. The
+    oracle is the NAIVE per-source row_number over the same hash order
+    — pinning that the two-phase plan equals the straightforward
+    semantics."""
+    from rearview_spark.operators.curation import source_cap_sample
+
+    docs = Tables(spark, sf_dir).documents.select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return source_cap_sample(docs, cap=SRC_CAP).orderBy("doc_id")
+
+
+_H_SRC = (
+    "(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':srccap')), 1, 15)) "
+    "AS BIGINT) % 1000000000000000)"
+)
+
+DOC_SRC_CAP_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars, {_H_SRC} AS hh
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY hh % 1024, hh, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= {SRC_CAP} ORDER BY doc_id
+"""
+
+QUERIES["doc_source_cap"] = {"fn": doc_source_cap, "oracle": DOC_SRC_CAP_SQL}

@@ -285,3 +285,106 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
 """
 
 QUERIES["ret_maxsim_topk"] = {"fn": ret_maxsim_topk, "oracle": RET_MAXSIM_SQL}
+
+
+EVAL_QUERY_TERMS = (("spark", "join"), ("window", "sort"), ("hash", "merge"))
+EVAL_K = 10
+
+
+def ret_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics (retrieval.retrieval_eval): three fixed
+    two-term queries run through BM25 top-10; binary qrels are the docs
+    containing ALL the query's terms (conjunctive containment — an
+    independent relevance definition the ranker doesn't see). The
+    oracle recomputes runs, qrels, and the quantized-term nDCG/MRR/
+    recall arithmetic end to end."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from rearview_spark.operators.text import tokens
+
+    docs = Tables(spark, sf_dir).documents
+    runs, rels = [], []
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    for qid, terms in enumerate(EVAL_QUERY_TERMS):
+        ranked = (
+            R.bm25_scores(docs, list(terms))
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(EVAL_K)
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+            )
+        )
+        runs.append(
+            ranked.select(
+                F.lit(qid).cast("bigint").alias("query_id"), "doc_id", "rank"
+            )
+        )
+        cond = None
+        for t in terms:
+            c = F.array_contains("t", t)
+            cond = c if cond is None else cond & c
+        rels.append(
+            toks.filter(cond).select(
+                F.lit(qid).cast("bigint").alias("query_id"), "doc_id"
+            )
+        )
+    run = reduce(lambda a, b: a.unionByName(b), runs)
+    qrels = reduce(lambda a, b: a.unionByName(b), rels)
+    return R.retrieval_eval(run, qrels, k=EVAL_K).orderBy("query_id")
+
+
+def _ret_eval_sql() -> str:
+    term = "round(1.0 / log2(rank + 1) + 0.0000000005, 6)"
+    run_blocks, rel_blocks = [], []
+    for qid, terms in enumerate(EVAL_QUERY_TERMS):
+        run_blocks.append(
+            f"""SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, rank FROM (
+  WITH {R.bm25_scored_cte(list(terms), TOKS)}
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored QUALIFY rank <= {EVAL_K})"""
+        )
+        cond = " AND ".join(f"list_contains(t, '{t}')" for t in terms)
+        rel_blocks.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id FROM toks WHERE {cond}"
+        )
+    runs = "\n  UNION ALL\n".join(run_blocks)
+    rels = "\n  UNION ALL\n".join(rel_blocks)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+runs AS (
+{runs}
+),
+qrels AS (
+{rels}
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+hits AS (
+  SELECT r.query_id, r.rank
+  FROM runs r JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+),
+agg AS (
+  SELECT query_id, count(*) AS hits_at_k, min(rank) AS first_rank,
+         round(sum({term}) + 0.0000000005, 6) AS dcg
+  FROM hits GROUP BY 1
+),
+im AS (
+  SELECT query_id, n_rel,
+         round(list_sum(list_transform(generate_series(1, least({EVAL_K}, CAST(n_rel AS INT))),
+               rank -> {term})) + 0.0000000005, 6) AS idcg
+  FROM nrel
+)
+SELECT im.query_id, im.n_rel,
+       coalesce(a.hits_at_k, 0) AS hits_at_k,
+       round(CAST(coalesce(a.hits_at_k, 0) AS DOUBLE) / CAST(im.n_rel AS DOUBLE)
+             + 0.0000000005, 6) AS recall_at_k,
+       round(coalesce(1.0 / CAST(a.first_rank AS DOUBLE), 0.0) + 0.0000000005, 6) AS mrr,
+       round(coalesce(a.dcg / im.idcg, 0.0) + 0.0000000005, 6) AS ndcg_at_k
+FROM im LEFT JOIN agg a ON im.query_id = a.query_id
+ORDER BY im.query_id
+"""
+
+
+QUERIES["ret_eval_metrics"] = {"fn": ret_eval_metrics, "oracle": _ret_eval_sql()}

@@ -1,0 +1,161 @@
+"""Unit tests for the round-10 additions: Misra-Gries exact heavy
+hitters (operators/sketch.py), per-source cap sampling
+(curation.source_cap_sample), and retrieval metrics
+(retrieval.retrieval_eval)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.curation import source_cap_sample
+from rearview_spark.operators.retrieval import retrieval_eval
+from rearview_spark.operators.sketch import _mg_merge, heavy_hitters
+
+
+def _exact_hh(rows: list, k: int) -> dict:
+    from collections import Counter
+
+    c = Counter(rows)
+    n = len(rows)
+    return {item: cnt for item, cnt in c.items() if cnt * (k + 1) > n}
+
+
+def _skewed_rows() -> list:
+    # zipf-ish: item i appears 1000//(i+1) times — a few heavies, long tail
+    rows = []
+    for i in range(200):
+        rows.extend([i] * (1000 // (i + 1)))
+    return rows
+
+
+@pytest.mark.parametrize("parts", [1, 7, 32])
+def test_heavy_hitters_exact_under_any_partitioning(spark, parts):
+    """The MG candidate union is a guaranteed superset, the recount is
+    exact — so the output must equal the brute-force answer regardless
+    of how the data is partitioned (including partitions that see only
+    tail items)."""
+    rows = _skewed_rows()
+    k = 25
+    df = spark.createDataFrame([(v,) for v in rows], "user_id bigint").repartition(
+        parts
+    )
+    got = {r["user_id"]: r["n_rows"] for r in heavy_hitters(df, "user_id", k).collect()}
+    assert got == _exact_hh(rows, k)
+    assert got  # the construction has real heavies
+
+
+def test_heavy_hitters_string_items_and_no_heavies(spark):
+    rows = [f"u{i}" for i in range(400)]  # uniform: nobody exceeds n/(k+1)
+    df = spark.createDataFrame([(v,) for v in rows], "item string")
+    out = heavy_hitters(df, "item", k=10, item_type="string").collect()
+    assert out == []
+
+
+def test_mg_merge_bound():
+    """After merging any stream in any batching, an item with true count
+    > n/(k+1) must survive with positive weight."""
+    rows = _skewed_rows()
+    k = 25
+    for chunk in (17, 256):
+        counters: dict = {}
+        for i in range(0, len(rows), chunk):
+            batch = rows[i : i + chunk]
+            counts: dict = {}
+            for v in batch:
+                counts[v] = counts.get(v, 0) + 1
+            counters = _mg_merge(counters, counts, k)
+        assert len(counters) <= k
+        for item in _exact_hh(rows, k):
+            assert counters.get(item, 0) > 0
+
+
+@pytest.mark.parametrize("cap", [0, 3, 18, 999])
+def test_source_cap_exact_and_deterministic(spark, sf_dir, cap):
+    """Exactly min(cap, |source|) docs survive per source; the survivor
+    SET is identical under different partitionings (deterministic hash
+    order, no RNG)."""
+    from rearview_spark.sources.loader import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "source")
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    out = source_cap_sample(docs, cap=cap)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    want = {s: min(cap, n) for s, n in sizes.items() if min(cap, n) > 0}
+    assert got == want
+    ids = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in source_cap_sample(docs.repartition(13), cap=cap).collect()}
+    assert ids == ids2
+
+
+def test_source_cap_matches_naive_rank(spark, sf_dir):
+    """The two-phase bucket selection equals the naive per-source
+    row_number over (hash mod buckets, hash, id) — same order the gate
+    oracle uses."""
+    from pyspark.sql import Window
+
+    from rearview_spark.operators.dedup import md5_bucket
+    from rearview_spark.sources.loader import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "source")
+    h = md5_bucket(F.col("doc_id"), "srccap", mod=10 ** 15)
+    w = Window.partitionBy("source").orderBy(
+        F.pmod(h, F.lit(1024)), h, F.col("doc_id")
+    )
+    naive = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 7)
+        .drop("_rk")
+    )
+    want = {r["doc_id"] for r in naive.collect()}
+    got = {r["doc_id"] for r in source_cap_sample(docs, cap=7).collect()}
+    assert got == want
+
+
+def test_source_cap_rejects_negative():
+    with pytest.raises(ValueError):
+        source_cap_sample(None, cap=-1)
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """3-doc run, hand-checkable metrics: query 0 has rel docs {1, 2, 9}
+    with hits at ranks 1 and 3; query 1 has rel {5} never retrieved;
+    query 2 judged but has no run rows at all."""
+    run = spark.createDataFrame(
+        [(0, 1, 1), (0, 7, 2), (0, 2, 3), (1, 1, 1), (1, 2, 2)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 9), (1, 5), (2, 3)],
+        "query_id bigint, doc_id bigint",
+    )
+    rows = {r["query_id"]: r.asDict() for r in retrieval_eval(run, qrels, k=10).collect()}
+    assert set(rows) == {0, 1, 2}
+
+    q0 = rows[0]
+    assert q0["n_rel"] == 3 and q0["hits_at_k"] == 2
+    assert q0["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert q0["mrr"] == 1.0
+    t = lambda r: round(1.0 / math.log2(r + 1) + 5e-10, 6)
+    dcg = round(t(1) + t(3) + 5e-10, 6)
+    idcg = round(t(1) + t(2) + t(3) + 5e-10, 6)
+    assert q0["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-6)
+
+    assert rows[1] == {
+        "query_id": 1, "n_rel": 1, "hits_at_k": 0,
+        "recall_at_k": 0.0, "mrr": 0.0, "ndcg_at_k": 0.0,
+    }
+    assert rows[2]["hits_at_k"] == 0 and rows[2]["ndcg_at_k"] == 0.0
+
+
+def test_retrieval_eval_respects_k(spark):
+    """Ranks beyond k are ignored: a hit at rank 6 with k=5 counts for
+    nothing."""
+    run = spark.createDataFrame(
+        [(0, 1, 6)], "query_id bigint, doc_id bigint, rank int"
+    )
+    qrels = spark.createDataFrame([(0, 1)], "query_id bigint, doc_id bigint")
+    row = retrieval_eval(run, qrels, k=5).collect()[0]
+    assert row["hits_at_k"] == 0 and row["mrr"] == 0.0
