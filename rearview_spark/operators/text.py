@@ -215,6 +215,76 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`bpe_train` output) to
+    tokenize every document — the serving half of the tokenizer loop.
+    Returns ``(id, n_words, n_tokens, toks_md5)``: word count, total
+    post-merge symbol count, and the md5 of the space-joined
+    tokenization in word order (so the gate pins the exact token
+    stream, not just counts).
+
+    The merge list is a bounded offline artifact (tens-to-thousands of
+    rows — the PQ-codebook precedent), collected once and compiled
+    into a chain of literal ``replace`` calls over the same
+    pipe-delimited symbol representation bpe_train used, so training
+    and serving can never disagree on merge semantics (greedy
+    left-to-right non-overlapping, delimiter unshadowable).
+
+    Scale shape (the bpe_train discipline): the replace chain runs
+    once per UNIQUE word — a vocabulary-sized narrow map, not a
+    corpus-sized one — and rejoins the (id, pos, word) stream on the
+    word key (AQE broadcasts the encoded vocab while it fits; at web
+    scale it degrades to a hash join on w). The only corpus-scale
+    aggregation is the per-doc regroup carrying (pos, toked) pairs."""
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("merge_rank").select("left", "right").collect()
+    ]
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+    )
+    seq = F.concat(
+        F.lit("|"), F.array_join(F.split(F.col("w"), ""), "||"), F.lit("|")
+    )
+    for a, b in merges:
+        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    syms = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\|\|")
+    enc = (
+        words.select("w")
+        .distinct()
+        .withColumn("seq", seq)
+        .select(
+            "w",
+            F.size(syms).alias("n_sym"),
+            F.array_join(syms, " ").alias("toked"),
+        )
+    )
+    per_word = words.join(enc, "w")
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "toked"))),
+            lambda s: s["toked"],
+        ),
+        " ",
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_sym").alias("n_tokens"),
+        F.md5(ordered).alias("toks_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Web-scrape cleaning (HTML strip + entity decode)
 # ---------------------------------------------------------------------------

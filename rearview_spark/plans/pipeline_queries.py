@@ -2332,3 +2332,76 @@ SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= {SRC_CAP} ORDER BY doc_i
 """
 
 QUERIES["doc_source_cap"] = {"fn": doc_source_cap, "oracle": DOC_SRC_CAP_SQL}
+
+
+# --- BPE tokenization (serving half of the tokenizer loop) -------------------
+
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the 8-merge BPE table trained on
+    the same corpus (text.bpe_train -> text.bpe_encode): per-doc word
+    count, post-merge token count, and the md5 of the exact token
+    stream. The oracle re-derives the merges (the doc_bpe_vocab CTE
+    chain, carrying the word key through every round) and replays the
+    encode — training AND serving semantics hashed end to end."""
+    docs = Tables(spark, sf_dir).documents
+    merges = X.bpe_train(docs, n_merges=8)
+    return X.bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def _bpe_iteration_w_sql(i: int) -> str:
+    """One BPE round like _bpe_iteration_sql, but the word key rides
+    through the state CTEs so the final s8 is a (w -> tokenized seq)
+    vocabulary map the encode can join on."""
+    return f"""
+ex{i} AS MATERIALIZED (
+  SELECT w, freq, generate_subscripts(syms, 1) AS idx, unnest(syms) AS sym
+  FROM (SELECT w, freq,
+               str_split(substr(seq, 2, length(seq) - 2), '||') AS syms
+        FROM t{i - 1})
+),
+c{i} AS MATERIALIZED (
+  SELECT l, r FROM (
+    SELECT a.sym AS l, b.sym AS r, sum(a.freq) AS cnt
+    FROM ex{i} a JOIN ex{i} b ON b.w = a.w AND b.idx = a.idx + 1
+    GROUP BY 1, 2
+  ) ORDER BY cnt DESC, l, r LIMIT 1
+),
+t{i} AS MATERIALIZED (
+  SELECT w, replace(seq, '|' || l || '||' || r || '|', '|' || l || r || '|') AS seq,
+         freq
+  FROM t{i - 1}, c{i}
+)"""
+
+
+DOC_BPE_ENCODE_SQL = (
+    """
+WITH t0 AS MATERIALIZED (
+  SELECT w, '|' || array_to_string(str_split(w, ''), '||') || '|' AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(str_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),"""
+    + ",".join(_bpe_iteration_w_sql(i) for i in range(1, 9))
+    + """,
+vocab AS MATERIALIZED (
+  SELECT w,
+         len(str_split(substr(seq, 2, length(seq) - 2), '||')) AS n_sym,
+         array_to_string(str_split(substr(seq, 2, length(seq) - 2), '||'), ' ') AS toked
+  FROM t8
+),
+stream AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+    FROM (SELECT doc_id, str_split_regex(lower(text), '[^a-z]+') AS ws FROM documents)
+  ) WHERE w <> ''
+)
+SELECT s.doc_id, count(*) AS n_words,
+       CAST(sum(v.n_sym) AS BIGINT) AS n_tokens,
+       md5(string_agg(v.toked, ' ' ORDER BY s.pos)) AS toks_md5
+FROM stream s JOIN vocab v ON s.w = v.w
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+)
+
+QUERIES["doc_bpe_encode"] = {"fn": doc_bpe_encode, "oracle": DOC_BPE_ENCODE_SQL}

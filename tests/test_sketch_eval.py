@@ -159,3 +159,37 @@ def test_retrieval_eval_respects_k(spark):
     qrels = spark.createDataFrame([(0, 1)], "query_id bigint, doc_id bigint")
     row = retrieval_eval(run, qrels, k=5).collect()[0]
     assert row["hits_at_k"] == 0 and row["mrr"] == 0.0
+
+
+def test_bpe_encode_hand_case(spark):
+    """Encode with the merges from the bpe_train hand case: after
+    (a,a), (a,b), (aa,ab), 'aaab' is one token and 'ab' is one token;
+    an unseen-shape word ('ba') stays characters."""
+    from rearview_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    merges = X.bpe_train(docs, n_merges=3)
+    out = {r["doc_id"]: r.asDict() for r in X.bpe_encode(docs, merges).collect()}
+    assert out[1]["n_words"] == 2 and out[1]["n_tokens"] == 2  # [aaab] [aaab]
+    assert out[2]["n_words"] == 2 and out[2]["n_tokens"] == 2  # [aaab] [ab]
+    assert out[1]["toks_md5"] != out[2]["toks_md5"]
+
+    other = spark.createDataFrame([(9, "ba aaab")], "doc_id long, text string")
+    enc = {r["doc_id"]: r.asDict() for r in X.bpe_encode(other, merges).collect()}
+    # 'ba' has no applicable merge -> 2 symbols; 'aaab' collapses to 1
+    assert enc[9]["n_words"] == 2 and enc[9]["n_tokens"] == 3
+
+
+def test_bpe_encode_word_order_in_hash(spark):
+    """The token-stream hash respects word order (positions survive the
+    regroup): same bag of words, different order, different md5."""
+    from rearview_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "dog cat")], "doc_id long, text string"
+    )
+    merges = X.bpe_train(docs, n_merges=2)
+    out = {r["doc_id"]: r["toks_md5"] for r in X.bpe_encode(docs, merges).collect()}
+    assert out[1] != out[2]
