@@ -489,3 +489,95 @@ def retrieval_eval(
             F.coalesce(F.col("_dcg") / F.col("_idcg"), z) + F.lit(5e-10), 6
         ).alias("ndcg_at_k"),
     )
+
+
+def bm25_scores_multi(
+    docs: DataFrame,
+    queries: list[tuple[object, list[str]]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 for MANY queries in ONE corpus pass — ``(query_id, doc_id,
+    score)`` for every doc matching at least one of that query's terms.
+
+    Arithmetic is bit-identical to running :func:`bm25_scores` per
+    query (same rational idf, same per-query fixed-order score chain,
+    same df/dl/avgdl statistics — the per-term pivot just carries the
+    UNION of all queries' terms), so existing single-query oracles
+    stay valid. What changes is the plan: one explode → one
+    per-doc pivoted aggregate → one broadcast stats row → a stacked
+    per-query projection, instead of Q independent corpus scans. An
+    eval harness running hundreds of queries pays one token-stream
+    pass, not hundreds — the difference between 1× and Q× scan cost
+    at 100 TB."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    all_terms: list[str] = []
+    for _, terms in queries:
+        if not terms:
+            raise ValueError("every query needs at least one term")
+        for t in terms:
+            if t not in all_terms:
+                all_terms.append(t)
+    idx = {t: i for i, t in enumerate(all_terms)}
+
+    toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    per_doc = toked.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.sum("dl").alias("sum_dl"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(all_terms))
+        ],
+    )
+    k1p1 = k1 + 1.0
+    joined = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+        )
+        .withColumn(
+            "norm",
+            F.lit(1.0 - b)
+            + (F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))),
+        )
+    )
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"_df{i}").cast("double") + F.lit(0.5)
+        ) / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
+        s = idf * ((tf * F.lit(k1p1)) / (tf + (F.lit(k1) * F.col("norm"))))
+        return F.when(F.col(f"_tf{i}") > 0, s).otherwise(F.lit(0.0))
+
+    rows = []
+    for qid, terms in queries:
+        total = None
+        match = None
+        for t in terms:
+            s = term_score(idx[t])
+            total = s if total is None else total + s
+            m = F.col(f"_tf{idx[t]}")
+            match = m if match is None else match + m
+        rows.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                total.alias("score"),
+                (match > 0).alias("_m"),
+            )
+        )
+    return (
+        joined.select(F.col(id_col), F.explode(F.array(*rows)).alias("q"))
+        .filter(F.col("q._m"))
+        .select(F.col("q.query_id").alias("query_id"), id_col, F.col("q.score").alias("score"))
+    )

@@ -298,41 +298,46 @@ def ret_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent relevance definition the ranker doesn't see). The
     oracle recomputes runs, qrels, and the quantized-term nDCG/MRR/
     recall arithmetic end to end."""
-    from functools import reduce
-
     from pyspark.sql import Window
 
     from rearview_spark.operators.text import tokens
 
     docs = Tables(spark, sf_dir).documents
-    runs, rels = [], []
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # one corpus pass scores ALL queries (bm25_scores_multi — arithmetic
+    # bit-identical to per-query bm25_scores, so the oracle's per-query
+    # formulation still matches); per-query top-k via WindowGroupLimit
+    scored = R.bm25_scores_multi(
+        docs, [(qid, list(terms)) for qid, terms in enumerate(EVAL_QUERY_TERMS)]
+    )
+    run = (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= EVAL_K)
+        .select(F.col("query_id").cast("bigint").alias("query_id"), "doc_id", "rank")
+    )
+    # qrels likewise in one pass: per-query containment flags stacked
+    # through a single explode instead of one corpus filter per query
+    flags = []
     for qid, terms in enumerate(EVAL_QUERY_TERMS):
-        ranked = (
-            R.bm25_scores(docs, list(terms))
-            .orderBy(F.col("score").desc(), "doc_id")
-            .limit(EVAL_K)
-            .withColumn(
-                "rank",
-                F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
-            )
-        )
-        runs.append(
-            ranked.select(
-                F.lit(qid).cast("bigint").alias("query_id"), "doc_id", "rank"
-            )
-        )
         cond = None
         for t in terms:
             c = F.array_contains("t", t)
             cond = c if cond is None else cond & c
-        rels.append(
-            toks.filter(cond).select(
-                F.lit(qid).cast("bigint").alias("query_id"), "doc_id"
-            )
+        flags.append(
+            F.struct(F.lit(qid).cast("bigint").alias("query_id"), cond.alias("_rel"))
         )
-    run = reduce(lambda a, b: a.unionByName(b), runs)
-    qrels = reduce(lambda a, b: a.unionByName(b), rels)
+    qrels = (
+        toks.select("doc_id", F.explode(F.array(*flags)).alias("q"))
+        .filter(F.col("q._rel"))
+        .select(F.col("q.query_id").alias("query_id"), "doc_id")
+    )
     return R.retrieval_eval(run, qrels, k=EVAL_K).orderBy("query_id")
 
 
