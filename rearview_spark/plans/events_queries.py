@@ -465,3 +465,52 @@ QUERIES.update(
         "ev_cohort_retention": {"fn": ev_cohort_retention, "oracle": EV_COHORT_SQL},
     }
 )
+
+
+def ev_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch surface (the partner of ev_approx_distinct's
+    HLL): per event type, exact DISCRETE p50/p90/p99 (percentile_disc —
+    a data value, bit-identical to DuckDB's quantile_disc, no
+    interpolation arithmetic to disagree on) alongside a bound check
+    that the mergeable approx_percentile sketch (the GK-family operator
+    a 100 TB scan would actually run — partial sketches merge map-side,
+    no global sort) lands within 5% relative of exact. As with the HLL
+    gate, the sketch value itself is engine-specific, so the gate pins
+    the exact values and the bound holding — not the sketch
+    internals."""
+    ev = Tables(spark, sf_dir).events
+    aggs = [F.count("*").alias("n")]
+    for p in (50, 90, 99):
+        aggs.append(
+            F.expr(
+                f"percentile_disc({p / 100}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"p{p}")
+        )
+        aggs.append(
+            F.expr(f"approx_percentile(value, {p / 100}, 10000)").alias(f"_a{p}")
+        )
+    per = ev.groupBy("event_type").agg(*aggs)
+    ok = None
+    for p in (50, 90, 99):
+        c = (F.abs(F.col(f"_a{p}") - F.col(f"p{p}")) / F.abs(F.col(f"p{p}"))) < 0.05
+        ok = c if ok is None else ok & c
+    return per.select(
+        "event_type", "n", "p50", "p90", "p99", ok.alias("approx_within_5pct")
+    ).orderBy("event_type")
+
+
+EV_APPROX_Q_SQL = """
+SELECT event_type, count(*) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       true AS approx_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "ev_approx_quantiles": {"fn": ev_approx_quantiles, "oracle": EV_APPROX_Q_SQL},
+    }
+)
