@@ -581,3 +581,106 @@ def bm25_scores_multi(
         .filter(F.col("q._m"))
         .select(F.col("q.query_id").alias("query_id"), id_col, F.col("q.score").alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index — posting-list build + index-served BM25
+# ---------------------------------------------------------------------------
+
+def build_inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Build the posting-list index the scan-based BM25 amortizes into:
+    returns ``(postings, stats)`` where ``postings`` is one row per
+    term — ``(term, df, postings: array<struct<doc_id, tf, dl>>)``,
+    doc-id-sorted — and ``stats`` is the 1-row corpus frame
+    ``(n_docs, sum_dl)``. Document length rides INSIDE each posting
+    entry (the classic self-contained-postings design), so serving a
+    query needs no join back to any corpus-sized table.
+
+    Build cost is the scan-based ranker's one explode + two hash
+    aggregations, paid ONCE; the artifact persists like any offline
+    index (pq_fit precedent) and serves every future query for the
+    price of its query terms' posting lists. Per-term list sizes are
+    bounded by document frequency — a stopword's list is corpus-sized,
+    which is why real deployments stoplist or impact-order; callers
+    can drop terms with ``df > threshold`` before persisting."""
+    toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toked.groupBy(id_col).agg(F.count("*").alias("dl"))
+    entries = tf.join(dl, id_col)
+    postings = entries.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("doc_id"), "tf", "dl"))
+        ).alias("postings"),
+    )
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    return postings, stats
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served FROM the inverted index — bit-identical scores
+    to :func:`bm25_topk`'s corpus scan (same rational idf, same
+    fixed-term-order chain, reconstructed by pivoting the candidate
+    postings back to per-doc tf columns), at query cost proportional to
+    the query terms' posting lengths: the term filter prunes the
+    postings scan to ≤ |terms| rows, the explode emits one row per
+    candidate document, and nothing corpus-sized is touched."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    cand = (
+        postings.filter(F.col("term").isin(list(terms)))
+        .select("term", "df", F.explode("postings").alias("p"))
+        .select("term", "df", "p.doc_id", "p.tf", "p.dl")
+    )
+    # pivot back to one row per candidate doc with the scan-based
+    # ranker's exact column layout, so the score chain is the same
+    # expression tree over the same doubles
+    per_doc = cand.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
+                f"_tf{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    )
+    dfs = stats.crossJoin(
+        postings.filter(F.col("term").isin(list(terms))).groupBy().pivot(
+            "term", list(terms)
+        ).sum("df")
+    )
+    k1p1 = k1 + 1.0
+    joined = per_doc.crossJoin(F.broadcast(dfs)).withColumn(
+        "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    ).withColumn(
+        "norm",
+        F.lit(1.0 - b) + (F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))),
+    )
+
+    def term_score(i: int, t: str) -> Column:
+        tf = F.col(f"_tf{i}").cast("double")
+        df_col = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+        idf = (
+            F.col("n_docs").cast("double") - df_col + F.lit(0.5)
+        ) / (df_col + F.lit(0.5))
+        s = idf * ((tf * F.lit(k1p1)) / (tf + (F.lit(k1) * F.col("norm"))))
+        return F.when(F.col(f"_tf{i}") > 0, s).otherwise(F.lit(0.0))
+
+    total = None
+    for i, t in enumerate(terms):
+        s = term_score(i, t)
+        total = s if total is None else total + s
+    return (
+        joined.select("doc_id", total.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )

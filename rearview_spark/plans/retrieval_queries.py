@@ -393,3 +393,23 @@ ORDER BY im.query_id
 
 
 QUERIES["ret_eval_metrics"] = {"fn": ret_eval_metrics, "oracle": _ret_eval_sql()}
+
+
+def doc_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 served from the inverted index
+    (retrieval.build_inverted_index + bm25_topk_indexed) instead of the
+    corpus scan — same terms, same k as doc_bm25_topk, and the SAME
+    oracle SQL: the index is an execution strategy, not a semantics
+    change, so the gate pins that index-served scores are bit-identical
+    to the scan-derived ones."""
+    docs = Tables(spark, sf_dir).documents
+    postings, stats = R.build_inverted_index(docs)
+    return R.bm25_topk_indexed(postings, stats, BM25_TERMS, k=BM25_K).select(
+        "doc_id", r6(F.col("score")).alias("score")
+    )
+
+
+QUERIES["doc_bm25_indexed"] = {
+    "fn": doc_bm25_indexed,
+    "oracle": R.bm25_oracle_sql(BM25_TERMS, TOKS, k=BM25_K),
+}

@@ -193,3 +193,40 @@ def test_bpe_encode_word_order_in_hash(spark):
     merges = X.bpe_train(docs, n_merges=2)
     out = {r["doc_id"]: r["toks_md5"] for r in X.bpe_encode(docs, merges).collect()}
     assert out[1] != out[2]
+
+
+def test_indexed_bm25_equals_scan_bm25(spark, sf_dir):
+    """Index-served BM25 returns bit-identical (doc, score) rows to the
+    corpus-scan ranker for the same query — the index is a plan choice,
+    not a semantics change."""
+    from rearview_spark.operators import retrieval as R
+    from rearview_spark.sources.loader import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    postings, stats = R.build_inverted_index(docs)
+    terms = ["spark", "join", "window"]
+    scan = [(r["doc_id"], r["score"]) for r in R.bm25_topk(docs, terms, k=15).collect()]
+    idx = [
+        (r["doc_id"], r["score"])
+        for r in R.bm25_topk_indexed(postings, stats, terms, k=15).collect()
+    ]
+    assert idx == scan  # exact doubles, exact order
+
+
+def test_inverted_index_postings_shape(spark):
+    """Postings are doc-id-sorted, carry dl per entry, df matches list
+    length; a term absent from the corpus scores idf with df=0 and
+    returns nothing."""
+    from rearview_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    postings, stats = R.build_inverted_index(docs)
+    by_term = {r["term"]: r for r in postings.collect()}
+    assert by_term["a"]["df"] == 1 and by_term["b"]["df"] == 2
+    b_posts = [(p["doc_id"], p["tf"], p["dl"]) for p in by_term["b"]["postings"]]
+    assert b_posts == [(1, 1, 3), (2, 1, 2)]
+    s = stats.collect()[0]
+    assert (s["n_docs"], s["sum_dl"]) == (2, 5)
+    assert R.bm25_topk_indexed(postings, stats, ["zzz"], k=5).collect() == []
