@@ -120,3 +120,94 @@ def heavy_hitters(
         .filter(F.col("n_rows") * (k + 1) > F.col("_n"))
         .select(F.col("item").alias(col), "n_rows")
     )
+
+
+def heavy_hitters_foreach_batch(
+    spark,
+    summary_dir: str,
+    col: str,
+    k: int,
+    item_type: str = "bigint",
+):
+    """Package the Misra-Gries summary as a Structured Streaming
+    ``foreachBatch`` recurrence (the incremental-dedup packaging): each
+    micro-batch's partition summaries merge into a persisted ≤ k+1-row
+    summary table (MG summaries are mergeable — Agarwal et al.), so at
+    any moment the store holds candidates guaranteed to include every
+    item whose TRUE stream frequency exceeds n/(k+1), plus the exact
+    stream row count in the NULL-sentinel row.
+
+    Streaming drops pass 2 (you cannot recount an unbounded stream), so
+    the store's weights are LOWER BOUNDS, not exact counts — the
+    documented contract is candidates + bounds; run
+    :func:`heavy_hitters` over the at-rest corpus when exact counts
+    matter.
+
+    State layout: each batch writes its merged ≤ k+1-row summary to
+    ``summary_dir/batch=<id>/`` and readers take the HIGHEST batch dir
+    — so a retried batch re-merges from its PREDECESSOR's state and
+    overwrites only its own subdir (exactly-once semantics with no
+    read-modify-write race), and a crash mid-write never damages the
+    last committed summary. Old subdirs are the undo log; a compaction
+    cadence can drop all but the newest. Use
+    :func:`latest_stream_summary` to read the current state."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        summary = mg_partition_candidates(batch_df, col, k, item_type).collect()
+        batch_counts: dict = {}
+        n_batch = 0
+        for r in summary:
+            if r["item"] is None:
+                n_batch += r["weight"]
+            else:
+                batch_counts[r["item"]] = batch_counts.get(r["item"], 0) + r["weight"]
+        prev = _latest_batch_dir(spark, summary_dir, below=batch_id)
+        prior: dict = {}
+        if prev is not None:
+            prior = {
+                r["item"]: r["weight"] for r in spark.read.parquet(prev).collect()
+            }
+        n_total = prior.pop(None, 0) + n_batch
+        merged = _mg_merge(prior, batch_counts, k)
+        merged[None] = n_total
+        spark.createDataFrame(
+            [(i, w) for i, w in merged.items()],
+            f"item {item_type}, weight bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{summary_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process
+
+
+def _latest_batch_dir(spark, root: str, below: int | None = None) -> str | None:
+    """Highest ``batch=<id>`` subdir under ``root`` (optionally below a
+    given id — the retry path reads its predecessor). One driver-side
+    Hadoop listing; None when absent/empty."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    best: tuple[int, str] | None = None
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            try:
+                bid = int(name[6:])
+            except ValueError:
+                continue
+            if below is not None and bid >= below:
+                continue
+            if best is None or bid > best[0]:
+                best = (bid, str(st.getPath()))
+    return best[1] if best else None
+
+
+def latest_stream_summary(spark, summary_dir: str) -> DataFrame | None:
+    """The current streaming MG state: ``(item, weight)`` candidates
+    plus the NULL-sentinel total-row-count row, from the newest
+    committed batch subdir. None before the first commit."""
+    latest = _latest_batch_dir(spark, summary_dir)
+    return None if latest is None else spark.read.parquet(latest)

@@ -230,3 +230,43 @@ def test_inverted_index_postings_shape(spark):
     s = stats.collect()[0]
     assert (s["n_docs"], s["sum_dl"]) == (2, 5)
     assert R.bm25_topk_indexed(postings, stats, ["zzz"], k=5).collect() == []
+
+
+def test_streaming_mg_cycle_and_retry(spark, tmp_path):
+    """foreachBatch MG: candidates accumulate across batches with valid
+    lower bounds; a retried batch re-merges from its predecessor's
+    state (batch-versioned subdirs), reproducing identical output."""
+    from rearview_spark.operators.sketch import (
+        heavy_hitters_foreach_batch,
+        latest_stream_summary,
+    )
+
+    d = str(tmp_path / "mg_state")
+    process = heavy_hitters_foreach_batch(spark, d, "user_id", k=5)
+    assert latest_stream_summary(spark, d) is None
+
+    b0 = spark.createDataFrame(
+        [(v,) for v in [1] * 50 + [2] * 30 + list(range(100, 120))], "user_id bigint"
+    )
+    b1 = spark.createDataFrame(
+        [(v,) for v in [1] * 40 + [3] * 35 + list(range(200, 215))], "user_id bigint"
+    )
+    process(b0, 0)
+    process(b1, 1)
+    state = {
+        r["item"]: r["weight"] for r in latest_stream_summary(spark, d).collect()
+    }
+    n = state.pop(None)
+    assert n == 100 + 90
+    # true counts: 1->90, 2->30, 3->35; n/(k+1)=31.7 -> 1 and 3 are true
+    # heavies and MUST be candidates with positive lower bounds <= truth
+    assert 0 < state[1] <= 90 and 0 < state[3] <= 35
+    assert len(state) <= 5
+
+    retried = dict(state)
+    process(b1, 1)  # retry: re-merges from batch 0, overwrites batch 1
+    again = {
+        r["item"]: r["weight"] for r in latest_stream_summary(spark, d).collect()
+    }
+    again.pop(None)
+    assert again == retried
