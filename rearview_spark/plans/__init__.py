@@ -63,6 +63,7 @@ def _latest_check_by_query(root: str) -> dict:
 def all_queries() -> dict:
     from rearview_spark.plans import (
         events_queries,
+        graph_queries,
         streaming_queries,
         monitor_queries,
         pipeline_queries,
@@ -76,7 +77,7 @@ def all_queries() -> dict:
     import os
 
     out: dict = {}
-    for mod in (pipeline_queries, monitor_queries, events_queries, streaming_queries, timeseries_queries, relational, relational_subq, retrieval_queries, selection_queries):
+    for mod in (pipeline_queries, monitor_queries, events_queries, streaming_queries, timeseries_queries, relational, relational_subq, retrieval_queries, selection_queries, graph_queries):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")

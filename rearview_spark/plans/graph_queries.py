@@ -1,0 +1,136 @@
+"""Gate queries for the graph-analytics operators (operators/graph.py)
+over relationship edges derived from the TPC-H-ish tables, each with a
+value-level DuckDB oracle.
+
+The PageRank oracle unrolls the integer fixed-point recurrence as
+chained CTEs (the Holt-Winters / Lloyd-iteration oracle discipline) —
+because the operator's arithmetic is all-bigint, hash-level agreement is
+exact, not approximate. Triangle counts are compared via the canonical
+id-ordered enumeration; the operator's degree-ordered orientation finds
+the identical triangle set (orientation only changes the join schedule,
+never the answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rearview_spark.operators import graph as G
+from rearview_spark.sources.loader import Tables
+
+QUERIES: dict[str, dict] = {}
+
+PR_ITERS = 5
+PR_SCALE = G.PAGERANK_SCALE
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer<->supplier purchasing network: nodes
+    are customers (2k) and suppliers (2k+1) linked by any lineitem, run
+    as a symmetric directed graph (both directions per relationship, so
+    no dangling mass). 5 fixed-point iterations; see operators/graph.py
+    for the integer determinism contract."""
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.lineitem.join(
+            t.orders, t.lineitem["l_orderkey"] == t.orders["o_orderkey"]
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = G.pagerank(edges, iterations=PR_ITERS)
+    return pr.select(
+        F.when(pr["node"] % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "rank_fp",
+        "rank",
+    ).orderBy("kind", "entity_key")
+
+
+def _pagerank_sql() -> str:
+    base = f"(15 * CAST({PR_SCALE} AS BIGINT)) // (100 * n)"
+    ctes = [
+        f"""pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        f"r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) // n AS r FROM deg, nn)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT deg.src AS node,
+         (SELECT {base} FROM nn) + COALESCE(c.s, 0) AS r
+  FROM deg LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((85 * p.r) // (100 * dd.outdeg)) AS BIGINT) AS s
+    FROM edges e JOIN r{i - 1} p ON e.src = p.node JOIN deg dd ON e.src = dd.src
+    GROUP BY e.dst) c ON deg.src = c.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS entity_key,
+       r AS rank_fp,
+       r / {float(PR_SCALE)} AS rank
+FROM r{PR_ITERS}
+ORDER BY kind, entity_key"""
+    )
+
+
+QUERIES["graph_pagerank"] = {"fn": graph_pagerank, "oracle": _pagerank_sql()}
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-order graph (parts
+    linked when some order contains both): the classic cohesion count,
+    computed with the degree-ordered wedge join."""
+    li = Tables(spark, sf_dir).lineitem
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (a["l_orderkey"] == b["ob"]) & (a["pa"] < b["pb"]))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    tc = G.triangle_counts(pairs)
+    return tc.select(F.col("node").alias("p_partkey"), "n_triangles").orderBy(
+        "p_partkey"
+    )
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node AS p_partkey, count(*) AS n_triangles
+FROM corners GROUP BY node ORDER BY p_partkey
+"""
+
+QUERIES["graph_triangles"] = {"fn": graph_triangles, "oracle": GRAPH_TRIANGLES_SQL}

@@ -1,0 +1,110 @@
+"""Unit tests for the graph-analytics operators (operators/graph.py):
+integer fixed-point PageRank and degree-ordered triangle counting,
+verified against brute-force Python replications of the same integer
+recurrences on hand-built graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.graph import (
+    PAGERANK_SCALE,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _pagerank_py(edges: list, iterations: int, scale: int = PAGERANK_SCALE) -> dict:
+    """Driver-side replication of the exact integer recurrence."""
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    base = (15 * scale) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            if d in nxt:
+                nxt[d] += (85 * r[s]) // (100 * outdeg[s])
+        r = nxt
+    return r
+
+
+def _sym(pairs: list) -> list:
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_pagerank_matches_integer_recurrence(spark):
+    # two tight pairs bridged through a hub (node 2)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2), (2, 4)]
+    edges = _sym(pairs)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["rank_fp"] for r in pagerank(df, iterations=4).collect()}
+    assert got == _pagerank_py(edges, 4)
+
+
+def test_pagerank_hub_ranks_highest_and_mass_conserved(spark):
+    # star: hub 0 linked to 1..6
+    pairs = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(_sym(pairs), "src bigint, dst bigint")
+    rows = pagerank(df, iterations=8).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert max(ranks, key=ranks.get) == 0
+    # total fixed-point mass stays within n floor-losses of SCALE
+    total_fp = sum(r["rank_fp"] for r in rows)
+    assert 0 < PAGERANK_SCALE - total_fp < 40 * len(rows)
+
+
+def test_pagerank_rank_is_single_division_projection(spark):
+    df = spark.createDataFrame(_sym([(1, 2), (2, 3)]), "src bigint, dst bigint")
+    for r in pagerank(df, iterations=2).collect():
+        assert r["rank"] == r["rank_fp"] / PAGERANK_SCALE
+
+
+def _triangles_py(pairs: list) -> dict:
+    es = set(pairs)
+    nodes = sorted({x for p in pairs for x in p})
+    out: dict = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            for c in nodes:
+                if c <= b:
+                    continue
+                if (a, b) in es and (b, c) in es and (a, c) in es:
+                    for v in (a, b, c):
+                        out[v] = out.get(v, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # K4: every node is in C(3,2)=3 triangles
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
+        # one triangle plus a pendant edge
+        [(0, 1), (1, 2), (0, 2), (2, 3)],
+        # triangle-free (4-cycle): empty result
+        [(0, 1), (1, 2), (2, 3), (0, 3)],
+        # skewed: hub 0 in many triangles, spokes in exactly one each
+        [(0, i) for i in range(1, 8)] + [(1, 2), (3, 4), (5, 6)],
+    ],
+)
+def test_triangle_counts_match_bruteforce(spark, pairs):
+    df = spark.createDataFrame(pairs, "u bigint, v bigint")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == _triangles_py(pairs)
+
+
+def test_triangle_counts_partitioning_invariant(spark):
+    pairs = [(a, b) for a in range(12) for b in range(a + 1, 12) if (a * b) % 3 != 1]
+    df = spark.createDataFrame(pairs, "u bigint, v bigint")
+    expected = _triangles_py(pairs)
+    for parts in (1, 5):
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(df.repartition(parts)).collect()
+        }
+        assert got == expected
