@@ -1,5 +1,6 @@
-"""Streaming-summary sketches over unbounded key domains: Misra-Gries
-heavy hitters as a TWO-PASS EXACT operator.
+"""Mergeable-summary sketches over unbounded key domains: Misra-Gries
+heavy hitters (two-pass exact + streaming recurrence), Count-Min point
+frequencies, and HyperLogLog distinct counts.
 
 Not rearview parity; north-star pipeline extension (the reference's
 dashboards answer "which job/metric dominates" by full GROUP BY — at
@@ -203,6 +204,168 @@ def _latest_batch_dir(spark, root: str, below: int | None = None) -> str | None:
             if best is None or bid > best[0]:
                 best = (bid, str(st.getPath()))
     return best[1] if best else None
+
+
+def cm_sketch(df: DataFrame, col: str, d: int = 4, w: int = 512) -> DataFrame:
+    """Count-Min sketch counters over ``col``: ``(r, b, c)`` — for each
+    of ``d`` md5 hash rows, the count of input rows landing in each of
+    ``w`` buckets (Cormode & Muthukrishnan '05).
+
+    Scale shape: the explode-by-``d`` stays inside whole-stage codegen
+    (md5 + conv are JVM expressions, no Python), and the ``groupBy``'s
+    map-side combine means each task ships at most ``d x w`` counter
+    rows into the shuffle — the sketch is the aggregation state, so the
+    network cost is O(d*w*tasks) regardless of input rows or key
+    cardinality. Counters are sums, hence mergeable across partitions,
+    files, or days by plain addition.
+
+    Determinism: bucket = md5_60(key || ':cm' || r) mod w — the
+    ``_hash60`` scheme every sampler shares, reproducible in DuckDB.
+    """
+    return (
+        df.select(F.col(col).cast("string").alias("k"))
+        .select("k", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"))
+        .select(
+            "r",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("k"), F.lit(":cm"), F.col("r").cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(w),
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cm_estimate(
+    keys: DataFrame, counters: DataFrame, key_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min counter table: for
+    each row of ``keys``, ``cm_est`` = min over the ``d`` hash rows of
+    the counter its key hashes to (0 when the bucket is empty — only
+    possible for keys absent from the sketched corpus). ``cm_est`` is a
+    guaranteed OVER-estimate of the true frequency: every occurrence of
+    the key increments all ``d`` of its counters, so each is
+    true + (nonnegative collision mass) and the min inherits the bound.
+
+    The counter table is at most ``d x w`` rows — always broadcast.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("_k"),
+    ).select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+        F.col("_k"),
+    ).select(
+        key_col,
+        "r",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("_k"), F.lit(":cm"), F.col("r").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(w),
+        ).alias("b"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "b"], "left_outer")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est"))
+    )
+
+
+HLL_M = 64
+# alpha_m * m^2 * 2^50 precomputed ONCE in Python and embedded as the
+# same double literal on both engines: the estimate is then a single
+# float division per row, bit-identical everywhere.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_EST_NUM = HLL_ALPHA * HLL_M * HLL_M * float(2**50)
+
+
+def hll_rho_case(xcol: str) -> str:
+    """SQL CASE ladder for rho(x) = leading zeros of a 40-bit value + 1,
+    pure integer comparisons (no log2 float at power-of-two boundaries).
+    The SAME generated text runs on Spark (F.expr) and DuckDB — the
+    oracle shares this function, not a re-derivation."""
+    parts = [f"WHEN {xcol} = 0 THEN 41"]
+    for k in range(39, -1, -1):
+        parts.append(f"WHEN {xcol} >= {2 ** k} THEN {40 - k}")
+    return "CASE " + " ".join(parts) + " END"
+
+
+def hll_registers(df: DataFrame, col: str, m: int = HLL_M) -> DataFrame:
+    """HyperLogLog register table over ``col``: ``(bucket, register)``
+    with one row per bucket 0..m-1 (Flajolet et al. '07). Bucket is
+    md5_60 mod m from the first 15 md5 hex chars; rho comes from the
+    NEXT 10 hex chars (a disjoint 40-bit slice, so bucket and rho are
+    independent). ``register`` = max rho in the bucket, 0 when empty.
+
+    Scale shape: ``max`` is the aggregation state — map-side combine
+    ships <= m rows per task, and registers merge across any split of
+    the data by plain ``max`` (the mergeable-summaries property the MG
+    and CM summaries share). Everything is JVM expressions.
+    """
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(":hll")))
+    buckets = (
+        df.select(
+            F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(m)).alias(
+                "bucket"
+            ),
+            F.conv(F.substring(h, 16, 10), 16, 10).cast("long").alias("x"),
+        )
+        .select("bucket", F.expr(hll_rho_case("x")).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    all_buckets = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    return all_buckets.join(buckets, "bucket", "left_outer").select(
+        "bucket", F.coalesce(F.col("register"), F.lit(0)).alias("register")
+    )
+
+
+def hll_estimate_expr(m: int = HLL_M):
+    """Aggregate Column: the raw HLL estimate from a register column —
+    ``EST_NUM / sum(2^(50-register))``, the denominator an exact bigint
+    sum (shift, not pow — no float accumulation), the estimate a single
+    double division. Callers on the small-range branch (estimate <=
+    2.5m with empty registers) should use linear counting instead —
+    ``hll_estimate_py`` implements the branch; the gate column contract
+    only covers the raw branch (ln() is engine-libm-dependent)."""
+    denom = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - register AS INT))"))
+    return F.lit(HLL_EST_NUM) / denom.cast("double")
+
+
+def hll_estimate_py(registers: dict, m: int = HLL_M) -> float:
+    """Driver-side reference estimator WITH the small-range correction
+    (linear counting when raw <= 2.5m and empty buckets exist) — the
+    full published algorithm; used by unit tests and by callers that
+    need the corrected value rather than the oracle-exact raw one."""
+    import math
+
+    denom = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    raw = HLL_ALPHA * m * m / denom
+    zeros = sum(1 for j in range(m) if registers.get(j, 0) == 0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw
 
 
 def latest_stream_summary(spark, summary_dir: str) -> DataFrame | None:

@@ -514,3 +514,112 @@ QUERIES.update(
         "ev_approx_quantiles": {"fn": ev_approx_quantiles, "oracle": EV_APPROX_Q_SQL},
     }
 )
+
+
+CM_D, CM_W = 4, 512
+
+
+def ev_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (operators/sketch.py
+    cm_sketch/cm_estimate) for every user, beside the exact counts: the
+    sketch is d x w counter sums (mergeable, map-side-combined — the
+    shuffle is O(d*w*tasks), never O(keys)), and because the bucket
+    hashing is the deterministic md5_60 scheme, the estimates are
+    bit-identical in any engine — the oracle rebuilds the SAME sketch in
+    SQL. cm_est >= true_n always (deterministic CM guarantee);
+    overcount is the collision mass the min didn't cancel."""
+    from rearview_spark.operators.sketch import cm_estimate, cm_sketch
+
+    ev = Tables(spark, sf_dir).events
+    counters = cm_sketch(ev, "user_id", d=CM_D, w=CM_W)
+    truth = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    est = cm_estimate(truth.select("user_id"), counters, "user_id", d=CM_D, w=CM_W)
+    return (
+        truth.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_n")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CM_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), ':cm', "
+    f"CAST({{r}} AS VARCHAR))), 1, 15)) AS BIGINT) % {CM_W}"
+)
+
+EV_CM_SQL = f"""
+WITH rr AS (SELECT unnest(generate_series(0, {CM_D - 1})) AS r),
+hashed AS (
+  SELECT r, {_CM_BUCKET.format(key='user_id', r='r')} AS b
+  FROM events, rr),
+counters AS (SELECT r, b, count(*) AS c FROM hashed GROUP BY r, b),
+truth AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id),
+probes AS (
+  SELECT t.user_id, t.true_n, rr.r,
+         {_CM_BUCKET.format(key='t.user_id', r='rr.r')} AS b
+  FROM truth t, rr)
+SELECT p.user_id, p.true_n,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cm_est,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) - p.true_n AS overcount
+FROM probes p LEFT JOIN counters c ON c.r = p.r AND c.b = p.b
+GROUP BY p.user_id, p.true_n
+ORDER BY user_id
+"""
+
+
+def ev_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog over event_id (operators/sketch.py
+    hll_registers): the full 64-register table plus the raw estimate
+    and the exact distinct count. Unlike ev_approx_distinct (which
+    bound-checks Spark's built-in engine-specific HLL), every value
+    here is oracle-exact: registers are md5-derived integers, and the
+    estimate is one double division from an exact bigint
+    shift-sum denominator. Registers merge by max — the 100 TB shape
+    is per-split register tables max-merged, <= m rows each."""
+    from rearview_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    ev = Tables(spark, sf_dir).events
+    regs = hll_registers(ev, "event_id", m=HLL_M)
+    summary = regs.agg(hll_estimate_expr(HLL_M).alias("hll_estimate")).crossJoin(
+        ev.agg(F.countDistinct("event_id").alias("true_distinct"))
+    )
+    return regs.crossJoin(F.broadcast(summary)).orderBy("bucket")
+
+
+def _hll_sql() -> str:
+    from rearview_spark.operators.sketch import HLL_EST_NUM, HLL_M, hll_rho_case
+
+    md5e = "md5(concat(CAST(event_id AS VARCHAR), ':hll'))"
+    return f"""
+WITH h AS (
+  SELECT CAST(concat('0x', substr({md5e}, 1, 15)) AS BIGINT) % {HLL_M} AS bucket,
+         CAST(concat('0x', substr({md5e}, 16, 10)) AS BIGINT) AS x
+  FROM events),
+r AS (SELECT bucket, {hll_rho_case('x')} AS rho FROM h),
+regs0 AS (SELECT bucket, MAX(rho) AS register FROM r GROUP BY bucket),
+allb AS (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket),
+regs AS (SELECT a.bucket, COALESCE(r0.register, 0) AS register
+         FROM allb a LEFT JOIN regs0 r0 ON a.bucket = r0.bucket),
+s AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (50 - register)) AS BIGINT) AS denom FROM regs),
+t AS (SELECT count(DISTINCT event_id) AS true_distinct FROM events)
+SELECT CAST(regs.bucket AS BIGINT) AS bucket, register,
+       {HLL_EST_NUM!r} / CAST(denom AS DOUBLE) AS hll_estimate,
+       true_distinct
+FROM regs, s, t ORDER BY bucket
+"""
+
+
+QUERIES.update(
+    {
+        "ev_count_min": {"fn": ev_count_min, "oracle": EV_CM_SQL},
+        "ev_hll_registers": {"fn": ev_hll_registers, "oracle": _hll_sql()},
+    }
+)

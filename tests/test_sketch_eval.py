@@ -270,3 +270,92 @@ def test_streaming_mg_cycle_and_retry(spark, tmp_path):
     }
     again.pop(None)
     assert again == retried
+
+
+# ---- Count-Min / HyperLogLog (round-10 sketch family) ----------------
+
+from rearview_spark.operators.sketch import (  # noqa: E402
+    HLL_M,
+    cm_estimate,
+    cm_sketch,
+    hll_estimate_expr,
+    hll_estimate_py,
+    hll_registers,
+)
+
+
+def test_cm_overestimates_and_partitioning_invariant(spark):
+    rows = [(i % 37,) for i in range(2000)] + [(999,)] * 150
+    df = spark.createDataFrame(rows, "k bigint")
+    truth = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    keys = df.select("k").distinct()
+    base = None
+    for parts in (1, 8):
+        counters = cm_sketch(df.repartition(parts), "k", d=4, w=64)
+        est = {
+            r["k"]: r["cm_est"]
+            for r in cm_estimate(keys, counters, "k", d=4, w=64).collect()
+        }
+        assert set(est) == set(truth)
+        for k, t in truth.items():
+            assert est[k] >= t
+        if base is None:
+            base = est
+        else:
+            assert est == base  # counters are sums: partitioning-proof
+
+
+def test_cm_sketches_merge_by_addition(spark):
+    a = spark.createDataFrame([(i % 11,) for i in range(300)], "k bigint")
+    b = spark.createDataFrame([(i % 7,) for i in range(200)], "k bigint")
+    both = a.unionAll(b)
+    merged = (
+        cm_sketch(a, "k", d=2, w=32)
+        .unionAll(cm_sketch(b, "k", d=2, w=32))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = cm_sketch(both, "k", d=2, w=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cm_absent_key_estimates_zero_or_collision(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    counters = cm_sketch(df, "k", d=4, w=512)
+    keys = spark.createDataFrame([(777777,)], "k bigint")
+    [row] = cm_estimate(keys, counters, "k", d=4, w=512).collect()
+    # with 2 occupied buckets of 512 the absent key a.s. misses them all
+    assert row["cm_est"] in (0, 1, 2)
+
+
+def test_hll_registers_merge_by_max_and_estimate_matches_py(spark):
+    df = spark.createDataFrame([(i,) for i in range(3000)], "k bigint")
+    regs = {r["bucket"]: r["register"] for r in hll_registers(df, "k").collect()}
+    assert set(regs) == set(range(HLL_M))
+    # partition split merges by max to the same registers
+    half1 = hll_registers(df.filter(F.col("k") < 1500), "k")
+    half2 = hll_registers(df.filter(F.col("k") >= 1500), "k")
+    merged = {
+        r["bucket"]: r["register"]
+        for r in half1.unionAll(half2)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .collect()
+    }
+    assert merged == regs
+    [est] = (
+        hll_registers(df, "k").agg(hll_estimate_expr().alias("e")).collect()
+    )
+    py = hll_estimate_py(regs)
+    assert abs(est["e"] - py) / py < 1e-12  # raw branch: same formula
+    assert abs(est["e"] - 3000) / 3000 < 0.4  # ~1.04/sqrt(64) expected
+
+
+def test_hll_small_range_uses_linear_counting():
+    # 3 occupied buckets out of 64 -> raw <= 2.5m and zeros exist
+    regs = {0: 1, 1: 2, 2: 1}
+    import math
+
+    est = hll_estimate_py(regs)
+    zeros = HLL_M - 3
+    assert est == HLL_M * math.log(HLL_M / zeros)
