@@ -684,3 +684,151 @@ def bm25_topk_indexed(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3-shaped) query expansion
+# ---------------------------------------------------------------------------
+
+PRF_SCALE = 10**6
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    seed_terms: list[str],
+    n_feedback: int = 10,
+    n_expand: int = 8,
+    min_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Expansion terms from the top-``n_feedback`` BM25 documents of the
+    seed query (RM3's feedback loop with rank-based INTEGER doc weights
+    instead of float relevance-model probabilities — the same determinism
+    trade the RRF fuser makes vs score fusion): term weight =
+    sum over feedback docs of (n_feedback - rank + 1) * tf(term, doc),
+    seeds and terms shorter than ``min_len`` excluded, top-``n_expand``
+    by (weight desc, term). Returns (term, weight, prf_rank).
+
+    Scale shape: the feedback set is ``n_feedback`` rows — its join back
+    into the token stream is a broadcast semi-join, so the expansion
+    costs one token-explode of the feedback docs only (the corpus-wide
+    explode belongs to the search pass that follows)."""
+    from pyspark.sql import Window
+
+    fb = bm25_topk(
+        docs, seed_terms, k=n_feedback, text_col=text_col, id_col=id_col
+    )
+    ranked = fb.select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
+        .alias("_rnk"),
+    ).select(
+        id_col, (F.lit(n_feedback) - F.col("_rnk") + F.lit(1)).alias("_w")
+    )
+    fbtok = (
+        docs.join(F.broadcast(ranked), id_col)
+        .select("_w", F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.length("term") >= min_len)
+        .filter(~F.col("term").isin(seed_terms))
+    )
+    return (
+        fbtok.groupBy("term")
+        .agg(F.sum("_w").cast("long").alias("weight"))
+        .select(
+            "term",
+            "weight",
+            F.row_number()
+            .over(Window.orderBy(F.col("weight").desc(), F.col("term")))
+            .alias("prf_rank"),
+        )
+        .filter(F.col("prf_rank") <= n_expand)
+    )
+
+
+def prf_expanded_search(
+    docs: DataFrame,
+    seed_terms: list[str],
+    n_feedback: int = 10,
+    n_expand: int = 8,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Second-pass retrieval over seed + expansion terms. Because the
+    term set is now DATA (not plan-time literals), this uses the
+    join-formulated BM25 rather than the pivoted one — and to keep the
+    variable-width per-document sum deterministic across engines, each
+    (doc, term) score is floored to integer micro-units
+    (``floor(score * PRF_SCALE)``) BEFORE summing: bigint sums commute
+    exactly, so partial-aggregation order can't perturb the total. The
+    presentation ``score`` is the single division ``score_fp / 1e6``.
+
+    Returns the top-``k`` ``(doc_id, score_fp, score)`` by
+    (score_fp desc, id).
+
+    Scale shape: terms (a dozen rows) broadcast into the token stream;
+    dl/stats come from one corpus token pass shared with tf via the
+    same explode; everything downstream of the explode is
+    candidate-sized."""
+    spark = docs.sparkSession
+    exp = prf_expansion_terms(
+        docs,
+        seed_terms,
+        n_feedback=n_feedback,
+        n_expand=n_expand,
+        min_len=min_len,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("term")
+    seeds = spark.createDataFrame([(t,) for t in seed_terms], "term string")
+    terms_df = seeds.unionAll(exp).distinct()
+
+    toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    dl = toked.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs"))
+    tf = (
+        toked.join(F.broadcast(terms_df), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "norm",
+            F.lit(1.0 - b)
+            + (
+                F.lit(b)
+                * (
+                    F.col("dl").cast("double")
+                    / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+                )
+            ),
+        )
+    )
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = (F.col("n_docs").cast("double") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    fp = F.floor(
+        F.lit(float(PRF_SCALE))
+        * (idf * ((tfd * F.lit(k1 + 1.0)) / (tfd + (F.lit(k1) * F.col("norm")))))
+    ).cast("long")
+    return (
+        joined.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy(id_col)
+        .agg(F.sum("_fp").alias("score_fp"))
+        .orderBy(F.col("score_fp").desc(), id_col)
+        .limit(k)
+        .select(
+            id_col,
+            "score_fp",
+            (F.col("score_fp") / F.lit(float(PRF_SCALE))).alias("score"),
+        )
+    )

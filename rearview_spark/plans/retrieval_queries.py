@@ -413,3 +413,107 @@ QUERIES["doc_bm25_indexed"] = {
     "fn": doc_bm25_indexed,
     "oracle": R.bm25_oracle_sql(BM25_TERMS, TOKS, k=BM25_K),
 }
+
+
+# ---- Pseudo-relevance feedback (RM3-shaped) expansion ----------------
+
+PRF_FEEDBACK, PRF_EXPAND, PRF_MIN_LEN, PRF_K = 10, 8, 3, 20
+
+
+def ret_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style expansion terms mined from the top-10 BM25 feedback
+    docs of the seed query, rank-weighted with integers (see
+    operators/retrieval.py prf_expansion_terms for the determinism
+    trade)."""
+    docs = Tables(spark, sf_dir).documents
+    return R.prf_expansion_terms(
+        docs,
+        BM25_TERMS,
+        n_feedback=PRF_FEEDBACK,
+        n_expand=PRF_EXPAND,
+        min_len=PRF_MIN_LEN,
+    ).orderBy("prf_rank")
+
+
+def _prf_cte() -> str:
+    """The shared feedback->expansion CTE chain appended to the BM25
+    scored CTE (exposes ``exp`` = the expansion term list)."""
+    seeds_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""fb AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {PRF_FEEDBACK}),
+wts AS (
+  SELECT doc_id,
+         {PRF_FEEDBACK} - row_number() OVER (ORDER BY score DESC, doc_id) + 1 AS w
+  FROM fb),
+fbtok AS (
+  SELECT t.term, wts.w FROM toked t JOIN wts USING (doc_id)
+  WHERE length(t.term) >= {PRF_MIN_LEN} AND t.term NOT IN ({seeds_sql})),
+cand AS (SELECT term, CAST(SUM(w) AS BIGINT) AS weight FROM fbtok GROUP BY term),
+exp AS (
+  SELECT term, weight,
+         row_number() OVER (ORDER BY weight DESC, term) AS prf_rank
+  FROM cand QUALIFY prf_rank <= {PRF_EXPAND})"""
+
+
+RET_PRF_TERMS_SQL = f"""
+WITH {R.bm25_scored_cte(BM25_TERMS, TOKS)},
+{_prf_cte()}
+SELECT term, weight, prf_rank FROM exp ORDER BY prf_rank
+"""
+
+QUERIES["ret_prf_terms"] = {"fn": ret_prf_terms, "oracle": RET_PRF_TERMS_SQL}
+
+
+def ret_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full RM3 loop: seed BM25 -> expansion terms -> second-pass
+    retrieval over seed+expansion with fixed-point per-(doc,term)
+    scores (integer micro-units sum deterministically under any
+    partial-aggregation order — the reason a variable-width term set
+    can still carry a value oracle)."""
+    docs = Tables(spark, sf_dir).documents
+    return R.prf_expanded_search(
+        docs,
+        BM25_TERMS,
+        n_feedback=PRF_FEEDBACK,
+        n_expand=PRF_EXPAND,
+        k=PRF_K,
+        min_len=PRF_MIN_LEN,
+    )
+
+
+def _prf_search_sql() -> str:
+    k1, b = 1.2, 0.75
+    seeds_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    idf = (
+        "((CAST(n_docs2 AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+    )
+    norm = (
+        f"({1.0 - b!r} + ({b!r} * (CAST(dl AS DOUBLE)"
+        " / (CAST(sum_dl2 AS DOUBLE) / CAST(n_docs2 AS DOUBLE)))))"
+    )
+    fp = (
+        f"CAST(floor({float(R.PRF_SCALE)!r} * ({idf} * ((CAST(tf AS DOUBLE)"
+        f" * {k1 + 1.0!r}) / (CAST(tf AS DOUBLE) + ({k1!r} * {norm}))))) AS BIGINT)"
+    )
+    return f"""
+WITH {R.bm25_scored_cte(BM25_TERMS, TOKS)},
+{_prf_cte()},
+allt AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest([{seeds_sql}]) AS term
+    UNION ALL SELECT term FROM exp)),
+dl2 AS (SELECT doc_id, count(*) AS dl FROM toked GROUP BY doc_id),
+st2 AS (SELECT sum(dl) AS sum_dl2, count(*) AS n_docs2 FROM dl2),
+tf2 AS (SELECT doc_id, term, count(*) AS tf
+        FROM toked JOIN allt USING (term) GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+sc AS (
+  SELECT tf2.doc_id, {fp} AS fp
+  FROM tf2 JOIN dl2 USING (doc_id) JOIN dfc USING (term), st2),
+agg AS (SELECT doc_id, CAST(SUM(fp) AS BIGINT) AS score_fp FROM sc GROUP BY doc_id)
+SELECT doc_id, score_fp, score_fp / {float(R.PRF_SCALE)!r} AS score
+FROM agg ORDER BY score_fp DESC, doc_id LIMIT {PRF_K}
+"""
+
+
+QUERIES["ret_prf_search"] = {"fn": ret_prf_search, "oracle": _prf_search_sql()}

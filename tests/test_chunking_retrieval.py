@@ -210,3 +210,73 @@ def test_maxsim_late_interaction_hand_case(spark):
         (1, 2.0, 1),
         (2, 1.8, 2),
     ]
+
+
+# ---- Pseudo-relevance feedback expansion (round 10) ------------------
+
+from rearview_spark.operators.retrieval import (  # noqa: E402
+    PRF_SCALE,
+    prf_expanded_search,
+    prf_expansion_terms,
+)
+
+_PRF_CORPUS = [
+    (1, "spark shuffle partition tuning spark shuffle"),
+    (2, "spark broadcast shuffle skew handling"),
+    (3, "gardening tomato seeds watering"),
+    (4, "spark catalyst optimizer shuffle plans"),
+    (5, "tomato gardening compost"),
+]
+
+
+def test_prf_terms_exclude_seeds_and_short_tokens(spark):
+    docs = _docs(spark, _PRF_CORPUS)
+    rows = prf_expansion_terms(
+        docs, ["spark"], n_feedback=3, n_expand=5, min_len=3
+    ).collect()
+    terms = [r["term"] for r in rows]
+    assert "spark" not in terms
+    assert all(len(t) >= 3 for t in terms)
+    # feedback docs are the spark docs; gardening vocabulary never leaks
+    assert not set(terms) & {"tomato", "gardening", "compost", "watering"}
+    # shuffle appears in all three feedback docs -> top-weighted
+    assert terms[0] == "shuffle"
+    ranks = [r["prf_rank"] for r in rows]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+
+
+def test_prf_term_weights_are_rank_weighted_tf_sums(spark):
+    docs = _docs(spark, _PRF_CORPUS)
+    rows = prf_expansion_terms(
+        docs, ["spark"], n_feedback=3, n_expand=10, min_len=3
+    ).collect()
+    got = {r["term"]: r["weight"] for r in rows}
+    # feedback ranking: doc 1 (tf=2) then docs 2,4 (tie -> id order);
+    # weights 3,2,1. "shuffle": 2*3 + 1*2 + 1*1 = 9.
+    assert got["shuffle"] == 9
+    assert got["broadcast"] == 2 and got["catalyst"] == 1
+
+
+def test_prf_expanded_search_deterministic_and_expansion_helps(spark):
+    docs = _docs(spark, _PRF_CORPUS)
+    out = {
+        parts: [
+            (r["doc_id"], r["score_fp"])
+            for r in prf_expanded_search(
+                docs.repartition(parts), ["spark"], n_feedback=3, n_expand=4, k=5
+            ).collect()
+        ]
+        for parts in (1, 4)
+    }
+    assert out[1] == out[4]  # integer micro-unit sums: partition-proof
+    ranked_ids = [d for d, _ in out[1]]
+    # docs 3 and 5 match neither seed nor expansion terms -> absent
+    assert 3 not in ranked_ids and 5 not in ranked_ids
+    [row] = [
+        r
+        for r in prf_expanded_search(
+            docs, ["spark"], n_feedback=3, n_expand=4, k=5
+        ).collect()
+        if r["doc_id"] == ranked_ids[0]
+    ]
+    assert row["score"] == row["score_fp"] / PRF_SCALE
