@@ -80,6 +80,13 @@ HEADLINE = [
     # round-9: the bounded-mapInPandas media decode family (synthesize +
     # zlib inflate + unfilter per row) gets its own perf line
     "media_png_pixels",
+    # round-10: one line per new plan family — two-scan exact heavy
+    # hitters (vs the full GROUP BY it replaces), iterative fixed-point
+    # PageRank (checkpointed edge reuse across 5 joins), and the
+    # index-served BM25 (posting-list probe vs corpus scan)
+    "ev_heavy_hitters",
+    "graph_pagerank",
+    "doc_bm25_indexed",
 ]
 
 
