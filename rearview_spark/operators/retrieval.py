@@ -776,30 +776,49 @@ def prf_expanded_search(
     same explode; everything downstream of the explode is
     candidate-sized."""
     spark = docs.sparkSession
-    exp = prf_expansion_terms(
-        docs,
-        seed_terms,
-        n_feedback=n_feedback,
-        n_expand=n_expand,
-        min_len=min_len,
-        text_col=text_col,
-        id_col=id_col,
-    ).select("term")
+    # tiny (n_expand rows) but sits atop the whole first-pass subtree:
+    # checkpoint so downstream references don't replay the feedback
+    # retrieval once per consumer
+    exp = (
+        prf_expansion_terms(
+            docs,
+            seed_terms,
+            n_feedback=n_feedback,
+            n_expand=n_expand,
+            min_len=min_len,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        .select("term")
+        .localCheckpoint(eager=True)
+    )
     seeds = spark.createDataFrame([(t,) for t in seed_terms], "term string")
     terms_df = seeds.unionAll(exp).distinct()
 
+    # ONE corpus token explode serves dl, tf, df and the corpus stats:
+    # a left broadcast join marks query-term occurrences, the per-doc
+    # aggregate carries dl plus the (bounded: matched occurrences only)
+    # term list, and everything after the explode is candidate-sized.
     toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    dl = toked.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs"))
+    annotated = toked.join(
+        F.broadcast(terms_df.withColumn("_m", F.lit(1))), "term", "left_outer"
+    )
+    # one row per doc (dl + matched occurrences), materialized so its
+    # two consumers (corpus stats, tf) cost ONE corpus explode total —
+    # the same shape build_inverted_index persists offline
+    per_doc = annotated.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        F.collect_list(F.when(F.col("_m") == 1, F.col("term"))).alias("_matched"),
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(F.sum("dl").alias("sum_dl"), F.count("*").alias("n_docs"))
     tf = (
-        toked.join(F.broadcast(terms_df), "term")
-        .groupBy(id_col, "term")
+        per_doc.select(F.col(id_col), "dl", F.explode("_matched").alias("term"))
+        .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     joined = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(dfc), "term")
+        tf.join(F.broadcast(dfc), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "norm",
