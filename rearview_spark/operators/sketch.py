@@ -368,6 +368,54 @@ def hll_estimate_py(registers: dict, m: int = HLL_M) -> float:
     return raw
 
 
+def cm_foreach_batch(spark, summary_dir: str, col: str, d: int = 4, w: int = 512):
+    """Count-Min as a ``foreachBatch`` recurrence: each micro-batch's
+    d×w counter table merges into the persisted sketch by (r, b)
+    ADDITION — CM counters are sums, so the streaming state is exactly
+    the sketch of everything seen, not an approximation of one (unlike
+    the MG recurrence's lower bounds, CM estimates from the streamed
+    sketch equal estimates from a batch build over the same rows).
+
+    State layout is the heavy_hitters_foreach_batch contract:
+    ``batch=<id>`` subdirs, retries re-merge from the predecessor and
+    overwrite only their own subdir. State is ≤ d×w rows regardless of
+    stream length; read it with :func:`latest_stream_summary` and feed
+    :func:`cm_estimate`."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = cm_sketch(batch_df, col, d=d, w=w)
+        prev = _latest_batch_dir(spark, summary_dir, below=batch_id)
+        if prev is not None:
+            cur = cur.unionAll(spark.read.parquet(prev))
+        merged = cur.groupBy("r", "b").agg(F.sum("c").alias("c"))
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{summary_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process
+
+
+def hll_foreach_batch(spark, summary_dir: str, col: str, m: int = HLL_M):
+    """HyperLogLog as a ``foreachBatch`` recurrence: per-batch register
+    tables merge into the persisted state by per-bucket MAX — like CM
+    (and unlike MG), the streamed state is bit-identical to a batch
+    build over the union of all batches, so distinct-count estimates
+    never degrade with micro-batch boundaries. Same ``batch=<id>``
+    retry/crash contract; state is exactly ``m`` rows."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = hll_registers(batch_df, col, m=m)
+        prev = _latest_batch_dir(spark, summary_dir, below=batch_id)
+        if prev is not None:
+            cur = cur.unionAll(spark.read.parquet(prev))
+        merged = cur.groupBy("bucket").agg(F.max("register").alias("register"))
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{summary_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process
+
+
 def latest_stream_summary(spark, summary_dir: str) -> DataFrame | None:
     """The current streaming MG state: ``(item, weight)`` candidates
     plus the NULL-sentinel total-row-count row, from the newest

@@ -359,3 +359,44 @@ def test_hll_small_range_uses_linear_counting():
     est = hll_estimate_py(regs)
     zeros = HLL_M - 3
     assert est == HLL_M * math.log(HLL_M / zeros)
+
+
+def test_streaming_cm_equals_batch_build_and_retry(spark, tmp_path):
+    """CM counters are sums, so the streamed sketch must EQUAL the
+    batch sketch over the union of batches — and a retried batch
+    re-merges from its predecessor, reproducing identical state."""
+    from rearview_spark.operators.sketch import (
+        cm_foreach_batch,
+        cm_sketch,
+        latest_stream_summary,
+    )
+
+    d = str(tmp_path / "cm_state")
+    process = cm_foreach_batch(spark, d, "k", d=3, w=64)
+    b0 = spark.createDataFrame([(i % 13,) for i in range(400)], "k bigint")
+    b1 = spark.createDataFrame([(i % 29,) for i in range(300)], "k bigint")
+    process(b0, 0)
+    process(b1, 1)
+    streamed = sorted(map(tuple, latest_stream_summary(spark, d).collect()))
+    batch = sorted(map(tuple, cm_sketch(b0.unionAll(b1), "k", d=3, w=64).collect()))
+    assert streamed == batch
+    process(b1, 1)  # retry
+    assert sorted(map(tuple, latest_stream_summary(spark, d).collect())) == batch
+
+
+def test_streaming_hll_equals_batch_build(spark, tmp_path):
+    from rearview_spark.operators.sketch import (
+        hll_foreach_batch,
+        hll_registers,
+        latest_stream_summary,
+    )
+
+    d = str(tmp_path / "hll_state")
+    process = hll_foreach_batch(spark, d, "k")
+    b0 = spark.createDataFrame([(i,) for i in range(500)], "k bigint")
+    b1 = spark.createDataFrame([(i,) for i in range(300, 900)], "k bigint")
+    process(b0, 0)
+    process(b1, 1)
+    streamed = sorted(map(tuple, latest_stream_summary(spark, d).collect()))
+    batch = sorted(map(tuple, hll_registers(b0.unionAll(b1), "k").collect()))
+    assert streamed == batch
