@@ -1007,6 +1007,108 @@ def ngram_containment_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact set-similarity join (AllPairs / PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+def setsim_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """All pairs with exact Jaccard(distinct word sets) >= ``threshold``
+    via AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07, Xiao et
+    al. WWW'08) — the EXACT-join counterpart to the probabilistic
+    :func:`minhash_near_duplicates`: guaranteed-complete recall without
+    an all-pairs comparison. Reference parity: rearview has no
+    set-similarity join; this serves the north-star curation scope
+    (SURVEY.md "dedup" family) where a recall *guarantee* is the point.
+
+    Plan shape (100 TB):
+      1. one explode builds the token universe; a ``groupBy(token)``
+         yields global document frequency (small relative to the corpus,
+         shuffled on the same key the explode output joins on);
+      2. canonical order: each doc's tokens sorted rarest-first
+         (df asc, token asc) so prefixes lead with rare tokens — prefix
+         buckets stay small exactly where collisions would explode;
+      3. probing prefix of length ``n - ceil(t_eff * n) + 1``: the
+         overlap lemma (any pair with J >= t shares a token inside BOTH
+         prefixes, since alpha = ceil(t/(1+t)(na+nb)) >= ceil(t*max(na,
+         nb)) under the length bound J >= t itself implies) makes the
+         prefix-prefix equi-join complete, not heuristic;
+      4. length filter ``t_eff*na <= nb <= na/t_eff`` prunes candidates
+         before the distinct;
+      5. verify candidates against the full sets with
+         :func:`_exact_jaccard` (JVM array_intersect/array_union).
+
+    ``t_eff = threshold - 1e-6``: the decision predicate is the 6dp
+    nudge-rounded Jaccard (cross-engine discipline of plans/_exact.py),
+    so a pair whose true Jaccard sits within the rounding nudge below
+    ``threshold`` can still pass verification — the prefix length and
+    length filter are computed against the slackened threshold so the
+    structural completeness guarantee covers those edge pairs too.
+
+    ``shingle_n``: None compares distinct word (unigram) sets; an int n
+    compares distinct word-n-gram shingle sets (:func:`word_shingles`) —
+    far more discriminative on corpora with a shared vocabulary, and the
+    representation the rest of the dedup family fingerprints.
+
+    The oracle for this operator is the brute-force all-pairs inverted
+    join: a value-hash match PROVES the prefix filter dropped nothing.
+    """
+    t = float(threshold)
+    t_eff = t - 1e-6
+    set_col = (
+        word_shingles(F.col(text_col), shingle_n)
+        if shingle_n
+        else F.array_distinct(tokens(F.col(text_col)))
+    )
+    base = (
+        ensure_parallelism(df, id_col)
+        .select(F.col(id_col).alias("id"), F.array_sort(set_col).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    inv_all = base.select("id", F.explode("toks").alias("token"))
+    freq = inv_all.groupBy("token").agg(F.count("*").alias("df_count"))
+    ordered = (
+        inv_all.join(freq, "token")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_count", "token"))).alias("ord"))
+        .select("id", F.col("ord.token").alias("toks_ord"))
+    )
+    n = F.size("toks_ord")
+    pref_len = (n - F.ceil(F.lit(t_eff) * n) + 1).cast("int")
+    inv = ordered.select(
+        "id", n.alias("n"), F.explode(F.slice("toks_ord", F.lit(1), pref_len)).alias("token")
+    )
+    a = inv.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "token")
+    b = inv.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") * F.lit(t_eff) <= F.col("nb"))
+            & (F.col("nb") * F.lit(t_eff) <= F.col("na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = base
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")), "id_a"
+        )
+        .join(sets.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            _exact_jaccard(F.col("ta"), F.col("tb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

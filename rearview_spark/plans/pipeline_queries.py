@@ -203,6 +203,33 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join (dedup.setsim_prefix_pairs): AllPairs/
+    PPJoin prefix filtering over 3-gram shingle sets. The oracle is the
+    BRUTE-FORCE all-pairs inverted join — a value-hash match proves the
+    prefix filter's completeness guarantee held (it dropped nothing),
+    which is the whole point of an exact join vs minhash."""
+    return D.setsim_prefix_pairs(
+        Tables(spark, sf_dir).documents, threshold=0.2, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_SETSIM_SQL = SHINGLE_CTE + """
+, common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS n_common
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (na + nb - n_common) + 0.0000000005, 6) AS jaccard
+FROM common
+WHERE round(n_common * 1.0 / (na + nb - n_common) + 0.0000000005, 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_duplicates(Tables(spark, sf_dir).documents, threshold=0.05)
 
@@ -795,6 +822,7 @@ QUERIES: dict[str, dict] = {
     "doc_rolling_fingerprint": {"fn": doc_rolling_fingerprint, "oracle": DOC_ROLLFP_SQL},
     "dedup_exact_groups": {"fn": dedup_exact_groups, "oracle": DEDUP_EXACT_SQL},
     "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard, "oracle": DEDUP_JACCARD_SQL},
+    "dedup_setsim_prefix": {"fn": dedup_setsim_prefix, "oracle": DEDUP_SETSIM_SQL},
     "dedup_containment_pairs": {
         "fn": dedup_containment_pairs,
         "oracle": DEDUP_CONTAIN_SQL,

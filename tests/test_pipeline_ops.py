@@ -47,6 +47,66 @@ def test_minhash_lsh_recovers_exact_dup(docs):
     assert (1, 2) in pairs
 
 
+def test_setsim_prefix_matches_brute_force(spark):
+    """Completeness of the AllPairs/PPJoin prefix filter: the prefix-
+    filtered join must equal the brute-force all-pairs result on every
+    (pair, jaccard) — the filter may only prune, never drop."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 25))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.setsim_prefix_pairs(df, threshold=t).collect()
+        }
+        base = df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("s"),
+        )
+        a = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+        b = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+        jac = F.round(
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb"))
+            + F.lit(5e-10),
+            6,
+        )
+        want = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= t)
+            .collect()
+        }
+        assert got == want, f"t={t}: prefix filter diverged from brute force"
+
+
+def test_setsim_prefix_shingle_mode_and_short_docs(docs):
+    # shingle mode finds the normalized exact dup at jaccard 1.0
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.setsim_prefix_pairs(docs, threshold=0.5, shingle_n=3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+    # docs shorter than the shingle width fall back to full-text shingles
+    # (word_shingles contract) and must not crash the prefix arithmetic
+    short = docs.sparkSession.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "three")], "doc_id long, text string"
+    )
+    out = {
+        (r["id_a"], r["id_b"]) for r in D.setsim_prefix_pairs(short, threshold=0.9, shingle_n=3).collect()
+    }
+    assert out == {(1, 2)}
+
+
 def test_simhash_close_for_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_near_duplicates(docs, max_hamming=16).collect()}
     assert pairs[(1, 2)] == 0  # identical text -> identical signature
