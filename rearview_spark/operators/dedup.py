@@ -1056,6 +1056,19 @@ def setsim_prefix_pairs(
 
     The oracle for this operator is the brute-force all-pairs inverted
     join: a value-hash match PROVES the prefix filter dropped nothing.
+
+    Scale boundary (measured, PLANS.md round 10): candidate generation
+    emits one row per SHARED PREFIX TOKEN of each colliding pair, so on
+    twin-heavy corpora (k near-identical copies of each doc) the
+    pre-``distinct`` candidate volume is ~prefix_len * C(k,2) per twin
+    group — at the 100x synthetic corpus (10-twin groups, ~2.25M true
+    pairs) that is ~360M candidate rows and the local shuffle spills
+    out of disk. That duplication is inherent to prefix-join candidate
+    generation (positional filtering prunes only non-qualifying pairs;
+    twins all qualify). Use THIS operator when completeness is
+    contractual and the duplicate rate is moderate; route twin-heavy
+    corpora through :func:`minhash_near_duplicates` (capped banded
+    buckets) and verify its candidates exactly.
     """
     t = float(threshold)
     t_eff = t - 1e-6

@@ -435,3 +435,77 @@ def doc_perplexity(
         F.round(F.exp(-F.col("_avg")) + F.lit(5e-8), 4).alias("ppl"),
     )
     return out
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-level bigram collocations ranked by pointwise mutual
+    information — the classic distributional-analysis surface a corpus
+    report leads with (Church & Hanks 1990): ``PMI(w1, w2) =
+    ln((c_pair/N2) / ((c_w1/N1) * (c_w2/N1)))`` over adjacent token
+    pairs, with a ``min_count`` support floor (PMI is notoriously
+    unstable on rare pairs) and a deterministic top-k.
+
+    Scale shape: two corpus-scale explodes (unigram + bigram), each a
+    map-side-partial hash aggregation whose output is vocabulary-sized,
+    not corpus-sized; the PMI join runs entirely on count tables
+    (vocab- and unique-bigram-sized, AQE-broadcastable), and the
+    ``row_number`` window only orders the ``min_count``-surviving
+    bigrams — bounded, never the corpus. Rank ties are impossible: the
+    ordering breaks on (pmi desc, w1, w2) and bigrams are unique.
+    Tokenization is the repo-canonical :func:`tokens`, so the DuckDB
+    oracle replays counts and the ln() arithmetic exactly (6dp nudge
+    rounding absorbs libm ulp skew — the :func:`doc_perplexity`
+    precedent)."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    t = df.select(toks.alias("t"))
+    uni = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    m = F.size("t") - 1
+    pairs = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, m),
+                    F.slice("t", 2, m),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    n1 = uni.agg(F.sum("c_w").alias("n1"))
+    n2 = bi.agg(F.sum("c_pair").alias("n2"))
+    scored = (
+        bi.filter(F.col("c_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1", "w2", "c_pair",
+            F.round(
+                F.log(
+                    (F.col("c_pair") / F.col("n2"))
+                    / ((F.col("c_w1") / F.col("n1")) * (F.col("c_w2") / F.col("n1")))
+                )
+                + F.lit(5e-10),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )

@@ -2433,3 +2433,50 @@ GROUP BY s.doc_id ORDER BY s.doc_id
 )
 
 QUERIES["doc_bpe_encode"] = {"fn": doc_bpe_encode, "oracle": DOC_BPE_ENCODE_SQL}
+
+
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by PMI (text.pmi_collocations): corpus
+    unigram/bigram counts → ln-ratio PMI with a support floor → unique
+    deterministic top-k. The oracle replays counts, the ln arithmetic,
+    and the ranking."""
+    return X.pmi_collocations(
+        Tables(spark, sf_dir).documents, min_count=5, top_k=100
+    ).orderBy("rank")
+
+
+DOC_PMI_SQL = f"""
+WITH toks AS (SELECT {TOKS} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+ucnt AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+bg AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+  FROM toks WHERE len(t) >= 2
+),
+bcnt AS (
+  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         count(*) AS c_pair
+  FROM bg GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT sum(c_w) FROM ucnt) AS n1,
+         (SELECT sum(c_pair) FROM bcnt) AS n2
+),
+scored AS (
+  SELECT b.w1, b.w2, b.c_pair,
+         round(ln((b.c_pair * 1.0 / t.n2)
+               / ((u1.c_w * 1.0 / t.n1) * (u2.c_w * 1.0 / t.n1)))
+               + 0.0000000005, 6) AS pmi
+  FROM bcnt b
+  JOIN ucnt u1 ON u1.w = b.w1
+  JOIN ucnt u2 ON u2.w = b.w2
+  CROSS JOIN tot t
+  WHERE b.c_pair >= 5
+)
+SELECT w1, w2, CAST(c_pair AS BIGINT) AS c_pair, pmi, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 100 ORDER BY rank
+"""
+
+QUERIES["doc_pmi_collocations"] = {"fn": doc_pmi_collocations, "oracle": DOC_PMI_SQL}

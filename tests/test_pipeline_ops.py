@@ -1528,3 +1528,24 @@ def test_pil_fast_path_bit_exact(spark):
         ref, got = mm.decode_jpeg_pixels(b), mm._pil_jpeg_pixel_stats(b)
         assert got["px_count"] == ref["px_count"]
         assert abs(got["px_sum"] - ref["px_sum"]) <= ref["px_count"]
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    """PMI on a 3-doc corpus small enough to compute by hand: unigrams
+    x:3 y:2 z:1 (N1=6), bigrams (x,y):2 (x,z):1 (N2=3) — both pairs get
+    PMI = ln 4; the (pmi, w1, w2) ordering breaks the tie."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x z")], "doc_id long, text string"
+    )
+    rows = X.pmi_collocations(df, min_count=1, top_k=10).orderBy("rank").collect()
+    assert [(r["w1"], r["w2"], r["c_pair"], r["rank"]) for r in rows] == [
+        ("x", "y", 2, 1),
+        ("x", "z", 1, 2),
+    ]
+    want = round(math.log(4.0) + 5e-10, 6)
+    assert all(r["pmi"] == want for r in rows)
+    # support floor: min_count=2 keeps only the repeated pair
+    top = X.pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in top] == [("x", "y")]
