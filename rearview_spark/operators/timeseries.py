@@ -1084,3 +1084,83 @@ def lttb_downsample(ts: DataFrame, threshold: int) -> DataFrame:
 
     schema = "metric string, ts timestamp, value double"
     return ts.select(METRIC, TS, VALUE).groupBy(METRIC).applyInPandas(_lttb, schema)
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (additive): value = trend + seasonal + resid
+# ---------------------------------------------------------------------------
+
+def seasonal_decompose(
+    ts: DataFrame,
+    period: int = 24,
+    phase: Column | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a regular series
+    (the moving-average method of Persons 1919, the `decompose()` of
+    every stats package): ``value = trend + seasonal + residual``.
+    Graphite never had this; it rounds out the G-layer's anomaly
+    toolkit (MAD, CUSUM, Holt-Winters) with the standard exploratory
+    decomposition.
+
+    * ``trend`` — centered moving average. Even ``period`` m uses the
+      textbook 2xm form (half-weight endpoints over m+1 rows); odd m a
+      plain m-row centered mean. Null until a full window exists — no
+      partial-window fabrication at series edges.
+    * ``seasonal`` — per-(metric, phase) mean of the DETRENDED series,
+      centered by subtracting the per-metric overall detrended mean
+      (weighted form, so the identity below holds on ragged edges too).
+      ``phase`` defaults to hour-of-day (the natural phase for
+      period=24 over hourly buckets); pass any deterministic Column
+      for other periods.
+    * ``residual`` — ``value - trend - seasonal``; null where trend is.
+
+    Cross-engine determinism: the detrended values are quantized to
+    fixed-point 1e-4 units and summed as int64 (the plans/_exact.py
+    int_sum discipline, inlined — operators don't import plans), so
+    the seasonal index is bit-identical in Spark and DuckDB; trend and
+    residual are generic doubles the gate's 4dp nudge-rounding absorbs.
+
+    Scale shape: one window pass (narrow, per-metric ordering the
+    metrics layout already buckets), one phase-sized aggregate, one
+    per-metric aggregate, two small joins — the seasonal-index tables
+    are (n_metrics x period) rows, broadcastable at any corpus size.
+    """
+    ph = phase if phase is not None else F.hour(F.col(TS))
+    h = period // 2
+    ws = Window.partitionBy(METRIC).orderBy(TS)
+    wr = ws.rowsBetween(-h, h)
+    cnt = F.count(VALUE).over(wr)
+    if period % 2 == 0:
+        tot = F.sum(VALUE).over(wr)
+        ends = F.lag(VALUE, h).over(ws) + F.lead(VALUE, h).over(ws)
+        trend = F.when(cnt == period + 1, (tot - 0.5 * ends) / period)
+    else:
+        trend = F.when(cnt == period, F.avg(VALUE).over(wr))
+    base = ts.select(
+        METRIC, TS, VALUE, trend.alias("trend"), ph.alias("_phase")
+    )
+    detr_units = F.round((F.col(VALUE) - F.col("trend")) * 1e4).cast("long")
+    stats = (
+        base.filter(F.col("trend").isNotNull())
+        .groupBy(METRIC, "_phase")
+        .agg(F.sum(detr_units).alias("_si"), F.count("*").alias("_ni"))
+    )
+    overall = stats.groupBy(METRIC).agg(
+        F.sum("_si").alias("_s"), F.sum("_ni").alias("_n")
+    )
+    seas = stats.join(overall, METRIC).select(
+        METRIC,
+        "_phase",
+        (
+            F.col("_si") / (F.lit(1e4) * F.col("_ni"))
+            - F.col("_s") / (F.lit(1e4) * F.col("_n"))
+        ).alias("_seasonal"),
+    )
+    return base.join(seas, [METRIC, "_phase"], "left").select(
+        METRIC,
+        TS,
+        F.col(VALUE),
+        F.col("trend"),
+        F.col("_seasonal").alias("seasonal"),
+        (F.col(VALUE) - F.col("trend") - F.col("_seasonal")).alias("residual"),
+    )

@@ -1389,3 +1389,64 @@ QUERIES["ts_wildcard_rollup"] = {"fn": ts_wildcard_rollup, "oracle": TS_WILDCARD
 QUERIES["ts_most_deviant_band"] = {"fn": ts_most_deviant_band, "oracle": TS_DEVIANT_SQL}
 QUERIES["ts_pointwise_extras"] = {"fn": ts_pointwise_extras, "oracle": TS_EXTRAS_SQL}
 QUERIES["ts_smart_summarize"] = {"fn": ts_smart_summarize, "oracle": TS_SMART_SUMMARIZE_SQL}
+
+
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition over the hourly series: 2x24
+    centered-MA trend, fixed-point per-hour-of-day seasonal index,
+    residual. The oracle replays the window, the int64 quantized
+    seasonal estimation, and both joins."""
+    out = G.seasonal_decompose(_hourly(spark, sf_dir), period=24)
+    # residual is reported from the ROUNDED components (not a rounding
+    # of the raw residual): the additive identity value = trend +
+    # seasonal + residual then holds exactly at 4dp, and the column is
+    # bit-deterministic cross-engine (raw trend carries engine-specific
+    # sliding-window accumulation drift that straddles 4dp boundaries).
+    rounded = out.select(
+        "metric", "ts",
+        r4(F.col("value")).alias("value"),
+        r4(F.col("trend")).alias("trend"),
+        r4(F.col("seasonal")).alias("seasonal"),
+    )
+    return rounded.withColumn(
+        "residual",
+        F.round(F.col("value") - F.col("trend") - F.col("seasonal") + F.lit(5e-8), 4),
+    )
+
+
+TS_SEASONAL_SQL = HOURLY_CTE + """
+, t AS (
+  SELECT metric, ts, value,
+         CASE WHEN count(value) OVER w = 25
+              THEN (sum(value) OVER w
+                    - 0.5 * (lag(value, 12) OVER wo + lead(value, 12) OVER wo)) / 24
+         END AS trend,
+         date_part('hour', ts) AS phase
+  FROM hourly
+  WINDOW wo AS (PARTITION BY metric ORDER BY ts),
+         w  AS (PARTITION BY metric ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+st AS (
+  SELECT metric, phase,
+         sum(CAST(round((value - trend) * 10000.0) AS BIGINT)) AS si,
+         count(*) AS ni
+  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
+),
+ov AS (SELECT metric, sum(si) AS s, sum(ni) AS n FROM st GROUP BY 1),
+se AS (
+  SELECT st.metric, st.phase,
+         st.si / (10000.0 * st.ni) - ov.s / (10000.0 * ov.n) AS seasonal
+  FROM st JOIN ov USING (metric)
+)
+SELECT metric, ts, value, trend, seasonal,
+       round(value - trend - seasonal + 0.00000005, 4) AS residual
+FROM (
+  SELECT t.metric, t.ts,
+         round(t.value + 0.00000005, 4) AS value,
+         round(t.trend + 0.00000005, 4) AS trend,
+         round(se.seasonal + 0.00000005, 4) AS seasonal
+  FROM t LEFT JOIN se ON t.metric = se.metric AND t.phase = se.phase
+)
+"""
+
+QUERIES["ts_seasonal_decompose"] = {"fn": ts_seasonal_decompose, "oracle": TS_SEASONAL_SQL}

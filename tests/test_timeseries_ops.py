@@ -424,3 +424,54 @@ def test_sin_and_random_walk_synthetic_sources(spark):
     assert {r["metric"] for r in out} == {"wave"}
     out2 = compile_target("randomWalkFunction('walk')")(base).collect()
     assert {r["metric"] for r in out2} == {"walk"} and len(out2) >= 5
+
+
+def test_seasonal_decompose_hand_series(spark):
+    """period=2 over [1,3,1,3,1,3]: every interior 2x2-MA trend is 2,
+    seasonal index is +1 on odd hours / -1 on even, interior residuals
+    are exactly 0, and edge rows have null trend/residual but a defined
+    seasonal value."""
+    rows = [
+        ("m", dt.datetime(2024, 1, 1, h, 0, 0), float(v))
+        for h, v in enumerate([1, 3, 1, 3, 1, 3])
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    out = {
+        r["ts"].hour: r
+        for r in G.seasonal_decompose(
+            df, period=2, phase=F.hour("ts") % 2
+        ).collect()
+    }
+    assert len(out) == 6
+    for h in (1, 2, 3, 4):
+        assert out[h]["trend"] == pytest.approx(2.0)
+        assert out[h]["residual"] == pytest.approx(0.0)
+    for h in (0, 5):
+        assert out[h]["trend"] is None and out[h]["residual"] is None
+    for h in range(6):
+        assert out[h]["seasonal"] == pytest.approx(1.0 if h % 2 else -1.0)
+
+
+def test_seasonal_decompose_odd_period(spark):
+    """Odd period uses the plain centered mean: period=3 over a pure
+    3-cycle [0,3,6,0,3,6,...] gives trend 3 everywhere interior and the
+    seasonal index recovers the cycle offsets (-3, 0, +3 centered)."""
+    vals = [0, 3, 6] * 3
+    rows = [
+        ("m", dt.datetime(2024, 1, 1, h, 0, 0), float(v))
+        for h, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    out = {
+        r["ts"].hour: r
+        for r in G.seasonal_decompose(
+            df, period=3, phase=F.hour("ts") % 3
+        ).collect()
+    }
+    for h in range(1, 8):
+        assert out[h]["trend"] == pytest.approx(3.0)
+        assert out[h]["residual"] == pytest.approx(0.0)
+    assert out[0]["trend"] is None and out[8]["trend"] is None
+    want = {0: -3.0, 1: 0.0, 2: 3.0}
+    for h in range(9):
+        assert out[h]["seasonal"] == pytest.approx(want[h % 3])
