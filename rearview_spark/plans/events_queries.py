@@ -623,3 +623,35 @@ QUERIES.update(
         "ev_hll_registers": {"fn": ev_hll_registers, "oracle": _hll_sql()},
     }
 )
+
+
+def ev_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact join (operators/bloom.py): filter built over
+    high-balance customers' keys, events pruned pre-shuffle by a
+    codegen'd md5-bitmask predicate, exact join on survivors. The
+    oracle is the PLAIN SQL join — the hash match proves the Bloom
+    prune's no-false-negative property end to end (result identical,
+    only the shuffled volume shrank)."""
+    from rearview_spark.operators.bloom import bloom_semi_join
+
+    t = Tables(spark, sf_dir)
+    dim = t.customer.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_name"
+    )
+    joined = bloom_semi_join(t.events, dim, "user_id", "c_custkey")
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("c_custkey")
+    )
+
+
+EV_BLOOM_SQL = """
+SELECT c.c_custkey, c.c_name, count(*) AS n_events
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_acctbal > 9000
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["ev_bloom_prune_join"] = {"fn": ev_bloom_prune_join, "oracle": EV_BLOOM_SQL}

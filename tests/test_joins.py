@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from rearview_spark.operators.joins import asof_join, range_join
@@ -98,3 +99,42 @@ def test_range_join_no_nested_loop(spark):
     iv = spark.createDataFrame([("w", _ts(0), _ts(5))], "name string, w_start timestamp, w_end timestamp")
     plan = range_join(fact, iv)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+# --- Bloom-filter join pruning ------------------------------------------------
+
+def test_bloom_semi_join_equals_plain_join(spark):
+    from rearview_spark.operators import bloom as B
+
+    big = spark.createDataFrame(
+        [(i % 97, f"e{i}") for i in range(500)] + [(None, "enull")],
+        "k long, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 97, 7)], "dk long, name string"
+    )
+    got = sorted(
+        (r["k"], r["tag"], r["name"])
+        for r in B.bloom_semi_join(big, dim, "k", "dk", m_bits=256, k=3).collect()
+    )
+    want = sorted(
+        (r["k"], r["tag"], r["name"])
+        for r in big.join(dim, big["k"] == dim["dk"]).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    from rearview_spark.operators import bloom as B
+
+    dim = spark.createDataFrame([(i,) for i in range(10)], "dk long")
+    words = B.bloom_build(dim, "dk", m_bits=1024, k=4)
+    big = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    kept = {r["k"] for r in B.bloom_prune(big, "k", words, m_bits=1024, k=4).collect()}
+    assert set(range(10)) <= kept          # every true key survives
+    assert len(kept) < 100                 # and the prune actually prunes
+    # empty build side prunes everything
+    empty = B.bloom_build(dim.filter("dk < 0"), "dk", m_bits=1024, k=4)
+    assert B.bloom_prune(big, "k", empty, m_bits=1024, k=4).count() == 0
+    with pytest.raises(ValueError):
+        B.bloom_build(dim, "dk", m_bits=100)
