@@ -87,6 +87,16 @@ HEADLINE = [
     "ev_heavy_hitters",
     "graph_pagerank",
     "doc_bm25_indexed",
+    # round-10 second batch: corpus-level PMI (two explodes into
+    # vocab-sized aggs), seasonal decomposition (window pass + tiny
+    # joins), Bloom-pruned join (runtime-filter probe). The exact
+    # set-similarity join (dedup_setsim_prefix) is deliberately NOT a
+    # bench line: it is output-bound by design (~31 s at sf0.1 against
+    # a ~23 s whole-bench total) and its perf story is the measured
+    # decade-scaling table in PLANS.md.
+    "doc_pmi_collocations",
+    "ts_seasonal_decompose",
+    "ev_bloom_prune_join",
 ]
 
 

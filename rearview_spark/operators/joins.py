@@ -131,3 +131,90 @@ def range_join(
         F.col(ts_col) <= F.col(end_col) if end_inclusive else F.col(ts_col) < F.col(end_col)
     )
     return fc.join(iv, on="_cell", how="inner").filter(in_range).drop("_cell")
+
+
+def edit_distance_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """All pairs with ``levenshtein(a, b) <= max_dist`` — the fuzzy
+    string join of record linkage — via positional q-gram COUNT
+    filtering (Gravano et al. VLDB'01) instead of the n^2 comparison:
+
+    1. each string emits its positional q-grams as ``(gram, occ)``
+       multiset elements (the occurrence index makes repeated grams
+       distinct, so an equi-join computes the multiset intersection);
+    2. candidate pairs are those sharing at least
+       ``max(|a|,|b|) - q + 1 - k*q`` grams (the count-filtering bound:
+       one edit destroys at most q q-grams) with ``||a|-|b|| <= k``;
+    3. candidates are verified with the built-in ``levenshtein`` —
+       integer-exact and identically defined in Spark and DuckDB, so
+       the gate's oracle (the BRUTE-FORCE all-pairs join) hash-proves
+       the filter dropped nothing.
+
+    Completeness domain: the count bound ``max(|a|,|b|) - q + 1 - k*q``
+    must be >= 1 or a qualifying pair could share ZERO grams and never
+    be generated by the equi-join. Strings shorter than ``q + k*q``
+    (length 6 at the q=2, k=2 defaults) are therefore EXCLUDED from the
+    join — an explicit contract, not a silent recall hole; handle
+    micro-strings with a brute-force pass over that (tiny) subset if
+    they matter. The oracle applies the same length predicate, so the
+    hash match proves completeness exactly on the contract domain.
+
+    Scale shape: explode is (len - q + 1) rows per string; the gram
+    equi-join shuffles on gram (rare grams dominate selectivity); the
+    count aggregate is map-side partial; verification is one
+    codegen'd levenshtein per CANDIDATE, never per pair of the corpus.
+    """
+    k = int(max_dist)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    ).filter(F.length("s") >= q + k * q)
+    grams = base.select(
+        "id",
+        F.length("s").alias("len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(s) - {q} + 1), i -> substring(s, i, {q}))"
+            )
+        ).alias("_pos", "gram"),
+    )
+    # occurrence index within the string: same gram appearing twice must
+    # match twice in the multiset intersection
+    occ = Window.partitionBy("id", "gram").orderBy("_pos")
+    inv = grams.select(
+        "id", "len", "gram", F.row_number().over(occ).alias("occ")
+    )
+    a = inv.select(
+        F.col("id").alias("id_a"), F.col("len").alias("la"), "gram", "occ"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), F.col("len").alias("lb"), "gram", "occ"
+    )
+    cand = (
+        a.join(b, ["gram", "occ"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= k)
+        )
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(
+            F.col("n_shared")
+            >= F.greatest(F.col("la"), F.col("lb")) - (q - 1) - k * q
+        )
+        .select("id_a", "id_b")
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", F.levenshtein("sa", "sb").alias("dist")
+        )
+        .filter(F.col("dist") <= k)
+    )

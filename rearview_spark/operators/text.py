@@ -509,3 +509,58 @@ def pmi_collocations(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= top_k
     )
+
+
+def source_kl_divergence(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source token-distribution drift: ``KL(p_source || p_corpus)``
+    over unigram distributions — the standard "which slice of the corpus
+    looks least like the whole" report a curation pipeline ranks sources
+    by (and the quantity DSIR-style importance weighting implicitly
+    optimizes). Always finite: a source's support is a subset of the
+    corpus support by construction.
+
+    Scale shape: ONE corpus explode into a (source, token) hash
+    aggregate, eagerly materialized (the bigram_lm_counts lesson —
+    every downstream total derives from that table, so the corpus is
+    never re-scanned); token totals, source totals and the grand total
+    are all aggregates OF the materialized counts. Output is one row
+    per source.
+
+    Cross-engine determinism: each summand ``p_s * ln(p_s / p_c)`` is
+    quantized to 1e-9 micro-units and summed as int64 (the BM25
+    fixed-point discipline) — the divisions/multiply sequence is
+    mirrored token-for-token in the oracle SQL, so both engines sum
+    identical integers regardless of aggregation order."""
+    st = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
+    tot_t = st.groupBy("w").agg(F.sum("c_st").alias("c_t"))
+    tot_s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n = st.agg(F.sum("c_st").alias("n"))
+    p_s = F.col("c_st") / F.col("n_s")
+    p_c = F.col("c_t") / F.col("n")
+    term_units = F.round(p_s * F.log(p_s / p_c) * F.lit(1e9)).cast("long")
+    return (
+        st.join(tot_t, "w")
+        .join(tot_s, "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.sum(term_units).alias("_units"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long"),
+            F.round(F.col("_units") / F.lit(1e9) + F.lit(5e-10), 6).alias("kl"),
+        )
+        .orderBy("source")
+    )

@@ -2480,3 +2480,32 @@ SELECT w1, w2, CAST(c_pair AS BIGINT) AS c_pair, pmi, rank FROM (
 """
 
 QUERIES["doc_pmi_collocations"] = {"fn": doc_pmi_collocations, "oracle": DOC_PMI_SQL}
+
+
+def doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (text.source_kl_divergence):
+    KL(p_source || p_corpus) over unigrams, fixed-point micro-unit
+    summands. Oracle replays counts, the division/ln sequence, the 1e-9
+    quantization, and the integer sum."""
+    return X.source_kl_divergence(Tables(spark, sf_dir).documents)
+
+
+DOC_KL_SQL = f"""
+WITH tok AS (SELECT source, unnest({TOKS}) AS w FROM documents),
+st AS (SELECT source, w, count(*) AS c_st FROM tok GROUP BY 1, 2),
+tt AS (SELECT w, sum(c_st) AS c_t FROM st GROUP BY 1),
+tsrc AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+tot AS (SELECT sum(c_st) AS n FROM st),
+terms AS (
+  SELECT st.source, tsrc.n_s,
+         CAST(round((st.c_st * 1.0 / tsrc.n_s)
+               * ln((st.c_st * 1.0 / tsrc.n_s) / (tt.c_t * 1.0 / tot.n))
+               * 1000000000.0) AS BIGINT) AS ti
+  FROM st JOIN tt USING (w) JOIN tsrc USING (source) CROSS JOIN tot
+)
+SELECT source, CAST(min(n_s) AS BIGINT) AS n_tokens,
+       round(sum(ti) / 1000000000.0 + 0.0000000005, 6) AS kl
+FROM terms GROUP BY source ORDER BY source
+"""
+
+QUERIES["doc_source_kl"] = {"fn": doc_source_kl, "oracle": DOC_KL_SQL}

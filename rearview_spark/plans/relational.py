@@ -1196,3 +1196,32 @@ ORDER BY n_name
 
 
 QUERIES["skew_salted_join_dim"] = {"fn": skew_salted_join_dim, "oracle": SKEW_JOIN_DIM_SQL}
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (operators/joins.edit_distance_join): supplier
+    names within 2 edits, candidates from positional q-gram count
+    filtering, verified with the built-in integer levenshtein. Oracle =
+    the brute-force all-pairs join over the same contract domain — the
+    hash match proves the count filter's completeness bound held."""
+    from rearview_spark.operators.joins import edit_distance_join
+
+    sup = Tables(spark, sf_dir).supplier.select("s_suppkey", "s_name")
+    return edit_distance_join(
+        sup, text_col="s_name", id_col="s_suppkey", max_dist=2, q=2
+    ).orderBy("id_a", "id_b")
+
+
+EDIT_DIST_SQL = """
+WITH s AS (
+  SELECT s_suppkey AS id, s_name AS str FROM supplier WHERE length(s_name) >= 6
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.str, b.str) AS INTEGER) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE levenshtein(a.str, b.str) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["edit_distance_pairs"] = {"fn": edit_distance_pairs, "oracle": EDIT_DIST_SQL}

@@ -138,3 +138,51 @@ def test_bloom_prune_no_false_negatives_and_prunes(spark):
     assert B.bloom_prune(big, "k", empty, m_bits=1024, k=4).count() == 0
     with pytest.raises(ValueError):
         B.bloom_build(dim, "dk", m_bits=100)
+
+
+# --- Edit-distance (fuzzy string) join -----------------------------------------
+
+def test_edit_distance_join_matches_brute_force(spark):
+    from rearview_spark.operators.joins import edit_distance_join
+
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcdef"
+    strings = []
+    for i in range(80):
+        s = "".join(rng.choices(alphabet, k=rng.randint(6, 12)))
+        strings.append((i, s))
+        if rng.random() < 0.5:  # planted near-duplicates
+            t = list(s)
+            for _ in range(rng.randint(1, 2)):
+                t[rng.randrange(len(t))] = rng.choice(alphabet)
+            strings.append((1000 + i, "".join(t)))
+    df = spark.createDataFrame(strings, "id long, s string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "s", "id", max_dist=2, q=2).collect()
+    )
+    a = df.selectExpr("id AS id_a", "s AS sa")
+    b = df.selectExpr("id AS id_b", "s AS sb")
+    want = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b")
+        .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("dist"))
+        .filter("dist <= 2")
+        .collect()
+    )
+    assert got == want and len(got) >= 40  # the planted twins are all found
+
+
+def test_edit_distance_join_repeated_grams_and_contract(spark):
+    from rearview_spark.operators.joins import edit_distance_join
+
+    # repeated q-grams: multiset intersection must count multiplicity,
+    # and strings below the q + k*q contract length are excluded
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "aaaaaaab"), (3, "abc")], "id long, s string"
+    )
+    rows = edit_distance_join(df, "s", "id", max_dist=2, q=2).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in rows] == [(1, 2, 1)]

@@ -1549,3 +1549,23 @@ def test_pmi_collocations_hand_corpus(spark):
     # support floor: min_count=2 keeps only the repeated pair
     top = X.pmi_collocations(df, min_count=2, top_k=10).collect()
     assert [(r["w1"], r["w2"]) for r in top] == [("x", "y")]
+
+
+def test_source_kl_divergence_hand_corpus(spark):
+    """A: tokens {a:2, b:1}, B: {b:3}; corpus {a:2, b:4}, N=6.
+    KL_A = (2/3)ln2 + (1/3)ln(1/2) = ln2/3; KL_B = ln(3/2)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "A"), (2, "b b b", "B")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in X.source_kl_divergence(df).collect()}
+    assert rows["A"]["n_tokens"] == 3 and rows["B"]["n_tokens"] == 3
+    assert rows["A"]["kl"] == pytest.approx(math.log(2) / 3, abs=1e-6)
+    assert rows["B"]["kl"] == pytest.approx(math.log(1.5), abs=1e-6)
+    # a single-source corpus has zero drift by definition
+    one = spark.createDataFrame(
+        [(1, "x y z", "A"), (2, "x x", "A")], "doc_id long, text string, source string"
+    )
+    assert X.source_kl_divergence(one).collect()[0]["kl"] == 0.0
