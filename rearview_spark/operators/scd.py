@@ -1,0 +1,89 @@
+"""Slowly-changing-dimension (SCD Type 2) history maintenance.
+
+The reference's relational layer versions monitor configs implicitly
+(soft-delete + updated_at — /root/reference/db/schema.rb); a warehouse
+generalizes that to full Type-2 history: every attribute change closes
+the current row (``valid_to``) and opens a new one. This module builds
+that history from a change stream and merges update batches into an
+existing history — the MERGE a Delta/Iceberg deployment would run,
+expressed as pure DataFrame ops (the same boundary note as JobStore:
+in-sandbox we maintain parquet versions ourselves).
+
+Scale shape: everything is one window pass over (key, eff-ts) plus a
+union with the closed rows — no joins, no iteration; the window key is
+the dimension key, so the shuffle is dimension-sized, never fact-sized.
+Determinism: ordering ties break on the attribute struct, and
+consecutive duplicates collapse via null-safe struct comparison, so
+replaying the same batch is a no-op (retry idempotency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Assemble a Type-2 history from a raw change stream: per key,
+    order observations by (ts, attrs), collapse CONSECUTIVE rows with
+    identical attributes (an observation that changes nothing is not a
+    version), and close each version at the next version's start.
+    Output: ``(key, attrs..., valid_from, valid_to)`` with
+    ``valid_to`` null on the current row."""
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(key_col).orderBy(ts_col, *attr_cols)
+    marked = changes.select(key_col, *attr_cols, ts_col).withColumn(
+        "_prev", F.lag(attrs).over(w)
+    )
+    versions = marked.filter(
+        F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(attrs)
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, *attr_cols)
+    return versions.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    eff_col: str,
+) -> DataFrame:
+    """Merge an update batch into an existing Type-2 history: closed
+    rows pass through untouched; the OPEN row of each key is re-derived
+    together with the batch's updates through the same
+    consecutive-dedup + close-at-next window as
+    :func:`scd2_from_changes`. New keys insert; an update identical to
+    the current attributes is a no-op; replaying a batch is a no-op
+    (retry idempotency). Updates effective BEFORE the current version's
+    start are LATE ARRIVALS and are dropped — the current-row contract
+    of a warehouse MERGE; without it a replayed batch would re-open
+    versions that already-closed history covers. To incorporate late
+    data, rewrite from the full stream with :func:`scd2_from_changes`.
+    ``updates`` carries ``(key, attrs..., eff_col)``."""
+    cols = [key_col, *attr_cols, "valid_from"]
+    closed = history.filter(F.col("valid_to").isNotNull())
+    open_rows = history.filter(F.col("valid_to").isNull()).select(*cols)
+    cur_from = open_rows.select(
+        F.col(key_col), F.col("valid_from").alias("_cur_from")
+    )
+    ups = (
+        updates.select(key_col, *attr_cols, F.col(eff_col).alias("valid_from"))
+        .join(cur_from, key_col, "left")
+        .filter(F.col("_cur_from").isNull() | (F.col("valid_from") >= F.col("_cur_from")))
+        .select(*cols)
+    )
+    rebuilt = scd2_from_changes(
+        open_rows.unionByName(ups), key_col, attr_cols, "valid_from"
+    )
+    return closed.select(*cols, "valid_to").unionByName(rebuilt)

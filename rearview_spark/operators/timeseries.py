@@ -1164,3 +1164,30 @@ def seasonal_decompose(
         F.col("_seasonal").alias("seasonal"),
         (F.col(VALUE) - F.col("trend") - F.col("_seasonal")).alias("residual"),
     )
+
+
+def ohlc_bars(ts: DataFrame, step: str = "6 hours") -> DataFrame:
+    """Open/high/low/close bars per (metric, time bucket) — the
+    candlestick aggregation every market/metrics dashboard wants and
+    Graphite approximates with four separate summarize() calls; here
+    it is ONE hash aggregate (map-side partial) over the series.
+
+    Determinism with duplicate timestamps: open/close are taken via
+    min/max over ``struct(ts, value)`` (lexicographic), so a bucket
+    with two points at the same instant still resolves identically on
+    every engine and retry — the oracle mirrors with
+    ``ORDER BY ts, value`` array heads. No window functions, no
+    per-bucket sort at scale: min/max of a 2-field struct stays inside
+    whole-stage codegen."""
+    bucket = F.window(F.col(TS), step).getField("start").alias(TS)
+    pair = F.struct(F.col(TS), F.col(VALUE))
+    return (
+        ts.groupBy(F.col(METRIC), bucket)
+        .agg(
+            F.min(pair).getField(VALUE).alias("open"),
+            F.max(VALUE).alias("high"),
+            F.min(VALUE).alias("low"),
+            F.max(pair).getField(VALUE).alias("close"),
+            F.count(VALUE).alias("n_points"),
+        )
+    )

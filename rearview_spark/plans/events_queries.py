@@ -655,3 +655,35 @@ GROUP BY 1, 2 ORDER BY 1
 """
 
 QUERIES["ev_bloom_prune_join"] = {"fn": ev_bloom_prune_join, "oracle": EV_BLOOM_SQL}
+
+
+def ev_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history assembled from the event change stream
+    (operators/scd.scd2_from_changes): per user, consecutive-distinct
+    event_type runs become versions closed at the next version's start.
+    The oracle replays the lag-dedup + lead-close windows."""
+    from rearview_spark.operators.scd import scd2_from_changes
+
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    return scd2_from_changes(
+        ev, key_col="user_id", attr_cols=["event_type"], ts_col="ts"
+    ).orderBy("user_id", "valid_from", "event_type")
+
+
+EV_SCD2_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+  FROM events
+),
+v AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM c WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to
+FROM v
+ORDER BY user_id, valid_from, event_type
+"""
+
+QUERIES["ev_scd2_user_status"] = {"fn": ev_scd2_user_status, "oracle": EV_SCD2_SQL}

@@ -1450,3 +1450,33 @@ FROM (
 """
 
 QUERIES["ts_seasonal_decompose"] = {"fn": ts_seasonal_decompose, "oracle": TS_SEASONAL_SQL}
+
+
+def ts_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick bars over the hourly series at 6-hour buckets —
+    one hash aggregate; open/close tie-broken by (ts, value) struct
+    order, mirrored in the oracle's ordered array heads."""
+    out = G.ohlc_bars(_hourly(spark, sf_dir), step="6 hours")
+    return out.select(
+        "metric", "ts",
+        r4(F.col("open")).alias("open"),
+        r4(F.col("high")).alias("high"),
+        r4(F.col("low")).alias("low"),
+        r4(F.col("close")).alias("close"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
+TS_OHLC_SQL = HOURLY_CTE + """
+SELECT metric,
+       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS ts,
+       round((array_agg(value ORDER BY ts, value))[1] + 0.00000005, 4) AS open,
+       round(max(value) + 0.00000005, 4) AS high,
+       round(min(value) + 0.00000005, 4) AS low,
+       round((array_agg(value ORDER BY ts DESC, value DESC))[1] + 0.00000005, 4) AS close,
+       count(value) AS n_points
+FROM hourly
+GROUP BY 1, 2
+"""
+
+QUERIES["ts_ohlc_bars"] = {"fn": ts_ohlc_bars, "oracle": TS_OHLC_SQL}

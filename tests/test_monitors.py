@@ -909,3 +909,70 @@ def test_robust_z_helper_in_monitor_expr(spark):
     assert (
         evaluate_monitors(spark, [s], m3, NOW).collect()[0]["status"] == "success"
     )
+
+
+# --- SCD Type-2 history maintenance --------------------------------------------
+
+def test_scd2_from_changes_versions_and_noop_rows(spark):
+    import datetime as _dt
+
+    from rearview_spark.operators.scd import scd2_from_changes
+
+    t = lambda m: _dt.datetime(2024, 1, 1, 0, m, 0)
+    changes = spark.createDataFrame(
+        [
+            (1, "gold", t(0)),
+            (1, "gold", t(5)),    # no-op observation: not a version
+            (1, "silver", t(10)),
+            (1, "gold", t(20)),   # back to gold IS a new version
+            (2, "basic", t(3)),
+        ],
+        "k long, tier string, ts timestamp",
+    )
+    hist = sorted(
+        (r["k"], r["tier"], r["valid_from"].minute,
+         r["valid_to"].minute if r["valid_to"] else None)
+        for r in scd2_from_changes(changes, "k", ["tier"], "ts").collect()
+    )
+    assert hist == [
+        (1, "gold", 0, 10),
+        (1, "gold", 20, None),
+        (1, "silver", 10, 20),
+        (2, "basic", 3, None),
+    ]
+
+
+def test_scd2_merge_idempotent_and_inserts(spark):
+    import datetime as _dt
+
+    from rearview_spark.operators.scd import scd2_from_changes, scd2_merge
+
+    t = lambda m: _dt.datetime(2024, 1, 1, 0, m, 0)
+    base = spark.createDataFrame(
+        [(1, "gold", t(0)), (1, "silver", t(10))], "k long, tier string, ts timestamp"
+    )
+    history = scd2_from_changes(base, "k", ["tier"], "ts")
+    updates = spark.createDataFrame(
+        [(1, "bronze", t(30)), (1, "silver", t(12)), (3, "new", t(7))],
+        "k long, tier string, eff timestamp",
+    )
+    merged = scd2_merge(history, updates, "k", ["tier"], "eff")
+    rows = sorted(
+        (r["k"], r["tier"], r["valid_from"].minute,
+         r["valid_to"].minute if r["valid_to"] else None)
+        for r in merged.collect()
+    )
+    assert rows == [
+        (1, "bronze", 30, None),   # change applied, old current closed
+        (1, "gold", 0, 10),        # closed history untouched
+        (1, "silver", 10, 30),     # same-attr update at t12 was a no-op
+        (3, "new", 7, None),       # new key inserted
+    ]
+    # replaying the SAME batch changes nothing
+    again = scd2_merge(merged, updates, "k", ["tier"], "eff")
+    rows2 = sorted(
+        (r["k"], r["tier"], r["valid_from"].minute,
+         r["valid_to"].minute if r["valid_to"] else None)
+        for r in again.collect()
+    )
+    assert rows2 == rows

@@ -475,3 +475,25 @@ def test_seasonal_decompose_odd_period(spark):
     want = {0: -3.0, 1: 0.0, 2: 3.0}
     for h in range(9):
         assert out[h]["seasonal"] == pytest.approx(want[h % 3])
+
+
+def test_ohlc_bars_hand_series_and_tie_break(spark):
+    """One 6h bucket: open = value at earliest ts, close = at latest;
+    duplicate-timestamp ties resolve by (ts, value) struct order —
+    min value wins open, max value wins close."""
+    rows = [
+        ("m", dt.datetime(2024, 1, 1, 0, 0, 0), 5.0),
+        ("m", dt.datetime(2024, 1, 1, 0, 0, 0), 3.0),  # tied open ts
+        ("m", dt.datetime(2024, 1, 1, 2, 0, 0), 9.0),
+        ("m", dt.datetime(2024, 1, 1, 5, 0, 0), 1.0),
+        ("m", dt.datetime(2024, 1, 1, 5, 0, 0), 4.0),  # tied close ts
+        ("m", dt.datetime(2024, 1, 1, 7, 0, 0), 2.0),  # next bucket
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    out = {r["ts"]: r for r in G.ohlc_bars(df, step="6 hours").collect()}
+    b0 = out[dt.datetime(2024, 1, 1, 0, 0, 0)]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"], b0["n_points"]) == (
+        3.0, 9.0, 1.0, 4.0, 5,
+    )
+    b1 = out[dt.datetime(2024, 1, 1, 6, 0, 0)]
+    assert (b1["open"], b1["close"], b1["n_points"]) == (2.0, 2.0, 1)
