@@ -1176,9 +1176,11 @@ def ohlc_bars(ts: DataFrame, step: str = "6 hours") -> DataFrame:
     min/max over ``struct(ts, value)`` (lexicographic), so a bucket
     with two points at the same instant still resolves identically on
     every engine and retry — the oracle mirrors with
-    ``ORDER BY ts, value`` array heads. No window functions, no
-    per-bucket sort at scale: min/max of a 2-field struct stays inside
-    whole-stage codegen."""
+    ``ORDER BY ts, value`` array heads. Plan shape: ONE exchange with
+    map-side partial aggregation (struct min/max makes Spark pick
+    SortAggregate over HashAggregate — a per-partition sort on the
+    group key, NOT a window or per-bucket shuffle; partials still
+    shrink the shuffle to bucket cardinality)."""
     bucket = F.window(F.col(TS), step).getField("start").alias(TS)
     pair = F.struct(F.col(TS), F.col(VALUE))
     return (

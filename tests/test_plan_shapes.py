@@ -163,3 +163,57 @@ def test_incremental_minhash_store_side_never_rebanded(spark):
     assert "md5" not in sp and "conv(" not in sp
     read_schema = sp.split("readschema")[1].split("\n")[0]
     assert "sig" not in read_schema and "shs" not in read_schema
+
+
+def test_bloom_prune_adds_no_exchange_or_udf(spark):
+    """bloom_prune's whole point: the probe is a codegen'd filter over
+    an inlined word array — zero added Exchange, zero Python UDF. A
+    refactor that turns it into a join or a UDF breaks the scale story."""
+    from rearview_spark.operators import bloom as B
+
+    dim = spark.createDataFrame([(i,) for i in range(8)], "dk long")
+    words = B.bloom_build(dim, "dk", m_bits=256, k=3)
+    big = spark.range(100).selectExpr("id AS k")
+    plan = _executed(B.bloom_prune(big, "k", words, m_bits=256, k=3))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_setsim_and_edit_distance_joins_never_pairwise(spark):
+    """Both exact-join operators must plan as equi-joins on their
+    candidate keys — any CartesianProduct / BroadcastNestedLoopJoin
+    means the filter degenerated into the all-pairs comparison it
+    exists to avoid."""
+    from rearview_spark.operators.dedup import setsim_prefix_pairs
+    from rearview_spark.operators.joins import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(i, f"token{i} shared words here {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for out in (
+        setsim_prefix_pairs(df, threshold=0.5),
+        edit_distance_join(df.selectExpr("doc_id", "text AS s"), "s", "doc_id"),
+    ):
+        plan = _executed(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_bars_single_aggregate_with_partial(spark):
+    """One aggregate pair across ONE Exchange, with map-side partials
+    (partial_min before the shuffle), and no Window operator — struct
+    min/max makes Spark pick SortAggregate, but the shuffle still
+    carries only bucket-cardinality partial rows."""
+    import datetime as _dt
+
+    rows = [("m", _dt.datetime(2024, 1, 1, h % 24, 0, 0), float(h)) for h in range(48)]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    from rearview_spark.operators.timeseries import ohlc_bars
+
+    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
+    plan = _executed(ohlc_bars(df, step="6 hours"))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in final
+    assert "Window" not in final
