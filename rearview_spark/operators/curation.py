@@ -550,3 +550,52 @@ def source_cap_sample(
     )
 
 
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    salt: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — top-k by the
+    Efraimidis-Spirakis exponential race (A-ES, IPL 2006): each row
+    draws ``key = -ln(u) / w`` with u uniform in (0, 1] and the k
+    SMALLEST keys win; the inclusion distribution is exactly
+    sequential weighted sampling without replacement. The curation
+    use: "take n docs per source, preferring high quality/length"
+    without the bias of sort-by-weight (which always picks the same
+    heavy head) or the variance of uniform sampling.
+
+    Determinism (the md5_bucket discipline): u derives from
+    ``md5_60(id:salt) + 1) / 2^60`` — no RNG, so retries and both
+    engines draw identical u. The race key is quantized to 1e-12
+    fixed-point with ``id`` as the final tiebreak, so the RANKING is
+    bit-deterministic too (raw ln() ulp skew cannot flip an order).
+
+    Rows with ``weight <= 0`` or null are excluded (zero weight means
+    never sampled; A-ES keys diverge there). Scale shape: one scan-time
+    key projection + one ``row_number`` per ``by`` partition — the sort
+    is per-stratum; with ``by=None`` it is a single top-k (use modest k
+    globally; per-stratum for fan-out).
+    """
+    from pyspark.sql.window import Window
+
+    from rearview_spark.operators.dedup import _hash60
+
+    u = (
+        _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))) + 1
+    ) / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col)
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_key_q", F.round(key * F.lit(1e12)).cast("long"))
+    part = Window.partitionBy(by) if by else Window.partitionBy()
+    w = part.orderBy("_key_q", id_col)
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_key_q")
+    )

@@ -2509,3 +2509,45 @@ FROM terms GROUP BY source ORDER BY source
 """
 
 QUERIES["doc_source_kl"] = {"fn": doc_source_kl, "oracle": DOC_KL_SQL}
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling (curation.weighted_sample): 5 docs per
+    source, weight = token count, md5-deterministic race keys. The
+    oracle replays u, the -ln(u)/w key, the 1e-12 quantization, and the
+    per-source ranking."""
+    from rearview_spark.operators import curation as C
+
+    docs = Tables(spark, sf_dir).documents
+    cand = docs.select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        C.weighted_sample(cand, "n_tokens", k=5, salt="ws-r10", by="source")
+        .select(
+            "source", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+            "rank",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+DOC_WSAMPLE_SQL = f"""
+WITH cand AS (
+  SELECT doc_id, source, len({TOKS}) AS n_tokens FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(round(
+           -ln((CAST(concat('0x', substr(md5(doc_id || ':ws-r10'), 1, 15)) AS BIGINT) + 1)
+               / 1152921504606846976.0)
+           / n_tokens * 1000000000000.0) AS BIGINT) AS key_q
+  FROM cand WHERE n_tokens > 0
+)
+SELECT source, doc_id, n_tokens, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY key_q, doc_id) AS INTEGER) AS rank
+  FROM keyed
+) WHERE rank <= 5 ORDER BY source, rank
+"""
+
+QUERIES["doc_weighted_sample"] = {"fn": doc_weighted_sample, "oracle": DOC_WSAMPLE_SQL}

@@ -320,3 +320,26 @@ def test_bigram_lm_perplexity_hand_corpus(spark):
     assert got[1] == round(expect1 + 5e-8, 4)
     assert got[2] == round(4.5 / 3.5 + 5e-8, 4)
     assert got[3] == round(1 / 0.6 + 5e-8, 4)
+
+
+def test_weighted_sample_deterministic_proportional_and_guards(spark):
+    from rearview_spark.operators import curation as C
+
+    rows = [(i, 1.0) for i in range(50)] + [(99, 50.0), (100, 0.0), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    # deterministic: same salt -> identical sample; different salt differs
+    a = sorted(r["doc_id"] for r in C.weighted_sample(df, "w", 5, "s1").collect())
+    b = sorted(r["doc_id"] for r in C.weighted_sample(df, "w", 5, "s1").collect())
+    assert a == b and len(a) == 5
+    c = sorted(r["doc_id"] for r in C.weighted_sample(df, "w", 5, "s2").collect())
+    assert a != c
+    # zero/null weights can never be sampled
+    assert 100 not in a + c and 101 not in a + c
+    # A-ES proportionality: the item holding half the total weight wins
+    # top-1 in roughly half the races (30 salts; binomial 3-sigma floor)
+    wins = sum(
+        1
+        for i in range(30)
+        if C.weighted_sample(df, "w", 1, f"p{i}").collect()[0]["doc_id"] == 99
+    )
+    assert 7 <= wins <= 23
