@@ -1193,3 +1193,53 @@ def ohlc_bars(ts: DataFrame, step: str = "6 hours") -> DataFrame:
             F.count(VALUE).alias("n_points"),
         )
     )
+
+
+def linear_trend(ts: DataFrame, y_scale: int = 10000) -> DataFrame:
+    """Per-metric ordinary-least-squares trend line: ``slope`` (value
+    units per hour) and ``intercept`` (value at the series' first
+    hour) from the closed-form normal equations — the "is this metric
+    drifting" primitive under every capacity-planning dashboard, and
+    the regression counterpart to the G26 Holt-Winters smoother.
+
+    Integer-exact cross-engine (the plans/_exact.py discipline, taken
+    all the way): x is WHOLE HOURS SINCE THE SERIES' FIRST POINT
+    (int64), y is quantized to ``1/y_scale`` units (int64), so n, Sx,
+    Sy, Sxx, Sxy are all exact integer sums — immune to aggregation
+    order — and slope/intercept are double divisions of identical
+    integers on both engines. Overflow headroom: |Sxy| <=
+    n * x_max * y_max * y_scale; at 10^4 scale that holds to ~10^5
+    points x ~10^5-hour spans x ~10^4 magnitudes (fits int64 with two
+    orders to spare at gate scale; lower ``y_scale`` for larger spans).
+
+    Output: ``(metric, n_points, slope, intercept)`` unrounded —
+    callers round. Series with one point (or zero x-variance) get null
+    slope/intercept rather than a fabricated line."""
+    hours = (F.unix_timestamp(F.col(TS)) / F.lit(3600)).cast("long")
+    yq = F.round(F.col(VALUE) * F.lit(float(y_scale))).cast("long")
+    base = ts.filter(F.col(VALUE).isNotNull()).select(
+        F.col(METRIC), hours.alias("_h"), yq.alias("_y")
+    )
+    x0 = Window.partitionBy(METRIC)
+    xs = base.withColumn("_x", F.col("_h") - F.min("_h").over(x0))
+    agg = xs.groupBy(METRIC).agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        det * F.lit(float(y_scale))
+    )
+    intercept = (F.col("sxx") * F.col("sy") - F.col("sx") * F.col("sxy")) / (
+        det * F.lit(float(y_scale))
+    )
+    guard = det > 0
+    return agg.select(
+        METRIC,
+        F.col("n").alias("n_points"),
+        F.when(guard, slope).alias("slope"),
+        F.when(guard, intercept).alias("intercept"),
+    )

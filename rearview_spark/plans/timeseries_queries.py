@@ -1480,3 +1480,44 @@ GROUP BY 1, 2
 """
 
 QUERIES["ts_ohlc_bars"] = {"fn": ts_ohlc_bars, "oracle": TS_OHLC_SQL}
+
+
+def ts_linear_trend(spark, sf_dir):
+    """Per-metric OLS trend over the hourly series — integer-exact
+    normal equations (hours-since-first x, 1e-4-quantized y), so the
+    oracle's sums are bit-identical regardless of aggregation order."""
+    out = G.linear_trend(_hourly(spark, sf_dir))
+    return out.select(
+        "metric",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(F.col("slope") + F.lit(5e-8), 4).alias("slope"),
+        F.round(F.col("intercept") + F.lit(5e-8), 4).alias("intercept"),
+    ).orderBy("metric")
+
+
+TS_TREND_SQL = HOURLY_CTE + """
+, q AS (
+  SELECT metric,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(round(value * 10000.0) AS BIGINT) AS y
+  FROM hourly WHERE value IS NOT NULL
+),
+x AS (
+  SELECT metric, h - min(h) OVER (PARTITION BY metric) AS x, y FROM q
+),
+s AS (
+  SELECT metric, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM x GROUP BY metric
+)
+SELECT metric, CAST(n AS BIGINT) AS n_points,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy) * 1.0 / ((n * sxx - sx * sx) * 10000.0) + 0.00000005, 4)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((sxx * sy - sx * sxy) * 1.0 / ((n * sxx - sx * sx) * 10000.0) + 0.00000005, 4)
+       END AS intercept
+FROM s ORDER BY metric
+"""
+
+QUERIES["ts_linear_trend"] = {"fn": ts_linear_trend, "oracle": TS_TREND_SQL}

@@ -497,3 +497,18 @@ def test_ohlc_bars_hand_series_and_tie_break(spark):
     )
     b1 = out[dt.datetime(2024, 1, 1, 6, 0, 0)]
     assert (b1["open"], b1["close"], b1["n_points"]) == (2.0, 2.0, 1)
+
+
+def test_linear_trend_exact_line_and_guards(spark):
+    """y = 2x + 5 over 4 hourly points recovers slope 2/hour and
+    intercept 5 exactly; a single-point series gets null slope (no
+    fabricated line)."""
+    rows = [
+        ("m", dt.datetime(2024, 1, 1, h, 0, 0), 5.0 + 2.0 * h) for h in range(4)
+    ] + [("one", dt.datetime(2024, 1, 1, 0, 0, 0), 7.0)]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    out = {r["metric"]: r for r in G.linear_trend(df).collect()}
+    assert out["m"]["slope"] == pytest.approx(2.0)
+    assert out["m"]["intercept"] == pytest.approx(5.0)
+    assert out["m"]["n_points"] == 4
+    assert out["one"]["slope"] is None and out["one"]["intercept"] is None
