@@ -73,7 +73,8 @@ def bloom_build(
         raise ValueError("m_bits must be a multiple of 64")
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("p")
     words = (
-        dim.select(pos)
+        dim.filter(F.col(key_col).isNotNull())  # an inner join ignores null keys
+        .select(pos)
         .select(
             (F.col("p") / 64).cast("int").alias("w"),
             _shl1((F.col("p") % 64).cast("int")).alias("m"),
@@ -120,7 +121,21 @@ def bloom_semi_join(
     """Exact inner join of ``big`` to ``dim``, Bloom-pruned: build on the
     dim keys, prune the big side pre-shuffle, join the survivors.
     Result is provably identical to the plain inner join (no false
-    negatives); the pruning only shrinks the shuffled/joined volume."""
+    negatives); the pruning only shrinks the shuffled/joined volume.
+
+    Key types must match EXACTLY: the hashes run over the string
+    rendering of each side's key, so a long 5 ("5") and a double 5.0
+    ("5.0") hash differently even though a plain join would coerce and
+    match them — that would be a silent false negative, so mismatched
+    key types are rejected here instead."""
+    bt = big.schema[big_key].dataType
+    dt = dim.schema[dim_key].dataType
+    if bt != dt:
+        raise ValueError(
+            f"bloom_semi_join key types must match exactly ({big_key}: {bt} "
+            f"vs {dim_key}: {dt}) — string-rendered hashes do not coerce; "
+            "cast both sides to one type first"
+        )
     words = bloom_build(dim, dim_key, m_bits, k)
     pruned = bloom_prune(big, big_key, words, m_bits, k)
     return pruned.join(dim, pruned[big_key] == dim[dim_key])

@@ -571,9 +571,13 @@ def weighted_sample(
 
     Determinism (the md5_bucket discipline): u derives from
     ``md5_60(id:salt) + 1) / 2^60`` — no RNG, so retries and both
-    engines draw identical u. The race key is quantized to 1e-12
-    fixed-point with ``id`` as the final tiebreak, so the RANKING is
-    bit-deterministic too (raw ln() ulp skew cannot flip an order).
+    engines draw identical u. Determinism of the RANKING: ``-ln(u)`` is
+    BOUNDED in [0, ~41.6], so it is quantized to 1e-12 fixed-point
+    int64 (no overflow for ANY weight — quantizing the full ``key =
+    -ln(u)/w`` would overflow int64 for weights below ~5e-6) and the
+    race key is that integer divided by the weight: one IEEE division
+    of identical operands on both engines, with ``id`` as the final
+    tiebreak.
 
     Rows with ``weight <= 0`` or null are excluded (zero weight means
     never sampled; A-ES keys diverge there). Scale shape: one scan-time
@@ -588,14 +592,15 @@ def weighted_sample(
     u = (
         _hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))) + 1
     ) / F.lit(float(1 << 60))
-    key = -F.log(u) / F.col(weight_col)
+    lnq = F.round(-F.log(u) * F.lit(1e12)).cast("long")
+    key = lnq.cast("double") / F.col(weight_col)
     keyed = df.filter(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
-    ).withColumn("_key_q", F.round(key * F.lit(1e12)).cast("long"))
+    ).withColumn("_key", key)
     part = Window.partitionBy(by) if by else Window.partitionBy()
-    w = part.orderBy("_key_q", id_col)
+    w = part.orderBy("_key", id_col)
     return (
         keyed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .drop("_key_q")
+        .drop("_key")
     )

@@ -1077,10 +1077,16 @@ def setsim_prefix_pairs(
         if shingle_n
         else F.array_distinct(tokens(F.col(text_col)))
     )
+    # The tokenized corpus feeds THREE consumers (the df-count explode,
+    # the canonical-order groupBy, and the verify join); materialize it
+    # once (eager localCheckpoint — the bigram_lm_counts pattern) so the
+    # tokenize+sort subtree never re-runs. Storage trade: one
+    # corpus-sized (id, set) frame, vs three corpus scans without it.
     base = (
         ensure_parallelism(df, id_col)
         .select(F.col(id_col).alias("id"), F.array_sort(set_col).alias("toks"))
         .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=True)
     )
     inv_all = base.select("id", F.explode("toks").alias("token"))
     freq = inv_all.groupBy("token").agg(F.count("*").alias("df_count"))

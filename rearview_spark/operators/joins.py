@@ -169,18 +169,22 @@ def edit_distance_join(
     count aggregate is map-side partial; verification is one
     codegen'd levenshtein per CANDIDATE, never per pair of the corpus.
     """
+    from rearview_spark.operators.dedup import _ngram_fold
+
     k = int(max_dist)
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s")
     ).filter(F.length("s") >= q + k * q)
+    # q-grams via the zip_with fold over shifted char slices — NOT
+    # transform(sequence(...), i -> substring(...)): higher-order
+    # functions evaluate interpreted, and this explode is the corpus-
+    # scale hot path (the dedup._ngram_fold 5.8x lesson). Grams come
+    # out space-joined ("a b"); identity is what matters for the
+    # equi-join and the space is a consistent rendering on every row.
     grams = base.select(
         "id",
         F.length("s").alias("len"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(s) - {q} + 1), i -> substring(s, i, {q}))"
-            )
-        ).alias("_pos", "gram"),
+        F.posexplode(_ngram_fold(F.split(F.col("s"), ""), q)).alias("_pos", "gram"),
     )
     # occurrence index within the string: same gram appearing twice must
     # match twice in the multiset intersection

@@ -1114,11 +1114,16 @@ def seasonal_decompose(
       for other periods.
     * ``residual`` — ``value - trend - seasonal``; null where trend is.
 
-    Cross-engine determinism: the detrended values are quantized to
-    fixed-point 1e-4 units and summed as int64 (the plans/_exact.py
-    int_sum discipline, inlined — operators don't import plans), so
-    the seasonal index is bit-identical in Spark and DuckDB; trend and
-    residual are generic doubles the gate's 4dp nudge-rounding absorbs.
+    Cross-engine determinism: trend is REPORTED AND CONSUMED at 4dp
+    fixed-point — the raw sliding-window sum carries engine-specific
+    accumulation drift well beyond ulp noise (Spark accumulates the
+    sliding frame incrementally; DuckDB recomputes — measured flips at
+    the 1e-4 grid on real data), so value and trend are both quantized
+    to the 4dp grid FIRST and the detrended units ``(v4 - t4) * 1e4``
+    are then exact int64s (the plans/_exact.py int_sum discipline,
+    inlined — operators don't import plans). The seasonal index is
+    therefore bit-identical across engines given equal 4dp inputs,
+    which is precisely what the gate's value hash checks.
 
     Scale shape: one window pass (narrow, per-metric ordering the
     metrics layout already buckets), one phase-sized aggregate, one
@@ -1137,9 +1142,14 @@ def seasonal_decompose(
     else:
         trend = F.when(cnt == period, F.avg(VALUE).over(wr))
     base = ts.select(
-        METRIC, TS, VALUE, trend.alias("trend"), ph.alias("_phase")
+        METRIC,
+        TS,
+        VALUE,
+        F.round(trend + F.lit(5e-8), 4).alias("trend"),
+        ph.alias("_phase"),
     )
-    detr_units = F.round((F.col(VALUE) - F.col("trend")) * 1e4).cast("long")
+    v4 = F.round(F.col(VALUE) + F.lit(5e-8), 4)
+    detr_units = F.round((v4 - F.col("trend")) * 1e4).cast("long")
     stats = (
         base.filter(F.col("trend").isNotNull())
         .groupBy(METRIC, "_phase")
@@ -1215,7 +1225,10 @@ def linear_trend(ts: DataFrame, y_scale: int = 10000) -> DataFrame:
     Output: ``(metric, n_points, slope, intercept)`` unrounded —
     callers round. Series with one point (or zero x-variance) get null
     slope/intercept rather than a fabricated line."""
-    hours = (F.unix_timestamp(F.col(TS)) / F.lit(3600)).cast("long")
+    # floor, not cast-truncation: they differ for pre-1970 timestamps
+    # (epoch -1800 / 3600 truncates to 0 but floors to -1) and the
+    # oracle mirrors floor()
+    hours = F.floor(F.unix_timestamp(F.col(TS)) / F.lit(3600)).cast("long")
     yq = F.round(F.col(VALUE) * F.lit(float(y_scale))).cast("long")
     base = ts.filter(F.col(VALUE).isNotNull()).select(
         F.col(METRIC), hours.alias("_h"), yq.alias("_y")

@@ -631,11 +631,14 @@ def ev_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd md5-bitmask predicate, exact join on survivors. The
     oracle is the PLAIN SQL join — the hash match proves the Bloom
     prune's no-false-negative property end to end (result identical,
-    only the shuffled volume shrank)."""
+    only the shuffled volume shrank). Threshold 7000 keeps the gate
+    non-vacuous at EVERY fixture scale (2 rows at sf0.001, 40 at
+    sf0.01 — a 9000 cutoff returned zero rows at sf0.001, which would
+    have "proved" the property on an empty result)."""
     from rearview_spark.operators.bloom import bloom_semi_join
 
     t = Tables(spark, sf_dir)
-    dim = t.customer.filter(F.col("c_acctbal") > 9000).select(
+    dim = t.customer.filter(F.col("c_acctbal") > 7000).select(
         "c_custkey", "c_name"
     )
     joined = bloom_semi_join(t.events, dim, "user_id", "c_custkey")
@@ -650,7 +653,7 @@ EV_BLOOM_SQL = """
 SELECT c.c_custkey, c.c_name, count(*) AS n_events
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
-WHERE c.c_acctbal > 9000
+WHERE c.c_acctbal > 7000
 GROUP BY 1, 2 ORDER BY 1
 """
 
@@ -673,12 +676,16 @@ def ev_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_SCD2_SQL = """
 WITH c AS (
   SELECT user_id, event_type, ts,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn
   FROM events
 ),
+-- rn = 1 marks the first observation (lag NULL is ambiguous between
+-- "first row" and "previous attr was NULL"); IS DISTINCT FROM mirrors
+-- the operator's null-safe struct comparison on NULL attribute values
 v AS (
   SELECT user_id, event_type, ts AS valid_from
-  FROM c WHERE prev IS NULL OR prev <> event_type
+  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type
 )
 SELECT user_id, event_type, valid_from,
        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to

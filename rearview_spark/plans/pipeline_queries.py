@@ -2538,14 +2538,14 @@ WITH cand AS (
 ),
 keyed AS (
   SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-         CAST(round(
+         CAST(CAST(round(
            -ln((CAST(concat('0x', substr(md5(doc_id || ':ws-r10'), 1, 15)) AS BIGINT) + 1)
                / 1152921504606846976.0)
-           / n_tokens * 1000000000000.0) AS BIGINT) AS key_q
+           * 1000000000000.0) AS BIGINT) AS DOUBLE) / n_tokens AS key
   FROM cand WHERE n_tokens > 0
 )
 SELECT source, doc_id, n_tokens, rank FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY key_q, doc_id) AS INTEGER) AS rank
+  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS INTEGER) AS rank
   FROM keyed
 ) WHERE rank <= 5 ORDER BY source, rank
 """

@@ -1417,10 +1417,10 @@ def ts_seasonal_decompose(spark, sf_dir):
 TS_SEASONAL_SQL = HOURLY_CTE + """
 , t AS (
   SELECT metric, ts, value,
-         CASE WHEN count(value) OVER w = 25
+         round(CASE WHEN count(value) OVER w = 25
               THEN (sum(value) OVER w
                     - 0.5 * (lag(value, 12) OVER wo + lead(value, 12) OVER wo)) / 24
-         END AS trend,
+         END + 0.00000005, 4) AS trend,
          date_part('hour', ts) AS phase
   FROM hourly
   WINDOW wo AS (PARTITION BY metric ORDER BY ts),
@@ -1428,7 +1428,7 @@ TS_SEASONAL_SQL = HOURLY_CTE + """
 ),
 st AS (
   SELECT metric, phase,
-         sum(CAST(round((value - trend) * 10000.0) AS BIGINT)) AS si,
+         sum(CAST(round((round(value + 0.00000005, 4) - trend) * 10000.0) AS BIGINT)) AS si,
          count(*) AS ni
   FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
 ),

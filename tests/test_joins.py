@@ -138,6 +138,16 @@ def test_bloom_prune_no_false_negatives_and_prunes(spark):
     assert B.bloom_prune(big, "k", empty, m_bits=1024, k=4).count() == 0
     with pytest.raises(ValueError):
         B.bloom_build(dim, "dk", m_bits=100)
+    # null build keys are ignored (an inner join ignores them too),
+    # not a driver-side TypeError
+    dim_null = spark.createDataFrame([(1,), (None,)], "dk long")
+    words_n = B.bloom_build(dim_null, "dk", m_bits=1024, k=4)
+    assert {r["k"] for r in B.bloom_prune(big, "k", words_n, m_bits=1024, k=4).collect()} >= {1}
+    # mismatched key types would silently false-negative via the string
+    # rendering ("5" vs "5.0") — rejected loudly instead
+    bigd = spark.createDataFrame([(5.0,)], "k double")
+    with pytest.raises(ValueError, match="key types"):
+        B.bloom_semi_join(bigd, dim, "k", "dk")
 
 
 # --- Edit-distance (fuzzy string) join -----------------------------------------
