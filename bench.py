@@ -91,8 +91,8 @@ HEADLINE = [
     # vocab-sized aggs), seasonal decomposition (window pass + tiny
     # joins), Bloom-pruned join (runtime-filter probe). The exact
     # set-similarity join (dedup_setsim_prefix) is deliberately NOT a
-    # bench line: it is output-bound by design (~10-16 s at sf0.1 after
-    # the corpus-materialization fix, against a ~23 s whole-bench
+    # bench line: it is output-bound by design (~3-8 s warm at sf0.1, but
+    # cold/loaded samples ranged to 31 s against a ~23 s whole-bench
     # total) and its perf story is the measured decade-scaling table
     # in PLANS.md.
     "doc_pmi_collocations",

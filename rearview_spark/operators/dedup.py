@@ -1078,15 +1078,19 @@ def setsim_prefix_pairs(
         else F.array_distinct(tokens(F.col(text_col)))
     )
     # The tokenized corpus feeds THREE consumers (the df-count explode,
-    # the canonical-order groupBy, and the verify join); materialize it
-    # once (eager localCheckpoint — the bigram_lm_counts pattern) so the
-    # tokenize+sort subtree never re-runs. Storage trade: one
-    # corpus-sized (id, set) frame, vs three corpus scans without it.
+    # the canonical-order groupBy, and the verify join) and is
+    # DELIBERATELY NOT materialized: an interleaved A/B at sf0.1
+    # (PLANS.md round 10) measured localCheckpoint(eager) at 7.9-8.5 s
+    # vs 3.1-4.5 s recomputed — serializing the corpus-sized shingle
+    # arrays costs more than re-running the codegen tokenize over the
+    # pruned 2-column scan. Materialization pays when the recomputed
+    # subtree is expensive relative to its OUTPUT size (bigram_lm_counts:
+    # vocab-sized counts from a corpus explode); a corpus-sized array
+    # frame from a cheap scan is the opposite case.
     base = (
         ensure_parallelism(df, id_col)
         .select(F.col(id_col).alias("id"), F.array_sort(set_col).alias("toks"))
         .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=True)
     )
     inv_all = base.select("id", F.explode("toks").alias("token"))
     freq = inv_all.groupBy("token").agg(F.count("*").alias("df_count"))
