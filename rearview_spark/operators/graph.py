@@ -173,3 +173,45 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionAll(tris.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def frequent_item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket frequent pairs with a-priori pruning (Agrawal &
+    Srikant VLDB'94): pairs of items co-occurring in at least
+    ``min_support`` baskets — the co-occurrence EDGE LIST the
+    recommendation / co-purchase graph is built from (and the input
+    :func:`pagerank` / :func:`triangle_counts` consume).
+
+    The a-priori property carries the scale story: a pair can only be
+    frequent if BOTH items are (support is anti-monotone), so items
+    below ``min_support`` are dropped BEFORE the basket self-join —
+    the join's blow-up is quadratic in basket size, and pruning
+    removes the long tail of one-off items from every basket first.
+    Plan: distinct (basket, item) → item-support hash agg →
+    broadcast-semi prune → self-join on basket → pair hash agg with an
+    integer HAVING. All counts are integers — no float drift anywhere.
+    """
+    b = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    freq = (
+        b.groupBy("it")
+        .agg(F.count("*").alias("item_support"))
+        .filter(F.col("item_support") >= min_support)
+        .select("it")
+    )
+    pruned = b.join(freq, "it", "left_semi")
+    a = pruned.select(F.col("bk"), F.col("it").alias("item_a"))
+    c = pruned.select(F.col("bk"), F.col("it").alias("item_b"))
+    return (
+        a.join(c, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support)
+    )

@@ -134,3 +134,28 @@ FROM corners GROUP BY node ORDER BY p_partkey
 """
 
 QUERIES["graph_triangles"] = {"fn": graph_triangles, "oracle": GRAPH_TRIANGLES_SQL}
+
+
+def graph_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent co-purchase pairs over lineitem baskets
+    (graph.frequent_item_pairs): support-2 pairs of parts co-occurring
+    in orders. Pure integer counts; the oracle is the unpruned
+    formulation, so the hash match proves the a-priori prune dropped
+    nothing (anti-monotonicity made concrete)."""
+    from rearview_spark.operators.graph import frequent_item_pairs
+
+    li = Tables(spark, sf_dir).lineitem
+    return frequent_item_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_support=2
+    ).orderBy("item_a", "item_b")
+
+
+GRAPH_PAIRS_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem)
+SELECT a.it AS item_a, c.it AS item_b, count(*) AS pair_support
+FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY item_a, item_b
+"""
+
+QUERIES["graph_item_pairs"] = {"fn": graph_item_pairs, "oracle": GRAPH_PAIRS_SQL}

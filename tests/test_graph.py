@@ -108,3 +108,33 @@ def test_triangle_counts_partitioning_invariant(spark):
             for r in triangle_counts(df.repartition(parts)).collect()
         }
         assert got == expected
+
+
+def test_frequent_item_pairs_apriori_equals_unpruned(spark):
+    """The a-priori prune may only remove work, never results: the
+    pruned pair list equals the brute-force pair count on a corpus
+    where several items fall below support; duplicate items within one
+    basket count once."""
+    from rearview_spark.operators.graph import frequent_item_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "x"),   # x appears once overall
+        (4, "c"), (4, "y"),
+        (5, "c"), (5, "c"),             # duplicate within basket
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r["item_a"], r["item_b"]): r["pair_support"]
+        for r in frequent_item_pairs(df, "bk", "it", min_support=2).collect()
+    }
+    assert got == {("a", "b"): 3}
+    # lower support keeps (a, c) and (b, c) from basket 1? no — each
+    # co-occurs once, so support 1 admits them
+    low = {
+        (r["item_a"], r["item_b"]): r["pair_support"]
+        for r in frequent_item_pairs(df, "bk", "it", min_support=1).collect()
+    }
+    assert low[("a", "c")] == 1 and low[("b", "c")] == 1 and low[("c", "y")] == 1
+    assert ("a", "x") in low  # support-1 keeps the singleton item too
