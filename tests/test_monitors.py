@@ -976,3 +976,46 @@ def test_scd2_merge_idempotent_and_inserts(spark):
         for r in again.collect()
     )
     assert rows2 == rows
+
+
+def test_scd2_foreach_batch_recurrence_and_retry(spark, tmp_path):
+    """Three micro-batches through the versioned-snapshot recurrence:
+    the final history equals scd2_from_changes over the concatenated
+    stream (no late arrivals across batches), and replaying batch 1
+    (at-least-once retry) rewrites it byte-identical."""
+    import datetime as _dt
+
+    from rearview_spark.operators.scd import scd2_foreach_batch, scd2_from_changes
+
+    t = lambda m: _dt.datetime(2024, 1, 1, 0, m, 0)
+    hist_dir = str(tmp_path / "scd2")
+    cb = scd2_foreach_batch(spark, hist_dir, "k", ["tier"], "eff")
+    batches = [
+        [(1, "gold", t(0)), (2, "basic", t(1))],
+        [(1, "silver", t(10)), (3, "new", t(11))],
+        [(1, "silver", t(20)), (2, "plus", t(21))],  # no-op + change
+    ]
+    for i, rows in enumerate(batches):
+        cb(spark.createDataFrame(rows, "k long, tier string, eff timestamp"), i)
+
+    def snap(v):
+        return sorted(
+            (r["k"], r["tier"], r["valid_from"].minute,
+             r["valid_to"].minute if r["valid_to"] else None)
+            for r in spark.read.parquet(f"{hist_dir}/v={v}").collect()
+        )
+
+    final = snap(2)
+    stream = spark.createDataFrame(
+        [r for b in batches for r in b], "k long, tier string, ts timestamp"
+    )
+    want = sorted(
+        (r["k"], r["tier"], r["valid_from"].minute,
+         r["valid_to"].minute if r["valid_to"] else None)
+        for r in scd2_from_changes(stream, "k", ["tier"], "ts").collect()
+    )
+    assert final == want
+    # retry of batch 1 must not read its own output and must land identical
+    before = snap(1)
+    cb(spark.createDataFrame(batches[1], "k long, tier string, eff timestamp"), 1)
+    assert snap(1) == before
