@@ -301,7 +301,66 @@ WHERE mad.mad > 0 AND abs(0.6745 * (d.value - d.med)) > 3.5 * mad.mad
 """
 
 
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2: the events stream drives
+    ``scd2_foreach_batch`` (operators/scd.py) under availableNow — the
+    micro-batch merges into the versioned history store and the gate
+    returns the landed snapshot. One staged file means one data
+    micro-batch (the deterministic-emission rule every stream_* gate
+    uses), so the snapshot equals the batch construction and the
+    oracle replays the same lag-dedup + lead-close windows; the
+    multi-batch recurrence and retry hygiene are pinned by
+    tests/test_monitors.py::test_scd2_foreach_batch_recurrence_and_retry."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.scd import scd2_foreach_batch
+
+    work = tempfile.mkdtemp(prefix="scd2_gate_")
+    hist = f"{work}/history"
+    try:
+        with _nanos_conf_guard(spark):
+            ev = load_events_stream(spark, sf_dir).select(
+                "user_id", "event_type", "ts"
+            )
+            q = (
+                ev.writeStream.foreachBatch(
+                    scd2_foreach_batch(spark, hist, "user_id", ["event_type"], "ts")
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(f"{hist}/v=0").orderBy(
+            "user_id", "valid_from", "event_type"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAM_SCD2_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn
+  FROM events
+),
+v AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to
+FROM v
+ORDER BY user_id, valid_from, event_type
+"""
+
+
 QUERIES: dict[str, dict] = {
+    "stream_scd2_history": {"fn": stream_scd2_history, "oracle": STREAM_SCD2_SQL},
     "stream_hourly_stats": {"fn": stream_hourly_stats, "oracle": STREAM_HOURLY_SQL},
     "stream_anomaly_alerts": {"fn": stream_anomaly_alerts, "oracle": STREAM_ANOMALY_SQL},
     "stream_dedup_hourly_counts": {"fn": stream_dedup_hourly_counts, "oracle": STREAM_DEDUP_SQL},
