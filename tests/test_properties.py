@@ -262,3 +262,101 @@ def test_mmr_lambda_one_is_relevance_topk(spark, n, k):
     )
     out = mmr_rerank(df, k=k, lam=1.0).orderBy("mmr_rank").collect()
     assert [r["vec_id"] for r in out] == list(range(1, min(k, n) + 1))
+
+
+# --- completeness of the exact-join candidate filters -------------------------
+
+_corpus_strategy = st.lists(
+    st.text(alphabet="abcd", min_size=6, max_size=14),
+    min_size=5,
+    max_size=30,
+)
+
+# each example runs several Spark jobs INCLUDING a brute-force cross
+# join — fewer, larger examples beat many small ones here
+_JOIN_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_JOIN_SETTINGS
+@given(strings=_corpus_strategy, k=st.integers(min_value=1, max_value=2))
+def test_edit_distance_join_complete_on_random_corpora(spark, strings, k):
+    """The q-gram count filter may prune candidates but never results:
+    on arbitrary corpora (within the length contract) the filtered join
+    equals brute-force levenshtein."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.joins import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, s string"
+    ).filter(F.length("s") >= 2 + k * 2)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "s", "id", max_dist=k, q=2).collect()
+    )
+    a = df.selectExpr("id AS id_a", "s AS sa")
+    b = df.selectExpr("id AS id_b", "s AS sb")
+    want = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b")
+        .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("dist"))
+        .filter(F.col("dist") <= k)
+        .collect()
+    )
+    assert got == want
+
+
+@_JOIN_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=4,
+        max_size=20,
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_setsim_prefix_complete_on_random_corpora(spark, docs, t):
+    """AllPairs/PPJoin prefix filtering equals brute force on random
+    word-set corpora at several thresholds — the structural
+    completeness guarantee, fuzzed."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.dedup import setsim_prefix_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in setsim_prefix_pairs(df, threshold=t).collect()
+    }
+    base = df.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("s"),
+    )
+    a = base.selectExpr("id AS id_a", "s AS sa")
+    b = base.selectExpr("id AS id_b", "s AS sb")
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb"))
+        + F.lit(5e-10),
+        6,
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    assert got == want
