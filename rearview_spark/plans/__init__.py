@@ -11,12 +11,18 @@ from __future__ import annotations
 # driver-green row the round it lands. Names listed here but not (yet)
 # registered are skipped, so the list may lead the implementation.
 _NEW_THIS_ROUND = (
-    # r10: empty by design (VERDICT_r09 next-round #1). All 14 r09 gates
-    # went driver-green in CORRECTNESS_r09; leaving them here would burn
-    # window slots re-confirming fresh greens. Gates registered for the
-    # first time this round need no entry — group (c) below ("never
-    # driver-checked") front-loads them automatically — so the window
-    # spends everything else rotating the r06-stale cohort.
+    # Empty by design since r10 (VERDICT_r09 next-round #1): gates
+    # registered for the first time in a round need no entry — group
+    # (c) below ("never driver-checked") front-loads them automatically
+    # — and listing already-green gates burns window slots
+    # re-confirming fresh greens instead of rotating stale ones.
+    #
+    # Ceiling arithmetic before registering anything (driver hashes the
+    # FIRST 50 entries): len(never-checked new) + len(stalest cohort to
+    # rotate) must stay <= 50. r10 landed on exactly 50 (27 new + the
+    # full 20-row r06 cohort + 3 r07 rotations); after r10 the stalest
+    # cohort is the 44 unrotated r07 rows, so r11 can register at most
+    # 6 new gates while rotating all of them.
 )
 
 
