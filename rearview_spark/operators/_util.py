@@ -78,3 +78,27 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
+def hadoop_child_names(spark, dir_path: str, prefix: str) -> list[str]:
+    """Names of ``dir_path``'s immediate child DIRECTORIES that start
+    with ``prefix``, with the prefix stripped — via the Hadoop
+    FileSystem API (works on hdfs:// / s3a://, not just local paths),
+    one driver-side listStatus, never a distributed listing job.
+    Empty list when the directory doesn't exist yet.
+
+    Shared by the partition-pruned minhash store (``pfx=``-partitioned
+    probe, dedup.py) and the SCD2 versioned-snapshot store
+    (``v=``-versioned history, scd.py)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out.append(name[len(prefix):])
+    return out

@@ -648,22 +648,14 @@ def minhash_store_pruned_rows(
 
 def _pruned_store_prefixes(spark, store_path: str) -> list[str]:
     """The pfx partition values present under a pruned store root — ONE
-    driver-side Hadoop listStatus of the root dir (works on hdfs://
-    and s3a:// alike), never Spark's recursive partition discovery
-    (which runs a distributed listing job over EVERY partition dir on
-    each read). Empty list when the root doesn't exist yet."""
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    path = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return []
-    out = []
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("pfx="):
-            out.append(name[4:])
-    return out
+    driver-side Hadoop listStatus of the root dir
+    (:func:`rearview_spark.operators._util.hadoop_child_names`), never
+    Spark's recursive partition discovery (which runs a distributed
+    listing job over EVERY partition dir on each read). Empty list when
+    the root doesn't exist yet."""
+    from rearview_spark.operators._util import hadoop_child_names
+
+    return hadoop_child_names(spark, store_path, "pfx=")
 
 
 def incremental_minhash_dedup_pruned(

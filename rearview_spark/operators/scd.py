@@ -111,26 +111,16 @@ def scd2_foreach_batch(
     MERGE and keeps the same :func:`scd2_merge` plan (the JobStore
     boundary note, VERDICT_r09 missing #3).
     """
+    from rearview_spark.operators._util import hadoop_child_names
+
     cols = [key_col, *attr_cols, "valid_from", "valid_to"]
 
     def _read_latest_below(n: int):
-        # Hadoop FS listing (works on hdfs:// / s3a://, not just local)
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(history_dir)
-        fs = path.getFileSystem(hconf)
-        if not fs.exists(path):
-            return None
-        versions = []
-        for st in fs.listStatus(path):
-            name = st.getPath().getName()
-            if name.startswith("v="):
-                try:
-                    v = int(name[2:])
-                except ValueError:
-                    continue
-                if v < n:
-                    versions.append(v)
+        versions = [
+            int(name)
+            for name in hadoop_child_names(spark, history_dir, "v=")
+            if name.isdigit() and int(name) < n
+        ]
         if not versions:
             return None
         return spark.read.parquet(f"{history_dir}/v={max(versions)}")

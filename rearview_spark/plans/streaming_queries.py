@@ -332,31 +332,21 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        out = spark.read.parquet(f"{hist}/v=0").orderBy(
-            "user_id", "valid_from", "event_type"
+        # survive the finally-rmtree without a driver collect round-trip:
+        # executor-side materialization of the (small) history snapshot
+        out = (
+            spark.read.parquet(f"{hist}/v=0")
+            .orderBy("user_id", "valid_from", "event_type")
+            .localCheckpoint(eager=True)
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
-STREAM_SCD2_SQL = """
-WITH c AS (
-  SELECT user_id, event_type, ts,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn
-  FROM events
-),
-v AS (
-  SELECT user_id, event_type, ts AS valid_from
-  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type
-)
-SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to
-FROM v
-ORDER BY user_id, valid_from, event_type
-"""
+# the streaming gate lands the SAME history the batch gate derives, so
+# the oracle IS the batch gate's — single-sourced from events_queries
+from rearview_spark.plans.events_queries import EV_SCD2_SQL as STREAM_SCD2_SQL  # noqa: E402
 
 
 QUERIES: dict[str, dict] = {
