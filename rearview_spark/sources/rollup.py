@@ -129,3 +129,75 @@ def resolved_summarize(
         "avg": F.col("sum_value") / F.col("n_points"),
     }[fn]
     return merged.select("metric", "ts", final.alias("value"))
+
+
+def refresh_rollups(
+    spark: SparkSession,
+    raw_metrics: DataFrame,
+    base_path: str,
+    dirty_dts: list,
+    tiers: dict[str, int] | None = None,
+) -> None:
+    """Incremental continuous-aggregate refresh — the invalidation-based
+    maintenance Timescale runs on hypertables, and the piece
+    :func:`write_rollups` (full rebuild) leaves to the caller: given the
+    set of DIRTY date partitions (the dts late/new raw rows landed in),
+    recompute ONLY those partitions of every tier and dynamic-overwrite
+    them in place.
+
+    Why recompute-from-source instead of additive state merge: the
+    partial states are mergeable, but an additive "read + add delta +
+    overwrite" is not retry-safe without transactions (a replayed
+    at-least-once batch double-adds into the partitions it already
+    rewrote). Recomputing each dirty partition from the tier below is a
+    DETERMINISTIC FUNCTION of the (already-landed) source data, so
+    replays and crash-rerun land byte-identical — idempotence by
+    construction, the same property every foreachBatch recurrence in
+    this repo leans on. Cost stays partition-pruned: the finest tier
+    re-aggregates only the dirty dts' raw rows; each coarser tier reads
+    the dirty dts of the tier BELOW (fan-in smaller), never raw.
+
+    Tier steps must divide one day (the dt partition grain) so no
+    bucket spans a partition boundary — asserted, not assumed.
+    """
+    tiers = dict(sorted((tiers or DEFAULT_TIERS).items(), key=lambda kv: kv[1]))
+    for step, secs in tiers.items():
+        if 86400 % secs:
+            raise ValueError(
+                f"tier step {step!r} ({secs}s) does not divide one day — a "
+                "bucket would span dt partitions and dirty-partition "
+                "refresh could not be partition-local"
+            )
+    if not dirty_dts:
+        return
+    prev_overwrite = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        source: DataFrame | None = None
+        for step, secs in tiers.items():
+            if source is None:
+                dirty = with_date_partition(raw_metrics).filter(
+                    F.col("dt").isin(dirty_dts)
+                )
+                fresh = rollup_from_raw(dirty.drop("dt"), step)
+            else:
+                fresh = rollup_cascade(source, step)
+            path = f"{base_path.rstrip('/')}/{secs}s"
+            (
+                with_date_partition(fresh)
+                .repartition("dt")
+                .sortWithinPartitions("metric", "ts")
+                .write.mode("overwrite")
+                .partitionBy("dt")
+                .parquet(path)
+            )
+            source = (
+                spark.read.parquet(path)
+                .filter(F.col("dt").isin(dirty_dts))
+                .select("metric", "ts", *_STATE_COLS)
+            )
+    finally:
+        if prev_overwrite is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite)

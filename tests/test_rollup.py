@@ -55,3 +55,51 @@ def test_write_and_route(spark, tmp_path):
     got = {r["ts"]: r["value"] for r in served.collect()}
     want = {r["ts"]: r["value"] for r in direct.collect()}
     assert got == want
+
+
+def test_refresh_rollups_dirty_partition_equals_full_rebuild(spark, tmp_path):
+    """Append late raw rows into one date, refresh just that dt, and
+    every tier must equal a from-scratch full rebuild; untouched
+    partitions keep their rows; re-running the refresh (at-least-once
+    replay) is a no-op; a tier step that doesn't divide a day is
+    rejected."""
+    import datetime as _dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rearview_spark.sources.rollup import (
+        DEFAULT_TIERS,
+        read_rollup,
+        refresh_rollups,
+        write_rollups,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+    day1 = [("m", _dt.datetime(2024, 1, 1, h, 7, 0), float(h)) for h in range(24)]
+    day2 = [("m", _dt.datetime(2024, 1, 2, h, 7, 0), 2.0 * h) for h in range(24)]
+    base = str(tmp_path / "tiers")
+    write_rollups(mk(day1 + day2), base)
+
+    late = [("m", _dt.datetime(2024, 1, 2, 5, 30, 0), 100.0)]
+    full = mk(day1 + day2 + late)
+    refresh_rollups(spark, full, base, [_dt.date(2024, 1, 2)])
+
+    rebuilt_base = str(tmp_path / "rebuilt")
+    write_rollups(full, rebuilt_base)
+    for tier in DEFAULT_TIERS:
+        got = sorted(map(tuple, read_rollup(spark, base, tier).collect()))
+        want = sorted(map(tuple, read_rollup(spark, rebuilt_base, tier).collect()))
+        assert got == want, tier
+
+    # replay: identical result (recompute is deterministic in the source)
+    refresh_rollups(spark, full, base, [_dt.date(2024, 1, 2)])
+    for tier in DEFAULT_TIERS:
+        got = sorted(map(tuple, read_rollup(spark, base, tier).collect()))
+        want = sorted(map(tuple, read_rollup(spark, rebuilt_base, tier).collect()))
+        assert got == want, tier
+
+    with pytest.raises(ValueError, match="divide one day"):
+        refresh_rollups(spark, full, base, [_dt.date(2024, 1, 2)], tiers={"7 hours": 25200})
