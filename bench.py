@@ -364,6 +364,20 @@ def main() -> None:
         )
         with open(os.path.join(hist, name), "w") as f:
             json.dump(full, f)
+        # ALSO keep a per-run copy (…_runK.json): the latest-run file
+        # above is what _previous_bench reads (its glob regex skips the
+        # _runK suffix), but a round often benches several times and the
+        # per-run spreads are the raw material for noise adjudication —
+        # overwriting them erased r10's earlier runs (PLANS.md note).
+        k = 1
+        while os.path.exists(
+            os.path.join(hist, name.replace(".json", f"_run{k}.json"))
+        ):
+            k += 1
+        with open(
+            os.path.join(hist, name.replace(".json", f"_run{k}.json")), "w"
+        ) as f:
+            json.dump(full, f)
     except OSError:
         pass  # archiving is best-effort; the printed contract line rules
 
