@@ -1380,8 +1380,65 @@ SELECT metric, ts, value FROM (
 
 QUERIES["ts_lttb_downsample"] = {"fn": ts_lttb_downsample, "oracle": TS_LTTB_SQL}
 
-#: r07: the r06-staged gate above is now live; nothing is staged.
-PENDING_QUERIES: dict[str, dict] = {}
+# --- incremental rollup refresh (staged r10, register r11) -------------------
+# r10's driver window closed at exactly 50 rows (27 new + 20 r06 + 3 r07
+# rotations), so this gate is staged for one round — already oracle-green
+# via tests/test_pending_gates.py, registration in r11 is one line.
+
+def ts_rollup_refresh(spark, sf_dir):
+    """Invalidation-based continuous-aggregate maintenance, end to end
+    (sources/rollup.refresh_rollups): materialize the tiers WITHOUT the
+    final day of events, refresh only that dirty day from the full
+    series, and return the hourly tier — which must equal the hourly
+    partial state of the FULL raw series (the oracle), proving the
+    dirty-partition recompute reconstructs exactly what a full rebuild
+    would."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.sources.rollup import (
+        read_rollup,
+        refresh_rollups,
+        write_rollups,
+    )
+
+    work = tempfile.mkdtemp(prefix="rollup_refresh_")
+    try:
+        full = events_as_timeseries(Tables(spark, sf_dir).events)
+        last_day = full.agg(F.max(F.to_date("ts"))).collect()[0][0]
+        write_rollups(full.filter(F.to_date("ts") < F.lit(last_day)), work)
+        refresh_rollups(spark, full, work, [last_day])
+        return (
+            read_rollup(spark, work, "1 hour")
+            .select(
+                "metric",
+                "ts",
+                r4(F.col("sum_value")).alias("sum_value"),
+                F.col("n_points").cast("long").alias("n_points"),
+                r4(F.col("min_value")).alias("min_value"),
+                r4(F.col("max_value")).alias("max_value"),
+            )
+            .orderBy("metric", "ts")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TS_ROLLUP_REFRESH_SQL = """
+SELECT event_type AS metric, date_trunc('hour', ts) AS ts,
+       round(sum(value) + 0.00000005, 4) AS sum_value,
+       count(value) AS n_points,
+       round(min(value) + 0.00000005, 4) AS min_value,
+       round(max(value) + 0.00000005, 4) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+#: staged r10 (window at its 50-row ceiling); register into QUERIES in r11.
+PENDING_QUERIES: dict[str, dict] = {
+    "ts_rollup_refresh": {"fn": ts_rollup_refresh, "oracle": TS_ROLLUP_REFRESH_SQL},
+}
 
 
 QUERIES["ts_weighted_average"] = {"fn": ts_weighted_average, "oracle": TS_WEIGHTED_AVG_SQL}
