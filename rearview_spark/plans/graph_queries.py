@@ -159,3 +159,70 @@ ORDER BY item_a, item_b
 """
 
 QUERIES["graph_item_pairs"] = {"fn": graph_item_pairs, "oracle": GRAPH_PAIRS_SQL}
+
+
+# --- co-purchase components (staged r10, register r11) ------------------------
+# r10's driver window closed at its 50-row ceiling; staged like
+# ts_rollup_refresh — tests/test_pending_gates.py already oracle-checks it.
+
+def graph_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph: the support-2
+    frequent pairs become edges, dedup.connected_components (iterative
+    min-label propagation — no single-query SQL form) labels them, and
+    the gate emits the per-component summary. The oracle rebuilds the
+    pairs brute-force and recurses transitive closure — DuckDB
+    recursion checks Spark iteration (the dedup_duplicate_groups
+    precedent, on a different graph)."""
+    from rearview_spark.operators.dedup import connected_components
+    from rearview_spark.operators.graph import frequent_item_pairs
+
+    pairs = frequent_item_pairs(
+        Tables(spark, sf_dir).lineitem, "l_orderkey", "l_partkey", min_support=2
+    ).select(
+        F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("id").alias("min_item"),
+            F.max("id").alias("max_item"),
+        )
+        .orderBy("component")
+    )
+
+
+GRAPH_COMPONENTS_SQL = """
+WITH RECURSIVE b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+pairs AS (
+  SELECT a.it AS id_a, c.it AS id_b
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_members, min(id) AS min_item, max(id) AS max_item
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+#: staged r10 (window ceiling); register into QUERIES in r11.
+PENDING_QUERIES: dict[str, dict] = {
+    "graph_copurchase_components": {
+        "fn": graph_copurchase_components,
+        "oracle": GRAPH_COMPONENTS_SQL,
+    },
+}

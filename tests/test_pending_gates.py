@@ -17,10 +17,10 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def _pending() -> dict:
-    from rearview_spark.plans import pipeline_queries, timeseries_queries
+    from rearview_spark.plans import graph_queries, pipeline_queries, timeseries_queries
 
     out = {}
-    for mod in (timeseries_queries, pipeline_queries):
+    for mod in (timeseries_queries, pipeline_queries, graph_queries):
         out.update(getattr(mod, "PENDING_QUERIES", {}))
     return out
 
