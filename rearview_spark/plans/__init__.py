@@ -21,8 +21,9 @@ _NEW_THIS_ROUND = (
     # FIRST 50 entries): len(never-checked new) + len(stalest cohort to
     # rotate) must stay <= 50. r10 landed on exactly 50 (27 new + the
     # full 20-row r06 cohort + 3 r07 rotations); after r10 the stalest
-    # cohort is the 44 unrotated r07 rows, so r11 can register at most
-    # 6 new gates while rotating all of them.
+    # cohort was the 44 unrotated r07 rows, so r11 registers at most
+    # 6 new gates (2 staged: ts_rollup_refresh,
+    # graph_copurchase_components) while rotating all 44.
 )
 
 

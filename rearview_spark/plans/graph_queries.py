@@ -219,10 +219,11 @@ FROM comp GROUP BY component ORDER BY component
 """
 
 
-#: staged r10 (window ceiling); register into QUERIES in r11.
-PENDING_QUERIES: dict[str, dict] = {
-    "graph_copurchase_components": {
-        "fn": graph_copurchase_components,
-        "oracle": GRAPH_COMPONENTS_SQL,
-    },
+# Registered r11 (was staged r10 at the window ceiling; oracle-green via
+# tests/test_pending_gates.py throughout).
+QUERIES["graph_copurchase_components"] = {
+    "fn": graph_copurchase_components,
+    "oracle": GRAPH_COMPONENTS_SQL,
 }
+
+PENDING_QUERIES: dict[str, dict] = {}

@@ -1435,10 +1435,11 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-#: staged r10 (window at its 50-row ceiling); register into QUERIES in r11.
-PENDING_QUERIES: dict[str, dict] = {
-    "ts_rollup_refresh": {"fn": ts_rollup_refresh, "oracle": TS_ROLLUP_REFRESH_SQL},
-}
+# Registered r11 (was staged r10 while the window sat at its 50-row
+# ceiling; oracle-green via tests/test_pending_gates.py throughout).
+QUERIES["ts_rollup_refresh"] = {"fn": ts_rollup_refresh, "oracle": TS_ROLLUP_REFRESH_SQL}
+
+PENDING_QUERIES: dict[str, dict] = {}
 
 
 QUERIES["ts_weighted_average"] = {"fn": ts_weighted_average, "oracle": TS_WEIGHTED_AVG_SQL}
