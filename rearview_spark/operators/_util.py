@@ -117,6 +117,11 @@ def global_row_number(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if out_col in df.columns or "_gpid" in df.columns:
+        raise ValueError(
+            f"global_row_number: input already has {out_col!r} or '_gpid' "
+            "— pass a different out_col / rename the clashing column"
+        )
     ranged = (
         df.repartitionByRange(*order_cols)
         .withColumn("_gpid", F.spark_partition_id())
@@ -152,17 +157,43 @@ def ntile_from_row_number(rn_col, n: int, k: int):
     to ``F.ntile(k).over(Window.orderBy(...))`` but with no global-sort
     window anywhere in the plan. ``n`` and ``k`` are Python ints so the
     arithmetic folds to literals; ceil(a/b) is the integer form
-    floor((a+b-1)/b), and the q == 0 branch (fewer rows than tiles,
+    (a+b-1) div b on longs — INTEGER division (SQL ``div``), exact over
+    the full int64 domain where a float ``/`` under F.floor drifts past
+    2^53 (ADVICE r11) — and the q == 0 branch (fewer rows than tiles,
     where ntile assigns row i to tile i) never divides by zero."""
     from pyspark.sql import functions as F
+
+    def idiv(a, b: int):
+        return F.call_function("div", a.cast("long"), F.lit(b).cast("long"))
 
     q, r = divmod(n, k)
     if q == 0:
         return rn_col.cast("int")
-    first = F.floor((rn_col + q) / (q + 1))
-    rest = r + F.floor((rn_col - r * (q + 1) + q - 1) / q)
+    first = idiv(rn_col + q, q + 1)
+    rest = r + idiv(rn_col - r * (q + 1) + q - 1, q)
     return (
         F.when(rn_col <= r * (q + 1), first).otherwise(rest).cast("int")
+    )
+
+
+def ranked_topk(df: DataFrame, order_cols, k: int, rank_col: str = "rank") -> DataFrame:
+    """Deterministic global top-``k`` with a 1-based ``rank_col``, WITHOUT
+    an unbounded partition-less window: ``orderBy(...).limit(k)`` plans as
+    a distributed TakeOrderedAndProject (per-partition partial top-k,
+    driver-side k-way merge — never a global sort), and the row_number
+    window that then assigns ranks runs over <= k rows, a LITERAL bound,
+    not data. That bounded case is the only place a partition-less
+    WindowExec is scale-safe (the sweep in tests/test_plan_shapes.py
+    encodes exactly this rule: empty partitionSpec ⇒ a limit node below
+    it). ``order_cols`` must be a strict total order (unique tiebreaker)
+    or both the cut at k and the ranks are nondeterministic — same
+    contract as global_row_number."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    topk = df.orderBy(*order_cols).limit(k)
+    return topk.withColumn(
+        rank_col, F.row_number().over(Window.orderBy(*order_cols))
     )
 
 

@@ -733,17 +733,17 @@ def prf_expansion_terms(
         .filter(F.length("term") >= min_len)
         .filter(~F.col("term").isin(seed_terms))
     )
-    return (
-        fbtok.groupBy("term")
-        .agg(F.sum("_w").cast("long").alias("weight"))
-        .select(
-            "term",
-            "weight",
-            F.row_number()
-            .over(Window.orderBy(F.col("weight").desc(), F.col("term")))
-            .alias("prf_rank"),
-        )
-        .filter(F.col("prf_rank") <= n_expand)
+    from rearview_spark.operators._util import ranked_topk
+
+    # top-n_expand via distributed TakeOrderedAndProject: the feedback
+    # vocabulary is bounded by the n_feedback docs' lengths, not the
+    # corpus, but long docs still make it thousands of rows — never
+    # worth a single-task global window (ADVICE r11 low #4).
+    return ranked_topk(
+        fbtok.groupBy("term").agg(F.sum("_w").cast("long").alias("weight")),
+        [F.col("weight").desc(), F.col("term")],
+        n_expand,
+        "prf_rank",
     )
 
 

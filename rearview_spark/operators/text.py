@@ -454,15 +454,18 @@ def pmi_collocations(
     map-side-partial hash aggregation whose output is vocabulary-sized,
     not corpus-sized; the PMI join runs entirely on count tables
     (vocab- and unique-bigram-sized, AQE-broadcastable), and the
-    ``row_number`` window only orders the ``min_count``-surviving
-    bigrams — bounded, never the corpus. Rank ties are impossible: the
+    top-k runs as a distributed TakeOrderedAndProject via
+    :func:`_util.ranked_topk` — the ``min_count``-surviving bigram table
+    is vocabulary²-bounded, not corpus-bounded, but at web scale that is
+    still hundreds of millions of rows, which r10's partition-less
+    ``row_number`` window funneled through ONE task (VERDICT r10 weak
+    finding #2); the only remaining partition-less window orders the
+    ``top_k``-row result, a literal bound. Rank ties are impossible: the
     ordering breaks on (pmi desc, w1, w2) and bigrams are unique.
     Tokenization is the repo-canonical :func:`tokens`, so the DuckDB
     oracle replays counts and the ln() arithmetic exactly (6dp nudge
     rounding absorbs libm ulp skew — the :func:`doc_perplexity`
     precedent)."""
-    from pyspark.sql.window import Window
-
     toks = tokens(F.col(text_col))
     t = df.select(toks.alias("t"))
     uni = (
@@ -505,9 +508,10 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top_k
+    from rearview_spark.operators._util import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("pmi"), F.asc("w1"), F.asc("w2")], top_k
     )
 
 

@@ -217,3 +217,64 @@ def test_ohlc_bars_single_aggregate_with_partial(spark):
     assert final.count("Exchange hashpartitioning") == 1
     assert "partial_min" in final
     assert "Window" not in final
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Physical Window nodes with an EMPTY partition spec and no
+    limit-type node below them — i.e. single-task sorts over DATA-sized
+    input, the shape VERDICT r10 banned. A partition-less window whose
+    subtree contains TakeOrderedAndProject/GlobalLimit/CollectLimit is
+    fine: its input is bounded by a literal k (the ranked_topk pattern).
+    Walks the JVM plan tree so detection keys on the actual
+    partitionSpec, not on string formatting."""
+    limit_nodes = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+    offenders: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if name in ("WindowExec", "WindowGroupLimitExec") and node.partitionSpec().isEmpty():
+            subtree = node.children().apply(0).toString()
+            if not any(ln in subtree for ln in limit_nodes):
+                offenders.append(node.toString().splitlines()[0])
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return offenders
+
+
+def test_no_unbounded_global_window_sweep(spark, sf_dir):
+    """The r10 verdict's two weak findings — partition-less WindowExec in
+    customer_value_deciles (global ntile) and doc_pmi_collocations
+    (top-k row_number) — plus every other gate that ranks globally must
+    plan WITHOUT a single-task data-sized window: any empty-partition
+    WindowExec in the physical plan must sit above a limit node (its
+    input then <= a literal k). Sweeps the rewritten gates and the
+    bounded-by-construction rankers so a refactor reintroducing the
+    global sort fails here, not at a driver rotation."""
+    from rearview_spark.plans.pipeline_queries import doc_pmi_collocations
+    from rearview_spark.plans.relational import customer_value_deciles
+    from rearview_spark.plans.retrieval_queries import hybrid_rrf_topk
+
+    for fn in (customer_value_deciles, doc_pmi_collocations, hybrid_rrf_topk):
+        bad = _unbounded_global_windows(fn(spark, sf_dir))
+        assert not bad, f"{fn.__name__}: unbounded global window(s): {bad}"
+
+
+def test_prf_expansion_rank_is_limit_bounded(spark):
+    """prf_expansion_terms' prf_rank (ADVICE r11 low #4) now ranks via
+    ranked_topk — the feedback-vocabulary aggregate reaches the rank
+    window only through a TakeOrderedAndProject, never a global sort."""
+    from rearview_spark.operators.retrieval import prf_expansion_terms
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta{i % 5} gamma delta{i % 3} common words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = prf_expansion_terms(df, ["alpha"], n_feedback=5, n_expand=4)
+    bad = _unbounded_global_windows(out)
+    assert not bad, f"unbounded global window(s): {bad}"

@@ -1,0 +1,120 @@
+"""Unit tests for the distributed-ranking helpers in operators/_util.py
+(ADVICE r11 medium: the helpers backing customer_value_deciles' rewrite
+had no direct coverage — a regression in the offset/ntile math would
+have surfaced only at a driver rotation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _ref_ntile(spark, n: int, k: int) -> list[tuple[int, int]]:
+    """(rn, tile) for rows 1..n from Spark's own ntile — the spec."""
+    df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+    w = Window.orderBy("rn")
+    return sorted(
+        (r["rn"], r["tile"])
+        for r in df.select("rn", F.ntile(k).over(w).alias("tile")).collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "n,k",
+    [
+        (3, 10),   # n < k: row i -> tile i, tiles k..n+1 empty
+        (13, 5),   # n % k != 0: first 3 tiles get 3 rows, last 2 get 2
+        (20, 4),   # n % k == 0: uniform tiles
+        (1, 1),
+        (7, 7),    # n == k: one row per tile
+        (50, 7),   # r=1: single wide tile then uniform
+    ],
+)
+def test_ntile_from_row_number_matches_spark_ntile(spark, n, k):
+    from rearview_spark.operators._util import ntile_from_row_number
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+    got = sorted(
+        (r["rn"], r["tile"])
+        for r in df.select(
+            "rn", ntile_from_row_number(F.col("rn"), n, k).alias("tile")
+        ).collect()
+    )
+    assert got == _ref_ntile(spark, n, k)
+
+
+def test_ntile_closed_form_is_integer_exact_near_int64(spark):
+    """The div-based closed form must stay exact where float '/' under
+    floor would round: rn near 2^60 with a huge n. Tile boundaries
+    follow directly from q = n div k: rows 1..(q+1) -> tile 1 (r=1
+    wide tile), then width q."""
+    from rearview_spark.operators._util import ntile_from_row_number
+
+    n = (1 << 60) + 1  # q = n // k huge, r = 1
+    k = 4
+    q = n // k
+    probes = {
+        1: 1,
+        q + 1: 1,          # last row of the wide first tile
+        q + 2: 2,          # first row of tile 2
+        2 * q + 1: 2,      # last row of tile 2
+        2 * q + 2: 3,
+        n: 4,
+    }
+    df = spark.createDataFrame([(rn,) for rn in probes], "rn long")
+    got = {
+        r["rn"]: r["tile"]
+        for r in df.select(
+            "rn", ntile_from_row_number(F.col("rn"), n, k).alias("tile")
+        ).collect()
+    }
+    assert got == probes
+
+
+def test_global_row_number_total_order_and_count(spark):
+    from rearview_spark.operators._util import global_row_number
+
+    rows = [(i, float((i * 37) % 101)) for i in range(101)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    ranked, total = global_row_number(df, [F.col("v").desc(), F.col("id")])
+    assert total == 101
+    got = [
+        (r["v"], r["id"])
+        for r in ranked.orderBy("global_rn").collect()
+    ]
+    assert got == sorted(((v, i) for i, v in rows), key=lambda t: (-t[0], t[1]))
+    rns = sorted(r["global_rn"] for r in ranked.collect())
+    assert rns == list(range(1, 102))  # dense 1..n, offsets correct
+
+
+def test_global_row_number_rejects_colliding_columns(spark):
+    from rearview_spark.operators._util import global_row_number
+
+    df = spark.range(5).withColumn("global_rn", F.lit(0))
+    with pytest.raises(ValueError, match="global_rn"):
+        global_row_number(df, ["id"])
+    df2 = spark.range(5).withColumn("_gpid", F.lit(0))
+    with pytest.raises(ValueError, match="_gpid"):
+        global_row_number(df2, ["id"])
+
+
+def test_ranked_topk_matches_global_window(spark):
+    from rearview_spark.operators._util import ranked_topk
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 29)) for i in range(40)], "id long, v double"
+    ).repartition(6)
+    order = [F.col("v").desc(), F.col("id")]
+    got = sorted(
+        (r["rank"], r["id"], r["v"]) for r in ranked_topk(df, order, 7).collect()
+    )
+    ref = sorted(
+        (r["rank"], r["id"], r["v"])
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        )
+        .filter(F.col("rank") <= 7)
+        .collect()
+    )
+    assert got == ref
