@@ -103,10 +103,17 @@ HEADLINE = [
 
 def _current_round(here: str) -> int | None:
     """The round being run, so the drift baseline never compares a run
-    against its own round's earlier output (ADVICE r05 #3). Inferred from
-    VERDICT.md's header ("# VERDICT — round N" is written at the END of
-    round N, so we are in round N+1); overridable via
-    SPARK_GRAFT_BASELINE_ROUND (baseline pinned to exactly that round)."""
+    against its own round's earlier output (ADVICE r05 #3). Inferred
+    from the newest COMPLETED round: the max of VERDICT.md's header
+    round and the rounds whose end-of-round artifact PAIR exists (the
+    driver writes BENCH_rN and CORRECTNESS_rN together when round N
+    closes; a lone BENCH file is the ADVICE-r05 mid-round state and
+    does NOT count). The verdict header alone goes stale when the judge
+    skips a round — round 12's bench wrongly treated r11 as "current"
+    and fell back to the r10 baseline. Overridable via
+    SPARK_GRAFT_BASELINE_ROUND (baseline pinned to exactly that
+    round)."""
+    import glob
     import re
 
     pin = os.environ.get("SPARK_GRAFT_BASELINE_ROUND")
@@ -115,12 +122,21 @@ def _current_round(here: str) -> int | None:
             return int(pin) + 1  # caller excludes >= current
         except ValueError:
             pass
+    done: list[int] = []
     try:
         with open(os.path.join(here, "VERDICT.md")) as f:
             m = re.search(r"round\s+(\d+)", f.readline())
-        return int(m.group(1)) + 1 if m else None
+        if m:
+            done.append(int(m.group(1)))
     except OSError:
-        return None
+        pass
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and os.path.exists(
+            os.path.join(here, f"CORRECTNESS_r{m.group(1)}.json")
+        ):
+            done.append(int(m.group(1)))
+    return max(done) + 1 if done else None
 
 
 def _previous_bench(
@@ -157,7 +173,7 @@ def _previous_bench(
                 continue
             yield rnd, p
 
-    records: dict[int, tuple[dict, object, dict]] = {}
+    records: dict[int, tuple[dict, object, dict, str]] = {}
     # driver files first; history files overwrite (preferred source)
     for rnd, p in _rounds(
         os.path.join(here, "BENCH_r*.json"), r"BENCH_r(\d+)\.json$"
@@ -172,7 +188,7 @@ def _previous_bench(
         sf = data.get("sf", parsed.get("sf"))
         if queries and (want_sf is None or sf == want_sf):
             spread = (data.get("spread") or parsed.get("spread")) or {}
-            records[rnd] = (dict(queries), sf, dict(spread))
+            records[rnd] = (dict(queries), sf, dict(spread), os.path.basename(p))
     for rnd, p in _rounds(
         os.path.join(here, "bench_history", "r*.json"),
         r"r(\d+)(?:_sf[0-9.]+)?\.json$",
@@ -191,12 +207,13 @@ def _previous_bench(
                 dict(data["queries"]),
                 data.get("sf"),
                 dict(data.get("spread") or {}),
+                os.path.join("bench_history", os.path.basename(p)),
             )
     if not records:
         return None
     rnd = max(records)
-    queries, sf, spread = records[rnd]
-    return f"r{rnd:02d}", queries, sf, spread
+    queries, sf, spread, path = records[rnd]
+    return f"r{rnd:02d}", queries, sf, spread, path
 
 
 def _pq_index_build(spark, sf_dir: str, base: str) -> None:
@@ -303,7 +320,7 @@ def main() -> None:
     # headline lines never skew the comparison (VERDICT r04 next-round #8).
     prev = _previous_bench(want_sf=out["sf"])
     if prev is not None:
-        tag, prev_timings, prev_sf, prev_spread = prev
+        tag, prev_timings, prev_sf, prev_spread, prev_file = prev
         shared = sorted(set(timings) & set(prev_timings))
         if shared and prev_sf == out["sf"]:  # same scale factor only
             now_total = round(sum(timings[q] for q in shared), 3)
@@ -332,6 +349,9 @@ def main() -> None:
                 (noise if overlapping else outliers)[q] = round(100.0 * delta, 1)
             out["comparable"] = {
                 "vs_round": tag,
+                # which archived run the totals were compared against
+                # (VERDICT r10 next-round #8)
+                "baseline_file": prev_file,
                 "n_queries": len(shared),
                 "total": now_total,
                 "prev_total": prev_total,

@@ -260,19 +260,30 @@ ORDER BY c_custkey
 def mktsegment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational asPercent (G8 shape): share of order value by segment.
     Both the per-segment subtotal and the grand total stay exact int64
-    until the final division, so the percentage is deterministic."""
+    until the final division, so the percentage is deterministic.
+
+    The grand total arrives as a broadcast one-row crossJoin, not a
+    partition-less ``sum() OVER ()`` window — the window form funnels
+    the per-segment frame through one task (harmless at segment
+    cardinality, but it is the exact plan shape the WindowExec sweep
+    bans, and the broadcast scalar is what every other share-of-total
+    gate in this repo already does)."""
     t = Tables(spark, sf_dir)
     per_seg = (
         t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(int_sum(F.col("o_totalprice"), 100).alias("_cents"))
     )
-    total = F.sum("_cents").over(Window.partitionBy())
-    return per_seg.select(
-        "c_mktsegment",
-        r4(F.col("_cents") / F.lit(100.0)).alias("seg_revenue"),
-        r4(F.col("_cents") / total * 100.0).alias("pct"),
-    ).orderBy("c_mktsegment")
+    total = per_seg.agg(F.sum("_cents").alias("_total"))
+    return (
+        per_seg.crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            r4(F.col("_cents") / F.lit(100.0)).alias("seg_revenue"),
+            r4(F.col("_cents") / F.col("_total") * 100.0).alias("pct"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 SEGMENT_SHARE_SQL = """
