@@ -2313,6 +2313,75 @@ QUERIES["media_mp4_keyframes"] = {
     "fn": media_mp4_keyframes,
     "oracle": MEDIA_MP4_KEYFRAMES_SQL,
 }
+
+
+def media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video→pixels END-TO-END (VERDICT r10 next-round #5): synthesize
+    Motion-JPEG MP4s — every mdat sample a complete DC-only baseline
+    JPEG behind a real stsd/stts/stsc/stsz/stco (+stss on even ids)
+    chain — then demux, codec-gate on the stsd fourcc, seek to the
+    first keyframe per 1024-dts bucket, and fully Huffman-decode each
+    selected byte range (multimodal.decode_mjpeg_keyframes). The
+    oracle re-derives keyframe membership, the bucket argmin, AND
+    every pixel stat from the closed forms (frame k's JPEG seed is
+    ``doc_id + 131*k``), so the stsd parse, the sample-table offset
+    resolution, and the JPEG entropy decode are all value-checked in
+    one gate — the demuxed byte ranges are only correct if stsz/stco
+    agree with what the entropy coder actually emitted."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_mjpeg_mp4_payloads(docs)
+    return M.decode_mjpeg_keyframes(media, every_units=1024).orderBy(
+        "media_id", "sample_idx"
+    )
+
+
+MEDIA_MJPEG_FRAMES_SQL = """
+WITH dims AS (
+  SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n,
+         CAST(512 + doc_id % 100 AS BIGINT) AS delta
+  FROM documents
+), ks AS (
+  SELECT doc_id, delta, unnest(generate_series(0, n - 1)) AS k FROM dims
+), kf AS (
+  SELECT doc_id, delta, k,
+         CASE WHEN doc_id % 2 = 0 THEN (k % 2 = 0) ELSE TRUE END AS kf
+  FROM ks
+), pick AS (
+  SELECT doc_id, (k * delta) // 1024 AS bucket, min(k) AS k
+  FROM kf WHERE kf GROUP BY doc_id, (k * delta) // 1024
+), seeds AS (
+  SELECT p.doc_id, p.k, f.delta, p.doc_id + 131 * p.k AS s
+  FROM pick p JOIN kf f ON p.doc_id = f.doc_id AND p.k = f.k
+), bd AS (
+  SELECT doc_id, k, delta, s, CAST(1 + s % 4 AS INT) AS bw,
+         CAST(1 + (3 * s) % 4 AS INT) AS bh
+  FROM seeds
+), bys AS (
+  SELECT doc_id, k, delta, s, bw, bh,
+         unnest(generate_series(0, bh - 1)) AS by
+  FROM bd
+), bxs AS (
+  SELECT doc_id, k, delta, s, bw, bh, by,
+         unnest(generate_series(0, bw - 1)) AS bx
+  FROM bys
+), blk AS (
+  SELECT doc_id, k, delta, bw, bh, ((s + 5 * bx + 9 * by) % 200) + 28 AS v
+  FROM bxs
+)
+SELECT doc_id AS media_id, CAST(k AS INT) AS sample_idx,
+       CAST(k * delta AS BIGINT) AS dts,
+       CAST(64 * bw * bh AS BIGINT) AS px_count,
+       CAST(64 * sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM blk GROUP BY doc_id, k, delta, bw, bh
+ORDER BY media_id, sample_idx
+"""
+
+
+QUERIES["media_mjpeg_frames"] = {
+    "fn": media_mjpeg_frames,
+    "oracle": MEDIA_MJPEG_FRAMES_SQL,
+}
 QUERIES["doc_lm_perplexity"] = {
     "fn": doc_lm_perplexity,
     "oracle": DOC_LM_PPL_SQL,

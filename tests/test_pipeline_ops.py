@@ -1569,3 +1569,77 @@ def test_source_kl_divergence_hand_corpus(spark):
         [(1, "x y z", "A"), (2, "x x", "A")], "doc_id long, text string, source string"
     )
     assert X.source_kl_divergence(one).collect()[0]["kl"] == 0.0
+
+
+def test_mjpeg_keyframes_end_to_end(spark):
+    """Video→pixels: the MJPEG fixture demuxes through the real sample
+    tables, codec-gates on the stsd fourcc, seeks first-keyframe-per-
+    bucket, and entropy-decodes each byte range — stats must equal the
+    per-frame closed form (seed = id + 131*k). Payloads without an
+    stsd (the plain sample-table fixture) and corrupt bytes contribute
+    zero rows."""
+    from rearview_spark.operators import multimodal as M
+
+    df = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    media = M.synthesize_mjpeg_mp4_payloads(df)
+    got = sorted(
+        (r.media_id, r.sample_idx, r.dts, r.px_count, r.px_sum, r.px_min, r.px_max)
+        for r in M.decode_mjpeg_keyframes(media, every_units=1024).collect()
+    )
+    exp = []
+    for doc_id in range(8):
+        n, delta = 2 + doc_id % 3, 512 + doc_id % 100
+        picked = {}
+        for k in range(n):
+            if doc_id % 2 == 0 and k % 2:
+                continue  # stss marks only even k sync on even ids
+            picked.setdefault(k * delta // 1024, k)
+        for k in picked.values():
+            s = doc_id + 131 * k
+            bw, bh = 1 + s % 4, 1 + (3 * s) % 4
+            vs = [
+                (s + 5 * bx + 9 * by) % 200 + 28
+                for by in range(bh)
+                for bx in range(bw)
+            ]
+            exp.append(
+                (doc_id, k, k * delta, 64 * bw * bh, 64 * sum(vs), min(vs), max(vs))
+            )
+    assert got == sorted(exp)
+
+    # codec gate: no stsd -> not MJPEG -> zero rows
+    plain = M.synthesize_mp4_sample_payloads(df)
+    assert M.decode_mjpeg_keyframes(plain).count() == 0
+    # corrupt payloads degrade to zero rows, never an exception
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * 40)), (2, bytearray(b"ftypnot-an-mp4"))],
+        "media_id long, payload binary",
+    )
+    assert M.decode_mjpeg_keyframes(junk).count() == 0
+
+
+def test_mp4_codec_fourcc():
+    """stsd parse: fourcc comes back for a visual sample entry; absent
+    stsd (older fixtures), truncated boxes, and non-BMFF bytes all
+    return None instead of raising."""
+    from rearview_spark.operators.multimodal import _mp4_codec_fourcc
+
+    def box(btype, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    def full(btype, payload):
+        return box(btype, bytes(4) + payload)
+
+    entry = (86).to_bytes(4, "big") + b"avc1" + bytes(6) + (1).to_bytes(2, "big") + bytes(70)
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + entry)
+    chain = box(
+        b"moov", box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsd))))
+    )
+    assert _mp4_codec_fourcc(chain) == "avc1"
+    no_stsd = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", b"")))))
+    assert _mp4_codec_fourcc(no_stsd) is None
+    assert _mp4_codec_fourcc(b"") is None
+    assert _mp4_codec_fourcc(b"\x00\x01garbage") is None
+    # stsd too short for an entry header
+    short = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", full(b"stsd", (1).to_bytes(4, "big")))))))
+    assert _mp4_codec_fourcc(short) is None
