@@ -203,7 +203,8 @@ class MonitorScheduler:
             self.store.mark_alert_dispatched(row["id"], row["fired_at"])
         return n
 
-    # -- persistence merges (single-writer; Delta MERGE in production) ------
+    # -- persistence merges (single-writer; see sources/table_format.py
+    #    for the transactional-format deployment mapping) ------------------
 
     def _merge_monitors(
         self,

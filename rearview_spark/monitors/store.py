@@ -4,9 +4,7 @@ The reference persists through ActiveRecord into MySQL/Postgres
 (config/database.yml:1-20): job_data appends (db/schema.rb:29-36),
 job_errors insert/update (:38-48), jobs.status/next_run updates (:55-62).
 Our store keeps the same tables as parquet directories, with the RDBMS's
-transactional properties re-created file-system-first (SURVEY.md §4.2 #4;
-Delta MERGE would provide the same in a cluster, but Delta jars aren't in
-this container):
+transactional properties re-created file-system-first (SURVEY.md §4.2 #4):
 
 - **Crash-safe swap** — every overwrite writes a fresh versioned
   directory and then atomically repoints a CURRENT pointer file
@@ -25,6 +23,12 @@ this container):
 
 Config tables are dimension-scale: full rewrite per tick is bounded and
 cheap.
+
+The mechanism is split generic-core / typed-store: the schema-agnostic
+:class:`VersionedParquetTables` is the parquet implementation behind
+``rearview_spark.sources.table_format`` (the single place the
+Delta/Iceberg deployment swap is documented); :class:`JobStore` adds the
+monitor schemas and the reference's typed operations on top.
 """
 
 from __future__ import annotations
@@ -45,7 +49,16 @@ class ConcurrentWriteError(RuntimeError):
     guard), or another writer claimed the same next version."""
 
 
-class JobStore:
+class VersionedParquetTables:
+    """Schema-agnostic core of the versioned-parquet mechanism: the
+    CURRENT-pointer swap, O_EXCL claim/CAS, TTL orphan reclaim, staging
+    dirs, sidecars, and pruning documented in the module docstring.
+    This is the in-sandbox implementation of the transactional-table
+    contract (`rearview_spark.sources.table_format.TableFormat`) — the
+    one place the Delta/Iceberg deployment boundary is named; every
+    crash/replay test that drives :class:`JobStore` exercises exactly
+    this class's machinery."""
+
     def __init__(self, spark: SparkSession, root: str, claim_ttl_s: float = 60.0):
         self.spark = spark
         self.root = Path(root)
@@ -85,24 +98,24 @@ class JobStore:
             return 0, legacy
         return 0, None
 
-    def read(self, table: str) -> DataFrame:
-        schema = {
-            "monitors": schemas.MONITORS,
-            "job_data": schemas.JOB_DATA,
-            "job_errors": schemas.JOB_ERRORS,
-            "applications": schemas.APPLICATIONS,
-            "users": schemas.USERS,
-        }[table]
+    def read_table(self, table: str, schema) -> DataFrame:
+        """Current snapshot under an explicit schema (empty frame when
+        the table has never been written)."""
         _, path = self.current_version(table)
         if path is None:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(str(path))
 
-    def append(self, table: str, df: DataFrame) -> None:
+    def append(self, table: str, df: DataFrame, partition_by: tuple = ()) -> None:
         # Appends target the legacy dir: Spark part-file names are unique
         # per write, so concurrent appends are additive (never lost), and
         # versioned overwrite is reserved for the mutable config tables.
-        df.write.mode("append").parquet(str(self._legacy_path(table)))
+        # ``partition_by`` serves partition-pruned append-only stores
+        # (the incremental-dedup pfx= layout).
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(self._legacy_path(table)))
 
     def _claim(self, table: str, vdir: Path, vname: Path, nxt: int, token: str) -> Path:
         """Take the O_EXCL claim for version ``nxt`` and record ``token``
@@ -253,6 +266,24 @@ class JobStore:
         legacy = self._legacy_path(table)
         if legacy.exists() and self._pointer(table).exists():
             shutil.rmtree(legacy, ignore_errors=True)
+
+
+class JobStore(VersionedParquetTables):
+    """Monitor-table persistence: the generic versioned core plus the
+    schema map and the reference's typed operations (save_monitors with
+    the atomic outbox sidecar, job_data appends, dispatch log)."""
+
+    def read(self, table: str) -> DataFrame:
+        return self.read_table(
+            table,
+            {
+                "monitors": schemas.MONITORS,
+                "job_data": schemas.JOB_DATA,
+                "job_errors": schemas.JOB_ERRORS,
+                "applications": schemas.APPLICATIONS,
+                "users": schemas.USERS,
+            }[table],
+        )
 
     # -- typed operations ---------------------------------------------------
 

@@ -5,9 +5,9 @@ The reference's relational layer versions monitor configs implicitly
 generalizes that to full Type-2 history: every attribute change closes
 the current row (``valid_to``) and opens a new one. This module builds
 that history from a change stream and merges update batches into an
-existing history — the MERGE a Delta/Iceberg deployment would run,
-expressed as pure DataFrame ops (the same boundary note as JobStore:
-in-sandbox we maintain parquet versions ourselves).
+existing history, expressed as pure DataFrame ops. Persistence goes
+through the transactional-table seam (sources/table_format.py — the
+single place the Delta/Iceberg deployment mapping is documented).
 
 Scale shape: everything is one window pass over (key, eff-ts) plus a
 union with the closed rows — no joins, no iteration; the window key is
@@ -95,50 +95,48 @@ def scd2_foreach_batch(
     key_col: str,
     attr_cols: list[str],
     eff_col: str,
+    table_format=None,
 ):
     """Package :func:`scd2_merge` as a Structured Streaming
     ``foreachBatch`` callback: each micro-batch of dimension updates
     merges into the persistent Type-2 history at ``history_dir``.
 
-    Versioned-snapshot persistence (the JobStore pattern, simplified):
-    batch N writes the merged history to ``history_dir/v=<N>/`` with
-    mode=overwrite and READS the latest version STRICTLY BELOW N — so
-    a retried batch (foreachBatch is at-least-once) never reads its own
-    half-committed output, and because :func:`scd2_merge` is
-    idempotent under replay the rewrite lands byte-identical. Snapshot
-    rewrite is the known cost of SCD2 without a transactional table
-    format — a Delta/Iceberg deployment replaces this callback with a
-    MERGE and keeps the same :func:`scd2_merge` plan (the JobStore
-    boundary note, VERDICT_r09 missing #3).
+    Persistence goes through the transactional-table seam
+    (``sources/table_format.py`` — where the Delta deployment mapping
+    lives): ``merge_snapshot`` commits ``merge_fn(history, batch)`` as
+    batch N's version, with ``history`` excluding any previous attempt
+    of the same batch — so a retried batch (foreachBatch is
+    at-least-once) never reads its own half-committed output, and
+    because :func:`scd2_merge` is idempotent under replay the commit
+    lands identical. Pass ``table_format`` to deploy on a different
+    format; the default is the in-sandbox versioned-parquet
+    implementation rooted next to ``history_dir``.
     """
-    from rearview_spark.operators._util import hadoop_child_names
+    import os
 
+    if table_format is None:
+        from rearview_spark.sources.table_format import ParquetTableFormat
+
+        table_format = ParquetTableFormat(
+            spark, os.path.dirname(history_dir.rstrip("/")) or "."
+        )
+    table = os.path.basename(history_dir.rstrip("/"))
     cols = [key_col, *attr_cols, "valid_from", "valid_to"]
 
-    def _read_latest_below(n: int):
-        versions = [
-            int(name)
-            for name in hadoop_child_names(spark, history_dir, "v=")
-            if name.isdigit() and int(name) < n
-        ]
-        if not versions:
-            return None
-        return spark.read.parquet(f"{history_dir}/v={max(versions)}")
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        history = _read_latest_below(batch_id)
+    def _merge(history, batch_df: DataFrame) -> DataFrame:
         if history is None:
             # scd2_from_changes already emits valid_from/valid_to names
-            merged = scd2_from_changes(
+            return scd2_from_changes(
                 batch_df.select(key_col, *attr_cols, F.col(eff_col)),
                 key_col,
                 attr_cols,
                 eff_col,
             ).select(*cols)
-        else:
-            merged = scd2_merge(
-                history, batch_df, key_col, attr_cols, eff_col
-            ).select(*cols)
-        merged.write.mode("overwrite").parquet(f"{history_dir}/v={batch_id}")
+        return scd2_merge(history, batch_df, key_col, attr_cols, eff_col).select(
+            *cols
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        table_format.merge_snapshot(table, batch_id, batch_df, _merge)
 
     return _process
