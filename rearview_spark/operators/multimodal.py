@@ -1068,14 +1068,13 @@ def _jpeg_patch_dims(buf: bytes, nw: int, nh: int) -> bytes:
     return buf
 
 
-def decode_wav_samples(buf: bytes) -> dict:
-    """REAL sample-level WAV decode in pure stdlib: RIFF chunk walk to
-    ``fmt `` (PCM, 16-bit only) and ``data``, then unpack the int16
-    little-endian samples and return integer stats
-    (``smp_count/smp_sum/smp_min/smp_max`` over all channel samples).
-    Raises ``ValueError`` on non-PCM, other bit depths, or structural
-    corruption — the same degrade-to-null contract as the pixel
-    decoders."""
+def _wav_pcm_samples(buf: bytes) -> tuple:
+    """RIFF chunk walk to ``fmt `` (PCM, 16-bit only) and ``data``;
+    returns the int16 little-endian samples as a tuple. Raises
+    ``ValueError`` on non-PCM, other bit depths, or structural
+    corruption. The shared parse under :func:`decode_wav_samples`
+    (whole-file stats) and :func:`extract_audio_chunk_features`
+    (framed features)."""
     import struct
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -1105,6 +1104,15 @@ def decode_wav_samples(buf: bytes) -> dict:
         i += 8 + sz + (sz & 1)
     if not fmt_ok or samples is None:
         raise ValueError("WAV: missing fmt or data chunk")
+    return samples
+
+
+def decode_wav_samples(buf: bytes) -> dict:
+    """REAL sample-level WAV decode in pure stdlib
+    (:func:`_wav_pcm_samples`) returning integer stats
+    (``smp_count/smp_sum/smp_min/smp_max`` over all channel samples) —
+    the same degrade-to-null contract as the pixel decoders."""
+    samples = _wav_pcm_samples(buf)
     if not samples:
         return {"smp_count": 0, "smp_sum": 0, "smp_min": None, "smp_max": None}
     return {
@@ -1152,6 +1160,62 @@ def extract_audio_samples(
                 )
 
     return df.select("media_id", "payload").mapInPandas(fn, AUDIO_SAMPLE_SCHEMA)
+
+
+AUDIO_CHUNK_FEATURE_SCHEMA = (
+    "media_id long, chunk_idx int, smp_count long, smp_sum long,"
+    " energy long, smp_min int, smp_max int"
+)
+
+
+def extract_audio_chunk_features(
+    df: DataFrame, samples_per_chunk: int = 16, target_rows_per_batch: int = 256
+) -> DataFrame:
+    """Audio chunk→features END-TO-END: decode the PCM body
+    (:func:`_wav_pcm_samples`), frame it into fixed-length
+    ``samples_per_chunk`` windows (the framing an fbank/STFT front-end
+    applies — the last frame keeps its remainder), and emit integer
+    features per frame: count, sum, ENERGY (``sum(v²)`` — int64-exact,
+    ``v² ≤ 2^30``), min, max. Completes the audio path the way
+    ``decode_mjpeg_keyframes`` completes video: :func:`audio_chunk_plan`
+    plans the reads, this op actually performs decode + featurize in
+    one scan-shaped Arrow pass, no shuffle. Unparseable payloads
+    contribute zero rows (fan-out null-degrade)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                ids, idxs, cnts, sums, ens, mns, mxs = [], [], [], [], [], [], []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    try:
+                        samples = _wav_pcm_samples(bytes(p))
+                    except Exception:
+                        continue
+                    for ci in range(0, len(samples), samples_per_chunk):
+                        frame = samples[ci : ci + samples_per_chunk]
+                        ids.append(mid)
+                        idxs.append(ci // samples_per_chunk)
+                        cnts.append(len(frame))
+                        sums.append(sum(frame))
+                        ens.append(sum(v * v for v in frame))
+                        mns.append(min(frame))
+                        mxs.append(max(frame))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.array(ids, dtype="int64"),
+                        "chunk_idx": pd.array(idxs, dtype="int32"),
+                        "smp_count": pd.array(cnts, dtype="int64"),
+                        "smp_sum": pd.array(sums, dtype="int64"),
+                        "energy": pd.array(ens, dtype="int64"),
+                        "smp_min": pd.array(mns, dtype="int32"),
+                        "smp_max": pd.array(mxs, dtype="int32"),
+                    }
+                )
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn, AUDIO_CHUNK_FEATURE_SCHEMA
+    )
 
 
 def synthesize_wav_sample_payloads(

@@ -1256,3 +1256,114 @@ def linear_trend(ts: DataFrame, y_scale: int = 10000) -> DataFrame:
         F.when(guard, slope).alias("slope"),
         F.when(guard, intercept).alias("intercept"),
     )
+
+
+def m4_downsample(ts: DataFrame, step: str = "6 hours") -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (series, time bucket) keep exactly the four value-preserving points
+    a pixel column needs — first, last, min, max — then dedup the roles
+    a single point fills. The error-free companion to
+    :func:`lttb_downsample`: min/max spikes are preserved exactly where
+    LTTB's triangle heuristic may drop them.
+
+    Scale shape: ONE map-side-partial aggregation keyed on (metric,
+    bucket) — the four selections are struct min/max, so the shuffle
+    carries ≤ 4 candidate points per key, never the series. Role dedup
+    happens INSIDE the aggregated row (``array_distinct`` before the
+    explode) — a point belongs to exactly one bucket, so no global
+    distinct (and no second shuffle) is needed. Determinism: timestamps
+    are unique within a series, and value ties break earliest-ts for
+    min (struct ordering ``(value, ts)`` ascending) / latest-ts for max
+    (descending) — mirrored verbatim in the gate oracle."""
+    agg = ts.groupBy(METRIC, F.window(TS, step).alias("_w")).agg(
+        F.min(F.struct(TS, VALUE)).alias("_first"),
+        F.max(F.struct(TS, VALUE)).alias("_last"),
+        F.min(F.struct(VALUE, TS)).alias("_minv"),
+        F.max(F.struct(VALUE, TS)).alias("_maxv"),
+    )
+    pt = lambda t, v: F.struct(t.alias(TS), v.alias(VALUE))  # noqa: E731
+    return agg.select(
+        METRIC,
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    pt(F.col("_first." + TS), F.col("_first." + VALUE)),
+                    pt(F.col("_last." + TS), F.col("_last." + VALUE)),
+                    pt(F.col("_minv." + TS), F.col("_minv." + VALUE)),
+                    pt(F.col("_maxv." + TS), F.col("_maxv." + VALUE)),
+                )
+            )
+        ).alias("_p"),
+    ).select(METRIC, F.col("_p." + TS).alias(TS), F.col("_p." + VALUE).alias(VALUE))
+
+
+def theil_sen_trend(df: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    slopes (and the paired median intercept) — the estimator that
+    shrugs off the outliers OLS (:func:`linear_trend`) chases, standard
+    for monitoring data with spikes.
+
+    Input: ``(metric, t long, v long)`` — integer time index and
+    integer-quantized values (the caller picks the grids). All math is
+    INTEGER, bit-identical across engines: slopes are fixed-point
+    ``floor(Δv·scale / Δt)`` where floor-division is built portably as
+    ``(a - pmod(a, b)) div b`` (pmod makes the numerator exactly
+    divisible, so truncating and flooring division agree — Spark's
+    ``div`` and DuckDB's ``//`` differ on negative operands otherwise);
+    the median is the LOWER median (rank ``(n+1) div 2``), so even
+    counts never average two values into a float. ``t`` is re-indexed
+    to each series' start before pairing, bounding ``slope·t`` far
+    inside int64.
+
+    Scale shape: the pairwise self-join is metric-keyed (one shuffle)
+    and quadratic ONLY in points-per-series — Theil–Sen is a
+    render/report-window estimator (n in the tens to hundreds), not a
+    raw-corpus scan; feed it a summarized series. The median windows
+    are partitioned by metric, never global. Output: ``(metric,
+    n_points, n_pairs, slope_units, intercept_units)`` with units =
+    value-grid / t-grid · scale."""
+
+    def fdiv(a: Column, b: Column) -> Column:
+        return F.call_function("div", a - F.pmod(a, b), b)
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(METRIC).orderBy(col)
+        wn = Window.partitionBy(METRIC)
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(wn))
+            .filter(F.col("_rn") == F.call_function("div", F.col("_n") + 1, F.lit(2)))
+            .select(METRIC, F.col(col).alias(out), F.col("_n"))
+        )
+
+    t0 = df.groupBy(METRIC).agg(F.min("t").alias("_t0"), F.count("*").alias("_np"))
+    z = df.join(t0, METRIC).select(
+        METRIC, (F.col("t") - F.col("_t0")).alias("t"), "v", "_np"
+    )
+    a = z.select(METRIC, F.col("t").alias("_t1"), F.col("v").alias("_v1"), "_np")
+    b = z.select(METRIC, F.col("t").alias("_t2"), F.col("v").alias("_v2"))
+    pairs = a.join(b, METRIC).filter(F.col("_t2") > F.col("_t1"))
+    slopes = pairs.select(
+        METRIC,
+        "_np",
+        fdiv(
+            (F.col("_v2") - F.col("_v1")) * F.lit(scale),
+            F.col("_t2") - F.col("_t1"),
+        ).alias("_su"),
+    )
+    slope = lower_median(slopes.select(METRIC, "_su"), "_su", "slope_units").select(
+        METRIC, "slope_units", F.col("_n").alias("n_pairs")
+    )
+    resid = z.join(slope, METRIC).select(
+        METRIC,
+        "_np",
+        (F.col("v") * F.lit(scale) - F.col("slope_units") * F.col("t")).alias("_iu"),
+    )
+    icept = lower_median(resid.select(METRIC, "_iu"), "_iu", "intercept_units").select(
+        METRIC, "intercept_units"
+    )
+    return (
+        slope.join(icept, METRIC)
+        .join(t0.select(METRIC, F.col("_np").alias("n_points")), METRIC)
+        .select(METRIC, "n_points", "n_pairs", "slope_units", "intercept_units")
+    )

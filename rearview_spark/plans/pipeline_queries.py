@@ -2382,6 +2382,48 @@ QUERIES["media_mjpeg_frames"] = {
     "fn": media_mjpeg_frames,
     "oracle": MEDIA_MJPEG_FRAMES_SQL,
 }
+
+
+def media_wav_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk→features end-to-end
+    (multimodal.extract_audio_chunk_features): decode the PCM WAVs,
+    frame into 16-sample windows (last frame keeps the remainder), and
+    emit integer features per frame — count, sum, energy (sum of
+    squares), min, max. The frame boundary interacts with the sample
+    formula's phase, so an off-by-one in the framing (or a decode bug
+    anywhere in the RIFF walk) shifts every downstream chunk and cannot
+    pass. The oracle re-derives each frame from the closed-form sample
+    ``((id*31 + 7k) % 65536) - 32768`` grouped by ``k // 16``."""
+    docs = Tables(spark, sf_dir).documents
+    media = M.synthesize_wav_sample_payloads(docs)
+    return M.extract_audio_chunk_features(media, samples_per_chunk=16).orderBy(
+        "media_id", "chunk_idx"
+    )
+
+
+MEDIA_WAV_CHUNK_SQL = """
+WITH dims AS (
+  SELECT doc_id, CAST(50 + doc_id % 50 AS INT) AS n FROM documents
+), ks AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM dims
+), smp AS (
+  SELECT doc_id, k // 16 AS chunk_idx,
+         ((doc_id * 31 + 7 * k) % 65536) - 32768 AS v
+  FROM ks
+)
+SELECT doc_id AS media_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS smp_count,
+       CAST(sum(v) AS BIGINT) AS smp_sum,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(min(v) AS INT) AS smp_min, CAST(max(v) AS INT) AS smp_max
+FROM smp GROUP BY 1, 2 ORDER BY media_id, chunk_idx
+"""
+
+
+QUERIES["media_wav_chunk_energy"] = {
+    "fn": media_wav_chunk_energy,
+    "oracle": MEDIA_WAV_CHUNK_SQL,
+}
 QUERIES["doc_lm_perplexity"] = {
     "fn": doc_lm_perplexity,
     "oracle": DOC_LM_PPL_SQL,

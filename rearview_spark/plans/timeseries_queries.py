@@ -1579,3 +1579,124 @@ FROM s ORDER BY metric
 """
 
 QUERIES["ts_linear_trend"] = {"fn": ts_linear_trend, "oracle": TS_TREND_SQL}
+
+
+def ts_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (operators/timeseries.py
+    m4_downsample): first/last/min/max per (series, 6-hour bucket) over
+    the hourly series, fed as integer cents so every comparison is
+    exact (the LTTB discipline) and rescaled at the edge. The oracle
+    replays the role selection with explicit rank windows whose tie
+    rules mirror the struct orderings (min: value asc, ts asc; max:
+    value desc, ts desc)."""
+    from rearview_spark.operators.timeseries import m4_downsample
+    from rearview_spark.plans._exact import int_sum
+
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    hourly_cents = (
+        series.groupBy("metric", F.window("ts", "1 hour").alias("w"))
+        .agg(int_sum(F.col("value"), 100).alias("value"))
+        .select("metric", F.col("w.start").alias("ts"), "value")
+    )
+    out = m4_downsample(hourly_cents, step="6 hours")
+    return out.select(
+        "metric", "ts", r4(F.col("value") / F.lit(100.0)).alias("value")
+    ).orderBy("metric", "ts")
+
+
+TS_M4_SQL = """
+WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS ts,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT metric, ts, c, CAST(epoch(ts) AS BIGINT) // 21600 AS bk FROM hourly
+), sel AS (
+  SELECT metric, ts, c,
+         row_number() OVER (PARTITION BY metric, bk ORDER BY ts) AS rf,
+         row_number() OVER (PARTITION BY metric, bk ORDER BY ts DESC) AS rl,
+         row_number() OVER (PARTITION BY metric, bk ORDER BY c, ts) AS rmin,
+         row_number() OVER (PARTITION BY metric, bk ORDER BY c DESC, ts DESC) AS rmax
+  FROM b
+)
+SELECT DISTINCT metric, ts, round(c / 100.0 + 0.00000005, 4) AS value
+FROM sel WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+ORDER BY metric, ts
+"""
+
+QUERIES["ts_m4_downsample"] = {"fn": ts_m4_downsample, "oracle": TS_M4_SQL}
+
+
+def ts_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend over the daily series
+    (operators/timeseries.py theil_sen_trend): lower-median of pairwise
+    integer fixed-point slopes, plus the paired median intercept —
+    all-integer math (portable floor-division via pmod, lower median
+    instead of averaged median), so the oracle replays it term for
+    term. Complements ts_linear_trend the way MAD complements stdev:
+    the spiky fixture metrics pull OLS, not Theil–Sen."""
+    from rearview_spark.operators.timeseries import theil_sen_trend
+    from rearview_spark.plans._exact import int_sum, r6
+
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    daily = (
+        series.groupBy("metric", F.window("ts", "1 day").alias("w"))
+        .agg(int_sum(F.col("value"), 100).alias("v"))
+        .select(
+            "metric",
+            F.call_function(
+                "div", F.unix_timestamp(F.col("w.start")), F.lit(86400).cast("long")
+            ).alias("t"),
+            "v",
+        )
+    )
+    out = theil_sen_trend(daily, scale=1_000_000)
+    return out.select(
+        "metric",
+        "n_points",
+        "n_pairs",
+        r6(F.col("slope_units") / F.lit(1_000_000.0)).alias("slope"),
+        r6(F.col("intercept_units") / F.lit(1_000_000.0)).alias("intercept"),
+    ).orderBy("metric")
+
+
+TS_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type AS metric,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS t,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), z AS (
+  SELECT metric, t - min(t) OVER (PARTITION BY metric) AS t, v FROM daily
+), pairs AS (
+  SELECT a.metric, (b.v - a.v) * 1000000 AS num, b.t - a.t AS den
+  FROM z a JOIN z b ON a.metric = b.metric AND b.t > a.t
+), slopes AS (
+  SELECT metric, (num - (((num % den) + den) % den)) // den AS su FROM pairs
+), med AS (
+  SELECT metric, su, row_number() OVER (PARTITION BY metric ORDER BY su) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM slopes
+), slope AS (
+  SELECT metric, su AS slope_units, n AS n_pairs FROM med WHERE rn = (n + 1) // 2
+), resid AS (
+  SELECT z.metric, z.v * 1000000 - s.slope_units * z.t AS iu
+  FROM z JOIN slope s ON z.metric = s.metric
+), imed AS (
+  SELECT metric, iu, row_number() OVER (PARTITION BY metric ORDER BY iu) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM resid
+), icept AS (
+  SELECT metric, iu AS intercept_units FROM imed WHERE rn = (n + 1) // 2
+), np AS (
+  SELECT metric, count(*) AS n_points FROM daily GROUP BY 1
+)
+SELECT s.metric, CAST(np.n_points AS BIGINT) AS n_points,
+       CAST(s.n_pairs AS BIGINT) AS n_pairs,
+       round(s.slope_units / 1000000.0 + 0.0000000005, 6) AS slope,
+       round(i.intercept_units / 1000000.0 + 0.0000000005, 6) AS intercept
+FROM slope s JOIN icept i USING (metric) JOIN np USING (metric)
+ORDER BY metric
+"""
+
+QUERIES["ts_theil_sen"] = {"fn": ts_theil_sen, "oracle": TS_THEIL_SEN_SQL}

@@ -1643,3 +1643,30 @@ def test_mp4_codec_fourcc():
     # stsd too short for an entry header
     short = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", full(b"stsd", (1).to_bytes(4, "big")))))))
     assert _mp4_codec_fourcc(short) is None
+
+
+def test_audio_chunk_features_framing(spark):
+    """Chunk framing: full 16-sample frames plus a remainder frame, each
+    with exact integer sum/energy/min/max; corrupt payloads contribute
+    zero rows."""
+    from rearview_spark.operators import multimodal as M
+
+    df = spark.range(3, 5).withColumnRenamed("id", "doc_id")  # n = 53, 54
+    media = M.synthesize_wav_sample_payloads(df)
+    got = {
+        (r.media_id, r.chunk_idx): (r.smp_count, r.smp_sum, r.energy, r.smp_min, r.smp_max)
+        for r in M.extract_audio_chunk_features(media, samples_per_chunk=16).collect()
+    }
+    for doc_id in (3, 4):
+        n = 50 + doc_id % 50
+        vals = [((doc_id * 31 + 7 * k) % 65536) - 32768 for k in range(n)]
+        for ci in range(0, n, 16):
+            fr = vals[ci : ci + 16]
+            assert got[(doc_id, ci // 16)] == (
+                len(fr), sum(fr), sum(v * v for v in fr), min(fr), max(fr)
+            )
+    assert len(got) == sum(-(-(50 + d % 50) // 16) for d in (3, 4))
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"RIFFxxxxWAVE"))], "media_id long, payload binary"
+    )
+    assert M.extract_audio_chunk_features(junk).count() == 0

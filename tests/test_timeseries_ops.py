@@ -512,3 +512,64 @@ def test_linear_trend_exact_line_and_guards(spark):
     assert out["m"]["intercept"] == pytest.approx(5.0)
     assert out["m"]["n_points"] == 4
     assert out["one"]["slope"] is None and out["one"]["intercept"] is None
+
+
+def test_m4_downsample_roles_and_dedup(spark):
+    """Per bucket: first/last/min/max survive; a point filling several
+    roles appears once; min ties break earliest-ts, max ties latest-ts."""
+    import datetime as _dt
+
+    from rearview_spark.operators.timeseries import m4_downsample
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        # bucket 0 (hours 0-5): first=(0,5), max tie 9 at h1 and h3 -> h3,
+        # min tie 1 at h2 and h4 -> h2, last=(5,7)
+        ("m", t0 + _dt.timedelta(hours=0), 5.0),
+        ("m", t0 + _dt.timedelta(hours=1), 9.0),
+        ("m", t0 + _dt.timedelta(hours=2), 1.0),
+        ("m", t0 + _dt.timedelta(hours=3), 9.0),
+        ("m", t0 + _dt.timedelta(hours=4), 1.0),
+        ("m", t0 + _dt.timedelta(hours=5), 7.0),
+        # bucket 1: a single point fills all four roles -> ONE row
+        ("m", t0 + _dt.timedelta(hours=6), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    got = sorted(
+        (r["ts"].hour, r["value"]) for r in m4_downsample(df, "6 hours").collect()
+    )
+    assert got == [(0, 5.0), (2, 1.0), (3, 9.0), (5, 7.0), (6, 3.0)]
+
+
+def test_theil_sen_trend_integer_exact(spark):
+    """Median pairwise slope on a small series, checked against the
+    brute-force python computation with the same lower-median and
+    floor-division rules — including a negative-slope series (the
+    portable pmod floor-division's hard case)."""
+    from rearview_spark.operators.timeseries import theil_sen_trend
+
+    series = {
+        "up": [(0, 0), (1, 10), (2, 21), (3, 29), (10, 1000)],  # outlier at t=10
+        "down": [(0, 100), (1, 93), (2, 85), (3, 80)],
+    }
+    rows = [(m, t, v) for m, pts in series.items() for t, v in pts]
+    df = spark.createDataFrame(rows, "metric string, t long, v long")
+    got = {
+        r["metric"]: (r["n_points"], r["n_pairs"], r["slope_units"], r["intercept_units"])
+        for r in theil_sen_trend(df, scale=1_000_000).collect()
+    }
+    import math
+
+    for m, pts in series.items():
+        slopes = sorted(
+            math.floor((v2 - v1) * 1_000_000 / (t2 - t1))
+            for i, (t1, v1) in enumerate(pts)
+            for t2, v2 in pts[i + 1 :]
+        )
+        su = slopes[(len(slopes) + 1) // 2 - 1]
+        resid = sorted(v * 1_000_000 - su * t for t, v in pts)
+        iu = resid[(len(resid) + 1) // 2 - 1]
+        assert got[m] == (len(pts), len(slopes), su, iu), m
+    # the outlier must NOT drag the robust slope: OLS slope for "up" is
+    # ~96 units/t, Theil-Sen stays near the inlier slope of ~10
+    assert got["up"][2] < 20_000_000
