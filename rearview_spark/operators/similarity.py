@@ -329,6 +329,117 @@ def embedding_near_duplicates(
     return verified
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.99,
+    planes: int = 16,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    dim: int = 64,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus vectors
+    whose cosine to ANY benchmark vector reaches ``threshold`` — the
+    semantic complement of the n-gram overlap check
+    (curation.benchmark_contamination), catching paraphrased/translated
+    eval leakage that shares no surface n-grams (the published
+    embedding-decontamination recipe from the phi / Dolma pipeline
+    papers).
+
+    Asymmetric sign-LSH join — NOT the self-join of
+    :func:`embedding_near_duplicates`: both sides project through the
+    same md5-derived hyperplanes (:func:`_sign_band_structs`, so the
+    DuckDB oracle replays the banding bit-for-bit), but candidates come
+    from an equi-join of corpus band keys against BENCHMARK band keys.
+    The benchmark is eval-set-sized (thousands of rows at 100 TB corpus
+    scale), so its banded signature table is broadcast — the corpus is
+    scanned once for its own signatures and never shuffles; candidate
+    volume is proportional to collisions with the tiny benchmark side,
+    and exact-cosine verification runs only on those. Per-doc verdicts
+    are then one map-side-combined hash aggregate over verified pairs.
+
+    Returns one row per CONTAMINATED corpus vector:
+    ``(id_col, best_bench_id, max_cosine, n_matches)`` —
+    ``best_bench_id`` is the smallest benchmark id among matches tying
+    the (6dp-rounded) max cosine, so output is deterministic under any
+    partitioning. Bucket caps apply to the corpus side only (a hot
+    band — a fleet of near-zero vectors — can't flood the verify
+    stage); the benchmark side is assumed curated and small.
+    """
+    from rearview_spark.operators._util import ensure_parallelism
+
+    from rearview_spark.operators.dedup import _cap_buckets
+
+    corpus = ensure_parallelism(corpus, id_col)
+    band_structs = _sign_band_structs(vec_col, planes, bands, dim)
+
+    dv = _as_double(F.col(vec_col))
+    # One corpus pass computes band keys AND the verify payload (vector +
+    # norm) — cached so the candidate join and the verify join read the
+    # same materialization instead of re-projecting 16 hyperplanes.
+    cvecs = corpus.select(
+        F.col(id_col),
+        F.array(*band_structs).alias("_bands"),
+        dv.alias("_cv"),
+        _norm(dv).alias("_cn"),
+    ).cache()
+    csigs = _cap_buckets(
+        cvecs.select(id_col, F.explode("_bands").alias("bb")).select(
+            id_col, "bb.band", "bb.bh"
+        ),
+        ["band", "bh"],
+        max_bucket_size,
+    )
+
+    bsigs = benchmark.select(
+        F.col(id_col).alias(bench_id_col),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(bench_id_col, "bb.band", "bb.bh")
+    bdv = _as_double(F.col(vec_col))
+    bvecs = benchmark.select(
+        F.col(id_col).alias(bench_id_col), bdv.alias("_bv"), _norm(bdv).alias("_bn")
+    )
+
+    cands = (
+        csigs.join(F.broadcast(bsigs), ["band", "bh"])
+        .select(id_col, bench_id_col)
+        .distinct()
+    )
+    denom = F.col("_cn") * F.col("_bn")
+    sim = F.when(denom == 0, None).otherwise(_dot(F.col("_cv"), F.col("_bv")) / denom)
+    pairs = (
+        cands.join(cvecs.select(id_col, "_cv", "_cn"), id_col)
+        .join(F.broadcast(bvecs), bench_id_col)
+        .select(
+            id_col,
+            bench_id_col,
+            F.round(sim + F.lit(5e-10), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    # Deterministic per-doc verdict in ONE aggregate: max_by struct —
+    # highest cosine wins, ties broken toward the SMALLEST benchmark id
+    # (negate the id inside the struct so max == min id).
+    agg = pairs.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("cosine_sim"), (-F.col(bench_id_col)).alias("_nb"))
+        ).alias("_best"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    out = agg.select(
+        id_col,
+        (-F.col("_best._nb")).alias("best_bench_id"),
+        F.col("_best.cosine_sim").alias("max_cosine"),
+        "n_matches",
+    )
+    out = out.localCheckpoint(eager=True)  # scope the corpus-sized cache
+    cvecs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Incremental embedding dedup against a persistent vector store
 # ---------------------------------------------------------------------------

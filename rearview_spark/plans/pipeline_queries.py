@@ -911,6 +911,86 @@ WHERE round(list_cosine_similarity(va.cv, vb.cv) + 0.0000000005, 6) >= 0.99
 QUERIES["dedup_embedding_cosine"] = {"fn": dedup_embedding_cosine, "oracle": DEDUP_EMB_SQL}
 
 
+def sim_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (similarity.semantic_contamination): benchmark = every 20th vector,
+    train corpus = the rest PLUS jittered copies of the benchmark rows
+    (vec_id + 2000000, the deterministic ~0.9996-cosine distortion from
+    dedup_embedding_cosine — simulated eval leakage, since the synthetic
+    embeddings have no natural near-dups). The asymmetric sign-LSH join
+    must flag exactly the planted leaks; the oracle replays hyperplanes,
+    banding, bucket caps, verification, and the per-doc argmax from the
+    same md5-derived constants."""
+    emb = Tables(spark, sf_dir).embeddings
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    bench = base.filter(F.col("vec_id") % 20 == 0)
+    leaks = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(2000000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + ((i % 7) - 3).cast("double") * F.lit(0.01)),
+        ).alias("embedding"),
+    )
+    corpus = base.filter(F.col("vec_id") % 20 != 0).unionByName(leaks)
+    return S.semantic_contamination(
+        corpus, bench, threshold=0.99, planes=16, bands=2
+    ).orderBy("vec_id")
+
+
+SIM_CONTAM_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+bench AS (SELECT vec_id AS bench_id, cv FROM base WHERE vec_id % 20 = 0),
+corpus AS (
+  SELECT vec_id, cv FROM base WHERE vec_id % 20 <> 0
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(range(0, 64), d -> cv[d + 1] * (1.0 + 0.01 * ((d % 7) - 3)))
+  FROM base WHERE vec_id % 20 = 0
+),
+csig0 AS (
+  SELECT vec_id, 0 AS band, {" || ".join(_HP_BITS[0:8])} AS bh FROM corpus
+  UNION ALL
+  SELECT vec_id, 1, {" || ".join(_HP_BITS[8:16])} FROM corpus
+),
+csig AS (
+  SELECT vec_id, band, bh FROM csig0
+  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 1000
+),
+bsig AS (
+  SELECT bench_id, 0 AS band, {" || ".join(_HP_BITS[0:8])} AS bh FROM bench
+  UNION ALL
+  SELECT bench_id, 1, {" || ".join(_HP_BITS[8:16])} FROM bench
+),
+cands AS (
+  SELECT DISTINCT c.vec_id, b.bench_id
+  FROM csig c JOIN bsig b ON c.band = b.band AND c.bh = b.bh
+),
+pairs AS (
+  SELECT ca.vec_id, ca.bench_id,
+         round(list_cosine_similarity(cc.cv, bc.cv) + 0.0000000005, 6) AS cosine_sim
+  FROM cands ca
+  JOIN corpus cc ON ca.vec_id = cc.vec_id
+  JOIN bench bc ON ca.bench_id = bc.bench_id
+  WHERE round(list_cosine_similarity(cc.cv, bc.cv) + 0.0000000005, 6) >= 0.99
+),
+agg AS (
+  SELECT vec_id, max(cosine_sim) AS max_cosine, count(*) AS n_matches
+  FROM pairs GROUP BY vec_id
+)
+SELECT p.vec_id, MIN(p.bench_id) AS best_bench_id, a.max_cosine, a.n_matches
+FROM pairs p JOIN agg a ON p.vec_id = a.vec_id AND p.cosine_sim = a.max_cosine
+GROUP BY p.vec_id, a.max_cosine, a.n_matches
+ORDER BY p.vec_id
+"""
+
+
+QUERIES["sim_contamination"] = {"fn": sim_contamination, "oracle": SIM_CONTAM_SQL}
+
+
 # --- Duplicate groups: iterative connected components, recursive-CTE oracle --
 
 # The minhash pipeline's CTE chain (everything up to its final SELECT),

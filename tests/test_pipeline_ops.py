@@ -1670,3 +1670,52 @@ def test_audio_chunk_features_framing(spark):
         [(9, bytearray(b"RIFFxxxxWAVE"))], "media_id long, payload binary"
     )
     assert M.extract_audio_chunk_features(junk).count() == 0
+
+
+def test_semantic_contamination_flags_planted_leaks(spark):
+    """Asymmetric decontamination: a corpus vector that is a jittered
+    copy of a benchmark vector is flagged with that benchmark id; an
+    unrelated (orthogonal-ish) vector is not; ties on max cosine break
+    toward the SMALLEST benchmark id."""
+    from rearview_spark.operators.similarity import semantic_contamination
+
+    dim = 64
+    base = [1.0 if d % 3 == 0 else 0.5 for d in range(dim)]
+    other = [(-1.0) ** d * (1.0 + d / dim) for d in range(dim)]
+    near = [v * (1.0 + 0.001 * (d % 5 - 2)) for d, v in enumerate(base)]
+    rows_bench = [(10, base), (11, base), (12, other)]  # 10/11 identical: tie
+    rows_corpus = [(1, near), (2, [v + 7.0 for v in other[::-1]])]
+    bench = spark.createDataFrame(rows_bench, "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(rows_corpus, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.best_bench_id, r.max_cosine, r.n_matches)
+        for r in semantic_contamination(
+            corpus, bench, threshold=0.99, planes=16, bands=2, dim=dim
+        ).collect()
+    }
+    assert set(got) == {1}  # only the planted leak
+    best, cos, n = got[1]
+    assert best == 10  # tie between identical bench 10/11 -> min id
+    assert cos >= 0.99 and n == 2
+
+
+def test_semantic_contamination_bucket_cap_drops_hot_band(spark):
+    """A flood of identical corpus vectors past max_bucket_size is
+    dropped whole from that band's candidates (both bands share the
+    same key here, so the hot vectors produce no matches at all)."""
+    from rearview_spark.operators.similarity import semantic_contamination
+
+    dim = 64
+    base = [1.0] * dim
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame([(100, base)], "vec_id long, embedding array<double>")
+    flagged = semantic_contamination(
+        corpus, bench, threshold=0.99, planes=16, bands=2, dim=dim, max_bucket_size=10
+    )
+    assert flagged.count() == 0
+    kept = semantic_contamination(
+        corpus, bench, threshold=0.99, planes=16, bands=2, dim=dim, max_bucket_size=None
+    )
+    assert kept.count() == 30
