@@ -222,3 +222,65 @@ def edit_distance_join(
         )
         .filter(F.col("dist") <= k)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    order_cols,
+    window: int,
+    id_col: str = "id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sorted-neighborhood blocking for entity resolution (Hernández &
+    Stolfo '95, the merge/purge method): order the corpus by a blocking
+    key, slide a window of ``window`` rows, and emit every ordered pair
+    whose rank distance is within the window — the classic linear-cost
+    alternative to a quadratic all-pairs comparison when likely
+    duplicates sort near each other.
+
+    Distributed shape (no global sort anywhere): ranks come from
+    ``_util.global_row_number`` — range repartition + per-partition
+    window + broadcast prefix offsets (the VERDICT-r10 pattern that
+    replaced partition-less ``Window.orderBy``). Pairing is then an
+    EQUI-join on rank-bucket keys: bucket = (rn-1) div window, the left
+    row exploded into keys {bucket, bucket+1} — every pair within
+    ``window`` ranks spans at most adjacent buckets, so the join meets
+    exactly once, shuffles on uniformly-sized integer keys (each holds
+    precisely ``window`` rows — blocking is skew-immune by
+    construction), and candidate volume is exactly n*window, linear in
+    the corpus for fixed window.
+
+    ``order_cols`` must be a STRICT total order (unique tiebreaker) or
+    ranks — and therefore the pair set — are nondeterministic; same
+    contract as ``global_row_number``. ``carry_cols`` ride along onto
+    both sides as ``<col>_a`` / ``<col>_b`` so callers' verify
+    predicates (the match step of merge/purge) need no join-back to the
+    corpus. Returns ``(id_a, id_b, rn_a, rn_b, *carried)`` with
+    ``rn_a < rn_b <= rn_a + window``.
+    """
+    from rearview_spark.operators._util import global_row_number
+
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"sorted_neighborhood_pairs: window must be >= 1, got {w}")
+    ranked, _n = global_row_number(df, order_cols, out_col="_sn_rn")
+    bucket = F.expr(f"(_sn_rn - 1) div {w}")
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sn_rn").alias("rn_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("_sn_blk"),
+        *[F.col(c).alias(f"{c}_a") for c in carry_cols],
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sn_rn").alias("rn_b"),
+        bucket.alias("_sn_blk"),
+        *[F.col(c).alias(f"{c}_b") for c in carry_cols],
+    )
+    return (
+        left.join(right, "_sn_blk")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a")) & (F.col("rn_b") <= F.col("rn_a") + w)
+        )
+        .drop("_sn_blk")
+    )

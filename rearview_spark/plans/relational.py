@@ -1251,3 +1251,59 @@ ORDER BY id_a, id_b
 
 
 QUERIES["edit_distance_pairs"] = {"fn": edit_distance_pairs, "oracle": EDIT_DIST_SQL}
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking
+    (operators/joins.sorted_neighborhood_pairs): customers ordered by
+    (mktsegment, acctbal, custkey), window of 5 ranks, then the merge/
+    purge verify predicate — same nation, account balances within 100 —
+    flags likely duplicate accounts. The oracle computes ranks with a
+    plain row_number window and pairs with an rn-distance self-join; the
+    hash match proves the bucket-join blocking meets exactly the same
+    pair set the textbook windowed scan defines, while the Spark plan
+    has no global sort (range repartition + per-partition ranks) and
+    shuffles only uniform window-sized integer buckets."""
+    from rearview_spark.operators.joins import sorted_neighborhood_pairs
+
+    cust = Tables(spark, sf_dir).customer
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        ["c_mktsegment", "c_acctbal", "c_custkey"],
+        window=5,
+        id_col="c_custkey",
+        carry_cols=("c_nationkey", "c_acctbal"),
+    )
+    return (
+        pairs.filter(
+            (F.col("c_nationkey_a") == F.col("c_nationkey_b"))
+            & (F.abs(F.col("c_acctbal_b") - F.col("c_acctbal_a")) <= 100)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            r4(F.col("c_acctbal_b") - F.col("c_acctbal_a")).alias("bal_gap"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SORTED_NEIGHBORHOOD_SQL = """
+WITH r AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         row_number() OVER (ORDER BY c_mktsegment, c_acctbal, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       round(b.c_acctbal - a.c_acctbal + 0.00000005, 4) AS bal_gap
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+WHERE a.c_nationkey = b.c_nationkey
+  AND abs(b.c_acctbal - a.c_acctbal) <= 100
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["dedup_sorted_neighborhood"] = {
+    "fn": dedup_sorted_neighborhood,
+    "oracle": SORTED_NEIGHBORHOOD_SQL,
+}

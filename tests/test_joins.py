@@ -196,3 +196,47 @@ def test_edit_distance_join_repeated_grams_and_contract(spark):
     )
     rows = edit_distance_join(df, "s", "id", max_dist=2, q=2).collect()
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in rows] == [(1, 2, 1)]
+
+
+def test_sorted_neighborhood_exact_pair_set(spark):
+    """The bucket-join blocking emits exactly {(a,b): rn_a < rn_b <=
+    rn_a + w} over the total order — checked against the definition on
+    a shuffled input, including pairs that span bucket boundaries."""
+    import itertools
+
+    from rearview_spark.operators.joins import sorted_neighborhood_pairs
+
+    vals = [(i, f"k{i:03d}", i * 10.0) for i in range(13)]
+    import random
+
+    random.Random(7).shuffle(vals)
+    df = spark.createDataFrame(vals, "id long, key string, bal double")
+    for w in (1, 3, 13, 20):
+        got = {
+            (r.id_a, r.id_b)
+            for r in sorted_neighborhood_pairs(
+                df, ["key"], window=w, id_col="id"
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(range(13), 2)
+            if b - a <= w  # key order == id order by construction
+        }
+        assert got == want, f"window={w}"
+
+
+def test_sorted_neighborhood_carry_cols_and_guard(spark):
+    import pytest
+
+    from rearview_spark.operators.joins import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0)], "id long, key string, bal double"
+    )
+    rows = sorted_neighborhood_pairs(
+        df, ["key"], window=2, id_col="id", carry_cols=("bal",)
+    ).collect()
+    assert [(r.id_a, r.id_b, r.bal_a, r.bal_b) for r in rows] == [(1, 2, 5.0, 7.0)]
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, ["key"], window=0, id_col="id")
