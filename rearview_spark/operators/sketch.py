@@ -395,6 +395,53 @@ def cm_foreach_batch(spark, summary_dir: str, col: str, d: int = 4, w: int = 512
     return _process
 
 
+def hll_registers_by(
+    df: DataFrame, col: str, group_cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """Grouped HLL register tables: ``(*group_cols, bucket, register)``
+    with one row per bucket PRESENT in the group (absent bucket ≡
+    register 0 — estimators account for missing rows via the group's
+    bucket count instead of densifying, so the frame stays ≤ m rows per
+    group with no per-group all-buckets join).
+
+    This is the partitioned form of :func:`hll_registers` — one sketch
+    per day/source/tenant — and the input to sliding-window merges:
+    registers from any set of groups combine by per-bucket ``max``, so
+    a 7-day distinct-count reads 7×m sketch rows per window instead of
+    re-scanning the raw data (the mergeable-summaries property; at
+    100 TB the daily register build is the only corpus-scale pass, and
+    every window/backfill after it is arithmetic over m-row tables)."""
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(":hll")))
+    return (
+        df.select(
+            *group_cols,
+            F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(m)).alias(
+                "bucket"
+            ),
+            F.conv(F.substring(h, 16, 10), 16, 10).cast("long").alias("x"),
+        )
+        .select(*group_cols, "bucket", F.expr(hll_rho_case("x")).alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate_sparse_expr(m: int = HLL_M):
+    """Aggregate Column: the raw HLL estimate over a SPARSE register
+    group (rows only for present buckets) — absent buckets contribute
+    register 0, i.e. ``2^50`` each to the exact bigint denominator:
+    ``EST_NUM / (sum(2^(50-register)) + (m - count(*)) * 2^50)``. Same
+    cross-engine-exact arithmetic as :func:`hll_estimate_expr` (integer
+    shifts, one double division at the end)."""
+    present = F.sum(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - register AS INT))")
+    )
+    missing = (F.lit(m) - F.count(F.lit(1))).cast("long") * F.lit(1 << 50).cast(
+        "long"
+    )
+    return F.lit(HLL_EST_NUM) / (present + missing).cast("double")
+
+
 def hll_foreach_batch(spark, summary_dir: str, col: str, m: int = HLL_M):
     """HyperLogLog as a ``foreachBatch`` recurrence: per-batch register
     tables merge into the persisted state by per-bucket MAX — like CM

@@ -694,3 +694,95 @@ ORDER BY user_id, valid_from, event_type
 """
 
 QUERIES["ev_scd2_user_status"] = {"fn": ev_scd2_user_status, "oracle": EV_SCD2_SQL}
+
+
+def ev_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct users from MERGED daily HLL sketches
+    (operators/sketch.hll_registers_by): one corpus pass builds per-day
+    register tables (<= 64 rows/day regardless of event volume), then
+    every day's trailing-week estimate is a per-bucket max over the
+    window's sketch rows — the mergeable-summaries property driven
+    end to end, since at 100 TB the window merge reads 7x64 sketch rows
+    per day while the naive form re-scans a week of raw events per day.
+    The day x daily-register join below is sketch-sized (days x 64
+    rows), never corpus-sized. ``true_distinct`` re-derives the exact
+    windowed count from raw events for comparison — the verification
+    column a production pipeline would drop. Estimates use the sparse
+    denominator (absent bucket = register 0); all arithmetic is exact
+    bigint shifts + one double division, so the oracle reproduces every
+    value bit-for-bit."""
+    from rearview_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_sparse_expr,
+        hll_registers_by,
+    )
+
+    ev = Tables(spark, sf_dir).events.withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    daily = hll_registers_by(ev, "user_id", ["day"], m=HLL_M)
+    days = daily.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            daily.alias("r"),
+            (F.col("r.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("r.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("r.register").alias("register"))
+    )
+    est = merged.groupBy("day").agg(
+        hll_estimate_sparse_expr(HLL_M).alias("hll_estimate")
+    )
+    truth = (
+        days.alias("d")
+        .join(
+            ev.alias("e"),
+            (F.col("e.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("e.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("e.user_id").alias("true_distinct"))
+    )
+    return est.join(truth, "day").orderBy("day")
+
+
+def _hll_sliding_sql() -> str:
+    from rearview_spark.operators.sketch import HLL_EST_NUM, HLL_M, hll_rho_case
+
+    md5e = "md5(concat(CAST(user_id AS VARCHAR), ':hll'))"
+    return f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(concat('0x', substr({md5e}, 1, 15)) AS BIGINT) % {HLL_M} AS bucket,
+         CAST(concat('0x', substr({md5e}, 16, 10)) AS BIGINT) AS x
+  FROM events),
+r AS (SELECT day, bucket, {hll_rho_case('x')} AS rho FROM h),
+daily AS (SELECT day, bucket, MAX(rho) AS register FROM r GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM daily),
+merged AS (
+  SELECT d.day, r.bucket, MAX(r.register) AS register
+  FROM days d JOIN daily r ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY 1, 2),
+est AS (
+  SELECT day,
+         SUM(CAST(1 AS BIGINT) << (50 - register))
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS denom
+  FROM merged GROUP BY day),
+truth AS (
+  SELECT d.day, count(DISTINCT e.user_id) AS true_distinct
+  FROM days d JOIN events e ON date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY 1)
+SELECT CAST(est.day AS TIMESTAMP) AS day,
+       {HLL_EST_NUM!r} / CAST(denom AS DOUBLE) AS hll_estimate,
+       truth.true_distinct
+FROM est JOIN truth ON est.day = truth.day
+ORDER BY est.day
+"""
+
+
+QUERIES["ev_hll_sliding_distinct"] = {
+    "fn": ev_hll_sliding_distinct,
+    "oracle": _hll_sliding_sql(),
+}

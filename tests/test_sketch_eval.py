@@ -400,3 +400,43 @@ def test_streaming_hll_equals_batch_build(spark, tmp_path):
     streamed = sorted(map(tuple, latest_stream_summary(spark, d).collect()))
     batch = sorted(map(tuple, hll_registers(b0.unionAll(b1), "k").collect()))
     assert streamed == batch
+
+
+def test_hll_grouped_registers_merge_equals_union_build(spark):
+    """Mergeability: per-group register tables max-merged across groups
+    equal the registers built over the union — and the sparse estimator
+    (absent bucket = register 0) equals the dense reference estimate."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_py,
+        hll_estimate_sparse_expr,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") * 13 % 311).alias("v")
+    )
+    grouped = hll_registers_by(df, "v", ["g"], m=HLL_M)
+    merged = {
+        r.bucket: r.register
+        for r in grouped.groupBy("bucket").agg(F.max("register").alias("register")).collect()
+    }
+    union_regs = {
+        r.bucket: r.register
+        for r in hll_registers(df, "v", m=HLL_M).collect()
+        if r.register > 0
+    }
+    assert merged == union_regs
+
+    sparse_est = (
+        grouped.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .agg(hll_estimate_sparse_expr(HLL_M).alias("e"))
+        .collect()[0]["e"]
+    )
+    # raw-branch reference (no linear-counting correction kicks in at
+    # 311 distinct >> 2.5 * 64)
+    assert abs(sparse_est - hll_estimate_py(union_regs, HLL_M)) < 1e-9
