@@ -177,6 +177,62 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join
+    (streaming/standing.stream_stream_attribution_outer): attributed
+    purchases emit eagerly; ORGANIC purchases (no click in the preceding
+    30 minutes) emit a NULL-click row only once the joint watermark —
+    min over both inputs of max(event time) - 10min — passes their
+    timestamp, because only then can the join prove no match is coming.
+    One availableNow pass is deterministic (single data micro-batch +
+    the no-data flush batch), and the oracle encodes the full emission
+    rule: plain LEFT JOIN results, minus unmatched rows at-or-above the
+    joint watermark (those are still buffered in the state store — the
+    gate hash-checks what streaming WITHHELD, not just what it
+    emitted)."""
+    from rearview_spark.streaming.standing import stream_stream_attribution_outer
+
+    name = "stream_outer_" + uuid.uuid4().hex[:8]
+    with _nanos_conf_guard(spark):
+        events = load_events_stream(spark, sf_dir)
+        joined = stream_stream_attribution_outer(events)
+        sink = run_to_memory_sink(spark, joined, name)
+    return sink.select(
+        "purchase_id",
+        "purchase_ts",
+        "user_id",
+        "click_id",
+        "click_ts",
+        r4(F.col("amount")).alias("amount"),
+    ).orderBy("purchase_id", "click_id")
+
+
+STREAM_OUTER_ATTR_SQL = """
+WITH wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 10 MINUTE AS w),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, value AS amount
+      FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+      FROM events WHERE event_type = 'click'),
+m AS (SELECT p.purchase_id, p.purchase_ts, p.user_id, c.click_id, c.click_ts, p.amount
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.click_ts <= p.purchase_ts
+       AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE)
+SELECT purchase_id, purchase_ts, user_id, click_id, click_ts,
+       round(amount + 0.00000005, 4) AS amount
+FROM m
+UNION ALL
+SELECT p.purchase_id, p.purchase_ts, p.user_id, NULL, NULL,
+       round(p.amount + 0.00000005, 4)
+FROM p, wm
+WHERE p.purchase_ts < wm.w
+  AND p.purchase_id NOT IN (SELECT purchase_id FROM m)
+ORDER BY purchase_id, click_id
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment under the driver (VERDICT r05
     next-round #7): the events stream joined per micro-batch to the
@@ -355,5 +411,9 @@ QUERIES: dict[str, dict] = {
     "stream_anomaly_alerts": {"fn": stream_anomaly_alerts, "oracle": STREAM_ANOMALY_SQL},
     "stream_dedup_hourly_counts": {"fn": stream_dedup_hourly_counts, "oracle": STREAM_DEDUP_SQL},
     "stream_attribution": {"fn": stream_attribution, "oracle": STREAM_ATTR_SQL},
+    "stream_outer_attribution": {
+        "fn": stream_outer_attribution,
+        "oracle": STREAM_OUTER_ATTR_SQL,
+    },
     "stream_static_enrich": {"fn": stream_static_enrich, "oracle": STREAM_ENRICH_SQL},
 }

@@ -218,3 +218,51 @@ def stream_stream_purchase_attribution(
         "purchase_id", "purchase_ts", F.col("p_user").alias("user_id"),
         "click_id", "click_ts", "amount",
     )
+
+
+def stream_stream_attribution_outer(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    attribution_window: str = "30 minutes",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase emits —
+    attributed rows as soon as both sides arrive (inner semantics), and
+    organic purchases (no qualifying click) as a NULL-click row once the
+    join can PROVE no match is coming. That proof is watermark-driven:
+    a purchase's match window closes at its own timestamp (clicks must
+    precede it), so its state is evictable — and the NULL row emitted —
+    only when the JOINT watermark (min across both inputs, each
+    ``max(event time) - watermark delay``) passes purchase_ts. Rows
+    younger than the joint watermark stay buffered in the state store,
+    NOT emitted: outer results are delayed by construction, the
+    documented cost of outer stream-stream joins. The time-bound
+    condition is also what keeps click state finite (expired once the
+    watermark passes click_ts + window)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return purchases.join(clicks, cond, "leftOuter").select(
+        "purchase_id", "purchase_ts", F.col("p_user").alias("user_id"),
+        "click_id", "click_ts", "amount",
+    )

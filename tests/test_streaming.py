@@ -316,3 +316,41 @@ def test_parse_kafka_events_schema_projection(spark):
     # downstream contract composes unchanged
     metrics = to_metrics(parsed.filter(F.col("event_id").isNotNull()))
     assert [f.name for f in metrics.schema.fields] == ["metric", "ts", "value"]
+
+
+def test_stream_stream_attribution_outer_withholds_young_rows(spark, tmp_path):
+    """Left-outer emission rule: attributed purchases emit; an organic
+    purchase OLDER than the joint watermark emits a NULL-click row; an
+    organic purchase younger than the joint watermark stays buffered
+    (withheld) — the streaming-specific delay the batch LEFT JOIN
+    doesn't have."""
+    from rearview_spark.streaming.standing import stream_stream_attribution_outer
+
+    src = tmp_path / "attr_outer_src"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    late = T0 + dt.timedelta(hours=3)
+    rows = [
+        (1, T0, 10, "click", 0.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=5), 10, "purchase", 9.99, "{}"),  # attributed
+        (3, T0 + dt.timedelta(minutes=7), 11, "purchase", 5.0, "{}"),   # organic, old -> NULL row
+        (4, late, 12, "purchase", 1.0, "{}"),                            # organic, young -> withheld
+        (5, late, 13, "click", 0.0, "{}"),                               # advances click watermark
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = events_stream(spark, str(src))
+    q = (
+        stream_stream_attribution_outer(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("attr_outer_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr_outer"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attr_outer_out").collect()
+    }
+    # joint watermark = late - 10min; purchases 2 and 3 are far below it,
+    # purchase 4 sits AT max event time (above the watermark) -> withheld
+    assert got == {(2, 1), (3, None)}
