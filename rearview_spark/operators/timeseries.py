@@ -1258,6 +1258,67 @@ def linear_trend(ts: DataFrame, y_scale: int = 10000) -> DataFrame:
     )
 
 
+def autocorrelation(
+    ts: DataFrame, lags: tuple[int, ...] = (1, 24), y_scale: int = 100
+) -> DataFrame:
+    """Per-metric autocorrelation at hour ``lags`` — Pearson r between
+    the series and itself shifted k hours, the seasonality-detection
+    primitive (a strong acf at lag 24 says "daily cycle"; the number a
+    monitor would use to pick its Holt-Winters period G26 or rollup
+    grain).
+
+    Lag alignment is a TIME join, not a row offset: partner rows pair
+    on ``hour + k`` per metric, so grid gaps pair nothing instead of
+    silently pairing across a hole the way ``lead(value, k)`` over row
+    order would. Same integer-exact discipline as :func:`linear_trend`:
+    y quantized to ``1/y_scale`` units (int64), all six sufficient
+    statistics (n, Sa, Sb, Saa, Sbb, Sab) exact integer sums immune to
+    aggregation order, and the final r one double expression over
+    identical integers on both engines — sqrt applied to each variance
+    determinant SEPARATELY so nothing multiplies past int64 (overflow
+    headroom: n * Saa <= n^2 * (y_scale*|y|max)^2 must fit int64 —
+    ~100x over gate scale at y_scale=100; lower y_scale or move the
+    stats to decimal(38,0) for larger spans, same plan shape).
+
+    Shuffle shape: one (metric, hour) equi-join (the lagged copies ride
+    the same hash partitioning) + one (metric, lag) hash aggregate with
+    map-side partials; no windows, no global sort. Series with zero
+    variance on either leg get null acf (guard > 0), not NaN."""
+    hours = F.floor(F.unix_timestamp(F.col(TS)) / F.lit(3600)).cast("long")
+    yq = F.round(F.col(VALUE) * F.lit(float(y_scale))).cast("long")
+    base = ts.filter(F.col(VALUE).isNotNull()).select(
+        F.col(METRIC), hours.alias("_h"), yq.alias("_y")
+    )
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    lagged = base.select(
+        F.col(METRIC),
+        F.explode(lag_arr).alias("lag"),
+        F.col("_h").alias("_hb"),
+        F.col("_y").alias("_yb"),
+    ).withColumn("_h", F.col("_hb") - F.col("lag"))
+    pairs = base.join(lagged.drop("_hb"), [METRIC, "_h"]).select(
+        F.col(METRIC), "lag", F.col("_y").alias("_ya"), "_yb"
+    )
+    agg = pairs.groupBy(METRIC, "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("_ya").alias("sa"),
+        F.sum("_yb").alias("sb"),
+        F.sum(F.col("_ya") * F.col("_ya")).alias("saa"),
+        F.sum(F.col("_yb") * F.col("_yb")).alias("sbb"),
+        F.sum(F.col("_ya") * F.col("_yb")).alias("sab"),
+    )
+    deta = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    detb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    acf = num / (F.sqrt(deta.cast("double")) * F.sqrt(detb.cast("double")))
+    return agg.select(
+        METRIC,
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when((deta > 0) & (detb > 0), acf).alias("acf"),
+    )
+
+
 def m4_downsample(ts: DataFrame, step: str = "6 hours") -> DataFrame:
     """M4 visualization downsampling (Jugel et al., VLDB 2014): per
     (series, time bucket) keep exactly the four value-preserving points

@@ -1439,7 +1439,59 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 # ceiling; oracle-green via tests/test_pending_gates.py throughout).
 QUERIES["ts_rollup_refresh"] = {"fn": ts_rollup_refresh, "oracle": TS_ROLLUP_REFRESH_SQL}
 
-PENDING_QUERIES: dict[str, dict] = {}
+def ts_autocorrelation(spark, sf_dir):
+    """Per-metric autocorrelation at lags 1h and 24h over the hourly
+    series (operators/timeseries.autocorrelation): time-join lag
+    alignment, integer-exact sufficient statistics, one double r at the
+    edge. The synthetic events carry a daily cycle, so lag 24 reads
+    high — the seasonality-detection use the operator exists for."""
+    out = G.autocorrelation(_hourly(spark, sf_dir), lags=(1, 24), y_scale=100)
+    return out.select(
+        "metric",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("acf") + F.lit(5e-10), 6).alias("acf"),
+    ).orderBy("metric", "lag")
+
+
+TS_ACF_SQL = HOURLY_CTE + """
+, q AS (
+  SELECT metric,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(round(value * 100.0) AS BIGINT) AS y
+  FROM hourly WHERE value IS NOT NULL
+),
+l AS (SELECT unnest([1, 24]) AS lag),
+p AS (
+  SELECT a.metric, l.lag, a.y AS ya, b.y AS yb
+  FROM q a CROSS JOIN l
+  JOIN q b ON b.metric = a.metric AND b.h = a.h + l.lag
+),
+s AS (
+  SELECT metric, lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+         CAST(sum(ya * ya) AS BIGINT) AS saa,
+         CAST(sum(yb * yb) AS BIGINT) AS sbb,
+         CAST(sum(ya * yb) AS BIGINT) AS sab
+  FROM p GROUP BY 1, 2
+)
+SELECT metric, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+            THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+                       / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                       + 0.0000000005, 6)
+       END AS acf
+FROM s ORDER BY metric, lag
+"""
+
+
+# Staged for round-13 registration (the r12 window arithmetic:
+# 8 never-checked gates + 42 of the 46 stale-r08 rows fill all 50 slots;
+# oracle-green via tests/test_pending_gates.py meanwhile).
+PENDING_QUERIES: dict[str, dict] = {
+    "ts_autocorrelation": {"fn": ts_autocorrelation, "oracle": TS_ACF_SQL},
+}
 
 
 QUERIES["ts_weighted_average"] = {"fn": ts_weighted_average, "oracle": TS_WEIGHTED_AVG_SQL}

@@ -573,3 +573,33 @@ def test_theil_sen_trend_integer_exact(spark):
     # the outlier must NOT drag the robust slope: OLS slope for "up" is
     # ~96 units/t, Theil-Sen stays near the inlier slope of ~10
     assert got["up"][2] < 20_000_000
+
+
+def test_autocorrelation_hand_series_and_gaps(spark):
+    """Alternating series -> acf(lag 1) = -1 exactly; constant series ->
+    null (zero variance guard); a grid gap pairs nothing across the
+    hole (time join, not row offset)."""
+    import datetime as dt
+
+    from rearview_spark.operators.timeseries import autocorrelation
+
+    t0 = dt.datetime(2024, 1, 1)
+    alt = [("alt", t0 + dt.timedelta(hours=i), float((-1) ** i)) for i in range(10)]
+    const = [("const", t0 + dt.timedelta(hours=i), 5.0) for i in range(10)]
+    # gap: hours 0..3 and 6..9 — lag-1 pairs only inside each island
+    gap = [
+        ("gap", t0 + dt.timedelta(hours=i), float(i)) for i in (0, 1, 2, 3, 6, 7, 8, 9)
+    ]
+    df = spark.createDataFrame(
+        alt + const + gap, "metric string, ts timestamp, value double"
+    )
+    got = {
+        (r.metric, r.lag): (r.n_pairs, r.acf)
+        for r in autocorrelation(df, lags=(1,), y_scale=100).collect()
+    }
+    n, acf = got[("alt", 1)]
+    assert n == 9 and abs(acf - (-1.0)) < 1e-12
+    n, acf = got[("const", 1)]
+    assert n == 9 and acf is None
+    n, _ = got[("gap", 1)]
+    assert n == 6  # 3 pairs per island, none across the 2-hour hole
