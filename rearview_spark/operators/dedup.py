@@ -1314,6 +1314,59 @@ def duplicate_groups(
     )
 
 
+def canonical_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware canonical selection — the per-document KEEP/DROP
+    decision a dedup pass actually ships: MinHash-LSH pairs ->
+    connected components -> within each duplicate cluster keep the
+    highest-``quality_col`` member (ties toward the smallest id), drop
+    the rest. Singletons (no near-dup) are their own canonical. This is
+    the "keep best, not first" refinement of :func:`duplicate_groups`
+    (which reports min-id canonicals): real pipelines rank cluster
+    members by a quality signal so the surviving copy is the cleanest
+    one, not the one with the luckiest id.
+
+    Scale shape: components come from the iterative min-label
+    propagation (pairs-sized, checkpointed); everything after is two
+    component-keyed hash shuffles — a max(struct(quality, -id))
+    aggregate (map-side combined, deterministic argmax under any
+    partitioning) and the join assigning each member its cluster's
+    canonical. No windows, no per-cluster sorts."""
+    pairs = minhash_near_duplicates(df, text_col, id_col, threshold).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs)
+    docs = df.select(F.col(id_col), F.col(quality_col))
+    allc = (
+        docs.join(cc, docs[id_col] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            F.col(quality_col),
+        )
+    )
+    best = (
+        allc.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col(quality_col), (-F.col(id_col)).alias("_ni"))
+            ).alias("_b")
+        )
+        .select("component", (-F.col("_b._ni")).alias("canonical_id"))
+    )
+    return allc.join(best, "component").select(
+        F.col(id_col),
+        "component",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Substring-level exact dedup: duplicated-span detection + excision
 # ---------------------------------------------------------------------------

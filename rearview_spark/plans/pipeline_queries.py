@@ -2509,7 +2509,55 @@ QUERIES["doc_lm_perplexity"] = {
     "oracle": DOC_LM_PPL_SQL,
 }
 
-PENDING_QUERIES: dict[str, dict] = {}
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/dedup.canonical_docs):
+    the per-document KEEP/DROP table over minhash duplicate clusters,
+    keeping each cluster's longest member (n_chars, ties toward min
+    doc_id). Restricted to documents participating in a cluster so the
+    gate exercises the decision logic, not a singleton echo of the
+    corpus. The oracle rebuilds the exact same clusters with the
+    recursive transitive-closure CTE, then ranks members with a plain
+    window — DuckDB recursion + window checks Spark iteration +
+    argmax-struct aggregate."""
+    from rearview_spark.operators.dedup import canonical_docs
+
+    docs = Tables(spark, sf_dir).documents
+    out = canonical_docs(
+        docs, text_col="text", id_col="doc_id", quality_col="n_chars", threshold=0.05
+    )
+    sizes = out.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        out.join(sizes, "component")
+        .filter(F.col("n_members") > 1)
+        .select("doc_id", "component", "canonical_id", "keep", "n_members")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CANONICAL_SQL = _COMPONENTS_CTES + """, q AS (
+  SELECT c.id AS doc_id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+best AS (
+  SELECT component, doc_id AS canonical_id,
+         row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+  FROM q
+),
+sz AS (SELECT component, count(*) AS n_members FROM q GROUP BY component)
+SELECT q.doc_id, q.component, b.canonical_id,
+       q.doc_id = b.canonical_id AS keep, sz.n_members
+FROM q
+JOIN (SELECT component, canonical_id FROM best WHERE rn = 1) b USING (component)
+JOIN sz USING (component)
+ORDER BY q.doc_id
+"""
+
+# Staged for round-13 registration (r12 window arithmetic: 8
+# never-checked + 42 stale-r08 rows fill the 50 slots; oracle-green via
+# tests/test_pending_gates.py meanwhile).
+PENDING_QUERIES: dict[str, dict] = {
+    "dedup_canonical_docs": {"fn": dedup_canonical_docs, "oracle": DEDUP_CANONICAL_SQL},
+}
 
 
 SRC_CAP = 18

@@ -1719,3 +1719,26 @@ def test_semantic_contamination_bucket_cap_drops_hot_band(spark):
         corpus, bench, threshold=0.99, planes=16, bands=2, dim=dim, max_bucket_size=None
     )
     assert kept.count() == 30
+
+
+def test_canonical_docs_keeps_best_quality_member(spark):
+    """Within a duplicate cluster the highest-quality member survives
+    (ties toward min id); singletons are their own canonical."""
+    from rearview_spark.operators.dedup import canonical_docs
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, dup, 10),
+        (2, dup, 30),           # best quality in the cluster -> canonical
+        (3, dup + " tail", 30), # near-dup, ties 2 on quality -> min id 2 wins
+        (9, "completely unrelated text about spark shuffles and joins", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {
+        r.doc_id: (r.component, r.canonical_id, r.keep)
+        for r in canonical_docs(df, threshold=0.05).collect()
+    }
+    assert got[1] == (1, 2, False)
+    assert got[2] == (1, 2, True)
+    assert got[3] == (1, 2, False)
+    assert got[9] == (9, 9, True)
