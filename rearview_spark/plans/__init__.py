@@ -24,6 +24,17 @@ _NEW_THIS_ROUND = (
     # cohort was the 44 unrotated r07 rows, so r11 registers at most
     # 6 new gates (2 staged: ts_rollup_refresh,
     # graph_copurchase_components) while rotating all 44.
+    #
+    # r12 arithmetic: 4 gates landed late in r11 and were never checked
+    # (media_mjpeg_frames, media_wav_chunk_energy, ts_m4_downsample,
+    # ts_theil_sen); r12 registers 4 new (sim_contamination,
+    # dedup_sorted_neighborhood, ev_hll_sliding_distinct,
+    # stream_outer_attribution) -> 8 never-checked + 42 of the 46
+    # stale-r08 rows = 50 exactly; 4 r08 rows slip one round. Two more
+    # gates are STAGED in PENDING_QUERIES (ts_autocorrelation,
+    # dedup_canonical_docs): r13 registering just those two fills its
+    # window with 2 never-checked + 4 r08 + 44 r09 = 50 exactly, so r13
+    # should register the two staged gates and stage anything new.
 )
 
 
