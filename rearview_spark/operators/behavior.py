@@ -1,0 +1,132 @@
+"""User-behavior analytics over event streams: funnel conversion and
+event-transition matrices — the two classic product-analytics operators
+layered on the same events table the sessionization / cohort-retention /
+attribution gates read (SURVEY.md §2.3 Prov-A event analytics family).
+
+Both are pure DataFrame compositions: funnels are K-1 re-joins on the
+user key (each stage reuses the same hash partitioning), transitions are
+one user-partitioned window plus two hash aggregates. No UDFs, no
+unbounded windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    horizon: str | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users perform ``steps`` in
+    order, each step at-or-after the previous one's first qualifying
+    time, optionally all within ``horizon`` of the user's FIRST step
+    (e.g. view -> click -> purchase inside 7 days).
+
+    Semantics (the deterministic "first qualifying event" funnel): a
+    user's stage-1 time is their earliest ``steps[0]`` event; stage i's
+    time is their earliest ``steps[i]`` event at-or-after stage i-1's
+    time (and <= stage-1 time + horizon when given). Equal timestamps
+    count — a click logged in the same microsecond as the view
+    satisfies "after".
+
+    Scale shape: stage i is a semi-join-shaped aggregate — events of
+    type ``steps[i]`` joined to the (user, t_{i-1}, deadline) frame on
+    the user key, min-aggregated back to one row per user. Every join
+    and aggregate shuffles on the SAME key, so the exchange is reused
+    across stages; per-stage frames shrink monotonically. The final
+    stage counts run in ONE job over the union of the K user frames
+    (no per-stage driver counts). Returns
+    ``(stage, step, n_users, conversion)`` with conversion relative to
+    stage 1, a double division of exact longs.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel_conversion: need >= 2 steps, got {steps!r}")
+    first = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    if horizon is not None:
+        first = first.withColumn("_dl", F.col("_t") + F.expr(f"INTERVAL {horizon}"))
+    stage_frames = [first]
+    cur = first
+    for st in steps[1:]:
+        nxt = events.filter(F.col(type_col) == st).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        cond = F.col("_ts") >= F.col("_t")
+        if horizon is not None:
+            cond = cond & (F.col("_ts") <= F.col("_dl"))
+        aggs = [F.min("_ts").alias("_t")]
+        if horizon is not None:
+            # the deadline is fixed at stage 1 and constant per user —
+            # min() just carries it through the aggregate
+            aggs.append(F.min("_dl").alias("_dl"))
+        cur = nxt.join(cur, user_col).filter(cond).groupBy(user_col).agg(*aggs)
+        stage_frames.append(cur)
+    staged = None
+    for i, (st, frame) in enumerate(zip(steps, stage_frames), start=1):
+        part = frame.select(
+            F.lit(i).alias("stage"), F.lit(st).alias("step"), F.col(user_col)
+        )
+        staged = part if staged is None else staged.unionByName(part)
+    counts = staged.groupBy("stage", "step").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    base = counts.filter(F.col("stage") == 1).select(
+        F.col("n_users").alias("_n1")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "step",
+        "n_users",
+        (F.col("n_users") * F.lit(1.0) / F.col("_n1")).alias("conversion"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    for each ordered pair of consecutive events (by ``ts_col``, tie
+    broken on ``id_col`` so the sequence — and therefore the matrix —
+    is deterministic), count src -> dst and the row-conditional
+    probability P(dst | src).
+
+    Scale shape: ONE user-partitioned window (lead over the per-user
+    ordering — partitioned, never global), then a (src, dst) hash
+    aggregate with map-side partials; row totals are a second tiny
+    aggregate over the |types|^2-row matrix, broadcast back for the
+    probability column. Returns ``(src_type, dst_type, n_transitions,
+    p)`` with p = n * 1.0 / row_total (double division of exact
+    longs)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src_type"),
+            F.lead(type_col).over(w).alias("dst_type"),
+        )
+        .filter(F.col("dst_type").isNotNull())
+    )
+    counts = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("src_type").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return counts.join(F.broadcast(totals), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        (F.col("n_transitions") * F.lit(1.0) / F.col("_tot")).alias("p"),
+    )

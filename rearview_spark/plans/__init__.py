@@ -78,6 +78,34 @@ def _latest_check_by_query(root: str) -> dict:
     return latest
 
 
+def all_pending() -> dict:
+    """Union of every plan module's PENDING_QUERIES — gates built and
+    oracle-verified but deliberately NOT registered yet (the 50-slot
+    window arithmetic documented above). tests/test_pending_gates.py
+    drives each through the driver's comparison so registration later
+    is a known-green one-line move."""
+    from rearview_spark.plans import (
+        events_queries,
+        graph_queries,
+        pipeline_queries,
+        relational,
+        streaming_queries,
+        timeseries_queries,
+    )
+
+    out: dict = {}
+    for mod in (
+        pipeline_queries,
+        events_queries,
+        streaming_queries,
+        timeseries_queries,
+        relational,
+        graph_queries,
+    ):
+        out.update(getattr(mod, "PENDING_QUERIES", {}))
+    return out
+
+
 def all_queries() -> dict:
     from rearview_spark.plans import (
         events_queries,

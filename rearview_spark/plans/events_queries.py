@@ -735,10 +735,13 @@ def ev_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = merged.groupBy("day").agg(
         hll_estimate_sparse_expr(HLL_M).alias("hll_estimate")
     )
+    # distinct (day, user) BEFORE the range join: the day-window
+    # nested-loop probe then reads |users|x|days| rows, not raw events
+    daily_users = ev.select("day", "user_id").distinct()
     truth = (
         days.alias("d")
         .join(
-            ev.alias("e"),
+            daily_users.alias("e"),
             (F.col("e.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
             & (F.col("e.day") <= F.col("d.day")),
         )
@@ -785,4 +788,94 @@ ORDER BY est.day
 QUERIES["ev_hll_sliding_distinct"] = {
     "fn": ev_hll_sliding_distinct,
     "oracle": _hll_sliding_sql(),
+}
+
+
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase within 7 days of the
+    first view (operators/behavior.funnel_conversion): first-qualifying
+    -event semantics, each stage a user-keyed semi-join aggregate
+    reusing the same partitioning. The oracle replays the stage
+    recurrence with chained min-aggregate CTEs."""
+    from rearview_spark.operators.behavior import funnel_conversion
+
+    ev = Tables(spark, sf_dir).events
+    out = funnel_conversion(
+        ev, steps=("view", "click", "purchase"), horizon="7 days"
+    )
+    return out.select(
+        "stage",
+        "step",
+        "n_users",
+        F.round(F.col("conversion") + F.lit(5e-10), 6).alias("conversion"),
+    ).orderBy("stage")
+
+
+EV_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t, min(ts) + INTERVAL 7 DAY AS dl
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t, min(s1.dl) AS dl
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t AND e.ts <= s1.dl
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t AND e.ts <= s2.dl
+  GROUP BY 1),
+u AS (
+  SELECT 1 AS stage, 'view' AS step, count(*) AS n FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+SELECT CAST(stage AS INTEGER) AS stage, step, CAST(n AS BIGINT) AS n_users,
+       round(n * 1.0 / (SELECT n FROM u WHERE stage = 1) + 0.0000000005, 6)
+         AS conversion
+FROM u ORDER BY stage
+"""
+
+
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user sequence
+    (operators/behavior.event_transitions): one user-partitioned lead
+    window (deterministic ts, event_id ordering), a (src, dst) hash
+    aggregate, and row-conditional probabilities from a broadcast of
+    the |types|^2-row totals."""
+    from rearview_spark.operators.behavior import event_transitions
+
+    ev = Tables(spark, sf_dir).events
+    out = event_transitions(ev)
+    return out.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(F.col("p") + F.lit(5e-10), 6).alias("p"),
+    ).orderBy("src_type", "dst_type")
+
+
+EV_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst_type
+  FROM events),
+c AS (
+  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT src_type, CAST(sum(n_transitions) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.src_type, c.dst_type, c.n_transitions,
+       round(c.n_transitions * 1.0 / t.tot + 0.0000000005, 6) AS p
+FROM c JOIN t USING (src_type) ORDER BY src_type, dst_type
+"""
+
+
+# Staged for later registration (r12 window arithmetic in
+# plans/__init__.py: r13's window is exactly filled by the two
+# PENDING gates staged before these plus the r08/r09 rotation, so the
+# behavior pair registers r14; oracle-green via
+# tests/test_pending_gates.py meanwhile).
+PENDING_QUERIES: dict[str, dict] = {
+    "ev_funnel_conversion": {"fn": ev_funnel_conversion, "oracle": EV_FUNNEL_SQL},
+    "ev_transition_matrix": {"fn": ev_transition_matrix, "oracle": EV_TRANSITIONS_SQL},
 }

@@ -17,12 +17,9 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def _pending() -> dict:
-    from rearview_spark.plans import graph_queries, pipeline_queries, timeseries_queries
+    from rearview_spark.plans import all_pending
 
-    out = {}
-    for mod in (timeseries_queries, pipeline_queries, graph_queries):
-        out.update(getattr(mod, "PENDING_QUERIES", {}))
-    return out
+    return all_pending()
 
 
 @pytest.mark.parametrize("name", sorted(_pending()))

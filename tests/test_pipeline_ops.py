@@ -1742,3 +1742,69 @@ def test_canonical_docs_keeps_best_quality_member(spark):
     assert got[2] == (1, 2, True)
     assert got[3] == (1, 2, False)
     assert got[9] == (9, 9, True)
+
+
+def test_funnel_conversion_hand_sequences(spark):
+    """Hand funnel: in-order users convert, out-of-order and
+    past-horizon users don't; equal timestamps satisfy 'after'."""
+    import datetime as dt
+
+    from rearview_spark.operators.behavior import funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1: full in-order funnel
+        (1, t0, 1, "view"), (2, t0 + h, 1, "click"), (3, t0 + 2 * h, 1, "purchase"),
+        # u2: click BEFORE view -> stops at stage 1
+        (4, t0 + h, 2, "click"), (5, t0 + 2 * h, 2, "view"),
+        # u3: purchase past the 1-day horizon -> stops at stage 2
+        (6, t0, 3, "view"), (7, t0 + h, 3, "click"),
+        (8, t0 + dt.timedelta(days=2), 3, "purchase"),
+        # u4: click at the SAME instant as view counts
+        (9, t0, 4, "view"), (10, t0, 4, "click"),
+        # u5: never views -> not in the funnel at all
+        (11, t0, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, et) for eid, ts, uid, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        r.stage: (r.step, r.n_users, r.conversion)
+        for r in funnel_conversion(
+            df, steps=("view", "click", "purchase"), horizon="1 day"
+        ).collect()
+    }
+    assert got[1] == ("view", 4, 1.0)        # u1 u2 u3 u4
+    assert got[2] == ("click", 3, 0.75)      # u1 u3 u4
+    assert got[3][0:2] == ("purchase", 1)    # u1 only
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_conversion(df, steps=("view",))
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    """Transition matrix over a deterministic two-user sequence; ties
+    on ts break by event_id."""
+    import datetime as dt
+
+    from rearview_spark.operators.behavior import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "a"), (2, t0 + s, 1, "b"), (3, t0 + 2 * s, 1, "a"),
+        (4, t0, 2, "a"), (5, t0, 2, "b"),  # same ts: order by event_id -> a->b
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.src_type, r.dst_type): (r.n_transitions, r.p)
+        for r in event_transitions(df).collect()
+    }
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert set(got) == {("a", "b"), ("b", "a")}
