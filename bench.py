@@ -98,6 +98,15 @@ HEADLINE = [
     "doc_pmi_collocations",
     "ts_seasonal_decompose",
     "ev_bloom_prune_join",
+    # round-12: one line per new plan family — asymmetric sign-LSH
+    # probe against a broadcast benchmark (decontamination), global-rank
+    # bucket join (sorted-neighborhood blocking), sketch-merge sliding
+    # distinct (daily HLL registers + window max), and the outer
+    # stream-stream join's state/flush cost
+    "sim_contamination",
+    "dedup_sorted_neighborhood",
+    "ev_hll_sliding_distinct",
+    "stream_outer_attribution",
 ]
 
 

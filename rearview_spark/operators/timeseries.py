@@ -1319,6 +1319,58 @@ def autocorrelation(
     )
 
 
+def cross_correlation(
+    ts: DataFrame,
+    metric_x: str,
+    metric_y: str,
+    lags: tuple[int, ...] = (-24, -1, 0, 1, 24),
+    y_scale: int = 100,
+) -> DataFrame:
+    """Cross-correlation between two metrics at hour ``lags`` — Pearson
+    r between series X at hour h and series Y at hour h+k, the
+    "does X lead Y" diagnostic (clicks leading purchases shows up as a
+    positive-lag peak). Negative lags test Y leading X.
+
+    Same construction as :func:`autocorrelation` — time-join alignment
+    (grid gaps pair nothing), 1/``y_scale``-quantized int64 sufficient
+    statistics immune to aggregation order, per-determinant sqrt so
+    nothing leaves int64 — with the self-join replaced by an X x Y
+    join on (hour + lag). Returns ``(lag, n_pairs, ccf)``; zero
+    variance on either leg gives null ccf. ccf(k) here equals
+    corr(x_h, y_{h+k}) exactly, so ccf at lag 0 between a series and
+    itself is 1."""
+    hours = F.floor(F.unix_timestamp(F.col(TS)) / F.lit(3600)).cast("long")
+    yq = F.round(F.col(VALUE) * F.lit(float(y_scale))).cast("long")
+    base = ts.filter(F.col(VALUE).isNotNull()).select(
+        F.col(METRIC), hours.alias("_h"), yq.alias("_y")
+    )
+    xs = base.filter(F.col(METRIC) == metric_x).select("_h", F.col("_y").alias("_ya"))
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    ys = (
+        base.filter(F.col(METRIC) == metric_y)
+        .select(F.explode(lag_arr).alias("lag"), "_h", F.col("_y").alias("_yb"))
+        .withColumn("_h", F.col("_h") - F.col("lag"))
+    )
+    pairs = xs.join(ys, "_h").select("lag", "_ya", "_yb")
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("_ya").alias("sa"),
+        F.sum("_yb").alias("sb"),
+        F.sum(F.col("_ya") * F.col("_ya")).alias("saa"),
+        F.sum(F.col("_yb") * F.col("_yb")).alias("sbb"),
+        F.sum(F.col("_ya") * F.col("_yb")).alias("sab"),
+    )
+    deta = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    detb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    ccf = num / (F.sqrt(deta.cast("double")) * F.sqrt(detb.cast("double")))
+    return agg.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when((deta > 0) & (detb > 0), ccf).alias("ccf"),
+    )
+
+
 def m4_downsample(ts: DataFrame, step: str = "6 hours") -> DataFrame:
     """M4 visualization downsampling (Jugel et al., VLDB 2014): per
     (series, time bucket) keep exactly the four value-preserving points

@@ -603,3 +603,29 @@ def test_autocorrelation_hand_series_and_gaps(spark):
     assert n == 9 and acf is None
     n, _ = got[("gap", 1)]
     assert n == 6  # 3 pairs per island, none across the 2-hour hole
+
+
+def test_cross_correlation_detects_known_lead(spark):
+    """Y = X shifted 2 hours -> ccf peaks at exactly lag 2 (r = 1);
+    lag 0 between a varying X and its shifted copy is below 1; a
+    metric against itself at lag 0 is exactly 1."""
+    import datetime as dt
+
+    from rearview_spark.operators.timeseries import cross_correlation
+
+    t0 = dt.datetime(2024, 1, 1)
+    xvals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 0.0, 6.0]
+    rows = [("x", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(xvals)]
+    rows += [("y", t0 + dt.timedelta(hours=i + 2), v) for i, v in enumerate(xvals)]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    got = {
+        r.lag: (r.n_pairs, r.ccf)
+        for r in cross_correlation(df, "x", "y", lags=(0, 1, 2)).collect()
+    }
+    n, ccf = got[2]
+    assert n == 10 and abs(ccf - 1.0) < 1e-12
+    assert got[0][1] is None or got[0][1] < 1.0
+    self0 = {
+        r.lag: r.ccf for r in cross_correlation(df, "x", "x", lags=(0,)).collect()
+    }
+    assert abs(self0[0] - 1.0) < 1e-12
