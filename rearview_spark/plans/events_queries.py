@@ -791,12 +791,16 @@ QUERIES["ev_hll_sliding_distinct"] = {
 }
 
 
-def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase within 7 days of the
     first view (operators/behavior.funnel_conversion): first-qualifying
     -event semantics, each stage a user-keyed semi-join aggregate
-    reusing the same partitioning. The oracle replays the stage
-    recurrence with chained min-aggregate CTEs."""
+    reusing the same partitioning. Generalizes the long-registered
+    ev_conversion_funnel (inline 3-count, strict-after, no deadline):
+    arbitrary step lists, a horizon anchored at stage 1, at-or-after
+    semantics, and per-stage conversion ratios from ONE job over the
+    unioned stage frames. The oracle replays the stage recurrence with
+    chained min-aggregate CTEs."""
     from rearview_spark.operators.behavior import funnel_conversion
 
     ev = Tables(spark, sf_dir).events
@@ -811,7 +815,7 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage")
 
 
-EV_FUNNEL_SQL = """
+EV_FUNNEL_STAGES_SQL = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t, min(ts) + INTERVAL 7 DAY AS dl
   FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -876,6 +880,6 @@ FROM c JOIN t USING (src_type) ORDER BY src_type, dst_type
 # behavior pair registers r14; oracle-green via
 # tests/test_pending_gates.py meanwhile).
 PENDING_QUERIES: dict[str, dict] = {
-    "ev_funnel_conversion": {"fn": ev_funnel_conversion, "oracle": EV_FUNNEL_SQL},
+    "ev_funnel_stages": {"fn": ev_funnel_stages, "oracle": EV_FUNNEL_STAGES_SQL},
     "ev_transition_matrix": {"fn": ev_transition_matrix, "oracle": EV_TRANSITIONS_SQL},
 }
