@@ -130,3 +130,75 @@ def event_transitions(
         "n_transitions",
         (F.col("n_transitions") * F.lit(1.0) / F.col("_tot")).alias("p"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    window_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Multi-touch attribution with linear recency decay: each
+    conversion's value is split across ALL the user's touch events in
+    the preceding ``window_seconds``, weighted toward the most recent — the
+    fractional-credit refinement of the last-touch interval join
+    (streaming/standing.stream_stream_purchase_attribution gives every
+    qualifying click full credit; here credit sums to exactly one
+    conversion value).
+
+    Weights are INTEGER seconds-of-recency-remaining, ``w = W - dt + 1``
+    (dt = conversion ts - touch ts in whole seconds, W =
+    window_seconds): same-instant touches get W+1, window-edge touches get 1,
+    and the +1 keeps every qualifying touch's weight positive so a
+    conversion's weight total can never be zero. Credit =
+    ``value * w / total_w`` — one double multiply-divide over identical
+    integers on both engines, no libm (an exponential-decay weight
+    would ride pow(), which rounds differently across engines).
+
+    Scale shape: one user-keyed interval join (the attribution family's
+    shape — at stream scale the watermark bounds touch state), a
+    per-conversion integer weight total via a window partitioned by the
+    conversion id (never global), and a scan-time credit projection.
+    Returns one row per (conversion, touch) pair:
+    ``(conversion_id, conversion_ts, user, touch_id, touch_ts, w,
+    credit)``."""
+    from pyspark.sql import Window as W
+
+    touches = events.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+    )
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.col(value_col).alias("_value"),
+    )
+    W_ = int(window_seconds)
+    joined = convs.join(touches, "_u").filter(
+        (F.col("touch_ts") <= F.col("conversion_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conversion_ts") - F.expr(f"INTERVAL {W_} SECONDS")
+        )
+    )
+    # ts.cast(long) == duck floor(epoch(ts)) — the sessionization gates'
+    # proven cross-engine second-truncation idiom
+    dt = F.col("conversion_ts").cast("long") - F.col("touch_ts").cast("long")
+    weighted = joined.withColumn("w", (F.lit(W_) - dt + F.lit(1)).cast("long"))
+    tot = W.partitionBy("conversion_id")
+    return weighted.withColumn("_tw", F.sum("w").over(tot)).select(
+        "conversion_id",
+        "conversion_ts",
+        F.col("_u").alias(user_col),
+        "touch_id",
+        "touch_ts",
+        "w",
+        (F.col("_value") * F.col("w") / F.col("_tw")).alias("credit"),
+    )

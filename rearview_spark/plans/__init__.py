@@ -34,7 +34,9 @@ _NEW_THIS_ROUND = (
     # gates are STAGED in PENDING_QUERIES (ts_autocorrelation,
     # dedup_canonical_docs): r13 registering just those two fills its
     # window with 2 never-checked + 4 r08 + 44 r09 = 50 exactly, so r13
-    # should register the two staged gates and stage anything new.
+    # should register the two staged gates and stage anything new. The
+    # r12 behavior trio (ev_funnel_stages, ev_transition_matrix,
+    # ev_decay_attribution) then registers r14.
 )
 
 

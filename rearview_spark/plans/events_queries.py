@@ -874,12 +874,54 @@ FROM c JOIN t USING (src_type) ORDER BY src_type, dst_type
 """
 
 
+def ev_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-recency multi-touch attribution
+    (operators/behavior.multi_touch_attribution): each purchase's value
+    split across the same user's clicks in the preceding 30 minutes,
+    weighted by integer seconds-of-recency (w = 1800 - dt + 1) — the
+    fractional-credit refinement of stream_attribution's full-credit
+    interval join. Credit is value * w / total_w, a double
+    multiply-divide over identical integers on both engines (no libm
+    decay curve)."""
+    from rearview_spark.operators.behavior import multi_touch_attribution
+
+    ev = Tables(spark, sf_dir).events
+    out = multi_touch_attribution(ev, window_seconds=1800)
+    return out.select(
+        "conversion_id",
+        "touch_id",
+        "w",
+        F.round(F.col("credit") + F.lit(5e-10), 6).alias("credit"),
+    ).orderBy("conversion_id", "touch_id")
+
+
+EV_DECAY_ATTR_SQL = """
+WITH t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts
+           FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id, event_id AS conversion_id, ts AS conversion_ts, value
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.conversion_id, t.touch_id, c.value,
+         1800 - (CAST(floor(epoch(c.conversion_ts)) AS BIGINT)
+                 - CAST(floor(epoch(t.touch_ts)) AS BIGINT)) + 1 AS w
+  FROM c JOIN t ON c.user_id = t.user_id
+   AND t.touch_ts <= c.conversion_ts
+   AND t.touch_ts >= c.conversion_ts - INTERVAL 30 MINUTE),
+tot AS (SELECT conversion_id, CAST(sum(w) AS BIGINT) AS tw FROM j GROUP BY 1)
+SELECT j.conversion_id, j.touch_id, CAST(j.w AS BIGINT) AS w,
+       round(j.value * j.w / tot.tw + 0.0000000005, 6) AS credit
+FROM j JOIN tot USING (conversion_id)
+ORDER BY conversion_id, touch_id
+"""
+
+
 # Staged for later registration (r12 window arithmetic in
 # plans/__init__.py: r13's window is exactly filled by the two
 # PENDING gates staged before these plus the r08/r09 rotation, so the
-# behavior pair registers r14; oracle-green via
+# behavior trio registers r14; oracle-green via
 # tests/test_pending_gates.py meanwhile).
 PENDING_QUERIES: dict[str, dict] = {
     "ev_funnel_stages": {"fn": ev_funnel_stages, "oracle": EV_FUNNEL_STAGES_SQL},
     "ev_transition_matrix": {"fn": ev_transition_matrix, "oracle": EV_TRANSITIONS_SQL},
+    "ev_decay_attribution": {"fn": ev_decay_attribution, "oracle": EV_DECAY_ATTR_SQL},
 }

@@ -1808,3 +1808,32 @@ def test_event_transitions_counts_and_probabilities(spark):
     assert got[("a", "b")] == (2, 1.0)
     assert got[("b", "a")] == (1, 1.0)
     assert set(got) == {("a", "b"), ("b", "a")}
+
+
+def test_multi_touch_attribution_credit_conservation(spark):
+    """Per-conversion credits sum to exactly the conversion value;
+    recency ordering holds (later touch -> larger weight); same-instant
+    touch gets W+1, window-edge touch gets 1; touches outside the
+    window get nothing."""
+    import datetime as dt
+
+    from rearview_spark.operators.behavior import multi_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(seconds=1800), 1, "click", 0.0),  # edge: w = 1
+        (2, t0 - dt.timedelta(seconds=60), 1, "click", 0.0),    # w = 1741
+        (3, t0, 1, "click", 0.0),                                # same instant: w = 1801
+        (4, t0 - dt.timedelta(seconds=1801), 1, "click", 0.0),   # outside
+        (5, t0, 1, "purchase", 90.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.touch_id: (r.w, r.credit)
+        for r in multi_touch_attribution(df, window_seconds=1800).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 1 and got[2][0] == 1741 and got[3][0] == 1801
+    assert abs(sum(c for _, c in got.values()) - 90.0) < 1e-9
