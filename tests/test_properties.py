@@ -360,3 +360,80 @@ def test_setsim_prefix_complete_on_random_corpora(spark, docs, t):
         .collect()
     }
     assert got == want
+
+
+# --- round 12: blocking-join completeness + attribution conservation --------
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=40), min_size=2, max_size=25),
+    window=st.integers(min_value=1, max_value=8),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sorted_neighborhood_completeness_fuzzed(spark, keys, window):
+    """The bucket-join blocking emits EXACTLY the definition's pair set
+    {(i, j): rank_i < rank_j <= rank_i + w} under random (possibly
+    duplicated) sort keys — duplicates resolved by the unique-id
+    tiebreaker, pairs across bucket boundaries included."""
+    from rearview_spark.operators.joins import sorted_neighborhood_pairs
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, ["k", "id"], window=window, id_col="id"
+        ).collect()
+    }
+    order = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+    want = {
+        (order[a], order[b])
+        for a in range(len(order))
+        for b in range(a + 1, min(a + window, len(order) - 1) + 1)
+    }
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=3600),   # seconds offset
+            st.sampled_from(["click", "purchase"]),
+            st.floats(min_value=0.01, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_multi_touch_attribution_conserves_value_fuzzed(spark, events):
+    """Every attributed conversion's credits sum to exactly its value
+    (one double division can't lose mass beyond float addition error);
+    conversions with no in-window touch produce no rows; weights stay
+    within [1, W+1]."""
+    from rearview_spark.operators.behavior import multi_touch_attribution
+
+    rows = [
+        (i, T0 + dt.timedelta(seconds=off), u, et, round(v, 2))
+        for i, (u, off, et, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = multi_touch_attribution(df, window_seconds=600).collect()
+    by_conv: dict = {}
+    for r in out:
+        assert 1 <= r.w <= 601
+        by_conv.setdefault(r.conversion_id, []).append(r.credit)
+    values = {eid: v for eid, _, _, et, v in rows if et == "purchase"}
+    for cid, credits in by_conv.items():
+        assert abs(sum(credits) - values[cid]) < 1e-9
