@@ -915,13 +915,86 @@ ORDER BY conversion_id, touch_id
 """
 
 
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles per
+    user) built on the distributed ntile machinery the deciles rewrite
+    introduced (_util.global_row_number + ntile_from_row_number, r11):
+    three range-partitioned rank passes over the USERS-sized frame —
+    never a partition-less window — each followed by the closed-form
+    SQL-standard ntile. Monetary is exact integer cents so the quartile
+    ORDER (and therefore every boundary assignment) is bit-identical
+    across engines; tile 1 = best (most recent / most frequent /
+    highest spend). The oracle is the plain ntile(4) window form — the
+    hash match proves the closed form equals the textbook semantics on
+    all three dimensions at once."""
+    from rearview_spark.operators._util import (
+        global_row_number,
+        ntile_from_row_number,
+    )
+
+    ev = Tables(spark, sf_dir).events
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("spend_cents"),
+    )
+    orders = {
+        "r": F.col("last_ts").desc(),
+        "f": F.col("n_events").desc(),
+        "m": F.col("spend_cents").desc(),
+    }
+    for dim, order in orders.items():
+        u, n = global_row_number(u, [order, F.col("user_id")], out_col=f"_{dim}_rn")
+        u = u.withColumn(
+            f"{dim}_tile", ntile_from_row_number(F.col(f"_{dim}_rn"), n, 4)
+        ).drop(f"_{dim}_rn")
+    return u.select(
+        "user_id",
+        "r_tile",
+        "f_tile",
+        "m_tile",
+        F.concat(
+            F.col("r_tile").cast("string"),
+            F.col("f_tile").cast("string"),
+            F.col("m_tile").cast("string"),
+        ).alias("segment"),
+    ).orderBy("user_id")
+
+
+EV_RFM_SQL = """
+WITH u AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS spend_cents
+  FROM events GROUP BY 1),
+s AS (
+  SELECT user_id,
+         CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS INTEGER) AS r_tile,
+         CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS INTEGER) AS f_tile,
+         CAST(ntile(4) OVER (ORDER BY spend_cents DESC, user_id) AS INTEGER) AS m_tile
+  FROM u)
+SELECT user_id, r_tile, f_tile, m_tile,
+       CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR) || CAST(m_tile AS VARCHAR)
+         AS segment
+FROM s ORDER BY user_id
+"""
+
+
 # Staged for later registration (r12 window arithmetic in
 # plans/__init__.py: r13's window is exactly filled by the two
 # PENDING gates staged before these plus the r08/r09 rotation, so the
-# behavior trio registers r14; oracle-green via
+# behavior trio + ev_rfm_segments register r14 (4 never-checked
+# + 46 stalest = 50 exactly); oracle-green via
 # tests/test_pending_gates.py meanwhile).
 PENDING_QUERIES: dict[str, dict] = {
     "ev_funnel_stages": {"fn": ev_funnel_stages, "oracle": EV_FUNNEL_STAGES_SQL},
     "ev_transition_matrix": {"fn": ev_transition_matrix, "oracle": EV_TRANSITIONS_SQL},
     "ev_decay_attribution": {"fn": ev_decay_attribution, "oracle": EV_DECAY_ATTR_SQL},
+    "ev_rfm_segments": {"fn": ev_rfm_segments, "oracle": EV_RFM_SQL},
 }
