@@ -226,4 +226,91 @@ QUERIES["graph_copurchase_components"] = {
     "oracle": GRAPH_COMPONENTS_SQL,
 }
 
-PENDING_QUERIES: dict[str, dict] = {}
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the customer<->supplier purchasing
+    network (operators/graph.personalized_pagerank), teleporting to the
+    BUILDING-segment customers: rank = proximity to that segment, the
+    "suppliers serving this market" recommendation read. Same integer
+    fixed-point contract and network as graph_pagerank; the oracle
+    replays the seeded recurrence iteration by iteration."""
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.lineitem.join(
+            t.orders, t.lineitem["l_orderkey"] == t.orders["o_orderkey"]
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    pr = G.personalized_pagerank(edges, seeds, iterations=PR_ITERS)
+    return pr.select(
+        F.when(pr["node"] % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "rank_fp",
+        "rank",
+    ).orderBy("kind", "entity_key")
+
+
+def _ppr_sql() -> str:
+    base = f"(15 * CAST({PR_SCALE} AS BIGINT)) // (100 * s)"
+    ctes = [
+        f"""pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        """seeds AS (
+  SELECT DISTINCT c_custkey * 2 AS node FROM customer
+  WHERE c_mktsegment = 'BUILDING')""",
+        """sd AS (
+  SELECT deg.src AS node,
+         CASE WHEN se.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM deg LEFT JOIN seeds se ON deg.src = se.node)""",
+        "ns AS (SELECT CAST(SUM(is_seed) AS BIGINT) AS s FROM sd)",
+        f"""r0 AS (
+  SELECT node,
+         CASE WHEN is_seed = 1 THEN CAST({PR_SCALE} AS BIGINT) // s ELSE 0 END AS r
+  FROM sd, ns)""",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT sd.node,
+         CASE WHEN sd.is_seed = 1 THEN (SELECT {base} FROM ns) ELSE 0 END
+           + COALESCE(c.s2, 0) AS r
+  FROM sd LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((85 * p.r) // (100 * dd.outdeg)) AS BIGINT) AS s2
+    FROM edges e JOIN r{i - 1} p ON e.src = p.node JOIN deg dd ON e.src = dd.src
+    GROUP BY e.dst) c ON sd.node = c.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS entity_key,
+       CAST(r AS BIGINT) AS rank_fp,
+       r / {float(PR_SCALE)} AS rank
+FROM r{PR_ITERS}
+ORDER BY kind, entity_key"""
+    )
+
+
+# Staged for later registration (window arithmetic in plans/__init__.py:
+# r13 takes the two earlier staged gates, r14 the behavior trio + RFM,
+# so this registers r15; oracle-green via tests/test_pending_gates.py).
+PENDING_QUERIES: dict[str, dict] = {
+    "graph_ppr": {"fn": graph_ppr, "oracle": _ppr_sql()},
+}

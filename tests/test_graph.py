@@ -138,3 +138,32 @@ def test_frequent_item_pairs_apriori_equals_unpruned(spark):
     }
     assert low[("a", "c")] == 1 and low[("b", "c")] == 1 and low[("c", "y")] == 1
     assert ("a", "x") in low  # support-1 keeps the singleton item too
+
+
+def test_personalized_pagerank_seed_proximity(spark):
+    """Star graph with the hub as seed: the hub outranks the leaves,
+    symmetric leaves get IDENTICAL fixed-point ranks (integer
+    determinism), an attached distant node ranks below the leaves
+    (proximity decay where the topology isn't parity-oscillating — a
+    bare path alternates under few iterations, the expected PPR
+    behavior on bipartite-ish graphs); off-graph seeds are ignored and
+    an all-off-graph seed set raises."""
+    import pytest
+
+    from rearview_spark.operators.graph import personalized_pagerank
+
+    undirected = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 off-graph
+    got = {
+        r.node: r.rank_fp for r in personalized_pagerank(edges, seeds, 9).collect()
+    }
+    assert got[1] == max(got.values())
+    assert got[2] == got[3]  # symmetric leaves: bit-identical
+    assert got[5] < got[2] and got[5] > 0  # two hops out ranks below leaves
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([(99,)], "node long"), 3
+        )
