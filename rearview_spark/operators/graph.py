@@ -289,3 +289,177 @@ def frequent_item_pairs(
         .agg(F.count("*").alias("pair_support"))
         .filter(F.col("pair_support") >= min_support)
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over a directed edge list ``(src bigint,
+    dst bigint)`` — callers with undirected relationships emit both
+    directions, the same contract as :func:`pagerank`, which also
+    guarantees every node appears as ``src``.
+
+    Each node starts labelled with its own id; every iteration it
+    adopts the label held by the PLURALITY of its in-neighbors. Vanilla
+    LPA breaks plurality ties randomly, which is useless for a
+    value-level oracle — here ties break toward the SMALLEST label
+    (``max_by`` on the integer struct ``(cnt, -label)``), making the
+    whole recurrence pure integer arithmetic: aggregation order cannot
+    perturb it, and a DuckDB oracle replays it exactly with chained
+    CTEs (the PageRank oracle discipline).
+
+    Synchronous + deterministic LPA can oscillate on bipartite-ish
+    structures instead of converging, so ``iterations`` is a FIXED
+    hyperparameter (bounded-round LPA), not a convergence loop — the
+    oracle unrolls exactly the same number of rounds, and production
+    use at 100 TB keeps the same bounded-iteration form.
+
+    Scale shape per iteration: one equi-join of the (repartitioned,
+    checkpointed-once) edge list against the O(nodes) label frame on
+    the SAME key, one (node, label) hash aggregate with map-side
+    combine, one max_by hash aggregate keyed by node. State between
+    iterations is O(nodes); nothing edge-sized persists or re-shuffles.
+    Per-iteration ``localCheckpoint`` bounds lineage exactly as in
+    :func:`pagerank` (same reliable-checkpoint swap at deployment).
+    """
+    ew = edges.repartition("src").localCheckpoint(eager=True)
+    labels = (
+        ew.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iterations):
+        nbr = ew.join(labels, ew["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.expr("max_by(label, struct(cnt, -label))").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
+    """The ``k``-core of an undirected graph — the maximal subgraph in
+    which every node keeps degree >= k — via the standard peeling
+    fixed point: repeatedly drop nodes with current degree < k until
+    nothing changes (Seidman 1983; the classic cohesion filter that
+    strips the long tail of casual attachments off an interaction
+    graph before community work).
+
+    Takes the symmetric directed form ``(src, dst)`` (both directions
+    per undirected edge — the module-wide contract), so a node's
+    degree is exactly its out-degree. Peeling is monotone (nodes only
+    ever leave), hence order-independent and exactly replayable by an
+    oracle that unrolls the SAME number of rounds: once the fixed
+    point is hit, extra rounds are no-ops, so "operator stops early,
+    oracle runs all ``max_rounds``" cannot diverge. Pure integer
+    arithmetic throughout.
+
+    Scale shape per round: one out-degree hash aggregate (map-side
+    combined) + two semi-joins of the current edge list against the
+    O(survivors) keep-list. The edge frame shrinks monotonically; a
+    driver-side count per round (the documented scalar-aggregate
+    class) detects the fixed point and stops. ``max_rounds`` bounds
+    the worst case — degeneracy-ordered graphs need O(peel depth)
+    rounds, and each round is a full parallel sweep, not per-node
+    work.
+
+    Returns ``(node, core_degree)`` — survivors with their degree
+    inside the core.
+    """
+    cur = edges.repartition("src").localCheckpoint(eager=True)
+    prev_edges = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        now = cur.count()
+        if now == prev_edges:
+            break
+        prev_edges = now
+    return (
+        cur.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Directed association rules ``antecedent -> consequent`` with
+    support / confidence / lift over the frequent pairs from
+    :func:`frequent_item_pairs` (Agrawal & Srikant VLDB'94 step 2 —
+    rule generation).
+
+    For each frequent unordered pair {A, B}, emits BOTH directions:
+
+        confidence(A -> B) = support(A,B) / support(A)
+        lift(A -> B)       = support(A,B) * n_baskets
+                             / (support(A) * support(B))
+
+    All supports are exact integers from hash aggregates; the two
+    ratios are each ONE float division of bigint operands (numerators
+    pre-multiplied in bigint), so the doubles are bit-identical across
+    engines — the single-division discipline every float-emitting gate
+    in this repo follows. Driver-side scalar: one basket count.
+
+    Scale shape: the pair frame from the a-priori-pruned self-join is
+    the expensive part and is built once; item supports are one hash
+    aggregate joined twice by item key (broadcastable when the item
+    dimension is small, plain shuffled equi-join otherwise — item
+    cardinality, not basket cardinality, drives that choice).
+    """
+    b = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    n_baskets = b.select("bk").distinct().count()
+    item_support = b.groupBy("it").agg(F.count("*").alias("sup"))
+    pairs = frequent_item_pairs(df, basket_col, item_col, min_support)
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_support",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "pair_support",
+        )
+    )
+    ant = item_support.select(
+        F.col("it").alias("antecedent"), F.col("sup").alias("ant_support")
+    )
+    con = item_support.select(
+        F.col("it").alias("consequent"), F.col("sup").alias("con_support")
+    )
+    out = directed.join(ant, "antecedent").join(con, "consequent")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_support",
+        "ant_support",
+        "con_support",
+        (
+            F.col("pair_support").cast("double") / F.col("ant_support")
+        ).alias("confidence"),
+        (
+            (F.col("pair_support") * F.lit(n_baskets)).cast("double")
+            / (F.col("ant_support") * F.col("con_support"))
+        ).alias("lift"),
+    )

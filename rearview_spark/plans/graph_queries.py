@@ -308,9 +308,175 @@ ORDER BY kind, entity_key"""
     )
 
 
+LPA_ITERS = 4
+KCORE_K = 3
+KCORE_ROUNDS = 12
+
+# Shared fixture for the r12 community/cohesion gates: the THRESHOLDED
+# co-order part graph (parts co-ordered in >= 2 distinct orders) — the
+# same edge set graph_copurchase_components clusters, sparse enough
+# (median degree 3 at sf0.01) that communities and cores are
+# non-trivial, where the raw co-order graph (min degree 42) is one
+# dense blob.
+_COORDER_EDGES_CTE = """b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+pairs AS (
+  SELECT a.it AS u, c.it AS v
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL
+  SELECT v, u FROM pairs
+)"""
+
+
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    pairs = G.frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select("item_a", "item_b")
+    return pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round label-propagation communities over the thresholded
+    co-order part graph (operators/graph.label_propagation): which
+    parts cluster into the same purchasing neighborhood. Deterministic
+    plurality/tie-break recurrence, so the oracle replays it with
+    chained CTEs exactly like the PageRank gates."""
+    lab = G.label_propagation(_coorder_edges(spark, sf_dir), iterations=LPA_ITERS)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("community_size"))
+    return (
+        lab.join(sizes, "label")
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("label").alias("community"),
+            "community_size",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        _COORDER_EDGES_CTE,
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, p.label AS label, count(*) AS cnt,
+           row_number() OVER (
+             PARTITION BY e.dst ORDER BY count(*) DESC, p.label ASC) AS rn
+    FROM edges e JOIN l{i - 1} p ON e.src = p.node
+    GROUP BY e.dst, p.label) t
+  WHERE rn = 1)"""
+        )
+    ctes.append(
+        f"sizes AS (SELECT label, count(*) AS community_size "
+        f"FROM l{LPA_ITERS} GROUP BY label)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT l.node AS p_partkey, l.label AS community, s.community_size
+FROM l{LPA_ITERS} l JOIN sizes s ON l.label = s.label
+ORDER BY p_partkey"""
+    )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k = KCORE_K) of the thresholded co-order part graph
+    (operators/graph.k_core): the cohesive interior after peeling away
+    parts with fewer than k strong co-order partners. Monotone
+    integer peel, so the fixed-round oracle replay is exact whether or
+    not the operator early-exits at the fixed point."""
+    core = G.k_core(
+        _coorder_edges(spark, sf_dir), k=KCORE_K, max_rounds=KCORE_ROUNDS
+    )
+    return core.select(
+        F.col("node").alias("p_partkey"), "core_degree"
+    ).orderBy("p_partkey")
+
+
+def _kcore_sql() -> str:
+    # Each round references the previous round exactly ONCE (degrees via
+    # two window counts over the same frame, not semi-joins): DuckDB
+    # inlines non-materialized CTEs per reference, so a
+    # triple-referencing round unrolled 12 deep re-expands the base scan
+    # 3^12 times — single-reference keeps the expansion linear.
+    ctes = [_COORDER_EDGES_CTE, "k0 AS (SELECT src, dst FROM edges)"]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""k{i} AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           count(*) OVER (PARTITION BY src) AS dsrc,
+           count(*) OVER (PARTITION BY dst) AS ddst
+    FROM k{i - 1}) t
+  WHERE dsrc >= {KCORE_K} AND ddst >= {KCORE_K})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT src AS p_partkey, count(*) AS core_degree
+FROM k{KCORE_ROUNDS}
+GROUP BY src
+ORDER BY p_partkey"""
+    )
+
+
+def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over order baskets
+    (operators/graph.association_rules): for each frequent co-ordered
+    part pair, both rule directions with exact integer supports and
+    single-division confidence / lift — the ranking signal a
+    recommender reads off the co-purchase graph."""
+    li = Tables(spark, sf_dir).lineitem
+    rules = G.association_rules(li, "l_orderkey", "l_partkey", min_support=3)
+    return rules.orderBy("antecedent", "consequent")
+
+
+GRAPH_ASSOC_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+isup AS (SELECT it, count(*) AS sup FROM b GROUP BY it),
+pairs AS (
+  SELECT a.it AS item_a, c.it AS item_b, count(*) AS pair_support
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_support FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, pair_support FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.pair_support,
+       sa.sup AS ant_support, sc.sup AS con_support,
+       CAST(d.pair_support AS DOUBLE) / sa.sup AS confidence,
+       CAST(d.pair_support * n.n_baskets AS DOUBLE) / (sa.sup * sc.sup) AS lift
+FROM directed d
+JOIN isup sa ON d.antecedent = sa.it
+JOIN isup sc ON d.consequent = sc.it
+CROSS JOIN n
+ORDER BY d.antecedent, d.consequent
+"""
+
+
 # Staged for later registration (window arithmetic in plans/__init__.py:
 # r13 takes the two earlier staged gates, r14 the behavior trio + RFM,
-# so this registers r15; oracle-green via tests/test_pending_gates.py).
+# later rounds the rest; all oracle-green via tests/test_pending_gates.py).
 PENDING_QUERIES: dict[str, dict] = {
     "graph_ppr": {"fn": graph_ppr, "oracle": _ppr_sql()},
+    "graph_label_propagation": {"fn": graph_label_propagation, "oracle": _lpa_sql()},
+    "graph_kcore": {"fn": graph_kcore, "oracle": _kcore_sql()},
+    "graph_assoc_rules": {"fn": graph_assoc_rules, "oracle": GRAPH_ASSOC_SQL},
 }
