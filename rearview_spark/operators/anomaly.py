@@ -192,3 +192,72 @@ def mad_anomalies(
             (signed / F.col("mad")).alias("robust_z"),
         )
     )
+
+
+def mean_shift_changepoints(
+    ts: DataFrame,
+    window: int = 12,
+    z: float = 2.0,
+    metric_col: str = "metric",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Changepoint sweep via the two-sample sliding mean-shift score: at
+    every grid point, compare the mean of the ``window`` points ENDING
+    just before it against the mean of the ``window`` points starting
+    at it, normalized by the pooled standard deviation —
+    ``z = (post_mean - pre_mean) / sqrt((var_pre + var_post) / 2)``.
+    Points where ``|z|`` exceeds the threshold mark level shifts: the
+    offline DETECTION sweep, complementary to the sequential CUSUM
+    accumulator above (CUSUM answers "has this stream drifted yet";
+    this answers "where did the level move" over history).
+
+    Only full two-sided windows score (count == window on both sides);
+    edges return no verdict rather than a diluted one.
+
+    Scale shape: two frame specs over ONE per-metric ordered window
+    spec — Catalyst collapses them into a single WindowExec partitioned
+    by metric (never global), one shuffle. All arithmetic on the frame
+    aggregates is a fixed expression tree ending in one division —
+    the same nudged-rounding contract every float gate uses applies
+    downstream.
+
+    Returns ``(metric, ts, pre_avg, post_avg, shift_z, is_shift)`` with
+    ``shift_z`` null where the pooled deviation is zero (two flat
+    windows — no scale to judge a shift against).
+    """
+    from pyspark.sql import Window
+
+    wpre = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(-window, -1)
+    )
+    wpost = (
+        Window.partitionBy(metric_col)
+        .orderBy(ts_col)
+        .rowsBetween(0, window - 1)
+    )
+    v = F.col(value_col)
+    scored = ts.select(
+        metric_col,
+        ts_col,
+        F.count(v).over(wpre).alias("_pre_n"),
+        F.count(v).over(wpost).alias("_post_n"),
+        F.avg(v).over(wpre).alias("pre_avg"),
+        F.avg(v).over(wpost).alias("post_avg"),
+        F.var_pop(v).over(wpre).alias("_pre_var"),
+        F.var_pop(v).over(wpost).alias("_post_var"),
+    ).filter((F.col("_pre_n") == window) & (F.col("_post_n") == window))
+    pooled = F.sqrt((F.col("_pre_var") + F.col("_post_var")) / F.lit(2.0))
+    score = (F.col("post_avg") - F.col("pre_avg")) / F.nullif(
+        pooled, F.lit(0.0)
+    )
+    return scored.select(
+        metric_col,
+        ts_col,
+        "pre_avg",
+        "post_avg",
+        score.alias("shift_z"),
+        F.coalesce(F.abs(score) > F.lit(z), F.lit(False)).alias("is_shift"),
+    )

@@ -202,3 +202,48 @@ def multi_touch_attribution(
         "w",
         (F.col("_value") * F.col("w") / F.col("_tw")).alias("credit"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    length: int = 3,
+    k: int = 25,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    sep: str = " > ",
+) -> DataFrame:
+    """Top-``k`` most frequent length-``length`` event paths (sliding
+    n-grams over each user's chronological event sequence) — the
+    "common journeys" read that generalizes the first-order transition
+    matrix to longer windows of behavior.
+
+    Ordering is deterministic: the per-user sequence sorts on
+    ``(ts, event_id)`` exactly as :func:`event_transitions`. Paths are
+    built with ``length - 1`` leads over ONE user-partitioned window
+    (Catalyst collapses same-spec Window nodes — one shuffle), counted
+    with a map-side-combined hash aggregate whose key domain is at most
+    |event types|^length, and ranked via the distributed
+    ``orderBy().limit(k)`` top-k (TakeOrderedAndProject) + bounded
+    row_number from operators/_util.ranked_topk — no unbounded global
+    window anywhere.
+
+    Returns ``(path, n_paths, rank)`` with ties broken toward the
+    lexicographically smallest path.
+    """
+    if length < 2:
+        raise ValueError(f"top_paths: need length >= 2, got {length}")
+    from rearview_spark.operators._util import ranked_topk
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    seq = events.select(F.concat_ws(sep, *steps).alias("path"), steps[-1].alias("_last"))
+    counts = (
+        seq.filter(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    return ranked_topk(counts, [F.desc("n_paths"), F.asc("path")], k)

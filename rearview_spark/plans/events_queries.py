@@ -992,7 +992,40 @@ FROM s ORDER BY user_id
 # behavior trio + ev_rfm_segments register r14 (4 never-checked
 # + 46 stalest = 50 exactly); oracle-green via
 # tests/test_pending_gates.py meanwhile).
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most frequent 3-event journeys across all user sequences
+    (operators/behavior.top_paths): sliding trigrams over each user's
+    (ts, event_id)-ordered events, counted and ranked with the
+    distributed orderBy().limit() top-k — the longer-window companion
+    to ev_transition_matrix."""
+    from rearview_spark.operators.behavior import top_paths
+
+    ev = Tables(spark, sf_dir).events
+    return top_paths(ev, length=3, k=25)
+
+
+EV_TOP_PATHS_SQL = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n_paths
+  FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+)
+SELECT path, n_paths,
+       CAST(row_number() OVER (ORDER BY n_paths DESC, path) AS INTEGER) AS rank
+FROM paths
+ORDER BY n_paths DESC, path
+LIMIT 25
+"""
+
+
 PENDING_QUERIES: dict[str, dict] = {
+    "ev_top_paths": {"fn": ev_top_paths, "oracle": EV_TOP_PATHS_SQL},
     "ev_funnel_stages": {"fn": ev_funnel_stages, "oracle": EV_FUNNEL_STAGES_SQL},
     "ev_transition_matrix": {"fn": ev_transition_matrix, "oracle": EV_TRANSITIONS_SQL},
     "ev_decay_attribution": {"fn": ev_decay_attribution, "oracle": EV_DECAY_ATTR_SQL},

@@ -1307,3 +1307,47 @@ QUERIES["dedup_sorted_neighborhood"] = {
     "fn": dedup_sorted_neighborhood,
     "oracle": SORTED_NEIGHBORHOOD_SQL,
 }
+
+
+def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiler over lineitem's numeric measures
+    (operators/profiling.profile_numeric_columns): per-column row/null
+    counts, exact distinct cardinality, min and max — the
+    trust-the-drop stats sweep run before layout decisions. All
+    comparison-only outputs; no float arithmetic, no rounding
+    contract."""
+    from rearview_spark.operators.profiling import profile_numeric_columns
+
+    li = Tables(spark, sf_dir).lineitem
+    return profile_numeric_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_name")
+
+
+REL_COLUMN_PROFILE_SQL = """
+WITH u AS (
+  SELECT 'l_quantity' AS col_name, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT col_name,
+       count(*) AS n_rows,
+       count(*) - count(value) AS n_nulls,
+       count(DISTINCT value) AS n_distinct,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM u
+GROUP BY col_name
+ORDER BY col_name
+"""
+
+
+# Staged for later registration (window arithmetic in
+# plans/__init__.py; oracle-green via tests/test_pending_gates.py).
+PENDING_QUERIES: dict[str, dict] = {
+    "rel_column_profile": {
+        "fn": rel_column_profile,
+        "oracle": REL_COLUMN_PROFILE_SQL,
+    },
+}

@@ -1752,3 +1752,60 @@ ORDER BY metric
 """
 
 QUERIES["ts_theil_sen"] = {"fn": ts_theil_sen, "oracle": TS_THEIL_SEN_SQL}
+
+
+def ts_changepoint(spark, sf_dir):
+    """Mean-shift changepoint sweep over the hourly series
+    (operators/anomaly.mean_shift_changepoints): two-sample sliding
+    z-score with 12-point windows either side of each grid point,
+    |z| above the threshold flagging level shifts. One
+    metric-partitioned WindowExec (both frames share the ordering
+    spec), everything downstream a fixed expression tree under the
+    nudged-rounding contract. The gate threshold is 1.0 — the fixture
+    series are stationary by construction (max |z| ~1.5 at sf0.01), so
+    the production default of 2.0 would leave the flag column
+    all-false and untested; 1.0 exercises both branches at every
+    fixture scale."""
+    from rearview_spark.operators.anomaly import mean_shift_changepoints
+
+    out = mean_shift_changepoints(_hourly(spark, sf_dir), window=12, z=1.0)
+    return out.select(
+        "metric",
+        "ts",
+        r4(F.col("pre_avg")).alias("pre_avg"),
+        r4(F.col("post_avg")).alias("post_avg"),
+        r4(F.col("shift_z")).alias("shift_z"),
+        "is_shift",
+    ).orderBy("metric", "ts")
+
+
+TS_CHANGEPOINT_SQL = HOURLY_CTE + """
+, s AS (
+  SELECT metric, ts,
+         count(value) OVER wpre AS pre_n,
+         count(value) OVER wpost AS post_n,
+         avg(value) OVER wpre AS pre_avg,
+         avg(value) OVER wpost AS post_avg,
+         var_pop(value) OVER wpre AS pre_var,
+         var_pop(value) OVER wpost AS post_var
+  FROM hourly
+  WINDOW wpre  AS (PARTITION BY metric ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING),
+         wpost AS (PARTITION BY metric ORDER BY ts ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING)
+), z AS (
+  SELECT metric, ts, pre_avg, post_avg,
+         (post_avg - pre_avg) / nullif(sqrt((pre_var + post_var) / 2.0), 0.0) AS zs
+  FROM s WHERE pre_n = 12 AND post_n = 12
+)
+SELECT metric, ts,
+       round(pre_avg + 0.00000005, 4) AS pre_avg,
+       round(post_avg + 0.00000005, 4) AS post_avg,
+       round(zs + 0.00000005, 4) AS shift_z,
+       coalesce(abs(zs) > 1.0, FALSE) AS is_shift
+FROM z
+ORDER BY metric, ts
+"""
+
+PENDING_QUERIES["ts_changepoint"] = {
+    "fn": ts_changepoint,
+    "oracle": TS_CHANGEPOINT_SQL,
+}

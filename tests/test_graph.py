@@ -167,3 +167,89 @@ def test_personalized_pagerank_seed_proximity(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([(99,)], "node long"), 3
         )
+
+
+# --- label propagation / k-core / association rules (r12) -------------------
+
+from rearview_spark.operators.graph import (  # noqa: E402
+    association_rules,
+    k_core,
+    label_propagation,
+)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    # two triangles {0,1,2} and {10,11,12} joined by one bridge 2-10:
+    # each triangle settles on ONE internal label and the two stay
+    # distinct communities. (The right side lands on label 2, not 10 —
+    # bridge node 10's first iteration sees three count-1 labels
+    # {11, 12, 2} and the smallest-label tie-break imports 2; plurality
+    # inside the triangle then spreads it. Deterministic, replayed by
+    # the oracle — the point is the PARTITION, not which id names it.)
+    pairs = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    df = spark.createDataFrame(_sym(pairs), "src bigint, dst bigint")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    assert set(got[n] for n in (0, 1, 2)) == {0}
+    right = set(got[n] for n in (10, 11, 12))
+    assert len(right) == 1 and right != {0}
+
+
+def test_label_propagation_matches_python_replay(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3)]
+    edges = _sym(pairs)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for iters in (1, 3):
+        lab = {n: n for n in {s for s, _ in edges}}
+        for _ in range(iters):
+            votes: dict = {}
+            for s, d in edges:
+                votes.setdefault(d, {}).setdefault(lab[s], 0)
+                votes[d][lab[s]] += 1
+            lab = {
+                d: max(v.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                for d, v in votes.items()
+            }
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == lab
+
+
+def test_k_core_strips_pendants_keeps_clique(spark):
+    # 4-clique {0,1,2,3} with pendant chain 3-4-5: the 3-core is the
+    # clique alone (peeling 5 exposes 4, which then peels too), and
+    # every survivor keeps degree 3.
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(_sym(pairs), "src bigint, dst bigint")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    df = spark.createDataFrame(_sym(pairs), "src bigint, dst bigint")
+    assert k_core(df, k=5, max_rounds=3).count() == 0
+
+
+def test_association_rules_hand_computed(spark):
+    # baskets: {a,b}, {a,b}, {a,c}, {b} -> pair (a,b) support 2,
+    # conf(a->b) = 2/3, conf(b->a) = 2/3, lift = 2*4/(3*3)
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "bk bigint, it string")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "bk", "it", min_support=2).collect()
+    }
+    assert set(got) == {("a", "b"), ("b", "a")}
+    ab = got[("a", "b")]
+    assert ab["pair_support"] == 2 and ab["ant_support"] == 3
+    assert ab["confidence"] == 2.0 / 3.0
+    assert ab["lift"] == 8.0 / 9.0
+    ba = got[("b", "a")]
+    assert ba["confidence"] == 2.0 / 3.0 and ba["lift"] == 8.0 / 9.0

@@ -1837,3 +1837,99 @@ def test_multi_touch_attribution_credit_conservation(spark):
     assert set(got) == {1, 2, 3}
     assert got[1][0] == 1 and got[2][0] == 1741 and got[3][0] == 1801
     assert abs(sum(c for _, c in got.values()) - 90.0) < 1e-9
+
+
+def test_top_paths_counts_and_ties(spark):
+    """Trigram paths over two user sequences with a tie broken by path
+    string; length-2 degenerates to the transition pairs."""
+    from datetime import datetime
+
+    from rearview_spark.operators.behavior import top_paths
+
+    def ev(i, u, t, et):
+        return (i, u, datetime(2024, 1, 1, 0, t), et)
+
+    rows = [
+        # user 1: a b c a b c  -> trigrams: abc, bca, cab, abc
+        ev(1, 1, 0, "a"), ev(2, 1, 1, "b"), ev(3, 1, 2, "c"),
+        ev(4, 1, 3, "a"), ev(5, 1, 4, "b"), ev(6, 1, 5, "c"),
+        # user 2: b c a       -> bca
+        ev(7, 2, 0, "b"), ev(8, 2, 1, "c"), ev(9, 2, 2, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    got = [(r["path"], r["n_paths"], r["rank"]) for r in
+           top_paths(df, length=3, k=10).orderBy("rank").collect()]
+    assert got == [
+        ("a > b > c", 2, 1),
+        ("b > c > a", 2, 2),   # count tie with abc -> path-lexicographic
+        ("c > a > b", 1, 3),
+    ]
+    pairs = {(r["path"], r["n_paths"]) for r in top_paths(df, length=2, k=10).collect()}
+    assert pairs == {("a > b", 2), ("b > c", 3), ("c > a", 2)}
+    with pytest.raises(ValueError):
+        top_paths(df, length=1)
+
+
+def test_top_paths_never_crosses_users(spark):
+    from datetime import datetime
+
+    from rearview_spark.operators.behavior import top_paths
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0), "a"),
+        (2, 2, datetime(2024, 1, 1, 0, 1), "b"),
+        (3, 3, datetime(2024, 1, 1, 0, 2), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    assert top_paths(df, length=2, k=10).count() == 0
+
+
+def test_profile_numeric_columns(spark):
+    from rearview_spark.operators.profiling import profile_numeric_columns
+
+    df = spark.createDataFrame(
+        [(1.0, None), (1.0, 2.5), (3.5, -1.0), (None, -1.0)],
+        "a double, b double",
+    )
+    got = {r["col_name"]: r for r in profile_numeric_columns(df, ["a", "b"]).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_rows"], a["n_nulls"], a["n_distinct"]) == (4, 1, 2)
+    assert (a["min_value"], a["max_value"]) == (1.0, 3.5)
+    assert (b["n_rows"], b["n_nulls"], b["n_distinct"]) == (4, 1, 2)
+    assert (b["min_value"], b["max_value"]) == (-1.0, 2.5)
+
+
+def test_mean_shift_changepoint_flags_level_shift(spark):
+    """A series that jumps from a flat 0-ish band to a 10-ish band must
+    flag exactly around the jump; full-window edge trimming holds."""
+    from datetime import datetime, timedelta
+
+    from rearview_spark.operators.anomaly import mean_shift_changepoints
+
+    t0 = datetime(2024, 1, 1)
+    vals = [0.0, 1.0] * 10 + [10.0, 11.0] * 10   # shift at index 20
+    rows = [
+        ("m", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    out = mean_shift_changepoints(df, window=4, z=2.0).orderBy("ts").collect()
+    # rows 4 .. len-4 score (full 4-row windows both sides)
+    assert len(out) == len(vals) - 4 - 3
+    flagged = [r["ts"] for r in out if r["is_shift"]]
+    assert t0 + timedelta(hours=20) in flagged
+    # far from the jump nothing flags
+    assert all(
+        abs((ts - (t0 + timedelta(hours=20))).total_seconds()) <= 4 * 3600
+        for ts in flagged
+    )
+    # two flat windows -> null score, not a division blow-up
+    flat = spark.createDataFrame(
+        [("m", t0 + timedelta(hours=i), 5.0) for i in range(12)],
+        "metric string, ts timestamp, value double",
+    )
+    fo = mean_shift_changepoints(flat, window=4, z=2.0).collect()
+    assert fo and all(r["shift_z"] is None and not r["is_shift"] for r in fo)
