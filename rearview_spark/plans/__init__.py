@@ -30,13 +30,21 @@ _NEW_THIS_ROUND = (
     # ts_theil_sen); r12 registers 4 new (sim_contamination,
     # dedup_sorted_neighborhood, ev_hll_sliding_distinct,
     # stream_outer_attribution) -> 8 never-checked + 42 of the 46
-    # stale-r08 rows = 50 exactly; 4 r08 rows slip one round. Two more
-    # gates are STAGED in PENDING_QUERIES (ts_autocorrelation,
-    # dedup_canonical_docs): r13 registering just those two fills its
-    # window with 2 never-checked + 4 r08 + 44 r09 = 50 exactly, so r13
-    # should register the two staged gates and stage anything new. The
-    # r12 behavior trio (ev_funnel_stages, ev_transition_matrix,
-    # ev_decay_attribution) then registers r14.
+    # stale-r08 rows = 50 exactly; 4 r08 rows slip one round.
+    #
+    # Registration schedule for the 13 gates now STAGED in
+    # PENDING_QUERIES (all oracle-green via test_pending_gates):
+    #   r13 -> ts_autocorrelation, dedup_canonical_docs
+    #          (2 never-checked + 4 r08 + 44 r09 = 50 exactly)
+    #   r14 -> ev_funnel_stages, ev_transition_matrix,
+    #          ev_decay_attribution, ev_rfm_segments
+    #          (4 never-checked + 46 stalest = 50)
+    #   r15 -> graph_ppr, graph_label_propagation, graph_kcore,
+    #          graph_assoc_rules (4 + 46 stalest = 50)
+    #   r16 -> ev_top_paths, rel_column_profile, ts_changepoint
+    #          (3 + 47 stalest = 50)
+    # Each round re-checks the arithmetic against the actual stale
+    # cohort before flipping entries.
 )
 
 
