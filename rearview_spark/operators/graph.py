@@ -463,3 +463,58 @@ def association_rules(
             / (F.col("ant_support") * F.col("con_support"))
         ).alias("lift"),
     )
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 6) -> DataFrame:
+    """Multi-source BFS: the hop distance from the nearest node in
+    ``seeds`` (a frame with a ``node`` column), up to ``max_hops`` —
+    the landmark-distance primitive graph feature pipelines read
+    ("how far is this part from the promoted set", blast-radius
+    queries, heuristic embeddings).
+
+    Same module contracts as the rest of the family: symmetric
+    directed edge list, every node appears as ``src``; seeds outside
+    the graph are ignored on both engines. Pure integer distances, so
+    the frontier recurrence
+
+        d_0(v)     = 0 if v in seeds
+        d_{t+1}(v) = min(d_t(v), 1 + min over in-edges (u,v) of d_t(u))
+
+    is aggregation-order-immune and replayable by a recursive-CTE
+    oracle (min over all reached (node, depth) pairs ≤ max_hops).
+
+    Scale shape per round: one equi-join of the checkpointed edge list
+    against the O(reached) distance frame on the src key, one min hash
+    aggregate keyed by dst, one full-outer min-merge with the previous
+    frame. Unreached nodes never enter the state — the frontier frame
+    grows to O(reached nodes), not O(nodes), and ``max_hops`` bounds
+    the rounds exactly like PageRank's fixed iterations.
+
+    Returns ``(node, hops)`` for reached nodes only (seeds at 0).
+    """
+    ew = edges.repartition("src").localCheckpoint(eager=True)
+    in_graph = ew.select(F.col("src").alias("node")).distinct()
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .join(in_graph, "node", "left_semi")
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        reached = ew.join(dist, ew["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("h")
+        )
+        step = reached.groupBy("node").agg(F.min("h").alias("h"))
+        dist = (
+            dist.join(step, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("hops"), F.lit(max_hops + 1)),
+                    F.coalesce(F.col("h"), F.lit(max_hops + 1)),
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist

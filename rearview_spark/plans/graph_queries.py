@@ -480,3 +480,53 @@ PENDING_QUERIES: dict[str, dict] = {
     "graph_kcore": {"fn": graph_kcore, "oracle": _kcore_sql()},
     "graph_assoc_rules": {"fn": graph_assoc_rules, "oracle": GRAPH_ASSOC_SQL},
 }
+
+
+BFS_MAX_HOPS = 6
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distance (operators/graph.bfs_hops) over the
+    thresholded co-order part graph from the Brand#4 parts: how many
+    strong co-order steps away every reachable part sits from the
+    promoted brand — the landmark-distance graph feature. The oracle is
+    a recursive CTE enumerating all (node, depth<=H) reachings and
+    taking the min depth, which equals the fixed-round min-propagation
+    exactly."""
+    t = Tables(spark, sf_dir)
+    seeds = t.part.filter(F.col("p_brand") == "Brand#4").select(
+        F.col("p_partkey").alias("node")
+    )
+    dist = G.bfs_hops(
+        _coorder_edges(spark, sf_dir), seeds, max_hops=BFS_MAX_HOPS
+    )
+    return dist.select(F.col("node").alias("p_partkey"), "hops").orderBy(
+        "p_partkey"
+    )
+
+
+GRAPH_BFS_SQL = f"""
+WITH RECURSIVE {_COORDER_EDGES_CTE},
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (
+  SELECT n.node FROM nodes n
+  JOIN part p ON n.node = p.p_partkey
+  WHERE p.p_brand = 'Brand#4'
+),
+reach(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON r.node = e.src
+  WHERE r.d < {BFS_MAX_HOPS}
+)
+SELECT node AS p_partkey, CAST(min(d) AS BIGINT) AS hops
+FROM reach
+GROUP BY node
+ORDER BY p_partkey
+"""
+
+PENDING_QUERIES["graph_bfs_hops"] = {
+    "fn": graph_bfs_hops,
+    "oracle": GRAPH_BFS_SQL,
+}

@@ -253,3 +253,27 @@ def test_association_rules_hand_computed(spark):
     assert ab["lift"] == 8.0 / 9.0
     ba = got[("b", "a")]
     assert ba["confidence"] == 2.0 / 3.0 and ba["lift"] == 8.0 / 9.0
+
+
+def test_bfs_hops_path_graph_distances(spark):
+    from rearview_spark.operators.graph import bfs_hops
+
+    # path 0-1-2-3-4 plus isolated pair 10-11; seed {0, 99 (off-graph)}
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    edges = spark.createDataFrame(_sym(pairs), "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,), (99,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+    # 10/11 unreachable -> absent; off-graph seed 99 ignored
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_hops_cap_and_multi_source(spark):
+    from rearview_spark.operators.graph import bfs_hops
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(_sym(pairs), "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,), (5,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    # nearest-seed distance, truncated at 2 hops (node at distance 3
+    # from both seeds does not exist on this 6-path)
+    assert got == {0: 0, 1: 1, 2: 2, 5: 0, 4: 1, 3: 2}

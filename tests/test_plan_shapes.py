@@ -272,7 +272,8 @@ def test_no_unbounded_global_window_sweep(spark, sf_dir):
     import rearview_spark.plans as plans
 
     bad: dict[str, list[str]] = {}
-    for name, entry in plans.all_queries().items():
+    gates = {**plans.all_queries(), **plans.all_pending()}
+    for name, entry in gates.items():
         out = _unbounded_global_windows(entry["fn"](spark, sf_dir))
         if out:
             bad[name] = out
