@@ -1351,3 +1351,80 @@ PENDING_QUERIES: dict[str, dict] = {
         "oracle": REL_COLUMN_PROFILE_SQL,
     },
 }
+
+
+def er_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over customers — the merge/purge
+    pipeline composed from its tested pieces: sorted-neighborhood
+    blocking (joins.sorted_neighborhood_pairs — linear candidates, no
+    global sort), a match rule (same nation, account balances within
+    100), then transitive closure (dedup.connected_components) to
+    assign each matched customer an entity id (= min member key) with
+    its entity size. Customers with no match stay out of the frame —
+    the ER output is the merge map, not the full roster.
+
+    Scale shape is the sum of its parts: n*window blocking candidates
+    over uniformly-sized integer bucket keys, filter at the join,
+    min-label propagation with O(members) state per round."""
+    from rearview_spark.operators.dedup import connected_components
+    from rearview_spark.operators.joins import sorted_neighborhood_pairs
+
+    cust = Tables(spark, sf_dir).customer
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        ["c_mktsegment", "c_acctbal", "c_custkey"],
+        window=5,
+        id_col="c_custkey",
+        carry_cols=("c_nationkey", "c_acctbal"),
+    )
+    matched = pairs.filter(
+        (F.col("c_nationkey_a") == F.col("c_nationkey_b"))
+        & (F.abs(F.col("c_acctbal_b") - F.col("c_acctbal_a")) <= 100)
+    )
+    cc = connected_components(matched)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("entity_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.col("component").alias("entity"),
+            "entity_size",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ER_CUSTOMER_SQL = """
+WITH RECURSIVE r AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         row_number() OVER (ORDER BY c_mktsegment, c_acctbal, c_custkey) AS rn
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+  WHERE a.c_nationkey = b.c_nationkey
+    AND abs(b.c_acctbal - a.c_acctbal) <= 100
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, rr) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.rr = e.src
+),
+comp AS (SELECT id, min(rr) AS entity FROM reach GROUP BY id),
+sz AS (SELECT entity, count(*) AS entity_size FROM comp GROUP BY entity)
+SELECT comp.id AS c_custkey, comp.entity, sz.entity_size
+FROM comp JOIN sz USING (entity)
+ORDER BY c_custkey
+"""
+
+PENDING_QUERIES["er_customer_entities"] = {
+    "fn": er_customer_entities,
+    "oracle": ER_CUSTOMER_SQL,
+}
