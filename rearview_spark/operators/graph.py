@@ -419,18 +419,36 @@ def association_rules(
     engines — the single-division discipline every float-emitting gate
     in this repo follows. Driver-side scalar: one basket count.
 
-    Scale shape: the pair frame from the a-priori-pruned self-join is
-    the expensive part and is built once; item supports are one hash
-    aggregate joined twice by item key (broadcastable when the item
-    dimension is small, plain shuffled equi-join otherwise — item
-    cardinality, not basket cardinality, drives that choice).
+    Scale shape: the distinct (basket, item) frame is materialized
+    ONCE (checkpoint) and shared by every consumer — basket count, item
+    supports, the a-priori prune (inlined from
+    :func:`frequent_item_pairs`, same algebra), and both sides of the
+    pair self-join; item supports are one hash aggregate joined twice
+    by item key (broadcastable when the item dimension is small, plain
+    shuffled equi-join otherwise — item cardinality, not basket
+    cardinality, drives that choice).
     """
-    b = df.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
+    b = (
+        df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("it"))
+        .distinct()
+        .localCheckpoint(eager=True)  # built ONCE, read by basket count,
+        # item supports, the a-priori prune, and both self-join sides —
+        # without this the distinct aggregate re-executes per consumer
+        # (6 corpus scans in the un-checkpointed plan)
+    )
     n_baskets = b.select("bk").distinct().count()
     item_support = b.groupBy("it").agg(F.count("*").alias("sup"))
-    pairs = frequent_item_pairs(df, basket_col, item_col, min_support)
+    freq = item_support.filter(F.col("sup") >= min_support).select("it")
+    pruned = b.join(freq, "it", "left_semi")
+    pa = pruned.select("bk", F.col("it").alias("item_a"))
+    pc = pruned.select("bk", F.col("it").alias("item_b"))
+    pairs = (
+        pa.join(pc, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support)
+    )
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),

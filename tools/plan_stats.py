@@ -34,11 +34,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:
-    from rearview_spark.plans import all_queries
+    from rearview_spark.plans import all_pending, all_queries
     from rearview_spark.session import get_spark
 
     spark = get_spark("plan_stats")
-    qs = all_queries()
+    qs = {**all_queries(), **all_pending()}  # staged gates measurable too
     names = sys.argv[1:] or DEFAULT
     if names == ["--all"]:
         names = sorted(qs)

@@ -20,14 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    from rearview_spark.plans import all_queries
+    from rearview_spark.plans import all_pending, all_queries
     from rearview_spark.session import get_spark
 
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     spark = get_spark("scale_bench")
-    qs = all_queries()
+    qs = {**all_queries(), **all_pending()}  # staged gates measurable too
     for name in names:
         fn = qs[name]["fn"]
         fn(spark, "/root/testdata/sf0.001").count()  # codegen warmup
