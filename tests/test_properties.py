@@ -437,3 +437,80 @@ def test_multi_touch_attribution_conserves_value_fuzzed(spark, events):
     values = {eid: v for eid, _, _, et, v in rows if et == "purchase"}
     for cid, credits in by_conv.items():
         assert abs(sum(credits) - values[cid]) < 1e-9
+
+
+# --- r12 graph operators vs pure-Python references on random graphs ---------
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=18,
+)
+
+GRAPH_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _sym_edges(pairs):
+    und = {(min(a, b), max(a, b)) for a, b in pairs}
+    return sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+
+
+def _kcore_py(edges, k):
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+def _bfs_py(edges, seeds, max_hops):
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {v: 0 for v in seeds if v in adj}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+@GRAPH_SETTINGS
+@given(pairs=edge_strategy, k=st.integers(min_value=1, max_value=4))
+def test_k_core_matches_python_peel(spark, pairs, k):
+    from rearview_spark.operators.graph import k_core
+
+    edges = _sym_edges(pairs)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=k, max_rounds=12).collect()}
+    assert got == _kcore_py(edges, k)
+
+
+@GRAPH_SETTINGS
+@given(pairs=edge_strategy, seed_bits=st.integers(min_value=1, max_value=1023))
+def test_bfs_hops_matches_python_bfs(spark, pairs, seed_bits):
+    from rearview_spark.operators.graph import bfs_hops
+
+    edges = _sym_edges(pairs)
+    seeds = [v for v in range(10) if seed_bits & (1 << v)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, sdf, max_hops=4).collect()}
+    assert got == _bfs_py(edges, seeds, 4)
