@@ -2790,3 +2790,77 @@ SELECT source, doc_id, n_tokens, rank FROM (
 """
 
 QUERIES["doc_weighted_sample"] = {"fn": doc_weighted_sample, "oracle": DOC_WSAMPLE_SQL}
+
+
+PC_ITERS = 8
+
+
+def sim_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus
+    (operators/linalg.top_principal_component): distributed integer
+    Gram matrix (mapInPandas partial outer products, one pass), then
+    the exact fixed-round integer power iteration over the collected
+    dim^2 artifact. Loadings + the Rayleigh eigenvalue are hashed —
+    the oracle replays quantization, Gram, all 8 renormalized
+    iterations (HUGEINT + pmod floor-div), and the quotient."""
+    from rearview_spark.operators.linalg import top_principal_component
+
+    emb = Tables(spark, sf_dir).embeddings
+    loadings, eigenvalue = top_principal_component(
+        emb, iterations=PC_ITERS
+    )
+    return loadings.withColumn("eigenvalue", F.lit(eigenvalue)).orderBy(
+        "dim_idx"
+    )
+
+
+def _top_pc_sql() -> str:
+    ctes = [
+        """q AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS j,
+         CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1000.0) AS BIGINT) AS qv
+  FROM embeddings)""",
+        """gram AS (
+  SELECT a.j AS j, b.j AS k, SUM(a.qv * b.qv) AS s
+  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2)""",
+        "dims AS (SELECT DISTINCT j FROM gram)",
+        "v0 AS (SELECT j, CAST(1000000 AS BIGINT) AS v FROM dims)",
+    ]
+    for i in range(1, PC_ITERS + 1):
+        ctes.append(
+            f"""w{i} AS (
+  SELECT g.j AS j, SUM(CAST(g.s AS HUGEINT) * p.v) AS w
+  FROM gram g JOIN v{i - 1} p ON g.k = p.j GROUP BY g.j)"""
+        )
+        ctes.append(
+            f"""v{i} AS (
+  SELECT j, CAST((wh - (((wh % m) + m) % m)) // m AS BIGINT) AS v FROM (
+    SELECT j, w * 1000000 AS wh, max(abs(w)) OVER () AS m
+    FROM w{i}) t)"""
+        )
+    last = f"v{PC_ITERS}"
+    ctes.append(
+        f"""ray AS (
+  SELECT CAST(SUM(CAST(a.v AS HUGEINT) * g.s * b.v) AS DOUBLE)
+         / (SELECT CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) FROM {last})
+           AS eigenvalue
+  FROM gram g JOIN {last} a ON g.j = a.j JOIN {last} b ON g.k = b.j)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST({last}.j AS INTEGER) AS dim_idx,
+       {last}.v AS loading_fp,
+       {last}.v / 1000000.0 AS loading,
+       ray.eigenvalue
+FROM {last} CROSS JOIN ray
+ORDER BY dim_idx"""
+    )
+
+
+PENDING_QUERIES["sim_top_component"] = {
+    "fn": sim_top_component,
+    "oracle": _top_pc_sql(),
+}

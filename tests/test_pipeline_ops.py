@@ -1933,3 +1933,55 @@ def test_mean_shift_changepoint_flags_level_shift(spark):
     )
     fo = mean_shift_changepoints(flat, window=4, z=2.0).collect()
     assert fo and all(r["shift_z"] is None and not r["is_shift"] for r in fo)
+
+
+def test_gram_matrix_hand_computed_and_partition_invariant(spark):
+    from rearview_spark.operators.linalg import gram_matrix
+
+    rows = [(1, [1.0, 2.0]), (2, [3.0, -1.0]), (3, [0.5, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # quant 1000: q = [[1000,2000],[3000,-1000],[500,0]]
+    want = {
+        (0, 0): 1000**2 + 3000**2 + 500**2,
+        (0, 1): 1000 * 2000 + 3000 * -1000,
+        (1, 0): 1000 * 2000 + 3000 * -1000,
+        (1, 1): 2000**2 + 1000**2,
+    }
+    for parts in (1, 3):
+        got = {
+            (r["j"], r["k"]): r["s"]
+            for r in gram_matrix(df.repartition(parts)).collect()
+        }
+        assert got == want
+
+
+def test_top_principal_component_recovers_dominant_direction(spark):
+    from rearview_spark.operators.linalg import top_principal_component
+
+    # points spread along (3, 4)/5 with small orthogonal jitter: the top
+    # PC must align with it — loading ratio ~ 4/3, same sign
+    rows = []
+    for i in range(-10, 11):
+        t = i / 10.0
+        for eps in (-0.02, 0.02):
+            rows.append((len(rows), [0.6 * t - 0.8 * eps, 0.8 * t + 0.6 * eps]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    loadings, eig = top_principal_component(df, iterations=12)
+    v = {r["dim_idx"]: r["loading"] for r in loadings.collect()}
+    assert eig > 0
+    assert abs(v[1] / v[0] - 4.0 / 3.0) < 0.01
+    assert v[0] * v[1] > 0  # same sign, pinned by the all-ones start
+    # max-norm: the largest |loading| is exactly 1.0 (scale/scale)
+    assert max(abs(x) for x in v.values()) == 1.0
+
+
+def test_top_principal_component_rejects_degenerate(spark):
+    import pytest as _pt
+
+    from rearview_spark.operators.linalg import top_principal_component
+
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError):
+        top_principal_component(zeros)
