@@ -536,3 +536,89 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 6) -> DataFrame
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: DataFrame, iterations: int = 5, scale: int = HITS_SCALE
+) -> DataFrame:
+    """Kleinberg's HITS over a directed edge list ``(src, dst)``: hub
+    score = how well a node points at strong authorities, authority
+    score = how strongly it is pointed at by good hubs — on a bipartite
+    purchase graph (customer -> supplier) this is the natural
+    "discerning buyers / endorsed sellers" dual that PageRank's single
+    score conflates.
+
+    Integer fixed-point with MAX-norm renormalization instead of the
+    textbook L2 (no square roots — every quantity stays integral, so
+    the recurrence is aggregation-order-immune and oracle-replayable;
+    max-norm and L2-norm power iterations converge to the same
+    direction):
+
+        h_0(u)     = scale
+        a_{t+1}(v) = sum over (u, v) of h_t(u),  renormed to max = scale
+        h_{t+1}(u) = sum over (u, v) of a_{t+1}(v),  renormed likewise
+
+    All values are nonnegative, so truncating and floor division agree
+    (Spark ``div`` == DuckDB ``//`` here, no pmod dance needed).
+
+    Scale shape per iteration: two equi-joins of the checkpointed edge
+    list against O(nodes) score frames (each on its own join key: dst
+    for authorities, src for hubs) + two map-side-combined hash
+    aggregates; the two renorm maxima are one-row driver scalars (the
+    PageRank-n class), NOT partition-less windows — the plan stays
+    sweep-clean. Returns ``(node, hub_fp, hub, auth_fp, auth)`` with
+    zeros for roles a node never plays (a pure source has no authority;
+    a pure sink no hubness).
+    """
+    ew = edges.repartition("src").localCheckpoint(eager=True)
+    srcs = ew.select(F.col("src").alias("node")).distinct()
+    dsts = ew.select(F.col("dst").alias("node")).distinct()
+    h = srcs.select("node", F.lit(scale).cast("long").alias("h")).localCheckpoint(
+        eager=True
+    )
+
+    def _renorm(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(col)).collect()[0][0]
+        if not m:
+            raise ValueError("hits: score mass vanished (empty graph?)")
+        return df.select(
+            "node", F.expr(f"({col} * {scale}) div {m}").alias(col)
+        ).localCheckpoint(eager=True)
+
+    a = None
+    for _ in range(iterations):
+        a = _renorm(
+            ew.join(h, ew["src"] == h["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("node2").alias("node"), "a"),
+            "a",
+        )
+        h = _renorm(
+            ew.join(a, ew["dst"] == a["node"])
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("node2").alias("node"), "h"),
+            "h",
+        )
+    out = (
+        srcs.unionAll(dsts)
+        .distinct()
+        .join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_fp"),
+        )
+    )
+    return out.select(
+        "node",
+        "hub_fp",
+        (F.col("hub_fp") / F.lit(float(scale))).alias("hub"),
+        "auth_fp",
+        (F.col("auth_fp") / F.lit(float(scale))).alias("auth"),
+    )

@@ -530,3 +530,87 @@ PENDING_QUERIES["graph_bfs_hops"] = {
     "fn": graph_bfs_hops,
     "oracle": GRAPH_BFS_SQL,
 }
+
+
+HITS_ITERS = 5
+HITS_SCALE = G.HITS_SCALE
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.hits) over the DIRECTED
+    customer -> supplier purchase graph: customers score as hubs
+    (discerning buyers), suppliers as authorities (endorsed sellers) —
+    the dual ranking the symmetric PageRank gate cannot express. The
+    oracle replays the max-norm integer recurrence iteration by
+    iteration."""
+    t = Tables(spark, sf_dir)
+    edges = (
+        t.lineitem.join(
+            t.orders, t.lineitem["l_orderkey"] == t.orders["o_orderkey"]
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    out = G.hits(edges, iterations=HITS_ITERS)
+    return out.select(
+        F.when(out["node"] % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        "hub_fp",
+        "hub",
+        "auth_fp",
+        "auth",
+    ).orderBy("kind", "entity_key")
+
+
+def _hits_sql() -> str:
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "srcs AS (SELECT DISTINCT src AS node FROM edges)",
+        "dsts AS (SELECT DISTINCT dst AS node FROM edges)",
+        f"h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM srcs)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""ar{i} AS (
+  SELECT e.dst AS node, SUM(p.h) AS a
+  FROM edges e JOIN h{i - 1} p ON e.src = p.node GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+  SELECT node, (a * {HITS_SCALE}) // max(a) OVER () AS a FROM ar{i})"""
+        )
+        ctes.append(
+            f"""hr{i} AS (
+  SELECT e.src AS node, SUM(p.a) AS h
+  FROM edges e JOIN a{i} p ON e.dst = p.node GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""h{i} AS (
+  SELECT node, (h * {HITS_SCALE}) // max(h) OVER () AS h FROM hr{i})"""
+        )
+    last = HITS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN n.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       n.node // 2 AS entity_key,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_fp,
+       COALESCE(h.h, 0) / {float(HITS_SCALE)} AS hub,
+       CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_fp,
+       COALESCE(a.a, 0) / {float(HITS_SCALE)} AS auth
+FROM (SELECT node FROM srcs UNION SELECT node FROM dsts) n
+LEFT JOIN h{last} h ON n.node = h.node
+LEFT JOIN a{last} a ON n.node = a.node
+ORDER BY kind, entity_key"""
+    )
+
+
+PENDING_QUERIES["graph_hits"] = {"fn": graph_hits, "oracle": _hits_sql()}

@@ -277,3 +277,35 @@ def test_bfs_hops_cap_and_multi_source(spark):
     # nearest-seed distance, truncated at 2 hops (node at distance 3
     # from both seeds does not exist on this 6-path)
     assert got == {0: 0, 1: 1, 2: 2, 5: 0, 4: 1, 3: 2}
+
+
+def _hits_py(edges, iters, scale=10**6):
+    srcs = sorted({s for s, _ in edges})
+    dsts = sorted({d for _, d in edges})
+    h = {u: scale for u in srcs}
+    a = {}
+    for _ in range(iters):
+        a = {v: sum(h[u] for u, d in edges if d == v) for v in dsts}
+        m = max(a.values())
+        a = {v: (x * scale) // m for v, x in a.items()}
+        h = {u: sum(a[d] for s, d in edges if s == u) for u in srcs}
+        m = max(h.values())
+        h = {u: (x * scale) // m for u, x in h.items()}
+    return h, a
+
+
+def test_hits_matches_integer_replay_and_ranks_sensibly(spark):
+    from rearview_spark.operators.graph import hits
+
+    # buyers 0,2,4 -> sellers 1,3: seller 1 endorsed by all three,
+    # seller 3 only by buyer 0; buyer 0 (buys from both) is the top hub
+    edges = [(0, 1), (2, 1), (4, 1), (0, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"]) for r in hits(df, 3).collect()}
+    h, a = _hits_py(edges, 3)
+    assert got == {
+        n: (h.get(n, 0), a.get(n, 0)) for n in set(h) | set(a)
+    }
+    assert got[1][1] > got[3][1]        # seller 1 the stronger authority
+    assert got[0][0] == max(v[0] for v in got.values())  # buyer 0 top hub
+    assert got[0][1] == 0 and got[1][0] == 0             # pure roles
