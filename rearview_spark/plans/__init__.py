@@ -41,8 +41,9 @@ _NEW_THIS_ROUND = (
     #          (4 never-checked + 46 stalest = 50)
     #   r15 -> graph_ppr, graph_label_propagation, graph_kcore,
     #          graph_assoc_rules (4 + 46 stalest = 50)
-    #   r16 -> ev_top_paths, rel_column_profile, ts_changepoint
-    #          (3 + 47 stalest = 50)
+    #   r16 -> graph_bfs_hops, graph_hits, ev_top_paths (3 + 47 = 50)
+    #   r17 -> rel_column_profile, ts_changepoint, er_customer_entities,
+    #          sim_top_component (4 + 46 = 50)
     # Each round re-checks the arithmetic against the actual stale
     # cohort before flipping entries.
 )
