@@ -127,3 +127,45 @@ def top_principal_component(
         "dim_idx int, loading_fp long, loading double",
     )
     return loadings, eigenvalue
+
+
+def pc_scores(
+    df: DataFrame,
+    loadings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = GRAM_QUANT,
+    scale: int = PC_SCALE,
+) -> DataFrame:
+    """Project every embedding onto a fixed-point component from
+    :func:`top_principal_component` — the serving half of the PCA pair
+    (drift scores, collapse diagnostics, 1-D ordering of a corpus along
+    its dominant axis).
+
+    The loadings frame is dim rows — collected and inlined as a LITERAL
+    array (bounded artifact, same class as the power-iteration input),
+    so scoring is a pure narrow projection: ``zip_with`` multiply +
+    ``aggregate`` sum in bigint (exact — |q| * |v| * dim stays far
+    inside int64 at the module's quant/scale), one float division per
+    row at the edge. No shuffle, no UDF; whole-stage codegen end to
+    end. Returns ``(id_col, score_fp, score)``.
+    """
+    v = [
+        int(r["loading_fp"])
+        for r in loadings.select("dim_idx", "loading_fp")
+        .orderBy("dim_idx")
+        .collect()
+    ]
+    arr = F.array(*[F.lit(x).cast("long") for x in v])
+    q = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {quant}.0) AS BIGINT))"
+    )
+    score_fp = F.aggregate(
+        F.zip_with(q, arr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(id_col, score_fp.alias("score_fp")).withColumn(
+        "score", F.col("score_fp") / F.lit(float(quant) * float(scale))
+    )

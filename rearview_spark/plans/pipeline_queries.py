@@ -2864,3 +2864,41 @@ PENDING_QUERIES["sim_top_component"] = {
     "fn": sim_top_component,
     "oracle": _top_pc_sql(),
 }
+
+
+def sim_pc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the corpus top principal component
+    (operators/linalg.pc_scores): the serving half of the PCA pair —
+    bigint dot products against the inlined literal loadings, one float
+    division per row. The oracle recomputes the full power iteration
+    and the projection join."""
+    from rearview_spark.operators.linalg import (
+        pc_scores,
+        top_principal_component,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    loadings, _ = top_principal_component(emb, iterations=PC_ITERS)
+    return pc_scores(emb, loadings).orderBy("vec_id")
+
+
+def _pc_scores_sql() -> str:
+    base = _top_pc_sql()
+    # reuse the iteration chain: swap the final projection for the
+    # per-vector dot product against v{PC_ITERS}
+    head = base[: base.rindex("SELECT CAST(")]
+    return (
+        head
+        + f"""SELECT q.vec_id,
+       CAST(SUM(q.qv * v.v) AS BIGINT) AS score_fp,
+       CAST(SUM(q.qv * v.v) AS BIGINT) / 1000000000.0 AS score
+FROM q JOIN v{PC_ITERS} v ON q.j = v.j
+GROUP BY q.vec_id
+ORDER BY q.vec_id"""
+    )
+
+
+PENDING_QUERIES["sim_pc_scores"] = {
+    "fn": sim_pc_scores,
+    "oracle": _pc_scores_sql(),
+}

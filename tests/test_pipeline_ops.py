@@ -1985,3 +1985,20 @@ def test_top_principal_component_rejects_degenerate(spark):
     )
     with _pt.raises(ValueError):
         top_principal_component(zeros)
+
+
+def test_pc_scores_order_along_dominant_axis_and_no_shuffle(spark):
+    from rearview_spark.operators.linalg import pc_scores, top_principal_component
+
+    rows = [(i, [i / 10.0, 2 * i / 10.0]) for i in range(-5, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    loadings, _ = top_principal_component(df, iterations=10)
+    scored = pc_scores(df, loadings)
+    got = {r["vec_id"]: r["score_fp"] for r in scored.collect()}
+    # scores are monotone in i (points lie on one line through origin)
+    ordered = [got[i] for i in range(-5, 6)]
+    assert ordered == sorted(ordered) or ordered == sorted(ordered, reverse=True)
+    assert got[0] == 0
+    # serving is a pure narrow projection: no Exchange in the plan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
