@@ -43,7 +43,7 @@ _NEW_THIS_ROUND = (
     #          graph_assoc_rules (4 + 46 stalest = 50)
     #   r16 -> graph_bfs_hops, graph_hits, ev_top_paths (3 + 47 = 50)
     #   r17 -> rel_column_profile, ts_changepoint, er_customer_entities,
-    #          sim_top_component (4 + 46 = 50)
+    #          sim_top_component, sim_pc_scores (5 + 45 = 50)
     # Each round re-checks the arithmetic against the actual stale
     # cohort before flipping entries.
 )
