@@ -169,3 +169,74 @@ def pc_scores(
     return df.select(id_col, score_fp.alias("score_fp")).withColumn(
         "score", F.col("score_fp") / F.lit(float(quant) * float(scale))
     )
+
+
+def ols_fit(df: DataFrame, y_col: str, x_cols: list[str]) -> DataFrame:
+    """Multivariate least squares by the sufficient-statistics method —
+    the in-database ML-training pattern: ONE distributed aggregation
+    computes the integer moment sums (n, Σx_i, Σx_i x_j, Σy, Σx_i y),
+    and the normal equations are then solved driver-side in EXACT
+    Python integers (fraction-free Bareiss elimination + Cramer
+    ratios), so the coefficients are deterministic down to the bit —
+    each β is one float division of two exact integers. Generalizes
+    operators/timeseries.linear_trend's single-feature form.
+
+    Inputs must already be INTEGER columns (callers quantize — cents,
+    counts, basis points — exactly like the fixed-point gates do);
+    that is what keeps the moment sums aggregation-order-immune.
+    int64 bound on the Spark side: each moment sum must fit int64
+    (n * max|x_i| * max|x_j|) — at TPC-H-ish magnitudes that allows
+    n ~ 10^9-10^12 depending on quantization; decimal(38,0) is the
+    documented swap beyond. The driver-side solve is O(k^3) on a
+    (k+1)-row artifact — the pq_fit bounded-artifact class.
+
+    Returns ``(term, beta)`` — 'intercept' plus one row per feature,
+    in y-units per x-unit.
+    """
+    k = len(x_cols)
+    if k < 1:
+        raise ValueError("ols_fit: need at least one feature")
+    xs = [F.lit(1).cast("long")] + [F.col(c).cast("long") for c in x_cols]
+    names = ["intercept"] + list(x_cols)
+    aggs = []
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"m_{i}_{j}"))
+        aggs.append(F.sum(xs[i] * F.col(y_col).cast("long")).alias(f"b_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    m = [[0] * (k + 1) for _ in range(k + 1)]
+    b = [int(row[f"b_{i}"]) for i in range(k + 1)]
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            m[i][j] = m[j][i] = int(row[f"m_{i}_{j}"])
+
+    def det(mat: list[list[int]]) -> int:
+        # fraction-free Bareiss: exact integer determinant, no floats
+        a = [r[:] for r in mat]
+        n = len(a)
+        sign, prev = 1, 1
+        for p in range(n - 1):
+            if a[p][p] == 0:
+                swap = next(
+                    (r for r in range(p + 1, n) if a[r][p] != 0), None
+                )
+                if swap is None:
+                    return 0
+                a[p], a[swap] = a[swap], a[p]
+                sign = -sign
+            for r in range(p + 1, n):
+                for c in range(p + 1, n):
+                    a[r][c] = (a[r][c] * a[p][p] - a[r][p] * a[p][c]) // prev
+            prev = a[p][p]
+        return sign * a[-1][-1]
+
+    d = det(m)
+    if d == 0:
+        raise ValueError("ols_fit: singular moment matrix (collinear features)")
+    betas = []
+    for i in range(k + 1):
+        mi = [r[:] for r in m]
+        for r in range(k + 1):
+            mi[r][i] = b[r]
+        betas.append((names[i], float(det(mi)) / float(d)))
+    return df.sparkSession.createDataFrame(betas, "term string, beta double")

@@ -1428,3 +1428,69 @@ PENDING_QUERIES["er_customer_entities"] = {
     "fn": er_customer_entities,
     "oracle": ER_CUSTOMER_SQL,
 }
+
+
+def rel_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate in-database regression (operators/linalg.ols_fit):
+    order price in whole dollars regressed on line count and total
+    quantity per order — one distributed integer moment aggregation,
+    exact Cramer solve, three bit-deterministic coefficients. The
+    oracle recomputes the nine moment sums in HUGEINT and expands the
+    3x3 determinants term for term."""
+    from rearview_spark.operators.linalg import ols_fit
+
+    t = Tables(spark, sf_dir)
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+    )
+    feats = t.orders.join(
+        per_order, t.orders["o_orderkey"] == per_order["l_orderkey"]
+    ).select(
+        F.round(F.col("o_totalprice")).cast("long").alias("price_dollars"),
+        "n_items",
+        "sum_qty",
+    )
+    return ols_fit(feats, "price_dollars", ["n_items", "sum_qty"]).orderBy(
+        "term"
+    )
+
+
+REL_OLS_SQL = """
+WITH f AS (
+  SELECT CAST(round(o.o_totalprice) AS BIGINT) AS y, l.ni, l.sq
+  FROM orders o JOIN (
+    SELECT l_orderkey, count(*) AS ni,
+           CAST(round(sum(l_quantity)) AS BIGINT) AS sq
+    FROM lineitem GROUP BY 1) l ON o.o_orderkey = l.l_orderkey
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(ni) AS HUGEINT) AS s1, CAST(sum(sq) AS HUGEINT) AS s2,
+         CAST(sum(ni * ni) AS HUGEINT) AS s11,
+         CAST(sum(ni * sq) AS HUGEINT) AS s12,
+         CAST(sum(sq * sq) AS HUGEINT) AS s22,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(ni * y) AS HUGEINT) AS s1y,
+         CAST(sum(sq * y) AS HUGEINT) AS s2y
+  FROM f
+),
+d AS (SELECT
+  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+  n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+  FROM s)
+SELECT * FROM (
+  SELECT 'intercept' AS term, CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS beta FROM d
+  UNION ALL
+  SELECT 'n_items', CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) FROM d
+  UNION ALL
+  SELECT 'sum_qty', CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) FROM d
+) ORDER BY term
+"""
+
+PENDING_QUERIES["rel_ols_price_model"] = {
+    "fn": rel_ols_price_model,
+    "oracle": REL_OLS_SQL,
+}

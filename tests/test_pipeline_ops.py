@@ -2002,3 +2002,48 @@ def test_pc_scores_order_along_dominant_axis_and_no_shuffle(spark):
     # serving is a pure narrow projection: no Exchange in the plan
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ols_fit_exact_on_noiseless_plane_and_matches_numpy(spark):
+    import numpy as np
+
+    from rearview_spark.operators.linalg import ols_fit
+
+    rows = [
+        (x1, x2, 3 + 2 * x1 + 5 * x2)
+        for x1 in range(6)
+        for x2 in range(4)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    got = {r["term"]: r["beta"] for r in ols_fit(df, "y", ["x1", "x2"]).collect()}
+    assert got == {"intercept": 3.0, "x1": 2.0, "x2": 5.0}
+
+    # noisy integer data: agree with numpy lstsq to float precision
+    noisy = [
+        (x1, x2, 3 + 2 * x1 + 5 * x2 + ((x1 * 7 + x2 * 3) % 5 - 2))
+        for x1 in range(8)
+        for x2 in range(5)
+    ]
+    df2 = spark.createDataFrame(noisy, "x1 long, x2 long, y long")
+    got2 = {r["term"]: r["beta"] for r in ols_fit(df2, "y", ["x1", "x2"]).collect()}
+    a = np.array([[1, x1, x2] for x1, x2, _ in noisy], dtype=float)
+    b = np.array([y for *_, y in noisy], dtype=float)
+    ref, *_ = np.linalg.lstsq(a, b, rcond=None)
+    for i, term in enumerate(["intercept", "x1", "x2"]):
+        assert abs(got2[term] - ref[i]) < 1e-9
+
+    # single feature degenerates to the simple-regression closed form
+    got1 = {r["term"]: r["beta"] for r in ols_fit(df, "y", ["x1"]).collect()}
+    assert abs(got1["x1"] - 2.0) < 1e-12
+
+
+def test_ols_fit_rejects_collinear(spark):
+    import pytest as _pt
+
+    from rearview_spark.operators.linalg import ols_fit
+
+    df = spark.createDataFrame(
+        [(i, 2 * i, i * 3) for i in range(5)], "x1 long, x2 long, y long"
+    )
+    with _pt.raises(ValueError):
+        ols_fit(df, "y", ["x1", "x2"])
