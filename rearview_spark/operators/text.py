@@ -568,3 +568,78 @@ def source_kl_divergence(
         )
         .orderBy("source")
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = total length of every phrase it appears in — rewarding
+    words that live in long collocations); a phrase scores the sum of
+    its words' scores; the corpus top-k phrases come out.
+
+    Integer discipline: the word score is quantized ONCE —
+    ``score_fp = (deg * scale) div freq`` (both exact counts, positive,
+    so truncating and floor division agree cross-engine) — and phrase
+    scores are then plain bigint SUMS, immune to aggregation order (the
+    float formulation would sum doubles in nondeterministic order).
+    One float division per output row at the edge.
+
+    Scale shape: posexplode -> stopword filter at the scan -> phrase
+    run-ids from ONE doc-partitioned window (pos minus rank — the
+    classic gaps-and-islands move, never a global window) -> word-stat
+    hash aggregate over the vocabulary domain -> a vocabulary-keyed
+    join back (broadcastable for bounded vocabularies) -> phrase hash
+    aggregate -> distributed orderBy().limit top-k. Phrase text is
+    rebuilt with array_sort over (pos, tok) structs, so collect_list's
+    nondeterministic order never reaches the output.
+
+    Returns ``(phrase, n_occurrences, score_fp, score, rank)``.
+    """
+    from pyspark.sql import Window
+
+    from rearview_spark.operators._util import ranked_topk
+
+    toks = tokens(F.col(text_col))
+    t = df.select(id_col, F.posexplode(toks).alias("pos", "tok"))
+    content = t.filter(
+        ~F.col("tok").isin(*STOPWORDS) & (F.col("tok") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    g = content.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    ).withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy(id_col, "grp"))
+    )
+    word_stats = (
+        g.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select("tok", F.expr(f"(deg * {scale}) div freq").alias("w_score_fp"))
+    )
+    phrases = g.join(word_stats, "tok").groupBy(id_col, "grp").agg(
+        F.sum("w_score_fp").alias("score_fp"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("score_fp").alias("score_fp"),
+    )
+    out = ranked_topk(agg, [F.desc("score_fp"), F.asc("phrase")], k)
+    return out.select(
+        "phrase",
+        "n_occurrences",
+        "score_fp",
+        (F.col("score_fp") / F.lit(float(scale))).alias("score"),
+        "rank",
+    )

@@ -2902,3 +2902,57 @@ PENDING_QUERIES["sim_pc_scores"] = {
     "fn": sim_pc_scores,
     "oracle": _pc_scores_sql(),
 }
+
+
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 RAKE keyword phrases (operators/text.rake_keywords):
+    stopword-delimited phrase runs, integer-quantized degree/frequency
+    word scores, bigint phrase sums, distributed top-k. The oracle
+    replays tokenization, the gaps-and-islands run ids, both
+    aggregates, and the quantized division."""
+    from rearview_spark.operators.text import rake_keywords
+
+    docs = Tables(spark, sf_dir).documents
+    return rake_keywords(docs, k=20)
+
+
+DOC_RAKE_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ts))) AS pos,
+         unnest(ts) AS tok
+  FROM raw),
+content AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks
+  WHERE tok NOT IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'for', 'on', 'with', 'as', 'at', 'by', 'be', 'this', 'that', 'are') AND tok <> ''),
+g2 AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS plen FROM content),
+wsc AS (
+  SELECT tok, (sum(plen) * 1000000) // count(*) AS w_score_fp
+  FROM g2 GROUP BY tok),
+phrases AS (
+  SELECT g2.doc_id, g2.grp,
+         CAST(sum(wsc.w_score_fp) AS BIGINT) AS score_fp,
+         string_agg(g2.tok, ' ' ORDER BY g2.pos) AS phrase
+  FROM g2 JOIN wsc USING (tok) GROUP BY 1, 2),
+agg AS (
+  SELECT phrase, count(*) AS n_occurrences,
+         CAST(max(score_fp) AS BIGINT) AS score_fp
+  FROM phrases GROUP BY phrase)
+SELECT phrase, n_occurrences, score_fp, score_fp / 1000000.0 AS score,
+       CAST(row_number() OVER (ORDER BY score_fp DESC, phrase) AS INT) AS rank
+FROM agg
+ORDER BY score_fp DESC, phrase
+LIMIT 20
+"""
+
+PENDING_QUERIES["doc_rake_keywords"] = {
+    "fn": doc_rake_keywords,
+    "oracle": DOC_RAKE_SQL,
+}

@@ -2047,3 +2047,36 @@ def test_ols_fit_rejects_collinear(spark):
     )
     with _pt.raises(ValueError):
         ols_fit(df, "y", ["x1", "x2"])
+
+
+def test_rake_keywords_hand_computed(spark):
+    from rearview_spark.operators.text import rake_keywords
+
+    # doc: "deep learning of deep nets" -> phrases "deep learning",
+    # "deep nets"; freq(deep)=2, deg(deep)=4, freq(learning)=1,
+    # deg(learning)=2, freq(nets)=1, deg(nets)=2
+    # scores (x1e6): deep=2e6, learning=2e6, nets=2e6
+    # phrase scores: both 4e6; tie -> lexicographic
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep nets")], "doc_id long, text string"
+    )
+    got = [
+        (r["phrase"], r["n_occurrences"], r["score_fp"], r["rank"])
+        for r in rake_keywords(df, k=5).orderBy("rank").collect()
+    ]
+    assert got == [
+        ("deep learning", 1, 4_000_000, 1),
+        ("deep nets", 1, 4_000_000, 2),
+    ]
+
+    # repeated phrase counts occurrences once in the ranking frame
+    df2 = spark.createDataFrame(
+        [(1, "fast join and fast join"), (2, "fast join")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["phrase"]: (r["n_occurrences"], r["score_fp"])
+        for r in rake_keywords(df2, k=5).collect()
+    }
+    # freq(fast)=3, deg(fast)=6 -> 2e6; same for join; phrase = 4e6
+    assert got2 == {"fast join": (3, 4_000_000)}
