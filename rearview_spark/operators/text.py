@@ -643,3 +643,81 @@ def rake_keywords(
         (F.col("score_fp") / F.lit(float(scale))).alias("score"),
         "rank",
     )
+
+
+def build_trigram_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram posting index for substring (LIKE '%..%')
+    search — the classic pg_trgm-style accelerator: every 3-char window
+    of the normalized text maps to the doc ids containing it. Built
+    with sequence/transform/explode (pure JVM, no UDF) + one distinct;
+    persisted offline like the BM25 inverted index, it turns a
+    full-corpus LIKE scan into a posting intersection.
+
+    Returns ``(gram, doc_id)`` distinct pairs. Size is O(total chars)
+    before the distinct; the gram key domain is bounded by the alphabet
+    cubed, so the distinct's shuffle is skew-managed by the usual hash
+    partitioning (a pathological single-gram corpus degrades to the
+    scan it replaces, never worse).
+    """
+    t = normalize_text(F.col(text_col))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(_norm) - 2, 0)), "
+        "i -> substring(_norm, i, 3))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), t.alias("_norm"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def trigram_search(
+    docs: DataFrame,
+    index: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring search served from :func:`build_trigram_index`: the
+    pattern's own trigrams prune to candidate docs containing ALL of
+    them (conjunctive containment — a gram-count equality over an
+    IN-list-filtered slice of the index), then the TRUE predicate
+    (``contains`` on normalized text) verifies candidates, so results
+    are bit-identical to the full LIKE scan at posting-slice cost. The
+    index is a plan choice, not a semantics change — same contract as
+    bm25_topk_indexed.
+
+    Scale shape: the index scan reads only the pattern's <= |pattern|-2
+    gram keys (predicate-pushdown-friendly equi-filter), the candidate
+    aggregate is a doc-keyed count over that slice, and only candidates
+    pay the verify join back to the corpus. Patterns shorter than 3
+    chars cannot prune — rejected rather than silently scanning.
+
+    Returns ``(doc_id, n_chars)`` for matching docs.
+    """
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", pattern.lower()).strip()
+    if len(norm) < 3:
+        raise ValueError(
+            f"trigram_search: pattern must be >= 3 chars, got {pattern!r}"
+        )
+    grams = sorted({norm[i : i + 3] for i in range(len(norm) - 2)})
+    cands = (
+        index.filter(F.col("gram").isin(grams))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == len(grams))
+        .select("doc_id")
+    )
+    verified = (
+        docs.join(cands, docs[id_col] == cands["doc_id"], "left_semi")
+        .filter(
+            F.contains(normalize_text(F.col(text_col)), F.lit(norm))
+        )
+    )
+    return verified.select(
+        F.col(id_col).alias("doc_id"), F.length(text_col).alias("n_chars")
+    )

@@ -2956,3 +2956,33 @@ PENDING_QUERIES["doc_rake_keywords"] = {
     "fn": doc_rake_keywords,
     "oracle": DOC_RAKE_SQL,
 }
+
+
+def doc_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-served substring search (operators/text.build_trigram_index
+    + trigram_search): LIKE '%vector scan%' answered from the trigram
+    posting index with conjunctive-containment pruning + exact verify.
+    The oracle is the PLAIN LIKE scan — the hash match proves the index
+    path returns bit-identical results (the doc_bm25_indexed
+    discipline: an index is a plan choice, not a semantics change)."""
+    from rearview_spark.operators.text import (
+        build_trigram_index,
+        trigram_search,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    idx = build_trigram_index(docs)
+    return trigram_search(docs, idx, "vector scan").orderBy("doc_id")
+
+
+DOC_TRIGRAM_SQL = """
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+WHERE contains(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 'vector scan')
+ORDER BY doc_id
+"""
+
+PENDING_QUERIES["doc_trigram_search"] = {
+    "fn": doc_trigram_search,
+    "oracle": DOC_TRIGRAM_SQL,
+}

@@ -2080,3 +2080,45 @@ def test_rake_keywords_hand_computed(spark):
     }
     # freq(fast)=3, deg(fast)=6 -> 2e6; same for join; phrase = 4e6
     assert got2 == {"fast join": (3, 4_000_000)}
+
+
+def test_trigram_search_equals_scan_and_prunes(spark):
+    import pytest as _pt
+
+    from rearview_spark.operators.text import build_trigram_index, trigram_search
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta gamma delta"),
+        (3, "unrelated words here"),
+        (4, "ALPHA  Beta gamma"),   # normalization: case + whitespace
+        (5, "alphabet agamma"),     # shares grams but not the substring
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_trigram_index(docs)
+    got = sorted(
+        r["doc_id"] for r in trigram_search(docs, idx, "beta gamma").collect()
+    )
+    scan = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            F.contains(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                F.lit("beta gamma"),
+            )
+        ).collect()
+    )
+    assert got == scan == [1, 2, 4]
+    # the gram prune really prunes: doc 3 shares no pattern gram
+    from rearview_spark.operators.text import normalize_text  # noqa: F401
+
+    pat_grams = {"beta gamma"[i : i + 3] for i in range(len("beta gamma") - 2)}
+    cands = (
+        idx.filter(F.col("gram").isin(sorted(pat_grams)))
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") == len(pat_grams))
+    )
+    assert 3 not in {r["doc_id"] for r in cands.collect()}
+    with _pt.raises(ValueError):
+        trigram_search(docs, idx, "ab")
