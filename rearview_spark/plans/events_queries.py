@@ -1031,3 +1031,134 @@ PENDING_QUERIES: dict[str, dict] = {
     "ev_decay_attribution": {"fn": ev_decay_attribution, "oracle": EV_DECAY_ATTR_SQL},
     "ev_rfm_segments": {"fn": ev_rfm_segments, "oracle": EV_RFM_SQL},
 }
+
+
+def ev_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from MERGED HLL
+    sketches — the classic segment-overlap read (inclusion-exclusion:
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where the union estimate
+    is just the per-bucket max of the two register tables — the
+    mergeable-summaries property again). One corpus pass builds the
+    per-type sketches (≤ 64 rows each); every pairwise computation
+    after that is arithmetic over sketch rows — at 100 TB, computing
+    all O(segments^2) overlaps never re-touches raw events.
+    ``true_overlap`` re-derives the exact intersection for comparison
+    (the verification column a production run drops). All register
+    arithmetic is exact bigint; estimates are one double division
+    each and the overlap a fixed-order sum — bit-replayable."""
+    from rearview_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_sparse_expr,
+        hll_registers_by,
+    )
+
+    ev = Tables(spark, sf_dir).events
+    regs = hll_registers_by(ev, "user_id", ["event_type"], m=HLL_M)
+    est = regs.groupBy("event_type").agg(
+        hll_estimate_sparse_expr(HLL_M).alias("est")
+    )
+    ta = est.select(
+        F.col("event_type").alias("type_a"), F.col("est").alias("est_a")
+    )
+    tb = est.select(
+        F.col("event_type").alias("type_b"), F.col("est").alias("est_b")
+    )
+    pairs = ta.join(tb, F.col("type_a") < F.col("type_b"))
+    union_regs = (
+        pairs.select("type_a", "type_b")
+        .join(
+            regs,
+            (regs["event_type"] == F.col("type_a"))
+            | (regs["event_type"] == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    est_union = union_regs.groupBy("type_a", "type_b").agg(
+        hll_estimate_sparse_expr(HLL_M).alias("est_union")
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    ub = users.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    truth = (
+        ua.join(ub, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("u").alias("true_overlap"))
+    )
+    return (
+        pairs.join(est_union, ["type_a", "type_b"])
+        .join(truth, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_overlap"
+            ),
+            "true_overlap",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _hll_overlap_sql() -> str:
+    from rearview_spark.operators.sketch import HLL_EST_NUM, HLL_M, hll_rho_case
+
+    md5e = "md5(concat(CAST(user_id AS VARCHAR), ':hll'))"
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr({md5e}, 1, 15)) AS BIGINT) % {HLL_M} AS bucket,
+         CAST(concat('0x', substr({md5e}, 16, 10)) AS BIGINT) AS x
+  FROM events),
+r AS (SELECT event_type, bucket, {hll_rho_case('x')} AS rho FROM h),
+regs AS (SELECT event_type, bucket, MAX(rho) AS register FROM r GROUP BY 1, 2),
+est AS (
+  SELECT event_type,
+         {HLL_EST_NUM!r} / CAST(
+           SUM(CAST(1 AS BIGINT) << (50 - register))
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS DOUBLE) AS est
+  FROM regs GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.est AS est_a, b.est AS est_b
+  FROM est a JOIN est b ON a.event_type < b.event_type),
+union_est AS (
+  SELECT p.type_a, p.type_b,
+         {HLL_EST_NUM!r} / CAST(
+           SUM(CAST(1 AS BIGINT) << (50 - register))
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS DOUBLE) AS est_union
+  FROM (
+    SELECT pp.type_a, pp.type_b, r.bucket, MAX(r.register) AS register
+    FROM (SELECT type_a, type_b FROM pairs) pp
+    JOIN regs r ON r.event_type = pp.type_a OR r.event_type = pp.type_b
+    GROUP BY 1, 2, 3) p
+  GROUP BY p.type_a, p.type_b),
+users AS (SELECT DISTINCT event_type, user_id FROM events),
+truth AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(DISTINCT a.user_id) AS true_overlap
+  FROM users a JOIN users b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.est_a, p.est_b, u.est_union,
+       p.est_a + p.est_b - u.est_union AS est_overlap,
+       t.true_overlap
+FROM pairs p
+JOIN union_est u ON p.type_a = u.type_a AND p.type_b = u.type_b
+JOIN truth t ON p.type_a = t.type_a AND p.type_b = t.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+PENDING_QUERIES["ev_hll_audience_overlap"] = {
+    "fn": ev_hll_audience_overlap,
+    "oracle": _hll_overlap_sql(),
+}

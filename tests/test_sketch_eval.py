@@ -440,3 +440,54 @@ def test_hll_grouped_registers_merge_equals_union_build(spark):
     # raw-branch reference (no linear-counting correction kicks in at
     # 311 distinct >> 2.5 * 64)
     assert abs(sparse_est - hll_estimate_py(union_regs, HLL_M)) < 1e-9
+
+
+def test_hll_overlap_inclusion_exclusion_consistency(spark):
+    """The pairwise-overlap estimate from merged sketches must equal
+    est(A) + est(B) - est(union) computed from scratch, and track the
+    true intersection on disjoint-ish audiences."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_sparse_expr,
+        hll_registers_by,
+    )
+
+    # A = users 0..99, B = users 50..149 -> true overlap 50
+    rows = [("A", u) for u in range(100)] + [("B", u) for u in range(50, 150)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    regs = hll_registers_by(df, "user_id", ["event_type"], m=HLL_M)
+    est = {
+        r["event_type"]: r["e"]
+        for r in regs.groupBy("event_type")
+        .agg(hll_estimate_sparse_expr(HLL_M).alias("e"))
+        .collect()
+    }
+    est_union = (
+        regs.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .agg(hll_estimate_sparse_expr(HLL_M).alias("e"))
+        .collect()[0]["e"]
+    )
+    overlap = est["A"] + est["B"] - est_union
+    # HLL at m=64 has ~13% typical error; overlap of 50 out of 150
+    assert 10 < overlap < 100
+    # sketch of the union == union of sketches (merge property): build
+    # the union sketch from raw rows and compare registers exactly
+    raw_union = (
+        hll_registers_by(
+            df.select(F.lit("U").alias("event_type"), "user_id"),
+            "user_id",
+            ["event_type"],
+            m=HLL_M,
+        )
+        .select("bucket", "register")
+        .collect()
+    )
+    merged = (
+        regs.groupBy("bucket").agg(F.max("register").alias("register")).collect()
+    )
+    assert {(r["bucket"], r["register"]) for r in raw_union} == {
+        (r["bucket"], r["register"]) for r in merged
+    }
