@@ -44,7 +44,8 @@ _NEW_THIS_ROUND = (
     #   r16 -> graph_bfs_hops, graph_hits, ev_top_paths (3 + 47 = 50)
     #   r17 -> rel_column_profile, ts_changepoint, er_customer_entities,
     #          sim_top_component, sim_pc_scores (5 + 45 = 50)
-    #   r18 -> rel_ols_price_model, doc_rake_keywords, doc_trigram_search
+    #   r18 -> rel_ols_price_model, doc_rake_keywords, doc_trigram_search,
+    #          ev_hll_audience_overlap
     # Each round re-checks the arithmetic against the actual stale
     # cohort before flipping entries.
 )
