@@ -81,3 +81,60 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(
         *[merge_fns[fn](name).alias(name) for name, (col, fn) in aggs.items()]
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Skew diagnostics for a prospective join/aggregation key — the
+    numbers an engineer reads BEFORE reaching for the salting operators
+    above: key cardinality, total rows, the hottest key's count, exact
+    median and p99 per-key counts, and the Gini coefficient of the
+    count distribution (0 = perfectly uniform, -> 1 = one key owns
+    everything).
+
+    Exactness: per-key counts are one hash aggregate; ranks over the
+    count distribution come from operators/_util.global_row_number
+    (range-partitioned — the sweep-compliant distributed rank, never a
+    single-task window); the Gini numerator
+    ``sum((2*rank - n - 1) * count)`` is exact bigint (ascending sort
+    makes it nonnegative), and the coefficient is ONE double division
+    of exact integers. Percentile counts are rank-EXACT selections
+    (count at rank ceil(q*n)), not interpolations.
+
+    Scale shape: the expensive pass is the per-key count aggregate
+    (map-side combined); everything after runs on the |keys|-row
+    histogram. Returns a single summary row
+    ``(n_keys, total_rows, max_count, p50_count, p99_count, gini)``.
+    """
+    from rearview_spark.operators._util import global_row_number
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked, n = global_row_number(
+        counts, [F.col("cnt").asc(), F.col("k").asc()], out_col="rn"
+    )
+    if n == 0:
+        raise ValueError(f"key_skew_report: no rows under {key_col!r}")
+    p50 = (n + 1) // 2
+    p99 = (99 * n + 99) // 100
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_count"),
+        F.max(F.when(F.col("rn") == p50, F.col("cnt"))).alias("p50_count"),
+        F.max(F.when(F.col("rn") == p99, F.col("cnt"))).alias("p99_count"),
+        F.sum(
+            (F.lit(2) * F.col("rn") - F.lit(n) - F.lit(1)) * F.col("cnt")
+        ).alias("_gn"),
+    )
+    return agg.select(
+        "n_keys",
+        "total_rows",
+        "max_count",
+        "p50_count",
+        "p99_count",
+        (
+            F.col("_gn").cast("double")
+            / (F.col("n_keys") * F.col("total_rows")).cast("double")
+        ).alias("gini"),
+    )

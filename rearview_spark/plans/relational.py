@@ -1494,3 +1494,38 @@ PENDING_QUERIES["rel_ols_price_model"] = {
     "fn": rel_ols_price_model,
     "oracle": REL_OLS_SQL,
 }
+
+
+def rel_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/skew.key_skew_report) for
+    lineitem's part key: cardinality, hottest key, rank-exact p50/p99
+    per-key counts, and the Gini coefficient — the read that decides
+    whether the salting operators are needed at all. The oracle replays
+    the ranked-histogram arithmetic with window functions."""
+    from rearview_spark.operators.skew import key_skew_report
+
+    li = Tables(spark, sf_dir).lineitem
+    return key_skew_report(li, "l_partkey")
+
+
+REL_SKEW_REPORT_SQL = """
+WITH c AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt, k) AS rn,
+         count(*) OVER () AS n
+  FROM c)
+SELECT count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       max(cnt) AS max_count,
+       max(CASE WHEN rn = (n + 1) // 2 THEN cnt END) AS p50_count,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN cnt END) AS p99_count,
+       CAST(sum((2 * rn - n - 1) * cnt) AS DOUBLE)
+         / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini
+FROM r
+"""
+
+PENDING_QUERIES["rel_key_skew_report"] = {
+    "fn": rel_key_skew_report,
+    "oracle": REL_SKEW_REPORT_SQL,
+}

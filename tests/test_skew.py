@@ -106,3 +106,29 @@ def test_salted_aggregate_equivalence_property(spark):
         assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
     prop()
+
+
+def test_key_skew_report_hand_computed(spark):
+    """Uniform keys -> gini 0; one hot key dominates -> gini rises;
+    values match the closed-form hand computation."""
+    from rearview_spark.operators.skew import key_skew_report
+
+    uniform = spark.createDataFrame(
+        [(k, i) for k in range(4) for i in range(5)], "k long, v long"
+    )
+    r = key_skew_report(uniform, "k").collect()[0]
+    assert (r["n_keys"], r["total_rows"], r["max_count"]) == (4, 20, 5)
+    assert r["p50_count"] == 5 and r["p99_count"] == 5
+    assert r["gini"] == 0.0
+
+    # counts 1,1,1,7 sorted -> gini = sum((2i-5)*c)/(4*10)
+    #   = (-3*1 + -1*1 + 1*1 + 3*7)/40 = 18/40
+    skewed_rows = [(0, 0), (1, 0), (2, 0)] + [(3, i) for i in range(7)]
+    skewed = spark.createDataFrame(skewed_rows, "k long, v long")
+    r2 = key_skew_report(skewed, "k").collect()[0]
+    assert r2["max_count"] == 7
+    assert r2["gini"] == 18 / 40
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        key_skew_report(uniform.filter("k > 99"), "k")
