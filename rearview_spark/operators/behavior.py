@@ -247,3 +247,53 @@ def top_paths(
         .agg(F.count(F.lit(1)).alias("n_paths"))
     )
     return ranked_topk(counts, [F.desc("n_paths"), F.asc("path")], k)
+
+
+def interval_union_time(
+    df: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Total covered duration of (possibly overlapping) intervals per
+    key — the billing/utilization primitive ("active seconds", machine
+    uptime, concurrent-session coverage) that a naive SUM(end - start)
+    double-counts whenever intervals overlap.
+
+    Gaps-and-islands in integer epoch seconds: order each key's
+    intervals by start, carry the running max end with ONE
+    key-partitioned window (never global), start a new island where an
+    interval begins after everything seen so far ended, cumulative-sum
+    the island flags into island ids (second frame over the SAME
+    window spec — Catalyst collapses them), then one hash aggregate
+    per island (coverage = max end - min start, exact bigints) and one
+    per key. All integer arithmetic — aggregation order immune.
+
+    Returns ``(key, n_islands, covered_seconds)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+    w = Window.partitionBy("k").orderBy("s", "e")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(prev_max_end, F.lit(-(1 << 62))), 1
+        ).otherwise(0),
+    )
+    with_island = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = with_island.groupBy("k", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return islands.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("len").alias("covered_seconds"),
+    ).select(F.col("k").alias(key_col), "n_islands", "covered_seconds")

@@ -1162,3 +1162,52 @@ PENDING_QUERIES["ev_hll_audience_overlap"] = {
     "fn": ev_hll_audience_overlap,
     "oracle": _hll_overlap_sql(),
 }
+
+
+def ev_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active time from overlapping 30-minute activity windows
+    (operators/behavior.interval_union_time): each event opens a
+    [ts, ts+30min) interval; the union length is the user's genuinely
+    covered time — what a naive SUM of window lengths double-counts
+    wherever events cluster. Exact integer gaps-and-islands; the
+    oracle replays both window frames and both aggregates."""
+    from rearview_spark.operators.behavior import interval_union_time
+
+    ev = Tables(spark, sf_dir).events
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + F.lit(1800)).alias("end"),
+    )
+    return interval_union_time(iv, "user_id").orderBy("user_id")
+
+
+EV_ACTIVE_TIME_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+  FROM events),
+f AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(
+                max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -4611686018427387904)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM f),
+isl AS (
+  SELECT user_id, island, max(e) - min(s) AS len FROM g GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(len) AS BIGINT) AS covered_seconds
+FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
+PENDING_QUERIES["ev_active_time"] = {
+    "fn": ev_active_time,
+    "oracle": EV_ACTIVE_TIME_SQL,
+}

@@ -2122,3 +2122,22 @@ def test_trigram_search_equals_scan_and_prunes(spark):
     assert 3 not in {r["doc_id"] for r in cands.collect()}
     with _pt.raises(ValueError):
         trigram_search(docs, idx, "ab")
+
+
+def test_interval_union_time_hand_computed(spark):
+    from rearview_spark.operators.behavior import interval_union_time
+
+    rows = [
+        # user 1: [0,10] u [5,20] u [30,40] -> 2 islands, 20+10=30s
+        (1, 0, 10), (1, 5, 20), (1, 30, 40),
+        # user 2: touching intervals merge: [0,5] u [5,8] -> 1 island, 8s
+        (2, 0, 5), (2, 5, 8),
+        # user 3: containment: [0,100] contains [10,20] -> 100s
+        (3, 0, 100), (3, 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, start long, end long")
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_seconds"])
+        for r in interval_union_time(df, "user_id").collect()
+    }
+    assert got == {1: (2, 30), 2: (1, 8), 3: (1, 100)}
