@@ -261,3 +261,79 @@ def mean_shift_changepoints(
         score.alias("shift_z"),
         F.coalesce(F.abs(score) > F.lit(z), F.lit(False)).alias("is_shift"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    bins: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Population stability index between the first and second half of
+    the frame's time range — THE ML-monitoring drift score: bin the
+    baseline period into ``bins`` discrete-percentile buckets, compare
+    the current period's occupancy, and sum
+    ``(q_i - p_i) * ln(q_i / p_i)`` (add-one smoothed, so empty bins
+    never blow up). PSI < 0.1 reads "stable", 0.1-0.25 "shifting",
+    > 0.25 "drifted".
+
+    Cross-engine determinism (the source_kl_divergence discipline):
+    bin edges are EXACT data values (percentile_disc ≡ DuckDB
+    quantile_disc — no interpolation arithmetic), collected once as
+    bounded literals (pq_fit class) into a CASE-chain bin assignment —
+    the customer_value_deciles broadcast-boundary pattern, zero global
+    sort; each summand's divide/log/multiply sequence is mirrored
+    token-for-token in the oracle and quantized to 1e-9 units, so both
+    engines sum identical int64s in any order. Driver scalars: the
+    period midpoint (min/max ts) and the ``bins - 1`` edges.
+
+    Returns one row ``(n_base, n_cur, psi)``.
+    """
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(ts_col).cast("long").alias("t"), F.col(value_col).alias("v")
+    )
+    rng = v.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    if rng["lo"] is None:
+        raise ValueError("psi_drift: empty input")
+    mid = (int(rng["lo"]) + int(rng["hi"])) // 2
+    base = v.filter(F.col("t") <= mid)
+    cur = v.filter(F.col("t") > mid)
+    edges = base.agg(
+        *[
+            F.expr(
+                f"percentile_disc({k / bins}) WITHIN GROUP (ORDER BY v)"
+            ).alias(f"e{k}")
+            for k in range(1, bins)
+        ]
+    ).collect()[0]
+
+    def bin_expr():
+        e = F.when(F.col("v") <= F.lit(float(edges["e1"])), F.lit(0))
+        for k in range(2, bins):
+            e = e.when(F.col("v") <= F.lit(float(edges[f"e{k}"])), F.lit(k - 1))
+        return e.otherwise(F.lit(bins - 1))
+
+    def occupancy(period: DataFrame, out: str) -> DataFrame:
+        return period.select(bin_expr().alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+    both = occupancy(base, "c_base").join(
+        occupancy(cur, "c_cur"), "bin", "full_outer"
+    ).select(
+        "bin",
+        F.coalesce("c_base", F.lit(0)).alias("c_base"),
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+    )
+    totals = both.agg(
+        F.sum("c_base").alias("n_base"), F.sum("c_cur").alias("n_cur")
+    ).collect()[0]
+    nb, nc = int(totals["n_base"]), int(totals["n_cur"])
+    p = (F.col("c_base") + F.lit(1)) / F.lit(float(nb + bins))
+    q = (F.col("c_cur") + F.lit(1)) / F.lit(float(nc + bins))
+    units = F.round((q - p) * F.log(q / p) * F.lit(float(scale))).cast("long")
+    return both.agg(F.sum(units).alias("_u")).select(
+        F.lit(nb).cast("long").alias("n_base"),
+        F.lit(nc).cast("long").alias("n_cur"),
+        (F.col("_u") / F.lit(float(scale))).alias("psi"),
+    )

@@ -1211,3 +1211,57 @@ PENDING_QUERIES["ev_active_time"] = {
     "fn": ev_active_time,
     "oracle": EV_ACTIVE_TIME_SQL,
 }
+
+
+def ev_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event value distribution,
+    first half of the time range vs second (operators/anomaly.psi_drift):
+    the standard ML-monitoring drift score, with discrete-percentile
+    bin edges (engine-exact data values), CASE-chain bin assignment,
+    and 1e-9-quantized summands so the oracle sums identical integers.
+    Bins empty in BOTH periods are absent from both engines alike
+    (documented deviation from the textbook constant-bin sum)."""
+    from rearview_spark.operators.anomaly import psi_drift
+
+    ev = Tables(spark, sf_dir).events
+    return psi_drift(ev, "value", "ts", bins=10)
+
+
+def _psi_sql() -> str:
+    edges = ", ".join(
+        f"quantile_disc(v, {k / 10}) AS e{k}" for k in range(1, 10)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN v <= (SELECT e{k} FROM e) THEN {k - 1}" for k in range(1, 10)
+    ) + " ELSE 9 END"
+    return f"""
+WITH v AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v
+  FROM events WHERE value IS NOT NULL),
+rng AS (SELECT (min(t) + max(t)) // 2 AS mid FROM v),
+base AS (SELECT v.v FROM v, rng WHERE v.t <= rng.mid),
+cur  AS (SELECT v.v FROM v, rng WHERE v.t >  rng.mid),
+e AS (SELECT {edges} FROM base),
+ob AS (SELECT {case} AS bin, count(*) AS c_base FROM base GROUP BY 1),
+oc AS (SELECT {case} AS bin, count(*) AS c_cur  FROM cur  GROUP BY 1),
+occ AS (
+  SELECT coalesce(ob.bin, oc.bin) AS bin,
+         coalesce(c_base, 0) AS c_base, coalesce(c_cur, 0) AS c_cur
+  FROM ob FULL OUTER JOIN oc ON ob.bin = oc.bin),
+tot AS (SELECT sum(c_base) AS nb, sum(c_cur) AS nc FROM occ),
+u AS (
+  SELECT CAST(round(
+           ((c_cur + 1) / CAST(nc + 10 AS DOUBLE)
+              - (c_base + 1) / CAST(nb + 10 AS DOUBLE))
+           * ln(((c_cur + 1) / CAST(nc + 10 AS DOUBLE))
+                / ((c_base + 1) / CAST(nb + 10 AS DOUBLE)))
+           * 1000000000.0) AS BIGINT) AS term
+  FROM occ, tot)
+SELECT (SELECT CAST(nb AS BIGINT) FROM tot) AS n_base,
+       (SELECT CAST(nc AS BIGINT) FROM tot) AS n_cur,
+       CAST(sum(term) AS BIGINT) / 1000000000.0 AS psi
+FROM u
+"""
+
+
+PENDING_QUERIES["ev_psi_drift"] = {"fn": ev_psi_drift, "oracle": _psi_sql()}

@@ -2141,3 +2141,37 @@ def test_interval_union_time_hand_computed(spark):
         for r in interval_union_time(df, "user_id").collect()
     }
     assert got == {1: (2, 30), 2: (1, 8), 3: (1, 100)}
+
+
+def test_psi_drift_detects_shift_and_stays_low_when_stable(spark):
+    from datetime import datetime, timedelta
+
+    from rearview_spark.operators.anomaly import psi_drift
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, value double")
+
+    # stable: same deterministic sawtooth in both halves -> tiny PSI
+    stable = mk(
+        [(t0 + timedelta(hours=i), float(i % 20)) for i in range(400)]
+    )
+    r = psi_drift(stable, bins=10).collect()[0]
+    assert r["n_base"] + r["n_cur"] == 400
+    assert 0 <= r["psi"] < 0.05
+
+    # drifted: second half shifted by +100 -> every bin overflows to
+    # the top bucket; PSI far above the 0.25 "drifted" threshold
+    drifted = mk(
+        [
+            (t0 + timedelta(hours=i), float(i % 20) + (100.0 if i >= 200 else 0.0))
+            for i in range(400)
+        ]
+    )
+    r2 = psi_drift(drifted, bins=10).collect()[0]
+    assert r2["psi"] > 0.25
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        psi_drift(stable.filter("value > 1e9"))
