@@ -284,3 +284,73 @@ def sorted_neighborhood_pairs(
         )
         .drop("_sn_blk")
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation — the added / removed / changed /
+    unchanged audit run between two versions of a keyed table before
+    trusting a migration, backfill, or vendor re-delivery, plus a
+    per-column change count that localizes WHERE the churn is.
+
+    One full-outer join on the key (both sides shuffle on the same
+    key — co-partitioned, broadcastable when one side is a small
+    delta), then a single pass of conditional integer sums; column
+    comparisons are null-safe (``<=>``), so NULL -> value and
+    value -> NULL both count as changes and NULL == NULL does not.
+    Output is the long-format summary ``(kind, n_rows)`` with kinds
+    ``added | removed | changed | unchanged | col_changed:<col>`` —
+    all exact integers, no rounding contract.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, [f"k_{k}" for k in key_cols], "full_outer")
+    col_changed = {
+        c: F.col("_in_old").isNotNull()
+        & F.col("_in_new").isNotNull()
+        & ~F.expr(f"o_{c} <=> n_{c}")
+        for c in compare_cols
+    }
+    any_changed = None
+    for e in col_changed.values():
+        any_changed = e if any_changed is None else (any_changed | e)
+    aggs = [
+        F.sum(
+            F.when(F.col("_in_old").isNull(), 1).otherwise(0)
+        ).alias("added"),
+        F.sum(
+            F.when(F.col("_in_new").isNull(), 1).otherwise(0)
+        ).alias("removed"),
+        F.sum(F.when(any_changed, 1).otherwise(0)).alias("changed"),
+        F.sum(
+            F.when(
+                F.col("_in_old").isNotNull()
+                & F.col("_in_new").isNotNull()
+                & ~any_changed,
+                1,
+            ).otherwise(0)
+        ).alias("unchanged"),
+    ] + [
+        F.sum(F.when(e, 1).otherwise(0)).alias(f"col_changed:{c}")
+        for c, e in col_changed.items()
+    ]
+    wide = j.agg(*aggs)
+    kinds = ["added", "removed", "changed", "unchanged"] + [
+        f"col_changed:{c}" for c in compare_cols
+    ]
+    stack = ", ".join(f"'{k}', `{k}`" for k in kinds)
+    return wide.select(
+        F.expr(f"stack({len(kinds)}, {stack}) AS (kind, n_rows)")
+    )

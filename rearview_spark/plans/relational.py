@@ -1529,3 +1529,85 @@ PENDING_QUERIES["rel_key_skew_report"] = {
     "fn": rel_key_skew_report,
     "oracle": REL_SKEW_REPORT_SQL,
 }
+
+
+def rel_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/joins.table_diff) between the
+    orders table and a deterministically mutated re-delivery of it —
+    modulo-keyed deletes (% 101), price bumps (% 97), status flips
+    (% 89), and synthetic inserts (% 103, offset keys): the audit a
+    pipeline runs before accepting a vendor re-drop. The oracle applies
+    the same mutations in SQL and classifies through the same
+    null-safe full-outer comparison."""
+    from rearview_spark.operators.joins import table_diff
+
+    orders = Tables(spark, sf_dir).orders
+    mutated = (
+        orders.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.lit("X")
+            ).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return table_diff(
+        base, mutated, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("kind")
+
+
+REL_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+mutated AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0),
+j AS (
+  SELECT b.o_orderkey AS kb, m.o_orderkey AS km,
+         b.o_orderstatus AS os_b, m.o_orderstatus AS os_m,
+         b.o_totalprice AS tp_b, m.o_totalprice AS tp_m
+  FROM base b FULL OUTER JOIN mutated m ON b.o_orderkey = m.o_orderkey),
+c AS (
+  SELECT *,
+         (kb IS NOT NULL AND km IS NOT NULL AND NOT (os_b IS NOT DISTINCT FROM os_m)) AS ch_status,
+         (kb IS NOT NULL AND km IS NOT NULL AND NOT (tp_b IS NOT DISTINCT FROM tp_m)) AS ch_price
+  FROM j),
+wide AS (
+  SELECT sum(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS added,
+         sum(CASE WHEN km IS NULL THEN 1 ELSE 0 END) AS removed,
+         sum(CASE WHEN ch_status OR ch_price THEN 1 ELSE 0 END) AS changed,
+         sum(CASE WHEN kb IS NOT NULL AND km IS NOT NULL
+                   AND NOT (ch_status OR ch_price) THEN 1 ELSE 0 END) AS unchanged,
+         sum(CASE WHEN ch_status THEN 1 ELSE 0 END) AS ch_s,
+         sum(CASE WHEN ch_price THEN 1 ELSE 0 END) AS ch_p
+  FROM c)
+SELECT kind, CAST(n_rows AS BIGINT) AS n_rows FROM (
+  SELECT 'added' AS kind, added AS n_rows FROM wide
+  UNION ALL SELECT 'removed', removed FROM wide
+  UNION ALL SELECT 'changed', changed FROM wide
+  UNION ALL SELECT 'unchanged', unchanged FROM wide
+  UNION ALL SELECT 'col_changed:o_orderstatus', ch_s FROM wide
+  UNION ALL SELECT 'col_changed:o_totalprice', ch_p FROM wide
+) ORDER BY kind
+"""
+
+PENDING_QUERIES["rel_orders_diff"] = {
+    "fn": rel_orders_diff,
+    "oracle": REL_DIFF_SQL,
+}

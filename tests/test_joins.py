@@ -240,3 +240,35 @@ def test_sorted_neighborhood_carry_cols_and_guard(spark):
     assert [(r.id_a, r.id_b, r.bal_a, r.bal_b) for r in rows] == [(1, 2, 5.0, 7.0)]
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, ["key"], window=0, id_col="id")
+
+
+def test_table_diff_classification_and_null_safety(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rearview_spark.operators.joins import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),        # unchanged
+            (2, "b", 20.0),        # NULL -> value counts as change
+            (4, None, 40.0),       # NULL == NULL is NOT a change
+            (5, "e", 50.0),        # added
+        ],                          # id 3 removed
+        "id long, s string, v double",
+    )
+    got = {
+        r["kind"]: r["n_rows"]
+        for r in table_diff(old, new, ["id"], ["s", "v"]).collect()
+    }
+    assert got == {
+        "added": 1,
+        "removed": 1,
+        "changed": 1,
+        "unchanged": 2,
+        "col_changed:s": 0,
+        "col_changed:v": 1,
+    }
