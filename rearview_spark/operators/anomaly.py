@@ -308,19 +308,45 @@ def psi_drift(
         ]
     ).collect()[0]
 
-    def bin_expr():
-        e = F.when(F.col("v") <= F.lit(float(edges["e1"])), F.lit(0))
-        for k in range(2, bins):
-            e = e.when(F.col("v") <= F.lit(float(edges[f"e{k}"])), F.lit(k - 1))
-        return e.otherwise(F.lit(bins - 1))
+    edge_vals = [float(edges[f"e{k}"]) for k in range(1, bins)]
+    return psi_from_occupancy(
+        psi_occupancy(base, edge_vals, "c_base"),
+        psi_occupancy(cur, edge_vals, "c_cur"),
+        bins=bins,
+        scale=scale,
+    )
 
-    def occupancy(period: DataFrame, out: str) -> DataFrame:
-        return period.select(bin_expr().alias("bin")).groupBy("bin").agg(
-            F.count(F.lit(1)).alias(out)
-        )
-    both = occupancy(base, "c_base").join(
-        occupancy(cur, "c_cur"), "bin", "full_outer"
-    ).select(
+
+def psi_bin_expr(edge_vals: list, value_col: str = "v"):
+    """CASE-chain bin assignment against literal edges (shared by the
+    batch and streaming PSI forms)."""
+    e = F.when(F.col(value_col) <= F.lit(edge_vals[0]), F.lit(0))
+    for k, b in enumerate(edge_vals[1:], start=1):
+        e = e.when(F.col(value_col) <= F.lit(b), F.lit(k))
+    return e.otherwise(F.lit(len(edge_vals)))
+
+
+def psi_occupancy(period: DataFrame, edge_vals: list, out: str) -> DataFrame:
+    """Per-bin counts ``(bin, out)`` for one period — the mergeable
+    summary (counts combine by ADDITION, so micro-batched builds are
+    bit-identical to one pass; the CM-sketch property)."""
+    return (
+        period.select(psi_bin_expr(edge_vals).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def psi_from_occupancy(
+    base_occ: DataFrame,
+    cur_occ: DataFrame,
+    bins: int,
+    scale: int = 10**9,
+) -> DataFrame:
+    """The PSI summary row from two occupancy tables — identical
+    arithmetic whether the current occupancy came from one pass or a
+    streaming merge."""
+    both = base_occ.join(cur_occ, "bin", "full_outer").select(
         "bin",
         F.coalesce("c_base", F.lit(0)).alias("c_base"),
         F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
@@ -328,7 +354,7 @@ def psi_drift(
     totals = both.agg(
         F.sum("c_base").alias("n_base"), F.sum("c_cur").alias("n_cur")
     ).collect()[0]
-    nb, nc = int(totals["n_base"]), int(totals["n_cur"])
+    nb, nc = int(totals["n_base"] or 0), int(totals["n_cur"] or 0)
     p = (F.col("c_base") + F.lit(1)) / F.lit(float(nb + bins))
     q = (F.col("c_cur") + F.lit(1)) / F.lit(float(nc + bins))
     units = F.round((q - p) * F.log(q / p) * F.lit(float(scale))).cast("long")
@@ -337,3 +363,28 @@ def psi_drift(
         F.lit(nc).cast("long").alias("n_cur"),
         (F.col("_u") / F.lit(float(scale))).alias("psi"),
     )
+
+
+def psi_foreach_batch(spark, state_dir: str, edge_vals: list):
+    """PSI occupancy as a ``foreachBatch`` recurrence — the CM/HLL
+    contract from operators/sketch.py: each micro-batch's per-bin
+    counts ADD into the previous persisted state, written to a
+    ``batch=<id>`` subdir (a retried batch re-merges from its
+    predecessor, so a crash between write and commit never
+    double-counts). Because counts merge by addition, the streamed
+    state is bit-identical to one batch pass over the union — the PSI
+    read off it needs no weaker oracle. Batch frames must carry the
+    value column as ``v``."""
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = psi_occupancy(batch_df, edge_vals, "c_cur")
+        prev = _latest_batch_dir(spark, state_dir, below=batch_id)
+        if prev is not None:
+            cur = cur.unionByName(spark.read.parquet(prev))
+        merged = cur.groupBy("bin").agg(F.sum("c_cur").alias("c_cur"))
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process

@@ -417,3 +417,57 @@ QUERIES: dict[str, dict] = {
     },
     "stream_static_enrich": {"fn": stream_static_enrich, "oracle": STREAM_ENRICH_SQL},
 }
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift with the CURRENT period's occupancy accumulated by the
+    foreachBatch recurrence (operators/anomaly.psi_foreach_batch) over
+    three deterministic micro-batch slices instead of one pass: per-bin
+    counts merge by ADDITION, so the streamed state — and therefore the
+    PSI — is bit-identical to the batch gate, and this gate shares
+    ev_psi_drift's FULL value oracle (micro-batching is a delivery
+    choice, not a semantics change; the doc_bm25_indexed discipline).
+    The batch=<id> state dirs carry the CM/HLL retry contract."""
+    import tempfile
+
+    from rearview_spark.operators.anomaly import (
+        psi_foreach_batch,
+        psi_from_occupancy,
+        psi_occupancy,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+    from rearview_spark.sources.loader import Tables
+
+    bins = 10
+    ev = Tables(spark, sf_dir).events
+    v = ev.filter(F.col("value").isNotNull()).select(
+        F.col("ts").cast("long").alias("t"), F.col("value").alias("v")
+    )
+    rng = v.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    mid = (int(rng["lo"]) + int(rng["hi"])) // 2
+    base = v.filter(F.col("t") <= mid)
+    cur = v.filter(F.col("t") > mid)
+    edges = base.agg(
+        *[
+            F.expr(
+                f"percentile_disc({k / bins}) WITHIN GROUP (ORDER BY v)"
+            ).alias(f"e{k}")
+            for k in range(1, bins)
+        ]
+    ).collect()[0]
+    edge_vals = [float(edges[f"e{k}"]) for k in range(1, bins)]
+    state_dir = tempfile.mkdtemp(prefix="psi_stream_")
+    proc = psi_foreach_batch(spark, state_dir, edge_vals)
+    for i in range(3):
+        proc(cur.filter(F.col("t") % 3 == i), i)
+    merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
+    return psi_from_occupancy(
+        psi_occupancy(base, edge_vals, "c_base"), merged, bins=bins
+    )
+
+
+from rearview_spark.plans.events_queries import _psi_sql as _stream_psi_sql  # noqa: E402
+
+PENDING_QUERIES: dict[str, dict] = {
+    "stream_psi_drift": {"fn": stream_psi_drift, "oracle": _stream_psi_sql()},
+}

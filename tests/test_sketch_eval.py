@@ -491,3 +491,33 @@ def test_hll_overlap_inclusion_exclusion_consistency(spark):
     assert {(r["bucket"], r["register"]) for r in raw_union} == {
         (r["bucket"], r["register"]) for r in merged
     }
+
+
+def test_psi_foreach_batch_merges_by_addition_and_retries_safely(spark, tmp_path):
+    """Streamed occupancy == one-pass occupancy, and a RETRIED batch
+    (rewrite of the same batch id) leaves the state unchanged — the
+    CM/HLL batch-dir contract carried over to PSI."""
+    from rearview_spark.operators.anomaly import (
+        psi_foreach_batch,
+        psi_occupancy,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    edge_vals = [2.0, 5.0]
+    rows = [(float(i % 8),) for i in range(60)]
+    df = spark.createDataFrame(rows, "v double")
+    state = str(tmp_path / "psi_state")
+    proc = psi_foreach_batch(spark, state, edge_vals)
+    slices = [df.filter(F.col("v") % 3 == i) for i in range(3)]
+    for i, sl in enumerate(slices):
+        proc(sl, i)
+    proc(slices[2], 2)  # retry of the last batch
+    merged = {
+        r["bin"]: r["c_cur"]
+        for r in spark.read.parquet(_latest_batch_dir(spark, state)).collect()
+    }
+    want = {
+        r["bin"]: r["c_cur"]
+        for r in psi_occupancy(df, edge_vals, "c_cur").collect()
+    }
+    assert merged == want
