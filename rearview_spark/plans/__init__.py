@@ -46,7 +46,8 @@ _NEW_THIS_ROUND = (
     #          sim_top_component, sim_pc_scores (5 + 45 = 50)
     #   r18 -> rel_ols_price_model, doc_rake_keywords, doc_trigram_search,
     #          ev_hll_audience_overlap, rel_key_skew_report
-    #   r19 -> ev_active_time, ev_psi_drift, rel_orders_diff
+    #   r19 -> ev_active_time, ev_psi_drift, rel_orders_diff,
+    #          stream_psi_drift
     # Each round re-checks the arithmetic against the actual stale
     # cohort before flipping entries.
 )
