@@ -1611,3 +1611,70 @@ PENDING_QUERIES["rel_orders_diff"] = {
     "fn": rel_orders_diff,
     "oracle": REL_DIFF_SQL,
 }
+
+
+def rel_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder rebate allocation
+    (operators/allocation.allocate_proportional): a 10% order-level
+    rebate (whole cents) distributed across each order's line items
+    pro-rata by extended price, with the leftover pennies going to the
+    largest division remainders — so per-order allocations reconcile
+    EXACTLY (sum == rebate, an integer identity the oracle hashes, not
+    an approximation)."""
+    from rearview_spark.operators.allocation import allocate_proportional
+
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    rebate = li.groupBy("l_orderkey").agg(
+        F.expr("sum(price_cents) div 10").alias("rebate_cents")
+    )
+    lines = li.join(rebate, "l_orderkey")
+    out = allocate_proportional(
+        lines,
+        "l_orderkey",
+        "price_cents",
+        "rebate_cents",
+        "l_linenumber",
+        out_col="alloc_cents",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "price_cents", "rebate_cents", "alloc_cents"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+REL_PENNY_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem),
+rb AS (
+  SELECT l_orderkey, sum(price_cents) // 10 AS rebate_cents
+  FROM li GROUP BY 1),
+j AS (SELECT li.*, rb.rebate_cents FROM li JOIN rb USING (l_orderkey)),
+parts AS (
+  SELECT *,
+         (rebate_cents * price_cents)
+           // sum(price_cents) OVER (PARTITION BY l_orderkey) AS base,
+         (rebate_cents * price_cents)
+           % sum(price_cents) OVER (PARTITION BY l_orderkey) AS rem
+  FROM j),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber, price_cents DESC) AS rk,
+         rebate_cents - sum(base) OVER (PARTITION BY l_orderkey) AS pennies
+  FROM parts)
+SELECT l_orderkey, l_linenumber, price_cents,
+       CAST(rebate_cents AS BIGINT) AS rebate_cents,
+       CAST(base + CASE WHEN rk <= pennies THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+FROM ranked
+ORDER BY l_orderkey, l_linenumber
+"""
+
+PENDING_QUERIES["rel_penny_allocation"] = {
+    "fn": rel_penny_allocation,
+    "oracle": REL_PENNY_SQL,
+}

@@ -272,3 +272,32 @@ def test_table_diff_classification_and_null_safety(spark):
         "col_changed:s": 0,
         "col_changed:v": 1,
     }
+
+
+def test_allocate_proportional_exact_reconciliation(spark):
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.allocation import allocate_proportional
+
+    # group 1: T=100 over weights 1,1,1 -> 34,33,33 (pennies to the
+    # smallest tiebreak); group 2: T=7 over weights 5,3 -> 5,2 exactly
+    # (floor 4,2 + penny to larger remainder 5*7%8=3 vs 3*7%8=5 -> w=3)
+    rows = [
+        (1, 1, 1, 100), (1, 2, 1, 100), (1, 3, 1, 100),
+        (2, 1, 5, 7), (2, 2, 3, 7),
+    ]
+    df = spark.createDataFrame(rows, "g long, line long, w long, t long")
+    got = {
+        (r["g"], r["line"]): r["alloc"]
+        for r in allocate_proportional(df, "g", "w", "t", "line").collect()
+    }
+    assert got == {(1, 1): 34, (1, 2): 33, (1, 3): 33, (2, 1): 4, (2, 2): 3}
+    # invariant: per-group sums equal the amount exactly
+    out = allocate_proportional(df, "g", "w", "t", "line")
+    sums = {
+        r["g"]: (r["s"], r["t"])
+        for r in out.groupBy("g")
+        .agg(F.sum("alloc").alias("s"), F.first("t").alias("t"))
+        .collect()
+    }
+    assert all(s == t for s, t in sums.values())
