@@ -1265,3 +1265,67 @@ FROM u
 
 
 PENDING_QUERIES["ev_psi_drift"] = {"fn": ev_psi_drift, "oracle": _psi_sql()}
+
+
+def ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view -> purchase funnel:
+    each user's FIRST view, their first purchase at-or-after it, and
+    the exact latency quartiles over converted users (percentile_disc —
+    data values, engine-exact) plus integer min/max. The per-user stage
+    times are two min-aggregates re-joined on the user key (the
+    funnel_conversion shape); the summary is one row."""
+    ev = Tables(spark, sf_dir).events
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("t_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("t_p")
+    )
+    conv = (
+        purchases.join(views, "user_id")
+        .filter(F.col("t_p") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg((F.min("t_p") - F.first("t_view")).alias("latency_s"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_s").alias("min_s"),
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY latency_s)"
+        ).cast("long").alias("p25_s"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s)"
+        ).cast("long").alias("p50_s"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s)"
+        ).cast("long").alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
+EV_FUNNEL_LATENCY_SQL = """
+WITH views AS (
+  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id,
+         min(CAST(floor(epoch(e.ts)) AS BIGINT)) - any_value(v.t_view) AS latency_s
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= v.t_view
+  GROUP BY e.user_id)
+SELECT count(*) AS n_converted,
+       min(latency_s) AS min_s,
+       quantile_disc(latency_s, 0.25) AS p25_s,
+       quantile_disc(latency_s, 0.5) AS p50_s,
+       quantile_disc(latency_s, 0.9) AS p90_s,
+       max(latency_s) AS max_s
+FROM conv
+"""
+
+PENDING_QUERIES["ev_funnel_latency"] = {
+    "fn": ev_funnel_latency,
+    "oracle": EV_FUNNEL_LATENCY_SQL,
+}
