@@ -219,3 +219,71 @@ def hadoop_child_names(spark, dir_path: str, prefix: str) -> list[str]:
         if st.isDirectory() and name.startswith(prefix):
             out.append(name[len(prefix):])
     return out
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Global ordered cumulative sum of an INTEGER column without the
+    single-task ``Window.orderBy`` — the sum-shaped sibling of
+    :func:`global_row_number` (sweep-and-accumulate primitives: peak
+    concurrency, running balances, watermark levels):
+
+      1. ``repartitionByRange`` on ``order_cols`` + frozen partition id
+         (same eager checkpoint as global_row_number — the two
+         downstream jobs must see identical placement);
+      2. per-partition cumulative sum (WindowExec PARTITIONED by the
+         frozen id);
+      3. add each partition's PREFIX TOTAL, computed from a P-row
+         driver collect of per-partition sums and inlined as a literal
+         CASE map (P = shuffle partitions — config-bounded, not data).
+
+    ``order_cols`` must be a strict total order (unique tiebreaker);
+    ``value_col`` must be integral (exact partials — float partials
+    would make the prefix merge order-sensitive). Same
+    ``localCheckpoint`` -> reliable-checkpoint deployment note as
+    global_row_number.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if out_col in df.columns or "_gpid" in df.columns:
+        raise ValueError(
+            f"global_running_sum: input already has {out_col!r} or '_gpid'"
+        )
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = sorted(
+        ranged.groupBy("_gpid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect(),
+        key=lambda r: r["_gpid"],
+    )
+    offsets: dict[int, int] = {}
+    total = 0
+    for row in sums:
+        offsets[row["_gpid"]] = total
+        total += int(row["s"])
+    w = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset_expr = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            offset_expr = F.when(F.col("_gpid") == pid, F.lit(off)).otherwise(
+                offset_expr
+            )
+    return ranged.withColumn(
+        out_col,
+        (F.sum(F.col(value_col).cast("long")).over(w) + offset_expr).cast(
+            "long"
+        ),
+    ).drop("_gpid")

@@ -297,3 +297,48 @@ def interval_union_time(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("len").alias("covered_seconds"),
     ).select(F.col("k").alias(key_col), "n_islands", "covered_seconds")
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    id_col: str = "event_id",
+):
+    """Maximum number of simultaneously open intervals and the earliest
+    instant it is reached — max concurrent sessions / connections, the
+    capacity-planning read over activity windows.
+
+    Sweep-line over +1/-1 boundary deltas with a GLOBAL ordered running
+    sum from operators/_util.global_running_sum (range-partitioned
+    partial cumsums + broadcast prefix totals — never the single-task
+    ``Window.orderBy``). Intervals are half-open ``[start, end)``: an
+    end and a start at the same instant order the end FIRST
+    (delta -1 < +1 in the sort), so back-to-back sessions never
+    double-count. ``id_col`` completes the strict total order; rows
+    tied on (t, delta) are interchangeable — the peak and its earliest
+    instant are invariant to their order even though intermediate
+    running values are not.
+
+    Returns a one-row frame ``(peak_concurrency, at_s)`` — exact
+    integers (min_by over the (-concurrency, t) struct picks the
+    earliest instant of the highest level deterministically).
+    """
+    from rearview_spark.operators._util import global_running_sum
+
+    deltas = intervals.select(
+        F.col(start_col).cast("long").alias("t"),
+        F.lit(1).alias("d"),
+        F.col(id_col).alias("tie"),
+    ).unionAll(
+        intervals.select(
+            F.col(end_col).cast("long").alias("t"),
+            F.lit(-1).alias("d"),
+            F.col(id_col).alias("tie"),
+        )
+    )
+    r = global_running_sum(deltas, ["t", "d", "tie"], "d", out_col="conc")
+    return r.agg(
+        F.max("conc").alias("peak_concurrency"),
+        F.expr("min_by(t, struct(-conc, t))").alias("at_s"),
+    )

@@ -1329,3 +1329,41 @@ PENDING_QUERIES["ev_funnel_latency"] = {
     "fn": ev_funnel_latency,
     "oracle": EV_FUNNEL_LATENCY_SQL,
 }
+
+
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity (operators/behavior.peak_concurrency):
+    the maximum number of simultaneously open 30-minute activity
+    windows across ALL users, and the earliest second it is reached —
+    sweep-line deltas through the distributed global running sum (the
+    sum-shaped sibling of global_row_number), so no partition-less
+    window anywhere. The oracle replays the sweep with a plain ordered
+    window cumsum."""
+    from rearview_spark.operators.behavior import peak_concurrency
+
+    ev = Tables(spark, sf_dir).events
+    iv = ev.select(
+        "event_id",
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + F.lit(1800)).alias("end"),
+    )
+    return peak_concurrency(iv, "start", "end", "event_id")
+
+
+EV_PEAK_CONC_SQL = """
+WITH d AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS d, event_id FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) + 1800, -1, event_id FROM events),
+r AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d, event_id ROWS UNBOUNDED PRECEDING) AS conc
+  FROM d)
+SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       min(CASE WHEN conc = (SELECT max(conc) FROM r) THEN t END) AS at_s
+FROM r
+"""
+
+PENDING_QUERIES["ev_peak_concurrency"] = {
+    "fn": ev_peak_concurrency,
+    "oracle": EV_PEAK_CONC_SQL,
+}

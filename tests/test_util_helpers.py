@@ -118,3 +118,38 @@ def test_ranked_topk_matches_global_window(spark):
         .collect()
     )
     assert got == ref
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators._util import global_running_sum
+
+    rows = [(i, (i * 7) % 13 - 6) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    got = {
+        r["k"]: r["running_sum"]
+        for r in global_running_sum(df, ["k"], "v").collect()
+    }
+    # reference: plain python prefix sums over the sorted order
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        global_running_sum(df.withColumn("running_sum", F.lit(1)), ["k"], "v")
+
+
+def test_peak_concurrency_hand_case(spark):
+    from rearview_spark.operators.behavior import peak_concurrency
+
+    # [0,10) [5,15) [9,12) -> peak 3 in [9,10); back-to-back [15,20)
+    # never overlaps (end sorts before start at t=15)
+    rows = [(1, 0, 10), (2, 5, 15), (3, 9, 12), (4, 15, 20)]
+    df = spark.createDataFrame(rows, "event_id long, start long, end long")
+    r = peak_concurrency(df, "start", "end", "event_id").collect()[0]
+    assert (r["peak_concurrency"], r["at_s"]) == (3, 9)
