@@ -47,7 +47,8 @@ _NEW_THIS_ROUND = (
     #   r18 -> rel_ols_price_model, doc_rake_keywords, doc_trigram_search,
     #          ev_hll_audience_overlap, rel_key_skew_report
     #   r19 -> ev_active_time, ev_psi_drift, rel_orders_diff,
-    #          stream_psi_drift, rel_penny_allocation, ev_funnel_latency
+    #          stream_psi_drift, rel_penny_allocation, ev_funnel_latency,
+    #          ev_peak_concurrency
     # Each round re-checks the arithmetic against the actual stale
     # cohort before flipping entries.
 )
