@@ -41,6 +41,17 @@ def allocate_proportional(
     cents times weights in cents stays inside int64 up to ~10^9-cent
     orders; decimal(38) is the documented swap beyond.
 
+    PRECONDITION: ``amount_col`` and ``weight_col`` must be
+    NONNEGATIVE. The floor-share identity relies on truncating ``div``
+    == floor division, which holds only for nonnegative operands (same
+    contract as graph.hits' integer renorm); with a negative amount or
+    weight the floor-share sum can exceed T and the reconciliation
+    invariant silently breaks — and Spark ``div`` (truncate) diverges
+    from DuckDB ``//`` (floor) on negatives, so the oracle would
+    disagree too (ADVICE r12). Violations fail AT EXECUTION via an
+    inline ``raise_error`` guard on the output column — no extra
+    validation job, the check rides the same scan.
+
     Scale shape: one group-keyed window pair (sum + rank over the SAME
     partitioning — never global) and a narrow projection; groups are
     natural partitions (orders, campaigns), so no skew beyond the
@@ -67,15 +78,23 @@ def allocate_proportional(
         )
     )
     pennies = t - F.sum("_base").over(w)
+    alloc = (
+        F.col("_base")
+        + F.when(F.col("_rank") <= F.col("_pennies"), 1).otherwise(0)
+    ).cast("long")
+    guarded = F.when(
+        (F.col(amount_col) < 0) | (F.col(weight_col) < 0),
+        F.raise_error(
+            F.lit(
+                "allocate_proportional: amount_col and weight_col must be "
+                "nonnegative (truncating div breaks the floor-share "
+                "invariant on negatives)"
+            )
+        ).cast("long"),
+    ).otherwise(alloc)
     return (
         with_parts.withColumn("_rank", rank)
         .withColumn("_pennies", pennies)
-        .withColumn(
-            out_col,
-            (
-                F.col("_base")
-                + F.when(F.col("_rank") <= F.col("_pennies"), 1).otherwise(0)
-            ).cast("long"),
-        )
+        .withColumn(out_col, guarded)
         .drop("_base", "_rem", "_rank", "_pennies")
     )

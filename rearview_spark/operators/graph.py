@@ -573,6 +573,11 @@ def hits(
     zeros for roles a node never plays (a pure source has no authority;
     a pure sink no hubness).
     """
+    if iterations < 1:
+        raise ValueError(
+            "hits: iterations must be >= 1 (authority scores only exist "
+            "after the first propagation step)"
+        )
     ew = edges.repartition("src").localCheckpoint(eager=True)
     srcs = ew.select(F.col("src").alias("node")).distinct()
     dsts = ew.select(F.col("dst").alias("node")).distinct()

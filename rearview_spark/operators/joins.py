@@ -304,8 +304,18 @@ def table_diff(
     value -> NULL both count as changes and NULL == NULL does not.
     Output is the long-format summary ``(kind, n_rows)`` with kinds
     ``added | removed | changed | unchanged | col_changed:<col>`` —
-    all exact integers, no rounding contract.
+    all exact integers, no rounding contract. ``compare_cols`` must be
+    non-empty — changed/unchanged are undefined with no columns to
+    compare (a keys-only added/removed audit is a different call;
+    ADVICE r12 — the old behavior was an opaque TypeError from
+    ``F.when(None, ...)``).
     """
+    if not compare_cols:
+        raise ValueError(
+            "table_diff: need at least one compare column (for a "
+            "keys-only added/removed audit, pass any key column — "
+            "equal-by-construction, so changed is always 0)"
+        )
     o = old.select(
         *[F.col(k).alias(f"k_{k}") for k in key_cols],
         *[F.col(c).alias(f"o_{c}") for c in compare_cols],

@@ -337,7 +337,7 @@ def semantic_contamination(
     bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bench_id_col: str = "bench_id",
+    bench_id_col: str | None = None,
     dim: int = 64,
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
@@ -360,6 +360,13 @@ def semantic_contamination(
     volume is proportional to collisions with the tiny benchmark side,
     and exact-cosine verification runs only on those. Per-doc verdicts
     are then one map-side-combined hash aggregate over verified pairs.
+
+    ``bench_id_col`` names the id column IN the benchmark frame (its
+    ``vec_col`` must match the corpus's); ``None`` (default) means the
+    benchmark uses ``id_col`` too. Before r13 the parameter only
+    renamed an internal alias while ids were still read from ``id_col``
+    — an AnalysisException trap for benchmark tables keyed differently
+    (ADVICE r12).
 
     Returns one row per CONTAMINATED corpus vector:
     ``(id_col, best_bench_id, max_cosine, n_matches)`` —
@@ -394,28 +401,29 @@ def semantic_contamination(
         max_bucket_size,
     )
 
+    bid = bench_id_col or id_col
     bsigs = benchmark.select(
-        F.col(id_col).alias(bench_id_col),
+        F.col(bid).alias("_bid"),
         F.explode(F.array(*band_structs)).alias("bb"),
-    ).select(bench_id_col, "bb.band", "bb.bh")
+    ).select("_bid", "bb.band", "bb.bh")
     bdv = _as_double(F.col(vec_col))
     bvecs = benchmark.select(
-        F.col(id_col).alias(bench_id_col), bdv.alias("_bv"), _norm(bdv).alias("_bn")
+        F.col(bid).alias("_bid"), bdv.alias("_bv"), _norm(bdv).alias("_bn")
     )
 
     cands = (
         csigs.join(F.broadcast(bsigs), ["band", "bh"])
-        .select(id_col, bench_id_col)
+        .select(id_col, "_bid")
         .distinct()
     )
     denom = F.col("_cn") * F.col("_bn")
     sim = F.when(denom == 0, None).otherwise(_dot(F.col("_cv"), F.col("_bv")) / denom)
     pairs = (
         cands.join(cvecs.select(id_col, "_cv", "_cn"), id_col)
-        .join(F.broadcast(bvecs), bench_id_col)
+        .join(F.broadcast(bvecs), "_bid")
         .select(
             id_col,
-            bench_id_col,
+            "_bid",
             F.round(sim + F.lit(5e-10), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
@@ -425,7 +433,7 @@ def semantic_contamination(
     # (negate the id inside the struct so max == min id).
     agg = pairs.groupBy(id_col).agg(
         F.max(
-            F.struct(F.col("cosine_sim"), (-F.col(bench_id_col)).alias("_nb"))
+            F.struct(F.col("cosine_sim"), (-F.col("_bid")).alias("_nb"))
         ).alias("_best"),
         F.count(F.lit(1)).alias("n_matches"),
     )

@@ -25,32 +25,19 @@ _NEW_THIS_ROUND = (
     # 6 new gates (2 staged: ts_rollup_refresh,
     # graph_copurchase_components) while rotating all 44.
     #
-    # r12 arithmetic: 4 gates landed late in r11 and were never checked
-    # (media_mjpeg_frames, media_wav_chunk_energy, ts_m4_downsample,
-    # ts_theil_sen); r12 registers 4 new (sim_contamination,
-    # dedup_sorted_neighborhood, ev_hll_sliding_distinct,
-    # stream_outer_attribution) -> 8 never-checked + 42 of the 46
-    # stale-r08 rows = 50 exactly; 4 r08 rows slip one round.
+    # r13 collapsed the whole staged backlog (VERDICT_r12 next-round #1):
+    # all 30 PENDING_QUERIES flipped live in one move — 30 never-checked
+    # front-load via group (c) + the 20 stalest rows (4 r08 + 16 r09)
+    # rotate = 50 exactly. PENDING_QUERIES is empty in steady state.
     #
-    # Registration schedule for the 13 gates now STAGED in
-    # PENDING_QUERIES (all oracle-green via test_pending_gates):
-    #   r13 -> ts_autocorrelation, dedup_canonical_docs
-    #          (2 never-checked + 4 r08 + 44 r09 = 50 exactly)
-    #   r14 -> ev_funnel_stages, ev_transition_matrix,
-    #          ev_decay_attribution, ev_rfm_segments
-    #          (4 never-checked + 46 stalest = 50)
-    #   r15 -> graph_ppr, graph_label_propagation, graph_kcore,
-    #          graph_assoc_rules (4 + 46 stalest = 50)
-    #   r16 -> graph_bfs_hops, graph_hits, ev_top_paths (3 + 47 = 50)
-    #   r17 -> rel_column_profile, ts_changepoint, er_customer_entities,
-    #          sim_top_component, sim_pc_scores (5 + 45 = 50)
-    #   r18 -> rel_ols_price_model, doc_rake_keywords, doc_trigram_search,
-    #          ev_hll_audience_overlap, rel_key_skew_report
-    #   r19 -> ev_active_time, ev_psi_drift, rel_orders_diff,
-    #          stream_psi_drift, rel_penny_allocation, ev_funnel_latency,
-    #          ev_peak_concurrency
-    # Each round re-checks the arithmetic against the actual stale
-    # cohort before flipping entries.
+    # Post-backlog steady state: new operators register the round they
+    # land (group (c) front-loads them with no entry here); the window's
+    # remaining slots drain the stale-cohort debt oldest-first. After
+    # r13 the oldest unrotated rows are the 34 remaining r09 rows, so
+    # r14 rotates those + 16 r10 rows, r15 the rest of r10 + r11 —
+    # latest-check histogram floor reaches >= r13 by r15 with zero new
+    # gates needed (VERDICT_r12 next-round #3). Stage into
+    # PENDING_QUERIES only if a round lands more than ~50 new gates.
 )
 
 

@@ -614,3 +614,10 @@ ORDER BY kind, entity_key"""
 
 
 PENDING_QUERIES["graph_hits"] = {"fn": graph_hits, "oracle": _hits_sql()}
+
+# r13 registration (VERDICT_r12 next-round #1): the staged backlog flips
+# live in one move. Never-driver-checked names front-load automatically via
+# group (c) in plans/all_queries(), so each gets a first driver row this
+# round; the window's remaining slots rotate the stalest green cohort.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

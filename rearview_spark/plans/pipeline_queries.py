@@ -2986,3 +2986,10 @@ PENDING_QUERIES["doc_trigram_search"] = {
     "fn": doc_trigram_search,
     "oracle": DOC_TRIGRAM_SQL,
 }
+
+# r13 registration (VERDICT_r12 next-round #1): the staged backlog flips
+# live in one move. Never-driver-checked names front-load automatically via
+# group (c) in plans/all_queries(), so each gets a first driver row this
+# round; the window's remaining slots rotate the stalest green cohort.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

@@ -1312,8 +1312,12 @@ QUERIES["dedup_sorted_neighborhood"] = {
 def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan column profiler over lineitem's numeric measures
     (operators/profiling.profile_numeric_columns): per-column row/null
-    counts, exact distinct cardinality, min and max — the
-    trust-the-drop stats sweep run before layout decisions. All
+    counts, distinct cardinality, min and max — the trust-the-drop
+    stats sweep run before layout decisions. This gate PINS
+    ``exact=True`` (the default) so the distinct count is bit-exact
+    against the DuckDB oracle; production callers on high-NDV columns
+    flip ``exact=False`` for the HLL path (no expand node — see the
+    operator docstring and test_profile_approx_mode). All
     comparison-only outputs; no float arithmetic, no rounding
     contract."""
     from rearview_spark.operators.profiling import profile_numeric_columns
@@ -1678,3 +1682,10 @@ PENDING_QUERIES["rel_penny_allocation"] = {
     "fn": rel_penny_allocation,
     "oracle": REL_PENNY_SQL,
 }
+
+# r13 registration (VERDICT_r12 next-round #1): the staged backlog flips
+# live in one move. Never-driver-checked names front-load automatically via
+# group (c) in plans/all_queries(), so each gets a first driver row this
+# round; the window's remaining slots rotate the stalest green cohort.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

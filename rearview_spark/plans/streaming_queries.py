@@ -471,3 +471,10 @@ from rearview_spark.plans.events_queries import _psi_sql as _stream_psi_sql  # n
 PENDING_QUERIES: dict[str, dict] = {
     "stream_psi_drift": {"fn": stream_psi_drift, "oracle": _stream_psi_sql()},
 }
+
+# r13 registration (VERDICT_r12 next-round #1): the staged backlog flips
+# live in one move. Never-driver-checked names front-load automatically via
+# group (c) in plans/all_queries(), so each gets a first driver row this
+# round; the window's remaining slots rotate the stalest green cohort.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

@@ -1809,3 +1809,10 @@ PENDING_QUERIES["ts_changepoint"] = {
     "fn": ts_changepoint,
     "oracle": TS_CHANGEPOINT_SQL,
 }
+
+# r13 registration (VERDICT_r12 next-round #1): the staged backlog flips
+# live in one move. Never-driver-checked names front-load automatically via
+# group (c) in plans/all_queries(), so each gets a first driver row this
+# round; the window's remaining slots rotate the stalest green cohort.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

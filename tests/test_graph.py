@@ -309,3 +309,10 @@ def test_hits_matches_integer_replay_and_ranks_sensibly(spark):
     assert got[1][1] > got[3][1]        # seller 1 the stronger authority
     assert got[0][0] == max(v[0] for v in got.values())  # buyer 0 top hub
     assert got[0][1] == 0 and got[1][0] == 0             # pure roles
+
+    # iterations < 1 is a clear validation error, not an opaque
+    # AttributeError from joining against a = None (ADVICE r12)
+    import pytest
+
+    with pytest.raises(ValueError, match="iterations"):
+        hits(df, 0)

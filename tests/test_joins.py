@@ -272,6 +272,10 @@ def test_table_diff_classification_and_null_safety(spark):
         "col_changed:s": 0,
         "col_changed:v": 1,
     }
+    # empty compare set is a clear validation error, not a TypeError
+    # from F.when(None, ...) deep in the agg (ADVICE r12)
+    with pytest.raises(ValueError, match="at least one compare column"):
+        table_diff(old, new, ["id"], [])
 
 
 def test_allocate_proportional_exact_reconciliation(spark):
@@ -301,3 +305,21 @@ def test_allocate_proportional_exact_reconciliation(spark):
         .collect()
     }
     assert all(s == t for s, t in sums.values())
+
+
+def test_allocate_proportional_rejects_negative_inputs(spark):
+    """Negative amounts/weights break the floor-share invariant
+    (truncating div != floor on negatives) — the execution-time guard
+    must fire instead of silently failing reconciliation (ADVICE r12)."""
+    from rearview_spark.operators.allocation import allocate_proportional
+
+    neg_amount = spark.createDataFrame(
+        [(1, 1, 1, -100), (1, 2, 1, -100)], "g long, line long, w long, t long"
+    )
+    with pytest.raises(Exception, match="nonnegative"):
+        allocate_proportional(neg_amount, "g", "w", "t", "line").collect()
+    neg_weight = spark.createDataFrame(
+        [(1, 1, -5, 100), (1, 2, 3, 100)], "g long, line long, w long, t long"
+    )
+    with pytest.raises(Exception, match="nonnegative"):
+        allocate_proportional(neg_weight, "g", "w", "t", "line").collect()

@@ -1699,6 +1699,28 @@ def test_semantic_contamination_flags_planted_leaks(spark):
     assert cos >= 0.99 and n == 2
 
 
+def test_semantic_contamination_bench_id_col_reads_benchmark_ids(spark):
+    """bench_id_col names the id column IN the benchmark frame (not just
+    an output alias — ADVICE r12): a benchmark keyed 'qid' yields the
+    same verdicts as the same rows keyed by the corpus's id_col."""
+    from rearview_spark.operators.similarity import semantic_contamination
+
+    dim = 64
+    base = [1.0 if d % 3 == 0 else 0.5 for d in range(dim)]
+    near = [v * (1.0 + 0.001 * (d % 5 - 2)) for d, v in enumerate(base)]
+    corpus = spark.createDataFrame(
+        [(1, near)], "vec_id long, embedding array<double>"
+    )
+    bench_qid = spark.createDataFrame(
+        [(10, base)], "qid long, embedding array<double>"
+    )
+    got = semantic_contamination(
+        corpus, bench_qid, threshold=0.99, planes=16, bands=2, dim=dim,
+        bench_id_col="qid",
+    ).collect()
+    assert [(r.vec_id, r.best_bench_id, r.n_matches) for r in got] == [(1, 10, 1)]
+
+
 def test_semantic_contamination_bucket_cap_drops_hot_band(spark):
     """A flood of identical corpus vectors past max_bucket_size is
     dropped whole from that band's candidates (both bands share the
@@ -1901,6 +1923,54 @@ def test_profile_numeric_columns(spark):
     assert (a["min_value"], a["max_value"]) == (1.0, 3.5)
     assert (b["n_rows"], b["n_nulls"], b["n_distinct"]) == (4, 1, 2)
     assert (b["min_value"], b["max_value"]) == (-1.0, 2.5)
+
+
+def test_profile_approx_mode(spark):
+    """exact=False swaps count(DISTINCT) for approx_count_distinct: same
+    answers at tiny cardinality, and the plan loses the two-phase
+    distinct rewrite whose first Exchange is keyed by (col_name, value)
+    — i.e. a shuffle sized by value CARDINALITY, the 100 TB memory risk
+    VERDICT_r12 flagged. The production knob must be reachable as code.
+    (Spark 4.1 plans one mixed distinct agg by folding the value into
+    the grouping key, not via an Expand node — Expand only appears with
+    >= 2 distinct aggregates — so the pin is on the extra Exchange.)"""
+    from rearview_spark.operators.profiling import profile_numeric_columns
+
+    df = spark.createDataFrame(
+        [(1.0, None), (1.0, 2.5), (3.5, -1.0), (None, -1.0)],
+        "a double, b double",
+    )
+    def plan_of(frame):
+        return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            frame._jdf.queryExecution(), "formatted"
+        )
+
+    # Plans are read from fresh, unexecuted frames — once AQE
+    # materializes a frame, explain prints Final + Initial sections and
+    # node counts double.
+    approx_plan = plan_of(profile_numeric_columns(df, ["a", "b"], exact=False))
+    exact_plan = plan_of(profile_numeric_columns(df, ["a", "b"], exact=True))
+
+    approx = profile_numeric_columns(df, ["a", "b"], exact=False)
+    got = {r["col_name"]: r for r in approx.collect()}
+    # HLL++ is exact at this cardinality; the rest of the profile is
+    # computed identically in both modes.
+    assert (got["a"]["n_nulls"], got["a"]["n_distinct"]) == (1, 2)
+    assert (got["b"]["min_value"], got["b"]["max_value"]) == (-1.0, 2.5)
+
+    def n_exchanges(plan):
+        return sum(
+            1
+            for line in plan.splitlines()
+            if line.startswith("(") and line.rstrip().endswith("Exchange")
+        )
+
+    assert "count(distinct" in exact_plan
+    assert n_exchanges(exact_plan) == 2  # value-keyed shuffle present
+    assert "approx_count_distinct" in approx_plan
+    assert "count(distinct" not in approx_plan
+    # One col_name-keyed shuffle of constant-size HLL partials only.
+    assert n_exchanges(approx_plan) == 1
 
 
 def test_mean_shift_changepoint_flags_level_shift(spark):

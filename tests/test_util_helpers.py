@@ -144,6 +144,48 @@ def test_global_running_sum_matches_single_partition_window(spark):
         global_running_sum(df.withColumn("running_sum", F.lit(1)), ["k"], "v")
 
 
+def test_global_running_sum_null_values_count_as_zero(spark):
+    """NULL value rows (including a range partition that is ALL NULLs)
+    must not crash the driver-side prefix walk with int(None) — they
+    contribute zero and the cumulative sum carries through (ADVICE
+    r12). Keys are arranged so the low range partitions are NULL-only."""
+    from rearview_spark.operators._util import global_running_sum
+
+    rows = [(i, None if i < 120 else i % 5 + 1) for i in range(240)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    got = {
+        r["k"]: r["running_sum"]
+        for r in global_running_sum(df, ["k"], "v").collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v or 0
+        want[k] = acc
+    assert got == want
+
+
+def test_global_prefix_offsets_are_flat_map_lookup(spark):
+    """The per-partition prefix offsets must inline as ONE literal-map
+    lookup, not a P-deep chained CASE tree (codegen-hostile at P in the
+    thousands — VERDICT r12 next-round #5): the plan carries a
+    map literal and zero CASE WHEN chains from the offset expression."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators._util import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, i * 3 % 17) for i in range(300)], "k long, v long"
+    ).repartition(8)
+    out, total = global_row_number(df, ["k"], "rn")
+    assert total == 300
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" not in plan
+    assert "map_from" in plan or "map(" in plan
+    # and the numbers are still the global order
+    got = sorted((r["k"], r["rn"]) for r in out.collect())
+    assert [rn for _, rn in got] == list(range(1, 301))
+
+
 def test_peak_concurrency_hand_case(spark):
     from rearview_spark.operators.behavior import peak_concurrency
 
