@@ -107,6 +107,19 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "ev_hll_sliding_distinct",
     "stream_outer_attribution",
+    # round-13: one line per newly REGISTERED plan family (the r12
+    # backlog flipped live this round) — end-to-end entity resolution
+    # (blocking + match + closure), Arrow-batched integer Gram + power
+    # iteration (distributed PCA), the global-running-sum sweep line
+    # (peak concurrency), the index-served trigram LIKE probe, and the
+    # two-joins-per-iteration HITS fixed point. The other new gates ride
+    # plan families already timed (window sweeps, group windows,
+    # iterative min-label joins).
+    "er_customer_entities",
+    "sim_top_component",
+    "ev_peak_concurrency",
+    "doc_trigram_search",
+    "graph_hits",
 ]
 
 

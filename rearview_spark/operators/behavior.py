@@ -342,3 +342,98 @@ def peak_concurrency(
         F.max("conc").alias("peak_concurrency"),
         F.expr("min_by(t, struct(-conc, t))").alias("at_s"),
     )
+
+
+def concurrency_deltas(
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Per-timestamp NET boundary deltas ``(t, d)`` of half-open
+    ``[start, end)`` intervals — the ADDITION-MERGEABLE summary of a
+    sweep line (the same mergeability contract as the sketch / PSI
+    occupancy tables): deltas from two interval sets combine by summing
+    ``d`` per ``t``, so micro-batched accumulation is bit-identical to
+    one pass over the union.
+
+    Collapsing each instant to its net delta preserves peak semantics
+    exactly: processing an instant's -1s before its +1s (the half-open
+    rule peak_concurrency sorts by) makes the fine-grained running
+    value dip then climb WITHIN the instant, so local maxima occur only
+    at instant boundaries — the max (and its earliest instant) over
+    net-delta prefix sums equals the max over the fine-grained sweep
+    (argued in :func:`peak_from_deltas`, replay-pinned in
+    tests/test_streaming.py).
+
+    One map-side-combined hash aggregate; output size = |distinct
+    boundary instants|, already the minimal sweep state.
+    """
+    both = intervals.select(
+        F.col(start_col).cast("long").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        intervals.select(
+            F.col(end_col).cast("long").alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    return both.groupBy("t").agg(F.sum("d").alias("d"))
+
+
+def peak_from_deltas(deltas: DataFrame) -> DataFrame:
+    """``(peak_concurrency, at_s)`` from a net-delta table — identical
+    result whether the deltas came from one :func:`concurrency_deltas`
+    pass or a streaming addition-merge (:func:`concurrency_foreach_batch`).
+
+    Prefix sums over ``t`` via the distributed global running sum
+    (never a single-task window); ``t`` is unique after the net-delta
+    aggregate, so it alone is the strict total order. Equality with the
+    fine-grained sweep: within one instant the -1s-first trajectory is
+    monotone down then up, so any fine-grained value >= both adjacent
+    instant-boundary values is itself an instant-boundary value —
+    maxima and their earliest instants coincide.
+
+    Rows with net delta 0 (an end and a start at the same instant)
+    still ride through — they can't host a NEW maximum (value unchanged
+    from the previous instant), and min_by ties keep the earliest t.
+    """
+    from rearview_spark.operators._util import global_running_sum
+
+    r = global_running_sum(deltas, ["t"], "d", out_col="conc")
+    return r.agg(
+        F.max("conc").alias("peak_concurrency"),
+        F.expr("min_by(t, struct(-conc, t))").alias("at_s"),
+    )
+
+
+def concurrency_foreach_batch(
+    spark,
+    state_dir: str,
+    start_col: str = "start",
+    end_col: str = "end",
+):
+    """Sweep-line occupancy as a ``foreachBatch`` recurrence — the
+    CM/HLL/PSI batch-dir contract from operators/sketch.py: each
+    micro-batch's net boundary deltas ADD into the previous persisted
+    state under ``batch=<id>`` (a retried batch re-merges from its
+    predecessor, never double-counts). Because deltas merge by
+    addition, the streamed state is bit-identical to one
+    :func:`concurrency_deltas` pass over the union — the peak read off
+    it shares the batch gate's FULL value oracle (micro-batching is a
+    delivery choice, not a semantics change).
+
+    State size = |distinct boundary instants| rows of two bigints —
+    epoch-second activity windows bound it at seconds-per-retention
+    rows regardless of event volume; coalesce(1) keeps each state
+    generation a single file (the sketch-store convention)."""
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = concurrency_deltas(batch_df, start_col, end_col)
+        prev = _latest_batch_dir(spark, state_dir, below=batch_id)
+        if prev is not None:
+            cur = cur.unionByName(spark.read.parquet(prev))
+        merged = cur.groupBy("t").agg(F.sum("d").alias("d"))
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process

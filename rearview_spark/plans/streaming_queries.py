@@ -478,3 +478,53 @@ PENDING_QUERIES: dict[str, dict] = {
 # round; the window's remaining slots rotate the stalest green cohort.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def stream_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity with the sweep-line state accumulated by
+    the foreachBatch recurrence (operators/behavior.concurrency_foreach_batch)
+    over three deterministic micro-batch slices instead of one pass:
+    net boundary deltas merge by ADDITION, so the streamed state — and
+    therefore the peak — is bit-identical to the batch gate, and this
+    gate shares ev_peak_concurrency's FULL value oracle (micro-batching
+    is a delivery choice, not a semantics change; the stream_psi_drift
+    discipline). The batch=<id> state dirs carry the CM/HLL retry
+    contract; the final read is peak_from_deltas — the distributed
+    global running sum, never a single-task window (VERDICT_r12
+    next-round #6: sessions/connections are the canonical streaming
+    capacity metric)."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.behavior import (
+        concurrency_foreach_batch,
+        peak_from_deltas,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+    from rearview_spark.sources.loader import Tables
+
+    ev = Tables(spark, sf_dir).events
+    iv = ev.select(
+        "event_id",
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + F.lit(1800)).alias("end"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="conc_stream_")
+    try:
+        proc = concurrency_foreach_batch(spark, state_dir)
+        for i in range(3):
+            proc(iv.filter(F.col("event_id") % 3 == i), i)
+        merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
+        return peak_from_deltas(merged).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+# the streamed state is addition-merged to the same sweep the batch gate
+# runs, so the oracle IS the batch gate's — single-sourced
+from rearview_spark.plans.events_queries import EV_PEAK_CONC_SQL as STREAM_PEAK_SQL  # noqa: E402
+
+QUERIES["stream_peak_concurrency"] = {
+    "fn": stream_peak_concurrency,
+    "oracle": STREAM_PEAK_SQL,
+}

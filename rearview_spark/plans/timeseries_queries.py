@@ -1816,3 +1816,57 @@ PENDING_QUERIES["ts_changepoint"] = {
 # round; the window's remaining slots rotate the stalest green cohort.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def ts_cross_correlation(spark, sf_dir):
+    """Cross-correlation clicks -> purchases at hour lags -24..24
+    (operators/timeseries.cross_correlation — the last implemented
+    operator with no oracle path, VERDICT_r12 next-round #8): Pearson r
+    between click volume at hour h and purchase volume at hour h+k via
+    time-join alignment and integer-exact sufficient statistics. Both
+    metrics ride the same daily cycle, so the +-24 lags read high —
+    the lead/lag diagnostic the operator exists for."""
+    out = G.cross_correlation(
+        _hourly(spark, sf_dir), "click", "purchase",
+        lags=(-24, -1, 0, 1, 24), y_scale=100,
+    )
+    return out.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("ccf") + F.lit(5e-10), 6).alias("ccf"),
+    ).orderBy("lag")
+
+
+TS_CCF_SQL = HOURLY_CTE + """
+, q AS (
+  SELECT metric,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(round(value * 100.0) AS BIGINT) AS y
+  FROM hourly WHERE value IS NOT NULL
+),
+l AS (SELECT unnest([-24, -1, 0, 1, 24]) AS lag),
+p AS (
+  SELECT l.lag, a.y AS ya, b.y AS yb
+  FROM (SELECT h, y FROM q WHERE metric = 'click') a
+  CROSS JOIN l
+  JOIN (SELECT h, y FROM q WHERE metric = 'purchase') b ON b.h = a.h + l.lag
+),
+s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+         CAST(sum(ya * ya) AS BIGINT) AS saa,
+         CAST(sum(yb * yb) AS BIGINT) AS sbb,
+         CAST(sum(ya * yb) AS BIGINT) AS sab
+  FROM p GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+            THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+                       / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                       + 0.0000000005, 6)
+       END AS ccf
+FROM s ORDER BY lag
+"""
+
+QUERIES["ts_cross_correlation"] = {"fn": ts_cross_correlation, "oracle": TS_CCF_SQL}

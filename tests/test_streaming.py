@@ -354,3 +354,44 @@ def test_stream_stream_attribution_outer_withholds_young_rows(spark, tmp_path):
     # joint watermark = late - 10min; purchases 2 and 3 are far below it,
     # purchase 4 sits AT max event time (above the watermark) -> withheld
     assert got == {(2, 1), (3, None)}
+
+
+def test_concurrency_foreach_batch_replay_and_batch_equality(spark, tmp_path):
+    """Streamed sweep state == one-pass deltas, a RETRIED batch leaves
+    the state unchanged (the CM/HLL/PSI batch-dir contract), and the
+    peak read off the merged state equals the batch operator exactly —
+    including the fine-grained half-open tie semantics the net-delta
+    collapse must preserve (back-to-back [15,20) after [5,15))."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.behavior import (
+        concurrency_deltas,
+        concurrency_foreach_batch,
+        peak_concurrency,
+        peak_from_deltas,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    rows = [(1, 0, 10), (2, 5, 15), (3, 9, 12), (4, 15, 20), (5, 9, 11)]
+    df = spark.createDataFrame(rows, "event_id long, start long, end long")
+    state = str(tmp_path / "conc_state")
+    proc = concurrency_foreach_batch(spark, state)
+    slices = [df.filter(F.col("event_id") % 2 == i) for i in range(2)]
+    for i, sl in enumerate(slices):
+        proc(sl, i)
+    proc(slices[1], 1)  # retry of the last batch: re-merges, no double-count
+    merged = {
+        (r["t"], r["d"])
+        for r in spark.read.parquet(_latest_batch_dir(spark, state)).collect()
+    }
+    want = {(r["t"], r["d"]) for r in concurrency_deltas(df).collect()}
+    assert merged == want
+
+    got = peak_from_deltas(
+        spark.read.parquet(_latest_batch_dir(spark, state))
+    ).collect()[0]
+    ref = peak_concurrency(df, "start", "end", "event_id").collect()[0]
+    assert (got["peak_concurrency"], got["at_s"]) == (
+        ref["peak_concurrency"],
+        ref["at_s"],
+    ) == (4, 9)
