@@ -1,0 +1,164 @@
+"""Distributed text classification — the quality/domain classifier
+stage every large-scale training-data pipeline runs between heuristic
+filters and expensive model scoring (the fastText-classifier slot in
+the published CCNet / RefinedWeb / DCLM recipes): train a Multinomial
+Naive Bayes model with ONE counting pass, score every document with
+one broadcastable model join, route by predicted label.
+
+Naive Bayes is the Spark-native choice for this slot because training
+is pure counting (exact integers, mergeable partials, no gradient
+iterations) and scoring is an integer sum of quantized log-likelihoods
+— the PSI/doc_perplexity cross-engine discipline: each per-token log
+probability is computed ONCE (model-side, vocab-sized frame), rounded
+to 1e-9 units in int64, and per-document scores are order-free integer
+sums, so the DuckDB oracle hash-matches bit-for-bit.
+
+Not rearview parity (the reference has no ML surface); north-star
+pipeline scope like the rest of the curation family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.text import tokens
+
+# Quantization scale for log-likelihoods. Chosen ONE decade below the
+# PSI family's 1e9 on purpose: NB log terms have magnitude ~10 (double
+# ulp ~2e-15), so at 1e9 units a 1-ulp ln() divergence between the JVM
+# and libm lands within ~2e-6 of a rounding boundary — across a
+# vocab x labels model that is a real cross-engine flake rate. At 1e6
+# units the boundary half-width is ~2e-9 per value (negligible), while
+# per-token quantization error (0.5e-6 log units) stays orders of
+# magnitude below any argmax margin.
+NB_SCALE = 10**6
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    alpha: int = 1,
+    scale: int = NB_SCALE,
+) -> tuple[DataFrame, DataFrame]:
+    """Train Multinomial Naive Bayes: P(label) from document counts,
+    P(token | label) with add-``alpha`` smoothing over the corpus-wide
+    vocabulary V —
+
+        P(w | l) = (c(l, w) + alpha) / (T_l + alpha * V)
+
+    Returns ``(likelihoods, priors)``:
+
+    * ``likelihoods`` — ``(label, w, qlp)`` for every token OBSERVED in
+      a label, ``qlp = round(ln P(w|l) * scale)`` as bigint (the
+      quantize-once contract: scoring never recomputes a log);
+    * ``priors`` — ``(label, q_prior, q_default)`` — the quantized log
+      prior and the quantized log-likelihood an UNSEEN token gets for
+      that label (``c = 0`` in the formula above), so scoring is total
+      over any input vocabulary via one coalesce.
+
+    Scale shape: one corpus pass for the (label, token) hash aggregate
+    (map-side partials; output is label-vocab-sized, not corpus-sized),
+    one for the distinct-vocab count, one label-sized document count.
+    Per-label token totals derive from the materialized count table.
+    The model frames are vocab x |labels| rows — broadcastable at any
+    corpus scale where the vocabulary itself fits an executor (the same
+    assumption the bigram-LM filter makes); both are eagerly
+    materialized so downstream scoring never replays the corpus pass.
+
+    Tokenization is the repo-canonical whitespace :func:`tokens`, so
+    oracles replay it exactly. ``alpha`` is an integer so the smoothed
+    probability is a ratio of exact integers (one double ln at the
+    quantization edge, PSI discipline).
+    """
+    toks = tokens(F.col(text_col))
+    lw = docs.select(F.col(label_col).alias("label"), F.explode(toks).alias("w"))
+    counts = (
+        lw.groupBy("label", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = counts.select("w").distinct().count()
+    totals = counts.groupBy("label").agg(F.sum("c").alias("t"))
+    n_docs = docs.count()
+    doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    def qln(num, den):
+        return F.round(F.log(num.cast("double") / den.cast("double")) * scale).cast(
+            "long"
+        )
+
+    likelihoods = (
+        counts.join(totals, "label")
+        .select(
+            "label",
+            "w",
+            qln(F.col("c") + F.lit(alpha), F.col("t") + F.lit(alpha * vocab)).alias(
+                "qlp"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    priors = (
+        doc_counts.join(totals, "label")
+        .select(
+            "label",
+            qln(F.col("n"), F.lit(n_docs)).alias("q_prior"),
+            qln(F.lit(alpha), F.col("t") + F.lit(alpha * vocab)).alias("q_default"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return likelihoods, priors
+
+
+def nb_classify(
+    docs: DataFrame,
+    likelihoods: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score and label documents under a :func:`nb_train` model:
+    ``score(d, l) = q_prior(l) + sum over tokens of qlp(l, w)`` (unseen
+    tokens take the label's ``q_default``), predicted label = argmax
+    with ties toward the lexicographically smallest label — the whole
+    decision is integer arithmetic, deterministic under any
+    partitioning.
+
+    Scale shape: explode doc tokens once, cross the |labels|-row prior
+    frame (broadcast — multiplies rows by the constant label count),
+    LEFT-join the broadcast vocab-sized likelihood table on
+    (label, w), then two hash aggregates: per-(doc, label) integer sum,
+    per-doc ``min_by`` argmax. No window functions, no corpus-sized
+    shuffle beyond the token explode itself.
+
+    Returns ``(id_col, predicted, q_score)`` — q_score is the winning
+    label's integer score (1/scale log units, NB_SCALE by default),
+    one row per input document
+    (empty docs score on priors alone: whitespace tokenization yields
+    one '' token, which rides the same default/likelihood path).
+    """
+    toks = tokens(F.col(text_col))
+    dw = docs.select(F.col(id_col), F.explode(toks).alias("w"))
+    per_label = (
+        dw.crossJoin(F.broadcast(priors.select("label", "q_default")))
+        .join(F.broadcast(likelihoods), ["label", "w"], "left")
+        .select(
+            id_col,
+            "label",
+            F.coalesce(F.col("qlp"), F.col("q_default")).alias("q"),
+        )
+        .groupBy(id_col, "label")
+        .agg(F.sum("q").alias("q_tokens"))
+        .join(F.broadcast(priors.select("label", "q_prior")), "label")
+        .select(
+            id_col, "label", (F.col("q_tokens") + F.col("q_prior")).alias("score")
+        )
+    )
+    return per_label.groupBy(id_col).agg(
+        F.expr("min_by(label, struct(-score, label))").alias("predicted"),
+        F.max("score").alias("q_score"),
+    )

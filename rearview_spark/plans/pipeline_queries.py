@@ -2993,3 +2993,106 @@ PENDING_QUERIES["doc_trigram_search"] = {
 # round; the window's remaining slots rotate the stalest green cohort.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def doc_nb_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID (operators/classify.py):
+    train on the documents table's lang labels (one counting pass —
+    exact integer sufficient statistics, vocab x |labels| model,
+    broadcastable), classify every document by integer argmax over
+    1e-6-quantized log-likelihood sums. The classifier-stage slot of
+    the published pretraining-curation recipes; the oracle replays
+    tokenization, smoothing, quantization, scoring, and the
+    smallest-label tie-break token for token."""
+    from rearview_spark.operators.classify import nb_classify, nb_train
+
+    docs = Tables(spark, sf_dir).documents
+    lik, pri = nb_train(docs, "lang")
+    return nb_classify(docs, lik, pri).orderBy("doc_id")
+
+
+DOC_NB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split({NORM}, ' ')) AS w FROM documents
+),
+counts AS (SELECT lang AS label, w, count(*) AS c FROM tok GROUP BY 1, 2),
+vocab AS (SELECT count(DISTINCT w) AS v FROM counts),
+totals AS (SELECT label, sum(c) AS t FROM counts GROUP BY 1),
+ndocs AS (SELECT count(*) AS n FROM documents),
+docn AS (SELECT lang AS label, count(*) AS n FROM documents GROUP BY 1),
+lik AS (
+  SELECT label, w,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS qlp
+  FROM counts JOIN totals USING (label) CROSS JOIN vocab
+),
+pri AS (
+  SELECT label,
+         CAST(round(ln(CAST(docn.n AS DOUBLE) / CAST(ndocs.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS q_prior,
+         CAST(round(ln(1.0 / CAST(t + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS q_default
+  FROM docn JOIN totals USING (label) CROSS JOIN ndocs CROSS JOIN vocab
+),
+scored AS (
+  SELECT tok.doc_id, p.label, sum(coalesce(l.qlp, p.q_default)) AS q_tokens
+  FROM tok CROSS JOIN pri p
+  LEFT JOIN lik l ON l.label = p.label AND l.w = tok.w
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT s.doc_id, s.label, CAST(s.q_tokens + p.q_prior AS BIGINT) AS score
+  FROM scored s JOIN pri p USING (label)
+),
+r AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM tot
+)
+SELECT doc_id, label AS predicted, score AS q_score FROM r WHERE rn = 1
+ORDER BY doc_id
+"""
+
+QUERIES["doc_nb_language"] = {"fn": doc_nb_language, "oracle": DOC_NB_SQL}
+
+
+def doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/evaluation.roc_auc): how well document
+    length (n_chars) separates English from non-English documents — the
+    threshold-commitment measurement run before any score-based
+    filtering pass at scale. Mann-Whitney rank form with exact integer
+    tie handling; the only float is ONE division of exact int64s, so
+    the oracle asserts the integer numerator and the division both."""
+    from rearview_spark.operators.evaluation import roc_auc
+
+    docs = Tables(spark, sf_dir).documents
+    labeled = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("n_chars").alias("s"),
+    )
+    return roc_auc(labeled, "y", "s")
+
+
+DOC_AUC_SQL = """
+WITH per_score AS (
+  SELECT n_chars AS s,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT np, nn,
+         sum(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_nn
+  FROM per_score
+),
+agg AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(nn) AS BIGINT) AS n_neg,
+         CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS auc_num2
+  FROM cum
+)
+SELECT n_pos, n_neg, auc_num2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(auc_num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+       END AS auc
+FROM agg
+"""
+
+QUERIES["doc_quality_auc"] = {"fn": doc_quality_auc, "oracle": DOC_AUC_SQL}

@@ -1689,3 +1689,62 @@ PENDING_QUERIES["rel_penny_allocation"] = {
 # round; the window's remaining slots rotate the stalest green cohort.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through a BUCKETED orders-lineitem
+    join (sources/bucketed.py): both sides written once pre-hashed on
+    the order key into the same bucket count, then joined through the
+    catalog read path — the Exchange below the join is elided (the
+    plan pin lives in tests/test_plan_shapes.py; this gate proves the
+    write -> catalog -> join -> aggregate path END-TO-END and that the
+    bucketed layout returns bit-identical values to the plain join the
+    oracle runs). Pre-paying the fact-fact shuffle at write time is
+    the 100 TB pattern; at gate scale the write is a one-second
+    amortized cost. Temp-scoped external tables: unique per-process
+    names, dropped (and their directory removed) after the result
+    materializes."""
+    import os
+    import shutil
+    import tempfile
+
+    from rearview_spark.sources.bucketed import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    t = Tables(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="bucketed_gate_")
+    to, tl = f"rv_bkt_o_{os.getpid()}", f"rv_bkt_l_{os.getpid()}"
+    try:
+        write_bucketed(t.orders, to, "o_orderkey", 8, path=f"{work}/o")
+        write_bucketed(t.lineitem, tl, "l_orderkey", 8, path=f"{work}/l")
+        j = read_bucketed(spark, to).join(
+            read_bucketed(spark, tl),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        out = (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                _revenue().alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        drop_bucketed(spark, to)
+        drop_bucketed(spark, tl)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+REL_BUCKETED_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_items, {REV_SQL} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["rel_bucketed_join"] = {"fn": rel_bucketed_join, "oracle": REL_BUCKETED_SQL}

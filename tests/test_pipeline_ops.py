@@ -2284,3 +2284,69 @@ def test_funnel_latency_semantics(spark):
     )
     got = {r["user_id"]: r["latency_s"] for r in conv.collect()}
     assert got == {1: 60, 3: 130}
+
+
+def test_nb_train_classify_hand_computed(spark):
+    """Multinomial NB on a 4-doc corpus: likelihoods/priors match the
+    hand-computed add-1 smoothed model, multiplicity counts (the
+    'multinomial' part), unseen tokens ride the default path, and exact
+    score ties break toward the lexicographically smallest label."""
+    import math
+
+    from rearview_spark.operators.classify import NB_SCALE, nb_classify, nb_train
+
+    rows = [
+        (1, "spam spam buy now", "spam"),
+        (2, "buy cheap spam", "spam"),
+        (3, "meeting notes agenda", "ham"),
+        (4, "agenda for the meeting", "ham"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    lik, pri = nb_train(docs, "label")
+    # vocab = 9 distinct tokens; spam totals 7 tokens, ham 7.
+    likm = {(r["label"], r["w"]): r["qlp"] for r in lik.collect()}
+    q = lambda p: round(math.log(p) * NB_SCALE)  # noqa: E731
+    assert likm[("spam", "spam")] == q(4 / 16)   # c=3 (+1) / (7 + 9)
+    assert likm[("ham", "agenda")] == q(3 / 16)  # c=2 (+1)
+    assert ("ham", "spam") not in likm           # unseen -> default path
+    prim = {r["label"]: (r["q_prior"], r["q_default"]) for r in pri.collect()}
+    assert prim["spam"] == (q(2 / 4), q(1 / 16))
+    assert prim["ham"] == (q(2 / 4), q(1 / 16))
+
+    test = spark.createDataFrame(
+        [(10, "buy spam now"), (11, "the meeting agenda"), (12, "zzz unk")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["predicted"], r["q_score"])
+        for r in nb_classify(test, lik, pri).collect()
+    }
+    assert got[10][0] == "spam" and got[11][0] == "ham"
+    # doc 12: every token unseen -> identical scores -> smallest label
+    assert got[12] == ("ham", q(2 / 4) + 2 * q(1 / 16))
+
+
+def test_roc_auc_matches_brute_force_pair_count(spark):
+    """Exact midrank AUC == the O(n_pos * n_neg) pair count on a random
+    integer-scored sample with heavy ties, plus the hand case and the
+    one-class degenerate (NULL, not divide-by-zero)."""
+    import random
+
+    from rearview_spark.operators.evaluation import roc_auc
+
+    rng = random.Random(13)
+    rows = [(rng.randint(0, 1), rng.randint(0, 9)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "y int, s long")
+    got = roc_auc(df, "y", "s").collect()[0]
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    num2 = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    assert (got["n_pos"], got["n_neg"], got["auc_num2"]) == (
+        len(pos), len(neg), num2,
+    )
+    assert got["auc"] == num2 / (2 * len(pos) * len(neg))
+
+    one_class = spark.createDataFrame([(1, 3), (1, 5)], "y int, s long")
+    assert roc_auc(one_class, "y", "s").collect()[0]["auc"] is None

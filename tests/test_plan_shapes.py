@@ -333,3 +333,53 @@ def test_semantic_contamination_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert out.columns == ["vec_id", "best_bench_id", "max_cosine", "n_matches"]
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    """The bucketed-layout claim (sources/bucketed.py): two tables
+    written bucketBy the same (key, count) join through the catalog
+    read path with ZERO Exchange in the executed plan — the fact-fact
+    shuffle is pre-paid at write time. Broadcast is disabled for the
+    probe so the co-located SortMergeJoin (not a broadcast plan) is
+    what proves it; a plain parquet-path read of the SAME files must
+    re-shuffle (the catalog carries the bucket spec, the path does
+    not)."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.sources.bucketed import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(0, 4000).select(
+        (F.col("id") % 2000).alias("k"), (F.col("id") % 11).alias("b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(left, "t_bkt_left", "k", 4, path=str(tmp_path / "l"))
+        write_bucketed(right, "t_bkt_right", "k", 4, path=str(tmp_path / "r"))
+        j = read_bucketed(spark, "t_bkt_left").join(
+            read_bucketed(spark, "t_bkt_right"), "k"
+        )
+        assert j.count() == 4000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+
+        # same files, path read: no bucket spec -> the shuffle returns
+        raw = spark.read.parquet(str(tmp_path / "l")).join(
+            spark.read.parquet(str(tmp_path / "r")), "k"
+        )
+        raw.count()
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed(spark, "t_bkt_left")
+        drop_bucketed(spark, "t_bkt_right")
