@@ -77,3 +77,72 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
             denom > 0, F.col("auc_num2").cast("double") / denom.cast("double")
         ).alias("auc"),
     )
+
+
+def precision_recall_curve(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """The full operating-characteristic table for a score-thresholded
+    filter: one row per DISTINCT score value ``t``, evaluating the rule
+    "keep documents with score >= t" —
+
+        tp(t) = positives at score >= t     fp(t) = negatives at >= t
+        precision = tp / (tp + fp)          recall = tp / n_pos
+        f1 = 2*tp / (2*tp + fp + fn)
+
+    This is how the threshold for a 100 TB filtering pass is actually
+    chosen (pick the row, not a parametric guess); :func:`roc_auc`
+    summarizes the same table into one number. tp/fp counts are exact
+    int64; precision/recall/f1 are each ONE division of exact integers
+    (bit-deterministic cross-engine — the roc_auc/OLS discipline).
+
+    Scale shape: identical to roc_auc — one corpus-collapsing hash
+    aggregate to |distinct scores| rows, one ascending prefix sum via
+    global_running_sum (the ">= t" cumulatives are totals minus the
+    strictly-below prefix, so the SAME ascending pass serves both), a
+    broadcast one-row totals join. No window over the raw data.
+
+    Returns ``(threshold, tp, fp, fn, precision, recall, f1)`` sorted
+    ascending by threshold; precision is NULL when nothing is kept
+    (threshold above every score can't occur here since every row's
+    own score keeps it, so tp+fp >= 1 on every emitted row).
+    """
+    from rearview_spark.operators._util import global_running_sum
+
+    lab = F.col(label_col).cast("int")
+    per_score = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(lab).alias("np"),
+        F.sum(F.lit(1) - lab).alias("nn"),
+    )
+    cum = global_running_sum(per_score, ["threshold"], "np", out_col="cum_np")
+    cum = global_running_sum(cum, ["threshold"], "nn", out_col="cum_nn")
+    totals = per_score.agg(
+        F.sum("np").cast("long").alias("tot_p"),
+        F.sum("nn").cast("long").alias("tot_n"),
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "threshold",
+        # >= t cumulatives: total minus the strictly-below prefix
+        (F.col("tot_p") - (F.col("cum_np") - F.col("np"))).alias("tp"),
+        (F.col("tot_n") - (F.col("cum_nn") - F.col("nn"))).alias("fp"),
+        (F.col("cum_np") - F.col("np")).alias("fn"),
+    )
+    return scored.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        F.when(
+            (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+    )

@@ -3096,3 +3096,52 @@ FROM agg
 """
 
 QUERIES["doc_quality_auc"] = {"fn": doc_quality_auc, "oracle": DOC_AUC_SQL}
+
+
+def doc_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at every distinct score threshold
+    (operators/evaluation.precision_recall_curve) for the same
+    length-separates-English rule doc_quality_auc summarizes — the
+    table a threshold for a scaled filtering pass is actually picked
+    from. Counts are exact int64; each ratio is ONE division of exact
+    integers (bit-deterministic, no rounding contract)."""
+    from rearview_spark.operators.evaluation import precision_recall_curve
+
+    docs = Tables(spark, sf_dir).documents
+    labeled = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("n_chars").alias("s"),
+    )
+    return precision_recall_curve(labeled, "y", "s").orderBy("threshold")
+
+
+DOC_PR_SQL = """
+WITH per_score AS (
+  SELECT n_chars AS threshold,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT threshold, np, nn,
+         sum(np) OVER (ORDER BY threshold ROWS UNBOUNDED PRECEDING) - np AS below_p,
+         sum(nn) OVER (ORDER BY threshold ROWS UNBOUNDED PRECEDING) - nn AS below_n,
+         sum(np) OVER () AS tot_p, sum(nn) OVER () AS tot_n
+  FROM per_score
+),
+c AS (
+  SELECT threshold,
+         CAST(tot_p - below_p AS BIGINT) AS tp,
+         CAST(tot_n - below_n AS BIGINT) AS fp,
+         CAST(below_p AS BIGINT) AS fn
+  FROM cum
+)
+SELECT threshold, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+FROM c ORDER BY threshold
+"""
+
+QUERIES["doc_pr_curve"] = {"fn": doc_pr_curve, "oracle": DOC_PR_SQL}

@@ -1748,3 +1748,62 @@ ORDER BY o_orderpriority
 """
 
 QUERIES["rel_bucketed_join"] = {"fn": rel_bucketed_join, "oracle": REL_BUCKETED_SQL}
+
+
+def rel_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog apply (operators/cdc.apply_cdc): a deterministic CDC
+    feed over orders — deletes (orderkey % 10 == 0), double-delivered
+    out-of-order updates on % 10 == 1 (the seq-2 row must win:
+    +2.00 on o_totalprice), and inserts of new keys for % 10 == 2 —
+    collapsed last-writer-wins and applied in one full-outer join. The
+    oracle states the FINAL snapshot directly (outcome semantics, not
+    an implementation replay), so it also proves the collapse picked
+    the right winners."""
+    from rearview_spark.operators.cdc import apply_cdc
+
+    o = Tables(spark, sf_dir).orders
+    deletes = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        *[F.lit(None).cast(o.schema[c].dataType).alias(c) for c in o.columns[1:]],
+        F.lit("D").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 1)
+    updates_stale = upd.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    updates_win = upd.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(2.0)).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 2).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey", F.lit("N").alias("o_orderstatus"), "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    changes = deletes.unionByName(updates_stale).unionByName(
+        updates_win
+    ).unionByName(inserts)
+    return apply_cdc(o, changes, ["o_orderkey"], ["seq"]).orderBy("o_orderkey")
+
+
+REL_CDC_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 2.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 10 <> 0
+UNION ALL
+SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 10 = 2
+ORDER BY o_orderkey
+"""
+
+QUERIES["rel_cdc_apply"] = {"fn": rel_cdc_apply, "oracle": REL_CDC_SQL}

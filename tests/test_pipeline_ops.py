@@ -2350,3 +2350,32 @@ def test_roc_auc_matches_brute_force_pair_count(spark):
 
     one_class = spark.createDataFrame([(1, 3), (1, 5)], "y int, s long")
     assert roc_auc(one_class, "y", "s").collect()[0]["auc"] is None
+
+
+def test_precision_recall_curve_matches_brute_force(spark):
+    """Every emitted threshold row equals the brute-force evaluation of
+    'keep score >= t' on a tied, random integer-scored sample."""
+    import random
+
+    from rearview_spark.operators.evaluation import precision_recall_curve
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 1), rng.randint(0, 6)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "y int, s long")
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["precision"], r["recall"], r["f1"])
+        for r in precision_recall_curve(df, "y", "s").collect()
+    }
+    thresholds = sorted({s for _, s in rows})
+    assert set(got) == set(thresholds)
+    for t in thresholds:
+        tp = sum(1 for y, s in rows if y == 1 and s >= t)
+        fp = sum(1 for y, s in rows if y == 0 and s >= t)
+        fn = sum(1 for y, s in rows if y == 1 and s < t)
+        want = (
+            tp, fp, fn,
+            tp / (tp + fp) if tp + fp else None,
+            tp / (tp + fn) if tp + fn else None,
+            2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else None,
+        )
+        assert got[t] == want, (t, got[t], want)
