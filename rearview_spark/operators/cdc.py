@@ -19,7 +19,7 @@ write path re-expressed as a set-based batch operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CDC_OPS = ("I", "U", "D")
@@ -91,3 +91,109 @@ def apply_cdc(
             for c in payload
         ],
     )
+
+
+def cdc_foreach_batch(
+    spark: SparkSession,
+    state_dir: str,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+):
+    """CDC apply as a ``foreachBatch`` recurrence — the streaming form
+    :func:`apply_cdc` alone CANNOT be: last-writer-wins is only
+    associative across micro-batches if the state remembers each key's
+    winning ORDER and keeps DELETE TOMBSTONES. A seq-5 update in batch
+    0 followed by a straggling seq-3 update in batch 2 must not
+    regress the row, and a seq-7 delete must keep blocking a late
+    seq-5 update — so the persisted state is ``key -> (_ord struct,
+    _op, payload)`` including deleted keys, and each batch merges by
+    "greater ``_ord`` wins" (associative + commutative + idempotent,
+    which is exactly what makes the streamed result equal to one
+    :func:`apply_cdc` pass over the union — the merge-by-max sibling
+    of the sketch family's merge-by-addition).
+
+    Batch-dir replay contract (operators/sketch.py): state generations
+    land under ``batch=<id>``; a retried batch re-merges from its
+    PREDECESSOR, so at-least-once delivery never double-applies.
+    ``snapshot`` seeds generation -1 as op 'I' rows with a NULL
+    ``_ord`` (orders below every real change — struct comparison puts
+    NULL first, so any change beats the seed). Batch frames carry the
+    snapshot's payload columns plus ``op_col`` and ``order_cols``.
+
+    Read the result back with :func:`cdc_state_snapshot`. Tombstone
+    retention is deliberate and unbounded here; production compaction
+    of tombstones older than the source's max delivery lag is a
+    retention policy, not a semantics change (same boundary note as
+    the rollup tiers).
+
+    Scale shape per batch: one key-window collapse of the batch (sized
+    by the batch, not history) + one key-join against the persisted
+    state — co-partitioned on the key; state size is |live keys +
+    tombstones|.
+    """
+    payload = [c for c in snapshot.columns if c not in key_cols]
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    def _seed() -> DataFrame:
+        return snapshot.select(
+            *key_cols,
+            F.lit(None).cast(
+                "struct<" + ",".join(f"_o{i}:long" for i in range(len(order_cols))) + ">"
+            ).alias("_ord"),
+            F.lit("I").alias("_op"),
+            *payload,
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        cur = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                *key_cols,
+                F.struct(
+                    *[
+                        F.col(c).cast("long").alias(f"_o{i}")
+                        for i, c in enumerate(order_cols)
+                    ]
+                ).alias("_ord"),
+                F.col(op_col).alias("_op"),
+                *payload,
+            )
+        )
+        prev_dir = _latest_batch_dir(spark, state_dir, below=batch_id)
+        prev = spark.read.parquet(prev_dir) if prev_dir is not None else _seed()
+        merged = (
+            prev.unionByName(cur)
+            .withColumn(
+                "_win",
+                F.row_number().over(
+                    Window.partitionBy(*key_cols).orderBy(
+                        F.col("_ord").desc_nulls_last()
+                    )
+                ),
+            )
+            .filter(F.col("_win") == 1)
+            .drop("_win")
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process
+
+
+def cdc_state_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current snapshot from a :func:`cdc_foreach_batch` state dir:
+    latest generation, tombstones dropped, meta columns stripped."""
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    latest = _latest_batch_dir(spark, state_dir)
+    if latest is None:
+        raise ValueError(f"cdc_state_snapshot: no state under {state_dir}")
+    st = spark.read.parquet(latest)
+    return st.filter(F.col("_op") != "D").drop("_ord", "_op")

@@ -528,3 +528,69 @@ QUERIES["stream_peak_concurrency"] = {
     "fn": stream_peak_concurrency,
     "oracle": STREAM_PEAK_SQL,
 }
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel_cdc_apply's changelog delivered as three micro-batches with
+    the stragglers arriving AFTER their winners (operators/cdc.cdc_
+    foreach_batch): batch 0 carries the seq-2 winning updates and the
+    deletes, batch 1 the stale seq-1 updates (which must all lose to
+    persisted state), batch 2 the inserts — plus a retry of batch 2
+    (the batch-dir contract: re-merge from predecessor, no
+    double-apply). The per-key (order, op) state with delete tombstones
+    is what makes last-writer-wins associative across batches, so the
+    final snapshot shares rel_cdc_apply's OUTCOME oracle exactly
+    (micro-batching is a delivery choice, not a semantics change)."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.cdc import cdc_foreach_batch, cdc_state_snapshot
+    from rearview_spark.sources.loader import Tables
+
+    o = Tables(spark, sf_dir).orders
+    deletes = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        *[F.lit(None).cast(o.schema[c].dataType).alias(c) for c in o.columns[1:]],
+        F.lit("D").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 1)
+    updates_stale = upd.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    updates_win = upd.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(2.0)).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 2).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey", F.lit("N").alias("o_orderstatus"), "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="cdc_stream_")
+    try:
+        proc = cdc_foreach_batch(spark, state_dir, o, ["o_orderkey"], ["seq"])
+        proc(updates_win.unionByName(deletes), 0)
+        proc(updates_stale, 1)   # stragglers: must lose to state
+        proc(inserts, 2)
+        proc(inserts, 2)         # retried batch: no double-apply
+        return (
+            cdc_state_snapshot(spark, state_dir)
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+# the streamed state converges to the same snapshot the batch gate
+# derives, so the oracle IS the batch gate's outcome statement
+from rearview_spark.plans.relational import REL_CDC_SQL as STREAM_CDC_SQL  # noqa: E402
+
+QUERIES["stream_cdc_apply"] = {"fn": stream_cdc_apply, "oracle": STREAM_CDC_SQL}
