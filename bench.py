@@ -120,6 +120,13 @@ HEADLINE = [
     "ev_peak_concurrency",
     "doc_trigram_search",
     "graph_hits",
+    # round-13 second wave: broadcast-model scoring (Naive Bayes
+    # classify) and the full-outer changelog merge (CDC apply) — the
+    # two remaining new plan families; AUC/PR ride the same collapse
+    # machinery as ev_peak_concurrency's running sum, bucketed-join
+    # cost is write-dominated and measured in PLANS.md instead.
+    "doc_nb_language",
+    "rel_cdc_apply",
 ]
 
 

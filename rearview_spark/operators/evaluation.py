@@ -79,6 +79,75 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     )
 
 
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 for a multi-class classifier (the
+    confusion-matrix summary read after every nb_classify run): for
+    each class c over rows where either side names it,
+
+        tp = |label=c & pred=c|   fp = |pred=c & label!=c|
+        fn = |label=c & pred!=c|  support = |label=c|
+
+    ONE hash aggregate collapses the data to the |classes|^2-row
+    confusion matrix (map-side partials; corpus-sized input, class-
+    domain output); per-class sums are then two tiny re-aggregations
+    over that matrix, unioned by role. Ratios are each ONE division of
+    exact int64 (the roc_auc discipline). Per-class rows only — a
+    macro average would sum k doubles and its last-ulp value would
+    depend on engine accumulation order, so it is left to the caller's
+    presentation layer (micro-F1 over exact integer totals is the
+    scale-safe summary if one number is needed).
+
+    Returns ``(class, support, tp, fp, fn, precision, recall, f1)``,
+    one row per class appearing in labels or predictions.
+    """
+    cm = df.groupBy(
+        F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    by_label = cm.groupBy(F.col("_l").alias("class")).agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("_p") == F.col("_l"), F.col("n")).otherwise(0)).alias(
+            "tp"
+        ),
+        F.sum(F.when(F.col("_p") != F.col("_l"), F.col("n")).otherwise(0)).alias(
+            "fn"
+        ),
+    )
+    by_pred = cm.groupBy(F.col("_p").alias("class")).agg(
+        F.sum(F.when(F.col("_l") != F.col("_p"), F.col("n")).otherwise(0)).alias(
+            "fp"
+        )
+    )
+    j = by_label.join(by_pred, "class", "full_outer").select(
+        "class",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+        F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+    )
+    return j.select(
+        "class",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        F.when(
+            (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+    )
+
+
 def precision_recall_curve(
     df: DataFrame, label_col: str, score_col: str
 ) -> DataFrame:

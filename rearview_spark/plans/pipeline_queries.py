@@ -3145,3 +3145,54 @@ FROM c ORDER BY threshold
 """
 
 QUERIES["doc_pr_curve"] = {"fn": doc_pr_curve, "oracle": DOC_PR_SQL}
+
+
+def doc_nb_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the doc_nb_language classifier
+    (operators/evaluation.classification_report over nb_classify
+    output) — the compose-the-operators gate: predictions from the
+    registered NB pipeline, report machinery from the evaluation
+    family, every count exact and every ratio one division. The oracle
+    nests the full NB replay as a subquery and re-derives the
+    confusion arithmetic."""
+    from rearview_spark.operators.evaluation import classification_report
+
+    docs = Tables(spark, sf_dir).documents
+    pred = doc_nb_language(spark, sf_dir)
+    labeled = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return classification_report(labeled, "lang", "predicted").orderBy("class")
+
+
+DOC_NB_REPORT_SQL = f"""
+WITH lab AS (
+  SELECT d.lang AS l, p.predicted AS pr
+  FROM documents d JOIN ({DOC_NB_SQL}) p USING (doc_id)
+),
+cm AS (SELECT l, pr, count(*) AS n FROM lab GROUP BY 1, 2),
+bl AS (
+  SELECT l AS class, sum(n) AS support,
+         sum(CASE WHEN pr = l THEN n ELSE 0 END) AS tp,
+         sum(CASE WHEN pr <> l THEN n ELSE 0 END) AS fn
+  FROM cm GROUP BY 1
+),
+bp AS (
+  SELECT pr AS class, sum(CASE WHEN l <> pr THEN n ELSE 0 END) AS fp
+  FROM cm GROUP BY 1
+),
+j AS (
+  SELECT coalesce(bl.class, bp.class) AS class,
+         CAST(coalesce(support, 0) AS BIGINT) AS support,
+         CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+         CAST(coalesce(fn, 0) AS BIGINT) AS fn
+  FROM bl FULL OUTER JOIN bp ON bl.class = bp.class
+)
+SELECT class, support, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+FROM j ORDER BY class
+"""
+
+QUERIES["doc_nb_report"] = {"fn": doc_nb_report, "oracle": DOC_NB_REPORT_SQL}

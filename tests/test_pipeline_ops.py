@@ -2379,3 +2379,25 @@ def test_precision_recall_curve_matches_brute_force(spark):
             2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else None,
         )
         assert got[t] == want, (t, got[t], want)
+
+
+def test_classification_report_hand_computed(spark):
+    """Per-class counts/ratios on a hand confusion, including a class
+    that appears only in predictions (support 0, NULL recall) and one
+    only in labels (fp 0, NULL precision when never predicted)."""
+    from rearview_spark.operators.evaluation import classification_report
+
+    rows = (
+        [("a", "a")] * 3 + [("a", "b")] * 2   # a: tp=3 fn=2
+        + [("b", "b")] * 4                     # b: tp=4 fp=2 fn=0
+        + [("c", "b"), ("c", "d")]             # c: never predicted; d: pred-only
+    )
+    df = spark.createDataFrame(rows, "y string, p string")
+    got = {
+        r["class"]: (r["support"], r["tp"], r["fp"], r["fn"], r["precision"], r["recall"], r["f1"])
+        for r in classification_report(df, "y", "p").collect()
+    }
+    assert got["a"] == (5, 3, 0, 2, 1.0, 3 / 5, 6 / 8)
+    assert got["b"] == (4, 4, 3, 0, 4 / 7, 1.0, 8 / 11)
+    assert got["c"] == (2, 0, 0, 2, None, 0.0, 0.0)
+    assert got["d"] == (0, 0, 1, 0, 0.0, None, 0.0)
