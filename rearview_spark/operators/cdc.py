@@ -131,7 +131,13 @@ def cdc_foreach_batch(
     Scale shape per batch: one key-window collapse of the batch (sized
     by the batch, not history) + one key-join against the persisted
     state — co-partitioned on the key; state size is |live keys +
-    tombstones|.
+    tombstones|. Each generation REWRITES the full state (what makes
+    the retry contract trivially correct); at a 100 TB state the knob
+    is hash-bucketing the state dir on the key and rewriting only the
+    buckets a batch touches (dynamic partition overwrite — the
+    refresh_rollups mechanism), or handing the merge to a
+    transactional table format via the sources/table_format.py seam.
+    Either changes WHERE rows land, not which rows win.
     """
     payload = [c for c in snapshot.columns if c not in key_cols]
     from rearview_spark.operators.sketch import _latest_batch_dir

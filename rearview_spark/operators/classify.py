@@ -133,7 +133,13 @@ def nb_classify(
     LEFT-join the broadcast vocab-sized likelihood table on
     (label, w), then two hash aggregates: per-(doc, label) integer sum,
     per-doc ``min_by`` argmax. No window functions, no corpus-sized
-    shuffle beyond the token explode itself.
+    shuffle beyond the token explode itself. The |labels|x token-row
+    multiplication is inherent to multiclass scoring and stays
+    map-side (broadcast join into a partial aggregate — nothing
+    |labels|-sized ever shuffles); with many labels the alternative is
+    pivoting the model to one map<label, qlp> row per token, trading
+    the row multiplication for map-typed aggregation state — same
+    total volume, kept as the simpler long-typed form here.
 
     Returns ``(id_col, predicted, q_score)`` — q_score is the winning
     label's integer score (1/scale log units, NB_SCALE by default),
