@@ -1,0 +1,153 @@
+"""Statistical rigor at scale — Poisson bootstrap resampling, the
+one-pass way to put an error bar on a corpus-level metric (mean order
+value, mean quality score, dedup rate) when a 100 TB table cannot be
+resampled row-by-row: each of R replicas weights every row by an
+independent Poisson(1) draw (the large-n limit of multinomial
+bootstrap weights), and the spread of the replica means IS the
+sampling distribution of the estimator.
+
+Everything is deterministic and oracle-replayable: the Poisson draw
+for (row, replica) comes from the repo's md5-prefix hash reduced mod
+1e9 and compared against INTEGER CDF thresholds (the literal table
+below, shared verbatim with the SQL oracle) — no RNG, no float
+comparisons, rerun-stable like every sampler in curation.py. Replica
+means are single divisions of exact int64 sums (the roc_auc/OLS
+discipline), and the CI bounds are ``percentile_disc`` picks of
+actual replica means — element selection, not interpolation.
+
+Not rearview parity; north-star pipeline scope.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rearview_spark.operators.dedup import _hash60
+
+# Poisson(1) CDF quantized to integer parts-per-1e9, truncated at
+# weight 9 (residual mass ~1.1e-6 — at most a 9-repeat of one row per
+# ~10^6 (row, replica) pairs is clipped; the clip is part of the
+# operator's definition and the oracle replays it). Generated from
+# math.exp once at import; both engines then compare the SAME integer
+# literals, so there is no cross-engine float boundary anywhere.
+_POISSON1_CDF_PPB: list[int] = []
+_acc = 0.0
+for _k in range(9):
+    _acc += math.exp(-1.0) / math.factorial(_k)
+    _POISSON1_CDF_PPB.append(int(_acc * 1_000_000_000))
+
+
+def poisson1_weight(id_col, replica_col, salt: str):
+    """Deterministic Poisson(1) weight for (id, replica): u = md5-60bit
+    of ``id:salt:replica`` mod 1e9, weight = #thresholds <= u. Column
+    expression — JVM-side, no UDF."""
+    u = F.pmod(
+        _hash60(
+            F.concat(
+                id_col.cast("string"),
+                F.lit(f":{salt}:"),
+                replica_col.cast("string"),
+            )
+        ),
+        F.lit(1_000_000_000),
+    )
+    thresholds = F.array(*[F.lit(t) for t in _POISSON1_CDF_PPB])
+    return F.size(F.filter(thresholds, lambda t: u >= t)).cast("long")
+
+
+def bootstrap_replica_means(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicas: int = 200,
+    cents_scale: int = 100,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-replica weighted means ``(replica, n_eff, mean)``: one pass
+    — each row explodes into ``replicas`` (row, replica) pairs
+    MAP-SIDE (a literal int array; the explode multiplies CPU, never
+    storage), weights come from :func:`poisson1_weight`, and one hash
+    aggregate keyed by the replica id (R-row key domain — the shuffle
+    carries R * partitions partial rows, not the corpus) produces
+    exact int64 sufficient sums. ``mean`` is ONE division of exact
+    integers; ``value_col`` is quantized to ``cents_scale`` units
+    first (the plans/_exact.py contract — sums are
+    aggregation-order-immune).
+
+    Replicas with zero effective weight (possible only for tiny
+    frames) yield NULL means rather than a divide-by-zero.
+    """
+    if replicas < 1:
+        raise ValueError(f"bootstrap_replica_means: replicas must be >= 1, got {replicas}")
+    cents = F.round(F.col(value_col) * F.lit(float(cents_scale))).cast("long")
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        cents.alias("_c"),
+        F.explode(F.array(*[F.lit(r) for r in range(replicas)])).alias("replica"),
+    )
+    w = poisson1_weight(F.col("_id"), F.col("replica"), salt)
+    agg = (
+        exploded.select("replica", w.alias("_w"), "_c")
+        .groupBy("replica")
+        .agg(
+            F.sum("_w").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_c")).alias("_wc"),
+        )
+    )
+    return agg.select(
+        "replica",
+        F.col("n_eff").cast("long").alias("n_eff"),
+        F.when(
+            F.col("n_eff") > 0,
+            (F.col("_wc").cast("double") / F.col("n_eff").cast("double"))
+            / F.lit(float(cents_scale)),
+        ).alias("mean"),
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicas: int = 200,
+    cents_scale: int = 100,
+    salt: str = "boot",
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """One-row bootstrap summary ``(n_rows, n_replicas, mean_full,
+    ci_lo, ci_hi)``: the point estimate is the exact full-data mean
+    (one int64 division), the interval is the (lo, hi)
+    ``percentile_disc`` of the replica means — discrete element picks
+    over an R-row frame, deterministic because every replica mean is
+    itself bit-determined. R-row final aggregate; all heavy lifting is
+    the single pass in :func:`bootstrap_replica_means`.
+    """
+    reps = bootstrap_replica_means(
+        df, id_col, value_col, replicas, cents_scale, salt
+    )
+    cents = F.round(F.col(value_col) * F.lit(float(cents_scale))).cast("long")
+    full = df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(cents).alias("_c")
+    ).select(
+        "n_rows",
+        (
+            (F.col("_c").cast("double") / F.col("n_rows").cast("double"))
+            / F.lit(float(cents_scale))
+        ).alias("mean_full"),
+    )
+    ci = reps.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.expr(
+            f"percentile_disc({lo}) WITHIN GROUP (ORDER BY mean)"
+        ).alias("ci_lo"),
+        F.expr(
+            f"percentile_disc({hi}) WITHIN GROUP (ORDER BY mean)"
+        ).alias("ci_hi"),
+    )
+    return full.crossJoin(ci).select(
+        "n_rows", "n_replicas", "mean_full", "ci_lo", "ci_hi"
+    )

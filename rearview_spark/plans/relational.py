@@ -1807,3 +1807,71 @@ ORDER BY o_orderkey
 """
 
 QUERIES["rel_cdc_apply"] = {"fn": rel_cdc_apply, "oracle": REL_CDC_SQL}
+
+
+def rel_bootstrap_avg_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the average order
+    value (operators/stats.bootstrap_mean_ci): 200 deterministic
+    replicas from md5-derived integer Poisson(1) weights, exact int64
+    sufficient sums per replica, percentile_disc element-pick CI — the
+    one-pass error bar a 100 TB metric report carries. The oracle
+    replays the hash, the INTEGER CDF threshold table (generated from
+    the same constants), both divisions in the same order, and the
+    discrete quantile picks."""
+    from rearview_spark.operators.stats import bootstrap_mean_ci
+
+    o = Tables(spark, sf_dir).orders
+    return bootstrap_mean_ci(
+        o, "o_orderkey", "o_totalprice", replicas=200, cents_scale=100
+    )
+
+
+def _bootstrap_sql() -> str:
+    from rearview_spark.operators.stats import _POISSON1_CDF_PPB
+
+    thresholds = ", ".join(str(t) for t in _POISSON1_CDF_PPB)
+    return f"""
+WITH reps AS (SELECT unnest(range(200)) AS replica),
+pairs AS (
+  SELECT r.replica,
+         CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS c,
+         CAST(concat('0x', substr(md5(concat(CAST(o.o_orderkey AS VARCHAR),
+                                             ':boot:',
+                                             CAST(r.replica AS VARCHAR))), 1, 15))
+              AS BIGINT) % 1000000000 AS u
+  FROM orders o CROSS JOIN reps r
+),
+weighted AS (
+  SELECT replica, c,
+         len(list_filter([{thresholds}], t -> u >= t)) AS w
+  FROM pairs
+),
+per_rep AS (
+  SELECT replica,
+         CAST(sum(w) AS BIGINT) AS n_eff,
+         CAST(sum(w * c) AS BIGINT) AS wc
+  FROM weighted GROUP BY 1
+),
+means AS (
+  SELECT CASE WHEN n_eff > 0
+              THEN CAST(wc AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100.0 END AS mean
+  FROM per_rep
+),
+fullstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 100.0 AS mean_full
+  FROM orders
+)
+SELECT f.n_rows, CAST(count(*) AS BIGINT) AS n_replicas, f.mean_full,
+       quantile_disc(m.mean, 0.025) AS ci_lo,
+       quantile_disc(m.mean, 0.975) AS ci_hi
+FROM means m CROSS JOIN fullstats f
+GROUP BY f.n_rows, f.mean_full
+"""
+
+
+QUERIES["rel_bootstrap_avg_order"] = {
+    "fn": rel_bootstrap_avg_order,
+    "oracle": _bootstrap_sql(),
+}

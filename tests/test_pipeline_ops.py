@@ -2401,3 +2401,53 @@ def test_classification_report_hand_computed(spark):
     assert got["b"] == (4, 4, 3, 0, 4 / 7, 1.0, 8 / 11)
     assert got["c"] == (2, 0, 0, 2, None, 0.0, 0.0)
     assert got["d"] == (0, 0, 1, 0, 0.0, None, 0.0)
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    """The deterministic Poisson(1) weights have the right first two
+    moments (mean ~1, var ~1 over many draws), are identical across
+    calls (no RNG), and the bootstrap CI brackets the full mean with a
+    width near 2 * 1.96 * sd/sqrt(n) on a known distribution."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.stats import (
+        _POISSON1_CDF_PPB,
+        bootstrap_mean_ci,
+        bootstrap_replica_means,
+        poisson1_weight,
+    )
+
+    # thresholds are the quantized Poisson(1) CDF, hand-checked
+    assert _POISSON1_CDF_PPB[0] == int(math.exp(-1) * 1e9)
+    assert _POISSON1_CDF_PPB[1] == int(2 * math.exp(-1) * 1e9)
+    assert len(_POISSON1_CDF_PPB) == 9
+
+    df = spark.range(0, 4000).select("id", F.lit(0).alias("replica"))
+    w = df.select(poisson1_weight(F.col("id"), F.col("replica"), "t").alias("w"))
+    stats = w.agg(
+        F.avg("w").alias("m"), F.var_pop("w").alias("v"),
+        F.min("w").alias("lo"), F.max("w").alias("hi"),
+    ).collect()[0]
+    assert abs(stats["m"] - 1.0) < 0.06 and abs(stats["v"] - 1.0) < 0.1
+    assert stats["lo"] >= 0 and stats["hi"] <= 9
+
+    data = spark.range(0, 3000).select(
+        "id", ((F.col("id") * 37) % 100).cast("double").alias("v")
+    )
+    ci = bootstrap_mean_ci(data, "id", "v", replicas=100).collect()[0]
+    assert ci["ci_lo"] < ci["mean_full"] < ci["ci_hi"]
+    width = ci["ci_hi"] - ci["ci_lo"]
+    se = 28.87 / math.sqrt(3000)
+    assert 0.4 * (2 * 1.96 * se) < width < 2.5 * (2 * 1.96 * se)
+
+    # determinism: same inputs -> bit-identical replica means
+    a = sorted(r["mean"] for r in bootstrap_replica_means(data, "id", "v", 20).collect())
+    b = sorted(r["mean"] for r in bootstrap_replica_means(data, "id", "v", 20).collect())
+    assert a == b
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="replicas"):
+        bootstrap_replica_means(data, "id", "v", replicas=0)
