@@ -59,6 +59,11 @@ def apply_cdc(
     """
     if not key_cols:
         raise ValueError("apply_cdc: need at least one key column")
+    if not order_cols:
+        raise ValueError(
+            "apply_cdc: need at least one order column (the winner per "
+            "key is undefined without a total order)"
+        )
     payload = [c for c in snapshot.columns if c not in key_cols]
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
@@ -139,6 +144,11 @@ def cdc_foreach_batch(
     transactional table format via the sources/table_format.py seam.
     Either changes WHERE rows land, not which rows win.
     """
+    if not key_cols or not order_cols:
+        raise ValueError(
+            "cdc_foreach_batch: need at least one key column and one "
+            "order column (same contract as apply_cdc)"
+        )
     payload = [c for c in snapshot.columns if c not in key_cols]
     from rearview_spark.operators.sketch import _latest_batch_dir
 

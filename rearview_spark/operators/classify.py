@@ -72,6 +72,12 @@ def nb_train(
     probability is a ratio of exact integers (one double ln at the
     quantization edge, PSI discipline).
     """
+    if not isinstance(alpha, int) or alpha < 1:
+        raise ValueError(
+            f"nb_train: alpha must be an integer >= 1 (got {alpha!r}) — "
+            "the smoothed probability must stay a ratio of exact "
+            "integers, and alpha=0 puts ln(0) on the unseen-token path"
+        )
     toks = tokens(F.col(text_col))
     lw = docs.select(F.col(label_col).alias("label"), F.explode(toks).alias("w"))
     counts = (
@@ -82,6 +88,8 @@ def nb_train(
     vocab = counts.select("w").distinct().count()
     totals = counts.groupBy("label").agg(F.sum("c").alias("t"))
     n_docs = docs.count()
+    if n_docs == 0:
+        raise ValueError("nb_train: empty corpus — priors are undefined")
     doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n")
     )

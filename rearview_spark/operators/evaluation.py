@@ -18,6 +18,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _binary_label(label_col: str):
+    """0/1-validated label column: anything outside {0, 1} (or NULL)
+    fails AT EXECUTION via an inline raise_error — a label of 2 would
+    silently corrupt every count, and the guard rides the same scan
+    (the allocate_proportional pattern; ADVICE-r12 class of bug,
+    pre-empted)."""
+    lab = F.col(label_col).cast("int")
+    return F.when(lab.isin(0, 1), lab).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("evaluation: label must be 0/1 or boolean, got "),
+                F.coalesce(lab.cast("string"), F.lit("NULL")),
+            )
+        ).cast("int")
+    )
+
+
 def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     """Exact area under the ROC curve for a binary ``label_col``
     (boolean or 0/1) ranked by ``score_col``:
@@ -49,7 +66,7 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     """
     from rearview_spark.operators._util import global_running_sum
 
-    lab = F.col(label_col).cast("int")
+    lab = _binary_label(label_col)
     per_score = df.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(lab).alias("np"),
         F.sum(F.lit(1) - lab).alias("nn"),
@@ -102,8 +119,22 @@ def classification_report(
     Returns ``(class, support, tp, fp, fn, precision, recall, f1)``,
     one row per class appearing in labels or predictions.
     """
+    def _non_null(col_name: str):
+        # NULL classes would split across the full-outer join (NULL
+        # never equals NULL in a join key) and silently produce two
+        # half-counted rows — fail at execution instead.
+        c = F.col(col_name)
+        return F.when(c.isNotNull(), c).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"classification_report: NULL in {col_name} — "
+                    "classes must be non-null"
+                )
+            ).cast("string")
+        )
+
     cm = df.groupBy(
-        F.col(label_col).alias("_l"), F.col(pred_col).alias("_p")
+        _non_null(label_col).alias("_l"), _non_null(pred_col).alias("_p")
     ).agg(F.count(F.lit(1)).alias("n"))
     by_label = cm.groupBy(F.col("_l").alias("class")).agg(
         F.sum("n").alias("support"),
@@ -178,7 +209,7 @@ def precision_recall_curve(
     """
     from rearview_spark.operators._util import global_running_sum
 
-    lab = F.col(label_col).cast("int")
+    lab = _binary_label(label_col)
     per_score = df.groupBy(F.col(score_col).alias("threshold")).agg(
         F.sum(lab).alias("np"),
         F.sum(F.lit(1) - lab).alias("nn"),

@@ -82,6 +82,10 @@ def bootstrap_replica_means(
     """
     if replicas < 1:
         raise ValueError(f"bootstrap_replica_means: replicas must be >= 1, got {replicas}")
+    if cents_scale < 1:
+        raise ValueError(
+            f"bootstrap_replica_means: cents_scale must be >= 1, got {cents_scale}"
+        )
     cents = F.round(F.col(value_col) * F.lit(float(cents_scale))).cast("long")
     exploded = df.select(
         F.col(id_col).alias("_id"),

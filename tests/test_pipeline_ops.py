@@ -2451,3 +2451,37 @@ def test_poisson_bootstrap_weights_and_ci(spark):
 
     with _pt.raises(ValueError, match="replicas"):
         bootstrap_replica_means(data, "id", "v", replicas=0)
+
+
+def test_evaluation_and_classify_guards(spark):
+    """Edge guards pre-empting the ADVICE class of bug: non-binary /
+    NULL labels fail at execution in roc_auc and the PR curve; NULL
+    classes fail in classification_report; nb_train rejects alpha < 1
+    and an empty corpus; bootstrap rejects cents_scale < 1."""
+    import pytest as _pt
+
+    from rearview_spark.operators.classify import nb_train
+    from rearview_spark.operators.evaluation import (
+        classification_report,
+        precision_recall_curve,
+        roc_auc,
+    )
+    from rearview_spark.operators.stats import bootstrap_replica_means
+
+    bad = spark.createDataFrame([(2, 5), (1, 3)], "y int, s long")
+    with _pt.raises(Exception, match="0/1"):
+        roc_auc(bad, "y", "s").collect()
+    with _pt.raises(Exception, match="0/1"):
+        precision_recall_curve(bad, "y", "s").collect()
+
+    nulls = spark.createDataFrame([("a", None), ("a", "a")], "y string, p string")
+    with _pt.raises(Exception, match="non-null"):
+        classification_report(nulls, "y", "p").collect()
+
+    docs = spark.createDataFrame([(1, "x y", "l")], "doc_id long, text string, lab string")
+    with _pt.raises(ValueError, match="alpha"):
+        nb_train(docs, "lab", alpha=0)
+    with _pt.raises(ValueError, match="empty corpus"):
+        nb_train(docs.filter("doc_id < 0"), "lab")
+    with _pt.raises(ValueError, match="cents_scale"):
+        bootstrap_replica_means(docs, "doc_id", "doc_id", cents_scale=0)
