@@ -1875,3 +1875,41 @@ QUERIES["rel_bootstrap_avg_order"] = {
     "fn": rel_bootstrap_avg_order,
     "oracle": _bootstrap_sql(),
 }
+
+
+def rel_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics of order values at p25/p50/p90/p99/max
+    (operators/quantiles.exact_percentiles): global_row_number's range
+    shuffle + a rank IN-list pick — the true-percentile complement of
+    the approx-sketch gate ev_approx_quantiles, costing exactly one
+    distributed sort pass. The oracle replays the SAME rank formula
+    (ceil(p*n), identical double literals both sides) over a window
+    row_number, so element selection matches bit-for-bit."""
+    from rearview_spark.operators.quantiles import exact_percentiles
+
+    o = Tables(spark, sf_dir).orders
+    return exact_percentiles(
+        o, "o_totalprice", [0.25, 0.5, 0.9, 0.99, 1.0], "o_orderkey"
+    )
+
+
+REL_EXACT_PCT_SQL = """
+WITH v AS (
+  SELECT o_totalprice AS value, o_orderkey AS t
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+r AS (SELECT value, row_number() OVER (ORDER BY value, t) AS rank FROM v),
+n AS (SELECT count(*) AS n FROM v),
+ps AS (SELECT unnest([0.25, 0.5, 0.9, 0.99, 1.0]) AS p)
+SELECT ps.p,
+       CAST(greatest(1, ceil(ps.p * n.n)) AS BIGINT) AS rank,
+       r.value
+FROM ps CROSS JOIN n
+JOIN r ON r.rank = CAST(greatest(1, ceil(ps.p * n.n)) AS BIGINT)
+ORDER BY ps.p
+"""
+
+QUERIES["rel_exact_percentiles"] = {
+    "fn": rel_exact_percentiles,
+    "oracle": REL_EXACT_PCT_SQL,
+}

@@ -195,3 +195,34 @@ def test_peak_concurrency_hand_case(spark):
     df = spark.createDataFrame(rows, "event_id long, start long, end long")
     r = peak_concurrency(df, "start", "end", "event_id").collect()[0]
     assert (r["peak_concurrency"], r["at_s"]) == (3, 9)
+
+
+def test_exact_percentiles_matches_sorted_indexing(spark):
+    """Element at ceil(p*n) of the sorted non-null values, with heavy
+    ties and NULLs excluded; guards on empty percentile list, out-of-
+    range p, and an all-NULL column."""
+    import math
+
+    import pytest as _pt
+
+    from rearview_spark.operators.quantiles import exact_percentiles
+
+    vals = [float(v) for v in ([5] * 10 + [1] * 5 + [9] * 3 + [2] * 7)] + [None]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    ps = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        r["p"]: (r["rank"], r["value"])
+        for r in exact_percentiles(df, "v", ps, "id").collect()
+    }
+    nn = sorted(v for v in vals if v is not None)
+    for p in ps:
+        k = max(1, math.ceil(p * len(nn)))
+        assert got[p] == (k, nn[k - 1]), (p, got[p])
+
+    with _pt.raises(ValueError, match="at least one"):
+        exact_percentiles(df, "v", [], "id")
+    with _pt.raises(ValueError, match="outside"):
+        exact_percentiles(df, "v", [1.5], "id")
+    with _pt.raises(ValueError, match="non-null"):
+        exact_percentiles(df.filter("v IS NULL"), "v", [0.5], "id")
