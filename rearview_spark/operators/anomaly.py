@@ -388,3 +388,89 @@ def psi_foreach_batch(spark, state_dir: str, edge_vals: list):
         )
 
     return _process
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the rows
+    with ``group_col`` = 0 (baseline) and = 1 (current):
+
+        D = max over x of | F_a(x) - F_b(x) |
+
+    computed ENTIRELY in integers — per distinct value the two
+    empirical CDFs are cumulative counts, and
+
+        D * n_a * n_b = max | cum_a(x) * n_b - cum_b(x) * n_a |
+
+    so the max runs over exact int64 cross-products and the only float
+    is ONE final division (the roc_auc/OLS discipline — no rounding
+    contract needed). Complements :func:`psi_drift`: PSI scores binned
+    occupancy shift (smoothed, parametric in the bin count); KS is the
+    bin-free sup-norm distance the classic distribution-drift test
+    uses, sensitive to the single worst CDF gap.
+
+    ``group_col`` must be 0/1 (validated at execution — the
+    evaluation-family guard). Integer envelope: ``cum * n`` caps at
+    ``n_a * n_b``, exact in int64 up to ~3e9 rows per side — beyond
+    that, pre-aggregate or sample a side before testing.
+
+    Scale shape: ONE corpus-collapsing hash aggregate to the distinct-
+    value domain (map-side partials), two ascending prefix sums over
+    that collapsed frame via ``global_running_sum`` (range-partitioned
+    cumsums + broadcast prefix totals — never a single-task window),
+    a broadcast one-row totals join, one summary aggregate. No window
+    over the raw data, nothing corpus-sized past the first aggregate.
+
+    Returns one row ``(n_a, n_b, d_num, d_stat, at_value)`` —
+    ``d_num`` is the exact integer ``D * n_a * n_b`` an oracle asserts
+    without floats; ``at_value`` is the SMALLEST value achieving the
+    max (deterministic under ties); ``d_stat`` is NULL when either
+    side is empty (undefined rather than divide-by-zero).
+    """
+    from rearview_spark.operators._util import global_running_sum
+
+    g = F.col(group_col).cast("int")
+    grp = F.when(g.isin(0, 1), g).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ks_two_sample: group must be 0/1, got "),
+                F.coalesce(g.cast("string"), F.lit("NULL")),
+            )
+        ).cast("int")
+    )
+    per_v = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.lit(1) - grp).alias("ca"),
+        F.sum(grp).alias("cb"),
+    )
+    cum = global_running_sum(per_v, ["v"], "ca", out_col="cum_a")
+    cum = global_running_sum(cum, ["v"], "cb", out_col="cum_b")
+    totals = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("dn"),
+    )
+    agg = diffs.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("dn").alias("d_num"),
+        F.expr("min_by(v, struct(-dn, v))").alias("at_value"),
+    )
+    return agg.select(
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce("d_num", F.lit(0)).cast("long").alias("d_num"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("d_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ).alias("d_stat"),
+        "at_value",
+    )

@@ -2485,3 +2485,36 @@ def test_evaluation_and_classify_guards(spark):
         nb_train(docs.filter("doc_id < 0"), "lab")
     with _pt.raises(ValueError, match="cents_scale"):
         bootstrap_replica_means(docs, "doc_id", "doc_id", cents_scale=0)
+
+
+def test_ks_two_sample_hand_computed(spark):
+    # a = {1,2,3}, b = {2,3,4}: at every v in {1,2,3} the CDF gap is
+    # 1/3 (d_num = 3 with n_a = n_b = 3); at v=4 it closes to 0. The
+    # argmax tie resolves to the SMALLEST value (v=1).
+    from rearview_spark.operators.anomaly import ks_two_sample
+
+    rows = [(1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (3.0, 1), (4.0, 1)]
+    df = spark.createDataFrame(rows, "v double, grp int")
+    r = ks_two_sample(df, "v", "grp").collect()[0]
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (3, 3, 3)
+    assert abs(r["d_stat"] - 1 / 3) < 1e-12
+    assert r["at_value"] == 1.0
+
+    # identical samples: D = 0
+    same = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (1.0, 1), (2.0, 1)], "v double, grp int"
+    )
+    r0 = ks_two_sample(same, "v", "grp").collect()[0]
+    assert r0["d_num"] == 0 and r0["d_stat"] == 0.0
+
+    # one empty side: d_stat NULL (undefined), not a crash
+    one_sided = spark.createDataFrame([(1.0, 0), (2.0, 0)], "v double, grp int")
+    r1 = ks_two_sample(one_sided, "v", "grp").collect()[0]
+    assert r1["n_b"] == 0 and r1["d_stat"] is None
+
+    # non-binary group fails at execution
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    bad = spark.createDataFrame([(1.0, 2)], "v double, grp int")
+    with pytest.raises(Exception):
+        ks_two_sample(bad, "v", "grp").collect()
