@@ -246,3 +246,150 @@ def precision_recall_curve(
             / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
         ).alias("f1"),
     )
+
+
+def calibration_bins(
+    df: DataFrame, label_col: str, score_col: str, bins: int = 10
+) -> DataFrame:
+    """Reliability table for a score used as a probability proxy: cut
+    the INTEGRAL score range into ``bins`` equal-width bins and report,
+    per bin, the average score next to the OBSERVED positive rate — the
+    calibration read (does a higher score actually mean a higher
+    empirical rate, and by how much?) taken before trusting a score as
+    a sampling weight or filter knob at scale.
+
+    Bin assignment is pure integer arithmetic —
+
+        bin = ((s - min) * bins) div (max - min + 1)
+
+    — truncating division over a non-negative numerator, so Spark's
+    ``div`` and the oracle's floor ``//`` agree exactly; avg_score and
+    pos_rate are each ONE division of exact int64 sums (the roc_auc
+    discipline). ``score_col`` must be integral (cast to long); labels
+    are 0/1-validated at execution.
+
+    Scale shape: one min/max aggregate (one-row broadcast), one
+    corpus-collapsing hash aggregate to <= ``bins`` rows. No windows,
+    no sort, nothing bin-count-sized ever shuffles wide.
+
+    Returns ``(bin, n, n_pos, lo, hi, avg_score, pos_rate)`` ascending
+    by bin; bins no score lands in are absent (zero-count rows carry
+    no calibration signal). Empty input returns zero rows.
+    """
+    if not isinstance(bins, int) or bins < 1:
+        raise ValueError(f"calibration_bins: bins must be >= 1 (got {bins!r})")
+    lab = _binary_label(label_col)
+    s = F.col(score_col).cast("long")
+    rng = df.agg(F.min(s).alias("_smin"), F.max(s).alias("_smax"))
+    binned = df.select(lab.alias("_y"), s.alias("_s")).crossJoin(
+        F.broadcast(rng)
+    )
+    bin_expr = F.expr(f"((_s - _smin) * {bins}) div (_smax - _smin + 1)")
+    return (
+        binned.groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.min("_s").alias("lo"),
+            F.max("_s").alias("hi"),
+            F.sum("_s").alias("_sum_s"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "lo",
+            "hi",
+            (F.col("_sum_s").cast("double") / F.col("n").cast("double")).alias(
+                "avg_score"
+            ),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank the population by score
+    descending, cut it into ``n_bins`` equal-population buckets, and
+    report how many positives the top-k buckets capture versus random
+    targeting — the decile report that decides "score the top 20% only"
+    budget cuts for an expensive downstream stage (model scoring,
+    human review) before running it over the full corpus.
+
+    Rank is a STRICT total order — ``(score desc, id asc)`` — through
+    :func:`~rearview_spark.operators._util.global_row_number` (range-
+    partitioned sorts + broadcast prefix offsets, never a single-task
+    window); bucket = ``((rn - 1) * n_bins) div N`` is exact integer
+    arithmetic, so equal-population splitting is deterministic even
+    across tied scores. gain = cum_pos / tot_pos and
+    lift = (cum_pos * N) / (cum_n * tot_pos) are each ONE division
+    with bigint-premultiplied operands (exact while
+    ``cum_pos * N < 2^63`` — fine to ~3e9 rows).
+
+    Scale shape: one ranked pass (the global_row_number range shuffle),
+    one hash collapse to <= ``n_bins`` rows, two prefix sums over that
+    collapsed frame via global_running_sum, a broadcast totals join.
+
+    Returns ``(bucket, n, n_pos, cum_n, cum_pos, gain, lift)``
+    ascending; ``gain``/``lift`` NULL when there are no positives.
+    """
+    from rearview_spark.operators._util import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    if not isinstance(n_bins, int) or n_bins < 1:
+        raise ValueError(
+            f"cumulative_gains: n_bins must be >= 1 (got {n_bins!r})"
+        )
+    lab = _binary_label(label_col)
+    base = df.select(
+        lab.alias("_y"), F.col(score_col).alias("_s"), F.col(id_col).alias("_id")
+    )
+    ranked, total = global_row_number(
+        base, [F.col("_s").desc(), F.col("_id").asc()], out_col="_rn"
+    )
+    if total == 0:
+        return ranked.sparkSession.createDataFrame(
+            [],
+            "bucket long, n long, n_pos long, cum_n long, cum_pos long, "
+            "gain double, lift double",
+        )
+    per_bucket = ranked.groupBy(
+        F.expr(f"((_rn - 1) * {n_bins}) div {total}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    cum = global_running_sum(per_bucket, ["bucket"], "n", out_col="cum_n")
+    cum = global_running_sum(cum, ["bucket"], "n_pos", out_col="cum_pos")
+    totals = per_bucket.agg(F.sum("n_pos").cast("long").alias("_tot_pos"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            "cum_n",
+            "cum_pos",
+            F.when(
+                F.col("_tot_pos") > 0,
+                F.col("cum_pos").cast("double") / F.col("_tot_pos").cast("double"),
+            ).alias("gain"),
+            F.when(
+                (F.col("cum_n") * F.col("_tot_pos")) > 0,
+                (F.col("cum_pos") * F.lit(total)).cast("double")
+                / (F.col("cum_n") * F.col("_tot_pos")).cast("double"),
+            ).alias("lift"),
+        )
+        .orderBy("bucket")
+    )

@@ -3196,3 +3196,103 @@ FROM j ORDER BY class
 """
 
 QUERIES["doc_nb_report"] = {"fn": doc_nb_report, "oracle": DOC_NB_REPORT_SQL}
+
+
+def doc_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (operators/evaluation.calibration_bins) for
+    the length-separates-English score doc_quality_auc grades: ten
+    equal-width n_chars bins, observed English rate next to the bin's
+    average score. Bin assignment is integer div over a non-negative
+    numerator (Spark div == oracle floor //); avg/rate are single
+    divisions of exact int64 sums."""
+    from rearview_spark.operators.evaluation import calibration_bins
+
+    docs = Tables(spark, sf_dir).documents
+    labeled = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("n_chars").alias("s"),
+    )
+    return calibration_bins(labeled, "y", "s", bins=10)
+
+
+DOC_CALIB_SQL = """
+WITH s AS (
+  SELECT CAST(n_chars AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+rng AS (SELECT min(s) AS smin, max(s) AS smax FROM s),
+b AS (
+  SELECT ((s.s - rng.smin) * 10) // (rng.smax - rng.smin + 1) AS bin,
+         s.y, s.s
+  FROM s, rng)
+SELECT CAST(bin AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(min(s) AS BIGINT) AS lo,
+       CAST(max(s) AS BIGINT) AS hi,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_score,
+       CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["doc_calibration_bins"] = {
+    "fn": doc_calibration_bins,
+    "oracle": DOC_CALIB_SQL,
+}
+
+
+def doc_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift by decile
+    (operators/evaluation.cumulative_gains): rank documents by the
+    n_chars quality score descending (doc_id tiebreak — a strict total
+    order, so the equal-population cut is deterministic through tied
+    scores), and report what share of English documents the top
+    deciles capture vs random. Ranking runs through global_row_number
+    (range-partitioned, never a single-task window); gain/lift are
+    single divisions of bigint-premultiplied exact integers."""
+    from rearview_spark.operators.evaluation import cumulative_gains
+
+    docs = Tables(spark, sf_dir).documents
+    labeled = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("n_chars").alias("s"),
+    )
+    return cumulative_gains(labeled, "y", "s", "doc_id", n_bins=10)
+
+
+DOC_LIFT_SQL = """
+WITH s AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+r AS (
+  SELECT y, row_number() OVER (ORDER BY s DESC, id) AS rn,
+         count(*) OVER () AS n_total
+  FROM s),
+b AS (SELECT ((rn - 1) * 10) // n_total AS bucket, y, n_total FROM r),
+p AS (
+  SELECT bucket, count(*) AS n, sum(y) AS n_pos, max(n_total) AS n_total
+  FROM b GROUP BY 1),
+c AS (
+  SELECT bucket, n, n_pos, n_total,
+         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+         sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_pos,
+         sum(n_pos) OVER () AS tot_pos
+  FROM p)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CASE WHEN tot_pos > 0
+            THEN CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)
+       END AS gain,
+       CASE WHEN cum_n * tot_pos > 0
+            THEN CAST(cum_pos * n_total AS DOUBLE)
+                 / CAST(cum_n * tot_pos AS DOUBLE)
+       END AS lift
+FROM c ORDER BY bucket
+"""
+
+QUERIES["doc_lift_deciles"] = {"fn": doc_lift_deciles, "oracle": DOC_LIFT_SQL}

@@ -2518,3 +2518,58 @@ def test_ks_two_sample_hand_computed(spark):
     bad = spark.createDataFrame([(1.0, 2)], "v double, grp int")
     with pytest.raises(Exception):
         ks_two_sample(bad, "v", "grp").collect()
+
+
+def test_calibration_bins_hand_computed(spark):
+    # scores 0..9, positives exactly at scores >= 5, bins=5 -> each bin
+    # spans 2 scores; bins 0-1 pure negative, 3-4 pure positive.
+    from rearview_spark.operators.evaluation import calibration_bins
+
+    rows = [(s, 1 if s >= 5 else 0) for s in range(10)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = calibration_bins(df, "y", "s", bins=5).collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3, 4]
+    assert all(r["n"] == 2 for r in out)
+    assert [r["n_pos"] for r in out] == [0, 0, 1, 2, 2]
+    assert [r["pos_rate"] for r in out] == [0.0, 0.0, 0.5, 1.0, 1.0]
+    assert out[0]["lo"] == 0 and out[0]["hi"] == 1
+    assert out[0]["avg_score"] == 0.5
+
+    # all-equal scores collapse into bin 0, never divide by zero
+    flat = spark.createDataFrame([(7, 1), (7, 0)], "s int, y int")
+    one = calibration_bins(flat, "y", "s", bins=10).collect()
+    assert len(one) == 1 and one[0]["bin"] == 0 and one[0]["n"] == 2
+
+    import pytest
+    with pytest.raises(ValueError):
+        calibration_bins(df, "y", "s", bins=0)
+
+
+def test_cumulative_gains_hand_computed(spark):
+    # 10 rows ranked by score desc: positives sit at the top 3 scores.
+    # With 5 buckets of 2: bucket 0 captures 2/3, bucket 1 the last one.
+    from rearview_spark.operators.evaluation import cumulative_gains
+
+    rows = [(i, 10 - i, 1 if i < 3 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, s int, y int")
+    out = cumulative_gains(df, "y", "s", "id", n_bins=5).collect()
+    assert [r["bucket"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["n_pos"] for r in out] == [2, 1, 0, 0, 0]
+    assert [r["cum_pos"] for r in out] == [2, 3, 3, 3, 3]
+    assert abs(out[0]["gain"] - 2 / 3) < 1e-12
+    # lift of the top bucket: (2/2) / (3/10) = 10/3
+    assert abs(out[0]["lift"] - 10 / 3) < 1e-12
+    # final bucket: gain 1.0, lift 1.0 by construction
+    assert out[-1]["gain"] == 1.0 and out[-1]["lift"] == 1.0
+
+    # tied scores split deterministically by the id tiebreak
+    tied = spark.createDataFrame(
+        [(1, 5, 1), (2, 5, 0), (3, 5, 1), (4, 5, 0)], "id int, s int, y int"
+    )
+    t = cumulative_gains(tied, "y", "s", "id", n_bins=2).collect()
+    assert [r["n_pos"] for r in t] == [1, 1]  # ids (1,2) then (3,4)
+
+    # empty input -> zero rows with the declared schema
+    empty = spark.createDataFrame([], "id int, s int, y int")
+    e = cumulative_gains(empty, "y", "s", "id", n_bins=5)
+    assert e.count() == 0 and "lift" in e.columns
