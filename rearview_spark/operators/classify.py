@@ -176,3 +176,109 @@ def nb_classify(
         F.expr("min_by(label, struct(-score, label))").alias("predicted"),
         F.max("score").alias("q_score"),
     )
+
+
+def chi2_tokens(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Chi-squared token-label feature selection — the companion read
+    to :func:`nb_train`: which tokens are most ASSOCIATED with each
+    label (the vocabulary a domain/quality classifier actually keys
+    on, and the pruning list that shrinks a model before broadcasting
+    it). Per (token, label), the 2x2 presence contingency table
+
+        a = docs in label containing token    b = df_token - a
+        c = n_label - a                       d = N - n_label - b
+
+    scores ``chi2 = N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))``.
+
+    Determinism: a/b/c/d are exact int64 presence counts;
+    ``adbc = a*d - b*c`` is computed in bigint (exact while counts
+    stay below ~3e9 docs — beyond that the products need decimal);
+    the statistic is then a FIXED double expression — one numerator
+    product, one denominator product, one division, mirrored
+    token-for-token in the oracle — so both engines produce the same
+    bits and rank identically. Ties break on the token ascending.
+
+    Scale shape: one corpus explode -> (id, label, token) DISTINCT
+    (presence, not frequency — the shuffle is corpus-token-sized, the
+    ONLY corpus-scale stage), then every aggregate runs on the
+    vocab x labels collapse; label totals broadcast. The final top-k
+    window partitions BY LABEL over the min_df-pruned vocab frame —
+    per-partition size is the pruned vocabulary, the nb_train
+    broadcastability assumption, stated here because the partition
+    count is the label count.
+
+    Returns ``(label, token, df_in_label, df_token, chi2, rank)`` with
+    ``rank`` 1..k per label, ordered by (label, rank). Tokens whose
+    table has a zero margin (present in every doc, or a single-label
+    corpus) are excluded — their association is undefined.
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(k, int) or k < 1:
+        raise ValueError(f"chi2_tokens: k must be >= 1 (got {k!r})")
+    if not isinstance(min_df, int) or min_df < 1:
+        raise ValueError(f"chi2_tokens: min_df must be >= 1 (got {min_df!r})")
+    n_docs = docs.count()
+    presence = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .distinct()
+    )
+    a = presence.groupBy("label", "token").agg(
+        F.count(F.lit(1)).alias("df_in_label")
+    )
+    df_tok = a.groupBy("token").agg(F.sum("df_in_label").alias("df_token"))
+    n_label = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    # Full label x vocab cross, NOT just observed (label, token) pairs:
+    # a token absent from a label (a = 0) is a strong ANTI-feature and
+    # the textbook statistic scores that cell too. The cross is
+    # |labels| x pruned-vocab — the nb_train model-size assumption.
+    t = (
+        df_tok.filter(F.col("df_token") >= min_df)
+        .crossJoin(F.broadcast(n_label))
+        .join(a, ["label", "token"], "left")
+        .withColumn("df_in_label", F.coalesce("df_in_label", F.lit(0)))
+    )
+    aa = F.col("df_in_label")
+    bb = F.col("df_token") - aa
+    cc = F.col("n_label") - aa
+    dd = F.lit(n_docs) - F.col("n_label") - bb
+    adbc = (aa * dd - bb * cc).cast("long")
+    den = (
+        (aa + bb).cast("double")
+        * (cc + dd).cast("double")
+        * (aa + cc).cast("double")
+        * (bb + dd).cast("double")
+    )
+    num = (
+        F.lit(n_docs).cast("double")
+        * adbc.cast("double")
+        * adbc.cast("double")
+    )
+    scored = t.select(
+        "label",
+        "token",
+        "df_in_label",
+        "df_token",
+        F.when(den > 0, num / den).alias("chi2"),
+    ).filter(F.col("chi2").isNotNull())
+    w = Window.partitionBy("label").orderBy(
+        F.col("chi2").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("label", "rank")
+    )

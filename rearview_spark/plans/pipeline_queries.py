@@ -3296,3 +3296,70 @@ FROM c ORDER BY bucket
 """
 
 QUERIES["doc_lift_deciles"] = {"fn": doc_lift_deciles, "oracle": DOC_LIFT_SQL}
+
+
+def doc_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared token-label feature selection
+    (operators/classify.chi2_tokens): the 10 tokens most associated
+    with each language label by the 2x2 presence-contingency statistic
+    — the vocabulary-pruning / model-inspection read taken next to
+    nb_train. Counts are exact int64; the statistic is a FIXED double
+    expression (one numerator product, one denominator product, one
+    division) mirrored token-for-token in the oracle, so both engines
+    produce identical bits and identical ranks; ties break on the
+    token ascending."""
+    from rearview_spark.operators.classify import chi2_tokens
+
+    docs = Tables(spark, sf_dir).documents
+    return chi2_tokens(docs, "lang", k=10)
+
+
+DOC_CHI2_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, lang AS label,
+         unnest(string_split({NORM}, ' ')) AS token
+  FROM documents),
+tok AS (SELECT DISTINCT doc_id, label, token FROM ex),
+a AS (SELECT label, token, count(*) AS df_in_label FROM tok GROUP BY 1, 2),
+dft AS (SELECT token, sum(df_in_label) AS df_token FROM a GROUP BY 1),
+nl AS (SELECT lang AS label, count(*) AS n_label FROM documents GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+t AS (
+  -- full label x vocab cross: a token absent from a label (a = 0) is
+  -- an anti-feature cell the textbook statistic scores too
+  SELECT nl.label, dft.token,
+         CAST(coalesce(a.df_in_label, 0) AS BIGINT) AS df_in_label,
+         CAST(dft.df_token AS BIGINT) AS df_token,
+         CAST(nl.n_label AS BIGINT) AS n_label,
+         CAST(nd.n AS BIGINT) AS n
+  FROM dft CROSS JOIN nl CROSS JOIN nd
+  LEFT JOIN a ON a.label = nl.label AND a.token = dft.token
+  WHERE dft.df_token >= 1),
+s AS (
+  SELECT label, token, df_in_label, df_token,
+         CAST(df_in_label * (n - n_label - (df_token - df_in_label))
+              - (df_token - df_in_label) * (n_label - df_in_label)
+              AS BIGINT) AS adbc,
+         CAST(df_token AS DOUBLE)
+           * CAST(n - df_token AS DOUBLE)
+           * CAST(n_label AS DOUBLE)
+           * CAST(n - n_label AS DOUBLE) AS den,
+         n
+  FROM t),
+c AS (
+  SELECT label, token, df_in_label, df_token,
+         CASE WHEN den > 0
+              THEN CAST(n AS DOUBLE) * CAST(adbc AS DOUBLE)
+                   * CAST(adbc AS DOUBLE) / den
+         END AS chi2
+  FROM s),
+r AS (
+  SELECT label, token, df_in_label, df_token, chi2,
+         CAST(row_number() OVER (
+           PARTITION BY label ORDER BY chi2 DESC, token ASC) AS INT) AS rank
+  FROM c WHERE chi2 IS NOT NULL)
+SELECT label, token, df_in_label, df_token, chi2, rank
+FROM r WHERE rank <= 10 ORDER BY label, rank
+"""
+
+QUERIES["doc_chi2_tokens"] = {"fn": doc_chi2_tokens, "oracle": DOC_CHI2_SQL}

@@ -2573,3 +2573,46 @@ def test_cumulative_gains_hand_computed(spark):
     empty = spark.createDataFrame([], "id int, s int, y int")
     e = cumulative_gains(empty, "y", "s", "id", n_bins=5)
     assert e.count() == 0 and "lift" in e.columns
+
+
+def test_chi2_tokens_hand_computed(spark):
+    # 4 docs, 2 labels. 'x' appears in both A docs and neither B doc:
+    # a=2 b=0 c=0 d=2, adbc=4, chi2 = 4*16/(2*2*2*2) = 4.0 — the top
+    # feature for BOTH labels (chi2 is unsigned association). 'y' is
+    # split evenly (chi2 = 0); 'z'/'w' score 4/3.
+    from rearview_spark.operators.classify import chi2_tokens
+
+    rows = [
+        (1, "A", "x y"),
+        (2, "A", "x z"),
+        (3, "B", "y z"),
+        (4, "B", "z w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lab string, text string")
+    out = chi2_tokens(df, "lab", k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    # full label x vocab cross: 'w' (absent from A — an anti-feature
+    # cell, a=0) ties 'z' at 4/3 and wins the ascending-token tiebreak
+    assert [r["token"] for r in by_label["A"]] == ["x", "w"]
+    assert by_label["A"][0]["chi2"] == 4.0
+    assert abs(by_label["A"][1]["chi2"] - 4 / 3) < 1e-12
+    # B: x first (chi2=4 via its a=0 anti-cell), then the w/z tie -> 'w'
+    assert [r["token"] for r in by_label["B"]] == ["x", "w"]
+    assert by_label["B"][0]["df_in_label"] == 0  # anti-associated
+    # presence, not frequency: repeating a token in one doc changes nothing
+    rep = spark.createDataFrame(
+        [(1, "A", "x x x y"), (2, "A", "x z"), (3, "B", "y z"), (4, "B", "z w")],
+        "doc_id int, lab string, text string",
+    )
+    out2 = chi2_tokens(rep, "lab", k=2).collect()
+    assert [(r["label"], r["token"], r["chi2"]) for r in out2] == [
+        (r["label"], r["token"], r["chi2"]) for r in out
+    ]
+
+    import pytest
+    with pytest.raises(ValueError):
+        chi2_tokens(df, "lab", k=0)
+    with pytest.raises(ValueError):
+        chi2_tokens(df, "lab", min_df=0)
