@@ -721,3 +721,81 @@ def trigram_search(
     return verified.select(
         F.col(id_col).alias("doc_id"), F.length(text_col).alias("n_chars")
     )
+
+
+def source_js_divergence(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's
+    unigram distribution and its COMPLEMENT (the rest of the corpus):
+    ``JS(p || q) = 0.5 KL(p || m) + 0.5 KL(q || m)`` with
+    ``m = (p + q) / 2`` — the symmetric, always-finite (<= ln 2)
+    companion to :func:`source_kl_divergence`. KL-vs-corpus answers
+    "how far is this slice from the mixture it is part of" (and shrinks
+    for dominant sources, which ARE most of the mixture); JS-vs-
+    complement is the honest pairwise contrast a curation report ranks
+    slices by, immune to the source's own weight in the corpus.
+
+    Support handling: the token domain per source is the FULL corpus
+    vocabulary (tokens absent from the source carry p = 0 and
+    contribute only the complement half; tokens exclusive to the
+    source carry q = 0) — materialized as a vocab x sources cross
+    (the chi2_tokens cross discipline; sources are a small domain).
+
+    Cross-engine determinism: the source_kl_divergence contract — each
+    token's summand is a fixed double expression quantized to 1e-9
+    units in int64, mirrored token-for-token in the oracle, so both
+    engines sum identical integers in any order; ONE final division at
+    the edge with the 6dp nudge.
+
+    Scale shape: ONE corpus explode into the (source, token) hash
+    aggregate (eagerly materialized — every total derives from it);
+    everything downstream runs on vocab x sources rows. A single-source
+    corpus has no complement and yields zero rows.
+
+    Returns ``(source, n_tokens, js)`` ordered by source.
+    """
+    st = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
+    tot_t = st.groupBy("w").agg(F.sum("c_st").alias("c_t"))
+    tot_s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n = st.agg(F.sum("c_st").alias("n"))
+    full = (
+        tot_t.crossJoin(F.broadcast(tot_s))
+        .join(st, ["source", "w"], "left")
+        .withColumn("c_st", F.coalesce("c_st", F.lit(0)))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_s") < F.col("n"))
+    )
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = (F.col("c_t") - F.col("c_st")).cast("double") / (
+        F.col("n") - F.col("n_s")
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    t1 = F.when(
+        F.col("c_st") > 0, p * F.log(p / m) * F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    t2 = F.when(
+        (F.col("c_t") - F.col("c_st")) > 0, q * F.log(q / m) * F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    units = F.round((t1 + t2) * F.lit(1e9)).cast("long")
+    return (
+        full.groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.sum(units).alias("_units"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long"),
+            F.round(F.col("_units") / F.lit(1e9) + F.lit(5e-10), 6).alias("js"),
+        )
+        .orderBy("source")
+    )

@@ -3363,3 +3363,59 @@ FROM r WHERE rank <= 10 ORDER BY label, rank
 """
 
 QUERIES["doc_chi2_tokens"] = {"fn": doc_chi2_tokens, "oracle": DOC_CHI2_SQL}
+
+
+def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence vs the complement corpus
+    (operators/text.source_js_divergence): the symmetric, bounded
+    slice-contrast ranking next to doc_source_kl. Token summands are
+    1e-9-quantized int64 over the full vocab x sources cross; the
+    oracle mirrors the p/q/m arithmetic token for token."""
+    from rearview_spark.operators import text as X
+
+    return X.source_js_divergence(Tables(spark, sf_dir).documents)
+
+
+DOC_JS_SQL = f"""
+WITH tokd AS (
+  SELECT source, unnest(string_split({NORM}, ' ')) AS w FROM documents
+),
+st AS (SELECT source, w, count(*) AS c_st FROM tokd GROUP BY 1, 2),
+tot_t AS (SELECT w, sum(c_st) AS c_t FROM st GROUP BY 1),
+tot_s AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+nn AS (SELECT sum(c_st) AS n FROM st),
+full_d AS (
+  SELECT tot_s.source, tot_t.w, tot_t.c_t,
+         coalesce(st.c_st, 0) AS c_st, tot_s.n_s, nn.n
+  FROM tot_t CROSS JOIN tot_s CROSS JOIN nn
+  LEFT JOIN st ON st.source = tot_s.source AND st.w = tot_t.w
+  WHERE tot_s.n_s < nn.n
+),
+terms AS (
+  SELECT source, n_s,
+         CAST(round((
+           CASE WHEN c_st > 0
+                THEN (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                     * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                          / (((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                              + (CAST(c_t - c_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))) / 2.0))
+                     * 0.5
+                ELSE 0.0 END
+           +
+           CASE WHEN c_t - c_st > 0
+                THEN (CAST(c_t - c_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+                     * ln((CAST(c_t - c_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+                          / (((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                              + (CAST(c_t - c_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))) / 2.0))
+                     * 0.5
+                ELSE 0.0 END
+         ) * 1000000000.0) AS BIGINT) AS ti
+  FROM full_d
+)
+SELECT source,
+       CAST(min(n_s) AS BIGINT) AS n_tokens,
+       round(sum(ti) / 1000000000.0 + 0.0000000005, 6) AS js
+FROM terms GROUP BY source ORDER BY source
+"""
+
+QUERIES["doc_js_divergence"] = {"fn": doc_js_divergence, "oracle": DOC_JS_SQL}

@@ -2616,3 +2616,26 @@ def test_chi2_tokens_hand_computed(spark):
         chi2_tokens(df, "lab", k=0)
     with pytest.raises(ValueError):
         chi2_tokens(df, "lab", min_df=0)
+
+
+def test_source_js_divergence_hand_corpus(spark):
+    import math
+    from rearview_spark.operators.text import source_js_divergence
+
+    # disjoint vocabularies: JS hits its ln(2) ceiling for both sources
+    rows = [("a", "x x"), ("b", "y y")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r["js"] for r in source_js_divergence(df).collect()}
+    assert abs(out["a"] - math.log(2)) < 1e-6
+    assert abs(out["b"] - math.log(2)) < 1e-6
+
+    # identical distributions: JS = 0
+    same = spark.createDataFrame(
+        [("a", "x y"), ("b", "x y")], "source string, text string"
+    )
+    z = {r["source"]: r["js"] for r in source_js_divergence(same).collect()}
+    assert z == {"a": 0.0, "b": 0.0}
+
+    # a single-source corpus has no complement: zero rows, not a crash
+    single = spark.createDataFrame([("a", "x y")], "source string, text string")
+    assert source_js_divergence(single).count() == 0
