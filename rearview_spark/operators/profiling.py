@@ -62,3 +62,57 @@ def profile_numeric_columns(
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame, value_col: str, id_col: str, buckets: int = 10
+) -> DataFrame:
+    """Equi-depth (equal-population) histogram of a numeric column —
+    the distribution summary an optimizer-style layout decision reads
+    (range-partition boundaries, skew checks, Z-order candidate
+    scoring): ``buckets`` buckets, each holding the same number of rows
+    (±1), reported with their exact observed bounds.
+
+    Deterministic through ties: ranking runs over the STRICT total
+    order ``(value, id)`` via
+    :func:`~rearview_spark.operators._util.global_row_number` (range-
+    partitioned sorts + broadcast prefix offsets — never a single-task
+    window), and the cut ``bucket = ((rn - 1) * buckets) div N`` is
+    exact integer arithmetic. Bounds are element PICKS (min/max — no
+    float arithmetic), so the output needs no rounding contract.
+    Unlike quantiles.exact_percentiles this reports occupancy + bounds
+    for EVERY slice, not chosen rank statistics; unlike psi_occupancy's
+    equal-WIDTH case bins, bucket population is constant by
+    construction (the equi-depth form is what range layout wants).
+
+    Scale shape: one ranked pass (range shuffle), one hash collapse to
+    ``buckets`` rows. NULL values are excluded (they have no rank in a
+    value order); empty input returns zero rows.
+
+    Returns ``(bucket, n, lo, hi)`` ascending by bucket.
+    """
+    from rearview_spark.operators._util import global_row_number
+
+    if not isinstance(buckets, int) or buckets < 1:
+        raise ValueError(
+            f"equi_depth_histogram: buckets must be >= 1 (got {buckets!r})"
+        )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v"), F.col(id_col).alias("_id")
+    )
+    ranked, total = global_row_number(base, ["_v", "_id"], out_col="_rn")
+    if total == 0:
+        return ranked.sparkSession.createDataFrame(
+            [], "bucket long, n long, lo double, hi double"
+        )
+    return (
+        ranked.groupBy(
+            F.expr(f"((_rn - 1) * {buckets}) div {total}").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -1913,3 +1913,34 @@ QUERIES["rel_exact_percentiles"] = {
     "fn": rel_exact_percentiles,
     "oracle": REL_EXACT_PCT_SQL,
 }
+
+
+def rel_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order totals
+    (operators/profiling.equi_depth_histogram): ten equal-population
+    buckets over (o_totalprice, o_orderkey) — a strict total order, so
+    the cut is deterministic through tied prices; bounds are exact
+    element picks, bucket occupancy differs by at most one."""
+    from rearview_spark.operators.profiling import equi_depth_histogram
+
+    t = Tables(spark, sf_dir)
+    return equi_depth_histogram(t.orders, "o_totalprice", "o_orderkey", buckets=10)
+
+
+REL_EQUIDEPTH_SQL = """
+WITH r AS (
+  SELECT o_totalprice AS v,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n_total
+  FROM orders WHERE o_totalprice IS NOT NULL)
+SELECT CAST(((rn - 1) * 10) // n_total AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(v) AS lo,
+       max(v) AS hi
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["rel_equidepth_hist"] = {
+    "fn": rel_equidepth_hist,
+    "oracle": REL_EQUIDEPTH_SQL,
+}

@@ -2639,3 +2639,33 @@ def test_source_js_divergence_hand_corpus(spark):
     # a single-source corpus has no complement: zero rows, not a crash
     single = spark.createDataFrame([("a", "x y")], "source string, text string")
     assert source_js_divergence(single).count() == 0
+
+
+def test_equi_depth_histogram_hand_computed(spark):
+    from rearview_spark.operators.profiling import equi_depth_histogram
+
+    # 10 rows into 4 buckets: populations 3,2,3,2 (the ((rn-1)*B) div N
+    # cut); bounds are exact picks. NULLs excluded.
+    rows = [(i, float(i)) for i in range(1, 11)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    out = equi_depth_histogram(df, "v", "id", buckets=4).collect()
+    assert [r["bucket"] for r in out] == [0, 1, 2, 3]
+    assert [r["n"] for r in out] == [3, 2, 3, 2]
+    assert out[0]["lo"] == 1.0 and out[0]["hi"] == 3.0
+    assert out[-1]["lo"] == 9.0 and out[-1]["hi"] == 10.0
+    assert sum(r["n"] for r in out) == 10
+
+    # ties split deterministically by the id tiebreak, never dropped
+    tied = spark.createDataFrame(
+        [(i, 5.0) for i in range(1, 7)], "id int, v double"
+    )
+    t = equi_depth_histogram(tied, "v", "id", buckets=3).collect()
+    assert [r["n"] for r in t] == [2, 2, 2]
+    assert all(r["lo"] == 5.0 and r["hi"] == 5.0 for r in t)
+
+    # empty input -> zero rows; bad bucket count raises
+    import pytest
+    empty = spark.createDataFrame([], "id int, v double")
+    assert equi_depth_histogram(empty, "v", "id").count() == 0
+    with pytest.raises(ValueError):
+        equi_depth_histogram(df, "v", "id", buckets=0)
