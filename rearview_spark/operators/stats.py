@@ -155,3 +155,85 @@ def bootstrap_mean_ci(
     return full.crossJoin(ci).select(
         "n_rows", "n_replicas", "mean_full", "ci_lo", "ci_hi"
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame, group_col: str, success_col: str
+) -> DataFrame:
+    """Two-proportion z-test between variant 0 (control) and variant 1
+    (treatment): the standard A/B readout —
+
+        z = (p1 - p0) / sqrt(p * (1 - p) * (1/n0 + 1/n1))
+
+    with ``p`` the pooled success rate. Counts are exact int64; every
+    rate is ONE division of exact integers; the z expression is a FIXED
+    double tree (divisions, one sqrt — IEEE exactly-rounded operations,
+    identical bits cross-engine when mirrored operation-for-operation).
+    No p-value column on purpose: the normal CDF needs erf, which is
+    not expressible identically in both engines — callers compare |z|
+    against their critical value (1.96 for 5% two-sided).
+
+    ``group_col`` and ``success_col`` must both be 0/1 (validated at
+    execution — the evaluation-family guard). One unit per row: if the
+    experiment randomizes users but the frame has events, collapse to
+    per-user rows FIRST (the gate does) or the test is over-powered by
+    within-user correlation.
+
+    Scale shape: ONE hash aggregate over the whole frame to four int64
+    counters (map-side partials); all arithmetic on the one-row result.
+
+    Returns one row ``(n0, n1, conv0, conv1, rate0, rate1, diff, z)``;
+    ``z`` is NULL when either variant is empty or the pooled rate is
+    degenerate (0 or 1 — no variance to test against).
+    """
+
+    def _bin(col_name: str):
+        c = F.col(col_name).cast("int")
+        return F.when(c.isin(0, 1), c).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"two_proportion_ztest: {col_name} must be 0/1, got "),
+                    F.coalesce(c.cast("string"), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
+
+    g = _bin(group_col)
+    s = _bin(success_col)
+    agg = df.agg(
+        F.sum(F.lit(1) - g).cast("long").alias("n0"),
+        F.sum(g).cast("long").alias("n1"),
+        F.sum((F.lit(1) - g) * s).cast("long").alias("conv0"),
+        F.sum(g * s).cast("long").alias("conv1"),
+    )
+    rate0 = F.col("conv0").cast("double") / F.col("n0").cast("double")
+    rate1 = F.col("conv1").cast("double") / F.col("n1").cast("double")
+    pooled = (F.col("conv0") + F.col("conv1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    ok = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("conv0") + F.col("conv1") > 0)
+        & (F.col("conv0") + F.col("conv1") < F.col("n0") + F.col("n1"))
+    )
+    return agg.select(
+        F.coalesce("n0", F.lit(0)).cast("long").alias("n0"),
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+        F.coalesce("conv0", F.lit(0)).cast("long").alias("conv0"),
+        F.coalesce("conv1", F.lit(0)).cast("long").alias("conv1"),
+        F.when(F.col("n0") > 0, rate0).alias("rate0"),
+        F.when(F.col("n1") > 0, rate1).alias("rate1"),
+        F.when((F.col("n0") > 0) & (F.col("n1") > 0), rate1 - rate0).alias(
+            "diff"
+        ),
+        F.when(ok, (rate1 - rate0) / se).alias("z"),
+    )

@@ -1428,3 +1428,64 @@ FROM d
 """
 
 QUERIES["ev_ks_drift"] = {"fn": ev_ks_drift, "oracle": EV_KS_SQL}
+
+
+def ev_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test (operators/stats.two_proportion_ztest):
+    users split 50/50 by the repo's deterministic md5 bucket (rerun-
+    stable, no RNG — the stratified_sample scheme), conversion = the
+    user ever fired a purchase event. The per-USER collapse happens
+    before the test (events would over-power it); counts exact int64,
+    rates single divisions, z one fixed double tree mirrored in the
+    oracle."""
+    from rearview_spark.operators.dedup import md5_bucket
+    from rearview_spark.operators.stats import two_proportion_ztest
+
+    ev = Tables(spark, sf_dir).events
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    )
+    assigned = users.select(
+        (md5_bucket(F.col("user_id"), "ab-exp") % 2).cast("int").alias("grp"),
+        "converted",
+    )
+    return two_proportion_ztest(assigned, "grp", "converted")
+
+
+EV_AB_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1),
+a AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab-exp'), 1, 15)) AS BIGINT)
+              % 10000 % 2 AS INT) AS grp,
+         converted
+  FROM u),
+c AS (
+  SELECT CAST(sum(1 - grp) AS BIGINT) AS n0,
+         CAST(sum(grp) AS BIGINT) AS n1,
+         CAST(sum((1 - grp) * converted) AS BIGINT) AS conv0,
+         CAST(sum(grp * converted) AS BIGINT) AS conv1
+  FROM a)
+SELECT n0, n1, conv0, conv1,
+       CASE WHEN n0 > 0 THEN CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS rate0,
+       CASE WHEN n1 > 0 THEN CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS rate1,
+       CASE WHEN n0 > 0 AND n1 > 0
+            THEN CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       END AS diff,
+       CASE WHEN n0 > 0 AND n1 > 0 AND conv0 + conv1 > 0
+                 AND conv0 + conv1 < n0 + n1
+            THEN (CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / sqrt((CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+       END AS z
+FROM c
+"""
+
+QUERIES["ev_ab_ztest"] = {"fn": ev_ab_ztest, "oracle": EV_AB_SQL}

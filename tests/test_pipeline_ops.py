@@ -2669,3 +2669,34 @@ def test_equi_depth_histogram_hand_computed(spark):
     assert equi_depth_histogram(empty, "v", "id").count() == 0
     with pytest.raises(ValueError):
         equi_depth_histogram(df, "v", "id", buckets=0)
+
+
+def test_two_proportion_ztest_hand_computed(spark):
+    import math
+    from rearview_spark.operators.stats import two_proportion_ztest
+
+    # control: 2/4 convert; treatment: 3/4 convert.
+    rows = [(0, 1), (0, 1), (0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (1, 0)]
+    df = spark.createDataFrame(rows, "grp int, y int")
+    r = two_proportion_ztest(df, "grp", "y").collect()[0]
+    assert (r["n0"], r["n1"], r["conv0"], r["conv1"]) == (4, 4, 2, 3)
+    assert r["rate0"] == 0.5 and r["rate1"] == 0.75
+    p = 5 / 8
+    want = (0.75 - 0.5) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert abs(r["z"] - want) < 1e-12
+
+    # degenerate pooled rate (all convert): z NULL, counts still exact
+    allc = spark.createDataFrame([(0, 1), (1, 1)], "grp int, y int")
+    r1 = two_proportion_ztest(allc, "grp", "y").collect()[0]
+    assert r1["z"] is None and r1["rate0"] == 1.0
+
+    # one empty variant: z and diff NULL
+    onev = spark.createDataFrame([(1, 1), (1, 0)], "grp int, y int")
+    r2 = two_proportion_ztest(onev, "grp", "y").collect()[0]
+    assert r2["n0"] == 0 and r2["z"] is None and r2["diff"] is None
+
+    # non-binary group fails at execution
+    import pytest
+    bad = spark.createDataFrame([(3, 1)], "grp int, y int")
+    with pytest.raises(Exception):
+        two_proportion_ztest(bad, "grp", "y").collect()
