@@ -237,3 +237,110 @@ def two_proportion_ztest(
         ),
         F.when(ok, (rate1 - rate0) / se).alias("z"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Kaplan-Meier survival curve with right-censoring — time-to-event
+    over (duration, observed) subject rows (time to first conversion,
+    session lifetime, hardware time-to-failure):
+
+        S(t) = prod over event times s <= t of (n_risk(s) - d(s)) / n_risk(s)
+
+    where ``n_risk(s)`` counts subjects with duration >= s and ``d(s)``
+    the events AT s; censored subjects (``event_col`` = 0) leave the
+    risk set without stepping the curve.
+
+    Cross-engine determinism: the product is computed in LOG space as a
+    cumulative SUM of per-step ``ln((n_risk - d) / n_risk)`` terms
+    quantized to 1/``scale`` units in int64 (the source_kl/NB ln
+    contract — order-free integer addition), with ONE exp per output
+    row at the nudged-6dp edge. ``n_risk`` and ``d`` come out exact for
+    a stronger oracle assertion. A step where d == n_risk (the risk set
+    dies out) yields survival exactly 0.0 — necessarily the last event
+    row, special-cased around the ln singularity.
+
+    Scale shape: one hash collapse to the distinct-duration domain,
+    one global_running_sum for the at-risk prefix (range-partitioned —
+    never a single-task window), one more for the log-survival prefix
+    over event rows, a broadcast one-row total. Nothing subject-sized
+    past the first aggregate.
+
+    ``duration_col`` must be integral and non-negative, ``event_col``
+    0/1 — both validated at execution.
+
+    Returns ``(t, n_risk, d, c, survival)`` — one row per EVENT time
+    ascending; ``c`` counts censorings at that same time (which exit
+    the risk set after the step, the standard convention).
+    """
+    from rearview_spark.operators._util import global_running_sum
+
+    def _bin(col_name: str):
+        col = F.col(col_name).cast("int")
+        return F.when(col.isin(0, 1), col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kaplan_meier: {col_name} must be 0/1, got "),
+                    F.coalesce(col.cast("string"), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
+
+    dur = F.col(duration_col).cast("long")
+    t_checked = F.when(dur >= 0, dur).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kaplan_meier: duration must be >= 0, got "),
+                F.coalesce(dur.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    ev = _bin(event_col)
+    per_t = (
+        df.select(t_checked.alias("t"), ev.alias("_e"))
+        .groupBy("t")
+        .agg(
+            F.sum("_e").alias("d"),
+            F.sum(F.lit(1) - F.col("_e")).alias("c"),
+        )
+        .withColumn("dc", F.col("d") + F.col("c"))
+    )
+    cum = global_running_sum(per_t, ["t"], "dc", out_col="cum_dc")
+    total = per_t.agg(F.sum("dc").cast("long").alias("_n"))
+    at_risk = cum.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (F.col("_n") - (F.col("cum_dc") - F.col("dc"))).alias("n_risk"),
+    )
+    steps = at_risk.filter(F.col("d") > 0)
+    units = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(float(scale))
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    curve = global_running_sum(
+        steps.withColumn("_u", units), ["t"], "_u", out_col="cum_u"
+    )
+    return curve.select(
+        F.col("t").cast("long"),
+        F.col("n_risk").cast("long"),
+        F.col("d").cast("long"),
+        F.col("c").cast("long"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("cum_u") / F.lit(float(scale))) + F.lit(5e-10), 6
+            )
+        )
+        .alias("survival"),
+    ).orderBy("t")

@@ -1489,3 +1489,90 @@ FROM c
 """
 
 QUERIES["ev_ab_ztest"] = {"fn": ev_ab_ztest, "oracle": EV_AB_SQL}
+
+
+def ev_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase after signup
+    (operators/stats.kaplan_meier): per user, duration = first purchase
+    minus first signup (observed) or window end minus signup (right-
+    censored; purchases that precede the signup are noise, censored
+    too). The survival product runs in log space as 1e-9-quantized
+    int64 sums with one exp per output row at the nudged-6dp edge;
+    n_risk/d/c are exact."""
+    from rearview_spark.operators.stats import kaplan_meier
+
+    ev = Tables(spark, sf_dir).events
+    e = ev.select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("tt")
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("tt"))
+        ).alias("s"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("tt"))
+        ).alias("p"),
+    )
+    wend = e.agg(F.max("tt").alias("wend"))
+    observed = F.col("p").isNotNull() & (F.col("p") >= F.col("s"))
+    base = (
+        pu.filter(F.col("s").isNotNull())
+        .crossJoin(F.broadcast(wend))
+        .select(
+            F.when(observed, F.col("p") - F.col("s"))
+            .otherwise(F.col("wend") - F.col("s"))
+            .alias("dur"),
+            F.when(observed, F.lit(1)).otherwise(F.lit(0)).alias("evt"),
+        )
+    )
+    return kaplan_meier(base, "dur", "evt")
+
+
+EV_KM_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tt
+  FROM events),
+pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN tt END) AS s,
+         min(CASE WHEN event_type = 'purchase' THEN tt END) AS p
+  FROM e GROUP BY 1),
+mx AS (SELECT max(tt) AS wend FROM e),
+base AS (
+  SELECT CASE WHEN p IS NOT NULL AND p >= s THEN p - s ELSE wend - s END AS t,
+         CASE WHEN p IS NOT NULL AND p >= s THEN 1 ELSE 0 END AS evt
+  FROM pu, mx WHERE s IS NOT NULL),
+per_t AS (
+  SELECT t, sum(evt) AS d, sum(1 - evt) AS c, count(*) AS dc
+  FROM base GROUP BY 1),
+cum AS (
+  SELECT t, d, c,
+         sum(dc) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_dc,
+         sum(dc) OVER () AS n, dc
+  FROM per_t),
+steps AS (
+  SELECT t, d, c, n - (cum_dc - dc) AS n_risk
+  FROM cum WHERE d > 0),
+u AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d < n_risk
+              THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE))
+                              * 1000000000.0) AS BIGINT)
+              ELSE 0 END AS un
+  FROM steps),
+s2 AS (
+  SELECT t, d, c, n_risk,
+         sum(un) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_u
+  FROM u)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d,
+       CAST(c AS BIGINT) AS c,
+       CASE WHEN d = n_risk THEN 0.0
+            ELSE round(exp(cum_u / 1000000000.0) + 0.0000000005, 6)
+       END AS survival
+FROM s2 ORDER BY t
+"""
+
+QUERIES["ev_km_survival"] = {"fn": ev_km_survival, "oracle": EV_KM_SQL}

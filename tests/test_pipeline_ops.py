@@ -2700,3 +2700,36 @@ def test_two_proportion_ztest_hand_computed(spark):
     bad = spark.createDataFrame([(3, 1)], "grp int, y int")
     with pytest.raises(Exception):
         two_proportion_ztest(bad, "grp", "y").collect()
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from rearview_spark.operators.stats import kaplan_meier
+
+    # classic worked example: events at t=1,2,3; censorings at 2 and 4.
+    # S(1)=4/5, S(2)=4/5*3/4=0.6, S(3)=0.6*1/2=0.3 (the t=2 censoring
+    # exits AFTER the t=2 step; the t=4 censoring never steps).
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "dur int, evt int")
+    out = kaplan_meier(df, "dur", "evt").collect()
+    got = [(r["t"], r["n_risk"], r["d"], r["c"], r["survival"]) for r in out]
+    assert got == [(1, 5, 1, 0, 0.8), (2, 4, 1, 1, 0.6), (3, 2, 1, 0, 0.3)]
+
+    # risk set dying out -> survival exactly 0.0 on the last step
+    dead = spark.createDataFrame([(1, 1), (1, 1)], "dur int, evt int")
+    d = kaplan_meier(dead, "dur", "evt").collect()
+    assert len(d) == 1 and d[0]["survival"] == 0.0 and d[0]["n_risk"] == 2
+
+    # all censored -> no event rows at all
+    cens = spark.createDataFrame([(1, 0), (2, 0)], "dur int, evt int")
+    assert kaplan_meier(cens, "dur", "evt").count() == 0
+
+    # guards fail at execution: negative duration, non-binary event
+    import pytest
+    with pytest.raises(Exception):
+        kaplan_meier(
+            spark.createDataFrame([(-1, 1)], "dur int, evt int"), "dur", "evt"
+        ).collect()
+    with pytest.raises(Exception):
+        kaplan_meier(
+            spark.createDataFrame([(1, 2)], "dur int, evt int"), "dur", "evt"
+        ).collect()
