@@ -428,8 +428,17 @@ def ks_two_sample(
     max (deterministic under ties); ``d_stat`` is NULL when either
     side is empty (undefined rather than divide-by-zero).
     """
-    from rearview_spark.operators._util import global_running_sum
+    return ks_from_counts(ks_value_counts(df, value_col, group_col))
 
+
+def ks_value_counts(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-distinct-value group counts ``(v, ca, cb)`` — the mergeable
+    KS summary: counts combine by ADDITION, so micro-batched builds
+    (or a union of separately-counted sides) are bit-identical to one
+    pass (the CM/HLL/PSI-occupancy property). ``group_col`` must be
+    0/1, validated at execution."""
     g = F.col(group_col).cast("int")
     grp = F.when(g.isin(0, 1), g).otherwise(
         F.raise_error(
@@ -439,9 +448,21 @@ def ks_two_sample(
             )
         ).cast("int")
     )
-    per_v = df.groupBy(F.col(value_col).alias("v")).agg(
+    return df.groupBy(F.col(value_col).alias("v")).agg(
         F.sum(F.lit(1) - grp).alias("ca"),
         F.sum(grp).alias("cb"),
+    )
+
+
+def ks_from_counts(per_v: DataFrame) -> DataFrame:
+    """The KS summary row from a ``(v, ca, cb)`` counts frame —
+    identical arithmetic whether the counts came from one
+    :func:`ks_value_counts` pass or a streaming/union merge (duplicate
+    ``v`` rows are re-collapsed first, so merging is a pure union)."""
+    from rearview_spark.operators._util import global_running_sum
+
+    per_v = per_v.groupBy("v").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
     )
     cum = global_running_sum(per_v, ["v"], "ca", out_col="cum_a")
     cum = global_running_sum(cum, ["v"], "cb", out_col="cum_b")
@@ -474,3 +495,32 @@ def ks_two_sample(
         ).alias("d_stat"),
         "at_value",
     )
+
+
+def ks_foreach_batch(spark, state_dir: str):
+    """KS current-side value counts as a ``foreachBatch`` recurrence —
+    the psi_foreach_batch/CM/HLL contract verbatim: each micro-batch's
+    per-value counts ADD into the previous persisted state, written to
+    a ``batch=<id>`` subdir (a retried batch re-merges from its
+    predecessor, never double-counts). Because counts merge by
+    addition, the streamed state is bit-identical to one batch pass
+    over the union, so the KS read off it shares the batch gate's FULL
+    value oracle. Batch frames must carry the value column as ``v``.
+
+    State size is the distinct-VALUE domain of the current side, not
+    its row count — same boundedness argument as the PSI bins, wider
+    domain; for truly unbounded continuous domains quantize ``v``
+    upstream (the operator itself never needs to)."""
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.groupBy("v").agg(F.count(F.lit(1)).alias("c_cur"))
+        prev = _latest_batch_dir(spark, state_dir, below=batch_id)
+        if prev is not None:
+            cur = cur.unionByName(spark.read.parquet(prev))
+        merged = cur.groupBy("v").agg(F.sum("c_cur").alias("c_cur"))
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process

@@ -26,24 +26,25 @@ _NEW_THIS_ROUND = (
     # graph_copurchase_components) while rotating all 44.
     #
     # r13 collapsed the whole staged backlog (VERDICT_r12 next-round #1):
-    # all 30 PENDING_QUERIES flipped live in one move, and the 11 gates
-    # NEW in r13 (stream_peak_concurrency, ts_cross_correlation,
+    # all 30 PENDING_QUERIES flipped live in one move, plus 20 gates NEW
+    # in r13 (stream_peak_concurrency, ts_cross_correlation,
     # doc_nb_language, doc_quality_auc, doc_pr_curve, rel_cdc_apply,
     # rel_bucketed_join, stream_cdc_apply, doc_nb_report,
-    # rel_bootstrap_avg_order, rel_exact_percentiles) registered the
-    # round they landed — 41 never-checked front-load via group (c) +
-    # the 9 stalest rows (4 r08 + 5 r09) rotate = 50 exactly. PENDING_QUERIES is empty in
-    # steady state.
+    # rel_bootstrap_avg_order, rel_exact_percentiles, then the late-r13
+    # wave: ev_ks_drift, doc_calibration_bins, doc_lift_deciles,
+    # doc_chi2_tokens, doc_js_divergence, rel_equidepth_hist,
+    # ev_ab_ztest, ev_km_survival, stream_ks_drift) — 50 never-checked
+    # fill the window exactly via group (c); zero rotation slots this
+    # round. PENDING_QUERIES is empty in steady state.
     #
     # Post-backlog steady state: new operators register the round they
     # land (group (c) front-loads them with no entry here); the window's
     # remaining slots drain the stale-cohort debt oldest-first. After
-    # r13 the oldest unrotated rows are the 45 remaining r09 rows, so
-    # r14 rotates those + 5 r10 rows, r15 the rest of r10 + the oldest
-    # r11 — latest-check histogram floor reaches >= r13 within ~3
-    # rounds with zero new gates needed (VERDICT_r12 next-round #3).
-    # Stage into PENDING_QUERIES only if a round lands more than ~50
-    # new gates.
+    # r13 the oldest unrotated rows are the 4 r08 + 50 r09 rows, so
+    # r14 rotates 4 r08 + 46 r09, r15 the rest of r09 + the oldest r10
+    # — latest-check histogram floor rises within ~3 rounds with zero
+    # new gates needed (VERDICT_r12 next-round #3). Stage into
+    # PENDING_QUERIES only if a round lands more than ~50 new gates.
 )
 
 

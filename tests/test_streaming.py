@@ -395,3 +395,62 @@ def test_concurrency_foreach_batch_replay_and_batch_equality(spark, tmp_path):
         ref["peak_concurrency"],
         ref["at_s"],
     ) == (4, 9)
+
+
+def test_ks_foreach_batch_replay_and_batch_equality(spark, tmp_path):
+    """Streamed per-value counts == one-pass counts, a RETRIED batch
+    leaves the state unchanged (the CM/HLL/PSI batch-dir contract),
+    and the KS read off the merged state equals the batch operator
+    exactly — numerator, statistic, and argmax value."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.anomaly import (
+        ks_foreach_batch,
+        ks_from_counts,
+        ks_two_sample,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    base_rows = [(1.0,), (2.0,), (2.0,), (3.0,)]
+    cur_rows = [(2.0,), (3.0,), (4.0,), (4.0,), (5.0,)]
+    base = spark.createDataFrame(base_rows, "v double")
+    cur = spark.createDataFrame(cur_rows, "v double")
+
+    state = str(tmp_path / "ks_state")
+    proc = ks_foreach_batch(spark, state)
+    slices = [cur.filter(F.col("v") <= 3.0), cur.filter(F.col("v") > 3.0)]
+    for i, sl in enumerate(slices):
+        proc(sl, i)
+    proc(slices[1], 1)  # retry: re-merges from batch 0, no double-count
+    merged = spark.read.parquet(_latest_batch_dir(spark, state))
+    assert {(r["v"], r["c_cur"]) for r in merged.collect()} == {
+        (2.0, 1),
+        (3.0, 1),
+        (4.0, 2),
+        (5.0, 1),
+    }
+
+    counts = (
+        base.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .withColumn("cb", F.lit(0).cast("long"))
+        .unionByName(
+            merged.select(
+                "v",
+                F.lit(0).cast("long").alias("ca"),
+                F.col("c_cur").cast("long").alias("cb"),
+            )
+        )
+    )
+    got = ks_from_counts(counts).collect()[0]
+
+    both = base.withColumn("grp", F.lit(0)).unionByName(
+        cur.withColumn("grp", F.lit(1))
+    )
+    ref = ks_two_sample(both, "v", "grp").collect()[0]
+    assert (got["d_num"], got["d_stat"], got["at_value"]) == (
+        ref["d_num"],
+        ref["d_stat"],
+        ref["at_value"],
+    )
+    assert got["d_num"] > 0
