@@ -127,6 +127,16 @@ HEADLINE = [
     # cost is write-dominated and measured in PLANS.md instead.
     "doc_nb_language",
     "rel_cdc_apply",
+    # round-13 third wave (the eval/drift family): the label x vocab
+    # contingency cross (chi-squared feature selection — one corpus
+    # explode+distinct, everything after on the vocab domain) and the
+    # full-table global_row_number rank pass (equi-depth histogram —
+    # the ranked-pass family's representative). KS/KM/gains ride the
+    # distinct-value-collapse + global_running_sum machinery already
+    # timed by ev_peak_concurrency; stream_ks_drift's cost is the
+    # foreachBatch harness, measured in PLANS.md like its PSI sibling.
+    "doc_chi2_tokens",
+    "rel_equidepth_hist",
 ]
 
 

@@ -1434,7 +1434,10 @@ def ev_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion A/B z-test (operators/stats.two_proportion_ztest):
     users split 50/50 by the repo's deterministic md5 bucket (rerun-
     stable, no RNG — the stratified_sample scheme), conversion = the
-    user ever fired a purchase event. The per-USER collapse happens
+    user ever made a BIG-TICKET purchase (value > 150 — every user has
+    some purchase in this dataset, so plain purchase incidence is
+    degenerate and would pin z at NULL; the threshold splits ~45/55 and
+    exercises the full statistic). The per-USER collapse happens
     before the test (events would over-power it); counts exact int64,
     rates single divisions, z one fixed double tree mirrored in the
     oracle."""
@@ -1443,9 +1446,11 @@ def ev_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Tables(spark, sf_dir).events
     users = ev.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "purchase").cast("int")).alias(
-            "converted"
-        )
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 150)
+            ).cast("int")
+        ).alias("converted")
     )
     assigned = users.select(
         (md5_bucket(F.col("user_id"), "ab-exp") % 2).cast("int").alias("grp"),
@@ -1457,7 +1462,8 @@ def ev_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_AB_SQL = """
 WITH u AS (
   SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         max(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY 1),
 a AS (
   SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab-exp'), 1, 15)) AS BIGINT)
