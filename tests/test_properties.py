@@ -514,3 +514,102 @@ def test_bfs_hops_matches_python_bfs(spark, pairs, seed_bits):
     sdf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
     got = {r["node"]: r["hops"] for r in bfs_hops(df, sdf, max_hops=4).collect()}
     assert got == _bfs_py(edges, seeds, 4)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 1)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_ks_two_sample_matches_scipy_style_bruteforce(spark, pairs):
+    """KS D equals the brute-force max CDF gap computed in Python, and
+    the integer numerator is exactly D * n_a * n_b."""
+    from rearview_spark.operators.anomaly import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(float(v), g) for v, g in pairs], "v double, grp int"
+    )
+    r = ks_two_sample(df, "v", "grp").collect()[0]
+    a = sorted(v for v, g in pairs if g == 0)
+    b = sorted(v for v, g in pairs if g == 1)
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    if not a or not b:
+        assert r["d_stat"] is None
+        return
+    vals = sorted({v for v, _ in pairs})
+    best = 0
+    for x in vals:
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        best = max(best, abs(ca * len(b) - cb * len(a)))
+    assert r["d_num"] == best
+    assert r["d_stat"] == best / (len(a) * len(b))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_kaplan_meier_matches_python_product(spark, subjects):
+    """KM survival equals the brute-force product-limit estimate at
+    every event time (to the 6dp contract), and the risk sets are
+    exact."""
+    import math
+
+    from rearview_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(t, e) for t, e in subjects], "dur int, evt int"
+    )
+    rows = kaplan_meier(df, "dur", "evt").collect()
+    # brute force
+    times = sorted({t for t, e in subjects if e == 1})
+    surv = 1.0
+    want = []
+    for t in times:
+        n_risk = sum(1 for tt, _ in subjects if tt >= t)
+        d = sum(1 for tt, e in subjects if tt == t and e == 1)
+        surv *= (n_risk - d) / n_risk
+        want.append((t, n_risk, d))
+    assert [(r["t"], r["n_risk"], r["d"]) for r in rows] == want
+    # survival monotone nonincreasing in [0, 1], matching brute force
+    surv = 1.0
+    for r, (t, n_risk, d) in zip(rows, want):
+        surv *= (n_risk - d) / n_risk
+        assert abs(r["survival"] - surv) < 2e-6
+        assert 0.0 <= r["survival"] <= 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 1)),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(2, 7),
+)
+@SETTINGS
+def test_cumulative_gains_invariants(spark, pairs, n_bins):
+    """Bucket populations differ by <= 1, cum_pos is monotone, the
+    final row always reads gain=1/lift=1 when positives exist, and
+    totals reconcile."""
+    from rearview_spark.operators.evaluation import cumulative_gains
+
+    rows = [(i, s, y) for i, (s, y) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id int, s int, y int")
+    out = cumulative_gains(df, "y", "s", "id", n_bins=n_bins).collect()
+    ns = [r["n"] for r in out]
+    assert max(ns) - min(ns) <= 1
+    assert sum(ns) == len(pairs)
+    assert sum(r["n_pos"] for r in out) == sum(y for _, y in pairs)
+    cps = [r["cum_pos"] for r in out]
+    assert cps == sorted(cps)
+    if sum(y for _, y in pairs) > 0:
+        assert out[-1]["gain"] == 1.0 and out[-1]["lift"] == 1.0
