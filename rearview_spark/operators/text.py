@@ -799,3 +799,75 @@ def source_js_divergence(
         )
         .orderBy("source")
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    deciles: int = 10,
+) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law read): sweep the corpus
+    in ``id_col`` order and report, per corpus decile, how many NEVER-
+    SEEN-BEFORE tokens appear and the cumulative vocabulary size — the
+    saturation diagnostic that says whether more data still buys new
+    vocabulary (steep tail) or only repetition (flat tail), read before
+    committing another crawl/ingest round.
+
+    Exact and deterministic: the sweep order is the strict total order
+    ``id_col`` (ranked via global_row_number — range-partitioned, never
+    a single-task window); each token's FIRST-occurrence rank is an
+    exact min; the decile cut ``((first_rank - 1) * D) div N`` and the
+    boundary ``docs_processed = ((k + 1) * N - 1) div D + 1`` are pure
+    integer arithmetic (truncating div == floor on non-negative
+    operands, engine-identical).
+
+    Scale shape: one doc-count-sized rank pass, ONE corpus explode into
+    the vocab-sized min aggregate (map-side partials), a <= D-row
+    collapse, one prefix sum via global_running_sum. Deciles where no
+    new token first appears are absent (they carry no growth signal —
+    the docs_processed bound reconstructs them if a report needs
+    zero-filled rows).
+
+    Returns ``(decile, docs_processed, new_tokens, vocab_size)``
+    ascending; empty corpus returns zero rows.
+    """
+    from rearview_spark.operators._util import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    if not isinstance(deciles, int) or deciles < 1:
+        raise ValueError(
+            f"vocab_growth: deciles must be >= 1 (got {deciles!r})"
+        )
+    ranked, n_docs = global_row_number(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")),
+        ["_id"],
+        out_col="_rnk",
+    )
+    if n_docs == 0:
+        return ranked.sparkSession.createDataFrame(
+            [],
+            "decile long, docs_processed long, new_tokens long, "
+            "vocab_size long",
+        )
+    first_r = (
+        ranked.select("_rnk", F.explode(tokens(F.col("_txt"))).alias("w"))
+        .groupBy("w")
+        .agg(F.min("_rnk").alias("_fr"))
+    )
+    per_decile = first_r.groupBy(
+        F.expr(f"((_fr - 1) * {deciles}) div {n_docs}").alias("decile")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    cum = global_running_sum(
+        per_decile, ["decile"], "new_tokens", out_col="vocab_size"
+    )
+    return cum.select(
+        "decile",
+        F.expr(f"((decile + 1) * {n_docs} - 1) div {deciles} + 1")
+        .cast("long")
+        .alias("docs_processed"),
+        "new_tokens",
+        "vocab_size",
+    ).orderBy("decile")

@@ -3419,3 +3419,50 @@ FROM terms GROUP BY source ORDER BY source
 """
 
 QUERIES["doc_js_divergence"] = {"fn": doc_js_divergence, "oracle": DOC_JS_SQL}
+
+
+def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (operators/text.vocab_growth):
+    sweep documents in doc_id order, report per corpus decile the
+    never-seen-before token count and cumulative vocabulary — the
+    saturation read before committing another ingest round. Pure
+    integer arithmetic end to end (rank, min, decile cut, prefix sum);
+    no rounding contract needed anywhere."""
+    from rearview_spark.operators.text import vocab_growth
+
+    return vocab_growth(Tables(spark, sf_dir).documents)
+
+
+DOC_VOCAB_GROWTH_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (ORDER BY doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM documents),
+tok AS (
+  SELECT rnk, n, unnest(string_split({NORM}, ' ')) AS w FROM ranked),
+first_r AS (SELECT w, min(rnk) AS fr, max(n) AS n FROM tok GROUP BY w),
+d AS (
+  SELECT ((fr - 1) * 10) // n AS decile, max(n) AS n,
+         count(*) AS new_tokens
+  FROM first_r GROUP BY 1),
+c AS (
+  SELECT decile, n, new_tokens,
+         sum(new_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           AS vocab
+  FROM d)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(((decile + 1) * n - 1) // 10 + 1 AS BIGINT) AS docs_processed,
+       CAST(new_tokens AS BIGINT) AS new_tokens,
+       CAST(vocab AS BIGINT) AS vocab_size
+FROM c ORDER BY decile
+"""
+
+# Staged for r14 (window-full rule, plans/__init__.py): the r13 window
+# is exactly 50 never-checked gates, so this entry waits one round —
+# driven through the driver's own compare by tests/test_pending_gates.py
+# in the meantime, making the r14 flip a known-green one-line move.
+PENDING_QUERIES["doc_vocab_growth"] = {
+    "fn": doc_vocab_growth,
+    "oracle": DOC_VOCAB_GROWTH_SQL,
+}

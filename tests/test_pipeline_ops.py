@@ -2733,3 +2733,31 @@ def test_kaplan_meier_hand_computed(spark):
         kaplan_meier(
             spark.createDataFrame([(1, 2)], "dur int, evt int"), "dur", "evt"
         ).collect()
+
+
+def test_vocab_growth_hand_computed(spark):
+    from rearview_spark.operators.text import vocab_growth
+
+    # 4 docs, 2 halves: a/b/c first appear in docs 1-2, d only in doc 4
+    rows = [(1, "a b"), (2, "a c"), (3, "b c"), (4, "d")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = vocab_growth(df, deciles=2).collect()
+    got = [
+        (r["decile"], r["docs_processed"], r["new_tokens"], r["vocab_size"])
+        for r in out
+    ]
+    assert got == [(0, 2, 3, 3), (1, 4, 1, 4)]
+
+    # saturated corpus: every token seen in the first decile slice
+    sat = spark.createDataFrame(
+        [(i, "x y") for i in range(1, 11)], "doc_id int, text string"
+    )
+    s = vocab_growth(sat, deciles=10).collect()
+    assert len(s) == 1 and s[0]["decile"] == 0 and s[0]["vocab_size"] == 2
+
+    # empty corpus -> zero rows; bad deciles raises
+    import pytest
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert vocab_growth(empty).count() == 0
+    with pytest.raises(ValueError):
+        vocab_growth(df, deciles=0)
