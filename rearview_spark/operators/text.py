@@ -871,3 +871,88 @@ def vocab_growth(
         "new_tokens",
         "vocab_size",
     ).orderBy("decile")
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    scale: int = 10**5,
+) -> DataFrame:
+    """Zipf rank-frequency fit: regress ``ln(count)`` on ``ln(rank)``
+    over the token frequency table and report the slope — a healthy
+    natural-language corpus reads near -1; a flatter slope flags
+    template/boilerplate floods, a steeper one vocabulary collapse
+    (the corpus-forensics read next to :func:`vocab_growth`).
+
+    Determinism contract: ranks come from global_row_number over the
+    strict total order ``(count desc, token)``; each ``ln`` is computed
+    ONCE and quantized to 1/``scale`` units in int64 (the NB_SCALE
+    argument — at 1e5 units the rounding-boundary half-width is ~2e-11,
+    negligible); the five moment sums (n, Σx, Σy, Σx², Σxy) are then
+    EXACT int64 (order-immune), and slope/intercept are fixed double
+    expressions over those exact moments, mirrored operation-for-
+    operation in the oracle. int64 envelope: Σxy caps near
+    ``vocab * (ln(max_count) * scale)^2`` — safe to ~4e6 distinct
+    tokens at the default scale; drop ``scale`` a decade per ~100x
+    vocabulary beyond.
+
+    Scale shape: ONE corpus explode into the vocab-sized count
+    aggregate, one vocab-sized rank pass (range-partitioned), one
+    5-counter collapse. Driver sees nothing but the one-row moments.
+
+    Returns one row ``(n_ranks, slope, intercept)`` in ln-ln space
+    (slope is scale-free; intercept is in ln-count units). Slope is
+    NULL when fewer than two distinct ranks exist (no line to fit).
+    """
+    from rearview_spark.operators._util import global_row_number
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked, _n = global_row_number(
+        counts, [F.col("c").desc(), F.col("w").asc()], out_col="rnk"
+    )
+    q = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * F.lit(float(scale)))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * F.lit(float(scale)))
+        .cast("long")
+        .alias("y"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    slope = F.when(
+        den > 0,
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / den,
+    )
+    with_slope = m.select(
+        F.col("n").alias("n_ranks"), "sx", "sy", slope.alias("slope")
+    )
+    return with_slope.select(
+        "n_ranks",
+        "slope",
+        (
+            (
+                F.col("sy").cast("double")
+                - F.col("slope") * F.col("sx").cast("double")
+            )
+            / F.col("n_ranks").cast("double")
+            / F.lit(float(scale))
+        ).alias("intercept"),
+    )

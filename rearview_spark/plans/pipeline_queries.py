@@ -3466,3 +3466,54 @@ PENDING_QUERIES["doc_vocab_growth"] = {
     "fn": doc_vocab_growth,
     "oracle": DOC_VOCAB_GROWTH_SQL,
 }
+
+
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary
+    (operators/text.zipf_fit): ln-count regressed on ln-rank with
+    1e-5-quantized int64 log coordinates, exact integer moment sums,
+    and fixed double slope/intercept expressions mirrored
+    operation-for-operation in the oracle."""
+    from rearview_spark.operators.text import zipf_fit
+
+    return zipf_fit(Tables(spark, sf_dir).documents)
+
+
+_Z = "100000.0"
+_SLOPE = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+DOC_ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split({NORM}, ' ')) AS w FROM documents),
+counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk FROM counts),
+q AS (
+  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * {_Z}) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * {_Z}) AS BIGINT) AS y
+  FROM r),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM q)
+SELECT n AS n_ranks,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN {_SLOPE} END AS slope,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN ((CAST(sy AS DOUBLE) - {_SLOPE} * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) / {_Z}
+       END AS intercept
+FROM m
+"""
+
+# Staged for r14 alongside doc_vocab_growth (window-full rule).
+PENDING_QUERIES["doc_zipf_fit"] = {"fn": doc_zipf_fit, "oracle": DOC_ZIPF_SQL}

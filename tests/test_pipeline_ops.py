@@ -2761,3 +2761,26 @@ def test_vocab_growth_hand_computed(spark):
     assert vocab_growth(empty).count() == 0
     with pytest.raises(ValueError):
         vocab_growth(df, deciles=0)
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    import math
+    from rearview_spark.operators.text import zipf_fit
+
+    # plant an exact Zipf-like corpus: token k repeated round(1000/k)
+    # times -> ln(count) ~ ln(1000) - 1.0 * ln(rank)
+    rows = []
+    doc = []
+    for k in range(1, 51):
+        doc.extend([f"tok{k:03d}"] * round(1000 / k))
+    rows.append((1, " ".join(doc)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = zipf_fit(df).collect()[0]
+    assert r["n_ranks"] == 50
+    assert abs(r["slope"] - (-1.0)) < 0.01
+    assert abs(r["intercept"] - math.log(1000)) < 0.05
+
+    # fewer than two ranks: no line, NULL slope
+    flat = spark.createDataFrame([(1, "a a a")], "doc_id int, text string")
+    f = zipf_fit(flat).collect()[0]
+    assert f["n_ranks"] == 1 and f["slope"] is None and f["intercept"] is None
