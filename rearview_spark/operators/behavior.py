@@ -437,3 +437,81 @@ def concurrency_foreach_batch(
         )
 
     return _process
+
+
+def burstiness_fano(
+    df: DataFrame,
+    ts_col: str = "ts",
+    kind_col: str = "event_type",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Per-kind burstiness via the Fano factor — the dispersion of the
+    per-bucket arrival counts, ``var(k) / mean(k)``: a Poisson-regular
+    stream reads ~1, retry storms / thundering herds read >> 1, rate-
+    limited or heartbeat traffic << 1. The capacity-planning companion
+    to peak_concurrency (peak says how high; Fano says how lumpy).
+
+    The bucket grid is the FULL closed range ``[min_bucket,
+    max_bucket]`` of the whole frame — empty buckets count as zeros
+    (dropping them would deflate variance exactly where burstiness
+    lives), entering through the closed-form bucket count ``H`` rather
+    than materialized zero rows.
+
+    Exactness: per-bucket counts are exact int64, so Σk and Σk² are
+    exact order-immune moments; mean and Fano are fixed double
+    expressions over those exact operands (mirrored op-for-op in the
+    oracle) — Fano = (H·Σk² − (Σk)²) / (H·Σk), one expression tree, no
+    intermediate rounding. Doubles are used for the H·Σk² products (at
+    deployment scale they exceed int64; the moments themselves stay
+    exact).
+
+    Scale shape: one hash collapse to (kind, bucket) — the only
+    corpus-sized stage — then a kind-domain re-aggregation and a
+    broadcast one-row range join. Returns one row per kind:
+    ``(kind, n_buckets, n_events, mean_per_bucket, fano)``; Fano NULL
+    for a kind with no events.
+    """
+    if not isinstance(bucket_seconds, int) or bucket_seconds < 1:
+        raise ValueError(
+            "burstiness_fano: bucket_seconds must be a positive int "
+            f"(got {bucket_seconds!r})"
+        )
+    b = F.expr(
+        f"CAST(ts_long div {bucket_seconds} AS BIGINT)"
+    )
+    base = df.select(
+        F.col(kind_col).alias("kind"),
+        F.col(ts_col).cast("long").alias("ts_long"),
+    ).withColumn("bucket", b)
+    rng = base.agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    per_bucket = base.groupBy("kind", "bucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    moments = per_bucket.groupBy("kind").agg(
+        F.sum("k").cast("long").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
+    )
+    h = (F.col("_hi") - F.col("_lo") + F.lit(1)).cast("double")
+    fano = F.when(
+        F.col("sk") > 0,
+        (
+            h * F.col("skk").cast("double")
+            - F.col("sk").cast("double") * F.col("sk").cast("double")
+        )
+        / (h * F.col("sk").cast("double")),
+    )
+    return (
+        moments.crossJoin(F.broadcast(rng))
+        .select(
+            "kind",
+            (F.col("_hi") - F.col("_lo") + F.lit(1))
+            .cast("long")
+            .alias("n_buckets"),
+            F.col("sk").alias("n_events"),
+            (F.col("sk").cast("double") / h).alias("mean_per_bucket"),
+            fano.alias("fano"),
+        )
+        .orderBy("kind")
+    )

@@ -1582,3 +1582,41 @@ FROM s2 ORDER BY t
 """
 
 QUERIES["ev_km_survival"] = {"fn": ev_km_survival, "oracle": EV_KM_SQL}
+
+
+def ev_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Fano factor over hourly arrival counts
+    (operators/behavior.burstiness_fano): dispersion of the hourly
+    grid INCLUDING empty hours (via the closed-form bucket count), so
+    burstiness is never deflated. Exact int64 count moments; mean and
+    Fano are fixed double expressions mirrored in the oracle."""
+    from rearview_spark.operators.behavior import burstiness_fano
+
+    return burstiness_fano(Tables(spark, sf_dir).events)
+
+
+EV_BURST_SQL = """
+WITH base AS (
+  SELECT event_type AS kind,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket
+  FROM events),
+rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM base),
+per_b AS (SELECT kind, bucket, count(*) AS k FROM base GROUP BY 1, 2),
+m AS (
+  SELECT kind, CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS skk
+  FROM per_b GROUP BY 1)
+SELECT kind,
+       CAST(hi - lo + 1 AS BIGINT) AS n_buckets,
+       sk AS n_events,
+       CAST(sk AS DOUBLE) / CAST(hi - lo + 1 AS DOUBLE) AS mean_per_bucket,
+       CASE WHEN sk > 0
+            THEN (CAST(hi - lo + 1 AS DOUBLE) * CAST(skk AS DOUBLE)
+                  - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+                 / (CAST(hi - lo + 1 AS DOUBLE) * CAST(sk AS DOUBLE))
+       END AS fano
+FROM m, rng ORDER BY kind
+"""
+
+# Staged for r14 alongside the text-forensics pair (window-full rule).
+PENDING_QUERIES["ev_burstiness"] = {"fn": ev_burstiness, "oracle": EV_BURST_SQL}

@@ -2784,3 +2784,32 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     flat = spark.createDataFrame([(1, "a a a")], "doc_id int, text string")
     f = zipf_fit(flat).collect()[0]
     assert f["n_ranks"] == 1 and f["slope"] is None and f["intercept"] is None
+
+
+def test_burstiness_fano_hand_computed(spark):
+    from rearview_spark.operators.behavior import burstiness_fano
+
+    # grid spans buckets 0..3 (H=4, zeros included via the closed form).
+    # A: 3 events in bucket 0, 1 in bucket 3 -> fano (4*10-16)/(4*4)=1.5
+    # B: 1 event each in buckets 1,2       -> fano (4*2-4)/(4*2)=0.5
+    rows = [
+        ("A", 0), ("A", 10), ("A", 20), ("A", 3 * 3600),
+        ("B", 3600), ("B", 2 * 3600),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    out = {r["kind"]: r for r in burstiness_fano(df).collect()}
+    assert out["A"]["n_buckets"] == 4 and out["A"]["n_events"] == 4
+    assert out["A"]["mean_per_bucket"] == 1.0 and out["A"]["fano"] == 1.5
+    assert out["B"]["fano"] == 0.5
+
+    # a perfectly regular stream: one event per bucket -> fano 0... no:
+    # var of constant 1 over all-occupied grid = 0 -> fano 0
+    reg = spark.createDataFrame(
+        [("C", h * 3600) for h in range(6)], "event_type string, ts long"
+    )
+    r = burstiness_fano(reg).collect()[0]
+    assert r["fano"] == 0.0 and r["mean_per_bucket"] == 1.0
+
+    import pytest
+    with pytest.raises(ValueError):
+        burstiness_fano(df, bucket_seconds=0)
