@@ -1524,3 +1524,68 @@ def excise_duplicated_spans(
     return out.select(
         *keep_cols, cleaned.alias(text_col), removed.alias("n_tokens_removed")
     )
+
+
+def dedup_savings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup ROI summary — the one-row answer to "what does running
+    this dedup pass actually buy": MinHash-LSH near-dup pairs ->
+    connected components -> per-group keep-the-largest decision ->
+    corpus-level bytes-removed accounting. The planning read taken
+    BEFORE committing a full rewrite pass at scale (a <1% saving does
+    not pay for a 100 TB shuffle).
+
+    Keep rule here is max-``chars_col`` per group (the ROI bound —
+    :func:`canonical_docs` implements the quality-aware keep for the
+    actual rewrite); removed chars = group total minus kept. All
+    counts/sums exact int64; ``frac_removed`` is ONE division of exact
+    integers.
+
+    Scale shape: reuses the banded minhash pair machinery (never
+    all-pairs) and the iterative min-label components; everything
+    after is a component-domain aggregate + a one-row corpus
+    aggregate. Returns one row ``(n_docs, chars_total, n_dup_groups,
+    n_dup_members, chars_removed, frac_removed)`` — zeros (not NULLs)
+    when no duplicates exist.
+    """
+    pairs = minhash_near_duplicates(df, text_col, id_col, threshold)
+    cc = connected_components(pairs)
+    chars = df.select(
+        F.col(id_col).alias("id"), F.col(chars_col).alias("_ch")
+    )
+    per_comp = (
+        cc.join(chars, "id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_ch").alias("tot"),
+            F.max("_ch").alias("keep_ch"),
+        )
+    )
+    dup_agg = per_comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_dup_members"),
+        F.coalesce(F.sum(F.col("tot") - F.col("keep_ch")), F.lit(0))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+    corpus = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(chars_col)).cast("long").alias("chars_total"),
+    )
+    return corpus.crossJoin(F.broadcast(dup_agg)).select(
+        "n_docs",
+        "chars_total",
+        "n_dup_groups",
+        "n_dup_members",
+        "chars_removed",
+        (
+            F.col("chars_removed").cast("double")
+            / F.col("chars_total").cast("double")
+        ).alias("frac_removed"),
+    )

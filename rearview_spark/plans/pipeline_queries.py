@@ -3517,3 +3517,59 @@ FROM m
 
 # Staged for r14 alongside doc_vocab_growth (window-full rule).
 PENDING_QUERIES["doc_zipf_fit"] = {"fn": doc_zipf_fit, "oracle": DOC_ZIPF_SQL}
+
+
+def dedup_roi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup ROI accounting (operators/dedup.dedup_savings):
+    how many duplicate groups/members exist at the 0.05 Jaccard
+    threshold and what fraction of corpus characters a keep-the-largest
+    rewrite would remove — the go/no-go read before paying for the full
+    pass. Exact counts; frac_removed is one division of exact int64."""
+    from rearview_spark.operators import dedup as D
+
+    return D.dedup_savings(Tables(spark, sf_dir).documents, threshold=0.05)
+
+
+DEDUP_ROI_SQL = (
+    "WITH RECURSIVE"
+    + _MINHASH_CTES.lstrip()[4:]
+    + """, pairs AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.05
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+), comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+mem AS (
+  SELECT comp.component, d.n_chars
+  FROM comp JOIN documents d ON comp.id = d.doc_id),
+per_c AS (
+  SELECT component, count(*) AS n, sum(n_chars) AS tot,
+         max(n_chars) AS keep_ch
+  FROM mem GROUP BY 1),
+dup_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_members,
+         CAST(coalesce(sum(tot - keep_ch), 0) AS BIGINT) AS chars_removed
+  FROM per_c),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars_total
+  FROM documents)
+SELECT n_docs, chars_total, n_dup_groups, n_dup_members, chars_removed,
+       CAST(chars_removed AS DOUBLE) / CAST(chars_total AS DOUBLE)
+         AS frac_removed
+FROM corpus, dup_agg
+"""
+)
+
+# Staged for r14 (window-full rule) with the forensics/burstiness wave.
+PENDING_QUERIES["dedup_roi_summary"] = {
+    "fn": dedup_roi_summary,
+    "oracle": DEDUP_ROI_SQL,
+}

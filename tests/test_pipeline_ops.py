@@ -2813,3 +2813,31 @@ def test_burstiness_fano_hand_computed(spark):
     import pytest
     with pytest.raises(ValueError):
         burstiness_fano(df, bucket_seconds=0)
+
+
+def test_dedup_savings_hand_computed(spark):
+    from rearview_spark.operators.dedup import dedup_savings
+
+    # two identical docs (one dup group) + one unique: keep the larger
+    # member, remove the smaller's chars
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", 44),
+        (2, "the quick brown fox jumps over the lazy dog", 44),
+        (3, "completely different text with no overlap at all", 49),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, n_chars int")
+    r = dedup_savings(df, threshold=0.5).collect()[0]
+    assert (r["n_docs"], r["chars_total"]) == (3, 137)
+    assert (r["n_dup_groups"], r["n_dup_members"]) == (1, 2)
+    assert r["chars_removed"] == 44
+    assert abs(r["frac_removed"] - 44 / 137) < 1e-12
+
+    # no duplicates: zeros, not NULLs
+    uniq = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", 35),
+         (2, "one two three four five six seven", 33)],
+        "doc_id int, text string, n_chars int",
+    )
+    z = dedup_savings(uniq, threshold=0.5).collect()[0]
+    assert (z["n_dup_groups"], z["n_dup_members"], z["chars_removed"]) == (0, 0, 0)
+    assert z["frac_removed"] == 0.0
