@@ -1589,3 +1589,97 @@ def dedup_savings(
             / F.col("chars_total").cast("double")
         ).alias("frac_removed"),
     )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Sketch-fidelity audit for the MinHash pipeline: over every LSH
+    CANDIDATE pair, compare the signature-based Jaccard ESTIMATE
+    (matching positions / num_hashes) against the exact Jaccard the
+    verification stage computes anyway, and summarize the absolute
+    error — the measurement that justifies (or indicts) the signature
+    width before a 100 TB dedup run trusts its banding recall
+    (tools/ann_recall.py is the ANN sibling of this audit; this one is
+    gate-checkable because every quantity is engine-exact).
+
+    Determinism: match count ``m``, intersection ``i`` and union ``u``
+    are exact integers, so each pair's error is ONE division of exact
+    operands — ``|m·u − i·K| / (K·u)``; the mean aggregates
+    1/``scale``-quantized int64 units (order-immune), and
+    p50/p90/max are element picks / comparisons of those exact-ratio
+    doubles. No rounding contract anywhere else.
+
+    Scale shape: identical to minhash_near_duplicates (one signature
+    pass, banded candidates — never all-pairs, pair-scale verification)
+    plus one K-element zip per pair; the same cache-scoping discipline
+    (errors materialize pair-scale, the corpus-scale signature cache
+    releases before return).
+
+    Returns one row ``(n_pairs, mean_abs_err, p50_abs_err, p90_abs_err,
+    max_abs_err)``; the error columns are NULL when no candidate pairs
+    exist.
+    """
+    df = ensure_parallelism(df, id_col)
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sigs = signature_from_shingles(
+        shingled, id_col, num_hashes, with_hash_set=True
+    ).cache()
+    cands = lsh_candidate_pairs(
+        sigs.select(id_col, "sig"), id_col, num_hashes, bands, max_bucket_size
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shs").alias("sh_a"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shs").alias("sh_b"),
+    )
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    m = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), "
+        "0, (acc, v) -> acc + v)"
+    )
+    i = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    u = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    err = F.abs(m.cast("long") * u - i * F.lit(num_hashes)).cast("double") / (
+        F.lit(num_hashes) * u
+    ).cast("double")
+    errs = joined.select(err.alias("err")).localCheckpoint(eager=True)
+    sigs.unpersist()
+    agg = errs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.round(F.col("err") * F.lit(float(scale))).cast("long")).alias(
+            "_units"
+        ),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY err)").alias(
+            "p50_abs_err"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY err)").alias(
+            "p90_abs_err"
+        ),
+        F.max("err").alias("max_abs_err"),
+    )
+    return agg.select(
+        "n_pairs",
+        (
+            F.col("_units").cast("double")
+            / F.col("n_pairs").cast("double")
+            / F.lit(float(scale))
+        ).alias("mean_abs_err"),
+        "p50_abs_err",
+        "p90_abs_err",
+        "max_abs_err",
+    )

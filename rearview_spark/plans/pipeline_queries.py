@@ -3573,3 +3573,58 @@ PENDING_QUERIES["dedup_roi_summary"] = {
     "fn": dedup_roi_summary,
     "oracle": DEDUP_ROI_SQL,
 }
+
+
+def dedup_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-fidelity audit (operators/dedup.minhash_estimate_error):
+    absolute error of the 16-hash signature Jaccard estimate against
+    exact Jaccard over every LSH candidate pair — the width-
+    justification measurement before trusting the banding at scale.
+    Each pair error is one division of exact integers; the mean sums
+    quantized int64 units; p50/p90/max are element picks/comparisons."""
+    from rearview_spark.operators import dedup as D
+
+    return D.minhash_estimate_error(Tables(spark, sf_dir).documents)
+
+
+DEDUP_FIDELITY_SQL = (
+    _MINHASH_CTES
+    + """, mtc AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+  FROM cands c
+  JOIN sigs x ON x.doc_id = c.id_a
+  JOIN sigs y ON y.doc_id = c.id_b AND y.k = x.k
+  GROUP BY 1, 2
+), ex AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i,
+         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS u
+  FROM cands c
+  JOIN sh sa ON c.id_a = sa.doc_id
+  JOIN sh sb ON c.id_b = sb.doc_id
+), errs AS (
+  SELECT CAST(abs(CAST(mtc.m AS BIGINT) * ex.u - ex.i * 16) AS DOUBLE)
+           / CAST(16 * ex.u AS DOUBLE) AS err
+  FROM mtc JOIN ex ON mtc.id_a = ex.id_a AND mtc.id_b = ex.id_b
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(round(err * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS units,
+         quantile_disc(err, 0.5) AS p50_abs_err,
+         quantile_disc(err, 0.9) AS p90_abs_err,
+         max(err) AS max_abs_err
+  FROM errs)
+SELECT n_pairs,
+       CAST(units AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0
+         AS mean_abs_err,
+       p50_abs_err, p90_abs_err, max_abs_err
+FROM agg
+"""
+)
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["dedup_minhash_fidelity"] = {
+    "fn": dedup_minhash_fidelity,
+    "oracle": DEDUP_FIDELITY_SQL,
+}

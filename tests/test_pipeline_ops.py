@@ -2841,3 +2841,38 @@ def test_dedup_savings_hand_computed(spark):
     z = dedup_savings(uniq, threshold=0.5).collect()[0]
     assert (z["n_dup_groups"], z["n_dup_members"], z["chars_removed"]) == (0, 0, 0)
     assert z["frac_removed"] == 0.0
+
+
+def test_minhash_estimate_error_identical_docs_zero(spark):
+    from rearview_spark.operators.dedup import minhash_estimate_error
+
+    # identical docs: signatures match in every position AND exact
+    # jaccard is 1 -> the candidate pair's error is exactly 0
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt)], "doc_id int, text string"
+    )
+    r = minhash_estimate_error(df).collect()[0]
+    assert r["n_pairs"] == 1
+    assert r["mean_abs_err"] == 0.0
+    assert r["p50_abs_err"] == 0.0 and r["max_abs_err"] == 0.0
+
+    # error is bounded by 1 and the summary stays ordered
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha beta gamma delta epsilon zeta mu nu"),
+    ]
+    df2 = spark.createDataFrame(rows, "doc_id int, text string")
+    r2 = minhash_estimate_error(df2).collect()[0]
+    if r2["n_pairs"] > 0:
+        assert 0.0 <= r2["p50_abs_err"] <= r2["p90_abs_err"] <= r2["max_abs_err"] <= 1.0
+        assert 0.0 <= r2["mean_abs_err"] <= 1.0
+
+    # no candidate pairs: count 0, NULL errors, no crash
+    disj = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "seven eight nine ten eleven twelve")],
+        "doc_id int, text string",
+    )
+    r3 = minhash_estimate_error(disj).collect()[0]
+    assert r3["n_pairs"] == 0 and r3["mean_abs_err"] is None
