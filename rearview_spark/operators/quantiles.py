@@ -78,3 +78,74 @@ def exact_percentiles(
         .select("p", "rank", F.col("_v").alias("value"))
         .orderBy("p")
     )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Winsorization audit: clamp a numeric column at its exact
+    ``lower``/``upper`` discrete percentiles and report what the
+    clipping does — clipped-row counts per tail, the exact bounds, and
+    the mean before/after — the outlier-treatment decision read (how
+    much does the tail actually move the mean?) before a cleaning pass
+    rewrites data.
+
+    Bounds come from :func:`exact_percentiles` (element PICKS over the
+    strict (value, tiebreak) order — engine-exact, collected as a
+    2-row bounded artifact); clipped counts are exact int64; means
+    aggregate ``cents_scale``-quantized int64 units (the plans/_exact
+    integer-cents discipline) with one terminal division each. The
+    ceil(p*n) rank arithmetic is the same IEEE double expression in
+    both engines.
+
+    Scale shape: one ranked pass for the bounds (range shuffle), one
+    full-scan hash collapse to a single row. Raises on an all-NULL /
+    empty column (no distribution to winsorize).
+
+    Returns one row ``(n, n_clipped_low, n_clipped_high, lo_bound,
+    hi_bound, mean_before, mean_after)``.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"winsorize_summary: need 0 <= lower < upper <= 1 "
+            f"(got {lower!r}, {upper!r})"
+        )
+    bounds = {
+        row["p"]: row["value"]
+        for row in exact_percentiles(
+            df, value_col, [lower, upper], tiebreak_col
+        ).collect()
+    }
+    lo, hi = float(bounds[lower]), float(bounds[upper])
+    v = F.col(value_col)
+    clamped = (
+        F.when(v < F.lit(lo), F.lit(lo))
+        .when(v > F.lit(hi), F.lit(hi))
+        .otherwise(v)
+    )
+    scale = float(cents_scale)
+    agg = df.filter(v.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((v < F.lit(lo)).cast("int")).cast("long").alias("n_clipped_low"),
+        F.sum((v > F.lit(hi)).cast("int")).cast("long").alias("n_clipped_high"),
+        F.sum(F.round(v * F.lit(scale)).cast("long")).alias("_sb"),
+        F.sum(F.round(clamped * F.lit(scale)).cast("long")).alias("_sa"),
+    )
+    return agg.select(
+        "n",
+        "n_clipped_low",
+        "n_clipped_high",
+        F.lit(lo).alias("lo_bound"),
+        F.lit(hi).alias("hi_bound"),
+        (
+            F.col("_sb").cast("double") / F.col("n").cast("double") / F.lit(scale)
+        ).alias("mean_before"),
+        (
+            F.col("_sa").cast("double") / F.col("n").cast("double") / F.lit(scale)
+        ).alias("mean_after"),
+    )

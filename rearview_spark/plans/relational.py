@@ -1944,3 +1944,61 @@ QUERIES["rel_equidepth_hist"] = {
     "fn": rel_equidepth_hist,
     "oracle": REL_EQUIDEPTH_SQL,
 }
+
+
+def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit of order totals
+    (operators/quantiles.winsorize_summary): clamp at the exact
+    p01/p99 discrete percentiles (element picks over the strict
+    (price, orderkey) order) and report clipped counts and the
+    integer-cents mean before/after — the outlier-treatment decision
+    read. Rank arithmetic and every division are the same IEEE
+    expressions in both engines."""
+    from rearview_spark.operators.quantiles import winsorize_summary
+
+    t = Tables(spark, sf_dir)
+    return winsorize_summary(t.orders, "o_totalprice", "o_orderkey")
+
+
+REL_WINSOR_SQL = """
+WITH v AS (
+  SELECT o_totalprice AS v, o_orderkey AS t
+  FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (
+  SELECT v, t, row_number() OVER (ORDER BY v, t) AS rnk,
+         count(*) OVER () AS n
+  FROM v),
+b AS (
+  SELECT
+    min(CASE WHEN rnk = greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+             THEN v END) AS lo,
+    min(CASE WHEN rnk = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+             THEN v END) AS hi
+  FROM r),
+c AS (
+  SELECT v.v, b.lo, b.hi,
+         CASE WHEN v.v < b.lo THEN b.lo
+              WHEN v.v > b.hi THEN b.hi
+              ELSE v.v END AS cv
+  FROM v, b),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_low,
+         CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_high,
+         CAST(sum(CAST(round(v * 100.0) AS BIGINT)) AS BIGINT) AS sb,
+         CAST(sum(CAST(round(cv * 100.0) AS BIGINT)) AS BIGINT) AS sa,
+         min(lo) AS lo_bound, min(hi) AS hi_bound
+  FROM c)
+SELECT n, n_clipped_low, n_clipped_high, lo_bound, hi_bound,
+       CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_before,
+       CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_after
+FROM agg
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["rel_winsorize"] = {
+    "fn": rel_winsorize,
+    "oracle": REL_WINSOR_SQL,
+}

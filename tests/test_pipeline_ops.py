@@ -2876,3 +2876,21 @@ def test_minhash_estimate_error_identical_docs_zero(spark):
     )
     r3 = minhash_estimate_error(disj).collect()[0]
     assert r3["n_pairs"] == 0 and r3["mean_abs_err"] is None
+
+
+def test_winsorize_summary_hand_computed(spark):
+    from rearview_spark.operators.quantiles import winsorize_summary
+
+    # 10 values 1..10, clamp at p10/p90: bounds are ranks ceil(1)=1 and
+    # ceil(9)=9 -> lo=1, hi=9; only the 10 clips (to 9)
+    rows = [(i, float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    r = winsorize_summary(df, "v", "id", lower=0.1, upper=0.9).collect()[0]
+    assert (r["lo_bound"], r["hi_bound"]) == (1.0, 9.0)
+    assert (r["n_clipped_low"], r["n_clipped_high"]) == (0, 1)
+    assert r["mean_before"] == 5.5
+    assert r["mean_after"] == 5.4  # 10 -> 9 drops the mean by 0.1
+
+    import pytest
+    with pytest.raises(ValueError):
+        winsorize_summary(df, "v", "id", lower=0.9, upper=0.1)
