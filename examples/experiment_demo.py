@@ -33,6 +33,14 @@ from rearview_spark.session import get_spark
 from rearview_spark.sources.loader import Tables
 
 
+def fmt(x, spec: str = ".4f") -> str:
+    """NULL-tolerant number formatting: the operators document NULL
+    outputs for degenerate inputs (empty variant, degenerate pooled
+    rate, no positives) — print the documented 'undefined' instead of
+    crash-formatting None."""
+    return "undefined" if x is None else format(x, spec)
+
+
 def main(sf_dir: str) -> None:
     spark = get_spark("experiment_demo", shuffle_partitions=8)
     t = Tables(spark, sf_dir)
@@ -51,10 +59,15 @@ def main(sf_dir: str) -> None:
         "conv",
     )
     z = two_proportion_ztest(assigned, "grp", "conv").collect()[0]
+    verdict = (
+        "undefined"
+        if z["z"] is None
+        else ("significant" if abs(z["z"]) > 1.96 else "not significant")
+    )
     print(
         f"ztest        n0={z['n0']} n1={z['n1']} "
-        f"rate0={z['rate0']:.4f} rate1={z['rate1']:.4f} z={z['z']:.3f} "
-        f"({'significant' if abs(z['z']) > 1.96 else 'not significant'} at 5%)"
+        f"rate0={fmt(z['rate0'])} rate1={fmt(z['rate1'])} "
+        f"z={fmt(z['z'], '.3f')} ({verdict} at 5%)"
     )
 
     # --- 2. Calibration: n_chars as an English-ness score, 10 bins
@@ -76,7 +89,7 @@ def main(sf_dir: str) -> None:
     for r in top3:
         print(
             f"gains        decile {r['bucket']}: cum_pos={r['cum_pos']} "
-            f"gain={r['gain']:.3f} lift={r['lift']:.2f}"
+            f"gain={fmt(r['gain'], '.3f')} lift={fmt(r['lift'], '.2f')}"
         )
 
     # --- 4. KS drift: first vs second half of the event window
@@ -89,7 +102,8 @@ def main(sf_dir: str) -> None:
     )
     ks = ks_two_sample(grp, "v", "g").collect()[0]
     print(
-        f"ks           D={ks['d_stat']:.5f} at value={ks['at_value']:.3f} "
+        f"ks           D={fmt(ks['d_stat'], '.5f')} "
+        f"at value={fmt(ks['at_value'], '.3f')} "
         f"(n_a={ks['n_a']}, n_b={ks['n_b']})"
     )
 
@@ -114,12 +128,15 @@ def main(sf_dir: str) -> None:
         )
     )
     curve = kaplan_meier(durs, "dur", "evt").collect()
-    head, tail = curve[0], curve[-1]
-    print(
-        f"survival     {len(curve)} event times; "
-        f"S({head['t']}s)={head['survival']:.4f} ... "
-        f"S({tail['t']}s)={tail['survival']:.4f}"
-    )
+    if curve:
+        head, tail = curve[0], curve[-1]
+        print(
+            f"survival     {len(curve)} event times; "
+            f"S({head['t']}s)={fmt(head['survival'])} ... "
+            f"S({tail['t']}s)={fmt(tail['survival'])}"
+        )
+    else:
+        print("survival     no observed conversions (all censored)")
 
     spark.stop()
 

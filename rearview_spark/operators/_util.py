@@ -300,3 +300,22 @@ def global_running_sum(
         out_col,
         (F.sum(val).over(w) + offset_expr).cast("long"),
     ).drop("_gpid")
+
+
+def binary_flag_guard(col_name: str, ctx: str):
+    """0/1-validated flag column: any value outside {0, 1} (or NULL)
+    fails AT EXECUTION via an inline raise_error riding the same scan
+    — the shared form of the guard the evaluation/stats/drift families
+    each need (a flag of 2 or NULL would silently corrupt every count).
+    ``ctx`` names the raising operator in the message."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col_name).cast("int")
+    return F.when(c.isin(0, 1), c).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{ctx}: {col_name} must be 0/1, got "),
+                F.coalesce(c.cast("string"), F.lit("NULL")),
+            )
+        ).cast("int")
+    )

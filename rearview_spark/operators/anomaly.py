@@ -438,16 +438,10 @@ def ks_value_counts(
     KS summary: counts combine by ADDITION, so micro-batched builds
     (or a union of separately-counted sides) are bit-identical to one
     pass (the CM/HLL/PSI-occupancy property). ``group_col`` must be
-    0/1, validated at execution."""
-    g = F.col(group_col).cast("int")
-    grp = F.when(g.isin(0, 1), g).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("ks_two_sample: group must be 0/1, got "),
-                F.coalesce(g.cast("string"), F.lit("NULL")),
-            )
-        ).cast("int")
-    )
+    0/1, validated at execution (operators/_util.binary_flag_guard)."""
+    from rearview_spark.operators._util import binary_flag_guard
+
+    grp = binary_flag_guard(group_col, "ks_value_counts")
     return df.groupBy(F.col(value_col).alias("v")).agg(
         F.sum(F.lit(1) - grp).alias("ca"),
         F.sum(grp).alias("cb"),
@@ -466,7 +460,10 @@ def ks_from_counts(per_v: DataFrame) -> DataFrame:
     )
     cum = global_running_sum(per_v, ["v"], "ca", out_col="cum_a")
     cum = global_running_sum(cum, ["v"], "cb", out_col="cum_b")
-    totals = per_v.agg(
+    # totals from the (checkpointed, distinct-value-sized) cum frame —
+    # aggregating per_v here would RE-EXECUTE the corpus-collapsing
+    # count plan from the raw input a second time
+    totals = cum.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
     )

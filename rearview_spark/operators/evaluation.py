@@ -23,16 +23,11 @@ def _binary_label(label_col: str):
     fails AT EXECUTION via an inline raise_error — a label of 2 would
     silently corrupt every count, and the guard rides the same scan
     (the allocate_proportional pattern; ADVICE-r12 class of bug,
-    pre-empted)."""
-    lab = F.col(label_col).cast("int")
-    return F.when(lab.isin(0, 1), lab).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("evaluation: label must be 0/1 or boolean, got "),
-                F.coalesce(lab.cast("string"), F.lit("NULL")),
-            )
-        ).cast("int")
-    )
+    pre-empted). Single-sourced with the stats/drift families in
+    operators/_util.binary_flag_guard."""
+    from rearview_spark.operators._util import binary_flag_guard
+
+    return binary_flag_guard(label_col, "evaluation")
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
@@ -280,6 +275,9 @@ def calibration_bins(
         raise ValueError(f"calibration_bins: bins must be >= 1 (got {bins!r})")
     lab = _binary_label(label_col)
     s = F.col(score_col).cast("long")
+    # NULL scores have no bin (and Spark/DuckDB order NULL groups on
+    # opposite ends) — exclude them, the equi_depth_histogram rule
+    df = df.filter(F.col(score_col).isNotNull())
     rng = df.agg(F.min(s).alias("_smin"), F.max(s).alias("_smax"))
     binned = df.select(lab.alias("_y"), s.alias("_s")).crossJoin(
         F.broadcast(rng)
@@ -372,7 +370,10 @@ def cumulative_gains(
     )
     cum = global_running_sum(per_bucket, ["bucket"], "n", out_col="cum_n")
     cum = global_running_sum(cum, ["bucket"], "n_pos", out_col="cum_pos")
-    totals = per_bucket.agg(F.sum("n_pos").cast("long").alias("_tot_pos"))
+    # totals from the (checkpointed inside global_running_sum,
+    # <= n_bins-row) cum frame — re-aggregating per_bucket would replay
+    # the bucket collapse over the ranked checkpoint a second time
+    totals = cum.agg(F.sum("n_pos").cast("long").alias("_tot_pos"))
     return (
         cum.crossJoin(F.broadcast(totals))
         .select(

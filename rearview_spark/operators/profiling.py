@@ -102,8 +102,15 @@ def equi_depth_histogram(
     )
     ranked, total = global_row_number(base, ["_v", "_id"], out_col="_rn")
     if total == 0:
-        return ranked.sparkSession.createDataFrame(
-            [], "bucket long, n long, lo double, hi double"
+        # zero rows with the SAME schema as the non-empty path — lo/hi
+        # keep value_col's own type (a hardcoded double would make the
+        # empty case schema-divergent for int/decimal columns)
+        return ranked.groupBy(
+            F.lit(0).cast("long").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
         )
     return (
         ranked.groupBy(

@@ -187,19 +187,10 @@ def two_proportion_ztest(
     degenerate (0 or 1 — no variance to test against).
     """
 
-    def _bin(col_name: str):
-        c = F.col(col_name).cast("int")
-        return F.when(c.isin(0, 1), c).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"two_proportion_ztest: {col_name} must be 0/1, got "),
-                    F.coalesce(c.cast("string"), F.lit("NULL")),
-                )
-            ).cast("int")
-        )
+    from rearview_spark.operators._util import binary_flag_guard
 
-    g = _bin(group_col)
-    s = _bin(success_col)
+    g = binary_flag_guard(group_col, "two_proportion_ztest")
+    s = binary_flag_guard(success_col, "two_proportion_ztest")
     agg = df.agg(
         F.sum(F.lit(1) - g).cast("long").alias("n0"),
         F.sum(g).cast("long").alias("n1"),
@@ -277,18 +268,10 @@ def kaplan_meier(
     ascending; ``c`` counts censorings at that same time (which exit
     the risk set after the step, the standard convention).
     """
-    from rearview_spark.operators._util import global_running_sum
-
-    def _bin(col_name: str):
-        col = F.col(col_name).cast("int")
-        return F.when(col.isin(0, 1), col).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"kaplan_meier: {col_name} must be 0/1, got "),
-                    F.coalesce(col.cast("string"), F.lit("NULL")),
-                )
-            ).cast("int")
-        )
+    from rearview_spark.operators._util import (
+        binary_flag_guard,
+        global_running_sum,
+    )
 
     dur = F.col(duration_col).cast("long")
     t_checked = F.when(dur >= 0, dur).otherwise(
@@ -299,7 +282,7 @@ def kaplan_meier(
             )
         ).cast("long")
     )
-    ev = _bin(event_col)
+    ev = binary_flag_guard(event_col, "kaplan_meier")
     per_t = (
         df.select(t_checked.alias("t"), ev.alias("_e"))
         .groupBy("t")
@@ -310,7 +293,10 @@ def kaplan_meier(
         .withColumn("dc", F.col("d") + F.col("c"))
     )
     cum = global_running_sum(per_t, ["t"], "dc", out_col="cum_dc")
-    total = per_t.agg(F.sum("dc").cast("long").alias("_n"))
+    # total from the (checkpointed, duration-domain-sized) cum frame —
+    # aggregating per_t would re-execute the subject collapse from the
+    # raw frame a second time
+    total = cum.agg(F.sum("dc").cast("long").alias("_n"))
     at_risk = cum.crossJoin(F.broadcast(total)).select(
         "t",
         "d",

@@ -1445,11 +1445,18 @@ def ev_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rearview_spark.operators.stats import two_proportion_ztest
 
     ev = Tables(spark, sf_dir).events
+    # coalesce per ROW: a NULL value makes the conjunction NULL, and a
+    # user whose rows are all NULL-valued purchases would max() to NULL
+    # and trip the 0/1 guard while the oracle's CASE reads 0
     users = ev.groupBy("user_id").agg(
         F.max(
-            (
-                (F.col("event_type") == "purchase") & (F.col("value") > 150)
-            ).cast("int")
+            F.coalesce(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150)
+                ).cast("int"),
+                F.lit(0),
+            )
         ).alias("converted")
     )
     assigned = users.select(

@@ -606,6 +606,7 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_ks_drift's FULL value oracle (micro-batching is a delivery
     choice, not a semantics change — the stream_psi_drift discipline).
     The batch=<id> state dirs carry the CM/HLL retry contract."""
+    import shutil
     import tempfile
 
     from rearview_spark.operators.anomaly import (
@@ -624,23 +625,28 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = v.filter(F.col("t") <= mid)
     cur = v.filter(F.col("t") > mid)
     state_dir = tempfile.mkdtemp(prefix="ks_stream_")
-    proc = ks_foreach_batch(spark, state_dir)
-    for i in range(3):
-        proc(cur.filter(F.col("t") % 3 == i).select("v"), i)
-    merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
-    counts = (
-        base.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("ca"))
-        .withColumn("cb", F.lit(0).cast("long"))
-        .unionByName(
-            merged.select(
-                "v",
-                F.lit(0).cast("long").alias("ca"),
-                F.col("c_cur").cast("long").alias("cb"),
+    try:
+        proc = ks_foreach_batch(spark, state_dir)
+        for i in range(3):
+            proc(cur.filter(F.col("t") % 3 == i).select("v"), i)
+        merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
+        counts = (
+            base.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("ca"))
+            .withColumn("cb", F.lit(0).cast("long"))
+            .unionByName(
+                merged.select(
+                    "v",
+                    F.lit(0).cast("long").alias("ca"),
+                    F.col("c_cur").cast("long").alias("cb"),
+                )
             )
         )
-    )
-    return ks_from_counts(counts)
+        # materialize before the state dir disappears (the
+        # stream_peak_concurrency cleanup contract)
+        return ks_from_counts(counts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 from rearview_spark.plans.events_queries import EV_KS_SQL as _STREAM_KS_SQL  # noqa: E402

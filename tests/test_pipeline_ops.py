@@ -2894,3 +2894,28 @@ def test_winsorize_summary_hand_computed(spark):
     import pytest
     with pytest.raises(ValueError):
         winsorize_summary(df, "v", "id", lower=0.9, upper=0.1)
+
+
+def test_calibration_bins_excludes_null_scores(spark):
+    from rearview_spark.operators.evaluation import calibration_bins
+
+    rows = [(0, 1), (9, 0), (None, 1), (None, 0)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = calibration_bins(df, "y", "s", bins=2).collect()
+    # no bin=NULL junk row; only the two real scores bin
+    assert [r["bin"] for r in out] == [0, 1]
+    assert sum(r["n"] for r in out) == 2
+
+
+def test_equi_depth_histogram_empty_schema_matches(spark):
+    from rearview_spark.operators.profiling import equi_depth_histogram
+
+    full = spark.createDataFrame([(1, 5)], "id int, v int")
+    empty = spark.createDataFrame([], "id int, v int")
+    a = equi_depth_histogram(full, "v", "id")
+    b = equi_depth_histogram(empty, "v", "id")
+    assert b.count() == 0
+    # lo/hi keep the value column's own type in BOTH paths
+    assert [f.dataType for f in a.schema.fields] == [
+        f.dataType for f in b.schema.fields
+    ]
