@@ -521,3 +521,116 @@ def ks_foreach_batch(spark, state_dir: str):
         )
 
     return _process
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    kind_col: str = "event_type",
+    error_kind: str = "error",
+    bucket_seconds: int = 3600,
+    short_windows: int = 1,
+    long_windows: int = 6,
+    budget: float = 0.01,
+) -> DataFrame:
+    """Multi-window SLO error-budget burn rate — the SRE alerting rule
+    (Beyer et al., "Site Reliability Workbook" ch. 5) the reference's
+    monitor scripts approximate by hand: per time bucket, the error
+    rate over a SHORT trailing window and a LONG one, each normalized
+    by the budget; page when BOTH exceed 1 (short = it's happening
+    now, long = it's not just a blip).
+
+    Exactness: bucket counts are exact int64 over a DENSE bucket grid
+    (missing buckets materialize as zeros via one F.sequence explode —
+    grid size is calendar-bounded, not data-bounded); trailing-window
+    sums are PREFIX-SUM DIFFERENCES — two global_running_sum passes +
+    two equi-joins on ``bucket - w`` (never a partition-less rolling
+    window); each rate/burn is a fixed double expression over exact
+    integers, mirrored op-for-op in the oracle. Only FULL windows emit
+    (edges return no verdict — the mean_shift_changepoints rule).
+
+    Scale shape: one corpus collapse to the bucket grid, then
+    everything runs on grid-sized frames (prefix sums, two self-joins,
+    the final select). Returns per bucket:
+    ``(bucket, n_short, err_short, n_long, err_long, burn_short,
+    burn_long, page)`` ascending; burn is NULL where the window saw no
+    traffic.
+    """
+    from rearview_spark.operators._util import global_running_sum
+
+    if not (0.0 < budget < 1.0):
+        raise ValueError(f"slo_burn_rate: budget must be in (0, 1), got {budget!r}")
+    if not (
+        isinstance(short_windows, int)
+        and isinstance(long_windows, int)
+        and 1 <= short_windows < long_windows
+    ):
+        raise ValueError(
+            "slo_burn_rate: need integer 1 <= short_windows < long_windows "
+            f"(got {short_windows!r}, {long_windows!r})"
+        )
+    base = df.select(
+        F.col(ts_col).cast("long").alias("_t"),
+        (F.col(kind_col) == error_kind).cast("int").alias("_e"),
+    ).select(
+        F.expr(f"_t div {bucket_seconds}").alias("bucket"), "_e"
+    )
+    counts = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_e").alias("err")
+    )
+    rng = counts.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket")
+    )
+    dense = (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("err", F.lit(0)).alias("err"),
+        )
+    )
+    cum = global_running_sum(dense, ["bucket"], "n", out_col="cum_n")
+    cum = global_running_sum(cum, ["bucket"], "err", out_col="cum_err")
+
+    def trailing(w: int, n_out: str, e_out: str) -> DataFrame:
+        prev = cum.select(
+            (F.col("bucket") + F.lit(w)).alias("bucket"),
+            F.col("cum_n").alias("_pn"),
+            F.col("cum_err").alias("_pe"),
+        )
+        return (
+            cum.join(prev, "bucket")
+            .select(
+                "bucket",
+                (F.col("cum_n") - F.col("_pn")).alias(n_out),
+                (F.col("cum_err") - F.col("_pe")).alias(e_out),
+            )
+        )
+
+    s = trailing(short_windows, "n_short", "err_short")
+    lw = trailing(long_windows, "n_long", "err_long")
+    joined = s.join(lw, "bucket")
+
+    def burn(e_col: str, n_col: str):
+        return F.when(
+            F.col(n_col) > 0,
+            (F.col(e_col).cast("double") / F.col(n_col).cast("double"))
+            / F.lit(float(budget)),
+        )
+
+    bs = burn("err_short", "n_short")
+    bl = burn("err_long", "n_long")
+    return joined.select(
+        "bucket",
+        F.col("n_short").cast("long"),
+        F.col("err_short").cast("long"),
+        F.col("n_long").cast("long"),
+        F.col("err_long").cast("long"),
+        bs.alias("burn_short"),
+        bl.alias("burn_long"),
+        (
+            F.coalesce(bs > 1.0, F.lit(False))
+            & F.coalesce(bl > 1.0, F.lit(False))
+        ).alias("page"),
+    ).orderBy("bucket")

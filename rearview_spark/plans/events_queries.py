@@ -1627,3 +1627,66 @@ FROM m, rng ORDER BY kind
 
 # Staged for r14 alongside the text-forensics pair (window-full rule).
 PENDING_QUERIES["ev_burstiness"] = {"fn": ev_burstiness, "oracle": EV_BURST_SQL}
+
+
+def ev_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn (operators/anomaly.slo_burn_rate):
+    hourly error rate of the event stream over 1h and 6h trailing
+    windows normalized by a 25% budget, paging when BOTH exceed 1 —
+    the SRE alerting rule in the reference's own domain. Dense
+    calendar grid, prefix-sum differences (never a rolling window),
+    exact counts, mirrored single-division burns."""
+    from rearview_spark.operators.anomaly import slo_burn_rate
+
+    ev = Tables(spark, sf_dir).events
+    return slo_burn_rate(ev, budget=0.25)
+
+
+EV_SLO_SQL = """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+  FROM events),
+counts AS (SELECT bucket, count(*) AS n, sum(e) AS err FROM base GROUP BY 1),
+rng AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM counts),
+grid AS (SELECT unnest(generate_series(rng.lo, rng.hi)) AS bucket FROM rng),
+dense AS (
+  SELECT g.bucket, coalesce(c.n, 0) AS n, coalesce(c.err, 0) AS err
+  FROM grid g LEFT JOIN counts c USING (bucket)),
+cum AS (
+  SELECT bucket, n, err,
+         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+         sum(err) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_err
+  FROM dense),
+s AS (
+  SELECT a.bucket, a.cum_n - b.cum_n AS n_short,
+         a.cum_err - b.cum_err AS err_short
+  FROM cum a JOIN cum b ON b.bucket = a.bucket - 1),
+l AS (
+  SELECT a.bucket, a.cum_n - b.cum_n AS n_long,
+         a.cum_err - b.cum_err AS err_long
+  FROM cum a JOIN cum b ON b.bucket = a.bucket - 6),
+j AS (SELECT s.bucket, n_short, err_short, n_long, err_long
+      FROM s JOIN l ON s.bucket = l.bucket)
+SELECT bucket,
+       CAST(n_short AS BIGINT) AS n_short,
+       CAST(err_short AS BIGINT) AS err_short,
+       CAST(n_long AS BIGINT) AS n_long,
+       CAST(err_long AS BIGINT) AS err_long,
+       CASE WHEN n_short > 0
+            THEN (CAST(err_short AS DOUBLE) / CAST(n_short AS DOUBLE)) / 0.25
+       END AS burn_short,
+       CASE WHEN n_long > 0
+            THEN (CAST(err_long AS DOUBLE) / CAST(n_long AS DOUBLE)) / 0.25
+       END AS burn_long,
+       coalesce(CASE WHEN n_short > 0
+                     THEN (CAST(err_short AS DOUBLE) / CAST(n_short AS DOUBLE)) / 0.25
+                END > 1.0, false)
+         AND coalesce(CASE WHEN n_long > 0
+                           THEN (CAST(err_long AS DOUBLE) / CAST(n_long AS DOUBLE)) / 0.25
+                      END > 1.0, false) AS page
+FROM j ORDER BY bucket
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["ev_slo_burn"] = {"fn": ev_slo_burn, "oracle": EV_SLO_SQL}

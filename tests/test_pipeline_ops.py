@@ -2919,3 +2919,42 @@ def test_equi_depth_histogram_empty_schema_matches(spark):
     assert [f.dataType for f in a.schema.fields] == [
         f.dataType for f in b.schema.fields
     ]
+
+
+def test_slo_burn_rate_hand_computed(spark):
+    from rearview_spark.operators.anomaly import slo_burn_rate
+
+    # 8 hourly buckets; bucket 6 is an outage (4/4 errors), bucket 7
+    # recovers. short=1h long=2h budget=0.5: page exactly at bucket 6
+    # (burn_short = 1/0.5 = 2, burn_long = (4+0)/(4+4)/0.5 = 1.0... use
+    # denser errors so both exceed 1)
+    rows = []
+    for b in range(8):
+        for i in range(4):
+            # buckets 5 and 6: all errors; others clean
+            kind = "error" if b in (5, 6) else "view"
+            rows.append((b * 3600 + i, kind))
+    df = spark.createDataFrame(rows, "ts long, event_type string")
+    out = slo_burn_rate(
+        df, short_windows=1, long_windows=2, budget=0.5
+    ).collect()
+    by = {r["bucket"]: r for r in out}
+    # full windows only: buckets 0,1 have no full long window
+    assert min(by) == 2 and max(by) == 7
+    # bucket 6: short window = bucket 6 (4/4 err) -> burn 2.0;
+    # long = buckets 5-6 (8/8) -> burn 2.0; pages
+    assert by[6]["burn_short"] == 2.0 and by[6]["burn_long"] == 2.0
+    assert by[6]["page"] is True
+    # bucket 5: short 4/4 -> 2.0, long (0+4)/8 -> 1.0 (not > 1): no page
+    assert by[5]["burn_short"] == 2.0 and by[5]["burn_long"] == 1.0
+    assert by[5]["page"] is False
+    # bucket 7 recovered: short burn 0, no page
+    assert by[7]["burn_short"] == 0.0 and by[7]["page"] is False
+    # clean buckets never page
+    assert not by[2]["page"] and not by[3]["page"]
+
+    import pytest
+    with pytest.raises(ValueError):
+        slo_burn_rate(df, budget=0.0)
+    with pytest.raises(ValueError):
+        slo_burn_rate(df, short_windows=6, long_windows=6)
