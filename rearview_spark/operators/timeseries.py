@@ -1480,3 +1480,66 @@ def theil_sen_trend(df: DataFrame, scale: int = 1_000_000) -> DataFrame:
         .join(t0.select(METRIC, F.col("_np").alias("n_points")), METRIC)
         .select(METRIC, "n_points", "n_pairs", "slope_units", "intercept_units")
     )
+
+
+def ema_crossover(
+    ts: DataFrame,
+    fast_n: int = 3,
+    slow_n: int = 10,
+    decimals: int = 4,
+) -> DataFrame:
+    """Moving-average crossover signals — the classic trend-change
+    alert rule (a "golden cross" when the fast EMA rises through the
+    slow one, a "death cross" when it falls through): the stock
+    monitor expression the reference's users write over two smoothed
+    copies of the same series, packaged as one operator.
+
+    Both EMAs are ROUNDED (nudged, ``decimals`` places — the repo's
+    cross-engine float edge) BEFORE the sign comparison: the flag is
+    then a comparison of identical bit patterns in any engine, and
+    sub-1e-4 wiggles around equality don't flap alerts (rounding is
+    part of the operator's semantics here, not just presentation).
+    Crossing FROM equality counts (prev diff <= 0 and diff > 0 is
+    golden) — a flat touch followed by separation is a cross.
+
+    Scale shape: two grouped-pandas EMA passes (the G13 recurrence —
+    parallel across metrics, linear within one), one (metric, ts)
+    equi-join sharing the metric partitioning, one metric-partitioned
+    lag window. Returns ONLY crossover rows:
+    ``(metric, ts, fast, slow, cross)`` with cross in
+    {'golden', 'death'}.
+    """
+    if not (
+        isinstance(fast_n, int)
+        and isinstance(slow_n, int)
+        and 1 <= fast_n < slow_n
+    ):
+        raise ValueError(
+            "ema_crossover: need integer 1 <= fast_n < slow_n "
+            f"(got {fast_n!r}, {slow_n!r})"
+        )
+    nudge = 0.5 * 10 ** -(decimals + 3)
+
+    def _r(c):
+        return F.round(c + F.lit(nudge), decimals)
+
+    fast = exponential_moving_average(ts, fast_n).select(
+        METRIC, TS, _r(F.col(VALUE)).alias("fast")
+    )
+    slow = exponential_moving_average(ts, slow_n).select(
+        METRIC, TS, _r(F.col(VALUE)).alias("slow")
+    )
+    j = fast.join(slow, [METRIC, TS])
+    w = Window.partitionBy(METRIC).orderBy(TS)
+    diff = F.col("fast") - F.col("slow")
+    prev = F.lag(diff).over(w)
+    cross = (
+        F.when((prev <= 0) & (diff > 0), F.lit("golden"))
+        .when((prev >= 0) & (diff < 0), F.lit("death"))
+    )
+    return (
+        j.withColumn("cross", cross)
+        .filter(F.col("cross").isNotNull())
+        .select(METRIC, TS, "fast", "slow", "cross")
+        .orderBy(METRIC, TS)
+    )

@@ -1870,3 +1870,54 @@ FROM s ORDER BY lag
 """
 
 QUERIES["ts_cross_correlation"] = {"fn": ts_cross_correlation, "oracle": TS_CCF_SQL}
+
+
+def ts_ema_crossover(spark, sf_dir):
+    """EMA crossover alerts (operators/timeseries.ema_crossover): fast
+    (n=3) vs slow (n=10) EMAs over two days of hourly buckets, emitting
+    golden/death crossings. Both EMAs round (nudged 4dp — the ts_ema
+    edge) BEFORE the sign comparison, so the flag compares identical
+    bit patterns cross-engine; the oracle unrolls both recurrences to
+    the closed-form window sum like TS_EMA_SQL."""
+    hourly = _hourly(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-01-07"))
+    )
+    return G.ema_crossover(hourly, fast_n=3, slow_n=10)
+
+
+TS_EMA_CROSS_SQL = HOURLY_CTE + """
+, day AS (
+  SELECT * FROM hourly
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07'
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY metric ORDER BY ts) AS DOUBLE) AS rn FROM day
+), f AS (
+  SELECT metric, ts,
+         round(pow(0.5, rn) * sum(value * pow(0.5, -rn)
+               * CASE WHEN rn = 1 THEN 1.0 ELSE 0.5 END)
+               OVER (PARTITION BY metric ORDER BY rn ROWS UNBOUNDED PRECEDING)
+               + 0.00000005, 4) AS fast,
+         round(pow(9.0/11.0, rn) * sum(value * pow(9.0/11.0, -rn)
+               * CASE WHEN rn = 1 THEN 1.0 ELSE 2.0/11.0 END)
+               OVER (PARTITION BY metric ORDER BY rn ROWS UNBOUNDED PRECEDING)
+               + 0.00000005, 4) AS slow
+  FROM r
+), d AS (
+  SELECT metric, ts, fast, slow,
+         fast - slow AS diff,
+         lag(fast - slow) OVER (PARTITION BY metric ORDER BY ts) AS prev
+  FROM f
+)
+SELECT metric, ts, fast, slow,
+       CASE WHEN prev <= 0 AND diff > 0 THEN 'golden'
+            WHEN prev >= 0 AND diff < 0 THEN 'death' END AS cross
+FROM d
+WHERE (prev <= 0 AND diff > 0) OR (prev >= 0 AND diff < 0)
+ORDER BY metric, ts
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["ts_ema_crossover"] = {
+    "fn": ts_ema_crossover,
+    "oracle": TS_EMA_CROSS_SQL,
+}

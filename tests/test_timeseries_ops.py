@@ -629,3 +629,35 @@ def test_cross_correlation_detects_known_lead(spark):
         r.lag: r.ccf for r in cross_correlation(df, "x", "x", lags=(0,)).collect()
     }
     assert abs(self0[0] - 1.0) < 1e-12
+
+
+def test_ema_crossover_hand_case(spark):
+    import datetime as dt
+
+    from rearview_spark.operators.timeseries import ema_crossover
+
+    # step series: low for 6 points, jump high for 6, drop low again —
+    # the fast EMA crosses the slow upward after the jump (golden) and
+    # downward after the drop (death)
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.0] * 6 + [10.0] * 6 + [1.0] * 6
+    rows = [
+        ("m", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    out = ema_crossover(df, fast_n=3, slow_n=10).collect()
+    kinds = [r["cross"] for r in out]
+    assert kinds.count("golden") >= 1 and kinds.count("death") >= 1
+    # first signal is the upward cross and it happens after the jump
+    first = out[0]
+    assert first["cross"] == "golden" and first["ts"] >= rows[6][1]
+    # at every golden row fast > slow; death rows the reverse
+    for r in out:
+        if r["cross"] == "golden":
+            assert r["fast"] > r["slow"]
+        else:
+            assert r["fast"] < r["slow"]
+
+    import pytest
+    with pytest.raises(ValueError):
+        ema_crossover(df, fast_n=10, slow_n=3)
