@@ -613,3 +613,111 @@ def test_cumulative_gains_invariants(spark, pairs, n_bins):
     assert cps == sorted(cps)
     if sum(y for _, y in pairs) > 0:
         assert out[-1]["gain"] == 1.0 and out[-1]["lift"] == 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=6),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_chi2_tokens_matches_python_contingency(spark, docs):
+    """chi2 values equal a direct Python computation of the 2x2
+    presence-contingency statistic over the full label x vocab cross."""
+    from rearview_spark.operators.classify import chi2_tokens
+
+    rows = [(i, lab, " ".join(toks)) for i, (lab, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, lab string, text string")
+    out = chi2_tokens(df, "lab", k=100).collect()
+
+    n = len(docs)
+    labels = {lab for lab, _ in docs}
+    presence = {}
+    for i, (lab, toks) in enumerate(docs):
+        for w in set(toks):
+            presence.setdefault(w, []).append((i, lab))
+    n_label = {l: sum(1 for lab, _ in docs if lab == l) for l in labels}
+    want = {}
+    for w, members in presence.items():
+        dfw = len(members)
+        for l in labels:
+            a = sum(1 for _, lab in members if lab == l)
+            b = dfw - a
+            c = n_label[l] - a
+            d = n - n_label[l] - b
+            den = (
+                float(a + b) * float(c + d) * float(a + c) * float(b + d)
+            )
+            if den > 0:
+                adbc = a * d - b * c
+                want[(l, w)] = (
+                    float(n) * float(adbc) * float(adbc) / den
+                )
+    got = {(r["label"], r["token"]): r["chi2"] for r in out}
+    for key, v in got.items():
+        assert key in want
+        assert abs(v - want[key]) < 1e-9
+
+
+@given(
+    st.lists(st.integers(0, 5), min_size=1, max_size=24),
+    st.integers(1, 4),
+)
+@SETTINGS
+def test_burstiness_fano_matches_numpy(spark, per_bucket, width):
+    """Fano over the dense grid equals numpy var/mean of the count
+    vector including interior zeros."""
+    import numpy as np
+
+    from rearview_spark.operators.behavior import burstiness_fano
+
+    rows = []
+    for b, k in enumerate(per_bucket):
+        for i in range(k):
+            rows.append(("K", b * width * 3600 + i))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    r = burstiness_fano(df, bucket_seconds=width * 3600).collect()[0]
+    # numpy reference over the grid spanned by OCCUPIED buckets
+    occupied = [b for b, k in enumerate(per_bucket) if k > 0]
+    lo, hi = min(occupied), max(occupied)
+    grid = np.array(per_bucket[lo : hi + 1], dtype=float)
+    assert r["n_buckets"] == len(grid)
+    assert abs(r["mean_per_bucket"] - grid.mean()) < 1e-12
+    if grid.sum() > 0:
+        assert abs(r["fano"] - grid.var() / grid.mean()) < 1e-9
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=5),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_vocab_growth_invariants(spark, docs):
+    """vocab_size is strictly increasing across emitted deciles, its
+    last value equals the corpus vocabulary, and new_tokens sums to
+    the same total."""
+    from rearview_spark.operators.text import vocab_growth
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = vocab_growth(df, deciles=4).collect()
+    vocab = len({w for toks in docs for w in toks})
+    sizes = [r["vocab_size"] for r in out]
+    assert sizes == sorted(sizes) and len(set(sizes)) == len(sizes)
+    assert sizes[-1] == vocab
+    assert sum(r["new_tokens"] for r in out) == vocab
+    # deciles with no new tokens are absent (documented), so the last
+    # EMITTED row only closes the corpus when it IS the final decile
+    if out[-1]["decile"] == 3:
+        assert out[-1]["docs_processed"] == len(docs)
+    assert all(1 <= r["docs_processed"] <= len(docs) for r in out)
