@@ -634,3 +634,35 @@ def hits(
         "auth_fp",
         (F.col("auth_fp") / F.lit(float(scale))).alias("auth"),
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree distribution of an edge list — the first graph-forensics
+    read (hub detection, power-law sanity, join-skew prediction for
+    any downstream per-node iteration: the histogram's tail IS the
+    skew the salting/AQE knobs will face): distinct-neighbor degree
+    per node, collapsed to ``(degree, n_nodes)`` rows.
+
+    Exact int64 end to end — a distinct on (src, dst) dedupes
+    multi-edges (degree counts NEIGHBORS, not edge multiplicity), then
+    two hash collapses: node-domain, then degree-domain. Isolated
+    nodes don't appear (an edge list cannot carry them; join the node
+    dimension upstream if zero-degree rows matter).
+
+    Scale shape: the distinct is the only edge-scale stage; everything
+    after is node- then degree-domain sized. Returns ``(degree,
+    n_nodes)`` ascending by degree.
+    """
+    deg = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .distinct()
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )

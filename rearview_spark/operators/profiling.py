@@ -123,3 +123,67 @@ def equi_depth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def column_entropy(
+    df: DataFrame, cols: list[str], scale: int = 10**9
+) -> DataFrame:
+    """Shannon entropy per column (nats) over the non-null value
+    distribution — the dictionary-encoding / compression-candidate
+    signal next to :func:`profile_numeric_columns`: near-zero entropy
+    reads "encode me as a dictionary", entropy near ``ln(ndv)`` reads
+    "uniformly spread" (``norm_entropy`` is that ratio), and unique
+    keys land at exactly 1.0.
+
+    Cross-engine determinism (the source_kl discipline): each value's
+    summand ``(c/n) * ln(c/n)`` is quantized to 1/``scale`` units in
+    int64 and summed order-free; the published entropy is ONE nudged
+    6dp rounding of that sum, and ``norm_entropy`` is one division by
+    ``ln(ndv)`` (a deterministic double of an exact integer).
+
+    Scale shape: one scan unpivots ``cols`` map-side (``stack`` — no
+    reshape shuffle), ONE hash aggregate to the (column, value) domain
+    — the only wide stage, sized by value cardinality like the exact
+    profiler's distinct path — then column-domain re-aggregations.
+
+    Returns ``(col_name, n, n_distinct, entropy, norm_entropy)``
+    ordered by column; ``norm_entropy`` is NULL for constant columns
+    (ndv = 1 — no spread to normalize against).
+    """
+    pairs = ", ".join(f"'{c}', {c}" for c in cols)
+    unpivoted = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, value)")
+    ).filter(F.col("value").isNotNull())
+    hist = unpivoted.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = hist.groupBy("col_name").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("ndv")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    units = F.round(p * F.log(p) * F.lit(float(scale))).cast("long")
+    return (
+        hist.join(tot, "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            F.first("ndv").cast("long").alias("n_distinct"),
+            F.sum(units).alias("_u"),
+        )
+        .select(
+            "col_name",
+            "n",
+            "n_distinct",
+            F.round(
+                -F.col("_u") / F.lit(float(scale)) + F.lit(5e-10), 6
+            ).alias("entropy"),
+            F.when(
+                F.col("n_distinct") > 1,
+                F.round(
+                    -F.col("_u") / F.lit(float(scale)) + F.lit(5e-10), 6
+                )
+                / F.log(F.col("n_distinct").cast("double")),
+            ).alias("norm_entropy"),
+        )
+        .orderBy("col_name")
+    )

@@ -621,3 +621,31 @@ PENDING_QUERIES["graph_hits"] = {"fn": graph_hits, "oracle": _hits_sql()}
 # round; the window's remaining slots rotate the stalest green cohort.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-order part graph
+    (operators/graph.degree_histogram): the hub/power-law forensics
+    read taken before any per-node iteration — the histogram tail IS
+    the skew a PageRank/LPA run will face. Exact counts, two hash
+    collapses past the edge-scale distinct."""
+    from rearview_spark.operators.graph import degree_histogram
+
+    return degree_histogram(_coorder_edges(spark, sf_dir))
+
+
+GRAPH_DEGREE_SQL = f"""
+WITH {_COORDER_EDGES_CTE},
+deg AS (
+  SELECT src, count(*) AS degree
+  FROM (SELECT DISTINCT src, dst FROM edges) GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["graph_degree_hist"] = {
+    "fn": graph_degree_hist,
+    "oracle": GRAPH_DEGREE_SQL,
+}

@@ -2002,3 +2002,60 @@ PENDING_QUERIES["rel_winsorize"] = {
     "fn": rel_winsorize,
     "oracle": REL_WINSOR_SQL,
 }
+
+
+def rel_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy of the orders table
+    (operators/profiling.column_entropy): the dictionary-encoding /
+    layout signal — o_orderkey reads norm 1.0 (unique), o_orderstatus
+    near 0 (3 values, skewed). Summands are 1e-9-quantized int64,
+    mirrored token-for-token; norm is one division by ln(ndv)."""
+    from rearview_spark.operators.profiling import column_entropy
+
+    t = Tables(spark, sf_dir)
+    orders_num = t.orders.select(
+        F.col("o_orderkey").cast("double").alias("o_orderkey"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+    return column_entropy(
+        orders_num, ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+
+REL_ENTROPY_SQL = """
+WITH unp AS (
+  SELECT col_name, value FROM (
+    SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS DOUBLE) AS value FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', o_totalprice FROM orders
+  ) WHERE value IS NOT NULL),
+hist AS (SELECT col_name, value, count(*) AS c FROM unp GROUP BY 1, 2),
+tot AS (SELECT col_name, sum(c) AS n, count(*) AS ndv FROM hist GROUP BY 1),
+u AS (
+  SELECT h.col_name, t.n, t.ndv,
+         CAST(round((CAST(h.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * ln(CAST(h.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS un
+  FROM hist h JOIN tot t USING (col_name)),
+agg AS (
+  SELECT col_name, CAST(min(n) AS BIGINT) AS n,
+         CAST(min(ndv) AS BIGINT) AS n_distinct,
+         sum(un) AS su
+  FROM u GROUP BY 1)
+SELECT col_name, n, n_distinct,
+       round(-su / 1000000000.0 + 0.0000000005, 6) AS entropy,
+       CASE WHEN n_distinct > 1
+            THEN round(-su / 1000000000.0 + 0.0000000005, 6)
+                 / ln(CAST(n_distinct AS DOUBLE))
+       END AS norm_entropy
+FROM agg ORDER BY col_name
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["rel_column_entropy"] = {
+    "fn": rel_column_entropy,
+    "oracle": REL_ENTROPY_SQL,
+}

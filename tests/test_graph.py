@@ -316,3 +316,15 @@ def test_hits_matches_integer_replay_and_ranks_sensibly(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         hits(df, 0)
+
+
+def test_degree_histogram_dedupes_multiedges(spark):
+    from rearview_spark.operators.graph import degree_histogram
+
+    # node 1 touches {2, 3} (the duplicate 1->2 edge must not double-
+    # count); nodes 2 and 3 each touch {1}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (1, 2)], "src int, dst int"
+    )
+    out = degree_histogram(edges).collect()
+    assert [(r["degree"], r["n_nodes"]) for r in out] == [(1, 2), (2, 1)]

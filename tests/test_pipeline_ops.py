@@ -2958,3 +2958,26 @@ def test_slo_burn_rate_hand_computed(spark):
         slo_burn_rate(df, budget=0.0)
     with pytest.raises(ValueError):
         slo_burn_rate(df, short_windows=6, long_windows=6)
+
+
+def test_column_entropy_hand_computed(spark):
+    import math
+    from rearview_spark.operators.profiling import column_entropy
+
+    # const: entropy 0 (norm NULL); uniform4: ln(4), norm 1.0;
+    # skewed (3:1): -(0.75 ln 0.75 + 0.25 ln 0.25), norm < 1
+    rows = [
+        (1.0, 1.0, 1.0),
+        (1.0, 2.0, 1.0),
+        (1.0, 3.0, 2.0),
+        (1.0, 4.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "const double, uni double, skew double")
+    out = {r["col_name"]: r for r in column_entropy(df, ["const", "uni", "skew"]).collect()}
+    assert out["const"]["entropy"] == 0.0 and out["const"]["norm_entropy"] is None
+    assert abs(out["uni"]["entropy"] - math.log(4)) < 1e-6
+    assert abs(out["uni"]["norm_entropy"] - 1.0) < 1e-6
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(out["skew"]["entropy"] - want) < 1e-6
+    assert 0 < out["skew"]["norm_entropy"] < 1
+    assert out["skew"]["n_distinct"] == 2 and out["skew"]["n"] == 4
