@@ -956,3 +956,75 @@ def zipf_fit(
             / F.lit(float(scale))
         ).alias("intercept"),
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the redundancy
+    matrix a corpus-mixing decision reads next to the JS/KL contrast
+    reports: JS asks "do these slices use words at different RATES",
+    this asks "do they even share words" (near-1 pairs are redundant
+    acquisitions; near-0 pairs are complementary).
+
+    Exact end to end: per-source vocabularies are distinct sets, the
+    intersection count comes from ONE self-equi-join on the token
+    (shuffle sized by shared-token pairs, never |sources|^2 x vocab),
+    union = |A| + |B| - inter, and Jaccard is ONE division of exact
+    int64 (the roc_auc discipline). Pairs ordered source_a < source_b.
+
+    Scale shape: one corpus explode -> (source, token) DISTINCT (the
+    only corpus-scale stage), a vocab-keyed self-join whose output is
+    pair-domain sized, then a |sources|^2-bounded collapse. Sources
+    sharing zero tokens are absent from the join — reconstructed with
+    jaccard 0 via the size-table cross so the matrix is total.
+
+    Returns ``(source_a, source_b, vocab_a, vocab_b, inter, jaccard)``
+    for every unordered source pair, ordered by (source_a, source_b).
+    """
+    sv = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = sv.select(F.col("source").alias("source_a"), "w")
+    b = sv.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = (
+        sizes.select(F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("vocab").alias("vocab_b"),
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)).cast("long"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("long"),
+            F.col("vocab_b").cast("long"),
+            "inter",
+            (
+                F.col("inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

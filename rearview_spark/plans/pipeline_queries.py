@@ -3628,3 +3628,45 @@ PENDING_QUERIES["dedup_minhash_fidelity"] = {
     "fn": dedup_minhash_fidelity,
     "oracle": DEDUP_FIDELITY_SQL,
 }
+
+
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix
+    (operators/text.source_vocab_overlap): the redundancy read next to
+    the JS/KL divergence contrasts — exact set sizes, one intersection
+    self-join, one division per pair."""
+    from rearview_spark.operators import text as X
+
+    return X.source_vocab_overlap(Tables(spark, sf_dir).documents)
+
+
+DOC_OVERLAP_SQL = f"""
+WITH ex AS (
+  SELECT source, unnest(string_split({NORM}, ' ')) AS w FROM documents),
+sv AS (SELECT DISTINCT source, w FROM ex),
+sizes AS (SELECT source, count(*) AS vocab FROM sv GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT sa.source AS source_a, sa.vocab AS vocab_a,
+         sb.source AS source_b, sb.vocab AS vocab_b
+  FROM sizes sa CROSS JOIN sizes sb WHERE sa.source < sb.source)
+SELECT p.source_a AS source_a, p.source_b AS source_b,
+       CAST(p.vocab_a AS BIGINT) AS vocab_a,
+       CAST(p.vocab_b AS BIGINT) AS vocab_b,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       CAST(coalesce(i.inter, 0) AS DOUBLE)
+         / CAST(p.vocab_a + p.vocab_b - coalesce(i.inter, 0) AS DOUBLE)
+         AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON p.source_a = i.source_a AND p.source_b = i.source_b
+ORDER BY p.source_a, p.source_b
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["doc_source_overlap"] = {
+    "fn": doc_source_overlap,
+    "oracle": DOC_OVERLAP_SQL,
+}

@@ -2981,3 +2981,19 @@ def test_column_entropy_hand_computed(spark):
     assert abs(out["skew"]["entropy"] - want) < 1e-6
     assert 0 < out["skew"]["norm_entropy"] < 1
     assert out["skew"]["n_distinct"] == 2 and out["skew"]["n"] == 4
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    from rearview_spark.operators.text import source_vocab_overlap
+
+    # a={x,y}, b={y,z}, c={q} -> (a,b): inter 1, union 3; pairs with c
+    # share nothing but still appear with jaccard 0
+    rows = [("a", "x y"), ("b", "y z"), ("c", "q")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["source_a"], r["source_b"]): r for r in source_vocab_overlap(df).collect()}
+    assert len(out) == 3  # total matrix: ab, ac, bc
+    ab = out[("a", "b")]
+    assert (ab["vocab_a"], ab["vocab_b"], ab["inter"]) == (2, 2, 1)
+    assert abs(ab["jaccard"] - 1 / 3) < 1e-12
+    assert out[("a", "c")]["inter"] == 0 and out[("a", "c")]["jaccard"] == 0.0
+    assert out[("b", "c")]["jaccard"] == 0.0
