@@ -1690,3 +1690,95 @@ FROM j ORDER BY bucket
 
 # Staged for r14 (window-full rule) with the rest of the late-r13 wave.
 PENDING_QUERIES["ev_slo_burn"] = {"fn": ev_slo_burn, "oracle": EV_SLO_SQL}
+
+
+def ev_funnel_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion split by experiment variant — the composition
+    an A/B launch is actually judged on (did the treatment move the
+    FUNNEL, not just one rate): the deterministic md5 50/50 user split
+    (the ev_ab_ztest scheme), operators/behavior.funnel_conversion per
+    variant over view -> click -> purchase, stage-joined side by side.
+    Counts exact; each conversion is the funnel's single division;
+    the uplift column divides the two deterministic doubles, mirrored
+    op-for-op."""
+    from rearview_spark.operators.behavior import funnel_conversion
+    from rearview_spark.operators.dedup import md5_bucket
+
+    ev = Tables(spark, sf_dir).events
+    grp = (md5_bucket(F.col("user_id"), "ab-exp") % 2).cast("int")
+    tagged = ev.withColumn("_grp", grp)
+    steps = ("view", "click", "purchase")
+    f0 = funnel_conversion(tagged.filter(F.col("_grp") == 0), steps).select(
+        "stage",
+        "step",
+        F.col("n_users").alias("n_control"),
+        F.col("conversion").alias("conv_control"),
+    )
+    f1 = funnel_conversion(tagged.filter(F.col("_grp") == 1), steps).select(
+        "stage",
+        F.col("n_users").alias("n_treatment"),
+        F.col("conversion").alias("conv_treatment"),
+    )
+    return (
+        f0.join(f1, "stage")
+        .select(
+            "stage",
+            "step",
+            "n_control",
+            "conv_control",
+            "n_treatment",
+            "conv_treatment",
+            (F.col("conv_treatment") / F.col("conv_control")).alias("uplift"),
+        )
+        .orderBy("stage")
+    )
+
+
+EV_FUNNEL_VARIANT_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events),
+g AS (
+  SELECT user_id,
+         CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab-exp'), 1, 15)) AS BIGINT)
+              % 10000 % 2 AS INT) AS grp
+  FROM u),
+e AS (
+  SELECT ev.user_id, g.grp, ev.event_type, ev.ts
+  FROM events ev JOIN g ON ev.user_id = g.user_id),
+s1 AS (
+  SELECT user_id, grp, min(ts) AS t
+  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+s2 AS (
+  SELECT e.user_id, s1.grp, min(e.ts) AS t
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1, 2),
+s3 AS (
+  SELECT e.user_id, s2.grp, min(e.ts) AS t
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1, 2),
+staged AS (
+  SELECT 1 AS stage, 'view' AS step, grp, user_id FROM s1
+  UNION ALL SELECT 2, 'click', grp, user_id FROM s2
+  UNION ALL SELECT 3, 'purchase', grp, user_id FROM s3),
+counts AS (
+  SELECT stage, step, grp, count(*) AS n FROM staged GROUP BY 1, 2, 3),
+base AS (
+  SELECT grp, n AS n1 FROM counts WHERE stage = 1),
+c AS (
+  SELECT counts.stage, counts.step, counts.grp,
+         CAST(counts.n AS BIGINT) AS n,
+         counts.n * 1.0 / base.n1 AS conversion
+  FROM counts JOIN base ON counts.grp = base.grp)
+SELECT a.stage AS stage, a.step AS step,
+       a.n AS n_control, a.conversion AS conv_control,
+       b.n AS n_treatment, b.conversion AS conv_treatment,
+       b.conversion / a.conversion AS uplift
+FROM c a JOIN c b ON a.stage = b.stage AND a.grp = 0 AND b.grp = 1
+ORDER BY a.stage
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["ev_funnel_by_variant"] = {
+    "fn": ev_funnel_by_variant,
+    "oracle": EV_FUNNEL_VARIANT_SQL,
+}
