@@ -1495,3 +1495,78 @@ def sq8_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sq_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq8_error_audit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Quantization-fidelity audit for the SQ8 index — the ANN sibling
+    of dedup.minhash_estimate_error: encode the corpus against its own
+    trained bounds, reconstruct each dimension at the bucket CENTER
+    (``mn + (code + 0.5) * (mx - mn) / 256``), and summarize the
+    per-vector RMSE — the measurement that justifies 8-bit storage
+    before a recall-sensitive serving path trusts it.
+
+    Determinism: bounds are exact min/max picks; code assignment uses
+    floor (engine-identical, the _sq8_code contract); each vector's
+    RMSE is a fixed double expression quantized to 1/``scale`` units
+    in int64 BEFORE the summary, so mean (one division) and p50/p90
+    (element picks) and max (comparison) all run on integers. The
+    per-vector dimension fold is sequential in both engines; at 6dp
+    output granularity the last-ulp association risk is the same one
+    every cosine gate already carries.
+
+    Scale shape: one bounds pass (dimension-domain aggregate, one-row
+    broadcast), one narrow encode+reconstruct map over the corpus, one
+    summary collapse. Returns one row ``(n_vectors, mean_rmse,
+    p50_rmse, p90_rmse, max_rmse)``.
+    """
+    bounds = sq8_fit(corpus, vec_col)
+    v = _as_double(F.col(vec_col))
+    dim = F.size(v)
+
+    def recon_term(i):
+        x = F.element_at(v, i + 1)
+        mn = F.element_at(F.col("mins"), i + 1)
+        mx = F.element_at(F.col("maxs"), i + 1)
+        code = _sq8_code(x, mn, mx)
+        recon = F.when(mx == mn, mn).otherwise(
+            mn + ((code.cast("double") + F.lit(0.5)) * (mx - mn)) / F.lit(256.0)
+        )
+        d = x - recon
+        return d * d
+
+    sq = F.aggregate(
+        F.sequence(F.lit(0), dim - F.lit(1)),
+        F.lit(0.0),
+        lambda acc, i: acc + recon_term(i),
+    )
+    rmse = F.sqrt(sq / dim.cast("double"))
+    units = (
+        corpus.crossJoin(F.broadcast(bounds))
+        .select(
+            F.round(rmse * F.lit(float(scale))).cast("long").alias("u")
+        )
+    )
+    agg = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("u").alias("_su"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY u)").alias("_p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY u)").alias("_p90"),
+        F.max("u").alias("_mx"),
+    )
+    to_d = lambda c: c.cast("double") / F.lit(float(scale))  # noqa: E731
+    return agg.select(
+        "n_vectors",
+        (
+            F.col("_su").cast("double")
+            / F.col("n_vectors").cast("double")
+            / F.lit(float(scale))
+        ).alias("mean_rmse"),
+        to_d(F.col("_p50")).alias("p50_rmse"),
+        to_d(F.col("_p90")).alias("p90_rmse"),
+        to_d(F.col("_mx")).alias("max_rmse"),
+    )

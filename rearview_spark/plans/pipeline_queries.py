@@ -3670,3 +3670,60 @@ PENDING_QUERIES["doc_source_overlap"] = {
     "fn": doc_source_overlap,
     "oracle": DOC_OVERLAP_SQL,
 }
+
+
+def sim_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantization-fidelity audit
+    (operators/similarity.sq8_error_audit): per-vector reconstruction
+    RMSE against the trained bounds, 1e-6-quantized into int64 before
+    the mean/percentile/max summary — the 8-bit-storage justification
+    measurement next to tools/ann_recall.py, gate-checkable because
+    every summary quantity runs on integers."""
+    from rearview_spark.operators import similarity as S
+
+    return S.sq8_error_audit(Tables(spark, sf_dir).embeddings)
+
+
+_SQ8_TERM = (
+    "CASE WHEN bl.maxs[{i}] = bl.mins[{i}] THEN "
+    "(v.x[{i}] - bl.mins[{i}]) * (v.x[{i}] - bl.mins[{i}]) "
+    "ELSE (v.x[{i}] - (bl.mins[{i}] + ((CAST(least(CAST(floor(((v.x[{i}] - bl.mins[{i}]) "
+    "/ (bl.maxs[{i}] - bl.mins[{i}])) * 256.0) AS INT), 255) AS DOUBLE) + 0.5) "
+    "* (bl.maxs[{i}] - bl.mins[{i}])) / 256.0)) "
+    "* (v.x[{i}] - (bl.mins[{i}] + ((CAST(least(CAST(floor(((v.x[{i}] - bl.mins[{i}]) "
+    "/ (bl.maxs[{i}] - bl.mins[{i}])) * 256.0) AS INT), 255) AS DOUBLE) + 0.5) "
+    "* (bl.maxs[{i}] - bl.mins[{i}])) / 256.0)) END"
+)
+_SQ8_TERMS = " + ".join(_SQ8_TERM.format(i=i + 1) for i in range(64))
+
+SIM_SQ8_ERR_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+expl AS (
+  SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS xv FROM v),
+b AS (SELECT pos, min(xv) AS mn, max(xv) AS mx FROM expl GROUP BY 1),
+bl AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+  FROM b),
+u AS (
+  SELECT CAST(round(sqrt(({_SQ8_TERMS}) / 64.0) * 1000000.0) AS BIGINT) AS u
+  FROM v, bl),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(u) AS BIGINT) AS su,
+         quantile_disc(u, 0.5) AS p50,
+         quantile_disc(u, 0.9) AS p90,
+         max(u) AS mx
+  FROM u)
+SELECT n_vectors,
+       CAST(su AS DOUBLE) / CAST(n_vectors AS DOUBLE) / 1000000.0 AS mean_rmse,
+       CAST(p50 AS DOUBLE) / 1000000.0 AS p50_rmse,
+       CAST(p90 AS DOUBLE) / 1000000.0 AS p90_rmse,
+       CAST(mx AS DOUBLE) / 1000000.0 AS max_rmse
+FROM agg
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["sim_sq8_error"] = {
+    "fn": sim_sq8_error,
+    "oracle": SIM_SQ8_ERR_SQL,
+}
