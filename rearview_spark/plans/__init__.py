@@ -39,12 +39,14 @@ _NEW_THIS_ROUND = (
     #
     # Post-backlog steady state: new operators register the round they
     # land (group (c) front-loads them with no entry here); the window's
-    # remaining slots drain the stale-cohort debt oldest-first. After
-    # r13 the oldest unrotated rows are the 4 r08 + 50 r09 rows, so
-    # r14 rotates 4 r08 + 46 r09, r15 the rest of r09 + the oldest r10
-    # — latest-check histogram floor rises within ~3 rounds with zero
-    # new gates needed (VERDICT_r12 next-round #3). Stage into
-    # PENDING_QUERIES only if a round lands more than ~50 new gates.
+    # remaining slots drain the stale-cohort debt oldest-first. The
+    # late-r13 wave also STAGED 13 further gates (PENDING_QUERIES across
+    # the plan modules — the window-full rule), so the r14 window is
+    # those 13 first-ever checks + 37 stale rotations (4 r08 + 33 r09);
+    # r15 drains the rest of r09 and starts r10 — histogram floor rises
+    # within ~3 rounds (VERDICT_r12 next-round #3). Stage into
+    # PENDING_QUERIES whenever registering would push the never-checked
+    # count past the 50-slot window.
 )
 
 
