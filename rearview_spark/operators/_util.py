@@ -267,39 +267,71 @@ def global_running_sum(
     zero (an all-NULL range partition sums to SQL NULL — coalesced,
     ADVICE r12). Same ``localCheckpoint`` -> reliable-checkpoint
     deployment note as global_row_number.
+
+    Delegates to :func:`global_running_sums` — callers needing several
+    cumulatives over ONE order should call that form directly: it pays
+    the range shuffle, eager checkpoint, and P-row driver collect ONCE
+    for all columns instead of once per column.
     """
+    return global_running_sums(df, order_cols, [value_col], [out_col])
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_cols,
+    value_cols: list,
+    out_cols: list,
+) -> DataFrame:
+    """Multi-column form of :func:`global_running_sum`: one
+    ``repartitionByRange`` + frozen-pid checkpoint + ONE P-row driver
+    collect computing every column's per-partition totals, then all
+    cumulative windows share the single partitioned WindowExec. Same
+    contracts (strict total order, integral values, NULL-as-zero)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if out_col in df.columns or "_gpid" in df.columns:
+    if len(value_cols) != len(out_cols) or not value_cols:
         raise ValueError(
-            f"global_running_sum: input already has {out_col!r} or '_gpid'"
+            "global_running_sums: value_cols/out_cols must be same-length"
+            f" non-empty lists (got {value_cols!r}, {out_cols!r})"
         )
+    for oc in out_cols:
+        if oc in df.columns:
+            raise ValueError(
+                f"global_running_sums: input already has {oc!r}"
+            )
+    if "_gpid" in df.columns:
+        raise ValueError("global_running_sums: input already has '_gpid'")
     ranged = (
         df.repartitionByRange(*order_cols)
         .withColumn("_gpid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    val = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+    vals = [
+        F.coalesce(F.col(vc).cast("long"), F.lit(0)) for vc in value_cols
+    ]
     sums = sorted(
-        ranged.groupBy("_gpid").agg(F.sum(val).alias("s")).collect(),
+        ranged.groupBy("_gpid")
+        .agg(*[F.sum(v).alias(f"_s{i}") for i, v in enumerate(vals)])
+        .collect(),
         key=lambda r: r["_gpid"],
     )
-    offsets: dict[int, int] = {}
-    total = 0
-    for row in sums:
-        offsets[row["_gpid"]] = total
-        total += int(row["s"])
     w = (
         Window.partitionBy("_gpid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    offset_expr = _prefix_offset_expr(offsets)
-    return ranged.withColumn(
-        out_col,
-        (F.sum(val).over(w) + offset_expr).cast("long"),
-    ).drop("_gpid")
+    out = ranged
+    for i, (val, oc) in enumerate(zip(vals, out_cols)):
+        offsets: dict[int, int] = {}
+        total = 0
+        for row in sums:
+            offsets[row["_gpid"]] = total
+            total += int(row[f"_s{i}"])
+        out = out.withColumn(
+            oc, (F.sum(val).over(w) + _prefix_offset_expr(offsets)).cast("long")
+        )
+    return out.drop("_gpid")
 
 
 def binary_flag_guard(col_name: str, ctx: str):

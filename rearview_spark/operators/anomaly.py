@@ -453,13 +453,14 @@ def ks_from_counts(per_v: DataFrame) -> DataFrame:
     identical arithmetic whether the counts came from one
     :func:`ks_value_counts` pass or a streaming/union merge (duplicate
     ``v`` rows are re-collapsed first, so merging is a pure union)."""
-    from rearview_spark.operators._util import global_running_sum
+    from rearview_spark.operators._util import global_running_sums
 
     per_v = per_v.groupBy("v").agg(
         F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
     )
-    cum = global_running_sum(per_v, ["v"], "ca", out_col="cum_a")
-    cum = global_running_sum(cum, ["v"], "cb", out_col="cum_b")
+    cum = global_running_sums(
+        per_v, ["v"], ["ca", "cb"], ["cum_a", "cum_b"]
+    )
     # totals from the (checkpointed, distinct-value-sized) cum frame —
     # aggregating per_v here would RE-EXECUTE the corpus-collapsing
     # count plan from the raw input a second time
@@ -556,8 +557,13 @@ def slo_burn_rate(
     burn_long, page)`` ascending; burn is NULL where the window saw no
     traffic.
     """
-    from rearview_spark.operators._util import global_running_sum
+    from rearview_spark.operators._util import global_running_sums
 
+    if not isinstance(bucket_seconds, int) or bucket_seconds < 1:
+        raise ValueError(
+            "slo_burn_rate: bucket_seconds must be a positive int "
+            f"(got {bucket_seconds!r})"
+        )
     if not (0.0 < budget < 1.0):
         raise ValueError(f"slo_burn_rate: budget must be in (0, 1), got {budget!r}")
     if not (
@@ -569,8 +575,20 @@ def slo_burn_rate(
             "slo_burn_rate: need integer 1 <= short_windows < long_windows "
             f"(got {short_windows!r}, {long_windows!r})"
         )
+    # pre-1970 timestamps would split Spark's truncating `div` from the
+    # oracle's floor `//` (and merge two buckets around epoch 0) — in
+    # this domain a negative epoch is sentinel noise, so fail loudly
+    t_raw = F.col(ts_col).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("slo_burn_rate: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
     base = df.select(
-        F.col(ts_col).cast("long").alias("_t"),
+        t_checked.alias("_t"),
         (F.col(kind_col) == error_kind).cast("int").alias("_e"),
     ).select(
         F.expr(f"_t div {bucket_seconds}").alias("bucket"), "_e"
@@ -590,21 +608,30 @@ def slo_burn_rate(
             F.coalesce("err", F.lit(0)).alias("err"),
         )
     )
-    cum = global_running_sum(dense, ["bucket"], "n", out_col="cum_n")
-    cum = global_running_sum(cum, ["bucket"], "err", out_col="cum_err")
+    cum = global_running_sums(
+        dense, ["bucket"], ["n", "err"], ["cum_n", "cum_err"]
+    )
 
     def trailing(w: int, n_out: str, e_out: str) -> DataFrame:
+        # LEFT join + coalesce-0: bucket lo+w-1 has w fully-observed
+        # buckets but its prefix row sits before the grid (cum = 0) —
+        # an inner join would silently drop the FIRST valid verdict of
+        # every dataset (an outage in the opening window could never
+        # page). Buckets before lo+w-1 have genuinely partial windows
+        # and emit nothing (the mean_shift edge rule).
         prev = cum.select(
             (F.col("bucket") + F.lit(w)).alias("bucket"),
             F.col("cum_n").alias("_pn"),
             F.col("cum_err").alias("_pe"),
         )
         return (
-            cum.join(prev, "bucket")
+            cum.join(prev, "bucket", "left")
+            .crossJoin(F.broadcast(rng))
+            .filter(F.col("bucket") - F.col("lo") >= w - 1)
             .select(
                 "bucket",
-                (F.col("cum_n") - F.col("_pn")).alias(n_out),
-                (F.col("cum_err") - F.col("_pe")).alias(e_out),
+                (F.col("cum_n") - F.coalesce("_pn", F.lit(0))).alias(n_out),
+                (F.col("cum_err") - F.coalesce("_pe", F.lit(0))).alias(e_out),
             )
         )
 

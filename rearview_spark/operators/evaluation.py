@@ -209,8 +209,11 @@ def precision_recall_curve(
         F.sum(lab).alias("np"),
         F.sum(F.lit(1) - lab).alias("nn"),
     )
-    cum = global_running_sum(per_score, ["threshold"], "np", out_col="cum_np")
-    cum = global_running_sum(cum, ["threshold"], "nn", out_col="cum_nn")
+    from rearview_spark.operators._util import global_running_sums
+
+    cum = global_running_sums(
+        per_score, ["threshold"], ["np", "nn"], ["cum_np", "cum_nn"]
+    )
     totals = per_score.agg(
         F.sum("np").cast("long").alias("tot_p"),
         F.sum("nn").cast("long").alias("tot_n"),
@@ -342,7 +345,7 @@ def cumulative_gains(
     """
     from rearview_spark.operators._util import (
         global_row_number,
-        global_running_sum,
+        global_running_sums,
     )
 
     if not isinstance(n_bins, int) or n_bins < 1:
@@ -368,8 +371,9 @@ def cumulative_gains(
         F.count(F.lit(1)).alias("n"),
         F.sum("_y").cast("long").alias("n_pos"),
     )
-    cum = global_running_sum(per_bucket, ["bucket"], "n", out_col="cum_n")
-    cum = global_running_sum(cum, ["bucket"], "n_pos", out_col="cum_pos")
+    cum = global_running_sums(
+        per_bucket, ["bucket"], ["n", "n_pos"], ["cum_n", "cum_pos"]
+    )
     # totals from the (checkpointed inside global_running_sum,
     # <= n_bins-row) cum frame — re-aggregating per_bucket would replay
     # the bucket collapse over the ranked checkpoint a second time

@@ -647,9 +647,14 @@ def degree_histogram(
 
     Exact int64 end to end — a distinct on (src, dst) dedupes
     multi-edges (degree counts NEIGHBORS, not edge multiplicity), then
-    two hash collapses: node-domain, then degree-domain. Isolated
-    nodes don't appear (an edge list cannot carry them; join the node
-    dimension upstream if zero-degree rows matter).
+    two hash collapses: node-domain, then degree-domain. This is the
+    OUT-degree over ``src_col``: an UNDIRECTED graph must be passed
+    pre-symmetrized (both directions per edge — the _coorder_edges
+    form every iterative gate here uses) or dst-only nodes vanish and
+    degrees undercount; for a directed graph, swap the column
+    arguments for in-degree. Isolated / sink nodes don't appear (an
+    out-edge list cannot carry them; join the node dimension upstream
+    if zero-degree rows matter).
 
     Scale shape: the distinct is the only edge-scale stage; everything
     after is node- then degree-domain sized. Returns ``(degree,

@@ -170,19 +170,18 @@ def column_entropy(
             F.first("ndv").cast("long").alias("n_distinct"),
             F.sum(units).alias("_u"),
         )
+        .withColumn(
+            "entropy",
+            F.round(-F.col("_u") / F.lit(float(scale)) + F.lit(5e-10), 6),
+        )
         .select(
             "col_name",
             "n",
             "n_distinct",
-            F.round(
-                -F.col("_u") / F.lit(float(scale)) + F.lit(5e-10), 6
-            ).alias("entropy"),
+            "entropy",
             F.when(
                 F.col("n_distinct") > 1,
-                F.round(
-                    -F.col("_u") / F.lit(float(scale)) + F.lit(5e-10), 6
-                )
-                / F.log(F.col("n_distinct").cast("double")),
+                F.col("entropy") / F.log(F.col("n_distinct").cast("double")),
             ).alias("norm_entropy"),
         )
         .orderBy("col_name")

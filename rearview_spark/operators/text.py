@@ -987,6 +987,10 @@ def source_vocab_overlap(
             F.col(source_col).alias("source"),
             F.explode(tokens(F.col(text_col))).alias("w"),
         )
+        # whitespace-split of an empty/blank document yields one ''
+        # token — a phantom "word" that would inflate vocabularies and
+        # let two sources sharing only empty docs report overlap
+        .filter(F.col("w") != "")
         .distinct()
     )
     sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))

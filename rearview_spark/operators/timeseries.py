@@ -1499,8 +1499,13 @@ def ema_crossover(
     then a comparison of identical bit patterns in any engine, and
     sub-1e-4 wiggles around equality don't flap alerts (rounding is
     part of the operator's semantics here, not just presentation).
-    Crossing FROM equality counts (prev diff <= 0 and diff > 0 is
-    golden) — a flat touch followed by separation is a cross.
+    A cross requires an actual SIDE CHANGE: the comparison is against
+    the last NON-ZERO diff, so a touch of equality followed by a
+    return to the same side never signals (prev <= 0 would re-fire
+    'golden' on every 0 -> positive wiggle of a series that never went
+    below — phantom alerts with no intervening death), and a series'
+    first departure from equality has no prior side, so it does not
+    signal either.
 
     Scale shape: two grouped-pandas EMA passes (the G13 recurrence —
     parallel across metrics, linear within one), one (metric, ts)
@@ -1530,12 +1535,16 @@ def ema_crossover(
         METRIC, TS, _r(F.col(VALUE)).alias("slow")
     )
     j = fast.join(slow, [METRIC, TS])
-    w = Window.partitionBy(METRIC).orderBy(TS)
+    w = (
+        Window.partitionBy(METRIC)
+        .orderBy(TS)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     diff = F.col("fast") - F.col("slow")
-    prev = F.lag(diff).over(w)
+    prev_nz = F.last(F.when(diff != 0, diff), ignorenulls=True).over(w)
     cross = (
-        F.when((prev <= 0) & (diff > 0), F.lit("golden"))
-        .when((prev >= 0) & (diff < 0), F.lit("death"))
+        F.when((prev_nz < 0) & (diff > 0), F.lit("golden"))
+        .when((prev_nz > 0) & (diff < 0), F.lit("death"))
     )
     return (
         j.withColumn("cross", cross)

@@ -1659,13 +1659,15 @@ cum AS (
          sum(err) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_err
   FROM dense),
 s AS (
-  SELECT a.bucket, a.cum_n - b.cum_n AS n_short,
-         a.cum_err - b.cum_err AS err_short
-  FROM cum a JOIN cum b ON b.bucket = a.bucket - 1),
+  SELECT a.bucket, a.cum_n - coalesce(b.cum_n, 0) AS n_short,
+         a.cum_err - coalesce(b.cum_err, 0) AS err_short
+  FROM cum a LEFT JOIN cum b ON b.bucket = a.bucket - 1
+  CROSS JOIN rng WHERE a.bucket - rng.lo >= 0),
 l AS (
-  SELECT a.bucket, a.cum_n - b.cum_n AS n_long,
-         a.cum_err - b.cum_err AS err_long
-  FROM cum a JOIN cum b ON b.bucket = a.bucket - 6),
+  SELECT a.bucket, a.cum_n - coalesce(b.cum_n, 0) AS n_long,
+         a.cum_err - coalesce(b.cum_err, 0) AS err_long
+  FROM cum a LEFT JOIN cum b ON b.bucket = a.bucket - 6
+  CROSS JOIN rng WHERE a.bucket - rng.lo >= 5),
 j AS (SELECT s.bucket, n_short, err_short, n_long, err_long
       FROM s JOIN l ON s.bucket = l.bucket)
 SELECT bucket,

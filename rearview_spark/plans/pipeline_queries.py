@@ -3643,7 +3643,7 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_OVERLAP_SQL = f"""
 WITH ex AS (
   SELECT source, unnest(string_split({NORM}, ' ')) AS w FROM documents),
-sv AS (SELECT DISTINCT source, w FROM ex),
+sv AS (SELECT DISTINCT source, w FROM ex WHERE w <> ''),
 sizes AS (SELECT source, count(*) AS vocab FROM sv GROUP BY 1),
 inter AS (
   SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter

@@ -1905,14 +1905,18 @@ TS_EMA_CROSS_SQL = HOURLY_CTE + """
 ), d AS (
   SELECT metric, ts, fast, slow,
          fast - slow AS diff,
-         lag(fast - slow) OVER (PARTITION BY metric ORDER BY ts) AS prev
+         last_value(CASE WHEN fast - slow <> 0 THEN fast - slow END
+                    IGNORE NULLS)
+           OVER (PARTITION BY metric ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_nz
   FROM f
 )
 SELECT metric, ts, fast, slow,
-       CASE WHEN prev <= 0 AND diff > 0 THEN 'golden'
-            WHEN prev >= 0 AND diff < 0 THEN 'death' END AS cross
+       CASE WHEN prev_nz < 0 AND diff > 0 THEN 'golden'
+            WHEN prev_nz > 0 AND diff < 0 THEN 'death' END AS cross
 FROM d
-WHERE (prev <= 0 AND diff > 0) OR (prev >= 0 AND diff < 0)
+WHERE (prev_nz < 0 AND diff > 0) OR (prev_nz > 0 AND diff < 0)
 ORDER BY metric, ts
 """
 

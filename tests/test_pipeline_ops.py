@@ -2939,8 +2939,11 @@ def test_slo_burn_rate_hand_computed(spark):
         df, short_windows=1, long_windows=2, budget=0.5
     ).collect()
     by = {r["bucket"]: r for r in out}
-    # full windows only: buckets 0,1 have no full long window
-    assert min(by) == 2 and max(by) == 7
+    # full windows only: bucket 1 is the FIRST with 2 fully-observed
+    # buckets (its prefix row is the implicit zero before the grid);
+    # bucket 0 has a partial long window and emits nothing
+    assert min(by) == 1 and max(by) == 7
+    assert by[1]["n_long"] == 8 and by[1]["err_long"] == 0
     # bucket 6: short window = bucket 6 (4/4 err) -> burn 2.0;
     # long = buckets 5-6 (8/8) -> burn 2.0; pages
     assert by[6]["burn_short"] == 2.0 and by[6]["burn_long"] == 2.0

@@ -636,11 +636,12 @@ def test_ema_crossover_hand_case(spark):
 
     from rearview_spark.operators.timeseries import ema_crossover
 
-    # step series: low for 6 points, jump high for 6, drop low again —
-    # the fast EMA crosses the slow upward after the jump (golden) and
-    # downward after the drop (death)
+    # step series: flat (diff 0 — a DEPARTURE from equality, not a
+    # cross, so no signal), jump high (fast pulls above), drop low
+    # (fast falls through: death), jump again (golden). Signals only
+    # on true side changes vs the last NON-ZERO diff.
     t0 = dt.datetime(2024, 1, 1)
-    vals = [1.0] * 6 + [10.0] * 6 + [1.0] * 6
+    vals = [1.0] * 6 + [10.0] * 6 + [1.0] * 8 + [10.0] * 8
     rows = [
         ("m", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)
     ]
@@ -648,9 +649,12 @@ def test_ema_crossover_hand_case(spark):
     out = ema_crossover(df, fast_n=3, slow_n=10).collect()
     kinds = [r["cross"] for r in out]
     assert kinds.count("golden") >= 1 and kinds.count("death") >= 1
-    # first signal is the upward cross and it happens after the jump
+    # the FIRST signal is the death after the drop — the initial rise
+    # departs from equality with no prior side, so it must NOT signal
     first = out[0]
-    assert first["cross"] == "golden" and first["ts"] >= rows[6][1]
+    assert first["cross"] == "death" and first["ts"] >= rows[12][1]
+    # alternating semantics: no two consecutive signals of one kind
+    assert all(a != b for a, b in zip(kinds, kinds[1:]))
     # at every golden row fast > slow; death rows the reverse
     for r in out:
         if r["cross"] == "golden":
