@@ -226,3 +226,27 @@ def test_exact_percentiles_matches_sorted_indexing(spark):
         exact_percentiles(df, "v", [1.5], "id")
     with _pt.raises(ValueError, match="non-null"):
         exact_percentiles(df.filter("v IS NULL"), "v", [0.5], "id")
+
+
+def test_global_running_sums_multi_column(spark):
+    """The multi-column form matches per-column single calls and pays
+    one checkpoint: both cumulatives agree with a driver-side prefix
+    computation over the same strict order."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators._util import global_running_sums
+
+    rows = [(i, i % 3, (i * 7) % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "k int, a int, b int")
+    out = global_running_sums(df, ["k"], ["a", "b"], ["ca", "cb"]).orderBy("k").collect()
+    ra = rb = 0
+    for r in out:
+        ra += r["a"]
+        rb += r["b"]
+        assert (r["ca"], r["cb"]) == (ra, rb)
+
+    import pytest
+    with pytest.raises(ValueError):
+        global_running_sums(df, ["k"], ["a"], ["x", "y"])
+    with pytest.raises(ValueError):
+        global_running_sums(df, ["k"], ["a"], ["a"])  # clashes with input
