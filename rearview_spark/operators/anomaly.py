@@ -661,3 +661,82 @@ def slo_burn_rate(
             & F.coalesce(bl > 1.0, F.lit(False))
         ).alias("page"),
     ).orderBy("bucket")
+
+
+def ks_two_sample_by(
+    df: DataFrame, value_col: str, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-segment two-sample KS — the drilldown of
+    :func:`ks_two_sample`: one D statistic per ``key_col`` value (per
+    event type, per region, per model version), answering "WHICH slice
+    drifted" after the global test fires.
+
+    Same exact-integer contract (cumulative cross-products, one final
+    division per key). Execution differs from the global form on
+    purpose: the prefix sums run under a WINDOW PARTITIONED BY the key
+    (per-partition size = the segment's distinct-VALUE domain — the
+    mad_scores per-series boundedness argument, stated because a
+    single segment with an unbounded continuous domain needs upstream
+    quantization), so no global range pass and no driver collect at
+    all — the whole operator is two hash aggregates and one partitioned
+    window over the collapsed frame.
+
+    Returns ``(key, n_a, n_b, d_num, d_stat, at_value)`` ordered by
+    key; ``d_stat`` NULL where a segment lacks one side.
+    """
+    from pyspark.sql import Window
+
+    from rearview_spark.operators._util import binary_flag_guard
+
+    grp = binary_flag_guard(group_col, "ks_two_sample_by")
+    per_v = df.groupBy(
+        F.col(key_col).alias("key"), F.col(value_col).alias("v")
+    ).agg(
+        F.sum(F.lit(1) - grp).alias("ca"),
+        F.sum(grp).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy("key")
+    cum = per_v.select(
+        "key",
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wk).alias("n_a"),
+        F.sum("cb").over(wk).alias("n_b"),
+    )
+    diffs = cum.select(
+        "key",
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("dn"),
+    )
+    return (
+        diffs.groupBy("key")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.max("dn").cast("long").alias("d_num"),
+            F.expr("min_by(v, struct(-dn, v))").alias("at_value"),
+        )
+        .select(
+            "key",
+            "n_a",
+            "n_b",
+            "d_num",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ).alias("d_stat"),
+            "at_value",
+        )
+        .orderBy("key")
+    )

@@ -42,7 +42,7 @@ _NEW_THIS_ROUND = (
     # remaining slots drain the stale-cohort debt oldest-first. The
     # late-r13 wave also STAGED 13 further gates (PENDING_QUERIES across
     # the plan modules — the window-full rule), so the r14 window is
-    # those 13 first-ever checks + 37 stale rotations (4 r08 + 33 r09);
+    # those 14 first-ever checks + 36 stale rotations (4 r08 + 32 r09);
     # r15 drains the rest of r09 and starts r10 — histogram floor rises
     # within ~3 rounds (VERDICT_r12 next-round #3). Stage into
     # PENDING_QUERIES whenever registering would push the never-checked

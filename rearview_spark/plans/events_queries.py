@@ -1784,3 +1784,69 @@ PENDING_QUERIES["ev_funnel_by_variant"] = {
     "fn": ev_funnel_by_variant,
     "oracle": EV_FUNNEL_VARIANT_SQL,
 }
+
+
+def ev_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KS drift (operators/anomaly.ks_two_sample_by):
+    the WHICH-slice-drifted drilldown of ev_ks_drift, same half-vs-half
+    split and exact integer numerators, one row per event type."""
+    from rearview_spark.operators.anomaly import ks_two_sample_by
+
+    ev = Tables(spark, sf_dir).events
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.col("ts").cast("long").alias("t"),
+        F.col("value").alias("v"),
+    )
+    rng = v.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    grp = v.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "v",
+        (F.col("t") > F.expr("(lo + hi) div 2")).cast("int").alias("grp"),
+    )
+    return ks_two_sample_by(grp, "v", "grp", "event_type")
+
+
+EV_KS_BY_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v
+  FROM events WHERE value IS NOT NULL),
+rng AS (SELECT min(t) AS lo, max(t) AS hi FROM v),
+g AS (
+  SELECT v.event_type AS key, v.v,
+         CASE WHEN v.t > (rng.lo + rng.hi) // 2 THEN 1 ELSE 0 END AS grp
+  FROM v, rng),
+per_v AS (
+  SELECT key, v, sum(1 - grp) AS ca, sum(grp) AS cb FROM g GROUP BY 1, 2),
+cum AS (
+  SELECT key, v,
+         sum(ca) OVER (PARTITION BY key ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cb) OVER (PARTITION BY key ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(ca) OVER (PARTITION BY key) AS n_a,
+         sum(cb) OVER (PARTITION BY key) AS n_b
+  FROM per_v),
+d AS (
+  SELECT key, v, n_a, n_b,
+         abs(cum_a * n_b - cum_b * n_a) AS dn
+  FROM cum)
+SELECT key,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(dn) AS BIGINT) AS d_num,
+       CASE WHEN max(n_a) > 0 AND max(n_b) > 0
+            THEN CAST(max(dn) AS DOUBLE)
+                 / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE))
+       END AS d_stat,
+       (SELECT min(v) FROM d d2
+        WHERE d2.key = d.key AND d2.dn = (SELECT max(dn) FROM d d3
+                                          WHERE d3.key = d.key)) AS at_value
+FROM d GROUP BY key ORDER BY key
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["ev_ks_drift_by_type"] = {
+    "fn": ev_ks_drift_by_type,
+    "oracle": EV_KS_BY_SQL,
+}

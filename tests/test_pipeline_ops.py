@@ -3021,3 +3021,23 @@ def test_sq8_error_audit_hand_computed(spark):
     # a vector exactly on a bucket center reconstructs perfectly,
     # so the minimum error is 0 -> p50 < mean would fail; instead
     # assert the zero is really there via the mean arithmetic above
+
+
+def test_ks_two_sample_by_matches_global_per_key(spark):
+    from rearview_spark.operators.anomaly import ks_two_sample, ks_two_sample_by
+
+    rows = (
+        [("A", 1.0, 0), ("A", 2.0, 0), ("A", 3.0, 0),
+         ("A", 2.0, 1), ("A", 3.0, 1), ("A", 4.0, 1)]
+        + [("B", 5.0, 0), ("B", 5.0, 1)]           # identical: D = 0
+        + [("C", 1.0, 0)]                          # one-sided: NULL
+    )
+    df = spark.createDataFrame(rows, "k string, v double, grp int")
+    by = {r["key"]: r for r in ks_two_sample_by(df, "v", "grp", "k").collect()}
+    # segment A equals the global operator run on A alone
+    ga = ks_two_sample(df.filter("k = 'A'"), "v", "grp").collect()[0]
+    assert (by["A"]["d_num"], by["A"]["d_stat"], by["A"]["at_value"]) == (
+        ga["d_num"], ga["d_stat"], ga["at_value"],
+    )
+    assert by["B"]["d_num"] == 0 and by["B"]["d_stat"] == 0.0
+    assert by["C"]["n_b"] == 0 and by["C"]["d_stat"] is None
