@@ -40,7 +40,7 @@ _NEW_THIS_ROUND = (
     # Post-backlog steady state: new operators register the round they
     # land (group (c) front-loads them with no entry here); the window's
     # remaining slots drain the stale-cohort debt oldest-first. The
-    # late-r13 wave also STAGED 13 further gates (PENDING_QUERIES across
+    # late-r13 wave also STAGED 14 further gates (PENDING_QUERIES across
     # the plan modules — the window-full rule), so the r14 window is
     # those 14 first-ever checks + 36 stale rotations (4 r08 + 32 r09);
     # r15 drains the rest of r09 and starts r10 — histogram floor rises
