@@ -515,3 +515,84 @@ def burstiness_fano(
         )
         .orderBy("kind")
     )
+
+
+def stickiness_dau_wau(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU/WAU stickiness — the canonical product-engagement ratio
+    (what fraction of the trailing week's actives showed up today):
+    per day, exact distinct daily actives over exact distinct
+    trailing-``window_days`` actives.
+
+    The trailing distinct is NOT prefix-summable (users repeat), so it
+    is computed exactly by the contribution explode: each distinct
+    (user, day) row contributes that user to the ``window_days`` days
+    it keeps them in the window, and a second distinct collapses
+    multi-day users — both stages are user-day-domain sized, never
+    event-volume sized, and the explode factor is the constant window
+    length. Empty days materialize as zeros through a dense calendar
+    grid (one F.sequence — the slo_burn_rate form); only days with a
+    FULL trailing window emit (the mean_shift edge rule). Negative
+    epochs are rejected at execution (truncating div vs floor — the
+    slo_burn_rate guard).
+
+    Returns ``(day, dau, wau, stickiness)`` ascending — day is the
+    epoch-day number; stickiness is ONE division of exact int64, NULL
+    when the window saw nobody.
+    """
+    if not isinstance(window_days, int) or window_days < 1:
+        raise ValueError(
+            f"stickiness_dau_wau: window_days must be >= 1 (got {window_days!r})"
+        )
+    t_raw = F.col(ts_col).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("stickiness_dau_wau: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    ud = (
+        df.select(
+            F.col(user_col).alias("u"), t_checked.alias("_t")
+        )
+        .select("u", F.expr("_t div 86400").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        ud.select(
+            "u",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(window_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    rng = dau.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = rng.select(
+        F.explode(
+            F.sequence(F.col("lo") + F.lit(window_days - 1), F.col("hi"))
+        ).alias("day")
+    )
+    return (
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.when(
+                F.coalesce("wau", F.lit(0)) > 0,
+                F.coalesce("dau", F.lit(0)).cast("double")
+                / F.coalesce("wau", F.lit(0)).cast("double"),
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -186,3 +186,80 @@ def column_entropy(
         )
         .orderBy("col_name")
     )
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str, scale: int = 10**9
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    unit-mixing screen for naturally-spanning positive amounts
+    (invoices, populations, file sizes): observed first-significant-
+    digit frequencies against ``P(d) = log10(1 + 1/d)``, with each
+    digit's chi-squared contribution ``(obs - n*p)^2 / (n*p)``.
+
+    First digit extraction is pure string arithmetic on the exact
+    decimal rendering — no float log in the extraction path (log10
+    would mis-digit at representation boundaries); zero, negative and
+    NULL amounts are excluded (Benford is defined for positive
+    magnitudes — the caller screens sign conventions separately).
+    Counts are exact int64; expected probabilities are engine-constant
+    doubles; each contribution is one fixed double expression
+    quantized to 1/``scale`` units (the PSI summand discipline), so
+    the total statistic is an order-free integer sum downstream.
+
+    Scale shape: one scan -> 9-row hash collapse; everything after is
+    digit-domain arithmetic. Returns
+    ``(digit, n_obs, p_expected, contrib)`` for digits 1-9 (zero-count
+    digits included — their contribution n*p is real evidence) plus the
+    row-level pieces a dashboard sums into the chi-squared statistic.
+    """
+    import math
+
+    v = F.col(value_col)
+    digits = (
+        df.filter(v.isNotNull() & (v > 0))
+        .select(
+            F.substring(
+                F.regexp_replace(
+                    F.format_number(v.cast("double"), 12), r"[0.,]", ""
+                ),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, math.log10(1 + 1 / d)) for d in range(1, 10)],
+        "digit int, p_expected double",
+    )
+    joined = expected.join(digits, "digit", "left").select(
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        "p_expected",
+    )
+    total = joined.agg(F.sum("n_obs").cast("long").alias("_n"))
+    exp_n = F.col("_n").cast("double") * F.col("p_expected")
+    contrib = (
+        (F.col("n_obs").cast("double") - exp_n)
+        * (F.col("n_obs").cast("double") - exp_n)
+        / exp_n
+    )
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            "p_expected",
+            F.when(
+                F.col("_n") > 0,
+                F.round(contrib * F.lit(float(scale))).cast("long")
+                / F.lit(float(scale)),
+            ).alias("contrib"),
+        )
+        .orderBy("digit")
+    )

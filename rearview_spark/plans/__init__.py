@@ -40,9 +40,9 @@ _NEW_THIS_ROUND = (
     # Post-backlog steady state: new operators register the round they
     # land (group (c) front-loads them with no entry here); the window's
     # remaining slots drain the stale-cohort debt oldest-first. The
-    # late-r13 wave also STAGED 14 further gates (PENDING_QUERIES across
+    # late-r13 wave also STAGED 16 further gates (PENDING_QUERIES across
     # the plan modules — the window-full rule), so the r14 window is
-    # those 14 first-ever checks + 36 stale rotations (4 r08 + 32 r09);
+    # those 16 first-ever checks + 34 stale rotations (4 r08 + 30 r09);
     # r15 drains the rest of r09 and starts r10 — histogram floor rises
     # within ~3 rounds (VERDICT_r12 next-round #3). Stage into
     # PENDING_QUERIES whenever registering would push the never-checked

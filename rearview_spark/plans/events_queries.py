@@ -1850,3 +1850,47 @@ PENDING_QUERIES["ev_ks_drift_by_type"] = {
     "fn": ev_ks_drift_by_type,
     "oracle": EV_KS_BY_SQL,
 }
+
+
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness (operators/behavior.stickiness_dau_wau):
+    exact trailing-week distinct actives via the constant-factor
+    contribution explode (never a sliding distinct window), dense
+    calendar grid, full windows only. The exact companion to the
+    HLL sliding-distinct gate."""
+    from rearview_spark.operators.behavior import stickiness_dau_wau
+
+    return stickiness_dau_wau(Tables(spark, sf_dir).events)
+
+
+EV_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT u, day + d.d AS day
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS d) d),
+wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY 1),
+rng AS (SELECT min(day) AS lo, max(day) AS hi FROM dau),
+grid AS (
+  SELECT unnest(generate_series(rng.lo + 6, rng.hi)) AS day FROM rng)
+SELECT g.day AS day,
+       CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+       CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau,
+       CASE WHEN coalesce(wau.wau, 0) > 0
+            THEN CAST(coalesce(dau.dau, 0) AS DOUBLE)
+                 / CAST(coalesce(wau.wau, 0) AS DOUBLE)
+       END AS stickiness
+FROM grid g
+LEFT JOIN dau ON g.day = dau.day
+LEFT JOIN wau ON g.day = wau.day
+ORDER BY g.day
+"""
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["ev_stickiness"] = {
+    "fn": ev_stickiness,
+    "oracle": EV_STICKINESS_SQL,
+}

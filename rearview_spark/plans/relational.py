@@ -2059,3 +2059,54 @@ PENDING_QUERIES["rel_column_entropy"] = {
     "fn": rel_column_entropy,
     "oracle": REL_ENTROPY_SQL,
 }
+
+
+def rel_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (operators/profiling.benford_first_digit): observed leading-digit
+    frequencies vs log10(1 + 1/d) with per-digit chi-squared
+    contributions — the fabricated-data / unit-mixing screen. Digit
+    extraction is string arithmetic on a fixed 12-decimal rendering
+    (identical in both engines); expected probabilities are embedded
+    as the SAME Python-computed double literals on both sides."""
+    from rearview_spark.operators.profiling import benford_first_digit
+
+    return benford_first_digit(Tables(spark, sf_dir).orders, "o_totalprice")
+
+
+def _benford_sql() -> str:
+    import math
+
+    rows = ", ".join(
+        f"({d}, {math.log10(1 + 1 / d)!r})" for d in range(1, 10)
+    )
+    return f"""
+WITH d0 AS (
+  SELECT CAST(substr(regexp_replace(printf('%.12f', o_totalprice),
+                                    '[0.,]', '', 'g'), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+obs AS (
+  SELECT digit, count(*) AS n_obs FROM d0
+  WHERE digit IS NOT NULL GROUP BY 1),
+exp AS (SELECT * FROM (VALUES {rows}) AS t(digit, p_expected)),
+j AS (
+  SELECT e.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+         e.p_expected
+  FROM exp e LEFT JOIN obs o USING (digit)),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM j)
+SELECT digit, n_obs, p_expected,
+       CASE WHEN n > 0 THEN
+         CAST(round(((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_expected)
+                     * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_expected)
+                     / (CAST(n AS DOUBLE) * p_expected))
+                    * 1000000000.0) AS BIGINT) / 1000000000.0
+       END AS contrib
+FROM j, tot ORDER BY digit
+"""
+
+
+# Staged for r14 (window-full rule) with the rest of the late-r13 wave.
+PENDING_QUERIES["rel_benford_audit"] = {
+    "fn": rel_benford_audit,
+    "oracle": _benford_sql(),
+}

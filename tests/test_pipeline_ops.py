@@ -3041,3 +3041,49 @@ def test_ks_two_sample_by_matches_global_per_key(spark):
     )
     assert by["B"]["d_num"] == 0 and by["B"]["d_stat"] == 0.0
     assert by["C"]["n_b"] == 0 and by["C"]["d_stat"] is None
+
+
+def test_benford_first_digit_hand_computed(spark):
+    import math
+    from rearview_spark.operators.profiling import benford_first_digit
+
+    # digits extracted from the exact decimal rendering: 123.4 -> 1,
+    # 0.00456 -> 4 (leading zeros skipped), 9000 -> 9; zero/negative/
+    # NULL excluded
+    rows = [(123.4,), (0.00456,), (9000.0,), (0.0,), (-5.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
+    assert len(out) == 9  # all digits 1-9 present, zero-count included
+    assert out[1]["n_obs"] == 1 and out[4]["n_obs"] == 1 and out[9]["n_obs"] == 1
+    assert out[2]["n_obs"] == 0
+    assert abs(out[1]["p_expected"] - math.log10(2)) < 1e-15
+    # contribution of an unobserved digit is n*p (obs=0)
+    n = 3
+    want = (0 - n * out[2]["p_expected"]) ** 2 / (n * out[2]["p_expected"])
+    assert abs(out[2]["contrib"] - want) < 1e-9
+    # a perfectly Benford-weighted sample has near-zero contributions
+    # (spot: observed exactly n*p is impossible with n=3, skip)
+
+
+def test_stickiness_dau_wau_hand_computed(spark):
+    from rearview_spark.operators.behavior import stickiness_dau_wau
+
+    # u1 active day 0; u2 active days 0 and 8 (window 7):
+    # day 6: WAU={u1,u2}, DAU=0 -> 0.0; day 7: nobody in window -> NULL;
+    # day 8: WAU={u2}, DAU={u2} -> 1.0
+    D = 86400
+    rows = [(1, 0), (2, 10), (2, 8 * D + 5)]
+    df = spark.createDataFrame(rows, "user_id int, ts long")
+    out = {r["day"]: r for r in stickiness_dau_wau(df).collect()}
+    assert sorted(out) == [6, 7, 8]
+    assert out[6]["dau"] == 0 and out[6]["wau"] == 2 and out[6]["stickiness"] == 0.0
+    assert out[7]["wau"] == 0 and out[7]["stickiness"] is None
+    assert out[8]["dau"] == 1 and out[8]["wau"] == 1 and out[8]["stickiness"] == 1.0
+
+    import pytest
+    with pytest.raises(ValueError):
+        stickiness_dau_wau(df, window_days=0)
+    with pytest.raises(Exception):
+        stickiness_dau_wau(
+            spark.createDataFrame([(1, -5)], "user_id int, ts long")
+        ).collect()
