@@ -295,6 +295,11 @@ def global_running_sums(
             "global_running_sums: value_cols/out_cols must be same-length"
             f" non-empty lists (got {value_cols!r}, {out_cols!r})"
         )
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(
+            "global_running_sums: out_cols must be distinct — a repeat "
+            f"would silently last-win through withColumn (got {out_cols!r})"
+        )
     for oc in out_cols:
         if oc in df.columns:
             raise ValueError(
@@ -339,15 +344,25 @@ def binary_flag_guard(col_name: str, ctx: str):
     fails AT EXECUTION via an inline raise_error riding the same scan
     — the shared form of the guard the evaluation/stats/drift families
     each need (a flag of 2 or NULL would silently corrupt every count).
-    ``ctx`` names the raising operator in the message."""
+    ``ctx`` names the raising operator in the message.
+
+    Non-integral values raise too: the membership test runs on a
+    value-preserving DOUBLE cast, not the truncating int cast, so a
+    fractional flag like 0.9 cannot truncate to 0 and slip through
+    (ADVICE r13 — exactly the silent count corruption the guard exists
+    to catch). Double is the widest promotion every flag-bearing type
+    reaches losslessly at flag magnitudes: int/bigint/decimal/double
+    flags compare exactly, booleans read 0.0/1.0, and a non-numeric
+    string casts to NULL and raises."""
     from pyspark.sql import functions as F
 
-    c = F.col(col_name).cast("int")
-    return F.when(c.isin(0, 1), c).otherwise(
+    raw = F.col(col_name)
+    d = raw.cast("double")
+    return F.when(d.isin(0.0, 1.0), d.cast("int")).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"{ctx}: {col_name} must be 0/1, got "),
-                F.coalesce(c.cast("string"), F.lit("NULL")),
+                F.coalesce(raw.cast("string"), F.lit("NULL")),
             )
         ).cast("int")
     )

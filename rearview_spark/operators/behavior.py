@@ -479,9 +479,21 @@ def burstiness_fano(
     b = F.expr(
         f"CAST(ts_long div {bucket_seconds} AS BIGINT)"
     )
+    # pre-1970 timestamps would split Spark's truncating `div` from the
+    # oracle's floor `//` — sentinel noise, so fail loudly (the
+    # slo_burn_rate / stickiness_dau_wau guard)
+    t_raw = F.col(ts_col).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("burstiness_fano: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
     base = df.select(
         F.col(kind_col).alias("kind"),
-        F.col(ts_col).cast("long").alias("ts_long"),
+        t_checked.alias("ts_long"),
     ).withColumn("bucket", b)
     rng = base.agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")

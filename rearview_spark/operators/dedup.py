@@ -1623,6 +1623,16 @@ def minhash_estimate_error(
     (errors materialize pair-scale, the corpus-scale signature cache
     releases before return).
 
+    Cost warning (the PLANS.md decade table's 100× finding, carried
+    into the contract): cost tracks CANDIDATE PAIRS under the bucket
+    caps, never docs² — but an adversarial corpus whose near-twin
+    groups grow with replication (every copy banding into the same
+    buckets) multiplies pairs super-linearly with corpus size (136×
+    observed at a 100× worst-case replica). That is inherent to
+    auditing every candidate pair; on such corpora keep
+    ``max_bucket_size`` tight or audit a doc-hash sample, and budget
+    this as an audit run, not a per-ingest stage.
+
     Returns one row ``(n_pairs, mean_abs_err, p50_abs_err, p90_abs_err,
     max_abs_err)``; the error columns are NULL when no candidate pairs
     exist.

@@ -202,6 +202,19 @@ def benford_first_digit(
     would mis-digit at representation boundaries); zero, negative and
     NULL amounts are excluded (Benford is defined for positive
     magnitudes — the caller screens sign conventions separately).
+
+    Extraction-precision contract (ADVICE r13): the rendering is a
+    fixed 12-decimal expansion, so (a) positive values below 5e-13
+    render as all zeros and are excluded via the NULL-digit path —
+    an implicit magnitude floor, fine for the operator's domain
+    (amounts, counts, sizes) but wrong for sub-picoscale physics
+    data; (b) a value within ~5e-13 of a power of ten can round
+    across it and mis-digit (0.9999999999996 reads 1, not 9); and
+    (c) Spark ``format_number`` (HALF_UP) vs an oracle's ``printf
+    %.12f`` can in principle split on exact decimal ties. All three
+    live at the 13th significant decimal — far below measurement
+    noise on any natural-amounts column; normalize upstream if a
+    column genuinely occupies that band.
     Counts are exact int64; expected probabilities are engine-constant
     doubles; each contribution is one fixed double expression
     quantized to 1/``scale`` units (the PSI summand discipline), so

@@ -43,10 +43,23 @@ _NEW_THIS_ROUND = (
     # late-r13 wave also STAGED 16 further gates (PENDING_QUERIES across
     # the plan modules — the window-full rule), so the r14 window is
     # those 16 first-ever checks + 34 stale rotations (4 r08 + 30 r09);
-    # r15 drains the rest of r09 and starts r10 — histogram floor rises
-    # within ~3 rounds (VERDICT_r12 next-round #3). Stage into
-    # PENDING_QUERIES whenever registering would push the never-checked
-    # count past the 50-slot window.
+    # r14 executed exactly that (all 16 flipped, nothing else
+    # registered). Stage into PENDING_QUERIES whenever registering
+    # would push the never-checked count past the 50-slot window.
+    #
+    # REGISTRY GROWTH BUDGET (standing policy, VERDICT_r13 next-round
+    # #2 option (a)): at most 15 NEW registrations per round, so >= 35
+    # window slots always rotate stale cohorts. New gates beyond the
+    # budget stay in PENDING_QUERIES (pre-verified by
+    # tests/test_pending_gates.py) until a round has budget room.
+    # Recheck-cycle arithmetic under the cap, from the post-r14
+    # histogram (r09 x20, r10 x50, r11 x50, r12 x50, r13 x50, r14 x50):
+    #   r15 = <=15 flips + 20 r09 + >=15 r10 rotations  -> floor r10
+    #   r16 = <=15 flips + the remaining <=35 r10 rows  -> floor r11
+    # i.e. the floor reaches r11 by r16 and thereafter trails the
+    # current round by at most ceil(registry / 35) rounds — bounded as
+    # long as the cap holds. Prefer retiring a redundant gate to
+    # unit-only coverage over exceeding the cap.
 )
 
 

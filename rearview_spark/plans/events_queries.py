@@ -1894,3 +1894,8 @@ PENDING_QUERIES["ev_stickiness"] = {
     "fn": ev_stickiness,
     "oracle": EV_STICKINESS_SQL,
 }
+
+# r14 flip (VERDICT_r13 next-round #1): every staged gate registers —
+# the window arithmetic is 16 first-ever checks + 34 stale rotations.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

@@ -649,3 +649,8 @@ PENDING_QUERIES["graph_degree_hist"] = {
     "fn": graph_degree_hist,
     "oracle": GRAPH_DEGREE_SQL,
 }
+
+# r14 flip (VERDICT_r13 next-round #1): every staged gate registers —
+# the window arithmetic is 16 first-ever checks + 34 stale rotations.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

@@ -3727,3 +3727,8 @@ PENDING_QUERIES["sim_sq8_error"] = {
     "fn": sim_sq8_error,
     "oracle": SIM_SQ8_ERR_SQL,
 }
+
+# r14 flip (VERDICT_r13 next-round #1): every staged gate registers —
+# the window arithmetic is 16 first-ever checks + 34 stale rotations.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

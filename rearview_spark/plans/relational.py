@@ -2110,3 +2110,8 @@ PENDING_QUERIES["rel_benford_audit"] = {
     "fn": rel_benford_audit,
     "oracle": _benford_sql(),
 }
+
+# r14 flip (VERDICT_r13 next-round #1): every staged gate registers —
+# the window arithmetic is 16 first-ever checks + 34 stale rotations.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

@@ -652,3 +652,70 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 from rearview_spark.plans.events_queries import EV_KS_SQL as _STREAM_KS_SQL  # noqa: E402
 
 QUERIES["stream_ks_drift"] = {"fn": stream_ks_drift, "oracle": _STREAM_KS_SQL}
+
+
+def stream_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KS drift with the CURRENT side's (key, value)
+    counts accumulated by the segmented foreachBatch recurrence
+    (operators/anomaly.ks_by_foreach_batch, VERDICT_r13 next-round #6)
+    over three deterministic micro-batch slices: counts merge by
+    ADDITION, so the streamed state — and every segment's exact D
+    numerator, statistic, and argmax value — is bit-identical to the
+    batch gate, and this gate shares ev_ks_drift_by_type's FULL value
+    oracle (micro-batching is a delivery choice, not a semantics
+    change — the stream_ks_drift discipline, segmented). The
+    batch=<id> state dirs carry the CM/HLL retry contract."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.anomaly import (
+        ks_by_foreach_batch,
+        ks_by_from_counts,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+    from rearview_spark.sources.loader import Tables
+
+    ev = Tables(spark, sf_dir).events
+    v = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("key"),
+        F.col("ts").cast("long").alias("t"),
+        F.col("value").alias("v"),
+    )
+    rng = v.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    mid = (int(rng["lo"]) + int(rng["hi"])) // 2
+    base = v.filter(F.col("t") <= mid)
+    cur = v.filter(F.col("t") > mid)
+    state_dir = tempfile.mkdtemp(prefix="ksby_stream_")
+    try:
+        proc = ks_by_foreach_batch(spark, state_dir)
+        for i in range(3):
+            proc(cur.filter(F.col("t") % 3 == i).select("key", "v"), i)
+        merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
+        counts = (
+            base.groupBy("key", "v")
+            .agg(F.count(F.lit(1)).alias("ca"))
+            .withColumn("cb", F.lit(0).cast("long"))
+            .unionByName(
+                merged.select(
+                    "key",
+                    "v",
+                    F.lit(0).cast("long").alias("ca"),
+                    F.col("c_cur").cast("long").alias("cb"),
+                )
+            )
+        )
+        # materialize before the state dir disappears (the
+        # stream_peak_concurrency cleanup contract)
+        return ks_by_from_counts(counts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+from rearview_spark.plans.events_queries import EV_KS_BY_SQL as _STREAM_KS_BY_SQL  # noqa: E402
+
+# Staged (r14 growth budget: the flip wave + 34 rotations fill the
+# window; flips in r15).
+PENDING_QUERIES["stream_ks_drift_by_type"] = {
+    "fn": stream_ks_drift_by_type,
+    "oracle": _STREAM_KS_BY_SQL,
+}

@@ -1925,3 +1925,8 @@ PENDING_QUERIES["ts_ema_crossover"] = {
     "fn": ts_ema_crossover,
     "oracle": TS_EMA_CROSS_SQL,
 }
+
+# r14 flip (VERDICT_r13 next-round #1): every staged gate registers —
+# the window arithmetic is 16 first-ever checks + 34 stale rotations.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

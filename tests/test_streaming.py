@@ -454,3 +454,78 @@ def test_ks_foreach_batch_replay_and_batch_equality(spark, tmp_path):
         ref["at_value"],
     )
     assert got["d_num"] > 0
+
+
+def test_ks_by_foreach_batch_replay_and_batch_equality(spark, tmp_path):
+    """Segmented form of the contract above: streamed per-(key, value)
+    counts == one-pass counts, a RETRIED batch leaves the state
+    unchanged, and every segment's KS read off the merged state equals
+    the batch ks_two_sample_by exactly."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.anomaly import (
+        ks_by_foreach_batch,
+        ks_by_from_counts,
+        ks_two_sample_by,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    base = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("x", 2.0), ("y", 1.0), ("y", 3.0)],
+        "key string, v double",
+    )
+    cur = spark.createDataFrame(
+        [("x", 2.0), ("x", 4.0), ("y", 1.0), ("y", 1.0), ("y", 5.0)],
+        "key string, v double",
+    )
+
+    state = str(tmp_path / "ksby_state")
+    proc = ks_by_foreach_batch(spark, state)
+    slices = [cur.filter(F.col("v") <= 2.0), cur.filter(F.col("v") > 2.0)]
+    for i, sl in enumerate(slices):
+        proc(sl, i)
+    proc(slices[1], 1)  # retry: re-merges from batch 0, no double-count
+    merged = spark.read.parquet(_latest_batch_dir(spark, state))
+    assert {(r["key"], r["v"], r["c_cur"]) for r in merged.collect()} == {
+        ("x", 2.0, 1),
+        ("x", 4.0, 1),
+        ("y", 1.0, 2),
+        ("y", 5.0, 1),
+    }
+
+    counts = (
+        base.groupBy("key", "v")
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .withColumn("cb", F.lit(0).cast("long"))
+        .unionByName(
+            merged.select(
+                "key",
+                "v",
+                F.lit(0).cast("long").alias("ca"),
+                F.col("c_cur").cast("long").alias("cb"),
+            )
+        )
+    )
+    got = {r["key"]: r for r in ks_by_from_counts(counts).collect()}
+    both = base.withColumn("grp", F.lit(0)).unionByName(
+        cur.withColumn("grp", F.lit(1))
+    )
+    ref = {
+        r["key"]: r for r in ks_two_sample_by(both, "v", "grp", "key").collect()
+    }
+    assert set(got) == set(ref) == {"x", "y"}
+    for k in ref:
+        assert (
+            got[k]["n_a"],
+            got[k]["n_b"],
+            got[k]["d_num"],
+            got[k]["d_stat"],
+            got[k]["at_value"],
+        ) == (
+            ref[k]["n_a"],
+            ref[k]["n_b"],
+            ref[k]["d_num"],
+            ref[k]["d_stat"],
+            ref[k]["at_value"],
+        )
+    assert got["y"]["d_num"] > 0
