@@ -608,3 +608,251 @@ def stickiness_dau_wau(
         )
         .orderBy("day")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_seconds: int = 604800,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention triangle — the canonical growth-accounting
+    read (what fraction of the users acquired in week W were still
+    active k weeks later): users cohort by their FIRST active bucket,
+    and each (cohort, offset) cell counts distinct cohort members
+    active in bucket ``cohort + offset``.
+
+    Exactness: buckets are integer ``div`` of the epoch second (the
+    negative-epoch guard of the slo_burn/stickiness siblings — a
+    pre-1970 sentinel fails loudly rather than splitting Spark's
+    truncating div from the oracle's floor); membership counts are
+    exact int64 over (user, bucket) DISTINCT activity; retention is
+    ONE division per cell. Offset 0 is emitted too (always 1.0 by
+    construction — its presence lets a dashboard consume the triangle
+    without special-casing the diagonal).
+
+    Scale shape: one corpus collapse to the distinct (user, bucket)
+    domain, a user-domain min-aggregate for the cohort assignment, one
+    user-keyed equi-join sharing that collapse's partitioning, then a
+    (cohort, offset)-domain hash aggregate and a cohort-domain
+    broadcast-size join — nothing event-volume sized past the first
+    distinct. ``max_offset`` (when given) prunes the triangle BEFORE
+    the cell aggregate, not after.
+
+    Returns ``(cohort_bucket, week_offset, cohort_size, n_active,
+    retention)`` ascending by (cohort_bucket, week_offset).
+    """
+    if not isinstance(bucket_seconds, int) or bucket_seconds < 1:
+        raise ValueError(
+            "cohort_retention: bucket_seconds must be a positive int "
+            f"(got {bucket_seconds!r})"
+        )
+    if max_offset is not None and (
+        not isinstance(max_offset, int) or max_offset < 0
+    ):
+        raise ValueError(
+            f"cohort_retention: max_offset must be >= 0 (got {max_offset!r})"
+        )
+    t_raw = F.col(ts_col).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cohort_retention: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    ub = (
+        df.select(F.col(user_col).alias("u"), t_checked.alias("_t"))
+        .select("u", F.expr(f"_t div {bucket_seconds}").alias("bucket"))
+        .distinct()
+    )
+    cohorts = ub.groupBy("u").agg(F.min("bucket").alias("cohort_bucket"))
+    sizes = cohorts.groupBy("cohort_bucket").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = ub.join(cohorts, "u").select(
+        "cohort_bucket",
+        (F.col("bucket") - F.col("cohort_bucket")).alias("week_offset"),
+    )
+    if max_offset is not None:
+        cells = cells.filter(F.col("week_offset") <= max_offset)
+    counts = cells.groupBy("cohort_bucket", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_bucket")
+        .select(
+            "cohort_bucket",
+            "week_offset",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("n_active").cast("long").alias("n_active"),
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_bucket", "week_offset")
+    )
+
+
+def pareto_share(
+    df: DataFrame,
+    key_col: str = "user_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Volume-concentration (Pareto/Lorenz) curve by contributor — the
+    "what share of traffic do the top 10% of users produce" read that
+    decides whether per-user state needs a hot-key tier: keys rank by
+    their exact row count DESCENDING, split into ``n_buckets``
+    equal-population buckets, and each bucket reports its cumulative
+    share of total rows.
+
+    Exactness: per-key counts and the bucket cut ``((rn - 1) *
+    n_buckets) div n_keys`` are exact integer arithmetic (the
+    cumulative_gains / equi-depth discipline — deterministic through
+    ties via the key-ascending tiebreak); cumulative sums run through
+    ``global_running_sums`` partials; share is ONE division of exact
+    int64 per bucket row.
+
+    Scale shape: one corpus collapse to the key domain, a
+    key-domain ranked pass (global_row_number — range-partitioned,
+    never a single-task window), a bucket-domain (``n_buckets`` rows)
+    aggregate, then prefix sums over that bounded frame. Returns
+    ``(bucket, n_keys, n_rows, cum_keys, cum_rows, cum_share)``
+    ascending by bucket (bucket 0 = heaviest keys).
+    """
+    from rearview_spark.operators._util import (
+        global_row_number,
+        global_running_sums,
+    )
+
+    if not isinstance(n_buckets, int) or n_buckets < 1:
+        raise ValueError(
+            f"pareto_share: n_buckets must be >= 1 (got {n_buckets!r})"
+        )
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked, n_keys = global_row_number(
+        per_key, [F.col("cnt").desc(), F.col("k").asc()], out_col="_rn"
+    )
+    if n_keys == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "bucket long, n_keys long, n_rows long, cum_keys long, "
+            "cum_rows long, cum_share double",
+        )
+    per_bucket = ranked.groupBy(
+        F.expr(f"((_rn - 1) * {n_buckets}) div {n_keys}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    cum = global_running_sums(
+        per_bucket, ["bucket"], ["n_keys", "n_rows"], ["cum_keys", "cum_rows"]
+    )
+    total = cum.agg(F.sum("n_rows").cast("long").alias("_tot"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "n_rows",
+            "cum_keys",
+            "cum_rows",
+            (F.col("cum_rows").cast("double") / F.col("_tot").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def interarrival_summary(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-kind inter-arrival-time distribution — the gap statistics
+    (median / p90 / max / mean seconds between one user's consecutive
+    events of a kind) that size retry backoffs, session timeouts, and
+    polling intervals. The distributional companion to
+    :func:`burstiness_fano` (Fano says how lumpy arrivals are; this
+    says how long the quiet stretches run).
+
+    Gap extraction is ONE window partitioned by (user, kind) — bounded
+    by a single user's event history, never corpus-wide; equal
+    timestamps within a partition yield the same sorted value sequence
+    under any tie order, so the gap MULTISET (and everything computed
+    from it) is deterministic without a tiebreak column. Percentiles
+    are SQL-standard discrete picks at 1-based rank ``ceil(p * n)``,
+    computed by the KS/equi-depth counts-collapse: gaps collapse to
+    the (kind, gap) distinct-value domain, a kind-partitioned
+    cumulative count walks that bounded domain, and each percentile is
+    the minimal gap whose cumulative count reaches the all-integer
+    threshold ``(p_num * n + p_den - 1) div p_den``. Mean is one
+    division of the exact int64 gap sum. Negative epochs fail loudly
+    (the slo_burn/stickiness guard).
+
+    Returns ``(kind, n_gaps, mean_gap_s, p50_gap_s, p90_gap_s,
+    max_gap_s)`` ordered by kind.
+    """
+    t_raw = F.col(ts_col).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interarrival_summary: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("kind"),
+        t_checked.alias("t"),
+    )
+    w = Window.partitionBy("u", "kind").orderBy("t")
+    gaps = (
+        base.withColumn("_prev", F.lag("t").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select("kind", (F.col("t") - F.col("_prev")).alias("gap"))
+    )
+    counts = gaps.groupBy("kind", "gap").agg(F.count(F.lit(1)).alias("c"))
+    wk = Window.partitionBy("kind")
+    wcum = (
+        Window.partitionBy("kind")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "kind",
+        "gap",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wk).alias("n"),
+    )
+    # ceil(p*n) thresholds in pure integers: p50 -> (n+1) div 2,
+    # p90 -> (9n+9) div 10
+    t50 = F.expr("(n + 1) div 2")
+    t90 = F.expr("(9 * n + 9) div 10")
+    return (
+        cum.groupBy("kind")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            (
+                F.sum(F.col("gap") * F.col("c")).cast("double")
+                / F.max("n").cast("double")
+            ).alias("mean_gap_s"),
+            F.min(F.when(F.col("cum") >= t50, F.col("gap")))
+            .cast("long")
+            .alias("p50_gap_s"),
+            F.min(F.when(F.col("cum") >= t90, F.col("gap")))
+            .cast("long")
+            .alias("p90_gap_s"),
+            F.max("gap").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("kind")
+    )

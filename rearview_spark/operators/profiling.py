@@ -276,3 +276,87 @@ def benford_first_digit(
         )
         .orderBy("digit")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list,
+    quant: int = 100,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns — the
+    multicollinearity / redundant-feature screen run before the OLS /
+    PCA operators trust their inputs (operators/linalg.py's scalar-
+    column sibling: same integer-exact-moments idea, C(k,2) pairs of
+    scalars instead of a dim^2 Gram of vectors).
+
+    Exactness: each column quantizes to integer units (``round(x *
+    quant)`` — the proven cross-engine rounding) so every moment —
+    n, per-column sums, squares, and all pairwise cross-products — is
+    an EXACT int64 sum (aggregation order cannot perturb it); each
+    correlation is then ONE fixed double expression over those exact
+    operands, ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) *
+    sqrt(n*Syy - Sy^2))``, mirrored op-for-op in the oracle. Rows
+    where ANY of ``cols`` is NULL are excluded first (listwise
+    deletion — every pair sees the same n, so the matrix is positive
+    semi-definite). int64 envelope: |Sxy| <= n * (quant*max|x|)^2
+    — at quant 100 and values to ~1e5 that is exact to ~1e8 rows;
+    beyond, pre-aggregate or lower quant (the gram_matrix
+    decimal(38) note applies).
+
+    Scale shape: ONE full scan collapsing to a single row of
+    ``2k + k(k-1)/2 + 1`` exact int64 moments (map-side partials —
+    nothing row-scale shuffles), then a k(k-1)/2-row driverless
+    unpivot of that row via ``stack``. NULL correlation for a
+    zero-variance column (undefined rather than divide-by-zero).
+    Returns ``(col_x, col_y, n, corr)`` for the strict upper triangle,
+    ordered by (col_x, col_y).
+    """
+    if len(cols) < 2 or len(set(cols)) != len(cols):
+        raise ValueError(
+            f"correlation_matrix: need >= 2 distinct columns (got {cols!r})"
+        )
+    if not isinstance(quant, int) or quant < 1:
+        raise ValueError(
+            f"correlation_matrix: quant must be a positive int (got {quant!r})"
+        )
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    q = {
+        c: F.round(F.col(c).cast("double") * quant).cast("long")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(q[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(q[a] * q[b]).alias(f"sx_{a}_{b}"))
+    row = df.filter(cond).agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sxx, syy = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sxy = F.col(f"sx_{a}_{b}").cast("double")
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        return F.when(
+            (var_x > 0) & (var_y > 0),
+            (n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
+        )
+
+    out = None
+    for a, b in pairs:
+        part = row.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("n").cast("long").alias("n"),
+            _corr(a, b).alias("corr"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("col_x", "col_y")

@@ -1552,3 +1552,177 @@ def ema_crossover(
         .select(METRIC, TS, "fast", "slow", "cross")
         .orderBy(METRIC, TS)
     )
+
+
+def ema_crossover_foreach_batch(
+    spark,
+    state_dir: str,
+    fast_n: int = 3,
+    slow_n: int = 10,
+    decimals: int = 4,
+):
+    """:func:`ema_crossover` as a ``foreachBatch`` recurrence — the
+    standing-query form a crossover ALERT inherently is (VERDICT_r13
+    next-round #5): per metric the carried state is the pair of raw
+    (unrounded) EMA values plus the last non-zero rounded diff, so each
+    micro-batch continues both recurrences exactly where the previous
+    one stopped and the emitted crossover rows are identical to one
+    batch pass over the union (the stream_psi_drift batch-equality
+    discipline — micro-batching is a delivery choice).
+
+    Unlike the count-merge recurrences (CM/HLL/PSI/KS) this state is
+    SEQUENTIAL, not addition-mergeable, so the contract requires
+    micro-batches to be TIME-ORDERED slices per metric (every row in
+    batch *k* at or after every batch *k−1* row of the same metric) —
+    exactly what an event-time-ordered source with watermarking
+    delivers; out-of-order delivery needs an upstream buffer stage.
+    Exactness: the continued EMA is bit-identical to the
+    uninterrupted pandas ``ewm(adjust=False)`` recurrence because the
+    carried float64 seed re-enters the identical op sequence (seeding
+    is done by PREPENDING the carried value as the synthetic first
+    observation, which the recurrence then treats exactly as its own
+    previous step); rounding + crossover detection mirror the batch
+    operator op-for-op on the rounded domain.
+
+    State/retry contract: per batch the state rows live under
+    ``<state_dir>/state/batch=<id>`` and the emitted crossovers under
+    ``<state_dir>/out/batch=<id>``; a batch reads its PREDECESSOR's
+    state and overwrites its own dirs, so a retried batch recomputes
+    from the same seed and never double-emits (the sketch-store
+    batch-dir convention). Metrics absent from a batch carry their
+    state forward untouched (the cogroup sees either-side keys).
+
+    Scale shape: one cogrouped-pandas pass per batch — parallel across
+    metrics, linear within one metric's batch slice (the G13 EMA
+    shape); state is metric-domain sized (4 scalars per metric).
+    Batch frames must carry ``(metric, ts, value)``.
+    """
+    if not (
+        isinstance(fast_n, int)
+        and isinstance(slow_n, int)
+        and 1 <= fast_n < slow_n
+    ):
+        raise ValueError(
+            "ema_crossover_foreach_batch: need integer 1 <= fast_n < slow_n "
+            f"(got {fast_n!r}, {slow_n!r})"
+        )
+    import numpy as np
+
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    alpha_f = 2.0 / (fast_n + 1.0)
+    alpha_s = 2.0 / (slow_n + 1.0)
+    nudge = 0.5 * 10 ** -(decimals + 3)
+    state_schema = (
+        "metric string, ema_fast double, ema_slow double, prev_nz double"
+    )
+    # one unified cogroup output, split by `kind` afterwards ('out' rows
+    # are crossovers, 'state' rows the per-metric carry)
+    uni_schema = (
+        "metric string, kind string, ts timestamp, fast double, "
+        "slow double, cross string, prev_nz double"
+    )
+
+    def _continue_ewm(values, alpha, seed):
+        s = pd.Series(
+            values if seed is None else np.concatenate(([seed], values))
+        )
+        out = s.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        return out if seed is None else out[1:]
+
+    def _step(batch_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        metric = (
+            batch_pdf[METRIC].iloc[0]
+            if len(batch_pdf)
+            else state_pdf["metric"].iloc[0]
+        )
+        seed_f = seed_s = prev_nz = None
+        if len(state_pdf):
+            seed_f = float(state_pdf["ema_fast"].iloc[0])
+            seed_s = float(state_pdf["ema_slow"].iloc[0])
+            pn = state_pdf["prev_nz"].iloc[0]
+            prev_nz = None if pd.isna(pn) else float(pn)
+        if not len(batch_pdf):
+            # metric silent this batch: carry state forward untouched
+            return pd.DataFrame(
+                {
+                    "metric": [metric],
+                    "kind": ["state"],
+                    "ts": [pd.NaT],
+                    "fast": [seed_f],
+                    "slow": [seed_s],
+                    "cross": [None],
+                    "prev_nz": [prev_nz],
+                }
+            )
+        b = batch_pdf.sort_values(TS)
+        vals = b[VALUE].to_numpy(dtype="float64")
+        raw_f = _continue_ewm(vals, alpha_f, seed_f)
+        raw_s = _continue_ewm(vals, alpha_s, seed_s)
+        fast_r = np.round(raw_f + nudge, decimals)
+        slow_r = np.round(raw_s + nudge, decimals)
+        diff = fast_r - slow_r
+        rows = {
+            "metric": [],
+            "kind": [],
+            "ts": [],
+            "fast": [],
+            "slow": [],
+            "cross": [],
+            "prev_nz": [],
+        }
+        prev = prev_nz
+        for ts_val, f_v, s_v, d_v in zip(b[TS], fast_r, slow_r, diff):
+            cross = None
+            if prev is not None and prev < 0 and d_v > 0:
+                cross = "golden"
+            elif prev is not None and prev > 0 and d_v < 0:
+                cross = "death"
+            if cross is not None:
+                rows["metric"].append(metric)
+                rows["kind"].append("out")
+                rows["ts"].append(ts_val)
+                rows["fast"].append(f_v)
+                rows["slow"].append(s_v)
+                rows["cross"].append(cross)
+                rows["prev_nz"].append(None)
+            if d_v != 0:
+                prev = float(d_v)
+        rows["metric"].append(metric)
+        rows["kind"].append("state")
+        rows["ts"].append(pd.NaT)
+        rows["fast"].append(float(raw_f[-1]))
+        rows["slow"].append(float(raw_s[-1]))
+        rows["cross"].append(None)
+        rows["prev_nz"].append(prev)
+        return pd.DataFrame(rows)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        root = state_dir.rstrip("/")
+        prev = _latest_batch_dir(spark, f"{root}/state", below=batch_id)
+        if prev is not None:
+            st = spark.read.parquet(prev)
+        else:
+            st = spark.createDataFrame([], state_schema)
+        uni = (
+            batch_df.select(METRIC, TS, VALUE)
+            .groupBy(METRIC)
+            .cogroup(st.groupBy("metric"))
+            .applyInPandas(_step, uni_schema)
+            .localCheckpoint(eager=True)
+        )
+        uni.filter(F.col("kind") == "state").select(
+            METRIC,
+            F.col("fast").alias("ema_fast"),
+            F.col("slow").alias("ema_slow"),
+            "prev_nz",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/state/batch={batch_id}"
+        )
+        uni.filter(F.col("kind") == "out").select(
+            METRIC, TS, "fast", "slow", "cross"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{root}/out/batch={batch_id}"
+        )
+
+    return _process

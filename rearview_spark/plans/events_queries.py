@@ -1899,3 +1899,129 @@ PENDING_QUERIES["ev_stickiness"] = {
 # the window arithmetic is 16 first-ever checks + 34 stale rotations.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def ev_retention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention RATE triangle over the events table
+    (operators/behavior.cohort_retention): users cohort by first
+    active epoch-week; each (cohort, offset) cell carries the cohort
+    size and the retention rate (ONE division of exact distinct
+    counts). Complements the long-registered ev_cohort_retention gate
+    (the raw count triangle over date_trunc weeks): this one is the
+    rate read a dashboard plots, on integer epoch-week buckets with
+    the negative-epoch guard, through the reusable operator rather
+    than inline plan code."""
+    from rearview_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(Tables(spark, sf_dir).events)
+
+
+EV_RETENTION_RATES_SQL = """
+WITH ub AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bucket
+  FROM events),
+coh AS (SELECT u, min(bucket) AS cohort_bucket FROM ub GROUP BY u),
+sizes AS (
+  SELECT cohort_bucket, count(*) AS cohort_size FROM coh GROUP BY 1),
+cells AS (
+  SELECT c.cohort_bucket, ub.bucket - c.cohort_bucket AS week_offset
+  FROM ub JOIN coh c USING (u)),
+cnt AS (
+  SELECT cohort_bucket, week_offset, count(*) AS n_active
+  FROM cells GROUP BY 1, 2)
+SELECT cnt.cohort_bucket, cnt.week_offset,
+       CAST(sizes.cohort_size AS BIGINT) AS cohort_size,
+       CAST(cnt.n_active AS BIGINT) AS n_active,
+       CAST(cnt.n_active AS DOUBLE) / CAST(sizes.cohort_size AS DOUBLE)
+         AS retention
+FROM cnt JOIN sizes USING (cohort_bucket)
+ORDER BY 1, 2
+"""
+
+PENDING_QUERIES["ev_retention_rates"] = {
+    "fn": ev_retention_rates,
+    "oracle": EV_RETENTION_RATES_SQL,
+}
+
+
+def ev_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-concentration deciles by user
+    (operators/behavior.pareto_share): how much of total event traffic
+    the heaviest user deciles produce — the hot-key budget read."""
+    from rearview_spark.operators.behavior import pareto_share
+
+    return pareto_share(Tables(spark, sf_dir).events, key_col="user_id")
+
+
+EV_PARETO_SQL = """
+WITH pk AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+r AS (
+  SELECT k, cnt,
+         row_number() OVER (ORDER BY cnt DESC, k ASC) AS rn,
+         count(*) OVER () AS nk
+  FROM pk),
+b AS (
+  SELECT ((rn - 1) * 10) // nk AS bucket,
+         count(*) AS n_keys, sum(cnt) AS n_rows
+  FROM r GROUP BY 1),
+c AS (
+  SELECT bucket, n_keys, n_rows,
+         sum(n_keys) OVER (ORDER BY bucket) AS cum_keys,
+         sum(n_rows) OVER (ORDER BY bucket) AS cum_rows,
+         sum(n_rows) OVER () AS tot
+  FROM b)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(cum_keys AS BIGINT) AS cum_keys,
+       CAST(cum_rows AS BIGINT) AS cum_rows,
+       CAST(cum_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+FROM c ORDER BY bucket
+"""
+
+PENDING_QUERIES["ev_pareto_share"] = {
+    "fn": ev_pareto_share,
+    "oracle": EV_PARETO_SQL,
+}
+
+
+def ev_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival gap statistics
+    (operators/behavior.interarrival_summary): median/p90/max/mean
+    seconds between one user's consecutive events of a kind."""
+    from rearview_spark.operators.behavior import interarrival_summary
+
+    return interarrival_summary(Tables(spark, sf_dir).events)
+
+
+EV_INTERARRIVAL_SQL = """
+WITH b AS (
+  SELECT user_id AS u, event_type AS kind,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events),
+g AS (
+  SELECT kind,
+         t - lag(t) OVER (PARTITION BY u, kind ORDER BY t) AS gap
+  FROM b),
+g2 AS (SELECT kind, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT kind, gap,
+         row_number() OVER (PARTITION BY kind ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY kind) AS n
+  FROM g2)
+SELECT kind,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_gap_s,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+         AS p50_gap_s,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS BIGINT)
+         AS p90_gap_s,
+       CAST(max(gap) AS BIGINT) AS max_gap_s
+FROM r GROUP BY kind ORDER BY kind
+"""
+
+PENDING_QUERIES["ev_interarrival"] = {
+    "fn": ev_interarrival,
+    "oracle": EV_INTERARRIVAL_SQL,
+}

@@ -654,3 +654,48 @@ PENDING_QUERIES["graph_degree_hist"] = {
 # the window arithmetic is 16 first-ever checks + 34 stale rotations.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction scores over the thresholded
+    co-order part graph (operators/graph.adamic_adar): which NOT-yet-
+    co-ordered part pairs share the most (inverse-log-degree-weighted)
+    purchasing neighborhoods — the "customers also bought" candidate
+    generator on the same edge set the LPA/k-core gates cluster."""
+    li = Tables(spark, sf_dir).lineitem
+    pairs = G.frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    return G.adamic_adar(pairs)
+
+
+GRAPH_AA_SQL = f"""
+WITH {_COORDER_EDGES_CTE},
+adj AS (SELECT u AS w, v AS x FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+ctr AS (
+  SELECT w, CAST(round(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS uu
+  FROM deg WHERE d >= 2),
+p2 AS (
+  SELECT a1.x AS u, a2.x AS v, c.uu
+  FROM adj a1
+  JOIN ctr c ON a1.w = c.w
+  JOIN adj a2 ON a2.w = a1.w AND a1.x < a2.x),
+s AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(uu) AS BIGINT) AS units
+  FROM p2 GROUP BY 1, 2),
+ne AS (
+  SELECT s.u, s.v, s.n_common, s.units
+  FROM s LEFT JOIN pairs p ON s.u = p.u AND s.v = p.v
+  WHERE p.u IS NULL)
+SELECT u, v, n_common,
+       round(units / 1000000000.0 + 0.0000000005, 6) AS score
+FROM ne ORDER BY u, v
+"""
+
+# Staged (r14 growth budget; flips in r15).
+PENDING_QUERIES["graph_adamic_adar"] = {
+    "fn": graph_adamic_adar,
+    "oracle": GRAPH_AA_SQL,
+}

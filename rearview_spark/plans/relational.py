@@ -2115,3 +2115,62 @@ PENDING_QUERIES["rel_benford_audit"] = {
 # the window arithmetic is 16 first-ever checks + 34 stale rotations.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def rel_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations over lineitem's numeric columns
+    (operators/profiling.correlation_matrix): integer-cents exact
+    moments in one scan, one mirrored double expression per pair."""
+    from rearview_spark.operators.profiling import correlation_matrix
+
+    return correlation_matrix(
+        Tables(spark, sf_dir).lineitem,
+        ["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+    )
+
+
+def _corr_sql() -> str:
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    qs = {c: f"CAST(round({c} * 100) AS BIGINT)" for c in cols}
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    moments = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        moments.append(f"CAST(sum(q.{c}_q) AS BIGINT) AS s_{c}")
+        moments.append(f"CAST(sum(q.{c}_q * q.{c}_q) AS BIGINT) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        moments.append(f"CAST(sum(q.{a}_q * q.{b}_q) AS BIGINT) AS sx_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        expr = (
+            f"(CAST(n AS DOUBLE) * CAST(sx_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        guard = (
+            f"CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) > 0"
+            f" AND CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) > 0"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+            f" CASE WHEN {guard} THEN {expr} END AS corr FROM m"
+        )
+    qexprs = ", ".join(f"{qs[c]} AS {c}_q" for c in cols)
+    return (
+        f"WITH q AS (SELECT {qexprs} FROM lineitem WHERE {notnull}),\n"
+        f"m AS (SELECT {', '.join(moments)} FROM q)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+# Staged (r14 growth budget; flips in r15).
+PENDING_QUERIES["rel_corr_matrix"] = {
+    "fn": rel_corr_matrix,
+    "oracle": _corr_sql(),
+}

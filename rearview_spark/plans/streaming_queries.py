@@ -719,3 +719,66 @@ PENDING_QUERIES["stream_ks_drift_by_type"] = {
     "fn": stream_ks_drift_by_type,
     "oracle": _STREAM_KS_BY_SQL,
 }
+
+
+def stream_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA crossover alerts as a standing query
+    (operators/timeseries.ema_crossover_foreach_batch, VERDICT_r13
+    next-round #5): the same two-day hourly window as the batch gate
+    ts_ema_crossover, delivered as three contiguous TIME-ORDERED
+    micro-batch slices — the sequential-state contract. Per metric the
+    carried state (raw EMA pair + last non-zero rounded diff) makes
+    each slice continue the recurrences bit-exactly, so the union of
+    per-batch crossover emissions equals the batch operator's output
+    and this gate shares ts_ema_crossover's FULL value oracle (the
+    stream_psi_drift batch-equality discipline). State/retry: the
+    batch=<id> dirs carry the sketch-store convention — a retried
+    batch reseeds from its predecessor and overwrites its own
+    emissions, never double-alerts."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.timeseries import (
+        ema_crossover_foreach_batch,
+    )
+    from rearview_spark.plans.timeseries_queries import _hourly
+
+    hourly = _hourly(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-01-07"))
+    )
+    state_dir = tempfile.mkdtemp(prefix="emax_stream_")
+    try:
+        proc = ema_crossover_foreach_batch(spark, state_dir, fast_n=3, slow_n=10)
+        bounds = ["2024-01-05 16:00:00", "2024-01-06 08:00:00"]
+        slices = [
+            hourly.filter(F.col("ts") < F.lit(bounds[0])),
+            hourly.filter(
+                (F.col("ts") >= F.lit(bounds[0]))
+                & (F.col("ts") < F.lit(bounds[1]))
+            ),
+            hourly.filter(F.col("ts") >= F.lit(bounds[1])),
+        ]
+        for i, sl in enumerate(slices):
+            proc(sl, i)
+        out = spark.read.parquet(f"{state_dir.rstrip('/')}/out")
+        # materialize before the state dir disappears (the
+        # stream_peak_concurrency cleanup contract); `batch` is the
+        # partition-discovery column of the per-batch emission dirs
+        return (
+            out.select("metric", "ts", "fast", "slow", "cross")
+            .orderBy("metric", "ts")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+from rearview_spark.plans.timeseries_queries import (  # noqa: E402
+    TS_EMA_CROSS_SQL as _STREAM_EMAX_SQL,
+)
+
+# Staged (r14 growth budget; flips in r15).
+PENDING_QUERIES["stream_ema_crossover"] = {
+    "fn": stream_ema_crossover,
+    "oracle": _STREAM_EMAX_SQL,
+}

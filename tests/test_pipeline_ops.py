@@ -3087,3 +3087,123 @@ def test_stickiness_dau_wau_hand_computed(spark):
         stickiness_dau_wau(
             spark.createDataFrame([(1, -5)], "user_id int, ts long")
         ).collect()
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Three users, bucket_seconds=10: u1 cohorts at bucket 0 (active
+    0, 1, 3), u2 and u3 at bucket 1 (u2 active 1, 2; u3 active 1) —
+    every cell count and rate checked by hand, max_offset prunes."""
+    from rearview_spark.operators.behavior import cohort_retention
+
+    rows = [
+        ("u1", 1), ("u1", 5), ("u1", 12), ("u1", 33),
+        ("u2", 11), ("u2", 22),
+        ("u3", 15),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long")
+    got = [
+        tuple(r)
+        for r in cohort_retention(df, bucket_seconds=10).collect()
+    ]
+    assert got == [
+        (0, 0, 1, 1, 1.0),
+        (0, 1, 1, 1, 1.0),
+        (0, 3, 1, 1, 1.0),
+        (1, 0, 2, 2, 1.0),
+        (1, 1, 2, 1, 0.5),
+    ]
+    pruned = [
+        tuple(r)
+        for r in cohort_retention(df, bucket_seconds=10, max_offset=1).collect()
+    ]
+    assert pruned == [
+        (0, 0, 1, 1, 1.0),
+        (0, 1, 1, 1, 1.0),
+        (1, 0, 2, 2, 1.0),
+        (1, 1, 2, 1, 0.5),
+    ]
+    import pytest as _pytest
+
+    neg = spark.createDataFrame([("u", -5)], "user_id string, ts long")
+    with _pytest.raises(Exception, match="negative epoch"):
+        cohort_retention(neg, bucket_seconds=10).collect()
+
+
+def test_pareto_share_hand_computed(spark):
+    """Keys with counts 5/3/1/1 into 2 buckets: top half carries 8 of
+    10 rows (share 0.8), the rest closes at 1.0."""
+    from rearview_spark.operators.behavior import pareto_share
+
+    rows = (
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [("d",)] * 1
+    )
+    df = spark.createDataFrame(rows, "user_id string")
+    got = [tuple(r) for r in pareto_share(df, n_buckets=2).collect()]
+    assert got == [
+        (0, 2, 8, 2, 8, 0.8),
+        (1, 2, 2, 4, 10, 1.0),
+    ]
+
+
+def test_interarrival_summary_hand_computed(spark):
+    """Gaps {10, 0, 30} from one user plus {1} from another, one kind:
+    n=4, mean 10.25, sorted gaps [0, 1, 10, 30] give p50 rank
+    (4+1)div2=2 -> 1 and p90 rank (36+9)div10=4 -> 30; a
+    single-event kind emits nothing."""
+    from rearview_spark.operators.behavior import interarrival_summary
+
+    rows = [
+        ("u1", "x", 0), ("u1", "x", 10), ("u1", "x", 10), ("u1", "x", 40),
+        ("u2", "x", 5), ("u2", "x", 6),
+        ("u9", "y", 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts long")
+    got = [tuple(r) for r in interarrival_summary(df).collect()]
+    assert got == [("x", 4, 10.25, 1, 30, 30)]
+
+
+def test_correlation_matrix_hand_computed(spark):
+    """y = 2x gives corr exactly 1.0; a zero-variance column yields
+    NULL; the NULL-bearing row is listwise-deleted (n = 3 everywhere)."""
+    from rearview_spark.operators.profiling import correlation_matrix
+
+    rows = [
+        (1.0, 2.0, 7.0),
+        (2.0, 4.0, 7.0),
+        (3.0, 6.0, 7.0),
+        (None, 1.0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = [tuple(r) for r in correlation_matrix(df, ["x", "y", "z"]).collect()]
+    assert [(a, b, n) for a, b, n, _ in got] == [
+        ("x", "y", 3),
+        ("x", "z", 3),
+        ("y", "z", 3),
+    ]
+    # the sqrt pair costs a ulp; the oracle mirrors the identical
+    # expression tree, so only the unit test needs the tolerance
+    assert abs(got[0][3] - 1.0) < 1e-12
+    assert got[1][3] is None and got[2][3] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        correlation_matrix(df, ["x", "x"])
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Triangle 1-2-3 plus pendant 4 on node 1: the only scored
+    non-edges are (2,4) and (3,4), each through center 1 (degree 3),
+    score = round(1/ln 3, 6) = 0.910239; known edges never emit."""
+    from rearview_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "u long, v long"
+    )
+    got = [tuple(r) for r in adamic_adar(edges).collect()]
+    assert got == [
+        (2, 4, 1, 0.910239),
+        (3, 4, 1, 0.910239),
+    ]
+    # max_degree below the hub's degree removes its wedges entirely
+    capped = adamic_adar(edges, max_degree=2).collect()
+    assert [tuple(r) for r in capped] == []

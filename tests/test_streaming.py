@@ -529,3 +529,79 @@ def test_ks_by_foreach_batch_replay_and_batch_equality(spark, tmp_path):
             ref[k]["at_value"],
         )
     assert got["y"]["d_num"] > 0
+
+
+def test_ema_crossover_foreach_batch_replay_and_batch_equality(spark, tmp_path):
+    """Sequential-state streaming contract for EMA crossover: two
+    TIME-ORDERED micro-batch slices reproduce the batch operator's
+    crossover rows exactly (values and flags), a RETRIED batch reseeds
+    from its predecessor and never double-emits, and a metric silent
+    in one batch carries its state forward untouched."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.timeseries import (
+        ema_crossover,
+        ema_crossover_foreach_batch,
+    )
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    # metric "m": fast(2) crosses slow(4) both ways, hand-verified
+    # rounded diffs [0, 0, -2.4, -2.373, +1.332, +2.251, -1.846] →
+    # golden at t4 (the FIRST batch-1 row: fires only via carried
+    # prev_nz + carried EMAs) and death at t6; metric "p": golden at
+    # t3 inside batch 0 (diffs [0, 0, -1.307, +0.887]), then silent
+    # in batch 1 — its state must survive untouched.
+    rows = [
+        ("m", t(0), 10.0),
+        ("m", t(1), 10.0),
+        ("m", t(2), 1.0),
+        ("m", t(3), 0.5),
+        ("p", t(0), 5.0),
+        ("p", t(1), 5.0),
+        ("p", t(2), 0.1),
+        ("p", t(3), 8.0),
+        # batch 1
+        ("m", t(4), 12.0),
+        ("m", t(5), 14.0),
+        ("m", t(6), 0.2),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    cut = t(4)
+    b0 = df.filter(F.col("ts") < F.lit(cut))
+    b1 = df.filter(F.col("ts") >= F.lit(cut))
+
+    state = str(tmp_path / "emax")
+    proc = ema_crossover_foreach_batch(spark, state, fast_n=2, slow_n=4)
+    proc(b0, 0)
+    proc(b1, 1)
+    proc(b1, 1)  # retry: reseeds from batch 0, overwrites its emissions
+
+    got = (
+        spark.read.parquet(f"{state}/out")
+        .select("metric", "ts", "fast", "slow", "cross")
+        .orderBy("metric", "ts")
+        .collect()
+    )
+    ref = ema_crossover(df, fast_n=2, slow_n=4).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    assert [(r["metric"], r["ts"], r["cross"]) for r in ref] == [
+        ("m", t(4), "golden"),
+        ("m", t(6), "death"),
+        ("p", t(3), "golden"),
+    ]
+    # both m crossings are batch-1 emissions — the golden at t4 is the
+    # boundary row that only fires through carried state
+    batch1_rows = {
+        (r["metric"], r["ts"], r["cross"])
+        for r in spark.read.parquet(f"{state}/out")
+        .filter(F.col("batch") == 1)
+        .collect()
+    }
+    assert batch1_rows == {("m", t(4), "golden"), ("m", t(6), "death")}
+    # silent-metric carry: p's state row survives batch 1
+    st1 = spark.read.parquet(f"{state}/state/batch=1").collect()
+    assert {r["metric"] for r in st1} == {"m", "p"}
