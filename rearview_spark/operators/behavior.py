@@ -856,3 +856,70 @@ def interarrival_summary(
         )
         .orderBy("kind")
     )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Daily new-vs-returning user split — the growth chart every
+    product dashboard opens with: per bucket, how many active users
+    saw their FIRST-ever activity that bucket vs how many came back.
+    The acquisition-side companion of :func:`cohort_retention` (which
+    follows the cohorts forward; this reads each day's mix).
+
+    Exactness: one distinct (user, bucket) collapse, a user-domain
+    min-aggregate for first-seen, one user-keyed join sharing the
+    collapse's partitioning, then a bucket-domain aggregate of two
+    exact int64 counts; the new-user share is ONE division. Negative
+    epochs fail loudly (the slo_burn/stickiness guard). Returns
+    ``(bucket, n_new, n_returning, n_active, new_share)`` ascending —
+    only buckets with activity emit (this is a per-active-day mix
+    read, not a dense grid; join against a calendar upstream for
+    zero-filled charts).
+    """
+    if not isinstance(bucket_seconds, int) or bucket_seconds < 1:
+        raise ValueError(
+            "new_vs_returning: bucket_seconds must be a positive int "
+            f"(got {bucket_seconds!r})"
+        )
+    t_raw = F.col(ts_col).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("new_vs_returning: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    ub = (
+        df.select(F.col(user_col).alias("u"), t_checked.alias("_t"))
+        .select("u", F.expr(f"_t div {bucket_seconds}").alias("bucket"))
+        .distinct()
+    )
+    first = ub.groupBy("u").agg(F.min("bucket").alias("_first"))
+    return (
+        ub.join(first, "u")
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("bucket") == F.col("_first")).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("bucket") > F.col("_first")).cast("long"))
+            .cast("long")
+            .alias("n_returning"),
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+        )
+        .select(
+            "bucket",
+            "n_new",
+            "n_returning",
+            "n_active",
+            (F.col("n_new").cast("double") / F.col("n_active").cast("double")).alias(
+                "new_share"
+            ),
+        )
+        .orderBy("bucket")
+    )

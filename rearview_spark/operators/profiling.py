@@ -360,3 +360,84 @@ def correlation_matrix(
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("col_x", "col_y")
+
+
+def fk_integrity_audit(
+    pairs: list,
+) -> DataFrame:
+    """Referential-integrity audit over declared child->parent key
+    relationships — the pre-join data-quality gate a 100 TB ingest
+    runs before trusting its star schema: per relationship, how many
+    child rows reference a parent key that does not exist.
+
+    ``pairs`` is a list of ``(name, child_df, child_key, parent_df,
+    parent_key)`` tuples. Orphans are counted with one broadcast-able
+    LEFT ANTI join per relationship against the DISTINCT parent key
+    domain (key-domain sized, not parent-row sized); child totals are
+    one count each; the rate is ONE division of exact int64. NULL
+    child keys count as orphans (a null FK violates the constraint in
+    this audit's book; filter upstream if nulls are declared legal).
+
+    Scale shape: per relationship one distinct-collapse of the parent
+    keys + one anti join on the child scan; the result frame is
+    |pairs| rows. Returns ``(relationship, n_child, n_orphans,
+    orphan_rate)`` ordered by relationship name.
+    """
+    if not pairs:
+        raise ValueError("fk_integrity_audit: need at least one relationship")
+    out = None
+    for name, child, child_key, parent, parent_key in pairs:
+        pk = parent.select(F.col(parent_key).alias("_k")).distinct()
+        ck = child.select(F.col(child_key).alias("_k"))
+        orphans = ck.join(pk, "_k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        tot = ck.agg(F.count(F.lit(1)).alias("n_child"))
+        row = tot.crossJoin(F.broadcast(orphans)).select(
+            F.lit(name).alias("relationship"),
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            F.when(
+                F.col("n_child") > 0,
+                F.col("n_orphans").cast("double") / F.col("n_child").cast("double"),
+            ).alias("orphan_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: str,
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency check ``lhs -> rhs`` — the normalization /
+    derived-column audit (is this column redundant given that one?):
+    a group of rows sharing an ``lhs`` value violates the dependency
+    when it carries MORE than one distinct non-null ``rhs`` value.
+
+    Exactness: one hash collapse to the (lhs, rhs) distinct domain,
+    one lhs-domain re-aggregation counting per-group rhs cardinality —
+    both exact int64; the violation rate is ONE division. NULL rhs
+    values are excluded (SQL-style: a null neither confirms nor
+    violates); NULL lhs forms its own group like any other value.
+
+    Scale shape: two map-side-combinable hash aggregates, nothing
+    row-scale past the first distinct. Returns ONE row
+    ``(n_groups, n_violating, max_rhs_ndv, violation_rate)``.
+    """
+    dd = (
+        df.filter(F.col(rhs).isNotNull())
+        .select(F.col(lhs).alias("_l"), F.col(rhs).alias("_r"))
+        .distinct()
+    )
+    per = dd.groupBy("_l").agg(F.count(F.lit(1)).alias("_ndv"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("_ndv") > 1).cast("long")).cast("long").alias("n_violating"),
+        F.max("_ndv").cast("long").alias("max_rhs_ndv"),
+        (
+            F.sum((F.col("_ndv") > 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("violation_rate"),
+    )

@@ -1726,3 +1726,137 @@ def ema_crossover_foreach_batch(
         )
 
     return _process
+
+
+def forecast_accuracy(
+    actual: DataFrame,
+    predicted: DataFrame,
+    err_scale: int = 10**4,
+) -> DataFrame:
+    """Forecast-accuracy scorer — MAE / RMSE / bias per metric for any
+    (metric, ts, value) prediction frame against the actuals frame
+    (Hyndman & Koehler 2006's point-forecast basics): the evaluation
+    half of the G26 Holt-Winters family, usable against HW output, the
+    seasonal-naive baseline (``time_shift`` by one season), or any
+    external model's scores written back as a table.
+
+    Exactness (the classifier-evaluation discipline applied to
+    regression): inputs are expected on the repo's 4dp rounded-value
+    contract, each per-point error quantizes to 1/``err_scale`` int64
+    units (``round(err * err_scale)`` — exact for 4dp operands at the
+    default), and MAE/bias are ONE division of the exact unit sums;
+    RMSE is ``sqrt`` of one division of the exact squared-unit sum
+    (fixed double tree, mirrored op-for-op). Aggregation order cannot
+    perturb any of it.
+
+    Only (metric, ts) pairs present in BOTH frames score (inner join —
+    a model is not penalized for points it never claimed); n carries
+    the matched count so a dashboard can spot sparse coverage. Scale
+    shape: one equi-join on (metric, ts) sharing the metric hash
+    partitioning, one metric-domain aggregate. Returns
+    ``(metric, n, mae, rmse, bias)`` ordered by metric.
+    """
+    if not isinstance(err_scale, int) or err_scale < 1:
+        raise ValueError(
+            f"forecast_accuracy: err_scale must be a positive int (got {err_scale!r})"
+        )
+    a = actual.select(METRIC, TS, F.col(VALUE).alias("_a"))
+    p = predicted.select(METRIC, TS, F.col(VALUE).alias("_p"))
+    j = a.join(p, [METRIC, TS])
+    err_u = F.round(
+        (F.col("_p") - F.col("_a")) * F.lit(float(err_scale))
+    ).cast("long")
+    return (
+        j.select(METRIC, err_u.alias("_e"))
+        .groupBy(METRIC)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.abs(F.col("_e"))).alias("_sae"),
+            F.sum(F.col("_e") * F.col("_e")).alias("_sse"),
+            F.sum("_e").alias("_se"),
+        )
+        .select(
+            METRIC,
+            "n",
+            (
+                F.col("_sae").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(err_scale)))
+            ).alias("mae"),
+            (
+                F.sqrt(F.col("_sse").cast("double") / F.col("n").cast("double"))
+                / F.lit(float(err_scale))
+            ).alias("rmse"),
+            (
+                F.col("_se").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(err_scale)))
+            ).alias("bias"),
+        )
+        .orderBy(METRIC)
+    )
+
+
+def series_gap_audit(
+    ts: DataFrame,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Missing-data audit per metric — the collection-health read run
+    before any rolling/seasonal operator is trusted: against the
+    metric's own closed ``[first, last]`` bucket range, how many
+    buckets are missing and how long the worst outage ran.
+
+    Exactness: buckets are integer ``div`` arithmetic (negative-epoch
+    guard — the slo_burn rule), expected count is the closed form
+    ``hi - lo + 1`` (never materialized), observed is an exact
+    distinct count, and the longest gap is ``max(next - cur - 1)``
+    over consecutive OBSERVED buckets via a metric-partitioned lead —
+    the window walks the observed-bucket domain (grid-bounded), never
+    raw rows. Returns ``(metric, n_expected, n_observed, n_missing,
+    longest_gap, coverage)`` ordered by metric; coverage is ONE
+    division; longest_gap is 0 for gap-free series.
+    """
+    if not isinstance(bucket_seconds, int) or bucket_seconds < 1:
+        raise ValueError(
+            "series_gap_audit: bucket_seconds must be a positive int "
+            f"(got {bucket_seconds!r})"
+        )
+    t_raw = F.col(TS).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("series_gap_audit: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    ob = (
+        ts.select(F.col(METRIC), t_checked.alias("_t"))
+        .select(METRIC, F.expr(f"_t div {bucket_seconds}").alias("b"))
+        .distinct()
+    )
+    w = Window.partitionBy(METRIC).orderBy("b")
+    gaps = ob.withColumn("_next", F.lead("b").over(w)).withColumn(
+        "_gap",
+        F.when(
+            F.col("_next").isNotNull(), F.col("_next") - F.col("b") - F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        gaps.groupBy(METRIC)
+        .agg(
+            (F.max("b") - F.min("b") + F.lit(1)).cast("long").alias("n_expected"),
+            F.count(F.lit(1)).cast("long").alias("n_observed"),
+            F.max("_gap").cast("long").alias("longest_gap"),
+        )
+        .select(
+            METRIC,
+            "n_expected",
+            "n_observed",
+            (F.col("n_expected") - F.col("n_observed")).alias("n_missing"),
+            "longest_gap",
+            (
+                F.col("n_observed").cast("double")
+                / F.col("n_expected").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy(METRIC)
+    )

@@ -2025,3 +2025,38 @@ PENDING_QUERIES["ev_interarrival"] = {
     "fn": ev_interarrival,
     "oracle": EV_INTERARRIVAL_SQL,
 }
+
+
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user mix
+    (operators/behavior.new_vs_returning): per epoch-day, exact counts
+    of first-ever-seen vs returning users and the new-user share."""
+    from rearview_spark.operators.behavior import new_vs_returning
+
+    return new_vs_returning(Tables(spark, sf_dir).events)
+
+
+EV_NEW_RET_SQL = """
+WITH ub AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket
+  FROM events),
+first AS (SELECT u, min(bucket) AS f FROM ub GROUP BY u),
+m AS (
+  SELECT ub.bucket,
+         sum(CASE WHEN ub.bucket = first.f THEN 1 ELSE 0 END) AS n_new,
+         sum(CASE WHEN ub.bucket > first.f THEN 1 ELSE 0 END) AS n_returning,
+         count(*) AS n_active
+  FROM ub JOIN first USING (u) GROUP BY 1)
+SELECT bucket,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_returning AS BIGINT) AS n_returning,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_new AS DOUBLE) / CAST(n_active AS DOUBLE) AS new_share
+FROM m ORDER BY bucket
+"""
+
+PENDING_QUERIES["ev_new_vs_returning"] = {
+    "fn": ev_new_vs_returning,
+    "oracle": EV_NEW_RET_SQL,
+}

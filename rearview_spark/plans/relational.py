@@ -2174,3 +2174,129 @@ PENDING_QUERIES["rel_corr_matrix"] = {
     "fn": rel_corr_matrix,
     "oracle": _corr_sql(),
 }
+
+
+def rel_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema's declared
+    FK edges (operators/profiling.fk_integrity_audit): orphan counts
+    and rates per relationship — all zero on clean TPC-H data, which
+    is exactly what the gate pins (the machinery, totals, and
+    divisions are the check)."""
+    from rearview_spark.operators.profiling import fk_integrity_audit
+
+    t = Tables(spark, sf_dir)
+    return fk_integrity_audit(
+        [
+            ("lineitem.orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+            ("lineitem.partkey->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+            ("lineitem.suppkey->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+            ("orders.custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+            ("supplier.nationkey->nation", t.supplier, "s_nationkey", t.nation, "n_nationkey"),
+        ]
+    )
+
+
+REL_FK_SQL = """
+WITH rel AS (
+  SELECT 'lineitem.orderkey->orders' AS relationship,
+         (SELECT count(*) FROM lineitem) AS n_child,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)
+             OR l.l_orderkey IS NULL) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.partkey->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey)
+             OR l.l_partkey IS NULL)
+  UNION ALL
+  SELECT 'lineitem.suppkey->supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey)
+             OR l.l_suppkey IS NULL)
+  UNION ALL
+  SELECT 'orders.custkey->customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)
+             OR o.o_custkey IS NULL)
+  UNION ALL
+  SELECT 'supplier.nationkey->nation',
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey)
+             OR s.s_nationkey IS NULL)
+)
+SELECT relationship,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CASE WHEN n_child > 0
+            THEN CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+       END AS orphan_rate
+FROM rel ORDER BY relationship
+"""
+
+PENDING_QUERIES["rel_fk_integrity"] = {
+    "fn": rel_fk_integrity,
+    "oracle": REL_FK_SQL,
+}
+
+
+def rel_fd_violations(spark, sf_dir):
+    """Functional-dependency audit (operators/profiling.fd_violations)
+    over three candidate dependencies: one that HOLDS by construction
+    (n_nationkey -> n_name), two that a normalizer would reject
+    (c_nationkey -> c_mktsegment, o_custkey -> o_orderpriority) — the
+    redundant-column screen run before layout decisions."""
+    from rearview_spark.operators.profiling import fd_violations
+
+    t = Tables(spark, sf_dir)
+    checks = [
+        ("nation.n_nationkey->n_name", t.nation, "n_nationkey", "n_name"),
+        ("customer.c_nationkey->c_mktsegment", t.customer, "c_nationkey", "c_mktsegment"),
+        ("orders.o_custkey->o_orderpriority", t.orders, "o_custkey", "o_orderpriority"),
+    ]
+    out = None
+    for name, df, lhs, rhs in checks:
+        row = fd_violations(df, lhs, rhs).select(
+            F.lit(name).alias("dependency"),
+            "n_groups",
+            "n_violating",
+            "max_rhs_ndv",
+            "violation_rate",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dependency")
+
+
+def _fd_sql() -> str:
+    checks = [
+        ("nation.n_nationkey->n_name", "nation", "n_nationkey", "n_name"),
+        ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+        ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ]
+    parts = []
+    for name, tbl, lhs, rhs in checks:
+        parts.append(
+            f"""SELECT '{name}' AS dependency,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(max(ndv) AS BIGINT) AS max_rhs_ndv,
+       CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS violation_rate
+FROM (SELECT {lhs} AS l, count(DISTINCT {rhs}) AS ndv
+      FROM {tbl} WHERE {rhs} IS NOT NULL GROUP BY 1)"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY dependency"
+
+
+PENDING_QUERIES["rel_fd_violations"] = {
+    "fn": rel_fd_violations,
+    "oracle": _fd_sql(),
+}

@@ -1930,3 +1930,98 @@ PENDING_QUERIES["ts_ema_crossover"] = {
 # the window arithmetic is 16 first-ever checks + 34 stale rotations.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def ts_forecast_accuracy(spark, sf_dir):
+    """Forecast-accuracy scorecard (operators/timeseries.
+    forecast_accuracy): seasonal-naive predictions (each hour of
+    2024-01-05 shifted one day forward) scored against 2024-01-06
+    actuals per metric — both sides on the 4dp rounded-value contract,
+    per-point errors quantized to int64 units before the MAE/RMSE/bias
+    summary."""
+    hourly = _hourly(spark, sf_dir)
+    actual = _rounded(
+        hourly.filter(
+            (F.col("ts") >= F.lit("2024-01-06")) & (F.col("ts") < F.lit("2024-01-07"))
+        )
+    )
+    naive = _rounded(
+        G.time_shift(
+            hourly.filter(
+                (F.col("ts") >= F.lit("2024-01-05"))
+                & (F.col("ts") < F.lit("2024-01-06"))
+            ),
+            "1 day",
+        )
+    )
+    return G.forecast_accuracy(actual, naive)
+
+
+TS_FCAST_ACC_SQL = HOURLY_CTE + """
+, a AS (
+  SELECT metric, ts, round(value + 0.00000005, 4) AS v FROM hourly
+  WHERE ts >= TIMESTAMP '2024-01-06' AND ts < TIMESTAMP '2024-01-07'
+), p AS (
+  SELECT metric, ts + INTERVAL 1 DAY AS ts,
+         round(value + 0.00000005, 4) AS v
+  FROM hourly
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+), e AS (
+  SELECT a.metric,
+         CAST(round((p.v - a.v) * 10000.0) AS BIGINT) AS eu
+  FROM a JOIN p ON a.metric = p.metric AND a.ts = p.ts
+)
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(abs(eu)) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 10000.0) AS mae,
+       sqrt(CAST(sum(eu * eu) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         / 10000.0 AS rmse,
+       CAST(sum(eu) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 10000.0) AS bias
+FROM e GROUP BY metric ORDER BY metric
+"""
+
+PENDING_QUERIES["ts_forecast_accuracy"] = {
+    "fn": ts_forecast_accuracy,
+    "oracle": TS_FCAST_ACC_SQL,
+}
+
+
+def ts_gap_audit(spark, sf_dir):
+    """Missing-bucket audit per metric (operators/timeseries.
+    series_gap_audit): hourly-bucket coverage and worst outage length
+    against each metric's own closed first..last range."""
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    return G.series_gap_audit(series)
+
+
+TS_GAP_AUDIT_SQL = """
+WITH ob AS (
+  SELECT DISTINCT event_type AS metric,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b
+  FROM events),
+g AS (
+  SELECT metric, b,
+         lead(b) OVER (PARTITION BY metric ORDER BY b) AS nxt
+  FROM ob),
+s AS (
+  SELECT metric,
+         max(b) - min(b) + 1 AS n_expected,
+         count(*) AS n_observed,
+         max(CASE WHEN nxt IS NOT NULL THEN nxt - b - 1 ELSE 0 END)
+           AS longest_gap
+  FROM g GROUP BY metric)
+SELECT metric,
+       CAST(n_expected AS BIGINT) AS n_expected,
+       CAST(n_observed AS BIGINT) AS n_observed,
+       CAST(n_expected - n_observed AS BIGINT) AS n_missing,
+       CAST(longest_gap AS BIGINT) AS longest_gap,
+       CAST(n_observed AS DOUBLE) / CAST(n_expected AS DOUBLE) AS coverage
+FROM s ORDER BY metric
+"""
+
+PENDING_QUERIES["ts_gap_audit"] = {
+    "fn": ts_gap_audit,
+    "oracle": TS_GAP_AUDIT_SQL,
+}

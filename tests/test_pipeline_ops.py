@@ -3207,3 +3207,83 @@ def test_adamic_adar_hand_computed(spark):
     # max_degree below the hub's degree removes its wedges entirely
     capped = adamic_adar(edges, max_degree=2).collect()
     assert [tuple(r) for r in capped] == []
+
+
+def test_forecast_accuracy_hand_computed(spark):
+    """Matched points t1/t2 with errors +0.5/-1.0: n=2, MAE 0.75,
+    RMSE sqrt(0.625), bias -0.25; the unmatched points on either side
+    never score."""
+    from rearview_spark.operators.timeseries import forecast_accuracy
+
+    a = spark.createDataFrame(
+        [("m", 1, 1.0), ("m", 2, 2.0), ("m", 3, 5.0)],
+        "metric string, ts long, value double",
+    )
+    p = spark.createDataFrame(
+        [("m", 1, 1.5), ("m", 2, 1.0), ("m", 4, 9.0)],
+        "metric string, ts long, value double",
+    )
+    got = forecast_accuracy(a, p).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["metric"], r["n"], r["mae"], r["bias"]) == ("m", 2, 0.75, -0.25)
+    assert abs(r["rmse"] - 0.625 ** 0.5) < 1e-12
+
+
+def test_series_gap_audit_hand_computed(spark):
+    """Metric m observed at hours {0, 1, 5}: 6 expected, 3 missing,
+    longest outage 3; single-bucket metric q reads gap-free."""
+    from rearview_spark.operators.timeseries import series_gap_audit
+
+    df = spark.createDataFrame(
+        [("m", 0, 0.0), ("m", 3600, 0.0), ("m", 5 * 3600, 0.0), ("q", 7200, 0.0)],
+        "metric string, ts long, value double",
+    )
+    got = [tuple(r) for r in series_gap_audit(df).collect()]
+    assert got == [
+        ("m", 6, 3, 3, 3, 0.5),
+        ("q", 1, 1, 0, 0, 1.0),
+    ]
+
+
+def test_fk_integrity_audit_hand_computed(spark):
+    """Child keys {1, 2, 3, NULL} against parents {1, 2}: the missing
+    key AND the null both count as orphans (rate 0.5)."""
+    from rearview_spark.operators.profiling import fk_integrity_audit
+
+    child = spark.createDataFrame([(1,), (2,), (3,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    got = [
+        tuple(r)
+        for r in fk_integrity_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    ]
+    assert got == [("c->p", 4, 2, 0.5)]
+
+
+def test_fd_violations_hand_computed(spark):
+    """lhs 1 carries two rhs values (violating), lhs 2 one, lhs 3 only
+    NULL (excluded entirely): 2 groups, 1 violating, max ndv 2."""
+    from rearview_spark.operators.profiling import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c"), (3, None)],
+        "l int, r string",
+    )
+    got = [tuple(r) for r in fd_violations(df, "l", "r").collect()]
+    assert got == [(2, 1, 2, 0.5)]
+
+
+def test_new_vs_returning_hand_computed(spark):
+    """u1 active days 0 and 1, u2 only day 1: day 0 is all-new, day 1
+    splits 1 new / 1 returning."""
+    from rearview_spark.operators.behavior import new_vs_returning
+
+    df = spark.createDataFrame(
+        [("u1", 10), ("u1", 86405), ("u2", 86500)],
+        "user_id string, ts long",
+    )
+    got = [tuple(r) for r in new_vs_returning(df).collect()]
+    assert got == [
+        (0, 1, 0, 1, 1.0),
+        (1, 1, 1, 2, 0.5),
+    ]
