@@ -1,0 +1,119 @@
+"""Growth-and-health demo — the round-14 wave end to end on the
+driver's tables:
+
+  events ─ weekly cohort-retention rate triangle ─ daily new-vs-
+         returning mix (batch AND the set-union streaming recurrence) ─
+         Pareto volume-concentration deciles ─ per-kind inter-arrival
+         gap statistics ─ hourly-series gap audit ─ seasonal-naive
+         forecast scorecard; lineitem/orders ─ Pearson correlation
+         matrix ─ FK-integrity + functional-dependency audits;
+         co-order part graph ─ Adamic-Adar "also bought" candidates.
+
+Usage:  python examples/growth_health_demo.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from rearview_spark.operators.behavior import (
+    cohort_retention,
+    interarrival_summary,
+    mix_from_user_buckets,
+    new_vs_returning,
+    pareto_share,
+    user_activity_foreach_batch,
+)
+from rearview_spark.operators.graph import adamic_adar, frequent_item_pairs
+from rearview_spark.operators.profiling import (
+    correlation_matrix,
+    fd_violations,
+    fk_integrity_audit,
+)
+from rearview_spark.operators.sketch import _latest_batch_dir
+from rearview_spark.operators.timeseries import (
+    forecast_accuracy,
+    series_gap_audit,
+    summarize,
+    time_shift,
+)
+from rearview_spark.session import get_spark
+from rearview_spark.sources.loader import Tables, events_as_timeseries
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark()
+    t = Tables(spark, sf_dir)
+
+    # 1. The growth dashboard: who we acquired, who came back
+    retention = cohort_retention(t.events)
+    print("cohort retention cells:", retention.count())
+    retention.show(8, truncate=False)
+
+    mix = new_vs_returning(t.events)
+    print("new-vs-returning days:", mix.count())
+
+    # ...and the same mix from the set-union streaming recurrence:
+    # three micro-batch slices, state = distinct (user, day)
+    ub = t.events.select(
+        F.col("user_id").alias("u"),
+        F.expr("CAST(ts AS LONG) div 86400").alias("bucket"),
+    )
+    state = tempfile.mkdtemp(prefix="demo_unr_")
+    try:
+        proc = user_activity_foreach_batch(spark, state)
+        for i in range(3):
+            proc(ub.filter(F.col("bucket") % 3 == i), i)
+        streamed = mix_from_user_buckets(
+            spark.read.parquet(_latest_batch_dir(spark, state))
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    assert [tuple(r) for r in streamed.collect()] == [
+        tuple(r) for r in mix.collect()
+    ], "streamed mix must equal the batch pass"
+    print("streamed mix == batch mix over", streamed.count(), "days")
+
+    # 2. Where the volume concentrates, and how arrivals space out
+    pareto_share(t.events).show(10, truncate=False)
+    interarrival_summary(t.events).show(truncate=False)
+
+    # 3. Collection health: series gaps + naive-forecast scorecard
+    series = events_as_timeseries(t.events)
+    series_gap_audit(series).show(truncate=False)
+    hourly = summarize(series, "1 hour", "sum")
+    days = hourly.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    d0, d1 = [r["d"] for r in days.orderBy("d").limit(2).collect()][:2]
+    actual = hourly.filter(F.date_trunc("day", "ts") == d1)
+    naive = time_shift(hourly.filter(F.date_trunc("day", "ts") == d0), "1 day")
+    forecast_accuracy(actual, naive).show(truncate=False)
+
+    # 4. Table trust: correlations, FK orphans, functional dependencies
+    correlation_matrix(
+        t.lineitem, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    ).show(truncate=False)
+    fk_integrity_audit(
+        [
+            ("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+            ("orders->customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+        ]
+    ).show(truncate=False)
+    fd_violations(t.customer, "c_nationkey", "c_mktsegment").show(truncate=False)
+
+    # 5. "Also bought": Adamic-Adar candidates over the co-order graph
+    pairs = frequent_item_pairs(
+        t.lineitem, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    aa = adamic_adar(pairs)
+    print("adamic-adar scored non-edges:", aa.count())
+    aa.orderBy(F.col("score").desc(), "u", "v").show(5, truncate=False)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -899,6 +899,17 @@ def new_vs_returning(
         .select("u", F.expr(f"_t div {bucket_seconds}").alias("bucket"))
         .distinct()
     )
+    return mix_from_user_buckets(ub)
+
+
+def mix_from_user_buckets(ub: DataFrame) -> DataFrame:
+    """The new-vs-returning mix from a DISTINCT ``(u, bucket)``
+    activity frame — identical arithmetic whether the frame came from
+    one :func:`new_vs_returning` pass or a streamed set-union merge
+    (duplicate pairs re-collapse first, so merging is a pure union —
+    the ks_from_counts discipline with set union in place of count
+    addition)."""
+    ub = ub.distinct()
     first = ub.groupBy("u").agg(F.min("bucket").alias("_first"))
     return (
         ub.join(first, "u")
@@ -923,3 +934,34 @@ def new_vs_returning(
         )
         .orderBy("bucket")
     )
+
+
+def user_activity_foreach_batch(spark, state_dir: str):
+    """Distinct (user, bucket) activity as a ``foreachBatch``
+    recurrence — the set-union analog of the count-merge recurrences
+    (CM/HLL/PSI/KS): each micro-batch's distinct pairs UNION into the
+    previous persisted state under a ``batch=<id>`` subdir, re-
+    distincted on merge, so the streamed state is bit-identical to one
+    distinct pass over all events regardless of batch order (set union
+    is commutative AND idempotent — a retried batch is harmless twice
+    over, though the below-predecessor read keeps the convention).
+    The new-vs-returning mix read off the final state through
+    :func:`mix_from_user_buckets` therefore shares the batch gate's
+    FULL value oracle.
+
+    State size is the distinct (user, bucket) domain — active
+    user-days, the stickiness_dau_wau boundedness argument, bounded by
+    users x retention-window days regardless of event volume. Batch
+    frames must carry ``(u, bucket)``."""
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.select("u", "bucket").distinct()
+        prev = _latest_batch_dir(spark, state_dir, below=batch_id)
+        if prev is not None:
+            cur = cur.unionByName(spark.read.parquet(prev)).distinct()
+        cur.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process

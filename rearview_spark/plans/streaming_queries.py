@@ -782,3 +782,52 @@ PENDING_QUERIES["stream_ema_crossover"] = {
     "fn": stream_ema_crossover,
     "oracle": _STREAM_EMAX_SQL,
 }
+
+
+def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning mix with the distinct (user, day)
+    activity set accumulated by the set-union foreachBatch recurrence
+    (operators/behavior.user_activity_foreach_batch) over three
+    micro-batch slices: set union is commutative and idempotent, so
+    the streamed state — and the whole mix read off it — is
+    bit-identical to the batch gate and shares ev_new_vs_returning's
+    FULL value oracle. The batch=<id> state dirs carry the retry
+    contract (doubly harmless here: a re-unioned set is the same
+    set)."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.behavior import (
+        mix_from_user_buckets,
+        user_activity_foreach_batch,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+    from rearview_spark.sources.loader import Tables
+
+    ev = Tables(spark, sf_dir).events
+    ub = ev.select(
+        F.col("user_id").alias("u"),
+        F.expr("CAST(ts AS LONG) div 86400").alias("bucket"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="unr_stream_")
+    try:
+        proc = user_activity_foreach_batch(spark, state_dir)
+        for i in range(3):
+            proc(ub.filter(F.col("bucket") % 3 == i), i)
+        merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
+        # materialize before the state dir disappears (the
+        # stream_peak_concurrency cleanup contract)
+        return mix_from_user_buckets(merged).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+from rearview_spark.plans.events_queries import (  # noqa: E402
+    EV_NEW_RET_SQL as _STREAM_UNR_SQL,
+)
+
+# Staged (r14 growth budget; flips in r15).
+PENDING_QUERIES["stream_new_vs_returning"] = {
+    "fn": stream_new_vs_returning,
+    "oracle": _STREAM_UNR_SQL,
+}

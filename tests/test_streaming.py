@@ -605,3 +605,41 @@ def test_ema_crossover_foreach_batch_replay_and_batch_equality(spark, tmp_path):
     # silent-metric carry: p's state row survives batch 1
     st1 = spark.read.parquet(f"{state}/state/batch=1").collect()
     assert {r["metric"] for r in st1} == {"m", "p"}
+
+
+def test_user_activity_foreach_batch_replay_and_batch_equality(spark, tmp_path):
+    """Set-union streaming contract: the merged (u, bucket) state
+    equals one distinct pass over all slices, a RETRIED batch is
+    doubly harmless (idempotent union), and the mix read off the
+    state equals the batch new_vs_returning exactly."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.behavior import (
+        mix_from_user_buckets,
+        new_vs_returning,
+        user_activity_foreach_batch,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    rows = [("u1", 10), ("u1", 20), ("u1", 86405), ("u2", 86500), ("u2", 86501)]
+    df = spark.createDataFrame(rows, "user_id string, ts long")
+    ub = df.select(
+        F.col("user_id").alias("u"),
+        F.expr("ts div 86400").alias("bucket"),
+    )
+
+    state = str(tmp_path / "unr_state")
+    proc = user_activity_foreach_batch(spark, state)
+    slices = [ub.filter(F.col("bucket") == 0), ub.filter(F.col("bucket") == 1)]
+    for i, sl in enumerate(slices):
+        proc(sl, i)
+    proc(slices[1], 1)  # retry: idempotent re-union
+    merged = spark.read.parquet(_latest_batch_dir(spark, state))
+    assert {(r["u"], r["bucket"]) for r in merged.collect()} == {
+        ("u1", 0),
+        ("u1", 1),
+        ("u2", 1),
+    }
+    got = [tuple(r) for r in mix_from_user_buckets(merged).collect()]
+    ref = [tuple(r) for r in new_vs_returning(df).collect()]
+    assert got == ref == [(0, 1, 0, 1, 1.0), (1, 1, 1, 2, 0.5)]
