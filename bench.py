@@ -137,6 +137,19 @@ HEADLINE = [
     # foreachBatch harness, measured in PLANS.md like its PSI sibling.
     "doc_chi2_tokens",
     "rel_equidepth_hist",
+    # round-14: one line per newly REGISTERED plan family (the 16-gate
+    # staged wave flipped live this round) — the two-EMA-passes + join
+    # + lag standing-alert shape (crossover), the constant-factor
+    # contribution-explode distinct (stickiness), and the candidate-
+    # pair sketch-fidelity audit (per-pair signature zip + exact
+    # verify). The other flips ride timed families: slo_burn/burstiness
+    # the grid + prefix-sum machinery, winsorize/benford the ranked and
+    # string-render passes, degree_hist/roi the graph joins,
+    # ks_drift_by_type the collapsed-domain windows, vocab/zipf/overlap
+    # the corpus-explode vocab aggregates already on the board.
+    "ts_ema_crossover",
+    "ev_stickiness",
+    "dedup_minhash_fidelity",
 ]
 
 

@@ -951,8 +951,12 @@ def user_activity_foreach_batch(spark, state_dir: str):
 
     State size is the distinct (user, bucket) domain — active
     user-days, the stickiness_dau_wau boundedness argument, bounded by
-    users x retention-window days regardless of event volume. Batch
-    frames must carry ``(u, bucket)``."""
+    users x retention-window days regardless of event volume. The
+    ``coalesce(1)`` keeps the sketch-store one-file-per-generation
+    convention; at deployment scale (billions of user-days) drop it
+    and let the state write stay partitioned — the merge is a
+    distinct, not a driver artifact. Batch frames must carry
+    ``(u, bucket)``."""
     from rearview_spark.operators.sketch import _latest_batch_dir
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

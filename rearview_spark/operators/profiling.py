@@ -319,9 +319,12 @@ def correlation_matrix(
         raise ValueError(
             f"correlation_matrix: quant must be a positive int (got {quant!r})"
         )
+    # listwise deletion tests the CAST value, not the raw column, so a
+    # non-numeric string that casts to NULL is excluded like a NULL
+    # (raw-only filtering would let it skew n against the sums)
     cond = None
     for c in cols:
-        nn = F.col(c).isNotNull()
+        nn = F.col(c).cast("double").isNotNull()
         cond = nn if cond is None else (cond & nn)
     q = {
         c: F.round(F.col(c).cast("double") * quant).cast("long")
