@@ -663,10 +663,15 @@ def cohort_retention(
             )
         ).cast("long")
     )
+    # checkpoint the user-day collapse ONCE: it feeds the cohort
+    # min-aggregate AND the cell join — without the lineage cut the
+    # corpus scan + distinct re-executes per consumer (3 scans
+    # observed); the frame is user-day-domain sized, the bounded class
     ub = (
         df.select(F.col(user_col).alias("u"), t_checked.alias("_t"))
         .select("u", F.expr(f"_t div {bucket_seconds}").alias("bucket"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     cohorts = ub.groupBy("u").agg(F.min("bucket").alias("cohort_bucket"))
     sizes = cohorts.groupBy("cohort_bucket").agg(
@@ -909,7 +914,9 @@ def mix_from_user_buckets(ub: DataFrame) -> DataFrame:
     (duplicate pairs re-collapse first, so merging is a pure union —
     the ks_from_counts discipline with set union in place of count
     addition)."""
-    ub = ub.distinct()
+    # same checkpoint-the-collapse rationale as cohort_retention: the
+    # distinct feeds both the first-seen aggregate and the mix join
+    ub = ub.distinct().localCheckpoint(eager=True)
     first = ub.groupBy("u").agg(F.min("bucket").alias("_first"))
     return (
         ub.join(first, "u")

@@ -716,6 +716,12 @@ def adamic_adar(
         raise ValueError(
             f"adamic_adar: max_degree must be >= 2 (got {max_degree!r})"
         )
+    # checkpoint the edge list ONCE (the pagerank/triangles discipline):
+    # it feeds the degree table, both wedge sides, and the final
+    # anti-join — without the lineage cut the caller's edge-building
+    # join (e.g. the co-order self-join) re-executes per consumer
+    # (28 scans observed in the un-checkpointed plan)
+    edges = edges.localCheckpoint(eager=True)
     adj = edges.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
         edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
     )

@@ -292,21 +292,36 @@ def correlation_matrix(
     Exactness: each column quantizes to integer units (``round(x *
     quant)`` — the proven cross-engine rounding) so every moment —
     n, per-column sums, squares, and all pairwise cross-products — is
-    an EXACT int64 sum (aggregation order cannot perturb it); each
-    correlation is then ONE fixed double expression over those exact
-    operands, ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) *
-    sqrt(n*Syy - Sy^2))``, mirrored op-for-op in the oracle. Rows
-    where ANY of ``cols`` is NULL are excluded first (listwise
-    deletion — every pair sees the same n, so the matrix is positive
-    semi-definite). int64 envelope: |Sxy| <= n * (quant*max|x|)^2
-    — at quant 100 and values to ~1e5 that is exact to ~1e8 rows;
-    beyond, pre-aggregate or lower quant (the gram_matrix
-    decimal(38) note applies).
+    EXACT integer arithmetic (aggregation order cannot perturb it).
+    The square/cross moments outgrow int64 (a squared-cents price
+    column passes 2^63 at ~6e5 rows), so each per-row PRODUCT —
+    which itself fits int64, the documented per-row envelope — is
+    split into hi/lo int64 halves with the portable-pmod floor
+    arithmetic (the theil_sen discipline): ``lo = pmod(P, 2^31)``,
+    ``hi = (P - lo) / 2^31`` (exact — the dividend is a multiple),
+    each half summed as a plain long (map-side partials, NOT the
+    ~5x-slower decimal(38) aggregation this replaced), and
+    recombined at the edge as ``double(hi) * 2^31 + double(lo)`` —
+    the 2^31 scaling is exact in IEEE, so both engines assemble the
+    same two doubles with the same ops. Each correlation is then ONE
+    fixed double expression, ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2)
+    * sqrt(n*Syy - Sy^2))``, mirrored op-for-op in the oracle, and
+    the published corr is ONE nudged 6dp rounding (the column_entropy
+    discipline): moments past 2^53 carry ~1e-16-relative assembly
+    rounding — identical across engines by construction, and far
+    under the nudge regardless. Rows where ANY of ``cols`` is NULL
+    (or non-castable) are excluded first (listwise deletion on the
+    CAST value — every pair sees the same n, so the matrix is
+    positive semi-definite).
 
-    Scale shape: ONE full scan collapsing to a single row of
-    ``2k + k(k-1)/2 + 1`` exact int64 moments (map-side partials —
-    nothing row-scale shuffles), then a k(k-1)/2-row driverless
-    unpivot of that row via ``stack``. NULL correlation for a
+    Envelopes, stated: per-row ``(quant*max|x|)^2`` must fit int64
+    (quant*max|x| <= ~3e9); the half-sums fit int64 to ~4e9 rows
+    (sum_lo <= n * 2^31); beyond, pre-aggregate or swap the halves to
+    decimal(38).
+
+    Scale shape: ONE full scan collapsing to a single row of exact
+    integer moments (map-side partials — nothing row-scale shuffles),
+    then a k(k-1)/2-row explode of that row. NULL correlation for a
     zero-variance column (undefined rather than divide-by-zero).
     Returns ``(col_x, col_y, n, corr)`` for the strict upper triangle,
     ordered by (col_x, col_y).
@@ -330,39 +345,70 @@ def correlation_matrix(
         c: F.round(F.col(c).cast("double") * quant).cast("long")
         for c in cols
     }
+    B = 2**31
+
+    def _halves(prod, name):
+        # arithmetic shift IS floor division by 2^31 — exact integer
+        # ops only (a double division here would round products past
+        # 2^53); lo = prod - hi*B lands in [0, 2^31) by floor-div/pmod
+        # pairing
+        hi = F.shiftright(prod, 31)
+        lo = prod - hi * F.lit(B)
+        return [
+            F.sum(hi).alias(f"hi_{name}"),
+            F.sum(lo).alias(f"lo_{name}"),
+        ]
+
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         aggs.append(F.sum(q[c]).alias(f"s_{c}"))
-        aggs.append(F.sum(q[c] * q[c]).alias(f"ss_{c}"))
+        aggs.extend(_halves(q[c] * q[c], f"ss_{c}"))
     pairs = [
         (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
     ]
     for a, b in pairs:
-        aggs.append(F.sum(q[a] * q[b]).alias(f"sx_{a}_{b}"))
+        aggs.extend(_halves(q[a] * q[b], f"sx_{a}_{b}"))
     row = df.filter(cond).agg(*aggs)
+
+    def _assemble(name):
+        return (
+            F.col(f"hi_{name}").cast("double") * F.lit(float(B))
+            + F.col(f"lo_{name}").cast("double")
+        )
 
     def _corr(a: str, b: str):
         n = F.col("n").cast("double")
         sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
-        sxx, syy = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
-        sxy = F.col(f"sx_{a}_{b}").cast("double")
+        sxx, syy = _assemble(f"ss_{a}"), _assemble(f"ss_{b}")
+        sxy = _assemble(f"sx_{a}_{b}")
         var_x = n * sxx - sx * sx
         var_y = n * syy - sy * sy
         return F.when(
             (var_x > 0) & (var_y > 0),
-            (n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
+            F.round(
+                (n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y))
+                + F.lit(5e-10),
+                6,
+            ),
         )
 
-    out = None
-    for a, b in pairs:
-        part = row.select(
+    # ONE explode of per-pair structs off the single moments row — a
+    # per-pair select union would re-execute the corpus aggregate once
+    # per pair (6 scans observed for 4 columns)
+    structs = [
+        F.struct(
             F.lit(a).alias("col_x"),
             F.lit(b).alias("col_y"),
             F.col("n").cast("long").alias("n"),
             _corr(a, b).alias("corr"),
         )
-        out = part if out is None else out.unionByName(part)
-    return out.orderBy("col_x", "col_y")
+        for a, b in pairs
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("_p"))
+        .select("_p.*")
+        .orderBy("col_x", "col_y")
+    )
 
 
 def fk_integrity_audit(

@@ -2133,32 +2133,52 @@ def _corr_sql() -> str:
     cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
     qs = {c: f"CAST(round({c} * 100) AS BIGINT)" for c in cols}
     notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    # square/cross moments mirror the operator's hi/lo int64 split:
+    # per-row products fit BIGINT, hi = floor-div by 2^31 (DuckDB //
+    # floors like Spark's arithmetic shift), lo = P - hi*2^31, each
+    # half summed as a plain integer and reassembled at the double
+    # edge — bit-identical assembly on both engines
     moments = ["CAST(count(*) AS BIGINT) AS n"]
+
+    def _h(pe: str, name: str) -> list:
+        return [
+            f"CAST(sum(({pe}) // 2147483648) AS BIGINT) AS hi_{name}",
+            f"CAST(sum(({pe}) - (({pe}) // 2147483648) * 2147483648)"
+            f" AS BIGINT) AS lo_{name}",
+        ]
+
     for c in cols:
         moments.append(f"CAST(sum(q.{c}_q) AS BIGINT) AS s_{c}")
-        moments.append(f"CAST(sum(q.{c}_q * q.{c}_q) AS BIGINT) AS ss_{c}")
+        moments.extend(_h(f"q.{c}_q * q.{c}_q", f"ss_{c}"))
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     for a, b in pairs:
-        moments.append(f"CAST(sum(q.{a}_q * q.{b}_q) AS BIGINT) AS sx_{a}_{b}")
+        moments.extend(_h(f"q.{a}_q * q.{b}_q", f"sx_{a}_{b}"))
+    def _asm(name: str) -> str:
+        return (
+            f"(CAST(hi_{name} AS DOUBLE) * 2147483648.0"
+            f" + CAST(lo_{name} AS DOUBLE))"
+        )
+
     selects = []
     for a, b in pairs:
         expr = (
-            f"(CAST(n AS DOUBLE) * CAST(sx_{a}_{b} AS DOUBLE)"
+            f"(CAST(n AS DOUBLE) * {_asm(f'sx_{a}_{b}')}"
             f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-            f" / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" / (sqrt(CAST(n AS DOUBLE) * {_asm(f'ss_{a}')}"
             f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
-            f" * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" * sqrt(CAST(n AS DOUBLE) * {_asm(f'ss_{b}')}"
             f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
         )
         guard = (
-            f"CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f"CAST(n AS DOUBLE) * {_asm(f'ss_{a}')}"
             f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) > 0"
-            f" AND CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" AND CAST(n AS DOUBLE) * {_asm(f'ss_{b}')}"
             f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) > 0"
         )
         selects.append(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
-            f" CASE WHEN {guard} THEN {expr} END AS corr FROM m"
+            f" CASE WHEN {guard} THEN round(({expr}) + 0.0000000005, 6)"
+            f" END AS corr FROM m"
         )
     qexprs = ", ".join(f"{qs[c]} AS {c}_q" for c in cols)
     return (
