@@ -1,12 +1,17 @@
-"""User-behavior analytics over event streams: funnel conversion and
-event-transition matrices — the two classic product-analytics operators
-layered on the same events table the sessionization / cohort-retention /
-attribution gates read (SURVEY.md §2.3 Prov-A event analytics family).
+"""User-behavior analytics over event streams (SURVEY.md §2.3 Prov-A
+event analytics family): funnel conversion, event-transition matrices,
+multi-touch attribution, top paths, active-time / peak-concurrency
+sweep lines, burstiness, DAU/WAU stickiness, cohort retention,
+new-vs-returning mix (batch + the set-union streaming recurrence),
+Pareto volume concentration, and inter-arrival gap statistics — the
+product-analytics layer over the same events table the sessionization
+gates read.
 
-Both are pure DataFrame compositions: funnels are K-1 re-joins on the
-user key (each stage reuses the same hash partitioning), transitions are
-one user-partitioned window plus two hash aggregates. No UDFs, no
-unbounded windows.
+All pure DataFrame compositions: windows are always partitioned (by
+user, user+kind, or a collapsed domain — never corpus-wide), global
+cumulatives go through the range-partitioned ``global_running_sum``
+primitives, and corpus-scale frames collapse to bounded domains
+(user-day, key, bucket) before anything wide happens. No UDFs.
 """
 
 from __future__ import annotations
