@@ -981,3 +981,79 @@ def user_activity_foreach_batch(spark, state_dir: str):
         )
 
     return _process
+
+
+def markov_steady_state(
+    events: DataFrame,
+    iterations: int = 8,
+    scale: int = 10**6,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Long-run occupancy of the per-user event chain — the Markov
+    steady-state read over :func:`event_transitions`' matrix (where
+    does a user's session settle if the observed transition behavior
+    holds): ``iterations`` fixed-point steps of ``w[d] = sum over s of
+    (v[s] * n[s][d]) div tot[s]`` from the uniform start
+    ``v[t] = scale``.
+
+    Determinism (the top_principal_component contract, event-typed):
+    the corpus collapses to the |types|^2 transition-count matrix —
+    the bounded offline-artifact class, collected driver-side — and
+    the iteration is EXACT Python-integer arithmetic (floor division
+    every term), so an oracle replays the identical recurrence in SQL
+    with plain ``//`` (all quantities non-negative). The published
+    share is ONE division of exact integers per type. int64 envelope
+    for the replaying engine: ``scale * max pair count`` — at the
+    default, exact to ~9e12 transitions on one (src, dst) pair.
+
+    Types with no OUTGOING transitions leak their mass (an absorbing
+    tail-of-log artifact, not a modeling choice) — their steady weight
+    decays toward the mass they RECEIVE per step; shares always
+    renormalize over the surviving total. Scale shape: one
+    user-partitioned lead window + one (src, dst) hash aggregate (the
+    event_transitions plan verbatim); everything after is
+    types-domain driver arithmetic. Returns ``(event_type, weight_fp,
+    share)`` ordered by type.
+    """
+    if not isinstance(iterations, int) or iterations < 1:
+        raise ValueError(
+            f"markov_steady_state: iterations must be >= 1 (got {iterations!r})"
+        )
+    if not isinstance(scale, int) or scale < 1:
+        raise ValueError(
+            f"markov_steady_state: scale must be a positive int (got {scale!r})"
+        )
+    counts = event_transitions(
+        events, user_col, ts_col, type_col, id_col
+    ).select("src_type", "dst_type", "n_transitions")
+    rows = counts.collect()
+    if not rows:
+        raise ValueError("markov_steady_state: no transitions in input")
+    n = {(r["src_type"], r["dst_type"]): int(r["n_transitions"]) for r in rows}
+    tot: dict = {}
+    for (s, _d), c in n.items():
+        tot[s] = tot.get(s, 0) + c
+    types = sorted({s for s, _ in n} | {d for _, d in n})
+    v = {t: scale for t in types}
+    for _ in range(iterations):
+        w = {t: 0 for t in types}
+        for (s, d), c in n.items():
+            w[d] += (v[s] * c) // tot[s]
+        v = w
+    total = sum(v.values())
+    spark = events.sparkSession
+    out = spark.createDataFrame(
+        [
+            (
+                t,
+                int(v[t]),
+                (float(v[t]) / float(total)) if total > 0 else None,
+            )
+            for t in types
+        ],
+        "event_type string, weight_fp long, share double",
+    )
+    return out.orderBy("event_type")

@@ -1860,3 +1860,116 @@ def series_gap_audit(
         )
         .orderBy(METRIC)
     )
+
+
+def metric_staleness(
+    ts: DataFrame,
+    bucket_seconds: int = 3600,
+    threshold_buckets: int = 3,
+) -> DataFrame:
+    """Staleness monitor — the collection-side sibling of
+    :func:`series_gap_audit` (that one audits history; this one asks
+    "which series have STOPPED reporting right now"): per metric, the
+    last-seen bucket, its lag behind the frame's global newest bucket
+    (the stream's event-time "now" — no wall clock, so the operator is
+    replayable and oracle-checkable), and a stale flag when the lag
+    exceeds ``threshold_buckets``.
+
+    Exactness: buckets are integer ``div`` arithmetic with the
+    negative-epoch guard; last-seen and the global max are exact
+    comparisons; lag is integer subtraction, the flag one integer
+    comparison. Scale shape: one hash collapse to the metric domain
+    (map-side max partials), one broadcast one-row max join. Returns
+    ``(metric, last_seen_bucket, lag_buckets, stale)`` ordered by
+    metric.
+    """
+    if not isinstance(bucket_seconds, int) or bucket_seconds < 1:
+        raise ValueError(
+            "metric_staleness: bucket_seconds must be a positive int "
+            f"(got {bucket_seconds!r})"
+        )
+    if not isinstance(threshold_buckets, int) or threshold_buckets < 0:
+        raise ValueError(
+            "metric_staleness: threshold_buckets must be >= 0 "
+            f"(got {threshold_buckets!r})"
+        )
+    t_raw = F.col(TS).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("metric_staleness: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    last = (
+        ts.select(F.col(METRIC), t_checked.alias("_t"))
+        .select(METRIC, F.expr(f"_t div {bucket_seconds}").alias("b"))
+        .groupBy(METRIC)
+        .agg(F.max("b").alias("last_seen_bucket"))
+    )
+    return staleness_from_last_seen(last, threshold_buckets)
+
+
+def staleness_from_last_seen(
+    last: DataFrame, threshold_buckets: int = 3
+) -> DataFrame:
+    """Staleness flags from a ``(metric, last_seen_bucket)`` frame —
+    identical arithmetic whether the frame came from one
+    :func:`metric_staleness` pass or a streamed max-merge (duplicate
+    metrics re-collapse by MAX first, so merging is a pure union —
+    the mix_from_user_buckets discipline with max in place of set
+    union)."""
+    last = last.groupBy(METRIC).agg(
+        F.max("last_seen_bucket").alias("last_seen_bucket")
+    )
+    now = last.agg(F.max("last_seen_bucket").alias("_now"))
+    return (
+        last.crossJoin(F.broadcast(now))
+        .select(
+            METRIC,
+            F.col("last_seen_bucket").cast("long").alias("last_seen_bucket"),
+            (F.col("_now") - F.col("last_seen_bucket"))
+            .cast("long")
+            .alias("lag_buckets"),
+            (
+                (F.col("_now") - F.col("last_seen_bucket"))
+                > F.lit(threshold_buckets)
+            ).alias("stale"),
+        )
+        .orderBy(METRIC)
+    )
+
+
+def staleness_foreach_batch(spark, state_dir: str):
+    """Per-metric last-seen bucket as a ``foreachBatch`` recurrence —
+    the MAX-merge member of the streaming state family (counts ADD,
+    activity sets UNION, last-seen takes MAX — all three commutative;
+    max is idempotent too, so a retried batch is doubly harmless like
+    the set union). Each micro-batch's per-metric max merges into the
+    previous persisted state under a ``batch=<id>`` subdir; the
+    staleness read off the final state through
+    :func:`staleness_from_last_seen` is bit-identical to one batch
+    pass, sharing the batch gate's FULL value oracle.
+
+    State size = the metric domain (one bigint per metric) — the
+    smallest state in the family. Batch frames must carry
+    ``(metric, b)``."""
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.groupBy(METRIC).agg(
+            F.max("b").alias("last_seen_bucket")
+        )
+        prev = _latest_batch_dir(spark, state_dir, below=batch_id)
+        if prev is not None:
+            cur = (
+                cur.unionByName(spark.read.parquet(prev))
+                .groupBy(METRIC)
+                .agg(F.max("last_seen_bucket").alias("last_seen_bucket"))
+            )
+        cur.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process

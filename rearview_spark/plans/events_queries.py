@@ -2060,3 +2060,70 @@ PENDING_QUERIES["ev_new_vs_returning"] = {
     "fn": ev_new_vs_returning,
     "oracle": EV_NEW_RET_SQL,
 }
+
+
+MARKOV_ITERS = 8
+MARKOV_SCALE = 10**6
+
+
+def ev_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov steady-state occupancy of the per-user event chain
+    (operators/behavior.markov_steady_state): 8 exact-integer
+    fixed-point steps over the transition-count matrix, replayed by
+    the oracle as chained CTEs with the identical floor-division
+    recurrence (the pagerank/PCA oracle discipline)."""
+    from rearview_spark.operators.behavior import markov_steady_state
+
+    return markov_steady_state(
+        Tables(spark, sf_dir).events,
+        iterations=MARKOV_ITERS,
+        scale=MARKOV_SCALE,
+    )
+
+
+def _markov_sql() -> str:
+    ctes = [
+        """seq AS (
+  SELECT user_id, event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst_type
+  FROM events)""",
+        """c AS (
+  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2)""",
+        "t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)",
+        """ty AS (
+  SELECT src_type AS ty FROM c UNION SELECT dst_type FROM c)""",
+        f"v0 AS (SELECT ty AS t, CAST({MARKOV_SCALE} AS BIGINT) AS v FROM ty)",
+    ]
+    for i in range(1, MARKOV_ITERS + 1):
+        ctes.append(
+            f"""v{i} AS (
+  SELECT ty.ty AS t, CAST(COALESCE(x.v, 0) AS BIGINT) AS v
+  FROM ty LEFT JOIN (
+    SELECT c.dst_type AS t, sum((p.v * c.n) // tt.tot) AS v
+    FROM c
+    JOIN v{i - 1} p ON p.t = c.src_type
+    JOIN t tt ON tt.src_type = c.src_type
+    GROUP BY 1) x ON x.t = ty.ty)"""
+        )
+    last = f"v{MARKOV_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS s FROM {last})
+SELECT {last}.t AS event_type,
+       {last}.v AS weight_fp,
+       CASE WHEN tot.s > 0
+            THEN CAST({last}.v AS DOUBLE) / CAST(tot.s AS DOUBLE)
+       END AS share
+FROM {last}, tot
+ORDER BY event_type"""
+    )
+
+
+PENDING_QUERIES["ev_markov_steady"] = {
+    "fn": ev_markov_steady,
+    "oracle": _markov_sql(),
+}

@@ -831,3 +831,61 @@ PENDING_QUERIES["stream_new_vs_returning"] = {
     "fn": stream_new_vs_returning,
     "oracle": _STREAM_UNR_SQL,
 }
+
+
+def stream_metric_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which metrics stopped reporting — per-metric last-seen hourly
+    bucket accumulated by the MAX-merge foreachBatch recurrence
+    (operators/timeseries.staleness_foreach_batch; max is commutative
+    AND idempotent, so micro-batch order and retries are both
+    harmless) over three slices, then staleness flags against the
+    stream's event-time newest bucket. Bit-identical to one batch
+    metric_staleness pass — the gate carries a FULL value oracle."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.timeseries import (
+        staleness_foreach_batch,
+        staleness_from_last_seen,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+    from rearview_spark.sources.loader import Tables
+
+    ev = Tables(spark, sf_dir).events
+    mb = ev.select(
+        F.col("event_type").alias("metric"),
+        F.expr("CAST(ts AS LONG) div 3600").alias("b"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="stale_stream_")
+    try:
+        proc = staleness_foreach_batch(spark, state_dir)
+        for i in range(3):
+            proc(mb.filter(F.col("b") % 3 == i), i)
+        merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
+        # materialize before the state dir disappears (the
+        # stream_peak_concurrency cleanup contract)
+        return staleness_from_last_seen(
+            merged, threshold_buckets=3
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+_STREAM_STALE_SQL = """
+WITH last AS (
+  SELECT event_type AS metric,
+         max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS last_seen_bucket
+  FROM events GROUP BY 1),
+now AS (SELECT max(last_seen_bucket) AS n FROM last)
+SELECT metric,
+       CAST(last_seen_bucket AS BIGINT) AS last_seen_bucket,
+       CAST(now.n - last_seen_bucket AS BIGINT) AS lag_buckets,
+       (now.n - last_seen_bucket) > 3 AS stale
+FROM last, now ORDER BY metric
+"""
+
+# Staged (r14 growth budget; flips in r15).
+PENDING_QUERIES["stream_metric_staleness"] = {
+    "fn": stream_metric_staleness,
+    "oracle": _STREAM_STALE_SQL,
+}

@@ -3287,3 +3287,48 @@ def test_new_vs_returning_hand_computed(spark):
         (0, 1, 0, 1, 1.0),
         (1, 1, 1, 2, 0.5),
     ]
+
+
+def test_markov_steady_state_hand_computed(spark):
+    """Two-type chain a->b (always) and b->a/b->b (50/50), one
+    iteration from the uniform start at scale 100: w[a] = 100*1//2
+    = 50, w[b] = 100*1//1 + 100*1//2 = 150 — floor-division exact."""
+    from rearview_spark.operators.behavior import markov_steady_state
+
+    rows = [
+        # u1: a b b a b  -> transitions a->b, b->b, b->a, a->b
+        ("u1", 1, "a", 1),
+        ("u1", 2, "b", 2),
+        ("u1", 3, "b", 3),
+        ("u1", 4, "a", 4),
+        ("u1", 5, "b", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, event_type string, event_id long"
+    )
+    got = [
+        tuple(r)
+        for r in markov_steady_state(df, iterations=1, scale=100).collect()
+    ]
+    assert got == [("a", 50, 0.25), ("b", 150, 0.75)]
+    import pytest as _pytest
+
+    empty = spark.createDataFrame(
+        [("u", 1, "a", 1)],
+        "user_id string, ts long, event_type string, event_id long",
+    )
+    with _pytest.raises(ValueError, match="no transitions"):
+        markov_steady_state(empty)
+
+
+def test_metric_staleness_hand_computed(spark):
+    """m last seen bucket 5 (the frame's newest), q at bucket 1:
+    lag 4 > threshold 3 flags q stale, m fresh."""
+    from rearview_spark.operators.timeseries import metric_staleness
+
+    df = spark.createDataFrame(
+        [("m", 3600 * 5, 1.0), ("m", 3600 * 2, 1.0), ("q", 3600, 1.0)],
+        "metric string, ts long, value double",
+    )
+    got = [tuple(r) for r in metric_staleness(df, threshold_buckets=3).collect()]
+    assert got == [("m", 5, 0, False), ("q", 1, 4, True)]

@@ -643,3 +643,44 @@ def test_user_activity_foreach_batch_replay_and_batch_equality(spark, tmp_path):
     got = [tuple(r) for r in mix_from_user_buckets(merged).collect()]
     ref = [tuple(r) for r in new_vs_returning(df).collect()]
     assert got == ref == [(0, 1, 0, 1, 1.0), (1, 1, 1, 2, 0.5)]
+
+
+def test_staleness_foreach_batch_replay_and_batch_equality(spark, tmp_path):
+    """MAX-merge streaming contract: the merged last-seen state equals
+    one batch max regardless of slice order, a RETRIED batch is doubly
+    harmless (idempotent max), and the flags read off the state equal
+    the batch metric_staleness exactly."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.timeseries import (
+        metric_staleness,
+        staleness_foreach_batch,
+        staleness_from_last_seen,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    df = spark.createDataFrame(
+        [("m", 3600 * 5, 1.0), ("m", 3600 * 2, 1.0), ("q", 3600, 1.0)],
+        "metric string, ts long, value double",
+    )
+    mb = df.select("metric", F.expr("ts div 3600").alias("b"))
+
+    state = str(tmp_path / "stale_state")
+    proc = staleness_foreach_batch(spark, state)
+    # deliberately deliver the NEWER slice first — max-merge is
+    # order-free, unlike the EMA recurrence
+    slices = [mb.filter(F.col("b") >= 2), mb.filter(F.col("b") < 2)]
+    for i, sl in enumerate(slices):
+        proc(sl, i)
+    proc(slices[1], 1)  # retry
+    merged = spark.read.parquet(_latest_batch_dir(spark, state))
+    assert {(r["metric"], r["last_seen_bucket"]) for r in merged.collect()} == {
+        ("m", 5),
+        ("q", 1),
+    }
+    got = [
+        tuple(r)
+        for r in staleness_from_last_seen(merged, threshold_buckets=3).collect()
+    ]
+    ref = [tuple(r) for r in metric_staleness(df, threshold_buckets=3).collect()]
+    assert got == ref == [("m", 5, 0, False), ("q", 1, 4, True)]
