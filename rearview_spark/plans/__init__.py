@@ -60,6 +60,13 @@ _NEW_THIS_ROUND = (
     # current round by at most ceil(registry / 35) rounds — bounded as
     # long as the cap holds. Prefer retiring a redundant gate to
     # unit-only coverage over exceeding the cap.
+    #
+    # r14 executed the budget exactly: the r14 session staged 15 gates
+    # (PENDING_QUERIES across the modules, every one pre-verified at
+    # sf0.001 + sf0.01 + sf0.1 through the pending harness), so the
+    # r15 window is EXACTLY 15 flips + 20 r09 + 15 r10 = 50. The r15
+    # session must register nothing beyond the flips (stage its own
+    # new gates for r16).
 )
 
 
