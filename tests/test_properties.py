@@ -721,3 +721,122 @@ def test_vocab_growth_invariants(spark, docs):
     if out[-1]["decile"] == 3:
         assert out[-1]["docs_processed"] == len(docs)
     assert all(1 <= r["docs_processed"] <= len(docs) for r in out)
+
+
+# --- r14 behavior/profiling operators: invariants a pandas reference
+# can check on randomized small frames ---------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),       # user id
+        st.integers(min_value=0, max_value=3 * 86400),  # ts seconds
+        st.sampled_from(["a", "b", "c"]),            # kind
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=events_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pareto_share_invariants(spark, rows):
+    """cum_share is monotone non-decreasing, ends at exactly 1.0, and
+    cum_keys/cum_rows reconstruct the per-bucket columns."""
+    from rearview_spark.operators.behavior import pareto_share
+
+    df = spark.createDataFrame(
+        [(f"u{u}",) for u, _t, _k in rows], "user_id string"
+    )
+    out = pareto_share(df, n_buckets=4).collect()
+    assert out, "non-empty input must produce buckets"
+    assert out[-1]["cum_share"] == 1.0
+    shares = [r["cum_share"] for r in out]
+    assert shares == sorted(shares)
+    assert sum(r["n_keys"] for r in out) == out[-1]["cum_keys"]
+    assert sum(r["n_rows"] for r in out) == out[-1]["cum_rows"] == len(rows)
+
+
+@given(rows=events_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interarrival_summary_matches_pandas(spark, rows):
+    """Gap statistics agree with an independent pandas computation of
+    the same ceil(p*n) discrete-percentile definition."""
+    import math as _math
+
+    from rearview_spark.operators.behavior import interarrival_summary
+
+    df = spark.createDataFrame(
+        [(f"u{u}", t, k) for u, t, k in rows],
+        "user_id string, ts long, event_type string",
+    )
+    got = {r["kind"]: r for r in interarrival_summary(df).collect()}
+
+    gaps: dict = {}
+    byk: dict = {}
+    for u, t, k in rows:
+        byk.setdefault((u, k), []).append(t)
+    for (u, k), ts in byk.items():
+        ts.sort()
+        for a, b in zip(ts, ts[1:]):
+            gaps.setdefault(k, []).append(b - a)
+    assert set(got) == set(gaps)
+    for k, g in gaps.items():
+        g.sort()
+        n = len(g)
+        r = got[k]
+        assert r["n_gaps"] == n
+        assert _math.isclose(r["mean_gap_s"], sum(g) / n, rel_tol=1e-12)
+        assert r["p50_gap_s"] == g[_math.ceil(0.5 * n) - 1]
+        assert r["p90_gap_s"] == g[_math.ceil(0.9 * n) - 1]
+        assert r["max_gap_s"] == g[-1]
+
+
+@given(rows=events_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_new_vs_returning_invariants(spark, rows):
+    """n_new + n_returning == n_active per bucket; each user is new in
+    exactly one bucket; totals match the distinct user count."""
+    from rearview_spark.operators.behavior import new_vs_returning
+
+    df = spark.createDataFrame(
+        [(f"u{u}", t) for u, t, _k in rows], "user_id string, ts long"
+    )
+    out = new_vs_returning(df).collect()
+    users = {f"u{u}" for u, _t, _k in rows}
+    assert sum(r["n_new"] for r in out) == len(users)
+    for r in out:
+        assert r["n_new"] + r["n_returning"] == r["n_active"]
+        assert r["new_share"] == r["n_new"] / r["n_active"]
+    # the first active bucket is all-new by construction
+    assert out[0]["n_returning"] == 0
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        min_size=3,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_correlation_matrix_bounds_and_symmetry(spark, xs):
+    """Correlations stay in [-1, 1] (quantized-domain Cauchy-Schwarz);
+    corr(x, x-derived) of a positive affine image is 1.0 at the
+    operator's own quantization."""
+    from rearview_spark.operators.profiling import correlation_matrix
+
+    rows = [(float(x), float(2.0 * x + 1.0), float(-x)) for x in xs]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_x"], r["col_y"]): r["corr"] for r in
+           correlation_matrix(df, ["x", "y", "z"]).collect()}
+    for v in out.values():
+        if v is not None:
+            assert -1.0 <= v <= 1.0
+    # affine image: exactly +1 / -1 unless quantization collapsed x
+    if out[("x", "y")] is not None:
+        assert out[("x", "y")] == 1.0
+        assert out[("x", "z")] == -1.0
