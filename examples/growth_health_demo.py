@@ -7,7 +7,9 @@ driver's tables:
          gap statistics ─ hourly-series gap audit ─ seasonal-naive
          forecast scorecard; lineitem/orders ─ Pearson correlation
          matrix ─ FK-integrity + functional-dependency audits;
-         co-order part graph ─ Adamic-Adar "also bought" candidates.
+         co-order part graph ─ Adamic-Adar "also bought" candidates;
+         plus the Markov steady-state occupancy read and the max-merge
+         metric-staleness monitor.
 
 Usage:  python examples/growth_health_demo.py [sf_dir]   (default sf0.001)
 """
@@ -25,6 +27,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from rearview_spark.operators.behavior import (
     cohort_retention,
     interarrival_summary,
+    markov_steady_state,
     mix_from_user_buckets,
     new_vs_returning,
     pareto_share,
@@ -39,6 +42,7 @@ from rearview_spark.operators.profiling import (
 from rearview_spark.operators.sketch import _latest_batch_dir
 from rearview_spark.operators.timeseries import (
     forecast_accuracy,
+    metric_staleness,
     series_gap_audit,
     summarize,
     time_shift,
@@ -113,6 +117,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     aa = adamic_adar(pairs)
     print("adamic-adar scored non-edges:", aa.count())
     aa.orderBy(F.col("score").desc(), "u", "v").show(5, truncate=False)
+
+    # 6. Where sessions settle (Markov steady state) and which series
+    #    went quiet (max-merge staleness monitor)
+    markov_steady_state(t.events).show(truncate=False)
+    metric_staleness(series, threshold_buckets=3).show(truncate=False)
 
 
 if __name__ == "__main__":
