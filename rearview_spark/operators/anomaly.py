@@ -194,6 +194,81 @@ def mad_anomalies(
     )
 
 
+def seasonal_mad_anomalies(
+    series: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    period: int = 24,
+    bucket_seconds: int = 3600,
+    value_col: str = "value",
+    key_col: str = "metric",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """:func:`mad_anomalies` against a SEASONAL baseline — each point is
+    judged by the robust location/scale of its own recurring slot
+    (``slot = (epoch div bucket_seconds) % period`` — hour-of-day at
+    the defaults, hour-of-week at period=168) instead of the whole
+    series. The global rule flags every Monday 09:00 ramp of a weekday
+    metric as an outlier forever; this one learns the ramp and flags
+    only departures FROM it — the stock "seasonal baseline" monitor
+    rule next to the reference's user-expression alerting.
+
+    Same determinism contract as the module header: rank-explicit exact
+    medians per (series, slot), unrounded product comparison
+    ``|0.6745*(x-med)| > threshold*MAD``, zero-MAD slots punt. Negative
+    epochs fail loudly (the slo_burn/stickiness guard — a truncating
+    div AND a sign-carrying % would both diverge from the oracle's
+    floor semantics on pre-1970 rows). Slots with MAD = 0 (at least
+    half the slot's points identical) yield no anomalies by definition.
+
+    Scale shape: identical to :func:`mad_anomalies` with the shuffle
+    key widened to (series, slot) — ONE scan, one Exchange, two window
+    sorts; partitions are per-slot subsets of a series (1/period the
+    points), so skew only improves. Returns
+    ``(key, slot, ts, value, robust_z)``.
+    """
+    if not isinstance(period, int) or period < 1:
+        raise ValueError(
+            f"seasonal_mad_anomalies: period must be >= 1 (got {period!r})"
+        )
+    if not isinstance(bucket_seconds, int) or bucket_seconds < 1:
+        raise ValueError(
+            "seasonal_mad_anomalies: bucket_seconds must be >= 1 "
+            f"(got {bucket_seconds!r})"
+        )
+    t_raw = F.col(ts_col).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("seasonal_mad_anomalies: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    # integer slot: (epoch div bucket_seconds) % period, both operands
+    # non-negative after the guard so truncating and floor agree
+    slotted = series.withColumn("_t", t_checked).withColumn(
+        "slot", F.expr(f"CAST((_t div {bucket_seconds}) % {period} AS INT)")
+    ).drop("_t")
+    keyed = slotted.withColumn(
+        "_skey", F.concat_ws("\x1f", F.col(key_col), F.col("slot"))
+    )
+    scored = mad_scores(keyed, value_col, "_skey", ts_col)
+    signed = F.lit(MAD_SCALE) * (F.col(value_col) - F.col("med"))
+    return (
+        scored.filter(
+            (F.col("mad") > 0)
+            & (F.abs(signed) > F.lit(threshold) * F.col("mad"))
+        )
+        .select(
+            key_col,
+            "slot",
+            ts_col,
+            value_col,
+            (signed / F.col("mad")).alias("robust_z"),
+        )
+    )
+
+
 def mean_shift_changepoints(
     ts: DataFrame,
     window: int = 12,

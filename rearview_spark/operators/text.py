@@ -958,6 +958,73 @@ def zipf_fit(
     )
 
 
+def source_simpson_diversity(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Simpson repeat probability per source — the concentration
+    scalar next to the Shannon reads (column_entropy, source_kl/js):
+
+        D = sum_i n_i * (n_i - 1) / (N * (N - 1))
+
+    the probability two tokens drawn from the source WITHOUT
+    replacement are the same type. D -> 0 is a diverse vocabulary,
+    D -> 1 a source that repeats one token (template/boilerplate
+    farms light up here before any dedup pass runs); 1/D is the
+    "effective vocabulary size" a mixing decision can compare across
+    sources of very different volumes.
+
+    Exactness (the correlation_matrix / gini discipline): per-(source,
+    token) counts are exact int64; each per-row product
+    ``n_i * (n_i - 1)`` — which must itself fit int64, the stated
+    envelope ``max n_i <= ~3e9`` (a single token repeated 3e9 times
+    within ONE source) — splits into hi/lo int64 halves via the
+    arithmetic shift, each half sums as a plain long, both engines
+    assemble the same two doubles, and D is ONE mirrored expression
+    tree with one nudged 6dp rounding. NULL for a source with N < 2
+    tokens (no pair to draw).
+
+    Scale shape: one corpus explode -> (source, token) hash aggregate
+    (the only corpus-scale stage — the same collapse every count-table
+    operator here rides), then a source-domain aggregate. Returns
+    ``(source, n_tokens, vocab, simpson)`` ordered by source.
+    """
+    cnt = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        # blank docs explode to one '' token — not a word (the
+        # source_vocab_overlap rule)
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    B = 2**31
+    prod = F.col("c") * (F.col("c") - F.lit(1))
+    hi = F.shiftright(prod, 31)
+    lo = prod - hi * F.lit(B)
+    per_src = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(hi).cast("long").alias("_shi"),
+        F.sum(lo).cast("long").alias("_slo"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    num = (
+        F.col("_shi").cast("double") * F.lit(float(B))
+        + F.col("_slo").cast("double")
+    )
+    from rearview_spark.plans._exact import r6
+
+    simpson = num / (n_d * (n_d - F.lit(1.0)))
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.when(F.col("n_tokens") >= 2, r6(simpson)).alias("simpson"),
+    ).orderBy("source")
+
+
 def source_vocab_overlap(
     df: DataFrame, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:

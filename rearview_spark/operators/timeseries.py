@@ -1582,7 +1582,12 @@ def ema_crossover_foreach_batch(
     is done by PREPENDING the carried value as the synthetic first
     observation, which the recurrence then treats exactly as its own
     previous step); rounding + crossover detection mirror the batch
-    operator op-for-op on the rounded domain.
+    operator op-for-op on the rounded domain. Rounding here is
+    ``Decimal(repr(x)) HALF_UP`` — the same semantics as Spark's
+    ``Round`` (HALF_UP on ``BigDecimal.valueOf``'s shortest-decimal
+    repr of the double), NOT numpy's binary half-even: a raw EMA
+    value within ~1 ulp of a 4dp boundary would otherwise round
+    differently in the two paths and flip a diff sign (ADVICE r14).
 
     State/retry contract: per batch the state rows live under
     ``<state_dir>/state/batch=<id>`` and the emitted crossovers under
@@ -1607,12 +1612,31 @@ def ema_crossover_foreach_batch(
             f"(got {fast_n!r}, {slow_n!r})"
         )
     import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
 
     from rearview_spark.operators.sketch import _latest_batch_dir
 
     alpha_f = 2.0 / (fast_n + 1.0)
     alpha_s = 2.0 / (slow_n + 1.0)
     nudge = 0.5 * 10 ** -(decimals + 3)
+    quantum = Decimal(1).scaleb(-decimals)
+
+    def _round_like_spark(arr):
+        # Spark Round = HALF_UP over BigDecimal.valueOf(double), i.e.
+        # decimal HALF_UP on the double's shortest-decimal repr;
+        # Decimal(repr(x)) is the same shortest repr in Python. Non-
+        # finite values pass through unchanged, as Spark's Round does.
+        out = np.empty(len(arr), dtype="float64")
+        for i, x in enumerate(arr):
+            v = x + nudge
+            out[i] = (
+                float(
+                    Decimal(repr(v)).quantize(quantum, rounding=ROUND_HALF_UP)
+                )
+                if np.isfinite(v)
+                else v
+            )
+        return out
     state_schema = (
         "metric string, ema_fast double, ema_slow double, prev_nz double"
     )
@@ -1659,8 +1683,8 @@ def ema_crossover_foreach_batch(
         vals = b[VALUE].to_numpy(dtype="float64")
         raw_f = _continue_ewm(vals, alpha_f, seed_f)
         raw_s = _continue_ewm(vals, alpha_s, seed_s)
-        fast_r = np.round(raw_f + nudge, decimals)
-        slow_r = np.round(raw_s + nudge, decimals)
+        fast_r = _round_like_spark(raw_f)
+        slow_r = _round_like_spark(raw_s)
         diff = fast_r - slow_r
         rows = {
             "metric": [],

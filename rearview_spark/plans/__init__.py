@@ -67,6 +67,17 @@ _NEW_THIS_ROUND = (
     # r15 window is EXACTLY 15 flips + 20 r09 + 15 r10 = 50. The r15
     # session must register nothing beyond the flips (stage its own
     # new gates for r16).
+    #
+    # r15 executed exactly that: the 15 r14-staged gates flipped, 5
+    # redundant gates RETIRED to unit-only coverage (VERDICT_r14 #3:
+    # ts_per_second, ts_moving_sum, ts_moving_min_max, sim_pq_topk,
+    # media_wav_samples — COVERAGE.md names each inheriting test), so
+    # the registry is 280 and the r15 window = 15 flips + 19 r09 (the
+    # cohort lost media_wav_samples) + 16 r10 rotations. The r15 wave
+    # (stream_retention_rates, ev_gini_concentration,
+    # doc_simpson_diversity, ts_seasonal_mad) is staged for r16:
+    # r16 = <=15 flips + remaining r10 rows -> floor reaches r10-end;
+    # post-retirement cycle = ceil(280/35) = 8 rounds.
 )
 
 

@@ -2127,3 +2127,46 @@ PENDING_QUERIES["ev_markov_steady"] = {
     "fn": ev_markov_steady,
     "oracle": _markov_sql(),
 }
+
+
+# r15 FLIP (VERDICT_r14 next-round #1): the r14-staged wave registers —
+# every gate below was pre-verified at sf0.001 + sf0.01 + sf0.1 through
+# tests/test_pending_gates.py, so this is the known-green one-line move.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}
+
+def ev_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration Gini over per-user event counts
+    (operators/behavior.gini_concentration) — the scalar companion to
+    the ev_pareto_share decile curve; the number a capacity dashboard
+    alerts on when hot-key concentration drifts."""
+    from rearview_spark.operators.behavior import gini_concentration
+
+    return gini_concentration(Tables(spark, sf_dir).events, key_col="user_id")
+
+
+EV_GINI_SQL = """
+WITH pk AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt ASC, k ASC) AS rn
+  FROM pk),
+m AS (
+  SELECT count(*) AS n, sum(cnt) AS sx,
+         sum((rn * cnt) // 2147483648) AS shi,
+         sum((rn * cnt) % 2147483648) AS slo
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS n_rows,
+       CASE WHEN n >= 2 THEN round(
+         (2.0 * (CAST(shi AS DOUBLE) * 2147483648.0 + CAST(slo AS DOUBLE))
+          - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) + 0.0000000005, 6)
+       END AS gini
+FROM m
+"""
+
+# Staged (r15 wave — r16 budget; the r15 window is fully committed to
+# the 15 r14 flips + 35 rotations).
+PENDING_QUERIES["ev_gini_concentration"] = {
+    "fn": ev_gini_concentration,
+    "oracle": EV_GINI_SQL,
+}

@@ -699,3 +699,10 @@ PENDING_QUERIES["graph_adamic_adar"] = {
     "fn": graph_adamic_adar,
     "oracle": GRAPH_AA_SQL,
 }
+
+
+# r15 FLIP (VERDICT_r14 next-round #1): the r14-staged wave registers —
+# every gate below was pre-verified at sf0.001 + sf0.01 + sf0.1 through
+# tests/test_pending_gates.py, so this is the known-green one-line move.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

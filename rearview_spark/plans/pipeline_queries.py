@@ -571,31 +571,14 @@ FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
 
 
-def media_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-level WAV decode gate: synthesize COMPLETE PCM files
-    whose int16 sample ``k`` is the closed-form
-    ``((id*31 + 7k) % 65536) - 32768``, then unpack through
-    ``extract_audio_samples``. The Spark side must walk the RIFF chunks
-    and decode the PCM body; the oracle re-derives every stat from the
-    sample formula."""
-    docs = Tables(spark, sf_dir).documents
-    media = M.synthesize_wav_sample_payloads(docs)
-    return M.extract_audio_samples(media).orderBy("media_id")
-
-
-MEDIA_WAV_SAMPLES_SQL = """
-WITH dims AS (
-  SELECT doc_id, CAST(50 + doc_id % 50 AS INT) AS n FROM documents
-), ks AS (
-  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM dims
-), smp AS (
-  SELECT doc_id, n, ((doc_id * 31 + 7 * k) % 65536) - 32768 AS v FROM ks
-)
-SELECT doc_id AS media_id, CAST(n AS BIGINT) AS smp_count,
-       CAST(sum(v) AS BIGINT) AS smp_sum,
-       CAST(min(v) AS INT) AS smp_min, CAST(max(v) AS INT) AS smp_max
-FROM smp GROUP BY doc_id, n ORDER BY media_id
-"""
+# RETIRED GATE (r15, VERDICT_r14 next-round #3): media_wav_samples —
+# whole-file sample stats over the SAME synthesized PCM corpus and the
+# SAME RIFF-walk decode the still-gated media_wav_chunk_energy
+# exercises (chunk_energy is strictly stronger: identical decode plus
+# the 16-sample framing whose phase interacts with the sample
+# formula). Coverage inherits to tests/test_pipeline_ops.py's
+# extract_audio_samples hand-computed test (~line 1324), which decodes
+# handcrafted RIFF bytes sample-by-sample.
 
 
 def media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,15 +1368,14 @@ pcb{i} AS (
 )"""
 
 
-def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC approximate top-k: 4 subspaces x 16 codes, 2 Lloyd
-    iterations, asymmetric distance tables. The oracle re-derives the
-    per-subspace codebooks, the code assignments, and the ADC sums —
-    chained-CTE unrolling, as with the k-means IVF gate."""
-    emb = Tables(spark, sf_dir).embeddings
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.pq_topk(emb, queries, topk=10, m=4, k_codes=16, iters=2)
-
+# RETIRED GATE (r15, VERDICT_r14 next-round #3): sim_pq_topk — the
+# monolithic pq_topk wrapper shared SIM_PQ_SQL (and its exact result)
+# with the still-gated sim_pq_scan_topk, which is the STRONGER entry:
+# it exercises the decomposed serving path (pq_fit + pq_encode +
+# pq_scan_topk — the same ADC arithmetic plus the index persistence
+# boundary bench.py times). Coverage inherits to
+# tests/test_pipeline_ops.py::test_pq_topk_recall_vs_brute_force and
+# the ivf_pq consistency tests, which drive pq_topk directly.
 
 SIM_PQ_SQL = (
     """
@@ -1440,17 +1422,17 @@ SELECT query_id, vec_id, approx_dist, rank FROM (
 """
 )
 
-QUERIES["sim_pq_topk"] = {"fn": sim_pq_topk, "oracle": SIM_PQ_SQL}
-
-
 def sim_pq_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-path PQ gate: build the index once (fit + encode), pin it
     the way a serving system would (materialized, lineage cut), then run
     ONLY the ADC scan (:func:`rearview_spark.operators.similarity.
-    pq_scan_topk`). Same result as sim_pq_topk — the oracle is shared —
-    but this entry gates the scan-only function that bench.py times as
-    the ANN serving headline (index build is reported as its own bench
-    line, sim_pq_fit_encode)."""
+    pq_scan_topk`). SIM_PQ_SQL re-derives codebooks, assignments, and
+    ADC sums from scratch (chained-CTE Lloyd unrolling); this entry
+    gates the decomposed serving path that bench.py times as the ANN
+    serving headline (index build is reported as its own bench line,
+    sim_pq_fit_encode). The monolithic sim_pq_topk twin was retired to
+    unit-only coverage in r15 — same oracle, same result, weaker
+    surface."""
     emb = Tables(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 5)
     codebook = S.pq_fit(emb, m=4, k=16, iters=2)
@@ -2376,10 +2358,6 @@ QUERIES["dedup_incremental_embedding"] = {
 QUERIES["media_gif_pixels"] = {
     "fn": media_gif_pixels,
     "oracle": MEDIA_GIF_PIXELS_SQL,
-}
-QUERIES["media_wav_samples"] = {
-    "fn": media_wav_samples,
-    "oracle": MEDIA_WAV_SAMPLES_SQL,
 }
 QUERIES["media_jpeg_pixels"] = {
     "fn": media_jpeg_pixels,
@@ -3732,3 +3710,38 @@ PENDING_QUERIES["sim_sq8_error"] = {
 # the window arithmetic is 16 first-ever checks + 34 stale rotations.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson repeat probability
+    (operators/text.source_simpson_diversity) — the token-concentration
+    scalar next to the Shannon-family contrasts (KL/JS/entropy): the
+    boilerplate-farm detector a mixing decision reads before weighting
+    a source."""
+    from rearview_spark.operators import text as X
+
+    return X.source_simpson_diversity(Tables(spark, sf_dir).documents)
+
+
+DOC_SIMPSON_SQL = f"""
+WITH ex AS (
+  SELECT source, unnest(string_split({NORM}, ' ')) AS w FROM documents),
+cnt AS (
+  SELECT source, w, count(*) AS c FROM ex WHERE w <> '' GROUP BY 1, 2),
+m AS (
+  SELECT source, sum(c) AS n, count(*) AS vocab,
+         sum((c * (c - 1)) // 2147483648) AS shi,
+         sum((c * (c - 1)) % 2147483648) AS slo
+  FROM cnt GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+       CASE WHEN n >= 2 THEN round(
+         (CAST(shi AS DOUBLE) * 2147483648.0 + CAST(slo AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) + 0.0000000005, 6)
+       END AS simpson
+FROM m ORDER BY source
+"""
+
+# Staged (r15 wave — r16 budget).
+PENDING_QUERIES["doc_simpson_diversity"] = {
+    "fn": doc_simpson_diversity,
+    "oracle": DOC_SIMPSON_SQL,
+}

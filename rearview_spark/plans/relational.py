@@ -2320,3 +2320,10 @@ PENDING_QUERIES["rel_fd_violations"] = {
     "fn": rel_fd_violations,
     "oracle": _fd_sql(),
 }
+
+
+# r15 FLIP (VERDICT_r14 next-round #1): the r14-staged wave registers —
+# every gate below was pre-verified at sf0.001 + sf0.01 + sf0.1 through
+# tests/test_pending_gates.py, so this is the known-green one-line move.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

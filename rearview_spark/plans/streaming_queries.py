@@ -34,6 +34,25 @@ from rearview_spark.streaming.standing import run_to_memory_sink, standing_windo
 WATERMARK = "10 minutes"
 
 
+def _epoch_checked(ctx: str, ts_col: str = "ts"):
+    """``CAST(ts AS LONG)`` with the batch operators' negative-epoch
+    raise (ADVICE r14): a pre-1970 row would both mis-bucket (Spark's
+    truncating ``div`` vs the oracle's floor ``//``) and silently
+    vanish from every ``% 3`` micro-batch slice (Spark ``%`` keeps the
+    dividend's sign), so the streaming gate path now fails as loudly
+    as the batch operators it mirrors (behavior.py's slo_burn /
+    stickiness guard)."""
+    t = F.col(ts_col).cast("long")
+    return F.when(t >= 0, t).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{ctx}: negative epoch timestamp "),
+                F.coalesce(t.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+
+
 @contextmanager
 def _nanos_conf_guard(spark: SparkSession):
     """Snapshot/restore ``spark.sql.legacy.parquet.nanosAsLong`` around a
@@ -459,7 +478,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = tempfile.mkdtemp(prefix="psi_stream_")
     proc = psi_foreach_batch(spark, state_dir, edge_vals)
     for i in range(3):
-        proc(cur.filter(F.col("t") % 3 == i), i)
+        proc(cur.filter(F.pmod(F.col("t"), F.lit(3)) == i), i)
     merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
     return psi_from_occupancy(
         psi_occupancy(base, edge_vals, "c_base"), merged, bins=bins
@@ -513,7 +532,7 @@ def stream_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         proc = concurrency_foreach_batch(spark, state_dir)
         for i in range(3):
-            proc(iv.filter(F.col("event_id") % 3 == i), i)
+            proc(iv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i), i)
         merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
         return peak_from_deltas(merged).localCheckpoint(eager=True)
     finally:
@@ -628,7 +647,7 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         proc = ks_foreach_batch(spark, state_dir)
         for i in range(3):
-            proc(cur.filter(F.col("t") % 3 == i).select("v"), i)
+            proc(cur.filter(F.pmod(F.col("t"), F.lit(3)) == i).select("v"), i)
         merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
         counts = (
             base.groupBy("v")
@@ -689,7 +708,7 @@ def stream_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         proc = ks_by_foreach_batch(spark, state_dir)
         for i in range(3):
-            proc(cur.filter(F.col("t") % 3 == i).select("key", "v"), i)
+            proc(cur.filter(F.pmod(F.col("t"), F.lit(3)) == i).select("key", "v"), i)
         merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
         counts = (
             base.groupBy("key", "v")
@@ -807,13 +826,13 @@ def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Tables(spark, sf_dir).events
     ub = ev.select(
         F.col("user_id").alias("u"),
-        F.expr("CAST(ts AS LONG) div 86400").alias("bucket"),
-    )
+        _epoch_checked("stream_new_vs_returning").alias("t"),
+    ).select("u", F.expr("t div 86400").alias("bucket"))
     state_dir = tempfile.mkdtemp(prefix="unr_stream_")
     try:
         proc = user_activity_foreach_batch(spark, state_dir)
         for i in range(3):
-            proc(ub.filter(F.col("bucket") % 3 == i), i)
+            proc(ub.filter(F.pmod(F.col("bucket"), F.lit(3)) == i), i)
         merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
         # materialize before the state dir disappears (the
         # stream_peak_concurrency cleanup contract)
@@ -854,13 +873,13 @@ def stream_metric_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Tables(spark, sf_dir).events
     mb = ev.select(
         F.col("event_type").alias("metric"),
-        F.expr("CAST(ts AS LONG) div 3600").alias("b"),
-    )
+        _epoch_checked("stream_metric_staleness").alias("t"),
+    ).select("metric", F.expr("t div 3600").alias("b"))
     state_dir = tempfile.mkdtemp(prefix="stale_stream_")
     try:
         proc = staleness_foreach_batch(spark, state_dir)
         for i in range(3):
-            proc(mb.filter(F.col("b") % 3 == i), i)
+            proc(mb.filter(F.pmod(F.col("b"), F.lit(3)) == i), i)
         merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
         # materialize before the state dir disappears (the
         # stream_peak_concurrency cleanup contract)
@@ -888,4 +907,68 @@ FROM last, now ORDER BY metric
 PENDING_QUERIES["stream_metric_staleness"] = {
     "fn": stream_metric_staleness,
     "oracle": _STREAM_STALE_SQL,
+}
+
+
+# r15 FLIP (VERDICT_r14 next-round #1): the r14-staged wave registers —
+# every gate below was pre-verified at sf0.001 + sf0.01 + sf0.1 through
+# tests/test_pending_gates.py, so this is the known-green one-line move.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}
+
+def stream_retention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle as a standing query (VERDICT_r14
+    next-round #6): the distinct (user, epoch-week) activity set
+    accumulated by the set-union foreachBatch recurrence
+    (operators/behavior.user_activity_foreach_batch — the
+    stream_new_vs_returning state, weekly buckets) over three
+    micro-batch slices, then the triangle read off the merged state
+    through the SAME post-collapse code path as the batch operator
+    (behavior.retention_from_user_buckets). Set union is commutative
+    and idempotent, so the streamed state — and every (cohort, offset)
+    cell, size, and rate read off it — is bit-identical to the batch
+    gate, and this gate shares ev_retention_rates' FULL value oracle
+    (the stream_psi_drift batch-equality discipline). The batch=<id>
+    state dirs carry the retry contract (a re-unioned set is the same
+    set)."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.behavior import (
+        retention_from_user_buckets,
+        user_activity_foreach_batch,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+    from rearview_spark.sources.loader import Tables
+
+    ev = Tables(spark, sf_dir).events
+    ub = ev.select(
+        F.col("user_id").alias("u"),
+        _epoch_checked("stream_retention_rates").alias("t"),
+    ).select("u", F.expr("t div 604800").alias("bucket"))
+    state_dir = tempfile.mkdtemp(prefix="ret_stream_")
+    try:
+        proc = user_activity_foreach_batch(spark, state_dir)
+        for i in range(3):
+            proc(ub.filter(F.pmod(F.col("bucket"), F.lit(3)) == i), i)
+        merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
+        # materialize before the state dir disappears (the
+        # stream_peak_concurrency cleanup contract)
+        return retention_from_user_buckets(merged).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+from rearview_spark.plans.events_queries import (  # noqa: E402
+    EV_RETENTION_RATES_SQL as _STREAM_RET_SQL,
+)
+
+# Staged (r15 — the r15 window is the 15 r14 flips + 35 rotations, so
+# new gates wait for r16's budget; pre-verified by
+# tests/test_pending_gates.py at three scales).
+PENDING_QUERIES["stream_retention_rates"] = {
+    "fn": stream_retention_rates,
+    "oracle": _STREAM_RET_SQL,
 }

@@ -561,16 +561,13 @@ QUERIES: dict[str, dict] = {
 
 # --- additions: G10 perSecond, G14 timeSlice, G26 Holt-Winters, parser path --
 
-def ts_per_second(spark, sf_dir):
-    """G10 perSecond: hourly-sum delta divided by the 3600s step."""
-    return _rounded(G.per_second(_hourly(spark, sf_dir), 3600))
-
-
-TS_PERSEC_SQL = HOURLY_CTE + """
-SELECT metric, ts,
-       round((value - lag(value) OVER (PARTITION BY metric ORDER BY ts)) / 3600.0 + 0.00000005, 4) AS value
-FROM hourly
-"""
+# RETIRED GATE (r15, VERDICT_r14 next-round #3): ts_per_second — the
+# same lag-window machinery as the still-gated ts_derivative with one
+# scalar division on top; coverage inherits to
+# tests/test_timeseries_ops.py::test_derivative_family (hand-computed
+# per_second values) and the operator stays exported for the Graphite
+# compiler. Retiring shortens the driver recheck cycle (only
+# retirement shrinks it — the growth budget merely bounds it).
 
 
 def ts_time_slice(spark, sf_dir):
@@ -618,7 +615,6 @@ FROM combined
 
 QUERIES.update(
     {
-        "ts_per_second": {"fn": ts_per_second, "oracle": TS_PERSEC_SQL},
         "ts_time_slice": {"fn": ts_time_slice, "oracle": TS_TIMESLICE_SQL},
         "ts_holt_winters": {"fn": ts_holt_winters, "oracle": None},
         "ts_parsed_target": {"fn": ts_parsed_target, "oracle": TS_PARSED_SQL},
@@ -629,37 +625,13 @@ QUERIES.update(
 # --- additions 2: movingSum/Min/Max, sortBy, aliasSub, constantLine,
 # --- glob select, Holt-Winters aberration, densified resample ---------------
 
-def ts_moving_sum(spark, sf_dir):
-    """G12 movingSum(6): trailing 6-point sum."""
-    return _rounded(G.moving_sum(_hourly(spark, sf_dir), 6))
-
-
-TS_MOVSUM_SQL = HOURLY_CTE + """
-SELECT metric, ts,
-       round(sum(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS value
-FROM hourly
-"""
-
-
-def ts_moving_min_max(spark, sf_dir):
-    """G12 movingMin + movingMax over the same trailing frame, joined on
-    (metric, ts). Catalyst collapses both Window nodes onto one sort —
-    single shuffle by metric."""
-    hourly = _hourly(spark, sf_dir)
-    mn = G.moving_min(hourly, 4).withColumnRenamed("value", "min_value")
-    mx = G.moving_max(hourly, 4).withColumnRenamed("value", "max_value")
-    return mn.join(mx, ["metric", "ts"]).select(
-        "metric", "ts", r4(F.col("min_value")).alias("min_value"),
-        r4(F.col("max_value")).alias("max_value"),
-    )
-
-
-TS_MOVMINMAX_SQL = HOURLY_CTE + """
-SELECT metric, ts,
-       round(min(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS min_value,
-       round(max(value) OVER (PARTITION BY metric ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 0.00000005, 4) AS max_value
-FROM hourly
-"""
+# RETIRED GATES (r15, VERDICT_r14 next-round #3): ts_moving_sum and
+# ts_moving_min_max — the identical trailing-rows Window-frame
+# machinery the still-gated ts_moving_average exercises (ts_moving_
+# median keeps the pandas/percentile variant gated); coverage inherits
+# to tests/test_timeseries_ops.py::test_moving_average_leading_nulls
+# (hand-computed moving_sum / moving_min / moving_max over leading
+# nulls). Operators stay exported for the Graphite compiler.
 
 
 def ts_sort_by_total(spark, sf_dir):
@@ -794,8 +766,6 @@ FROM grid g LEFT JOIN pts p ON g.metric = p.metric AND g.ts = p.ts
 
 QUERIES.update(
     {
-        "ts_moving_sum": {"fn": ts_moving_sum, "oracle": TS_MOVSUM_SQL},
-        "ts_moving_min_max": {"fn": ts_moving_min_max, "oracle": TS_MOVMINMAX_SQL},
         "ts_sort_by_total": {"fn": ts_sort_by_total, "oracle": TS_SORTBY_SQL},
         "ts_alias_sub": {"fn": ts_alias_sub, "oracle": TS_ALIASSUB_SQL},
         "ts_constant_line": {"fn": ts_constant_line, "oracle": TS_CONSTLINE_SQL},
@@ -2024,4 +1994,79 @@ FROM s ORDER BY metric
 PENDING_QUERIES["ts_gap_audit"] = {
     "fn": ts_gap_audit,
     "oracle": TS_GAP_AUDIT_SQL,
+}
+
+
+# r15 FLIP (VERDICT_r14 next-round #1): the r14-staged wave registers —
+# every gate below was pre-verified at sf0.001 + sf0.01 + sf0.1 through
+# tests/test_pending_gates.py, so this is the known-green one-line move.
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}
+
+def ts_seasonal_mad(spark, sf_dir):
+    """Seasonal (hour-of-day) median/MAD anomalies over the hourly
+    series (operators/anomaly.seasonal_mad_anomalies): each point is
+    judged against ITS OWN recurring slot's robust baseline, so a
+    metric's daily ramp stops being a permanent false positive — the
+    stock seasonal-baseline monitor rule. Same rank-explicit exact
+    medians and unrounded product comparison as ts_anomaly_mad, with
+    the shuffle key widened to (metric, slot)."""
+    from rearview_spark.operators.anomaly import seasonal_mad_anomalies
+    from rearview_spark.plans._exact import exact_sum
+
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    hourly = (
+        series.groupBy("metric", F.window("ts", "1 hour").alias("w"))
+        .agg(exact_sum(F.col("value"), 100).alias("value"))
+        .select("metric", F.col("w.start").alias("ts"), "value")
+    )
+    out = seasonal_mad_anomalies(hourly, threshold=3.5, period=24)
+    return out.select(
+        "metric", "slot", "ts", "value", r4(F.col("robust_z")).alias("robust_z")
+    ).orderBy("metric", "ts")
+
+
+TS_SEASONAL_MAD_SQL = """
+WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS ts,
+         sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS value
+  FROM events GROUP BY 1, 2
+),
+sl AS (
+  SELECT *, CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT) AS slot
+  FROM hourly
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric, slot ORDER BY value, ts) AS r,
+         count(*) OVER (PARTITION BY metric, slot) AS n
+  FROM sl
+),
+med AS (
+  SELECT metric, slot, sum(value) / count(value) AS med FROM r1
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1, 2
+),
+d AS (
+  SELECT r1.metric, r1.slot, r1.ts, r1.value, abs(r1.value - med.med) AS dev, med.med
+  FROM r1 JOIN med USING (metric, slot)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric, slot ORDER BY dev, ts) AS r,
+         count(*) OVER (PARTITION BY metric, slot) AS n
+  FROM d
+),
+mad AS (
+  SELECT metric, slot, sum(dev) / count(dev) AS mad FROM r2
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1, 2
+)
+SELECT d.metric, d.slot, d.ts, d.value,
+       round(0.6745 * (d.value - d.med) / mad.mad + 0.00000005, 4) AS robust_z
+FROM d JOIN mad USING (metric, slot)
+WHERE mad.mad > 0 AND abs(0.6745 * (d.value - d.med)) > 3.5 * mad.mad
+ORDER BY d.metric, d.ts
+"""
+
+# Staged (r15 wave — r16 budget).
+PENDING_QUERIES["ts_seasonal_mad"] = {
+    "fn": ts_seasonal_mad,
+    "oracle": TS_SEASONAL_MAD_SQL,
 }

@@ -684,3 +684,54 @@ def test_staleness_foreach_batch_replay_and_batch_equality(spark, tmp_path):
     ]
     ref = [tuple(r) for r in metric_staleness(df, threshold_buckets=3).collect()]
     assert got == ref == [("m", 5, 0, False), ("q", 1, 4, True)]
+
+def test_retention_foreach_batch_replay_and_batch_equality(spark, tmp_path):
+    """Streaming cohort retention (r15, VERDICT_r14 next-round #6): the
+    retention triangle read off the set-union (u, bucket) state equals
+    the batch cohort_retention exactly — same post-collapse code path
+    (retention_from_user_buckets) — and a RETRIED batch is doubly
+    harmless (idempotent union)."""
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.behavior import (
+        cohort_retention,
+        retention_from_user_buckets,
+        user_activity_foreach_batch,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    wk = 604800
+    # u1 active weeks 0,1,2; u2 weeks 1,2; u3 week 1 only
+    rows = [
+        ("u1", 10), ("u1", wk + 5), ("u1", 2 * wk + 5),
+        ("u2", wk + 50), ("u2", 2 * wk + 50),
+        ("u3", wk + 99), ("u3", wk + 100),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long")
+    ub = df.select(
+        F.col("user_id").alias("u"),
+        F.expr("ts div 604800").alias("bucket"),
+    )
+
+    state = str(tmp_path / "ret_state")
+    proc = user_activity_foreach_batch(spark, state)
+    slices = [
+        ub.filter(F.pmod(F.col("bucket"), F.lit(2)) == 0),
+        ub.filter(F.pmod(F.col("bucket"), F.lit(2)) == 1),
+    ]
+    for i, sl in enumerate(slices):
+        proc(sl, i)
+    proc(slices[1], 1)  # retry: idempotent re-union
+    merged = spark.read.parquet(_latest_batch_dir(spark, state))
+
+    got = [tuple(r) for r in retention_from_user_buckets(merged).collect()]
+    ref = [tuple(r) for r in cohort_retention(df).collect()]
+    # cohort week 0 = {u1} (active offsets 0,1,2); cohort week 1 =
+    # {u2, u3} with u2 returning at offset 1 -> rate 0.5
+    assert got == ref == [
+        (0, 0, 1, 1, 1.0),
+        (0, 1, 1, 1, 1.0),
+        (0, 2, 1, 1, 1.0),
+        (1, 0, 2, 2, 1.0),
+        (1, 1, 2, 1, 0.5),
+    ]

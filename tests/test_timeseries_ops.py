@@ -114,6 +114,9 @@ def test_moving_average_leading_nulls(spark):
     assert values(G.moving_average(df, 2)) == [None, None, 3.0, 4.0]
     assert values(G.moving_sum(df, 2)) == [None, None, 3.0, 8.0]
     assert values(G.moving_max(df, 2)) == [None, None, 3.0, 5.0]
+    # moving_min completes the retired ts_moving_min_max gate's coverage
+    # (r15 retirement — same trailing-rows frame as the gated average)
+    assert values(G.moving_min(df, 2)) == [None, None, 3.0, 3.0]
 
 
 def test_moving_median(spark):
@@ -665,3 +668,38 @@ def test_ema_crossover_hand_case(spark):
     import pytest
     with pytest.raises(ValueError):
         ema_crossover(df, fast_n=10, slow_n=3)
+
+def test_seasonal_mad_anomalies_hand_computed(spark):
+    """bucket_seconds=1, period=2 -> slot = ts % 2. Even slot holds
+    [10, 11, 10, 11, 100]: med 11 (rank-explicit), MAD 1, so only the
+    100 flags (z = 0.6745*89 = 60.0305). Odd slot is constant 50 —
+    MAD 0 punts even though 50 sits far from the even slot's level
+    (exactly the seasonal point: each slot judges itself)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.anomaly import seasonal_mad_anomalies
+
+    rows = [
+        ("m", 0, 10.0), ("m", 2, 11.0), ("m", 4, 10.0),
+        ("m", 6, 11.0), ("m", 8, 100.0),
+        ("m", 1, 50.0), ("m", 3, 50.0), ("m", 5, 50.0), ("m", 7, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = seasonal_mad_anomalies(
+        df, threshold=3.5, period=2, bucket_seconds=1
+    ).collect()
+    assert [(r["metric"], r["slot"], r["ts"], r["value"]) for r in out] == [
+        ("m", 0, 8, 100.0)
+    ]
+    assert out[0]["robust_z"] == 0.6745 * 89.0 / 1.0
+
+    with _pytest.raises(ValueError, match="period must be"):
+        seasonal_mad_anomalies(df, period=0)
+
+    neg = spark.createDataFrame(
+        [("m", -5, 1.0)], "metric string, ts long, value double"
+    )
+    with _pytest.raises(Exception, match="negative epoch"):
+        seasonal_mad_anomalies(neg, period=2, bucket_seconds=1).collect()
