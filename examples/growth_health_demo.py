@@ -11,6 +11,11 @@ driver's tables:
          plus the Markov steady-state occupancy read and the max-merge
          metric-staleness monitor.
 
+The round-15 wave extends the same dashboard: Gini traffic
+concentration (the Pareto curve's scalar), per-source Simpson token
+diversity, seasonal-slot MAD anomalies, and the retention triangle as
+a standing set-union streaming query proved equal to the batch read.
+
 Usage:  python examples/growth_health_demo.py [sf_dir]   (default sf0.001)
 """
 
@@ -24,13 +29,16 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from rearview_spark.operators.anomaly import seasonal_mad_anomalies
 from rearview_spark.operators.behavior import (
     cohort_retention,
+    gini_concentration,
     interarrival_summary,
     markov_steady_state,
     mix_from_user_buckets,
     new_vs_returning,
     pareto_share,
+    retention_from_user_buckets,
     user_activity_foreach_batch,
 )
 from rearview_spark.operators.graph import adamic_adar, frequent_item_pairs
@@ -40,6 +48,7 @@ from rearview_spark.operators.profiling import (
     fk_integrity_audit,
 )
 from rearview_spark.operators.sketch import _latest_batch_dir
+from rearview_spark.operators.text import source_simpson_diversity
 from rearview_spark.operators.timeseries import (
     forecast_accuracy,
     metric_staleness,
@@ -122,6 +131,39 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     #    went quiet (max-merge staleness monitor)
     markov_steady_state(t.events).show(truncate=False)
     metric_staleness(series, threshold_buckets=3).show(truncate=False)
+
+    # 7. r15 wave: one-number concentration (Gini next to the Pareto
+    #    deciles), per-source token diversity, and anomalies judged
+    #    against each point's own seasonal slot
+    gini_concentration(t.events).show(truncate=False)
+    source_simpson_diversity(t.documents).show(truncate=False)
+    seasonal_mad_anomalies(hourly, period=24).orderBy(
+        "metric", "ts"
+    ).show(10, truncate=False)
+
+    # 8. The retention triangle as a standing query: the same set-union
+    #    state as the mix above, weekly buckets, read through the SAME
+    #    post-collapse code path as the batch operator
+    state2 = tempfile.mkdtemp(prefix="demo_ret_")
+    try:
+        proc = user_activity_foreach_batch(spark, state2)
+        wk = t.events.select(
+            F.col("user_id").alias("u"),
+            F.expr("CAST(ts AS LONG) div 604800").alias("bucket"),
+        )
+        for i in range(2):
+            proc(wk.filter(F.pmod(F.col("bucket"), F.lit(2)) == i), i)
+        merged = spark.read.parquet(_latest_batch_dir(spark, state2))
+        streamed_ret = retention_from_user_buckets(merged).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(state2, ignore_errors=True)
+    batch_ret = cohort_retention(t.events)
+    assert sorted(map(tuple, streamed_ret.collect())) == sorted(
+        map(tuple, batch_ret.collect())
+    )
+    print("streamed retention == batch retention over", batch_ret.count(), "cells")
 
 
 if __name__ == "__main__":

@@ -840,3 +840,122 @@ def test_correlation_matrix_bounds_and_symmetry(spark, xs):
     if out[("x", "y")] is not None:
         assert out[("x", "y")] == 1.0
         assert out[("x", "z")] == -1.0
+
+
+# --- r15 wave: gini / simpson / seasonal MAD vs independent references
+
+
+@given(rows=events_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gini_concentration_matches_reference(spark, rows):
+    """The published Gini equals the textbook ascending-rank formula
+    computed independently in Python; bounds hold (0 <= G < 1, 0 for
+    perfectly even counts, NULL below 2 keys)."""
+    from collections import Counter
+
+    from rearview_spark.operators.behavior import gini_concentration
+
+    df = spark.createDataFrame(
+        [(f"u{u}",) for u, _t, _k in rows], "user_id string"
+    )
+    out = gini_concentration(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    counts = sorted(Counter(f"u{u}" for u, _t, _k in rows).values())
+    n, sx = len(counts), sum(counts)
+    assert r["n_keys"] == n and r["n_rows"] == sx
+    if n < 2:
+        assert r["gini"] is None
+        return
+    ref = (2 * sum(i * x for i, x in enumerate(counts, 1)) - (n + 1) * sx) / (
+        n * sx
+    )
+    assert 0.0 <= r["gini"] < 1.0
+    assert abs(r["gini"] - ref) <= 5e-7 + 1e-9
+    if len(set(counts)) == 1:
+        assert r["gini"] == 0.0
+
+
+@given(rows=events_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_source_simpson_matches_reference(spark, rows):
+    """Per-source Simpson equals the independent pandas/Counter
+    reference sum n(n-1)/(N(N-1)); bounds hold."""
+    from collections import Counter
+
+    from rearview_spark.operators.text import source_simpson_diversity
+
+    docs = [
+        (i, " ".join(f"w{(u + j) % 4}" for j in range(t % 5 + 1)), f"s{k}")
+        for i, (u, t, k) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_simpson_diversity(df).collect()}
+
+    by_src: dict = {}
+    for _i, text, src in docs:
+        for w in text.split():
+            by_src.setdefault(src, Counter())[w] += 1
+    assert set(out) == set(by_src)
+    for src, cnt in by_src.items():
+        r = out[src]
+        N = sum(cnt.values())
+        assert r["n_tokens"] == N and r["vocab"] == len(cnt)
+        if N < 2:
+            assert r["simpson"] is None
+            continue
+        ref = sum(c * (c - 1) for c in cnt.values()) / (N * (N - 1))
+        assert 0.0 <= r["simpson"] <= 1.0
+        assert abs(r["simpson"] - ref) <= 5e-7 + 1e-9
+
+
+@given(rows=events_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_seasonal_mad_matches_per_slot_reference(spark, rows):
+    """Every flagged point (and no other) exceeds the per-(metric, slot)
+    rank-explicit median/MAD rule computed independently in Python."""
+    from rearview_spark.operators.anomaly import seasonal_mad_anomalies
+
+    pts = [
+        ("m", t, float(u * 7 + (t % 13)))
+        for u, t, _k in rows
+    ]
+    # (metric, ts) must be unique — dedupe ts collisions
+    seen = set()
+    uniq = []
+    for m, t, v in pts:
+        if t not in seen:
+            seen.add(t)
+            uniq.append((m, t, v))
+    df = spark.createDataFrame(uniq, "metric string, ts long, value double")
+    period, bucket = 3, 7
+    got = {(r["slot"], r["ts"]): r["robust_z"]
+           for r in seasonal_mad_anomalies(
+               df, threshold=3.5, period=period, bucket_seconds=bucket
+           ).collect()}
+
+    def median(sorted_pairs):
+        # rank-explicit: ranks (n+1)//2 and n//2+1 of (value, ts) order
+        n = len(sorted_pairs)
+        lo = sorted_pairs[(n + 1) // 2 - 1][0]
+        hi = sorted_pairs[n // 2][0]
+        return (lo + hi) / 2
+
+    by_slot: dict = {}
+    for m, t, v in uniq:
+        by_slot.setdefault((t // bucket) % period, []).append((t, v))
+    expect = {}
+    for slot, pv in by_slot.items():
+        med = median(sorted((v, t) for t, v in pv))
+        mad = median(sorted((abs(v - med), t) for t, v in pv))
+        if mad <= 0:
+            continue
+        for t, v in pv:
+            if abs(0.6745 * (v - med)) > 3.5 * mad:
+                expect[(slot, t)] = 0.6745 * (v - med) / mad
+    assert set(got) == set(expect)
+    for k, z in expect.items():
+        assert got[k] == z
