@@ -676,6 +676,104 @@ def cohort_retention(
     return retention_from_user_buckets(ub, max_offset=max_offset)
 
 
+def cohort_value_curve(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    bucket_seconds: int = 604800,
+    cents: int = 100,
+) -> DataFrame:
+    """Cohort LTV curve — :func:`cohort_retention`'s money sibling
+    (not "did week-W users come back" but "how much value have they
+    produced by offset k"): users cohort by first active bucket, each
+    (cohort, offset) cell sums the cohort's value in that bucket, and
+    the cumulative sum divided by cohort size is the
+    lifetime-value-per-user curve a payback decision reads.
+
+    Exactness: values quantize to integer ``cents`` units at the scan
+    (the exact_sum discipline — ``round(value * cents)`` as int64, a
+    NULL value contributes 0 via per-row coalesce so an all-NULL cell
+    reads 0, not NULL), every sum and prefix sum is exact int64, and
+    the published per-user LTV is ONE division of exact integers
+    (``cum_cents / (cents * cohort_size)``) mirrored op-for-op.
+    Negative epochs fail loudly (the slo_burn/stickiness guard).
+
+    Scale shape: a user-domain min-aggregate for the cohort
+    assignment, one user-keyed equi-join sharing that shuffle's
+    partitioning (the input is re-scanned rather than materialized —
+    a corpus-scale checkpoint would cost more than the second
+    columnar scan), a (cohort, offset)-domain hash aggregate, a
+    PER-COHORT prefix window (partition = one cohort's offsets —
+    calendar-bounded, never a single global task), and a
+    cohort-domain broadcast join. int64 envelope: |sum value| *
+    cents per cell must fit 2^63 (~9e16 dollars at cents=100 — not
+    binding). Returns ``(cohort_bucket, week_offset, cohort_size,
+    value_cents, cum_value_cents, ltv_per_user)`` ascending.
+    """
+    if not isinstance(bucket_seconds, int) or bucket_seconds < 1:
+        raise ValueError(
+            "cohort_value_curve: bucket_seconds must be a positive int "
+            f"(got {bucket_seconds!r})"
+        )
+    if not isinstance(cents, int) or cents < 1:
+        raise ValueError(
+            f"cohort_value_curve: cents must be a positive int (got {cents!r})"
+        )
+    t_raw = F.col(ts_col).cast("long")
+    t_checked = F.when(t_raw >= 0, t_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cohort_value_curve: negative epoch timestamp "),
+                F.coalesce(t_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+    base = df.select(
+        F.col(user_col).alias("u"),
+        t_checked.alias("_t"),
+        F.coalesce(
+            F.round(F.col(value_col).cast("double") * cents).cast("long"),
+            F.lit(0),
+        ).alias("cents"),
+    ).select("u", F.expr(f"_t div {bucket_seconds}").alias("bucket"), "cents")
+    cohorts = base.groupBy("u").agg(F.min("bucket").alias("cohort_bucket"))
+    sizes = cohorts.groupBy("cohort_bucket").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        base.join(cohorts, "u")
+        .groupBy(
+            "cohort_bucket",
+            (F.col("bucket") - F.col("cohort_bucket")).alias("week_offset"),
+        )
+        .agg(F.sum("cents").cast("long").alias("value_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_bucket")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn(
+        "cum_value_cents", F.sum("value_cents").over(w).cast("long")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_bucket")
+        .select(
+            "cohort_bucket",
+            "week_offset",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            "value_cents",
+            "cum_value_cents",
+            (
+                F.col("cum_value_cents").cast("double")
+                / (F.lit(float(cents)) * F.col("cohort_size").cast("double"))
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_bucket", "week_offset")
+    )
+
+
 def retention_from_user_buckets(
     ub: DataFrame,
     max_offset: int | None = None,

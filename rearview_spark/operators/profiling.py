@@ -513,3 +513,93 @@ def fd_violations(
             / F.count(F.lit(1)).cast("double")
         ).alias("violation_rate"),
     )
+
+
+def profile_drift(
+    a: DataFrame,
+    b: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Snapshot-to-snapshot column-profile drift — the schema-health
+    read a daily ingest job runs between yesterday's and today's
+    loads (next to :func:`fk_integrity_audit` / :func:`fd_violations`
+    in the table-trust family): per column, row count, NULL count,
+    and exact distinct count on both sides, plus the two drift
+    signals an alert thresholds on — ``null_rate_delta`` (a column
+    suddenly going nullable is the classic upstream-schema-change
+    symptom) and ``ndv_ratio`` (a collapsing distinct count means a
+    default/sentinel flood; an exploding one means a key leaked into
+    a category column).
+
+    Exactness: the three counts are exact int64 (count_distinct over
+    the column's STRING rendering — injective for int/string/date
+    columns; float columns inherit the rendering's -0.0/NaN edge and
+    are better profiled via the numeric profiler); the two signals
+    are fixed double trees over exact ints, mirrored op-for-op —
+    ``null_b/n_b - null_a/n_a`` and ``ndv_b/ndv_a`` — each NULL when
+    its denominator is 0 rather than divide-by-zero.
+
+    Scale shape: ONE scan per snapshot (``stack`` unpivots map-side —
+    no reshape shuffle), one (column, value)-cardinality-sized
+    distinct aggregate each, then a |cols|-row join anchored on the
+    literal column list — an EMPTY snapshot therefore reports zeros
+    (counts 0, rates NULL), never silently drops its rows (the
+    grouped aggregate alone would emit nothing for it). Returns
+    ``(col_name, n_a, n_b, null_a, null_b, ndv_a, ndv_b,
+    null_rate_delta, ndv_ratio)`` ordered by column.
+    """
+    if not cols or len(set(cols)) != len(cols):
+        raise ValueError(
+            f"profile_drift: need >= 1 distinct columns (got {cols!r})"
+        )
+
+    def _prof(df: DataFrame, tag: str) -> DataFrame:
+        pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+        up = df.select(
+            F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, value)")
+        )
+        return up.groupBy("col_name").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_{tag}"),
+            F.count_distinct(F.col("value")).cast("long").alias(f"ndv_{tag}"),
+        )
+
+    anchor = a.sparkSession.createDataFrame(
+        [(c,) for c in cols], "col_name string"
+    )
+    joined = (
+        anchor.join(_prof(a, "a"), "col_name", "left")
+        .join(_prof(b, "b"), "col_name", "left")
+        .select(
+            "col_name",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("n_a", "null_a", "ndv_a", "n_b", "null_b", "ndv_b")
+            ],
+        )
+    )
+
+    def _rate(n: str, nn: str):
+        return F.when(
+            F.col(n) > 0,
+            F.col(nn).cast("double") / F.col(n).cast("double"),
+        )
+
+    return joined.select(
+        "col_name",
+        "n_a",
+        "n_b",
+        "null_a",
+        "null_b",
+        "ndv_a",
+        "ndv_b",
+        (_rate("n_b", "null_b") - _rate("n_a", "null_a")).alias(
+            "null_rate_delta"
+        ),
+        F.when(
+            F.col("ndv_a") > 0,
+            F.col("ndv_b").cast("double") / F.col("ndv_a").cast("double"),
+        ).alias("ndv_ratio"),
+    ).orderBy("col_name")

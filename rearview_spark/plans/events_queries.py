@@ -2170,3 +2170,47 @@ PENDING_QUERIES["ev_gini_concentration"] = {
     "fn": ev_gini_concentration,
     "oracle": EV_GINI_SQL,
 }
+
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV-per-user curve
+    (operators/behavior.cohort_value_curve): cohort_retention's money
+    sibling — exact integer-cents value sums per (cohort, offset)
+    cell, cumulative per cohort, one division by cohort size."""
+    from rearview_spark.operators.behavior import cohort_value_curve
+
+    return cohort_value_curve(Tables(spark, sf_dir).events)
+
+
+EV_COHORT_LTV_SQL = """
+WITH base AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bucket,
+         coalesce(CAST(round(value * 100.0) AS BIGINT), 0) AS cents
+  FROM events),
+coh AS (SELECT u, min(bucket) AS cohort_bucket FROM base GROUP BY u),
+sizes AS (
+  SELECT cohort_bucket, count(*) AS cohort_size FROM coh GROUP BY 1),
+cells AS (
+  SELECT c.cohort_bucket, b.bucket - c.cohort_bucket AS week_offset,
+         sum(b.cents) AS value_cents
+  FROM base b JOIN coh c USING (u) GROUP BY 1, 2),
+cum AS (
+  SELECT cohort_bucket, week_offset, value_cents,
+         sum(value_cents) OVER (
+           PARTITION BY cohort_bucket ORDER BY week_offset) AS cum_cents
+  FROM cells)
+SELECT cum.cohort_bucket, cum.week_offset,
+       CAST(sizes.cohort_size AS BIGINT) AS cohort_size,
+       CAST(cum.value_cents AS BIGINT) AS value_cents,
+       CAST(cum.cum_cents AS BIGINT) AS cum_value_cents,
+       CAST(cum.cum_cents AS DOUBLE)
+         / (100.0 * CAST(sizes.cohort_size AS DOUBLE)) AS ltv_per_user
+FROM cum JOIN sizes USING (cohort_bucket)
+ORDER BY 1, 2
+"""
+
+# Staged (r15 wave — r16 budget).
+PENDING_QUERIES["ev_cohort_ltv"] = {
+    "fn": ev_cohort_ltv,
+    "oracle": EV_COHORT_LTV_SQL,
+}

@@ -2327,3 +2327,72 @@ PENDING_QUERIES["rel_fd_violations"] = {
 # tests/test_pending_gates.py, so this is the known-green one-line move.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+def rel_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot column-profile drift
+    (operators/profiling.profile_drift): orders before vs since
+    1998-01-01 as the two loads — per column exact row/NULL/distinct
+    counts and the two alert signals (null-rate delta, NDV ratio)."""
+    from rearview_spark.operators.profiling import profile_drift
+
+    orders = Tables(spark, sf_dir).orders
+    a = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    b = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    return profile_drift(
+        a, b, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    )
+
+
+REL_PROFILE_DRIFT_SQL = """
+WITH a AS (SELECT * FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+b AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+pa AS (
+  SELECT 'o_orderstatus' AS col_name, count(*) AS n_a,
+         coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS null_a,
+         count(DISTINCT o_orderstatus) AS ndv_a FROM a
+  UNION ALL
+  SELECT 'o_orderpriority', count(*),
+         coalesce(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0),
+         count(DISTINCT o_orderpriority) FROM a
+  UNION ALL
+  SELECT 'o_custkey', count(*),
+         coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0),
+         count(DISTINCT o_custkey) FROM a
+  UNION ALL
+  SELECT 'o_orderdate', count(*),
+         coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0),
+         count(DISTINCT o_orderdate) FROM a),
+pb AS (
+  SELECT 'o_orderstatus' AS col_name, count(*) AS n_b,
+         coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS null_b,
+         count(DISTINCT o_orderstatus) AS ndv_b FROM b
+  UNION ALL
+  SELECT 'o_orderpriority', count(*),
+         coalesce(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0),
+         count(DISTINCT o_orderpriority) FROM b
+  UNION ALL
+  SELECT 'o_custkey', count(*),
+         coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0),
+         count(DISTINCT o_custkey) FROM b
+  UNION ALL
+  SELECT 'o_orderdate', count(*),
+         coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0),
+         count(DISTINCT o_orderdate) FROM b)
+SELECT pa.col_name,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(null_a AS BIGINT) AS null_a, CAST(null_b AS BIGINT) AS null_b,
+       CAST(ndv_a AS BIGINT) AS ndv_a, CAST(ndv_b AS BIGINT) AS ndv_b,
+       (CASE WHEN n_b > 0 THEN CAST(null_b AS DOUBLE) / CAST(n_b AS DOUBLE) END)
+       - (CASE WHEN n_a > 0 THEN CAST(null_a AS DOUBLE) / CAST(n_a AS DOUBLE) END)
+         AS null_rate_delta,
+       CASE WHEN ndv_a > 0
+            THEN CAST(ndv_b AS DOUBLE) / CAST(ndv_a AS DOUBLE) END AS ndv_ratio
+FROM pa JOIN pb USING (col_name)
+ORDER BY pa.col_name
+"""
+
+# Staged (r15 wave — r16 budget).
+PENDING_QUERIES["rel_profile_drift"] = {
+    "fn": rel_profile_drift,
+    "oracle": REL_PROFILE_DRIFT_SQL,
+}

@@ -3405,3 +3405,64 @@ def test_source_simpson_diversity_hand_computed(spark):
         ("s2", 2, 2, 0.0),
         ("s3", 1, 1, None),
     ]
+
+def test_cohort_value_curve_hand_computed(spark):
+    """u1 joins week 0 (value 1.00 then 2.00 in week 1), u2 joins week
+    1 (value 10.00); cohort 0 = {u1}: cells (0, 100c) and (1, 200c),
+    cum 100 -> 300, LTV 1.00 -> 3.00; cohort 1 = {u2}: (0, 1000c),
+    LTV 10.00. A NULL value contributes 0 cents, not NULL."""
+    import pytest as _pytest
+
+    from rearview_spark.operators.behavior import cohort_value_curve
+
+    wk = 604800
+    rows = [
+        ("u1", 10, 1.0),
+        ("u1", wk + 5, 2.0),
+        ("u2", wk + 50, 10.0),
+        ("u2", wk + 60, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, value double")
+    got = [tuple(r) for r in cohort_value_curve(df).collect()]
+    assert got == [
+        (0, 0, 1, 100, 100, 1.0),
+        (0, 1, 1, 200, 300, 3.0),
+        (1, 0, 1, 1000, 1000, 10.0),
+    ]
+    with _pytest.raises(ValueError, match="cents must be"):
+        cohort_value_curve(df, cents=0)
+    neg = spark.createDataFrame(
+        [("u", -1, 1.0)], "user_id string, ts long, value double"
+    )
+    with _pytest.raises(Exception, match="negative epoch"):
+        cohort_value_curve(neg).collect()
+
+def test_profile_drift_hand_computed(spark):
+    """Snapshot a: k = [1, 1, 2], v = ['x', NULL]; snapshot b:
+    k = [1, 2, 3, 3], v all NULL. Per hand: k ndv 2 -> 3 (ratio 1.5),
+    null rates 0 -> 0; v null rate 1/3 -> 1.0 (delta 2/3), ndv 1 -> 0
+    (ratio 0.0). Duplicate column list rejected."""
+    import pytest as _pytest
+
+    from rearview_spark.operators.profiling import profile_drift
+
+    a = spark.createDataFrame(
+        [(1, "x"), (1, None), (2, None)], "k long, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (3, None)], "k long, v string"
+    )
+    got = {r["col_name"]: tuple(r) for r in profile_drift(a, b, ["k", "v"]).collect()}
+    assert got["k"] == ("k", 3, 4, 0, 0, 2, 3, 0.0, 1.5)
+    kv = got["v"]
+    assert kv[:7] == ("v", 3, 4, 2, 4, 1, 0)
+    assert abs(kv[7] - (1.0 - 2.0 / 3.0)) < 1e-15
+    assert kv[8] == 0.0
+    with _pytest.raises(ValueError, match="distinct columns"):
+        profile_drift(a, b, ["k", "k"])
+
+    # an EMPTY snapshot reports zeros (rates NULL), never drops rows —
+    # the literal-anchor join, not the grouped aggregate's emptiness
+    empty = spark.createDataFrame([], "k long, v string")
+    ez = {r["col_name"]: tuple(r) for r in profile_drift(empty, b, ["k"]).collect()}
+    assert ez["k"] == ("k", 0, 4, 0, 0, 0, 3, None, None)
