@@ -75,7 +75,8 @@ _NEW_THIS_ROUND = (
     # the registry is 280 and the r15 window = 15 flips + 19 r09 (the
     # cohort lost media_wav_samples) + 16 r10 rotations. The r15 wave
     # (stream_retention_rates, ev_gini_concentration,
-    # doc_simpson_diversity, ts_seasonal_mad) is staged for r16:
+    # doc_simpson_diversity, ts_seasonal_mad, ev_cohort_ltv,
+    # rel_profile_drift) is staged for r16:
     # r16 = <=15 flips + remaining r10 rows -> floor reaches r10-end;
     # post-retirement cycle = ceil(280/35) = 8 rounds.
 )
