@@ -249,6 +249,57 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node —
+    ``2 * tri(v) / (deg(v) * (deg(v) - 1))`` over the same canonical
+    undirected edge list :func:`triangle_counts` consumes (``u < v``,
+    deduplicated): the per-node cohesion read between the global
+    triangle count and the degree histogram (a hub whose neighbors
+    interlink is a community core; one whose neighbors never meet is a
+    broker/spam hub — the shape dedup and recommendation sampling both
+    key on).
+
+    Exactness: degrees and triangle counts are exact int64 (each edge
+    contributes one neighbor to each endpoint — the input is distinct
+    canonical pairs, so no multi-edges); the coefficient is ONE
+    division of exact integers (``deg * (deg - 1)`` fits int64 to
+    ~3e9-degree hubs), mirrored op-for-op. Nodes with fewer than 2
+    neighbors report NULL (no wedge to close); nodes with no triangle
+    report 0.0 (degree-frame left join, not the triangle frame's
+    inner domain).
+
+    Scale shape: :func:`triangle_counts`' degree-ordered wedge join
+    (arboricity-bounded, skew-immune — module docstring) plus one
+    node-domain degree aggregate and one node-keyed left join.
+    Returns ``(node, degree, n_triangles, clustering)``.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tc = triangle_counts(edges)
+    j = deg.join(tc, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+    )
+    return j.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0)
+            * F.col("n_triangles").cast("double")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+        ).alias("clustering"),
+    )
+
+
 def frequent_item_pairs(
     df: DataFrame,
     basket_col: str,

@@ -76,8 +76,8 @@ _NEW_THIS_ROUND = (
     # cohort lost media_wav_samples) + 16 r10 rotations. The r15 wave
     # (stream_retention_rates, ev_gini_concentration,
     # doc_simpson_diversity, ts_seasonal_mad, ev_cohort_ltv,
-    # rel_profile_drift) is staged for r16:
-    # r16 = <=15 flips + remaining r10 rows -> floor reaches r10-end;
+    # rel_profile_drift, graph_clustering_coeff) is staged for r16:
+    # r16 = 7 flips + 34 r10 + 9 r11 rotations -> floor reaches r11;
     # post-retirement cycle = ceil(280/35) = 8 rounds.
 )
 

@@ -706,3 +706,61 @@ PENDING_QUERIES["graph_adamic_adar"] = {
 # tests/test_pending_gates.py, so this is the known-green one-line move.
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient over the co-order graph
+    (operators/graph.clustering_coefficient): 2*tri / (deg*(deg-1)),
+    the community-core vs broker-hub read next to graph_triangles and
+    graph_degree_hist."""
+    from rearview_spark.operators.graph import clustering_coefficient
+
+    li = Tables(spark, sf_dir).lineitem
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (a["l_orderkey"] == b["ob"]) & (a["pa"] < b["pb"]))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    out = clustering_coefficient(pairs)
+    return out.select(
+        F.col("node").alias("p_partkey"), "degree", "n_triangles", "clustering"
+    ).orderBy("p_partkey")
+
+
+GRAPH_CLUSTERING_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+tcnt AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+SELECT d.node AS p_partkey,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+         2.0 * CAST(coalesce(t.n_tri, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS clustering
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+ORDER BY p_partkey
+"""
+
+# Staged (r15 wave — r16 budget).
+PENDING_QUERIES["graph_clustering_coeff"] = {
+    "fn": graph_clustering_coeff,
+    "oracle": GRAPH_CLUSTERING_SQL,
+}

@@ -328,3 +328,22 @@ def test_degree_histogram_dedupes_multiedges(spark):
     )
     out = degree_histogram(edges).collect()
     assert [(r["degree"], r["n_nodes"]) for r in out] == [(1, 2), (2, 1)]
+
+def test_clustering_coefficient_hand_computed(spark):
+    """Graph: triangle 1-2-3 plus pendant 3-4. deg = [2, 2, 3, 1];
+    node 1: 2*1/(2*1) = 1.0; node 3: 2*1/(3*2) = 1/3; node 4 has no
+    wedge -> NULL. A degree-2 node with no triangle (path 5-6-7)
+    reads 0.0."""
+    from rearview_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6), (6, 7)],
+        "u long, v long",
+    )
+    got = {r["node"]: tuple(r) for r in clustering_coefficient(edges).collect()}
+    assert got[1] == (1, 2, 1, 1.0)
+    assert got[2] == (2, 2, 1, 1.0)
+    assert got[3] == (3, 3, 1, 2.0 * 1 / (3 * 2))
+    assert got[4] == (4, 1, 0, None)
+    assert got[6] == (6, 2, 0, 0.0)
+    assert got[5] == (5, 1, 0, None)
