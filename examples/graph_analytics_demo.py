@@ -100,6 +100,14 @@ def main(sf_dir: str) -> None:
     print("== Triangles: most-embedded parts")
     tri.orderBy(F.desc("n_triangles"), "node").show(5)
 
+    cc = G.clustering_coefficient(
+        co.select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    print("== Clustering coefficient: community cores vs broker hubs")
+    cc.filter(F.col("degree") >= 3).orderBy(
+        F.desc("clustering"), "node"
+    ).show(5)
+
     rules = G.association_rules(t.lineitem, "l_orderkey", "l_partkey", min_support=3)
     print("== Association rules: highest-lift recommendations")
     rules.orderBy(F.desc("lift"), "antecedent", "consequent").select(
