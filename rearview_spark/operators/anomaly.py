@@ -217,7 +217,9 @@ def seasonal_mad_anomalies(
     ``|0.6745*(x-med)| > threshold*MAD``, zero-MAD slots punt. Negative
     epochs fail loudly (the slo_burn/stickiness guard — a truncating
     div AND a sign-carrying % would both diverge from the oracle's
-    floor semantics on pre-1970 rows). Slots with MAD = 0 (at least
+    floor semantics on pre-1970 rows), and so do NULL series keys
+    (concat_ws would silently drop the key and score the row in a
+    slot-only group the oracle never forms). Slots with MAD = 0 (at least
     half the slot's points identical) yield no anomalies by definition.
 
     Scale shape: identical to :func:`mad_anomalies` with the shuffle
@@ -249,8 +251,23 @@ def seasonal_mad_anomalies(
     slotted = series.withColumn("_t", t_checked).withColumn(
         "slot", F.expr(f"CAST((_t div {bucket_seconds}) % {period} AS INT)")
     ).drop("_t")
+    # NULL series keys fail loudly (ADVICE r15): concat_ws silently
+    # DROPS a NULL argument, so a NULL-metric row would collapse into a
+    # slot-only group and get scored against strangers, while the
+    # TS_SEASONAL_MAD_SQL oracle's JOIN USING (metric, slot) drops NULL
+    # metrics entirely — a silent cross-engine divergence. The module's
+    # discipline (negative-epoch guard above) is to raise, not guess.
+    k_raw = F.col(key_col)
+    k_checked = F.when(k_raw.isNotNull(), k_raw).otherwise(
+        F.raise_error(
+            F.lit(
+                f"seasonal_mad_anomalies: NULL {key_col} — fill or filter "
+                "NULL series keys before scoring"
+            )
+        ).cast("string")
+    )
     keyed = slotted.withColumn(
-        "_skey", F.concat_ws("\x1f", F.col(key_col), F.col("slot"))
+        "_skey", F.concat_ws("\x1f", k_checked, F.col("slot"))
     )
     scored = mad_scores(keyed, value_col, "_skey", ts_col)
     signed = F.lit(MAD_SCALE) * (F.col(value_col) - F.col("med"))

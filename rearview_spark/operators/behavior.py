@@ -27,6 +27,7 @@ def funnel_conversion(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    strict: bool = False,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many users perform ``steps`` in
     order, each step at-or-after the previous one's first qualifying
@@ -38,7 +39,12 @@ def funnel_conversion(
     time is their earliest ``steps[i]`` event at-or-after stage i-1's
     time (and <= stage-1 time + horizon when given). Equal timestamps
     count — a click logged in the same microsecond as the view
-    satisfies "after".
+    satisfies "after". ``strict=True`` switches every stage comparison
+    to strictly-after (``>``) — the semantics the retired
+    ``ev_conversion_funnel`` gate pinned (r16 retirement: the gate's
+    only delta from the still-gated ``ev_funnel_stages`` is this one
+    comparison operator, now an option with a hand test instead of a
+    second driver slot).
 
     Scale shape: stage i is a semi-join-shaped aggregate — events of
     type ``steps[i]`` joined to the (user, t_{i-1}, deadline) frame on
@@ -65,7 +71,9 @@ def funnel_conversion(
         nxt = events.filter(F.col(type_col) == st).select(
             user_col, F.col(ts_col).alias("_ts")
         )
-        cond = F.col("_ts") >= F.col("_t")
+        cond = (
+            F.col("_ts") > F.col("_t") if strict else F.col("_ts") >= F.col("_t")
+        )
         if horizon is not None:
             cond = cond & (F.col("_ts") <= F.col("_dl"))
         aggs = [F.min("_ts").alias("_t")]
@@ -943,8 +951,12 @@ def gini_concentration(
     )
     spark = df.sparkSession
     if n_keys == 0:
+        # One row, not zero: the EV_GINI_SQL oracle's ungrouped
+        # aggregate always emits (n_keys=0, n_rows NULL, gini NULL) on
+        # an empty corpus, and the docstring promises a single row —
+        # match that shape exactly (ADVICE r15).
         return spark.createDataFrame(
-            [], "n_keys long, n_rows long, gini double"
+            [(0, None, None)], "n_keys long, n_rows long, gini double"
         )
     B = 2**31
     prod = F.col("_rn") * F.col("cnt")

@@ -1554,6 +1554,59 @@ def ema_crossover(
     )
 
 
+def spark_half_up_round(arr, decimals: int, nudge: float = 0.0):
+    """Vectorized Spark-``Round`` semantics over a float64 array:
+    HALF_UP on each double's shortest-decimal repr (what Spark's
+    ``Round`` computes via ``BigDecimal.valueOf``), NOT numpy's binary
+    half-even — a raw value within ~1 ulp of a boundary would
+    otherwise round differently across the Python/JVM paths and (in
+    the EMA-crossover recurrence) flip a diff sign (ADVICE r14).
+
+    Vectorized with a boundary-band fallback (ADVICE r15 low): plain
+    ``np.round`` (rint(v*10^d)/10^d, each step correctly rounded)
+    equals the Decimal result whenever the scaled value sits clear of
+    a half-integer tie, so the interpreter-speed per-element Decimal
+    loop runs ONLY for values within 1e-3 scaled units of a boundary.
+    Band arithmetic: for |scaled| < 2^40 the combined error between
+    the computed ``v * 10^d`` and the shortest-repr decimal's scaled
+    value is under 2 * ulp(2^40)/2 = 2^-12 ~ 2.4e-4 < 1e-3, so
+    outside the band both paths land on the same grid point (and
+    ``scaled - floor(scaled)`` is exact by Sterbenz, so the band test
+    itself is reliable); |v| >= 1e20 doubles are integers (>= 2^52),
+    already ON the 10^-d grid — identity (the previous all-Decimal
+    loop would in fact have raised InvalidOperation past ~28 digits
+    there); everything else — the tie band plus the 2^40..1e20
+    magnitude gap — takes the exact Decimal path. Non-finite values
+    pass through unchanged, as Spark's Round does (np.round already
+    propagates inf/nan).
+
+    ``nudge`` is added BEFORE rounding (the caller's published-float
+    nudge contract); the equivalence test drives this helper against
+    the pure-Decimal reference over adversarial boundary values
+    (tests/test_streaming.py::test_spark_half_up_round_matches_decimal).
+    """
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal(1).scaleb(-decimals)
+    v = np.asarray(arr, dtype="float64") + nudge
+    out = np.round(v, decimals)
+    finite = np.isfinite(v)
+    scaled = v * (10.0 ** decimals)
+    with np.errstate(invalid="ignore"):
+        frac = scaled - np.floor(scaled)
+    huge = finite & (np.abs(v) >= 1e20)
+    fast = finite & (np.abs(scaled) < 2.0**40) & (np.abs(frac - 0.5) > 1e-3)
+    out[huge] = v[huge]
+    for i in np.nonzero(finite & ~fast & ~huge)[0]:
+        out[i] = float(
+            Decimal(repr(float(v[i]))).quantize(
+                quantum, rounding=ROUND_HALF_UP
+            )
+        )
+    return out
+
+
 def ema_crossover_foreach_batch(
     spark,
     state_dir: str,
@@ -1612,31 +1665,15 @@ def ema_crossover_foreach_batch(
             f"(got {fast_n!r}, {slow_n!r})"
         )
     import numpy as np
-    from decimal import ROUND_HALF_UP, Decimal
 
     from rearview_spark.operators.sketch import _latest_batch_dir
 
     alpha_f = 2.0 / (fast_n + 1.0)
     alpha_s = 2.0 / (slow_n + 1.0)
     nudge = 0.5 * 10 ** -(decimals + 3)
-    quantum = Decimal(1).scaleb(-decimals)
 
     def _round_like_spark(arr):
-        # Spark Round = HALF_UP over BigDecimal.valueOf(double), i.e.
-        # decimal HALF_UP on the double's shortest-decimal repr;
-        # Decimal(repr(x)) is the same shortest repr in Python. Non-
-        # finite values pass through unchanged, as Spark's Round does.
-        out = np.empty(len(arr), dtype="float64")
-        for i, x in enumerate(arr):
-            v = x + nudge
-            out[i] = (
-                float(
-                    Decimal(repr(v)).quantize(quantum, rounding=ROUND_HALF_UP)
-                )
-                if np.isfinite(v)
-                else v
-            )
-        return out
+        return spark_half_up_round(arr, decimals, nudge=nudge)
     state_schema = (
         "metric string, ema_fast double, ema_slow double, prev_nz double"
     )

@@ -275,58 +275,18 @@ QUERIES.update(
 )
 
 
-def ev_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel view -> click -> purchase: each stage's
-    earliest qualifying timestamp must follow the previous stage's. Three
-    chained filter+min aggregates (each map-side partial) — no window
-    over the raw stream, no self-join explosion; timestamps are exact so
-    the oracle is float-free."""
-    ev = Tables(spark, sf_dir).events
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vt"))
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ct"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("ct"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pt"))
-    )
-    return (
-        v.agg(F.count("*").alias("n_viewed"))
-        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
-    )
-
-
-EV_FUNNEL_SQL = """
-WITH v AS (SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY 1),
-c AS (
-  SELECT e.user_id, min(e.ts) AS ct
-  FROM events e JOIN v ON e.user_id = v.user_id
-  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1
-),
-p AS (
-  SELECT e.user_id, min(e.ts) AS pt
-  FROM events e JOIN c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1
-)
-SELECT (SELECT count(*) FROM v) AS n_viewed,
-       (SELECT count(*) FROM c) AS n_clicked_after_view,
-       (SELECT count(*) FROM p) AS n_purchased_after_click
-"""
-
-
-QUERIES.update(
-    {
-        "ev_conversion_funnel": {"fn": ev_conversion_funnel, "oracle": EV_FUNNEL_SQL},
-    }
-)
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): ev_conversion_funnel —
+# the inline 3-count strict-after funnel was strictly subsumed by the
+# still-gated ev_funnel_stages (same view->click->purchase corpus
+# through the SAME chained per-stage min-aggregate machinery in
+# operators/behavior.funnel_conversion, plus horizon + per-stage
+# ratios; ev_funnel_by_variant and ev_funnel_latency keep two more
+# funnel_conversion-family paths gated). Its only semantic delta —
+# strictly-after (>) instead of at-or-after — is now the operator's
+# `strict=True` option, pinned by
+# tests/test_pipeline_ops.py::test_funnel_conversion_hand_sequences
+# (same-instant click rejected under strict). Retiring shortens the
+# driver recheck cycle.
 
 
 def ev_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,8 +755,9 @@ def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase within 7 days of the
     first view (operators/behavior.funnel_conversion): first-qualifying
     -event semantics, each stage a user-keyed semi-join aggregate
-    reusing the same partitioning. Generalizes the long-registered
-    ev_conversion_funnel (inline 3-count, strict-after, no deadline):
+    reusing the same partitioning. Generalizes (and since r16 subsumes
+    — see the RETIRED GATE note) ev_conversion_funnel (inline 3-count,
+    strict-after, no deadline):
     arbitrary step lists, a horizon anchored at stage 1, at-or-after
     semantics, and per-stage conversion ratios from ONE job over the
     unioned stage frames. The oracle replays the stage recurrence with
@@ -2214,3 +2175,8 @@ PENDING_QUERIES["ev_cohort_ltv"] = {
     "fn": ev_cohort_ltv,
     "oracle": EV_COHORT_LTV_SQL,
 }
+
+# r16 flip: the r15-staged wave registers (window = 7 flips + 34 r10 +
+# 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

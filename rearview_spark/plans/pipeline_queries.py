@@ -270,11 +270,16 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.05
 """
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures for every doc (the near-dup pair query is in
-    tests; signatures themselves are the oracle-checkable artifact)."""
-    return D.simhash_signature(Tables(spark, sf_dir).documents)
-
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): dedup_simhash — the
+# raw-signature gate was strictly subsumed by the still-gated
+# dedup_simhash_pairs, whose oracle embeds the IDENTICAL signature
+# derivation (DEDUP_SIMHASH_SQL below, kept as the pairs oracle's
+# `sig` CTE) and then drives it through the pigeonhole chunk join +
+# bit_count verification — the stronger end-to-end path. Signature
+# VALUES stay pinned bit-for-bit by tests/test_pipeline_ops.py::
+# test_simhash_signature_matches_python_reference (independent pure-
+# Python md5/vote replica, added at retirement). Retiring shortens
+# the driver recheck cycle.
 
 DEDUP_SIMHASH_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
@@ -811,7 +816,6 @@ QUERIES: dict[str, dict] = {
         "oracle": DEDUP_CONTAIN_SQL,
     },
     "dedup_minhash_lsh": {"fn": dedup_minhash_lsh, "oracle": DEDUP_MINHASH_SQL},
-    "dedup_simhash": {"fn": dedup_simhash, "oracle": DEDUP_SIMHASH_SQL},
     "sim_brute_force_topk": {"fn": sim_brute_force_topk, "oracle": SIM_TOPK_SQL},
     "sim_ivf_topk": {"fn": sim_ivf_topk, "oracle": SIM_IVF_SQL},
     "sim_label_centroid_distance": {"fn": sim_label_centroid_distance, "oracle": SIM_COHESION_SQL},
@@ -3745,3 +3749,8 @@ PENDING_QUERIES["doc_simpson_diversity"] = {
     "fn": doc_simpson_diversity,
     "oracle": DOC_SIMPSON_SQL,
 }
+
+# r16 flip: the r15-staged wave registers (window = 7 flips + 34 r10 +
+# 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

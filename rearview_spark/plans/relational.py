@@ -2396,3 +2396,8 @@ PENDING_QUERIES["rel_profile_drift"] = {
     "fn": rel_profile_drift,
     "oracle": REL_PROFILE_DRIFT_SQL,
 }
+
+# r16 flip: the r15-staged wave registers (window = 7 flips + 34 r10 +
+# 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

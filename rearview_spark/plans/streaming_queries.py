@@ -972,3 +972,8 @@ PENDING_QUERIES["stream_retention_rates"] = {
     "fn": stream_retention_rates,
     "oracle": _STREAM_RET_SQL,
 }
+
+# r16 flip: the r15-staged wave registers (window = 7 flips + 34 r10 +
+# 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

@@ -292,28 +292,16 @@ FROM r
 
 # --- G14 — timeShift ---------------------------------------------------------
 
-def ts_day_over_day(spark, sf_dir):
-    """G14 timeShift: yesterday's series presented at today's timestamps,
-    joined with today for the delta."""
-    hourly = _hourly(spark, sf_dir)
-    shifted = G.time_shift(hourly, "1 DAY").withColumnRenamed("value", "prev_value")
-    joined = hourly.join(shifted, ["metric", "ts"])
-    return joined.select(
-        "metric", "ts",
-        r4(F.col("value")).alias("value"),
-        r4(F.col("prev_value")).alias("prev_value"),
-        r4(F.col("value") - F.col("prev_value")).alias("dod_delta"),
-    )
-
-
-TS_DOD_SQL = HOURLY_CTE + """
-SELECT a.metric, a.ts,
-       round(a.value + 0.00000005, 4) AS value,
-       round(b.value + 0.00000005, 4) AS prev_value,
-       round(a.value - b.value + 0.00000005, 4) AS dod_delta
-FROM hourly a JOIN hourly b
-  ON a.metric = b.metric AND a.ts = b.ts + INTERVAL 1 DAY
-"""
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): ts_day_over_day — a
+# timestamp-interval add (G.time_shift) plus the same hourly-CTE
+# equi-join shape the still-gated ts_time_slice / ts_diff_series /
+# ts_divide_series family already drives; the shift arithmetic itself
+# is pure interval addition with no float surface. Coverage inherits
+# to tests/test_graphite_parser.py::test_time_shift_semantics (both
+# shift directions, hand-computed) and tests/test_monitors.py's
+# canonical divideSeries(m, timeShift(m, "-1d")) monitor, which
+# exercises the compiler path end-to-end. Retiring shortens the
+# driver recheck cycle.
 
 
 # --- G16 — hitcount ----------------------------------------------------------
@@ -542,7 +530,6 @@ QUERIES: dict[str, dict] = {
     "ts_moving_median": {"fn": ts_moving_median, "oracle": TS_MOVMED_SQL},
     "ts_stdev": {"fn": ts_stdev, "oracle": TS_STDEV_SQL},
     "ts_ema": {"fn": ts_ema, "oracle": TS_EMA_SQL},
-    "ts_day_over_day": {"fn": ts_day_over_day, "oracle": TS_DOD_SQL},
     "ts_hitcount": {"fn": ts_hitcount, "oracle": TS_HITCOUNT_SQL},
     "ts_transform_null": {"fn": ts_transform_null, "oracle": TS_TNULL_SQL},
     "ts_keep_last_value": {"fn": ts_keep_last_value, "oracle": TS_LOCF_SQL},
@@ -2070,3 +2057,8 @@ PENDING_QUERIES["ts_seasonal_mad"] = {
     "fn": ts_seasonal_mad,
     "oracle": TS_SEASONAL_MAD_SQL,
 }
+
+# r16 flip: the r15-staged wave registers (window = 7 flips + 34 r10 +
+# 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
+QUERIES.update(PENDING_QUERIES)
+PENDING_QUERIES = {}

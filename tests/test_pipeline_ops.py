@@ -113,6 +113,36 @@ def test_simhash_close_for_near_dups(docs):
     assert pairs[(1, 3)] <= pairs.get((1, 4), 16)  # near dup closer than unrelated
 
 
+def test_simhash_signature_matches_python_reference(spark):
+    """Signature VALUES pinned bit-for-bit against an independent pure-
+    Python replica of the spec (normalize -> whitespace tokens -> md5
+    60-bit prefix -> per-bit +/-1 votes -> sign bits). Inheriting test
+    for the retired dedup_simhash gate (r16): dedup_simhash_pairs keeps
+    the identical signature CTE oracle-gated, and this pins the raw
+    signature artifact by hand."""
+    import hashlib
+    import re as _re
+
+    def ref_sig(text, bits=60):
+        toks = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        votes = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for j in range(bits):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(bits) if votes[j] > 0)
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "  The   QUICK brown\tfox  "),
+        (3, "completely different words entirely"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash_signature(df).collect()}
+    assert got == {i: ref_sig(t) for i, t in texts}
+
+
 def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     """VERDICT r01 #3: a corpus of identical docs lands in ONE LSH bucket
     — uncapped that's n²/2 candidate pairs. The cap drops oversized
@@ -1801,6 +1831,20 @@ def test_funnel_conversion_hand_sequences(spark):
     assert got[1] == ("view", 4, 1.0)        # u1 u2 u3 u4
     assert got[2] == ("click", 3, 0.75)      # u1 u3 u4
     assert got[3][0:2] == ("purchase", 1)    # u1 only
+
+    # strict=True (the retired ev_conversion_funnel gate's semantics,
+    # r16): the same-instant click no longer satisfies "after", so u4
+    # drops out of stage 2; everything else is unchanged
+    strict = {
+        r.stage: (r.step, r.n_users)
+        for r in funnel_conversion(
+            df, steps=("view", "click", "purchase"), horizon="1 day",
+            strict=True,
+        ).collect()
+    }
+    assert strict[1] == ("view", 4)
+    assert strict[2] == ("click", 2)         # u1 u3 (u4's tie rejected)
+    assert strict[3] == ("purchase", 1)      # u1
     import pytest
 
     with pytest.raises(ValueError):
@@ -3362,7 +3406,9 @@ def test_gini_concentration_hand_computed(spark):
     """Counts [1, 1, 2] ranked ascending (key tiebreak): sum(i*x) =
     1 + 2 + 6 = 9, n = 3, sum(x) = 4 -> G = (18 - 16) / 12 = 1/6;
     perfectly even counts read 0; a single key has no inequality to
-    measure (NULL); empty input -> empty frame."""
+    measure (NULL); empty input -> ONE row (n_keys=0, n_rows NULL,
+    gini NULL) matching the oracle's ungrouped aggregate (ADVICE
+    r15)."""
     from rearview_spark.operators.behavior import gini_concentration
 
     rows = [("a", 1), ("b", 2), ("c", 3), ("c", 4)]
@@ -3383,7 +3429,9 @@ def test_gini_concentration_hand_computed(spark):
     ]
 
     empty = spark.createDataFrame([], "user_id string, event_id long")
-    assert gini_concentration(empty).count() == 0
+    assert [tuple(r) for r in gini_concentration(empty).collect()] == [
+        (0, None, None)
+    ]
 
 
 def test_source_simpson_diversity_hand_computed(spark):

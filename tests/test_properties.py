@@ -6,6 +6,15 @@ propagation through windows, LOCF, delta across gaps — on inputs the
 hand-written table tests don't enumerate. Example counts are kept small
 (each example runs Spark jobs); the value is the randomized null
 patterns, not volume.
+
+Determinism policy (VERDICT_r15 next-round #2): every settings block
+sets ``derandomize=True`` so suite-green is a stable gate signal — a
+latent falsifying example either fails every run or none, instead of
+surfacing as a flake rounds later (the r15 correlation-matrix red).
+Exact-equality assertions are permitted ONLY where both sides compute
+the identical float expression over exact integers, or the inputs are
+generated on the operator's own quantization grid; everything else
+bounds the comparison by the operator's stated error envelope.
 """
 
 from __future__ import annotations
@@ -32,6 +41,7 @@ series_strategy = st.lists(
 )
 
 SETTINGS = settings(
+    derandomize=True,
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -275,6 +285,7 @@ _corpus_strategy = st.lists(
 # each example runs several Spark jobs INCLUDING a brute-force cross
 # join — fewer, larger examples beat many small ones here
 _JOIN_SETTINGS = settings(
+    derandomize=True,
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -369,6 +380,7 @@ def test_setsim_prefix_complete_on_random_corpora(spark, docs, t):
     window=st.integers(min_value=1, max_value=8),
 )
 @settings(
+    derandomize=True,
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -410,6 +422,7 @@ def test_sorted_neighborhood_completeness_fuzzed(spark, keys, window):
     )
 )
 @settings(
+    derandomize=True,
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -451,6 +464,7 @@ edge_strategy = st.lists(
 )
 
 GRAPH_SETTINGS = settings(
+    derandomize=True,
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -738,7 +752,7 @@ events_strategy = st.lists(
 
 
 @given(rows=events_strategy)
-@settings(max_examples=8, deadline=None,
+@settings(derandomize=True, max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_pareto_share_invariants(spark, rows):
     """cum_share is monotone non-decreasing, ends at exactly 1.0, and
@@ -758,7 +772,7 @@ def test_pareto_share_invariants(spark, rows):
 
 
 @given(rows=events_strategy)
-@settings(max_examples=8, deadline=None,
+@settings(derandomize=True, max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_interarrival_summary_matches_pandas(spark, rows):
     """Gap statistics agree with an independent pandas computation of
@@ -794,7 +808,7 @@ def test_interarrival_summary_matches_pandas(spark, rows):
 
 
 @given(rows=events_strategy)
-@settings(max_examples=8, deadline=None,
+@settings(derandomize=True, max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_new_vs_returning_invariants(spark, rows):
     """n_new + n_returning == n_active per bucket; each user is new in
@@ -815,18 +829,28 @@ def test_new_vs_returning_invariants(spark, rows):
 
 
 @given(
+    # Inputs on the operator's own 1/quant grid (quant=100): an affine
+    # relation y = 2x + 1 survives round(x*quant) ONLY for grid-aligned
+    # x — e.g. x=0.375 quantizes to 38 while 2*0.375+1 quantizes to 175
+    # != 2*38+100, so corr < 1 is the CORRECT answer off the grid
+    # (VERDICT_r15 falsifying example). Exact-±1 is the operator's
+    # contract only on the grid, so generate there.
     xs=st.lists(
-        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        st.integers(min_value=-(10**6), max_value=10**6).map(
+            lambda k: k / 100.0
+        ),
         min_size=3,
         max_size=25,
     )
 )
-@settings(max_examples=8, deadline=None,
+@settings(derandomize=True, max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_correlation_matrix_bounds_and_symmetry(spark, xs):
     """Correlations stay in [-1, 1] (quantized-domain Cauchy-Schwarz);
     corr(x, x-derived) of a positive affine image is 1.0 at the
-    operator's own quantization."""
+    operator's own quantization, PROVIDED the inputs sit on the 1/quant
+    grid (off-grid, independent per-column rounding legitimately breaks
+    exact affinity — see the strategy comment)."""
     from rearview_spark.operators.profiling import correlation_matrix
 
     rows = [(float(x), float(2.0 * x + 1.0), float(-x)) for x in xs]
@@ -846,7 +870,7 @@ def test_correlation_matrix_bounds_and_symmetry(spark, xs):
 
 
 @given(rows=events_strategy)
-@settings(max_examples=8, deadline=None,
+@settings(derandomize=True, max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_gini_concentration_matches_reference(spark, rows):
     """The published Gini equals the textbook ascending-rank formula
@@ -878,7 +902,7 @@ def test_gini_concentration_matches_reference(spark, rows):
 
 
 @given(rows=events_strategy)
-@settings(max_examples=8, deadline=None,
+@settings(derandomize=True, max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_source_simpson_matches_reference(spark, rows):
     """Per-source Simpson equals the independent pandas/Counter
@@ -912,7 +936,7 @@ def test_source_simpson_matches_reference(spark, rows):
 
 
 @given(rows=events_strategy)
-@settings(max_examples=8, deadline=None,
+@settings(derandomize=True, max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_seasonal_mad_matches_per_slot_reference(spark, rows):
     """Every flagged point (and no other) exceeds the per-(metric, slot)

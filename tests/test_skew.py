@@ -84,7 +84,7 @@ def test_salted_aggregate_equivalence_property(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=8, deadline=None)
+    @settings(derandomize=True, max_examples=8, deadline=None)
     @given(
         keys=st.lists(st.integers(0, 3), min_size=1, max_size=40),
         n_salts=st.integers(1, 9),

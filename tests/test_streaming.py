@@ -735,3 +735,53 @@ def test_retention_foreach_batch_replay_and_batch_equality(spark, tmp_path):
         (1, 0, 2, 2, 1.0),
         (1, 1, 2, 1, 0.5),
     ]
+
+
+def test_spark_half_up_round_matches_decimal():
+    """The vectorized boundary-band rounding (ADVICE r15 low) is
+    bit-identical to the pure-Decimal HALF_UP reference on every
+    regime: random values, exact .5 ties (where np.round's half-even
+    would disagree), values within 1 ulp of a tie, the 2^40 fast-path
+    cutoff, the >= 1e20 integer regime, negatives, and non-finites."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from rearview_spark.operators.timeseries import spark_half_up_round
+
+    def ref(vals, decimals, nudge):
+        q = Decimal(1).scaleb(-decimals)
+        out = []
+        for x in vals:
+            v = x + nudge
+            out.append(
+                float(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP))
+                if math.isfinite(v)
+                else v
+            )
+        return out
+
+    rng = random.Random(20260816)
+    vals = []
+    # dense random across magnitudes, incl. the band and cutoff edges
+    for _ in range(2000):
+        vals.append(rng.uniform(-1e6, 1e6))
+    for mag in (1e-8, 1.0, 1e3, 2.0**40 / 1e4, 2.0**41 / 1e4, 1e19, 1e21):
+        for _ in range(50):
+            vals.append(rng.uniform(0.9, 1.1) * mag * rng.choice([-1, 1]))
+    # exact ties and near-ties at 4dp: k/10^4 + 0.5/10^4 (+/- ulps)
+    for _ in range(500):
+        k = rng.randint(-10**7, 10**7)
+        tie = (k + 0.5) / 1e4
+        vals.extend([tie, np.nextafter(tie, math.inf),
+                     np.nextafter(tie, -math.inf)])
+    vals.extend([0.0, -0.0, 0.37375, -0.37375, float("inf"),
+                 float("-inf"), float("nan")])
+    for decimals, nudge in ((4, 0.5 * 10**-7), (6, 0.5 * 10**-9), (2, 0.0)):
+        got = spark_half_up_round(np.array(vals), decimals, nudge=nudge)
+        want = ref(vals, decimals, nudge)
+        for g, w in zip(got, want):
+            assert (math.isnan(g) and math.isnan(w)) or g == w, (
+                decimals, nudge, g, w)

@@ -703,3 +703,11 @@ def test_seasonal_mad_anomalies_hand_computed(spark):
     )
     with _pytest.raises(Exception, match="negative epoch"):
         seasonal_mad_anomalies(neg, period=2, bucket_seconds=1).collect()
+
+    # NULL series key fails loudly (ADVICE r15) instead of concat_ws
+    # silently dropping it into a slot-only group the oracle never forms
+    nullkey = spark.createDataFrame(
+        [(None, 5, 1.0), ("m", 6, 2.0)], "metric string, ts long, value double"
+    )
+    with _pytest.raises(Exception, match="NULL metric"):
+        seasonal_mad_anomalies(nullkey, period=2, bucket_seconds=1).collect()
