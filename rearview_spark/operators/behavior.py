@@ -707,11 +707,13 @@ def cohort_value_curve(
     (``cum_cents / (cents * cohort_size)``) mirrored op-for-op.
     Negative epochs fail loudly (the slo_burn/stickiness guard).
 
-    Scale shape: a user-domain min-aggregate for the cohort
-    assignment, one user-keyed equi-join sharing that shuffle's
-    partitioning (the input is re-scanned rather than materialized —
-    a corpus-scale checkpoint would cost more than the second
-    columnar scan), a (cohort, offset)-domain hash aggregate, a
+    Scale shape (r16): ONE corpus scan collapsing to the (u, bucket)
+    integer-cents domain (map-side partials — exact, sums are
+    associative), then :func:`ltv_from_user_value_buckets` over that
+    bounded frame: a user-domain min-aggregate, one user-keyed
+    equi-join on the COLLAPSED frame (user-activity-domain, not event
+    volume — the r15 plan joined raw rows and was linear in the scan
+    twice over), a (cohort, offset)-domain hash aggregate, a
     PER-COHORT prefix window (partition = one cohort's offsets —
     calendar-bounded, never a single global task), and a
     cohort-domain broadcast join. int64 envelope: |sum value| *
@@ -745,12 +747,48 @@ def cohort_value_curve(
             F.lit(0),
         ).alias("cents"),
     ).select("u", F.expr(f"_t div {bucket_seconds}").alias("bucket"), "cents")
-    cohorts = base.groupBy("u").agg(F.min("bucket").alias("cohort_bucket"))
+    # Pre-collapse to the (u, bucket) value domain BEFORE the cohort
+    # join (r16, VERDICT_r15 next-round #6 refactor): integer-cents
+    # sums are associative, so summing per (u, bucket) first is exact —
+    # and it shrinks the join input from event volume to the
+    # user-activity domain (map-side partials absorb the scan, the
+    # strictly better plan at 100 TB). This collapsed frame is ALSO
+    # the streaming ADD-merge state (user_value_foreach_batch), so the
+    # batch operator and stream_cohort_ltv share one post-collapse
+    # code path — and therefore one oracle (the
+    # retention_from_user_buckets discipline).
+    uvb = base.groupBy("u", "bucket").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    return ltv_from_user_value_buckets(uvb, cents=cents)
+
+
+def ltv_from_user_value_buckets(uvb: DataFrame, cents: int = 100) -> DataFrame:
+    """The cohort-LTV curve read off an already-collapsed ``(u, bucket,
+    cents)`` frame — :func:`cohort_value_curve`'s post-collapse half,
+    split out (r16, VERDICT_r15 next-round #6) so the streaming
+    integer-cents ADD-merge state (:func:`user_value_foreach_batch`,
+    whose merged state IS this frame) and the batch operator share one
+    code path and therefore one oracle. Input must carry at most one
+    row per (u, bucket); a duplicated pair would double-count its
+    cell's value (the retention_from_user_buckets contract, summed
+    instead of distinct).
+
+    Scale shape (the batch docstring's tail): the frame is
+    checkpointed ONCE here — it feeds the cohort min-aggregate AND the
+    cell join, and without the lineage cut the upstream collapse
+    re-executes per consumer — then a user-domain min-aggregate, one
+    user-keyed equi-join on the COLLAPSED frame, a (cohort,
+    offset)-domain hash aggregate, a per-cohort prefix window
+    (calendar-bounded partitions, never a single global task), and a
+    cohort-domain broadcast join."""
+    uvb = uvb.localCheckpoint(eager=True)
+    cohorts = uvb.groupBy("u").agg(F.min("bucket").alias("cohort_bucket"))
     sizes = cohorts.groupBy("cohort_bucket").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
     cells = (
-        base.join(cohorts, "u")
+        uvb.join(cohorts, "u")
         .groupBy(
             "cohort_bucket",
             (F.col("bucket") - F.col("cohort_bucket")).alias("week_offset"),
@@ -1180,6 +1218,57 @@ def user_activity_foreach_batch(spark, state_dir: str):
         prev = _latest_batch_dir(spark, state_dir, below=batch_id)
         if prev is not None:
             cur = cur.unionByName(spark.read.parquet(prev)).distinct()
+        cur.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    return _process
+
+
+def user_value_foreach_batch(spark, state_dir: str):
+    """Integer-cents ``(u, bucket) -> sum(cents)`` value state as a
+    ``foreachBatch`` recurrence — the ADD-merge sibling of
+    :func:`user_activity_foreach_batch` (VERDICT_r15 next-round #6):
+    retention's per-user state is a SET (distinct buckets,
+    union-mergeable), but LTV's is a SUM, so the merge is a re-
+    aggregate — union the batch's per-(u, bucket) partial sums with
+    the predecessor state and SUM per key, the CM/HLL/PSI count-merge
+    contract with (u, bucket) as the key domain. Addition is
+    commutative/associative, so the merged state — and the whole LTV
+    curve read off it through :func:`ltv_from_user_value_buckets` —
+    is bit-identical to one batch pass over the union of slices,
+    regardless of batch order (exact int64 cents; no float ever
+    enters the state).
+
+    Retry contract (the batch=<id> convention): a batch reads its
+    PREDECESSOR's state (``below=batch_id``) and overwrites its own
+    dir, so a RETRIED batch id recomputes from the same seed and
+    never double-adds — but unlike set union, addition is not
+    idempotent across DIFFERENT batch ids, so each event row must
+    appear in exactly one batch id (exactly what foreachBatch
+    delivers: a replayed epoch re-runs under its ORIGINAL id).
+
+    State size is the (u, bucket) activity domain — active user-weeks,
+    bounded by users x calendar, regardless of event volume; each row
+    is ~24 bytes of key + one int64. The ``coalesce(1)`` keeps the
+    sketch-store one-file-per-generation convention; at deployment
+    scale drop it and let the state write stay partitioned — the
+    merge is a hash aggregate, not a driver artifact. Batch frames
+    must carry ``(u, bucket, cents)`` with cents already int64
+    (quantize at the scan, the cohort_value_curve discipline)."""
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.groupBy("u", "bucket").agg(
+            F.sum("cents").cast("long").alias("cents")
+        )
+        prev = _latest_batch_dir(spark, state_dir, below=batch_id)
+        if prev is not None:
+            cur = (
+                cur.unionByName(spark.read.parquet(prev))
+                .groupBy("u", "bucket")
+                .agg(F.sum("cents").cast("long").alias("cents"))
+            )
         cur.coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir.rstrip('/')}/batch={batch_id}"
         )

@@ -977,3 +977,66 @@ PENDING_QUERIES["stream_retention_rates"] = {
 # 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def stream_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV-per-user curve as a standing query
+    (VERDICT_r15 next-round #6): per-(user, epoch-week) integer-cents
+    value sums accumulated by the ADD-merge foreachBatch recurrence
+    (operators/behavior.user_value_foreach_batch — the CM/HLL/PSI
+    count-merge contract with (u, bucket) keys) over three disjoint
+    micro-batch slices, then the curve read off the merged state
+    through the SAME post-collapse code path as the batch operator
+    (behavior.ltv_from_user_value_buckets). Integer addition is
+    commutative/associative, so the streamed state — and every cell,
+    prefix sum, and per-user division read off it — is bit-identical
+    to the batch gate, and this gate shares ev_cohort_ltv's FULL
+    value oracle (the stream_retention_rates discipline, sum-merge
+    instead of set-union). The batch=<id> state dirs carry the retry
+    contract (a retried id re-reads its predecessor and overwrites —
+    never double-adds)."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.operators.behavior import (
+        ltv_from_user_value_buckets,
+        user_value_foreach_batch,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+    from rearview_spark.sources.loader import Tables
+
+    ev = Tables(spark, sf_dir).events
+    uvb = ev.select(
+        F.col("user_id").alias("u"),
+        _epoch_checked("stream_cohort_ltv").alias("t"),
+        F.coalesce(
+            F.round(F.col("value").cast("double") * 100).cast("long"),
+            F.lit(0),
+        ).alias("cents"),
+    ).select("u", F.expr("t div 604800").alias("bucket"), "cents")
+    state_dir = tempfile.mkdtemp(prefix="ltv_stream_")
+    try:
+        proc = user_value_foreach_batch(spark, state_dir)
+        for i in range(3):
+            proc(uvb.filter(F.pmod(F.col("bucket"), F.lit(3)) == i), i)
+        merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
+        # materialize before the state dir disappears (the
+        # stream_peak_concurrency cleanup contract)
+        return ltv_from_user_value_buckets(merged).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+from rearview_spark.plans.events_queries import (  # noqa: E402
+    EV_COHORT_LTV_SQL as _STREAM_LTV_SQL,
+)
+
+# Staged (r16 wave — r17 budget; the r16 window is pinned to the 7
+# r15-staged flips + 43 rotations, so new gates wait. Pre-verified by
+# tests/test_pending_gates.py at three scales).
+PENDING_QUERIES["stream_cohort_ltv"] = {
+    "fn": stream_cohort_ltv,
+    "oracle": _STREAM_LTV_SQL,
+}

@@ -785,3 +785,74 @@ def test_spark_half_up_round_matches_decimal():
         for g, w in zip(got, want):
             assert (math.isnan(g) and math.isnan(w)) or g == w, (
                 decimals, nudge, g, w)
+
+
+def test_ltv_foreach_batch_replay_and_batch_equality(spark, tmp_path):
+    """Two-batch ADD-merge replay (VERDICT_r15 next-round #6): the
+    streamed (u, bucket) cents state equals one batch pass over the
+    union; a RETRIED batch id re-reads its predecessor and overwrites,
+    so replaying batch 1 does not double-add; the LTV curve read off
+    the merged state equals cohort_value_curve on the full frame."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rearview_spark.operators.behavior import (
+        cohort_value_curve,
+        ltv_from_user_value_buckets,
+        user_value_foreach_batch,
+    )
+    from rearview_spark.operators.sketch import _latest_batch_dir
+
+    wk = 604800
+    rows = [
+        # u1 joins week 0: 1.00 then 2.00 in week 1 (split across slices)
+        ("u1", 10, 1.00), ("u1", wk + 10, 2.00),
+        # u2 joins week 1: 5.00 in week 1 (even ts), 0.50 more in week 1
+        # (odd ts) — the same (u, bucket) cell receives cents from BOTH
+        # batches under the ts-parity slicing below, so the ADD-merge
+        # must sum across batch generations
+        ("u2", wk + 20, 5.00), ("u2", wk + 31, 0.50),
+        # u3 joins week 1, NULL value contributes 0 but counts for cohort
+        ("u3", wk + 99, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, value double")
+    uvb = df.select(
+        F.col("user_id").alias("u"),
+        F.col("ts"),
+        F.expr("ts div 604800").alias("bucket"),
+        F.coalesce(
+            F.round(F.col("value").cast("double") * 100).cast("long"), F.lit(0)
+        ).alias("cents"),
+    )
+
+    state = str(tmp_path / "ltv_state")
+    proc = user_value_foreach_batch(spark, state)
+    # slice by ROW (ts parity), not by bucket: u2's week-1 cell arrives
+    # 500 cents in batch 0 and 50 in batch 1 — cross-batch summing into
+    # one cell is the point of the test
+    slices = [
+        uvb.filter(F.pmod(F.col("ts"), F.lit(2)) == 0).drop("ts"),
+        uvb.filter(F.pmod(F.col("ts"), F.lit(2)) == 1).drop("ts"),
+    ]
+    for i, sl in enumerate(slices):
+        proc(sl, i)
+    proc(slices[1], 1)  # retry: re-reads batch=0, overwrites batch=1
+    merged = spark.read.parquet(_latest_batch_dir(spark, state))
+
+    state_rows = {
+        (r["u"], r["bucket"]): r["cents"] for r in merged.collect()
+    }
+    assert state_rows == {
+        ("u1", 0): 100, ("u1", 1): 200,
+        ("u2", 1): 550, ("u3", 1): 0,
+    }
+    got = [tuple(r) for r in ltv_from_user_value_buckets(merged).collect()]
+    ref = [tuple(r) for r in cohort_value_curve(df).collect()]
+    # cohort 0 = {u1}: 1.00 then +2.00 cumulative; cohort 1 = {u2, u3}:
+    # 5.50 total over 2 users
+    assert got == ref == [
+        (0, 0, 1, 100, 100, 1.0),
+        (0, 1, 1, 200, 300, 3.0),
+        (1, 0, 2, 550, 550, 2.75),
+    ]
