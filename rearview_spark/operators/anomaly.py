@@ -196,7 +196,7 @@ def mad_anomalies(
 
 def seasonal_mad_anomalies(
     series: DataFrame,
-    threshold: float = DEFAULT_THRESHOLD,
+    threshold: float | None = DEFAULT_THRESHOLD,
     period: int = 24,
     bucket_seconds: int = 3600,
     value_col: str = "value",
@@ -219,7 +219,9 @@ def seasonal_mad_anomalies(
     div AND a sign-carrying % would both diverge from the oracle's
     floor semantics on pre-1970 rows), and so do NULL series keys
     (concat_ws would silently drop the key and score the row in a
-    slot-only group the oracle never forms). Slots with MAD = 0 (at least
+    slot-only group the oracle never forms). ``threshold=None`` is
+    scores mode (see :func:`seasonal_mad_scores`): every mad>0 point
+    keeps its robust_z, no anomaly filter. Slots with MAD = 0 (at least
     half the slot's points identical) yield no anomalies by definition.
 
     Scale shape: identical to :func:`mad_anomalies` with the shuffle
@@ -271,18 +273,55 @@ def seasonal_mad_anomalies(
     )
     scored = mad_scores(keyed, value_col, "_skey", ts_col)
     signed = F.lit(MAD_SCALE) * (F.col(value_col) - F.col("med"))
+    sel = (
+        key_col,
+        "slot",
+        ts_col,
+        value_col,
+        (signed / F.col("mad")).alias("robust_z"),
+    )
+    if threshold is None:
+        # scores mode (r16, VERDICT_r15 next-round #7): EVERY point of
+        # every mad>0 slot keeps its robust_z — the frame a monitor
+        # expression consumes as a metric series (the quiet points must
+        # exist or an anomaly-free window would read "missing series"
+        # instead of "success"). The anomalies mode below stays on the
+        # unrounded PRODUCT comparison; a caller comparing published
+        # robust_z against a threshold owns that (division-form)
+        # contract, as the seasonal lifecycle monitor does.
+        return scored.filter(F.col("mad") > 0).select(*sel)
     return (
         scored.filter(
             (F.col("mad") > 0)
             & (F.abs(signed) > F.lit(threshold) * F.col("mad"))
         )
-        .select(
-            key_col,
-            "slot",
-            ts_col,
-            value_col,
-            (signed / F.col("mad")).alias("robust_z"),
-        )
+        .select(*sel)
+    )
+
+
+def seasonal_mad_scores(
+    series: DataFrame,
+    period: int = 24,
+    bucket_seconds: int = 3600,
+    value_col: str = "value",
+    key_col: str = "metric",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """:func:`seasonal_mad_anomalies` in scores mode (threshold=None):
+    the full robust-z series over every mad>0 slot, anomalous or not —
+    what a monitor expression (``a.abs().max() > 3.5``) consumes as a
+    metric series end-to-end (VERDICT_r15 next-round #7; the seasonal
+    sibling of the batch half of stream_anomaly_alerts). Same plan
+    shape, guards, and determinism contract as the anomalies mode —
+    the only delta is the absent threshold filter."""
+    return seasonal_mad_anomalies(
+        series,
+        threshold=None,
+        period=period,
+        bucket_seconds=bucket_seconds,
+        value_col=value_col,
+        key_col=key_col,
+        ts_col=ts_col,
     )
 
 

@@ -131,6 +131,7 @@ def all_pending() -> dict:
     from rearview_spark.plans import (
         events_queries,
         graph_queries,
+        monitor_queries,
         pipeline_queries,
         relational,
         streaming_queries,
@@ -140,6 +141,7 @@ def all_pending() -> dict:
     out: dict = {}
     for mod in (
         pipeline_queries,
+        monitor_queries,
         events_queries,
         streaming_queries,
         timeseries_queries,

@@ -363,3 +363,171 @@ QUERIES["monitor_lifecycle_replay"] = {
     "fn": monitor_lifecycle_replay,
     "oracle": MONITOR_LIFECYCLE_SQL,
 }
+
+
+# --- r16: seasonal-MAD x alert-lifecycle composition (VERDICT_r15 #7) -------
+
+_SE_START = dt.datetime(2024, 1, 9, 16)
+_SE_END = dt.datetime(2024, 1, 9, 21)
+
+
+def monitor_seasonal_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonal-MAD detector composed with the alert lifecycle
+    (S4/S5) end-to-end, the way stream_anomaly_alerts composed plain
+    MAD (VERDICT_r15 next-round #7): hourly exact-cents series ->
+    operators/anomaly.seasonal_mad_scores (hour-of-day robust-z for
+    EVERY mad>0 point) -> presented to the scheduler as metric
+    ``seasonal.<type>`` -> a monitor whose sandboxed expression
+    consumes the scores (``a.abs().max() > 3.5``) over a 6-hour
+    sliding window, 6 hourly ticks through the REAL store machinery
+    (CAS swaps, outbox drain, debounce via error_timeout=150). At
+    sf0.01 the error series' 17:00 and 20:00 anomalies drive
+    fire -> debounce-suppress x2 -> re-alert; a never-fires control
+    shares the window. The oracle replays the scoring CTE (the
+    TS_SEASONAL_MAD machinery, unfiltered), the per-tick windowed
+    max, and the lifecycle recurrence as a recursive CTE."""
+    import shutil
+    import tempfile
+
+    from rearview_spark.monitors.notify import AlertRouter
+    from rearview_spark.monitors.scheduler import MonitorScheduler
+    from rearview_spark.monitors.schemas import MONITORS
+    from rearview_spark.monitors.store import JobStore
+    from rearview_spark.operators.anomaly import seasonal_mad_scores
+    from rearview_spark.plans._exact import exact_sum
+
+    fixtures = [
+        (1, "seasonal-error-z", True, None, None, "0 * * * *", "success", 1,
+         ["log:gate"], None, 150, "seasonal z", 1, ["seasonal.error"],
+         "a.abs().max() > 3.5", 360, None, None, None),
+        (2, "seasonal-never", True, None, None, "0 * * * *", "success", 1,
+         ["log:gate"], None, 150, "control", 1, ["seasonal.error"],
+         "a.abs().max() > 1000000", 360, None, None, None),
+    ]
+    series = events_as_timeseries(Tables(spark, sf_dir).events)
+    hourly = (
+        series.groupBy("metric", F.window("ts", "1 hour").alias("w"))
+        .agg(exact_sum(F.col("value"), 100).alias("value"))
+        .select("metric", F.col("w.start").alias("ts"), "value")
+    )
+    # scores over the FULL history (the baseline trains offline — the
+    # stream_anomaly_alerts deployment shape), checkpointed once so six
+    # ticks don't recompute the (metric, slot) medians
+    scores = seasonal_mad_scores(hourly, period=24).select(
+        F.concat(F.lit("seasonal."), F.col("metric")).alias("metric"),
+        "ts",
+        F.col("robust_z").alias("value"),
+    ).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="seasonal_gate_")
+    try:
+        store = JobStore(spark, tmp)
+        store.overwrite("monitors", spark.createDataFrame(fixtures, MONITORS))
+        router = AlertRouter()
+        MonitorScheduler(spark, store, scores, router).run_between(
+            _SE_START, _SE_END, step_minutes=60
+        )
+        alerted = {(a.job_id, a.fired_at) for a in router.default.sent}
+        jd = store.read("job_data").select(
+            "job_id",
+            F.col("created_at").alias("scheduled_ts"),
+            F.col("data.status").alias("status"),
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [
+        (r["job_id"], r["scheduled_ts"], r["status"],
+         (r["job_id"], r["scheduled_ts"]) in alerted)
+        for r in jd
+    ]
+    return spark.createDataFrame(
+        rows, "job_id long, scheduled_ts timestamp, status string, alerted boolean"
+    ).orderBy("job_id", "scheduled_ts")
+
+
+MONITOR_SEASONAL_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS ts,
+         sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS value
+  FROM events GROUP BY 1, 2
+),
+sl AS (
+  SELECT *, CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT) AS slot
+  FROM hourly
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric, slot ORDER BY value, ts) AS r,
+         count(*) OVER (PARTITION BY metric, slot) AS n
+  FROM sl
+),
+med AS (
+  SELECT metric, slot, sum(value) / count(value) AS med FROM r1
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1, 2
+),
+d AS (
+  SELECT r1.metric, r1.slot, r1.ts, r1.value, abs(r1.value - med.med) AS dev, med.med
+  FROM r1 JOIN med USING (metric, slot)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY metric, slot ORDER BY dev, ts) AS r,
+         count(*) OVER (PARTITION BY metric, slot) AS n
+  FROM d
+),
+mad AS (
+  SELECT metric, slot, sum(dev) / count(dev) AS mad FROM r2
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1, 2
+),
+scores AS (
+  SELECT d.metric, d.ts, 0.6745 * (d.value - d.med) / mad.mad AS z
+  FROM d JOIN mad USING (metric, slot)
+  WHERE mad.mad > 0
+),
+ticks AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-09 16:00:00',
+                                TIMESTAMP '2024-01-09 21:00:00',
+                                INTERVAL 1 HOUR)) AS tick
+), tix AS (
+  SELECT tick, row_number() OVER (ORDER BY tick) AS i FROM ticks
+), w AS (
+  SELECT t.i, t.tick, count(s.z) AS n, max(abs(s.z)) AS mx
+  FROM tix t LEFT JOIN scores s
+    ON s.metric = 'error'
+   AND s.ts >= t.tick - INTERVAL 360 MINUTE AND s.ts <= t.tick
+  GROUP BY t.i, t.tick
+), runs AS (
+  SELECT 1 AS job_id, 150 AS tmo, i, tick,
+         CASE WHEN n = 0 THEN 'error'
+              WHEN mx > 3.5 THEN 'failed' ELSE 'success' END AS run_status
+  FROM w
+  UNION ALL
+  SELECT 2, 150, i, tick,
+         CASE WHEN n = 0 THEN 'error'
+              WHEN mx > 1000000 THEN 'failed' ELSE 'success' END
+  FROM w
+), state AS (
+  SELECT job_id, tmo, i, tick, run_status,
+         run_status <> 'success' AS alerted,
+         CASE WHEN run_status <> 'success' THEN tick END AS laa
+  FROM runs WHERE i = 1
+  UNION ALL
+  SELECT r.job_id, r.tmo, r.i, r.tick, r.run_status,
+         r.run_status <> 'success'
+           AND (s.laa IS NULL OR r.tick >= s.laa + to_minutes(r.tmo)),
+         CASE WHEN r.run_status = 'success' THEN NULL
+              WHEN s.laa IS NULL OR r.tick >= s.laa + to_minutes(r.tmo)
+                THEN r.tick
+              ELSE s.laa END
+  FROM state s JOIN runs r ON r.job_id = s.job_id AND r.i = s.i + 1
+)
+SELECT CAST(job_id AS BIGINT) AS job_id, tick AS scheduled_ts,
+       run_status AS status, alerted
+FROM state ORDER BY job_id, scheduled_ts
+"""
+
+# Staged (r16 wave — r17 budget; the r16 window is pinned. Pre-verified
+# by tests/test_pending_gates.py at three scales.)
+PENDING_QUERIES: dict[str, dict] = {
+    "monitor_seasonal_lifecycle": {
+        "fn": monitor_seasonal_lifecycle,
+        "oracle": MONITOR_SEASONAL_SQL,
+    },
+}

@@ -911,6 +911,78 @@ def test_robust_z_helper_in_monitor_expr(spark):
     )
 
 
+def test_seasonal_scores_to_lifecycle_golden(spark, store):
+    """Golden fires/suppresses fixture for the seasonal-MAD x lifecycle
+    composition (VERDICT_r15 #7; the gate is monitor_seasonal_lifecycle).
+
+    Hand-computed series: 8 days x 24 hourly slots, slot s baseline
+    100+s, day jitter {0,1,-1,2,-2,1,-1,0} -> every slot's median is its
+    baseline and MAD = 1, so |robust_z| <= 0.6745*2 = 1.349 everywhere.
+    Day 6, slot 3 is replaced by 112.0 = slot 12's exact baseline — a
+    value a GLOBAL robust detector calls unremarkable (asserted below)
+    but that is +9 against slot 3's own history: with the outlier in
+    place slot 3's median shifts to 103.5 and MAD to 1.0, so
+    z = 0.6745*8.5 = 5.73 > 3.5 while every other slot-3 day stays at
+    |z| <= 0.6745*2.5 = 1.69. The scores feed the REAL scheduler as
+    metric seasonal.m; ticks at :30 avoid window-boundary ambiguity:
+    03:30 fire -> 04:30 debounce-suppress (< error_timeout=90) ->
+    05:30 re-alert (>= 90 min, anomaly still in the 180-min window) ->
+    06:30 recovery (anomaly aged out)."""
+    from rearview_spark.operators.anomaly import mad_anomalies, seasonal_mad_scores
+
+    jit = [0.0, 1.0, -1.0, 2.0, -2.0, 1.0, -1.0, 0.0]
+    rows = []
+    for d in range(8):
+        for s in range(24):
+            v = 100.0 + s + jit[d]
+            if d == 6 and s == 3:
+                v = 112.0
+            rows.append(("m", T0 + dt.timedelta(days=d, hours=s), v))
+    hourly = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+
+    anom_ts = T0 + dt.timedelta(days=6, hours=3)
+    # the injected value is invisible to a global (slot-blind) robust
+    # detector — that discrimination is the point of the seasonal op
+    assert not [
+        r for r in mad_anomalies(hourly, threshold=3.5).collect()
+        if r["ts"] == anom_ts
+    ]
+
+    scores = seasonal_mad_scores(hourly, period=24).select(
+        F.lit("seasonal.m").alias("metric"),
+        "ts",
+        F.col("robust_z").alias("value"),
+    )
+    by_ts = {r["ts"]: r["value"] for r in scores.collect()}
+    assert by_ts[anom_ts] == pytest.approx(0.6745 * 8.5)
+    assert max(abs(v) for t, v in by_ts.items() if t != anom_ts) < 3.5
+
+    collector = CollectingNotifier()
+    router = AlertRouter(default=collector)
+    mon = (
+        1, "seasonal", True, None, None, "* * * * *", "success", 1,
+        ["email:ops@example.com"], None, 90, "seasonal z", 1,
+        ["seasonal.m"], "a.abs().max() > 3.5", 180, None, T0, T0,
+    )
+    store.save_monitors(spark.createDataFrame([mon], MONITORS))
+    sched = MonitorScheduler(spark, store, scores, router)
+
+    base = T0 + dt.timedelta(days=6)
+    assert sched.tick(base + dt.timedelta(hours=3, minutes=30))["alerts"] == 1
+    assert sched.tick(base + dt.timedelta(hours=4, minutes=30))["alerts"] == 0
+    assert sched.tick(base + dt.timedelta(hours=5, minutes=30))["alerts"] == 1
+    assert sched.tick(base + dt.timedelta(hours=6, minutes=30))["alerts"] == 0
+
+    assert len(collector.sent) == 2
+    errors = store.read("job_errors").collect()
+    assert len(errors) == 1 and errors[0]["status"] == "resolved"
+    statuses = [
+        r["data"]["status"]
+        for r in store.read("job_data").orderBy("created_at").collect()
+    ]
+    assert statuses == ["failed", "failed", "failed", "success"]
+
+
 # --- SCD Type-2 history maintenance --------------------------------------------
 
 def test_scd2_from_changes_versions_and_noop_rows(spark):
