@@ -30,7 +30,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "top3_parts_per_brand",
     "latest_order_per_customer",
-    "ts_hourly_summarize",
+    "ts_daily_stats",  # r16: ts_hourly_summarize retired; the G15 summarize line
     "ts_moving_average",
     "ts_as_percent",
     "ts_ema",

@@ -1337,58 +1337,17 @@ QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
 
 
-def ev_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov-Smirnov drift between the first and
-    second half of the event time range (operators/anomaly.ks_two_sample)
-    — the bin-free companion to ev_psi_drift: D and its integer
-    numerator ``D * n_a * n_b`` are exact, the argmax value is the
-    smallest value achieving the max, and the only float is ONE
-    division of exact int64s."""
-    from rearview_spark.operators.anomaly import ks_two_sample
-
-    ev = Tables(spark, sf_dir).events
-    v = ev.filter(F.col("value").isNotNull()).select(
-        F.col("ts").cast("long").alias("t"), F.col("value").alias("v")
-    )
-    rng = v.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
-    grp = v.crossJoin(F.broadcast(rng)).select(
-        "v",
-        (F.col("t") > F.expr("(lo + hi) div 2")).cast("int").alias("grp"),
-    )
-    return ks_two_sample(grp, "v", "grp")
-
-
-EV_KS_SQL = """
-WITH v AS (
-  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v
-  FROM events WHERE value IS NOT NULL),
-rng AS (SELECT min(t) AS lo, max(t) AS hi FROM v),
-g AS (
-  SELECT v.v,
-         CASE WHEN v.t > (rng.lo + rng.hi) // 2 THEN 1 ELSE 0 END AS grp
-  FROM v, rng),
-per_v AS (
-  SELECT v, sum(1 - grp) AS ca, sum(grp) AS cb FROM g GROUP BY 1),
-cum AS (
-  SELECT v, ca, cb,
-         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
-         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
-         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
-  FROM per_v),
-d AS (
-  SELECT v, n_a, n_b, abs(cum_a * n_b - cum_b * n_a) AS dn FROM cum)
-SELECT CAST(max(n_a) AS BIGINT) AS n_a,
-       CAST(max(n_b) AS BIGINT) AS n_b,
-       CAST(max(dn) AS BIGINT) AS d_num,
-       CASE WHEN max(n_a) > 0 AND max(n_b) > 0
-            THEN CAST(max(dn) AS DOUBLE)
-                 / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE))
-       END AS d_stat,
-       (SELECT min(v) FROM d WHERE dn = (SELECT max(dn) FROM d)) AS at_value
-FROM d
-"""
-
-QUERIES["ev_ks_drift"] = {"fn": ev_ks_drift, "oracle": EV_KS_SQL}
+# RETIRED GATES (r16, VERDICT_r15 next-round #5): ev_ks_drift and its
+# streaming twin stream_ks_drift — the ungrouped half-vs-half KS pair;
+# ev_ks_drift_by_type / stream_ks_drift_by_type keep the SAME split,
+# exact integer numerators, argmax tie rule, and ADD-merge foreachBatch
+# state driver-checked in segmented form (ks_two_sample_by over a
+# constant key IS ks_two_sample). Coverage of the ungrouped operators
+# inherits to tests/test_properties.py::
+# test_ks_two_sample_matches_scipy_style_bruteforce (brute-force D over
+# random pairs) and tests/test_streaming.py::
+# test_ks_foreach_batch_replay_and_batch_equality (three-slice replay +
+# retried-batch idempotence against the batch operator).
 
 
 def ev_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,7 +1708,8 @@ PENDING_QUERIES["ev_funnel_by_variant"] = {
 
 def ev_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type KS drift (operators/anomaly.ks_two_sample_by):
-    the WHICH-slice-drifted drilldown of ev_ks_drift, same half-vs-half
+    the WHICH-slice-drifted drilldown of the retired ev_ks_drift gate's
+    ungrouped statistic, same half-vs-half
     split and exact integer numerators, one row per event type."""
     from rearview_spark.operators.anomaly import ks_two_sample_by
 

@@ -1449,97 +1449,15 @@ QUERIES["sim_pq_scan_topk"] = {"fn": sim_pq_scan_topk, "oracle": SIM_PQ_SQL}
 
 # --- IVF+PQ composed ANN -----------------------------------------------------
 
-def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF router (8 buckets, 2 cosine Lloyd iterations) + PQ codes
-    (4x16, 2 L2 Lloyd iterations) + ADC scoring inside the probed
-    buckets — the composed billion-scale recipe, fully re-derived by the
-    oracle (router CTEs + subspace CTEs + code assignment + ADC sums)."""
-    emb = Tables(spark, sf_dir).embeddings
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_pq_topk(
-        emb, queries, topk=10, n_buckets=8, nprobe=2, router_iters=2,
-        m=4, k_codes=16, pq_iters=2,
-    )
-
-
-SIM_IVF_PQ_SQL = (
-    """
-WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-cb0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, v AS centroid
-  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)
-),"""
-    + ",".join(_kmeans_iteration_sql(i) for i in (1, 2))
-    + """,
-assigned AS (
-  SELECT vec_id, bucket FROM (
-    SELECT b.vec_id, c.bucket,
-           row_number() OVER (PARTITION BY b.vec_id
-                              ORDER BY list_cosine_similarity(b.v, c.centroid) DESC, c.bucket) AS rn
-    FROM base b CROSS JOIN cb2 c
-  ) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 5),
-probes AS (
-  SELECT query_id, bucket FROM (
-    SELECT q.query_id, c.bucket,
-           row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.bucket) AS r
-    FROM q CROSS JOIN cb2 c
-  ) WHERE r <= 2
-),
-psubs AS (
-  SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv
-  FROM base, (SELECT unnest(range(4)) AS s)
-),
-pcb0 AS (
-  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
-         sv AS centroid
-  FROM psubs
-  WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 16)
-),"""
-    + ",".join(_pq_iteration_sql(i) for i in (1, 2))
-    + """,
-codes AS (
-  SELECT vec_id, s, code FROM (
-    SELECT sub.vec_id, sub.s, c.code,
-           row_number() OVER (PARTITION BY sub.vec_id, sub.s
-                              ORDER BY list_sum([(sub.sv[j+1] - c.centroid[j+1]) * (sub.sv[j+1] - c.centroid[j+1]) for j in range(16)]) ASC, c.code) AS rn
-    FROM psubs sub JOIN pcb2 c ON c.s = sub.s
-  ) WHERE rn = 1
-),
-dtable AS (
-  SELECT qq.vec_id AS query_id, qq.s, c.code,
-         list_sum([(qq.sv[j+1] - c.centroid[j+1]) * (qq.sv[j+1] - c.centroid[j+1]) for j in range(16)]) AS d
-  FROM psubs qq JOIN pcb2 c ON c.s = qq.s
-  WHERE qq.vec_id < 5
-),
-cands AS (
-  SELECT p.query_id, a.vec_id
-  FROM probes p JOIN assigned a ON a.bucket = p.bucket
-  WHERE a.vec_id <> p.query_id
-),
-scored AS (
-  SELECT cd.query_id, cd.vec_id,
-         round(sum(d.d) + 0.0000000005, 6) AS approx_dist
-  FROM cands cd
-  JOIN codes ON codes.vec_id = cd.vec_id
-  JOIN dtable d ON d.query_id = cd.query_id AND d.s = codes.s AND d.code = codes.code
-  GROUP BY cd.query_id, cd.vec_id
-)
-SELECT query_id, vec_id, approx_dist, rank FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, vec_id) AS INT) AS rank
-  FROM scored
-) WHERE rank <= 10
-"""
-)
-
-QUERIES["sim_ivf_pq_topk"] = {"fn": sim_ivf_pq_topk, "oracle": SIM_IVF_PQ_SQL}
-
-
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): sim_ivf_pq_topk — the
+# raw-space IVF+PQ compose; every constituent stays gated on its own
+# (IVF routing via sim_ivf_topk / sim_ivf_kmeans_topk, PQ codebooks +
+# ADC via sim_pq_scan_topk) and sim_ivf_rpq_topk keeps the STRICTLY
+# larger composition (router + residual encode + per-probe ADC)
+# driver-checked through the same chained-CTE oracle unrolling.
+# Coverage inherits to tests/test_pipeline_ops.py::
+# test_ivf_pq_subset_of_pq_within_probed_buckets and the raw-vs-
+# residual comparison test beside it; the operator stays exported.
 # --- IVF + residual PQ (IVFADC) ----------------------------------------------
 
 def sim_ivf_rpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3035,55 +2953,18 @@ ORDER BY doc_id
 QUERIES["doc_nb_language"] = {"fn": doc_nb_language, "oracle": DOC_NB_SQL}
 
 
-def doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ROC-AUC (operators/evaluation.roc_auc): how well document
-    length (n_chars) separates English from non-English documents — the
-    threshold-commitment measurement run before any score-based
-    filtering pass at scale. Mann-Whitney rank form with exact integer
-    tie handling; the only float is ONE division of exact int64s, so
-    the oracle asserts the integer numerator and the division both."""
-    from rearview_spark.operators.evaluation import roc_auc
-
-    docs = Tables(spark, sf_dir).documents
-    labeled = docs.select(
-        (F.col("lang") == "en").cast("int").alias("y"),
-        F.col("n_chars").alias("s"),
-    )
-    return roc_auc(labeled, "y", "s")
-
-
-DOC_AUC_SQL = """
-WITH per_score AS (
-  SELECT n_chars AS s,
-         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
-         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
-  FROM documents GROUP BY 1
-),
-cum AS (
-  SELECT np, nn,
-         sum(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_nn
-  FROM per_score
-),
-agg AS (
-  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
-         CAST(sum(nn) AS BIGINT) AS n_neg,
-         CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS auc_num2
-  FROM cum
-)
-SELECT n_pos, n_neg, auc_num2,
-       CASE WHEN n_pos > 0 AND n_neg > 0
-            THEN CAST(auc_num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
-       END AS auc
-FROM agg
-"""
-
-QUERIES["doc_quality_auc"] = {"fn": doc_quality_auc, "oracle": DOC_AUC_SQL}
-
-
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): doc_quality_auc — the
+# scalar Mann-Whitney summary of the SAME per-score collapse + running-
+# sum machinery doc_pr_curve (and doc_calibration_bins /
+# doc_lift_deciles) keep driver-checked over the same
+# length-separates-English scored frame. Coverage of roc_auc's exact
+# integer tie handling inherits to tests/test_pipeline_ops.py::
+# test_roc_auc_matches_brute_force_pair_count (brute-force concordant-
+# pair count); the operator stays exported.
 def doc_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 at every distinct score threshold
     (operators/evaluation.precision_recall_curve) for the same
-    length-separates-English rule doc_quality_auc summarizes — the
+    length-separates-English rule roc_auc summarizes (gate retired r16) — the
     table a threshold for a scaled filtering pass is actually picked
     from. Counts are exact int64; each ratio is ONE division of exact
     integers (bit-deterministic, no rounding contract)."""
@@ -3182,7 +3063,7 @@ QUERIES["doc_nb_report"] = {"fn": doc_nb_report, "oracle": DOC_NB_REPORT_SQL}
 
 def doc_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability table (operators/evaluation.calibration_bins) for
-    the length-separates-English score doc_quality_auc grades: ten
+    the length-separates-English score roc_auc grades: ten
     equal-width n_chars bins, observed English rate next to the bin's
     average score. Bin assignment is integer div over a non-negative
     numerator (Spark div == oracle floor //); avg/rate are single

@@ -615,64 +615,14 @@ from rearview_spark.plans.relational import REL_CDC_SQL as STREAM_CDC_SQL  # noq
 QUERIES["stream_cdc_apply"] = {"fn": stream_cdc_apply, "oracle": STREAM_CDC_SQL}
 
 
-def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample KS drift with the CURRENT side's per-value counts
-    accumulated by the foreachBatch recurrence
-    (operators/anomaly.ks_foreach_batch) over three deterministic
-    micro-batch slices: counts merge by ADDITION, so the streamed state
-    — and therefore the exact D numerator, statistic, and argmax value
-    — is bit-identical to the batch gate, and this gate shares
-    ev_ks_drift's FULL value oracle (micro-batching is a delivery
-    choice, not a semantics change — the stream_psi_drift discipline).
-    The batch=<id> state dirs carry the CM/HLL retry contract."""
-    import shutil
-    import tempfile
-
-    from rearview_spark.operators.anomaly import (
-        ks_foreach_batch,
-        ks_from_counts,
-    )
-    from rearview_spark.operators.sketch import _latest_batch_dir
-    from rearview_spark.sources.loader import Tables
-
-    ev = Tables(spark, sf_dir).events
-    v = ev.filter(F.col("value").isNotNull()).select(
-        F.col("ts").cast("long").alias("t"), F.col("value").alias("v")
-    )
-    rng = v.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
-    mid = (int(rng["lo"]) + int(rng["hi"])) // 2
-    base = v.filter(F.col("t") <= mid)
-    cur = v.filter(F.col("t") > mid)
-    state_dir = tempfile.mkdtemp(prefix="ks_stream_")
-    try:
-        proc = ks_foreach_batch(spark, state_dir)
-        for i in range(3):
-            proc(cur.filter(F.pmod(F.col("t"), F.lit(3)) == i).select("v"), i)
-        merged = spark.read.parquet(_latest_batch_dir(spark, state_dir))
-        counts = (
-            base.groupBy("v")
-            .agg(F.count(F.lit(1)).alias("ca"))
-            .withColumn("cb", F.lit(0).cast("long"))
-            .unionByName(
-                merged.select(
-                    "v",
-                    F.lit(0).cast("long").alias("ca"),
-                    F.col("c_cur").cast("long").alias("cb"),
-                )
-            )
-        )
-        # materialize before the state dir disappears (the
-        # stream_peak_concurrency cleanup contract)
-        return ks_from_counts(counts).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(state_dir, ignore_errors=True)
-
-
-from rearview_spark.plans.events_queries import EV_KS_SQL as _STREAM_KS_SQL  # noqa: E402
-
-QUERIES["stream_ks_drift"] = {"fn": stream_ks_drift, "oracle": _STREAM_KS_SQL}
-
-
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): stream_ks_drift — the
+# ungrouped foreachBatch KS recurrence; stream_ks_drift_by_type keeps
+# the identical ADD-merge state contract, three-slice replay shape, and
+# batch=<id> retry dirs driver-checked in segmented form. Coverage of
+# the ungrouped recurrence inherits to tests/test_streaming.py::
+# test_ks_foreach_batch_replay_and_batch_equality (replay + retried-id
+# idempotence + batch equality). Retired together with its batch twin
+# ev_ks_drift (see plans/events_queries.py).
 def stream_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type KS drift with the CURRENT side's (key, value)
     counts accumulated by the segmented foreachBatch recurrence
@@ -682,7 +632,7 @@ def stream_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator, statistic, and argmax value — is bit-identical to the
     batch gate, and this gate shares ev_ks_drift_by_type's FULL value
     oracle (micro-batching is a delivery choice, not a semantics
-    change — the stream_ks_drift discipline, segmented). The
+    change — the stream_psi_drift discipline, segmented). The
     batch=<id> state dirs carry the CM/HLL retry contract."""
     import shutil
     import tempfile

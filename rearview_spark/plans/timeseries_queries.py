@@ -47,11 +47,15 @@ def _rounded(df: DataFrame) -> DataFrame:
 
 # --- G15 summarize -----------------------------------------------------------
 
-def ts_hourly_summarize(spark, sf_dir):
-    return _rounded(_hourly(spark, sf_dir))
-
-
-TS_HOURLY_SQL = HOURLY_CTE + "SELECT metric, ts, round(value + 0.00000005, 4) AS value FROM hourly"
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): ts_hourly_summarize —
+# it was literally `_rounded(_hourly(...))`, the HOURLY_CTE identity:
+# the exact summarize(1 hour, sum) pass every hourly-input gate in this
+# module (combine, derivative, moving, EMA, as-percent, …) re-executes
+# as its first stage, so each of those driver checks re-verifies it.
+# Coverage inherits to tests/test_timeseries_ops.py::
+# test_summarize_and_hitcount (hand-computed buckets); ts_daily_stats
+# and ts_smart_summarize keep the multi-agg and anchored G15 variants
+# gated. The bench headline slot moved to ts_daily_stats.
 
 
 def ts_daily_stats(spark, sf_dir):
@@ -208,16 +212,12 @@ FROM hourly
 """
 
 
-def ts_nonneg_derivative(spark, sf_dir):
-    return _rounded(G.non_negative_derivative(_hourly(spark, sf_dir)))
-
-
-TS_NNDERIV_SQL = HOURLY_CTE + """
-SELECT metric, ts,
-       round(CASE WHEN value - lag(value) OVER (PARTITION BY metric ORDER BY ts) >= 0
-             THEN value - lag(value) OVER (PARTITION BY metric ORDER BY ts) END + 0.00000005, 4) AS value
-FROM hourly
-"""
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): ts_nonneg_derivative —
+# the same lag-window machinery as the still-gated ts_derivative with a
+# sign filter on top (the ts_per_second retirement's twin). Coverage
+# inherits to tests/test_timeseries_ops.py::test_derivative_family
+# (hand-computed non_negative_derivative values); the operator stays
+# exported for the Graphite compiler.
 
 
 def ts_integral(spark, sf_dir):
@@ -514,7 +514,6 @@ FROM hourly GROUP BY 1, 2
 
 
 QUERIES: dict[str, dict] = {
-    "ts_hourly_summarize": {"fn": ts_hourly_summarize, "oracle": TS_HOURLY_SQL},
     "ts_daily_stats": {"fn": ts_daily_stats, "oracle": TS_DAILY_SQL},
     "ts_combine_series": {"fn": ts_combine_series, "oracle": TS_COMBINE_SQL},
     "ts_multiply_series": {"fn": ts_multiply_series, "oracle": TS_MULTIPLY_SQL},
@@ -524,7 +523,6 @@ QUERIES: dict[str, dict] = {
     "ts_as_percent": {"fn": ts_as_percent, "oracle": TS_ASPCT_SQL},
     "ts_scalar_math": {"fn": ts_scalar_math, "oracle": TS_SCALAR_SQL},
     "ts_derivative": {"fn": ts_derivative, "oracle": TS_DERIV_SQL},
-    "ts_nonneg_derivative": {"fn": ts_nonneg_derivative, "oracle": TS_NNDERIV_SQL},
     "ts_integral": {"fn": ts_integral, "oracle": TS_INTEGRAL_SQL},
     "ts_moving_average": {"fn": ts_moving_average, "oracle": TS_MOVAVG_SQL},
     "ts_moving_median": {"fn": ts_moving_median, "oracle": TS_MOVMED_SQL},
@@ -764,28 +762,14 @@ QUERIES.update(
 )
 
 
-def ts_lowest_current(spark, sf_dir):
-    """G19 lowestCurrent(2) composed with G20 currentBelow: the bottom-2
-    series by latest value, restricted to series whose latest value is
-    under 60 — both per-series-stat prunes semi-joined back to points."""
-    hourly = _hourly(spark, sf_dir)
-    return _rounded(G.lowest(G.filter_series(hourly, "current", "<", 60.0), 2, "current"))
-
-
-TS_LOWEST_SQL = HOURLY_CTE + """
-, cur AS (SELECT metric, arg_max(value, ts) AS c FROM hourly WHERE value IS NOT NULL GROUP BY metric),
-keep AS (SELECT metric, c FROM cur WHERE c < 60.0),
-bottom AS (SELECT metric FROM keep ORDER BY c ASC, metric LIMIT 2)
-SELECT h.metric, h.ts, round(h.value + 0.00000005, 4) AS value
-FROM hourly h SEMI JOIN bottom b ON h.metric = b.metric
-"""
-
-
-QUERIES.update(
-    {
-        "ts_lowest_current": {"fn": ts_lowest_current, "oracle": TS_LOWEST_SQL},
-    }
-)
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): ts_lowest_current —
+# a composition of per-series-stat prunes each gated on its own:
+# the _series_stat semi-join via ts_highest_average and
+# ts_current_values, the threshold prune via ts_average_above.
+# Coverage inherits to tests/test_timeseries_ops.py::
+# test_highest_lowest_filter (lowest + filter_series, incl. the
+# current-stat "<" compose added at retirement) and
+# test_current_stat_ignores_trailing_null.
 
 
 def ts_rollup_cascade(spark, sf_dir):
@@ -954,38 +938,17 @@ FROM banded
 """
 
 
-def ts_hw_confidence_bands(spark, sf_dir):
-    """G26 holtWintersConfidenceBands: forecast ± 3σ of the expanding
-    residual stddev, emitted as the Upper/Lower series pair (Graphite
-    0.9's output shape). Same recursive-CTE forecast replay as
-    ts_holt_winters; the band arithmetic mirrors ts_hw_aberration."""
-    return _rounded(
-        G.holt_winters_confidence_bands(_hourly(spark, sf_dir), season_points=24)
-    )
-
-
-TS_HW_BANDS_SQL = HW_FORECAST_CTE + """
-, resid AS (
-  SELECT h.metric, h.ts, f.forecast, h.value - f.forecast AS r
-  FROM hourly h JOIN fc f ON f.metric = h.metric AND f.ts = h.ts
-),
-banded AS (
-  SELECT metric, ts, forecast,
-         stddev_pop(r) OVER (PARTITION BY metric ORDER BY ts ROWS UNBOUNDED PRECEDING) * 3.0 AS band
-  FROM resid
-)
-SELECT concat('holtWintersConfidenceUpper(', metric, ')') AS metric, ts,
-       round(forecast + band + 0.00000005, 4) AS value
-FROM banded
-UNION ALL
-SELECT concat('holtWintersConfidenceLower(', metric, ')') AS metric, ts,
-       round(forecast - band + 0.00000005, 4) AS value
-FROM banded
-"""
+# RETIRED GATE (r16, VERDICT_r15 next-round #5): ts_hw_confidence_bands
+# — by its own statement "same recursive-CTE forecast replay as
+# ts_holt_winters; the band arithmetic mirrors ts_hw_aberration", and
+# both of those stay gated (aberration's band machinery is the bands'
+# ± 3σ expanding residual stddev with the flag on top). Coverage
+# inherits to tests/test_timeseries_ops.py::
+# test_holt_winters_confidence_bands (Upper/Lower pair on a constant
+# series); the operator stays exported for the Graphite compiler.
 
 QUERIES["ts_holt_winters"] = {"fn": ts_holt_winters, "oracle": TS_HW_SQL}
 QUERIES["ts_hw_aberration"] = {"fn": ts_hw_aberration, "oracle": TS_HW_AB_SQL}
-QUERIES["ts_hw_confidence_bands"] = {"fn": ts_hw_confidence_bands, "oracle": TS_HW_BANDS_SQL}
 
 
 # --- Graphite long tail: weightedAverage / wildcards / deviance / extras -----

@@ -185,6 +185,12 @@ def test_highest_lowest_filter(spark):
     assert set(r["metric"] for r in G.lowest(df, 1, "max").collect()) == {"a"}
     assert set(r["metric"] for r in G.filter_series(df, "average", ">", 4).collect()) == {"b", "c"}
     assert set(r["metric"] for r in G.limit_series(df, 2).collect()) == {"a", "b"}
+    # completes the retired ts_lowest_current gate's coverage (r16):
+    # current-stat "<" prune composed with lowest-by-current
+    assert set(
+        r["metric"]
+        for r in G.lowest(G.filter_series(df, "current", "<", 6.0), 2, "current").collect()
+    ) == {"a", "c"}
 
 
 def test_current_stat_ignores_trailing_null(spark):
