@@ -802,3 +802,83 @@ def adamic_adar(
             F.col("_units") / F.lit(float(scale)) + F.lit(5e-10), 6
         ).alias("score"),
     ).orderBy("u", "v")
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a node partition over a directed edge list
+    ``(src bigint, dst bigint)`` that carries BOTH directions of every
+    undirected relationship (the :func:`pagerank` /
+    :func:`label_propagation` contract) — the single quality number a
+    community detection run (LPA, components, a clustering) is judged
+    by before its output is trusted for sampling or dedup decisions.
+    ``labels`` is ``(node bigint, label bigint)`` covering every node
+    that appears in ``edges`` (e.g. :func:`label_propagation` output).
+
+    With ``m2`` = len(edges) = sum of degrees = 2m, per community c:
+    ``e_c`` = directed intra-community edges (counts each undirected
+    edge twice) and ``D_c`` = sum of member degrees. Then
+
+        Q = sum_c e_c / m2  -  sum_c (D_c / m2)^2
+          = (m2 * sum_c e_c - sum_c D_c^2) / m2^2
+
+    Every term before the final division is exact int64 — the LPA /
+    PageRank integer-determinism discipline — so the per-community
+    contributions and Q hash bit-identically cross-engine. Envelope:
+    ``m2 <= 3_037_000_499`` (so ``m2**2`` and every ``D_c**2`` fit
+    int64); past it the caller owns a hi/lo split, and this raises
+    loudly rather than wrap (the correlation-matrix lesson).
+
+    Returns one row per community ``(label, n_nodes, intra2, deg_sum,
+    dq_num)`` plus the exact global pieces on every row (``m2``) —
+    ``dq_num = m2 * intra2 - deg_sum**2``; the community's modularity
+    contribution is ``dq_num / m2^2`` and Q is their sum over rows,
+    left to the caller/gate so this frame stays all-integer.
+
+    Scale shape: ONE scalar count for m2; degrees via a src-keyed hash
+    aggregate (both directions present, so out-degree = degree); two
+    node-keyed equi-joins of the edge list against the O(nodes) label
+    frame (same key as the LPA iteration joins — at deployment the
+    edge list arrives hash-partitioned on src and both joins reuse the
+    exchange); label-keyed hash aggregates with map-side combine.
+    Nothing edge-sized is collected or re-shuffled more than the two
+    label joins.
+    """
+    m2 = edges.count()
+    if m2 > 3_037_000_499:
+        raise ValueError(
+            f"modularity: {m2} directed edges overflow the int64 m2^2 "
+            "envelope (3_037_000_499); split D_c^2 hi/lo before scaling past it"
+        )
+    lab = labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg_by_label = (
+        deg.join(lab, deg["src"] == lab["node"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("deg_sum"),
+        )
+    )
+    ls = lab.select(F.col("node").alias("_s"), F.col("label").alias("_sl"))
+    ld = lab.select(F.col("node").alias("_d"), F.col("label").alias("_dl"))
+    intra = (
+        edges.join(ls, edges["src"] == ls["_s"])
+        .join(ld, edges["dst"] == ld["_d"])
+        .filter(F.col("_sl") == F.col("_dl"))
+        .groupBy(F.col("_sl").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra2"))
+    )
+    return deg_by_label.join(intra, "label", "left").select(
+        "label",
+        "n_nodes",
+        F.coalesce(F.col("intra2"), F.lit(0)).cast("long").alias("intra2"),
+        "deg_sum",
+        (
+            F.lit(m2) * F.coalesce(F.col("intra2"), F.lit(0))
+            - F.col("deg_sum") * F.col("deg_sum")
+        ).cast("long").alias("dq_num"),
+        F.lit(m2).cast("long").alias("m2"),
+    )

@@ -603,3 +603,76 @@ def profile_drift(
             F.col("ndv_b").cast("double") / F.col("ndv_a").cast("double"),
         ).alias("ndv_ratio"),
     ).orderBy("col_name")
+
+
+def numeric_outlier_audit(
+    df: DataFrame, cols: list[str], threshold: float = 3.5
+) -> DataFrame:
+    """Robust per-column outlier audit: for each numeric column, the
+    rank-explicit exact median, the MAD, and how many cells fail the
+    Iglewicz-Hoaglin rule ``|0.6745 * (x - med)| > threshold * MAD`` —
+    the column-wise widening of operators/anomaly.mad_scores (same
+    window machinery, same determinism contract) that turns the robust
+    point-anomaly rule into a data-quality sweep: a column whose
+    outlier rate jumps between loads is the mean/stdev-blind signal a
+    profile diff (:func:`profile_drift`) cannot see.
+
+    Determinism: the unioned ``(col_name, value)`` frame flows through
+    the same rank-explicit median/MAD windows as mad_scores (value is
+    its own sort tiebreak — ties cannot move which VALUES occupy the
+    middle ranks), the comparison stays in unrounded product form, and
+    the only division is ``n_outliers / n_rows`` of exact int64s —
+    bit-identical cross-engine, no rounding contract needed. Columns
+    with MAD = 0 (over half the cells identical) report 0 outliers by
+    definition. NULL cells are counted (``n_nulls``) and excluded from
+    location/scale, exactly as mad_scores drops null points.
+
+    Scale shape: the union explodes the scan to len(cols) tall rows,
+    then ONE col-keyed Exchange feeds both median window sorts (the
+    mad_scores shape — per-partition size is one column's non-null
+    count; for wide fact tables at 100 TB run column batches). The
+    final per-column aggregate is len(cols) rows.
+    """
+    from rearview_spark.operators.anomaly import MAD_SCALE, mad_scores
+
+    if not cols:
+        raise ValueError("numeric_outlier_audit: cols must be non-empty")
+    tall = None
+    for c in cols:
+        part = df.select(
+            F.lit(c).alias("col_name"), F.col(c).cast("double").alias("value")
+        )
+        tall = part if tall is None else tall.unionAll(part)
+    nulls = tall.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.col("value").isNull().cast("long")).cast("long").alias("n_nulls"),
+    )
+    scored = mad_scores(tall, "value", "col_name", "value")
+    signed = F.lit(MAD_SCALE) * (F.col("value") - F.col("med"))
+    per_col = scored.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.sum(
+            (
+                (F.col("mad") > 0)
+                & (F.abs(signed) > F.lit(threshold) * F.col("mad"))
+            ).cast("long")
+        ).cast("long").alias("n_outliers"),
+    )
+    return (
+        nulls.join(per_col, "col_name", "left")
+        .select(
+            "col_name",
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            "n_nulls",
+            "med",
+            "mad",
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+            F.when(
+                F.col("n_rows") > 0,
+                F.col("n_outliers").cast("double") / F.col("n_rows").cast("double"),
+            ).alias("outlier_rate"),
+        )
+        .orderBy("col_name")
+    )

@@ -1570,3 +1570,108 @@ def sq8_error_audit(
         to_d(F.col("_p90")).alias("p90_rmse"),
         to_d(F.col("_mx")).alias("max_rmse"),
     )
+
+
+def silhouette(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified silhouette audit of a centroid assignment (Rousseeuw
+    1987, centroid form): for every vector, cosine distance to its OWN
+    (nearest) centroid ``a``, to the best OTHER centroid ``b``, and the
+    score ``(b - a) / max(a, b)`` — the per-point read on whether the
+    clustering :func:`kmeans_fit` produced is tight (→1), marginal
+    (→0), or has points sitting between clusters. The full-pairwise
+    silhouette is O(n²) and dies at corpus scale; the centroid form is
+    the standard scale substitute (one row per vector, k folds each)
+    and, because assignment IS nearest-centroid, scores are always
+    >= 0 — the audit signal is their distribution, per cluster.
+
+    Determinism contract (the :func:`assign_buckets` discipline): the
+    codebook is config-scale so it collects to the driver and each
+    centroid's cosine becomes a column expression over a SQL-literal
+    array (``repr`` round-trips doubles exactly); argmax ties resolve
+    to the smallest bucket; zero-norm vectors carry the ``-2.0``
+    cosine sentinel on every centroid (a = b = 3 → score 0, smallest
+    bucket). ``a_dist``/``b_dist``/``score`` are rounded at the output
+    edge only (nudged 6dp, plans/_exact.py rule) — no cross-row float
+    accumulation anywhere, so per-row values hash bit-identically
+    cross-engine. Single-centroid codebooks yield NULL b_dist/score
+    (no "other" cluster to compare against).
+
+    Scale shape: narrow projection over ONE corpus scan — k dot folds
+    + one norm fold per row (HOFs never enter codegen, so fold count
+    is the cost), zero shuffles, zero joins. Per-cluster roll-ups are
+    the caller's aggregate over this frame.
+    """
+    import math
+
+    cents = sorted(codebook.collect(), key=lambda r: r["bucket"])
+    sims = []
+    for r in cents:
+        arr = (
+            "array("
+            + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["centroid"])
+            + ")"
+        )
+        cn = math.sqrt(sum(x * x for x in r["centroid"]))
+        dot = (
+            f"aggregate(zip_with(__v, {arr}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        denom = f"(__ncv * CAST({cn!r} AS DOUBLE))"
+        sim = (
+            f"(CASE WHEN {denom} = 0 THEN CAST(-2.0 AS DOUBLE)"
+            f" ELSE {dot} / {denom} END)"
+        )
+        sims.append(
+            f"named_struct('s', {sim}, 'nb', {-r['bucket']}, 'b', {r['bucket']})"
+        )
+    ncv = (
+        "sqrt(aggregate(transform(__v, x -> x * x),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    all_structs = f"array({', '.join(sims)})"
+    own = f"array_max({all_structs})"
+    other = f"array_max(filter({all_structs}, t -> t.b != __own.b))"
+    return (
+        corpus.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__ncv", F.expr(ncv))
+        .withColumn("__own", F.expr(own))
+        .withColumn("__oth", F.expr(other))
+        .select(
+            F.col(id_col),
+            F.col("__own.b").alias("bucket"),
+            F.round(
+                F.lit(1.0) - F.col("__own.s") + F.lit(5e-10), 6
+            ).alias("a_dist"),
+            F.round(
+                F.lit(1.0) - F.col("__oth.s") + F.lit(5e-10), 6
+            ).alias("b_dist"),
+            F.round(
+                # greatest() skips NULLs, so the zero-distance guard
+                # must not swallow the single-centroid NULL case
+                F.when(F.col("__oth.s").isNull(), F.lit(None))
+                .when(
+                    F.greatest(
+                        F.lit(1.0) - F.col("__own.s"),
+                        F.lit(1.0) - F.col("__oth.s"),
+                    )
+                    == 0,
+                    F.lit(0.0),
+                ).otherwise(
+                    (F.col("__own.s") - F.col("__oth.s"))
+                    / (
+                        F.lit(1.0)
+                        - F.least(F.col("__own.s"), F.col("__oth.s"))
+                    )
+                )
+                + F.lit(5e-10),
+                6,
+            ).alias("score"),
+        )
+    )

@@ -2140,3 +2140,83 @@ PENDING_QUERIES["ev_cohort_ltv"] = {
 # 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def ev_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-column outlier audit over the events fact
+    (operators/profiling.numeric_outlier_audit): rank-explicit exact
+    median + MAD per column and the count of cells failing
+    ``|0.6745 * (x - med)| > 3.5 * MAD`` — the mean/stdev-blind
+    data-quality sweep a min/max profile cannot express. ``value``
+    (heavy-tailed — hundreds of cells fire at sf0.01) and ``user_id``
+    (uniform ids — zero fire) audit side by side, pinning both the
+    firing and the quiet behavior. The only division is
+    n_outliers / n_rows of exact int64s; the comparison stays in
+    unrounded product form (the ts_anomaly_mad contract, widened to
+    columns)."""
+    from rearview_spark.operators.profiling import numeric_outlier_audit
+
+    ev = Tables(spark, sf_dir).events
+    return numeric_outlier_audit(ev, ["value", "user_id"])
+
+
+EV_OUTLIER_SQL = """
+WITH u AS (
+  SELECT 'value' AS col_name, CAST(value AS DOUBLE) AS value FROM events
+  UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM events
+),
+nn AS (
+  SELECT col_name, count(*) AS n_cells,
+         coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls
+  FROM u GROUP BY 1
+),
+v AS (SELECT * FROM u WHERE value IS NOT NULL),
+r1 AS (
+  SELECT col_name, value,
+         row_number() OVER (PARTITION BY col_name ORDER BY value) AS r,
+         count(*) OVER (PARTITION BY col_name) AS n
+  FROM v
+),
+med AS (
+  SELECT col_name, sum(value) / count(value) AS med FROM r1
+  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1
+),
+d AS (
+  SELECT r1.col_name, r1.value, abs(r1.value - med.med) AS dev, med.med
+  FROM r1 JOIN med USING (col_name)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY col_name ORDER BY dev, value) AS r2n,
+         count(*) OVER (PARTITION BY col_name) AS n2
+  FROM d
+),
+mad AS (
+  SELECT col_name, sum(dev) / count(dev) AS mad FROM r2
+  WHERE r2n = (n2 + 1) // 2 OR r2n = n2 // 2 + 1 GROUP BY 1
+),
+agg AS (
+  SELECT d.col_name, count(*) AS n_rows, max(d.med) AS med, max(mad.mad) AS mad,
+         coalesce(sum(CASE WHEN mad.mad > 0
+                            AND abs(0.6745 * (d.value - d.med)) > 3.5 * mad.mad
+                      THEN 1 ELSE 0 END), 0) AS n_outliers
+  FROM d JOIN mad USING (col_name)
+  GROUP BY d.col_name
+)
+SELECT nn.col_name,
+       CAST(coalesce(a.n_rows, 0) AS BIGINT) AS n_rows,
+       CAST(nn.n_nulls AS BIGINT) AS n_nulls,
+       a.med, a.mad,
+       CAST(coalesce(a.n_outliers, 0) AS BIGINT) AS n_outliers,
+       CASE WHEN a.n_rows > 0
+            THEN CAST(a.n_outliers AS DOUBLE) / CAST(a.n_rows AS DOUBLE)
+       END AS outlier_rate
+FROM nn LEFT JOIN agg a USING (col_name)
+ORDER BY col_name
+"""
+
+# Staged (r16 wave — r17 budget; pre-verified by
+# tests/test_pending_gates.py at three scales before the flip).
+PENDING_QUERIES["ev_outlier_audit"] = {
+    "fn": ev_outlier_audit,
+    "oracle": EV_OUTLIER_SQL,
+}

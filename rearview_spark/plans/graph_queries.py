@@ -769,3 +769,92 @@ PENDING_QUERIES["graph_clustering_coeff"] = {
 # 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition over the thresholded
+    co-order part graph (operators/graph.modularity over
+    label_propagation at LPA_ITERS): the quality audit a community run
+    is judged by before its output drives sampling or dedup decisions.
+    Per community: exact int64 node count, directed intra-edge count,
+    degree sum, and contribution numerator ``dq_num = m2*intra2 -
+    deg_sum^2``; ``dq`` is ONE division of exact integers by ``m2^2``
+    (nudged 6dp both sides). Q is the sum of dq over rows — left as
+    rows so the frame stays integer-exact."""
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    lab = G.label_propagation(edges, iterations=LPA_ITERS)
+    out = G.modularity(edges, lab)
+    return out.select(
+        F.col("label").alias("community"),
+        "n_nodes",
+        "intra2",
+        "deg_sum",
+        "dq_num",
+        "m2",
+        F.round(
+            F.col("dq_num")
+            / (F.col("m2") * F.col("m2")).cast("double")
+            + F.lit(5e-10),
+            6,
+        ).alias("dq"),
+    ).orderBy("community")
+
+
+def _modularity_sql() -> str:
+    ctes = [
+        _COORDER_EDGES_CTE,
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, p.label AS label, count(*) AS cnt,
+           row_number() OVER (
+             PARTITION BY e.dst ORDER BY count(*) DESC, p.label ASC) AS rn
+    FROM edges e JOIN l{i - 1} p ON e.src = p.node
+    GROUP BY e.dst, p.label) t
+  WHERE rn = 1)"""
+        )
+    ctes.append(
+        "m2t AS (SELECT count(*) AS m2 FROM edges)"
+    )
+    ctes.append(
+        f"""degl AS (
+  SELECT l.label, count(*) AS n_nodes, sum(d.d) AS deg_sum
+  FROM (SELECT src, count(*) AS d FROM edges GROUP BY src) d
+  JOIN l{LPA_ITERS} l ON d.src = l.node
+  GROUP BY l.label)"""
+    )
+    ctes.append(
+        f"""intra AS (
+  SELECT a.label, count(*) AS intra2
+  FROM edges e
+  JOIN l{LPA_ITERS} a ON e.src = a.node
+  JOIN l{LPA_ITERS} b ON e.dst = b.node
+  WHERE a.label = b.label
+  GROUP BY a.label)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.label AS community,
+       CAST(d.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(i.intra2, 0) AS BIGINT) AS intra2,
+       CAST(d.deg_sum AS BIGINT) AS deg_sum,
+       CAST(m2t.m2 * coalesce(i.intra2, 0) - d.deg_sum * d.deg_sum AS BIGINT) AS dq_num,
+       CAST(m2t.m2 AS BIGINT) AS m2,
+       round(CAST(m2t.m2 * coalesce(i.intra2, 0) - d.deg_sum * d.deg_sum AS DOUBLE)
+             / CAST(m2t.m2 * m2t.m2 AS DOUBLE) + 0.0000000005, 6) AS dq
+FROM degl d LEFT JOIN intra i ON d.label = i.label, m2t
+ORDER BY community"""
+    )
+
+
+# Staged (r16 wave — r17 budget; pre-verified by
+# tests/test_pending_gates.py at three scales before the flip).
+PENDING_QUERIES["graph_modularity"] = {
+    "fn": graph_modularity,
+    "oracle": _modularity_sql(),
+}

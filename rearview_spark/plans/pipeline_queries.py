@@ -3635,3 +3635,69 @@ PENDING_QUERIES["doc_simpson_diversity"] = {
 # 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+
+
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector simplified-silhouette audit
+    (operators/similarity.silhouette) of a deterministic k-means fit
+    (k=8, 2 Lloyd iterations — smallest-id init, tie-broken argmax):
+    the clustering-quality table consulted before a k-means partition
+    (SemDeDup buckets, IVF routing, cluster-balanced selection) is
+    trusted for curation decisions. The oracle unrolls the two Lloyd
+    iterations as chained CTEs (the sim_ivf_kmeans_topk discipline)
+    and re-derives every a/b distance and score from the final
+    codebook; all floats are rounded at the output edge only (nudged
+    6dp) — no cross-row float accumulation on either side."""
+    emb = Tables(spark, sf_dir).embeddings
+    cb = S.kmeans_fit(emb, k=8, iters=2)
+    return S.silhouette(emb, cb).orderBy("vec_id")
+
+
+SIM_SILHOUETTE_SQL = (
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, v AS centroid
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)
+),"""
+    + ",".join(_kmeans_iteration_sql(i) for i in (1, 2))
+    + """,
+sims AS (
+  SELECT b.vec_id, c.bucket,
+         CASE WHEN list_sum(list_transform(b.v, x -> x * x)) = 0
+                OR list_sum(list_transform(c.centroid, x -> x * x)) = 0
+              THEN -2.0
+              ELSE list_cosine_similarity(b.v, c.centroid) END AS sim
+  FROM base b CROSS JOIN cb2 c
+),
+own AS (
+  SELECT vec_id, bucket, sim AS own_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, bucket) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+oth AS (
+  SELECT s.vec_id, max(s.sim) AS oth_sim
+  FROM sims s JOIN own o ON s.vec_id = o.vec_id AND s.bucket <> o.bucket
+  GROUP BY s.vec_id
+)
+SELECT o.vec_id, o.bucket,
+       round(1.0 - o.own_sim + 0.0000000005, 6) AS a_dist,
+       round(1.0 - t.oth_sim + 0.0000000005, 6) AS b_dist,
+       round(CASE WHEN greatest(1.0 - o.own_sim, 1.0 - t.oth_sim) = 0 THEN 0.0
+             ELSE (o.own_sim - t.oth_sim) / (1.0 - least(o.own_sim, t.oth_sim))
+             END + 0.0000000005, 6) AS score
+FROM own o JOIN oth t ON o.vec_id = t.vec_id
+ORDER BY o.vec_id
+"""
+)
+
+# Staged (r16 wave — r17 budget; pre-verified by
+# tests/test_pending_gates.py at three scales before the flip).
+PENDING_QUERIES["sim_silhouette"] = {
+    "fn": sim_silhouette,
+    "oracle": SIM_SILHOUETTE_SQL,
+}

@@ -2401,3 +2401,4 @@ PENDING_QUERIES["rel_profile_drift"] = {
 # 9 r11 rotations, pinned by VERDICT_r15 next-round #3).
 QUERIES.update(PENDING_QUERIES)
 PENDING_QUERIES = {}
+

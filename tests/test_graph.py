@@ -347,3 +347,47 @@ def test_clustering_coefficient_hand_computed(spark):
     assert got[4] == (4, 1, 0, None)
     assert got[6] == (6, 2, 0, 0.0)
     assert got[5] == (5, 1, 0, None)
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Hand-computed Newman modularity: two triangles joined by one
+    bridge edge, partitioned triangle-by-triangle. m2 = 14 directed
+    edges; each community has 6 intra directed edges and degree sum 7
+    (bridge endpoints have degree 3), so dq_num = 14*6 - 49 = 35 per
+    community and Q = 2 * 35/196 = 5/14."""
+    from rearview_spark.operators.graph import modularity
+
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(_sym(pairs), "src bigint, dst bigint")
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 4) for n in (4, 5, 6)],
+        "node bigint, label bigint",
+    )
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+    assert set(rows) == {1, 4}
+    for lbl in (1, 4):
+        r = rows[lbl]
+        assert (r["n_nodes"], r["intra2"], r["deg_sum"], r["dq_num"], r["m2"]) == (
+            3, 6, 7, 35, 14
+        )
+    q = sum(r["dq_num"] for r in rows.values()) / 14**2
+    assert q == pytest.approx(5 / 14)
+
+    # everything in ONE community: Q = m2*m2 - m2^2 = 0 exactly
+    one = spark.createDataFrame(
+        [(n, 1) for n in range(1, 7)], "node bigint, label bigint"
+    )
+    allrows = modularity(edges, one).collect()
+    assert len(allrows) == 1 and allrows[0]["dq_num"] == 0
+
+
+def test_modularity_envelope_raises(spark):
+    from unittest.mock import patch
+
+    from rearview_spark.operators import graph as G
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "node bigint, label bigint")
+    with patch.object(type(edges), "count", lambda self: 3_037_000_500):
+        with pytest.raises(ValueError, match="envelope"):
+            G.modularity(edges, labels)

@@ -3514,3 +3514,58 @@ def test_profile_drift_hand_computed(spark):
     empty = spark.createDataFrame([], "k long, v string")
     ez = {r["col_name"]: tuple(r) for r in profile_drift(empty, b, ["k"]).collect()}
     assert ez["k"] == ("k", 0, 4, 0, 0, 0, 3, None, None)
+
+
+def test_silhouette_hand_computed(spark):
+    """Simplified silhouette on hand vectors against two fixed unit
+    centroids: perfectly aligned vectors score 1, a 0.6/0.8 vector
+    scores (0.8-0.6)/(1-0.6) = 0.5, a zero vector carries the -2
+    sentinel on every centroid (a = b = 3 -> score 0, smallest
+    bucket), and a single-centroid codebook yields NULL b/score."""
+    from rearview_spark.operators.similarity import silhouette
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8]), (4, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "bucket int, centroid array<double>",
+    )
+    got = {r["vec_id"]: r for r in silhouette(corpus, cb).collect()}
+    assert (got[1]["bucket"], got[1]["a_dist"], got[1]["b_dist"], got[1]["score"]) == (0, 0.0, 1.0, 1.0)
+    assert (got[2]["bucket"], got[2]["a_dist"], got[2]["b_dist"], got[2]["score"]) == (1, 0.0, 1.0, 1.0)
+    assert got[3]["bucket"] == 1
+    assert got[3]["a_dist"] == pytest.approx(0.2)
+    assert got[3]["b_dist"] == pytest.approx(0.4)
+    assert got[3]["score"] == pytest.approx(0.5)
+    assert (got[4]["bucket"], got[4]["a_dist"], got[4]["b_dist"], got[4]["score"]) == (0, 3.0, 3.0, 0.0)
+
+    solo = silhouette(corpus, cb.filter("bucket = 0")).collect()
+    assert all(r["b_dist"] is None and r["score"] is None for r in solo)
+
+
+def test_numeric_outlier_audit_hand_computed(spark):
+    """Hand-computed robust audit: column a = [1,2,3,4,100,NULL] has
+    med 3, MAD 1, and exactly the 100 fires (0.6745*97 > 3.5); column
+    b = [5,5,5,5,9,5] has MAD 0 (over half identical), so the 9 does
+    NOT fire — the by-definition quiet case; NULLs are counted but
+    excluded from location/scale."""
+    from rearview_spark.operators.profiling import numeric_outlier_audit
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (4.0, 5.0), (100.0, 9.0), (None, 5.0)],
+        "a double, b double",
+    )
+    got = {r["col_name"]: r for r in numeric_outlier_audit(df, ["a", "b"]).collect()}
+    ra = got["a"]
+    assert (ra["n_rows"], ra["n_nulls"], ra["med"], ra["mad"], ra["n_outliers"]) == (
+        5, 1, 3.0, 1.0, 1
+    )
+    assert ra["outlier_rate"] == pytest.approx(0.2)
+    rb = got["b"]
+    assert (rb["n_rows"], rb["n_nulls"], rb["med"], rb["mad"], rb["n_outliers"]) == (
+        6, 0, 5.0, 0.0, 0
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        numeric_outlier_audit(df, [])
