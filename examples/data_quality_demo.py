@@ -4,6 +4,7 @@ before trusting a new drop of data, each from this repo's operators:
   profile     one-pass column stats (nulls / NDV / ranges)
   skew        join-key skew report (Gini, hottest key, p50/p99)
   diff        snapshot reconciliation vs a mutated re-delivery
+  outliers    per-column robust median/MAD outlier audit
   drift       PSI between the first and second half of the time range
   allocation  largest-remainder rebate proration (exact reconciliation)
 
@@ -24,7 +25,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from rearview_spark.operators.allocation import allocate_proportional
 from rearview_spark.operators.anomaly import psi_drift
 from rearview_spark.operators.joins import table_diff
-from rearview_spark.operators.profiling import profile_numeric_columns
+from rearview_spark.operators.profiling import (
+    numeric_outlier_audit,
+    profile_numeric_columns,
+)
 from rearview_spark.operators.skew import key_skew_report
 from rearview_spark.session import get_spark
 from rearview_spark.sources.loader import Tables
@@ -38,6 +42,10 @@ def main(sf_dir: str) -> None:
     profile_numeric_columns(
         t.lineitem, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     ).orderBy("col_name").show(truncate=False)
+
+    print("== Robust outlier audit: which event columns have heavy tails?")
+    ev = Tables(spark, sf_dir).events
+    numeric_outlier_audit(ev, ["value", "user_id"]).show()
 
     print("== Skew report: is l_partkey a safe join key?")
     key_skew_report(t.lineitem, "l_partkey").show()

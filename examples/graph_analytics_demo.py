@@ -108,6 +108,15 @@ def main(sf_dir: str) -> None:
         F.desc("clustering"), "node"
     ).show(5)
 
+    mod = G.modularity(edges, lab)
+    q = mod.agg(
+        (F.sum("dq_num") / (F.first("m2") * F.first("m2")).cast("double")).alias("q")
+    ).collect()[0]["q"]
+    print(f"== Modularity of the LPA partition: Q = {q:.4f}")
+    mod.orderBy(F.desc("dq_num"), "label").select(
+        "label", "n_nodes", "intra2", "deg_sum", "dq_num"
+    ).show(5)
+
     rules = G.association_rules(t.lineitem, "l_orderkey", "l_partkey", min_support=3)
     print("== Association rules: highest-lift recommendations")
     rules.orderBy(F.desc("lift"), "antecedent", "consequent").select(

@@ -79,6 +79,16 @@ _NEW_THIS_ROUND = (
     # rel_profile_drift, graph_clustering_coeff) is staged for r16:
     # r16 = 7 flips + 34 r10 + 9 r11 rotations -> floor reaches r11;
     # post-retirement cycle = ceil(280/35) = 8 rounds.
+    #
+    # r16 executed exactly that: the 7 r15-staged gates flipped, and 11
+    # redundant gates RETIRED to unit-only coverage across the round
+    # (3 at the flip commit + 8 per VERDICT_r15 #5 — COVERAGE.md names
+    # every inheriting test; none touch the pinned first-50 window).
+    # Registry 276; cycle ceil(276/35) = 8 rounds. The r16 wave
+    # (monitor_seasonal_lifecycle, stream_cohort_ltv, graph_modularity,
+    # sim_silhouette, ev_outlier_audit) is staged for r17: after the
+    # r16 driver run the stale floor is r11 with 35 rows left, so
+    # r17 = 5 flips + 35 r11 + 10 r12 rotations = 50 exactly.
 )
 
 

@@ -383,3 +383,41 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop_bucketed(spark, "t_bkt_left")
         drop_bucketed(spark, "t_bkt_right")
+
+
+def test_silhouette_single_scan_no_shuffle(spark):
+    """silhouette is a narrow projection: ONE corpus scan, ZERO
+    exchanges and zero joins before the caller's own ordering — the
+    k dot folds are column expressions over SQL-literal centroids
+    (operators/similarity.py docstring)."""
+    from rearview_spark.operators.similarity import silhouette
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "bucket int, centroid array<double>",
+    )
+    plan = silhouette(corpus, cb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_numeric_outlier_audit_col_keyed_exchanges_only(spark):
+    """The audit's windows are col_name-keyed (the mad_scores shape
+    widened to columns): no unpartitioned window sweep may appear —
+    the WindowExec single-partition warning shape is banned here."""
+    from rearview_spark.operators.profiling import numeric_outlier_audit
+
+    df = spark.createDataFrame(
+        [(float(i), float(i % 5)) for i in range(40)], "a double, b double"
+    )
+    plan = (
+        numeric_outlier_audit(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
