@@ -882,3 +882,72 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         ).cast("long").alias("dq_num"),
         F.lit(m2).cast("long").alias("m2"),
     )
+
+
+def shortest_paths(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 6
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths — bounded Bellman-Ford over
+    a directed edge list ``(src bigint, dst bigint, w bigint)`` with
+    non-negative integer weights: the weighted companion to
+    :func:`bfs_hops` (hop counts answer "how many steps"; this answers
+    "how close", with edge weight as the closeness cost — e.g. the
+    inverse co-order support, so strongly co-purchased parts sit
+    nearer). Same module contracts: symmetric directed edges, seeds
+    outside the graph ignored on both engines.
+
+    Bounded rounds, not a convergence loop (the PageRank / LPA / k-core
+    discipline): round t holds the cheapest path using <= t edges,
+
+        d_0(v)     = 0 if v in seeds
+        d_{t+1}(v) = min(d_t(v), min over in-edges (u,v) of d_t(u) + w)
+
+    so ``rounds`` caps path LENGTH exactly like ``max_hops``, and with
+    non-negative integer weights the recurrence is pure int64 min/plus
+    arithmetic — aggregation-order-immune, replayable by a chained-CTE
+    oracle, no tie-break rule needed (min over equal ints is itself).
+    Negative weights are rejected loudly (Bellman-Ford would need the
+    full |V|-1 rounds plus a negative-cycle check — out of contract).
+
+    Scale shape per round: one equi-join of the (repartitioned,
+    checkpointed-once) edge list against the O(reached) distance frame
+    on the src key, one min hash aggregate with map-side combine keyed
+    by dst, one full-outer min-merge with the previous frame; state
+    stays O(reached nodes) with per-round ``localCheckpoint`` lineage
+    cuts. Weight-domain bound: max dist <= rounds * max(w), so int64
+    is safe for any real weight scale.
+
+    Returns ``(node, dist)`` for reached nodes only (seeds at 0).
+    """
+    if edges.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "shortest_paths: negative edge weights are out of contract "
+            "(bounded-round relaxation assumes non-negative costs)"
+        )
+    ew = edges.repartition("src").localCheckpoint(eager=True)
+    in_graph = ew.select(F.col("src").alias("node")).distinct()
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .join(in_graph, "node", "left_semi")
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = ew.join(dist, ew["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("d"),
+        )
+        step = relaxed.groupBy("node").agg(F.min("d").alias("d"))
+        dist = (
+            dist.join(step, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("d")),
+                    F.coalesce(F.col("d"), F.col("dist")),
+                ).cast("long").alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -86,9 +86,9 @@ _NEW_THIS_ROUND = (
     # every inheriting test; none touch the pinned first-50 window).
     # Registry 276; cycle ceil(276/35) = 8 rounds. The r16 wave
     # (monitor_seasonal_lifecycle, stream_cohort_ltv, graph_modularity,
-    # sim_silhouette, ev_outlier_audit) is staged for r17: after the
-    # r16 driver run the stale floor is r11 with 35 rows left, so
-    # r17 = 5 flips + 35 r11 + 10 r12 rotations = 50 exactly.
+    # sim_silhouette, ev_outlier_audit, graph_shortest_paths) is staged
+    # for r17: after the r16 driver run the stale floor is r11 with 35
+    # rows left, so r17 = 6 flips + 35 r11 + 9 r12 rotations = 50.
 )
 
 

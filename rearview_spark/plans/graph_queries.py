@@ -858,3 +858,89 @@ PENDING_QUERIES["graph_modularity"] = {
     "fn": graph_modularity,
     "oracle": _modularity_sql(),
 }
+
+
+SSSP_ROUNDS = 6
+
+
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths
+    (operators/graph.shortest_paths) over the co-order part graph from
+    the Brand#4 parts, with the integer closeness cost
+    ``w = ceil(10 / pair_support)`` (strongly co-purchased pairs are
+    cheap to cross, threshold pairs cost 5) — "how close is every part
+    to the promoted set when tie strength matters", the weighted
+    companion to graph_bfs_hops. Bounded Bellman-Ford (SSSP_ROUNDS
+    relaxation rounds = max path length); pure int64 min/plus, so the
+    oracle unrolls the recurrence as chained MATERIALIZED CTEs (the
+    k-core discipline — materialization keeps the doubly-referenced
+    round frames from exponential re-inlining)."""
+    li = Tables(spark, sf_dir).lineitem
+    pairs = G.frequent_item_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+    w = ((F.lit(10) + F.col("pair_support") - 1) / F.col("pair_support")).cast(
+        "long"
+    )
+    wedges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"), w.alias("w")
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("src"), F.col("item_a").alias("dst"), w.alias("w")
+        )
+    )
+    seeds = Tables(spark, sf_dir).part.filter(
+        F.col("p_brand") == "Brand#4"
+    ).select(F.col("p_partkey").alias("node"))
+    dist = G.shortest_paths(wedges, seeds, rounds=SSSP_ROUNDS)
+    return dist.select(F.col("node").alias("p_partkey"), "dist").orderBy(
+        "p_partkey"
+    )
+
+
+def _sssp_sql() -> str:
+    ctes = [
+        """b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+wpairs AS (
+  SELECT a.it AS u, c.it AS v, count(*) AS s
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+wedges AS MATERIALIZED (
+  SELECT u AS src, v AS dst, (10 + s - 1) // s AS w FROM wpairs
+  UNION ALL
+  SELECT v, u, (10 + s - 1) // s FROM wpairs
+),
+seeds AS (
+  SELECT DISTINCT e.src AS node FROM wedges e
+  JOIN part p ON e.src = p.p_partkey
+  WHERE p.p_brand = 'Brand#4'
+),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+    ]
+    for i in range(1, SSSP_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, min(d) AS dist FROM (
+    SELECT node, dist AS d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS d
+    FROM wedges e JOIN d{i - 1} p ON e.src = p.node
+  ) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist
+FROM d{SSSP_ROUNDS}
+ORDER BY p_partkey"""
+    )
+
+
+# Staged (r16 wave — r17 budget; pre-verified by
+# tests/test_pending_gates.py at three scales before the flip).
+PENDING_QUERIES["graph_shortest_paths"] = {
+    "fn": graph_shortest_paths,
+    "oracle": _sssp_sql(),
+}

@@ -391,3 +391,28 @@ def test_modularity_envelope_raises(spark):
     with patch.object(type(edges), "count", lambda self: 3_037_000_500):
         with pytest.raises(ValueError, match="envelope"):
             G.modularity(edges, labels)
+
+
+def test_shortest_paths_weighted_vs_round_bound(spark):
+    """Hand graph 1-2 (w=1), 2-3 (w=1), 1-3 (w=5): with enough rounds
+    the two-step path (cost 2) beats the direct heavy edge; with ONE
+    round only the direct relaxation exists (cost 5) — the round cap
+    is a path-LENGTH bound, exactly like bfs_hops. Off-graph seeds are
+    ignored; negative weights raise."""
+    from rearview_spark.operators.graph import shortest_paths
+
+    pairs = [(1, 2, 1), (2, 3, 1), (1, 3, 5)]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs],
+        "src bigint, dst bigint, w bigint",
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+
+    got = {r["node"]: r["dist"] for r in shortest_paths(edges, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    one = {r["node"]: r["dist"] for r in shortest_paths(edges, seeds, rounds=1).collect()}
+    assert one == {1: 0, 2: 1, 3: 5}
+
+    neg = spark.createDataFrame([(1, 2, -1), (2, 1, -1)], "src bigint, dst bigint, w bigint")
+    with pytest.raises(ValueError, match="negative"):
+        shortest_paths(neg, seeds)
