@@ -983,3 +983,92 @@ def test_seasonal_mad_matches_per_slot_reference(spark, rows):
     assert set(got) == set(expect)
     for k, z in expect.items():
         assert got[k] == z
+
+
+# --- r16 wave: modularity / weighted shortest paths vs brute force ----------
+
+graph_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(pairs=graph_strategy, k=st.integers(1, 3))
+@SETTINGS
+def test_modularity_matches_brute_force(spark, pairs, k):
+    """modularity vs a literal Python evaluation of Newman's formula on
+    random small graphs with a deterministic (node % k) partition.
+    All-integer contract -> exact equality is legitimate."""
+    from rearview_spark.operators.graph import modularity
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    nodes = sorted({n for e in edges for n in e})
+    labels = [(n, n % k) for n in nodes]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    ldf = spark.createDataFrame(labels, "node bigint, label bigint")
+    got = {r["label"]: r for r in modularity(edf, ldf).collect()}
+
+    m2 = len(edges)
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    lab = dict(labels)
+    for c in sorted({l for _, l in labels}):
+        members = [n for n in nodes if lab[n] == c]
+        intra2 = sum(1 for s, d in edges if lab[s] == c and lab[d] == c)
+        deg_sum = sum(deg[n] for n in members)
+        r = got[c]
+        assert (r["n_nodes"], r["intra2"], r["deg_sum"], r["m2"]) == (
+            len(members), intra2, deg_sum, m2
+        )
+        assert r["dq_num"] == m2 * intra2 - deg_sum * deg_sum
+    # global Q bounds: sum of contributions in [-1/2, 1)
+    q = sum(r["dq_num"] for r in got.values()) / (m2 * m2)
+    assert -0.5 <= q < 1.0
+
+
+wgraph_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(tris=wgraph_strategy, rounds=st.integers(1, 4))
+@SETTINGS
+def test_shortest_paths_matches_bounded_bellman_ford(spark, tris, rounds):
+    """shortest_paths vs a literal Python bounded Bellman-Ford on
+    random weighted graphs from seed node 0 (plus an off-graph seed).
+    Pure int64 min/plus -> exact equality is legitimate; also pins the
+    round cap as a path-length bound."""
+    from rearview_spark.operators.graph import shortest_paths
+
+    und = {}
+    for a, b, w in tris:
+        key = (min(a, b), max(a, b))
+        und[key] = min(und.get(key, 10), w)  # parallel edges keep min w
+    edges = [(a, b, w) for (a, b), w in und.items()] + [
+        (b, a, w) for (a, b), w in und.items()
+    ]
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edf, seeds, rounds=rounds).collect()
+    }
+
+    nodes = sorted({n for s, d, _ in edges for n in (s, d)})
+    INF = float("inf")
+    ref = {n: (0 if n == 0 else INF) for n in nodes}
+    if 0 not in nodes:
+        assert got == {}
+        return
+    for _ in range(rounds):
+        nxt = dict(ref)
+        for s, d, w in edges:
+            if ref[s] + w < nxt[d]:
+                nxt[d] = ref[s] + w
+        ref = nxt
+    assert got == {n: d for n, d in ref.items() if d != INF}
