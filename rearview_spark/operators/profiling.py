@@ -611,29 +611,39 @@ def numeric_outlier_audit(
     """Robust per-column outlier audit: for each numeric column, the
     rank-explicit exact median, the MAD, and how many cells fail the
     Iglewicz-Hoaglin rule ``|0.6745 * (x - med)| > threshold * MAD`` —
-    the column-wise widening of operators/anomaly.mad_scores (same
-    window machinery, same determinism contract) that turns the robust
-    point-anomaly rule into a data-quality sweep: a column whose
-    outlier rate jumps between loads is the mean/stdev-blind signal a
-    profile diff (:func:`profile_drift`) cannot see.
+    the column-wise robust data-quality sweep a min/max profile cannot
+    see: a column whose outlier rate jumps between loads is the
+    mean/stdev-blind drift signal (:func:`profile_drift` counts NULLs
+    and NDV; this catches tail corruption).
 
-    Determinism: the unioned ``(col_name, value)`` frame flows through
-    the same rank-explicit median/MAD windows as mad_scores (value is
-    its own sort tiebreak — ties cannot move which VALUES occupy the
-    middle ranks), the comparison stays in unrounded product form, and
-    the only division is ``n_outliers / n_rows`` of exact int64s —
-    bit-identical cross-engine, no rounding contract needed. Columns
-    with MAD = 0 (over half the cells identical) report 0 outliers by
-    definition. NULL cells are counted (``n_nulls``) and excluded from
-    location/scale, exactly as mad_scores drops null points.
+    Execution is the ks_from_counts discipline, NOT a row-level sort:
+    each column first collapses to exact ``(col, value, count)`` rows
+    (one hash aggregate with map-side combine — the only stage that
+    touches row-scale data), and both medians are then computed from
+    CUMULATIVE COUNTS over the distinct-value domain: the value whose
+    cumulative range covers rank ``(n+1) div 2`` / ``n div 2 + 1``
+    contributes, and the median is one addition + one division of at
+    most two addends (IEEE-commutative, bit-identical cross-engine).
+    The deviation pass re-collapses ``abs(value - med)`` the same way.
+    The anomaly comparison stays in unrounded product form, and the
+    only output division is ``n_outliers / n_rows`` of exact int64s —
+    no rounding contract needed anywhere.
 
-    Scale shape: the union explodes the scan to len(cols) tall rows,
-    then ONE col-keyed Exchange feeds both median window sorts (the
-    mad_scores shape — per-partition size is one column's non-null
-    count; for wide fact tables at 100 TB run column batches). The
-    final per-column aggregate is len(cols) rows.
+    Scale shape: the unioned tall frame is len(cols) pruned
+    single-column scans collapsing immediately to the per-column
+    distinct-VALUE domain; every window after that is domain-sized
+    (the per-column window partition holds NDV rows, never row-scale
+    data — a 10M-row column with 4k distinct prices sorts 4k rows).
+    For genuinely continuous ultra-high-NDV columns, quantize upstream
+    or swap ``percentile_approx`` — the same stated knob as the KS
+    drift family, whose count-collapse state this reuses. MAD = 0
+    columns (over half the cells identical) report 0 outliers by
+    definition; NULL cells are counted (``n_nulls``) and excluded from
+    location/scale.
     """
-    from rearview_spark.operators.anomaly import MAD_SCALE, mad_scores
+    from pyspark.sql import Window
+
+    from rearview_spark.operators.anomaly import MAD_SCALE
 
     if not cols:
         raise ValueError("numeric_outlier_audit: cols must be non-empty")
@@ -647,18 +657,69 @@ def numeric_outlier_audit(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum(F.col("value").isNull().cast("long")).cast("long").alias("n_nulls"),
     )
-    scored = mad_scores(tall, "value", "col_name", "value")
+    counts = (
+        tall.filter(F.col("value").isNotNull())
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _count_median(cdf: DataFrame, order_col: str) -> DataFrame:
+        """Exact rank-explicit median from (col_name, <order_col>, cnt)
+        rows: at most two covering values, one addition, one division."""
+        wp = Window.partitionBy("col_name")
+        wo = wp.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        c = cdf.withColumn("_cum", F.sum("cnt").over(wo)).withColumn(
+            "_n", F.sum("cnt").over(wp)
+        )
+        r1 = F.expr("(_n + 1) div 2")
+        r2 = F.expr("_n div 2 + 1")
+        lo = F.col("_cum") - F.col("cnt") + 1
+        hits = (
+            ((r1 >= lo) & (r1 <= F.col("_cum"))).cast("long")
+            + ((r2 >= lo) & (r2 <= F.col("_cum"))).cast("long")
+        )
+        return (
+            c.withColumn("_hits", hits)
+            .filter(F.col("_hits") > 0)
+            .groupBy("col_name")
+            .agg(
+                (
+                    F.sum(F.col(order_col) * F.col("_hits"))
+                    / F.sum("_hits")
+                ).alias("_m")
+            )
+        )
+
+    med = _count_median(counts, "value").withColumnRenamed("_m", "med")
+    devc = (
+        counts.join(F.broadcast(med), "col_name")
+        .select(
+            "col_name",
+            F.abs(F.col("value") - F.col("med")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("col_name", "dev")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    mad = _count_median(devc, "dev").withColumnRenamed("_m", "mad")
+    stats = med.join(mad, "col_name")
     signed = F.lit(MAD_SCALE) * (F.col("value") - F.col("med"))
-    per_col = scored.groupBy("col_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.first("med").alias("med"),
-        F.first("mad").alias("mad"),
-        F.sum(
-            (
-                (F.col("mad") > 0)
-                & (F.abs(signed) > F.lit(threshold) * F.col("mad"))
-            ).cast("long")
-        ).cast("long").alias("n_outliers"),
+    per_col = (
+        counts.join(F.broadcast(stats), "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.abs(signed) > F.lit(threshold) * F.col("mad")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_outliers"),
+        )
     )
     return (
         nulls.join(per_col, "col_name", "left")

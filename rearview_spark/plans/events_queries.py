@@ -2145,7 +2145,9 @@ PENDING_QUERIES = {}
 def ev_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-column outlier audit over the events fact
     (operators/profiling.numeric_outlier_audit): rank-explicit exact
-    median + MAD per column and the count of cells failing
+    median + MAD per column FROM VALUE COUNTS (the ks_from_counts
+    collapse — the window partitions hold each column's distinct-value
+    domain, never row-scale data) and the count of cells failing
     ``|0.6745 * (x - med)| > 3.5 * MAD`` — the mean/stdev-blind
     data-quality sweep a min/max profile cannot express. ``value``
     (heavy-tailed — hundreds of cells fire at sf0.01) and ``user_id``
@@ -2170,37 +2172,52 @@ nn AS (
          coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls
   FROM u GROUP BY 1
 ),
-v AS (SELECT * FROM u WHERE value IS NOT NULL),
-r1 AS (
-  SELECT col_name, value,
-         row_number() OVER (PARTITION BY col_name ORDER BY value) AS r,
-         count(*) OVER (PARTITION BY col_name) AS n
-  FROM v
+counts AS (
+  SELECT col_name, value, count(*) AS cnt FROM u
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c1 AS (
+  SELECT col_name, value, cnt,
+         sum(cnt) OVER (PARTITION BY col_name ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY col_name) AS n
+  FROM counts
 ),
 med AS (
-  SELECT col_name, sum(value) / count(value) AS med FROM r1
-  WHERE r = (n + 1) // 2 OR r = n // 2 + 1 GROUP BY 1
+  SELECT col_name, sum(value * hits) / sum(hits) AS med FROM (
+    SELECT col_name, value,
+           (CASE WHEN (n + 1) // 2 BETWEEN cum - cnt + 1 AND cum THEN 1 ELSE 0 END)
+         + (CASE WHEN n // 2 + 1 BETWEEN cum - cnt + 1 AND cum THEN 1 ELSE 0 END) AS hits
+    FROM c1
+  ) WHERE hits > 0 GROUP BY col_name
 ),
-d AS (
-  SELECT r1.col_name, r1.value, abs(r1.value - med.med) AS dev, med.med
-  FROM r1 JOIN med USING (col_name)
+devc AS (
+  SELECT c.col_name, abs(c.value - m.med) AS dev, sum(c.cnt) AS cnt
+  FROM counts c JOIN med m USING (col_name)
+  GROUP BY 1, 2
 ),
-r2 AS (
-  SELECT *, row_number() OVER (PARTITION BY col_name ORDER BY dev, value) AS r2n,
-         count(*) OVER (PARTITION BY col_name) AS n2
-  FROM d
+c2 AS (
+  SELECT col_name, dev, cnt,
+         sum(cnt) OVER (PARTITION BY col_name ORDER BY dev
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY col_name) AS n
+  FROM devc
 ),
 mad AS (
-  SELECT col_name, sum(dev) / count(dev) AS mad FROM r2
-  WHERE r2n = (n2 + 1) // 2 OR r2n = n2 // 2 + 1 GROUP BY 1
+  SELECT col_name, sum(dev * hits) / sum(hits) AS mad FROM (
+    SELECT col_name, dev,
+           (CASE WHEN (n + 1) // 2 BETWEEN cum - cnt + 1 AND cum THEN 1 ELSE 0 END)
+         + (CASE WHEN n // 2 + 1 BETWEEN cum - cnt + 1 AND cum THEN 1 ELSE 0 END) AS hits
+    FROM c2
+  ) WHERE hits > 0 GROUP BY col_name
 ),
 agg AS (
-  SELECT d.col_name, count(*) AS n_rows, max(d.med) AS med, max(mad.mad) AS mad,
-         coalesce(sum(CASE WHEN mad.mad > 0
-                            AND abs(0.6745 * (d.value - d.med)) > 3.5 * mad.mad
-                      THEN 1 ELSE 0 END), 0) AS n_outliers
-  FROM d JOIN mad USING (col_name)
-  GROUP BY d.col_name
+  SELECT c.col_name, sum(c.cnt) AS n_rows, max(m.med) AS med, max(d.mad) AS mad,
+         coalesce(sum(CASE WHEN d.mad > 0
+                            AND abs(0.6745 * (c.value - m.med)) > 3.5 * d.mad
+                      THEN c.cnt ELSE 0 END), 0) AS n_outliers
+  FROM counts c JOIN med m USING (col_name) JOIN mad d USING (col_name)
+  GROUP BY c.col_name
 )
 SELECT nn.col_name,
        CAST(coalesce(a.n_rows, 0) AS BIGINT) AS n_rows,
