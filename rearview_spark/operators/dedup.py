@@ -1421,26 +1421,45 @@ def duplicated_spans(
     fingerprints the span TEXT, so equal spans in different docs carry
     equal fingerprints (what :func:`excise_duplicated_spans` groups on).
 
-    Scale shape: one scan explodes positional fingerprints; the
-    duplicated-fingerprint set is two map-side-combined aggregations
-    keyed on the hash (distinct (h, id) then count >= min_docs); the
-    join back to positions is keyed on the same hash (no skew: md5
-    keys); island-merging is two window functions over (id, pos) — one
+    Scale shape (r16 optimization, guide §2.3/§2.4): ONE scan explodes
+    positional fingerprints (the expensive tokenize+md5 pass — the
+    pre-r16 plan ran it twice, once for the duplicated-hash set and
+    once for the join back to positions), then a single Exchange on the
+    hash sorts each h-run and two window functions over it decide
+    >= min_docs distinct docs in place (dense_rank ceiling — exact
+    distinct count without a second aggregation pass or the join back);
+    island-merging is two window functions over (id, pos) — one
     Exchange on the doc id, state per row is one running max. Nothing
     is ever pairwise: cost is linear in total duplicated POSITIONS, not
     quadratic in documents sharing a span (the property that makes this
     formulation survive boilerplate shared by millions of docs, where
-    the pairwise operators above must cap or drop)."""
-    grams = positional_ngrams(df, window, text_col, id_col)
-    dup_h = (
-        grams.select("h", id_col)
-        .distinct()
-        .groupBy("h")
-        .count()
-        .filter(F.col("count") >= min_docs)
-        .select("h")
+    the pairwise operators above must cap or drop). A planet-scale
+    boilerplate hash lands its positions in one window partition —
+    still a LINEAR single-task scan (min/max state), the same ceiling
+    the pre-r16 join-back shape hit on its h-keyed shuffle side.
+
+    The input is spread across the cluster first (ensure_parallelism):
+    a dimension-table-sized parquet arrives as ONE partition and the
+    gram explode+md5 — the dominant cost — would otherwise run
+    single-threaded (no-op at real scale)."""
+    from rearview_spark.operators._util import ensure_parallelism
+
+    grams = positional_ngrams(
+        ensure_parallelism(df, id_col), window, text_col, id_col
     )
-    dup_pos = grams.join(dup_h, "h").select(id_col, "pos")
+    wh = Window.partitionBy("h")
+    # distinct-doc count per hash, in-place: dense_rank over (h | id)
+    # peaks at the number of distinct ids in the h-run; max over the
+    # run broadcasts that count to every row. One Exchange + one sort,
+    # zero joins, the gram pass runs ONCE.
+    n_docs = F.max(
+        F.dense_rank().over(wh.orderBy(F.col(id_col)))
+    ).over(wh)
+    dup_pos = (
+        grams.withColumn("_nd", n_docs)
+        .filter(F.col("_nd") >= min_docs)
+        .select(id_col, "pos")
+    )
 
     wo = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + window).over(
