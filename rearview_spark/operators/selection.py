@@ -331,10 +331,21 @@ def cluster_balanced_sample(
 
     codebook = kmeans_fit(corpus, n_clusters, iters, id_col, vec_col)
     vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    assigned = assign_buckets(vecs, codebook).select(id_col, "bucket")
+    # materialized once: the threshold (broadcast) side and the keep-rule
+    # side both read the assignment, and the per-cluster budget needs a
+    # row count — pre-r16 the argmax projection ran three times (count,
+    # sizes, keep join). Assignment never drops rows, so the budget
+    # count comes from the raw corpus (no argmax); the (id, bucket)
+    # checkpoint is ~16 bytes/row, the narrow-proxy discipline of
+    # guide §8.
+    assigned = (
+        assign_buckets(vecs, codebook)
+        .select(id_col, "bucket")
+        .localCheckpoint(eager=True)
+    )
     sizes = assigned.groupBy("bucket").agg(F.count("*").alias("_size"))
     if per_cluster is None:
-        total = assigned.count()
+        total = corpus.count()
         per_cluster = math.ceil(total / n_clusters)
     # floor at 1 bp (for a positive budget): a cluster bigger than
     # per_cluster*10000 rows would otherwise integer-floor to threshold

@@ -694,51 +694,55 @@ def kmeans_fit(
 
     Deterministic init: the k vectors with the smallest ids (no RNG — the
     fit is reproducible run to run, which resume/backfill at 100 TB
-    requires). Each iteration is (a) assign: corpus x broadcast(codebook)
-    nearest-centroid argmin, (b) update: posexplode to (bucket, dim) and
-    average — the same narrow-shuffle shape as label_centroids. Lineage
-    is truncated per iteration (localCheckpoint) so iteration N's plan
-    does not replay 1..N-1. Empty clusters keep their previous centroid
-    (standard Lloyd degenerate-case handling)."""
-    from pyspark.sql import Window
-
+    requires). Each iteration is (a) assign: the zero-shuffle literal
+    argmax projection (:func:`assign_buckets`'s expression, built from
+    the DRIVER-side centroid list), (b) update: posexplode to
+    (bucket, dim) and average, collected to the driver — the codebook is
+    a k-row config-scale artifact (the PQ-codebook class), so carrying
+    it as driver state costs one k*dim-row collect per iteration and
+    REPLACES the pre-r16 per-iteration collect + join + eager
+    localCheckpoint pair: one job per Lloyd iteration instead of two,
+    and zero codebook-lineage checkpoints (guide §1.2 step 1 — fewer
+    passes — plus §5: the driver holds k*dim doubles, not data). Empty
+    clusters keep their previous centroid (standard Lloyd
+    degenerate-case handling, now a driver-side dict fallback —
+    identical doubles: collected avg values round-trip exactly through
+    repr literals, the assign_buckets discipline)."""
     from rearview_spark.operators._util import ensure_parallelism
 
-    # cached: every Lloyd iteration reads vecs twice (assign + update) and
-    # the seed scan once — without the cache that is 2*iters+1 parquet
-    # scans + array casts; with it, one parallel scan total.
+    # cached: every Lloyd iteration reads vecs once (assign+update fused
+    # into the means job) and the seed scan once — without the cache that
+    # is iters+1 parquet scans + array casts; with it, one parallel scan.
     vecs = ensure_parallelism(corpus, id_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
     ).cache()
-    codebook = (
-        vecs.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("bucket"),
-            F.col("cv").alias("centroid"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    seed_rows = vecs.orderBy(id_col).limit(k).collect()
+    cents: list[list[float]] = [
+        list(r["cv"]) for r in sorted(seed_rows, key=lambda r: r[id_col])
+    ]
     for _ in range(iters):
-        assigned = assign_buckets(vecs, codebook)
-        exploded = assigned.select("bucket", F.posexplode("cv").alias("pos", "x"))
-        means = exploded.groupBy("bucket", "pos").agg(F.avg("x").alias("m"))
-        new_codebook = (
-            means.groupBy("bucket")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("bucket", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        assigned = _assign_with_cents(vecs, cents)
+        means_rows = (
+            assigned.select("bucket", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
         )
-        # empty clusters: fall back to the previous centroid
-        codebook = (
-            codebook.select("bucket", F.col("centroid").alias("_prev"))
-            .join(new_codebook, "bucket", "left")
-            .select("bucket", F.coalesce("centroid", "_prev").alias("centroid"))
-            .localCheckpoint(eager=True)
-        )
-    # the codebook is checkpointed (no lineage into vecs); release the
-    # corpus-scale cache before returning
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means_rows:
+            by_bucket.setdefault(r["bucket"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_bucket[b][p] for p in range(len(cents[b]))]
+            if b in by_bucket
+            else cents[b]  # empty cluster: keep the previous centroid
+            for b in range(len(cents))
+        ]
     vecs.unpersist()
-    return codebook
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(b, cents[b]) for b in range(len(cents))],
+        "bucket int, centroid array<double>",
+    )
 
 
 def assign_buckets(
@@ -763,16 +767,36 @@ def assign_buckets(
     IEEE add order as the in-plan fold, so the doubles are bit-equal)
     and the vector's own norm is a shared column instead of being
     re-folded once per centroid (k+1 interpreted folds per row, down
-    from 3k — HOFs never enter codegen, so fold count IS the cost).
+    from 3k — HOFs never enter codegen, so fold count IS the cost; the
+    r16 unrolled-arithmetic experiment measured the codegen'd
+    term-chain form ~3x SLOWER than the fold, so the HOF stays).
     The whole argmax is one parsed SQL expression (one Py4J round
     trip)."""
+    cents = sorted(codebook.collect(), key=lambda r: r["bucket"])
+    return _assign_with_cents(
+        vecs, [list(r["centroid"]) for r in cents],
+        [r["bucket"] for r in cents], vec_expr,
+    )
+
+
+def _assign_with_cents(
+    vecs: DataFrame,
+    cents: list,
+    buckets: list | None = None,
+    vec_expr: str = "cv",
+) -> DataFrame:
+    """:func:`assign_buckets` body over a DRIVER-side centroid list —
+    shared with :func:`kmeans_fit`'s loop so the fit never round-trips
+    the codebook through a DataFrame between iterations. ``buckets``
+    defaults to 0..len(cents)-1."""
     import math
 
-    cents = sorted(codebook.collect(), key=lambda r: r["bucket"])
+    if buckets is None:
+        buckets = list(range(len(cents)))
     structs = []
-    for r in cents:
-        arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["centroid"]) + ")"
-        cn = math.sqrt(sum(x * x for x in r["centroid"]))
+    for b, centroid in zip(buckets, cents):
+        arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in centroid) + ")"
+        cn = math.sqrt(sum(x * x for x in centroid))
         dot = (
             f"aggregate(zip_with({vec_expr}, {arr}, (x, y) -> x * y),"
             " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
@@ -780,7 +804,7 @@ def assign_buckets(
         denom = f"(__ncv * CAST({cn!r} AS DOUBLE))"
         sim = f"(CASE WHEN {denom} = 0 THEN CAST(-2.0 AS DOUBLE) ELSE {dot} / {denom} END)"
         structs.append(
-            f"named_struct('s', {sim}, 'nb', {-r['bucket']}, 'b', {r['bucket']})"
+            f"named_struct('s', {sim}, 'nb', {-b}, 'b', {b})"
         )
     argmax = f"array_max(array({', '.join(structs)})).b"
     ncv = (
@@ -890,54 +914,94 @@ def pq_fit(
     subspace -> ``(s, code, centroid)`` with ``m*k`` rows total.
 
     All subspaces train SIMULTANEOUSLY: the subvector frame carries the
-    subspace id ``s``, so one assign-join + one update-aggregate per
-    Lloyd iteration covers every subspace (iterations cost O(n*m*k)
-    joined rows, not m separate fits). Deterministic init (the k
-    smallest ids' subvectors) and smallest-code tie-breaks keep the fit
-    reproducible — the property the recursive SQL oracle relies on.
-    Lineage is truncated per iteration (localCheckpoint)."""
-    from pyspark.sql import Window
+    subspace id ``s``, so one pass per Lloyd iteration covers every
+    subspace. Deterministic init (the k smallest ids' subvectors) and
+    smallest-code tie-breaks keep the fit reproducible — the property
+    the recursive SQL oracle relies on.
 
+    r16 shape (guide §2.4/§1.2): the codebook is an m*k-row
+    config-scale artifact, so it lives DRIVER-side across iterations
+    (the kmeans_fit discipline). Assignment is the zero-shuffle literal
+    argmin projection (:func:`_pq_code_col` — identical ``_sq_l2``
+    fold over repr-round-tripped centroid literals, identical
+    min-struct tie-break), replacing the pre-r16 broadcast-join +
+    groupBy(id, s) min whose n*m*k joined rows paid one full Exchange
+    per iteration; the update aggregate collects m*k*sub mean rows per
+    iteration (one job) instead of join + eager localCheckpoint
+    (two)."""
     from rearview_spark.operators._util import ensure_parallelism
 
     sub = dim // m
     subs = _subvectors(ensure_parallelism(corpus, id_col), m, sub, id_col, vec_col).cache()
-    seed_ids = corpus.select(id_col).orderBy(id_col).limit(k)
-    codebook = (
-        subs.join(F.broadcast(seed_ids), id_col)
-        .select(
-            "s",
-            (F.row_number().over(Window.partitionBy("s").orderBy(id_col)) - 1).alias("code"),
-            F.col("sv").alias("centroid"),
+    seed_rows = (
+        subs.join(
+            F.broadcast(corpus.select(id_col).orderBy(id_col).limit(k)), id_col
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
+    # code c of subspace s = the c-th smallest seed id's s-subvector
+    cents: dict[int, dict[int, list[float]]] = {}
+    for r in sorted(seed_rows, key=lambda r: (r["s"], r[id_col])):
+        cell = cents.setdefault(r["s"], {})
+        cell[len(cell)] = list(r["sv"])
     for _ in range(iters):
-        d = _sq_l2(F.col("sv"), F.col("centroid"))
-        assigned = (
-            subs.join(F.broadcast(codebook), "s")
-            .select(id_col, "s", "sv", F.struct(d.alias("d"), F.col("code").alias("c")).alias("dc"))
-            .groupBy(id_col, "s")
-            .agg(F.min("dc").alias("dc"), F.first("sv").alias("sv"))
-            .select(id_col, "s", F.col("dc.c").alias("code"), "sv")
-        )
-        means = (
-            assigned.select("s", "code", F.posexplode("sv").alias("pos", "x"))
+        coded = subs.withColumn("code", _pq_code_col(cents, "sv"))
+        means_rows = (
+            coded.select("s", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("s", "code", "pos")
             .agg(F.avg("x").alias("m"))
-            .groupBy("s", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("s", "code", F.transform("pm", lambda t: t["m"]).alias("centroid"))
+            .collect()
         )
-        codebook = (
-            codebook.select("s", "code", F.col("centroid").alias("_prev"))
-            .join(means, ["s", "code"], "left")
-            .select("s", "code", F.coalesce("centroid", "_prev").alias("centroid"))
-            .localCheckpoint(eager=True)
-        )
-    # codebook is checkpointed; the subvector cache has no readers left
+        by_sc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means_rows:
+            by_sc.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["m"]
+        cents = {
+            s: {
+                c: [by_sc[(s, c)][p] for p in range(len(cents[s][c]))]
+                if (s, c) in by_sc
+                else cents[s][c]  # empty code cell: keep previous centroid
+                for c in cents[s]
+            }
+            for s in cents
+        }
     subs.unpersist()
-    return codebook
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(s, c, cents[s][c]) for s in sorted(cents) for c in sorted(cents[s])],
+        "s int, code int, centroid array<double>",
+    )
+
+
+def _pq_code_col(cents: dict, sv_expr: str = "sv"):
+    """Nearest-code assignment for the subvector frame as ONE parsed SQL
+    expression over driver-side per-subspace centroid lists: a CASE on
+    the subspace id ``s`` choosing among ``array_min`` argmins of
+    ``(squared-L2, code)`` structs — the same lexicographic (distance,
+    smallest-code) tie-break as the pre-r16 ``min(struct(d, c))``
+    aggregate, with the same sequential ``_sq_l2`` fold over
+    repr-round-tripped literals, so the codes are bit-identical. Zero
+    joins, zero shuffles — assignment rides the scan/cache stage."""
+    if not cents:
+        return F.lit(None).cast("int")
+    branches = []
+    for s in sorted(cents):
+        structs = []
+        for c in sorted(cents[s]):
+            centroid = cents[s][c]
+            arr = (
+                "array("
+                + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in centroid)
+                + ")"
+            )
+            d = (
+                f"aggregate(zip_with({sv_expr}, {arr}, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            structs.append(f"named_struct('d', {d}, 'c', {c})")
+        branches.append(
+            f"WHEN s = {s} THEN array_min(array({', '.join(structs)})).c"
+        )
+    return F.expr("CASE " + " ".join(branches) + " END")
 
 
 def pq_encode(
@@ -952,19 +1016,22 @@ def pq_encode(
     nearest codebook centroid per subspace. This is the 100 TB payoff:
     a 64-dim float vector (256-512 B) becomes m bytes (~4 B), so a
     billion-vector index fits executor memory and the ANN scan reads
-    codes, not vectors. Broadcast codebook, map-side argmin — the corpus
-    never shuffles."""
+    codes, not vectors. The codebook is an m*k-row config-scale
+    artifact: collected once and inlined as the literal argmin
+    projection (:func:`_pq_code_col`) — identical ``_sq_l2`` fold and
+    (distance, smallest-code) tie-break as the pre-r16 broadcast-join +
+    groupBy-min form, but zero joins and ZERO shuffles: encoding rides
+    the scan stage (the groupBy(id, s) used to pay one n*m*k-row
+    Exchange per call)."""
     from rearview_spark.operators._util import ensure_parallelism
 
     sub = dim // m
     subs = _subvectors(ensure_parallelism(corpus, id_col), m, sub, id_col, vec_col)
-    d = _sq_l2(F.col("sv"), F.col("centroid"))
-    return (
-        subs.join(F.broadcast(codebook), "s")
-        .select(id_col, "s", F.struct(d.alias("d"), F.col("code").alias("c")).alias("dc"))
-        .groupBy(id_col, "s")
-        .agg(F.min("dc").alias("dc"))
-        .select(id_col, "s", F.col("dc.c").alias("code"))
+    cents: dict[int, dict[int, list[float]]] = {}
+    for r in codebook.collect():
+        cents.setdefault(r["s"], {})[r["code"]] = list(r["centroid"])
+    return subs.select(
+        F.col(id_col), F.col("s"), _pq_code_col(cents, "sv").alias("code")
     )
 
 
