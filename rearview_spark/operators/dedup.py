@@ -531,8 +531,16 @@ def incremental_minhash_dedup(
         # (drop the bucket the first run matched in). Excluding store
         # rows whose id is in the batch (broadcast anti-join at
         # micro-batch scale) restores the first run's world exactly.
+        # The broadcast side is the RAW batch id projection, not
+        # new_sigs (r16): broadcasting new_sigs ids forced the whole
+        # batch signature pipeline to materialize before the store scan
+        # could even start; the raw ids are a scan-time projection, so
+        # the store side and the signature pipeline overlap. Store rows
+        # only exist for docs that shingled, so a batch id matching a
+        # store row implies the sig pipeline would have carried it too
+        # — the excluded set is identical.
         store = store.join(
-            F.broadcast(new_sigs.select(id_col)), id_col, "left_anti"
+            F.broadcast(new_docs.select(id_col)), id_col, "left_anti"
         )
         if "bands" not in store.columns:
             # Legacy store written before band keys were materialized:
@@ -1280,11 +1288,15 @@ def connected_components(
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "comp")
         )
+        # LAZY checkpoint (r16): the convergence-sum collect right
+        # below materializes it, so each round schedules ONE job
+        # (propagation + checkpoint-fill + node-scale sum) instead of
+        # an eager checkpoint job followed by a separate sum job.
         labels = (
             labels.unionByName(neighbor_min)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:

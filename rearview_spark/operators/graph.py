@@ -100,14 +100,19 @@ def pagerank(
             F.col("dst").alias("node"),
             F.expr(f"({damping_num} * r) div ({damping_den} * outdeg)").alias("c"),
         )
+        # zero-contribution nodes get the teleport base via a UNION of
+        # zero rows into the SAME aggregation (r16) — sum over
+        # {contribs, one 0} == coalesce(sum(contribs), 0) exactly
+        # (bigint), so the per-iteration right-outer node join (an
+        # extra broadcast + join stage per iteration) disappears; the
+        # union rides into the existing groupBy exchange.
         ranks = (
-            contrib.groupBy("node")
-            .agg(F.sum("c").alias("s"))
-            .join(nodes, "node", "right_outer")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).alias("r"),
+            contrib.unionByName(
+                nodes.select("node", F.lit(0).cast("long").alias("c"))
             )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select("node", (F.lit(base) + F.col("s")).alias("r"))
             .localCheckpoint(eager=True)
         )
     return ranks.select(
@@ -171,15 +176,26 @@ def personalized_pagerank(
             F.col("dst").alias("node"),
             F.expr(f"({damping_num} * r) div ({damping_den} * outdeg)").alias("c"),
         )
+        # same union-of-zero-rows shape as pagerank (r16): every node
+        # contributes exactly one zero row carrying its seed flag
+        # (contrib rows carry NULL), so max(_seed) recovers the flag in
+        # the SAME aggregation — sum over {contribs, one 0} ==
+        # coalesce(sum(contribs), 0) exactly (bigint) and the per-
+        # iteration right-outer node join stage disappears.
         ranks = (
-            contrib.groupBy("node")
-            .agg(F.sum("c").alias("su"))
-            .join(nodes, "node", "right_outer")
+            contrib.select(
+                "node", F.lit(None).cast("int").alias("_seed"), "c"
+            )
+            .unionByName(
+                nodes.select("node", "_seed", F.lit(0).cast("long").alias("c"))
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("su"), F.max("_seed").alias("_seed"))
             .select(
                 "node",
                 (
                     F.when(F.col("_seed") == 1, F.lit(base)).otherwise(F.lit(0))
-                    + F.coalesce(F.col("su"), F.lit(0))
+                    + F.col("su")
                 ).cast("long").alias("r"),
             )
             .localCheckpoint(eager=True)
@@ -642,8 +658,11 @@ def hits(
         # once per renorm, not twice (the r13 bench read the two-scan
         # form at 10.8 s — this halves per-iteration join work; the
         # division itself rides lazily as a projection over the
-        # checkpointed frame, identical numbers).
-        df = df.localCheckpoint(eager=True)
+        # checkpointed frame, identical numbers). The checkpoint is
+        # LAZY (r16): the max collect right below materializes it, so
+        # each renorm schedules ONE job (checkpoint-fill + node-scale
+        # max) instead of two back-to-back.
+        df = df.localCheckpoint(eager=False)
         m = df.agg(F.max(col)).collect()[0][0]
         if not m:
             raise ValueError("hits: score mass vanished (empty graph?)")
