@@ -97,17 +97,26 @@ def bloom_prune(
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Keep only rows whose key MAY be in the filter (all k bits set).
-    Pure-JVM predicate over an inlined word array — codegen'd, no
-    shuffle, no UDF. Null keys are dropped (an inner join drops them
-    anyway). No false negatives: every key present in the build side
-    survives."""
+    Pure-JVM predicate — no shuffle, no UDF. Null keys are dropped (an
+    inner join drops them anyway). No false negatives: every key
+    present in the build side survives.
+
+    The probe is ONE ``forall`` over the k bit positions (r16): the
+    pre-r16 unrolled AND chain inlined the m_bits/64-word array literal
+    once per position probe (2k copies of a 1024-element array in the
+    condition), which bloated the optimized plan and the generated code
+    — at k=4 the literal now appears once and each position's md5 is
+    evaluated exactly once. Same arithmetic, same survivors."""
     lit_words = F.lit(words)
-    cond = F.col(key_col).isNotNull()
-    for p in _positions(F.col(key_col), m_bits, k):
-        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
-        mask = _shl1((p % 64).cast("int"))
-        cond = cond & (word.bitwiseAND(mask) != 0)
-    return big.filter(cond)
+    pos_arr = F.array(*_positions(F.col(key_col), m_bits, k))
+    probe = F.forall(
+        pos_arr,
+        lambda p: lit_words[(p / 64).cast("int")].bitwiseAND(
+            _shl1((p % 64).cast("int"))
+        )
+        != 0,
+    )
+    return big.filter(F.col(key_col).isNotNull() & probe)
 
 
 def bloom_semi_join(

@@ -79,6 +79,9 @@ def nb_train(
             "integers, and alpha=0 puts ln(0) on the unseen-token path"
         )
     toks = tokens(F.col(text_col))
+    from rearview_spark.operators._util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     lw = docs.select(F.col(label_col).alias("label"), F.explode(toks).alias("w"))
     counts = (
         lw.groupBy("label", "w")
@@ -156,6 +159,9 @@ def nb_classify(
     one '' token, which rides the same default/likelihood path).
     """
     toks = tokens(F.col(text_col))
+    from rearview_spark.operators._util import ensure_parallelism
+
+    docs = ensure_parallelism(docs, id_col)
     dw = docs.select(F.col(id_col), F.explode(toks).alias("w"))
     per_label = (
         dw.crossJoin(F.broadcast(priors.select("label", "q_default")))
@@ -225,6 +231,9 @@ def chi2_tokens(
         raise ValueError(f"chi2_tokens: k must be >= 1 (got {k!r})")
     if not isinstance(min_df, int) or min_df < 1:
         raise ValueError(f"chi2_tokens: min_df must be >= 1 (got {min_df!r})")
+    from rearview_spark.operators._util import ensure_parallelism
+
+    docs = ensure_parallelism(docs, id_col)
     n_docs = docs.count()
     presence = (
         docs.select(

@@ -56,6 +56,9 @@ def bm25_scores(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
+    from rearview_spark.operators._util import ensure_parallelism
+
+    docs = ensure_parallelism(docs, id_col)
     toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     per_doc = toked.groupBy(id_col).agg(
         F.count("*").alias("dl"),
@@ -523,6 +526,9 @@ def bm25_scores_multi(
                 all_terms.append(t)
     idx = {t: i for i, t in enumerate(all_terms)}
 
+    from rearview_spark.operators._util import ensure_parallelism
+
+    docs = ensure_parallelism(docs, id_col)
     toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     per_doc = toked.groupBy(id_col).agg(
         F.count("*").alias("dl"),
@@ -605,9 +611,16 @@ def build_inverted_index(
     bounded by document frequency — a stopword's list is corpus-sized,
     which is why real deployments stoplist or impact-order; callers
     can drop terms with ``df > threshold`` before persisting."""
+    from rearview_spark.operators._util import ensure_parallelism
+
+    docs = ensure_parallelism(docs, id_col)
     toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = toked.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # dl derives FROM tf (dl = sum of a doc's term frequencies — the
+    # identical bigint), so the corpus explode runs ONCE; the pre-r16
+    # plan re-exploded the corpus for dl and again for stats (r16,
+    # guide §1.2: don't recompute what a cheaper aggregate derives).
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     entries = tf.join(dl, id_col)
     postings = entries.groupBy("term").agg(
         F.count("*").alias("df"),
@@ -799,6 +812,9 @@ def prf_expanded_search(
     # a left broadcast join marks query-term occurrences, the per-doc
     # aggregate carries dl plus the (bounded: matched occurrences only)
     # term list, and everything after the explode is candidate-sized.
+    from rearview_spark.operators._util import ensure_parallelism
+
+    docs = ensure_parallelism(docs, id_col)
     toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     annotated = toked.join(
         F.broadcast(terms_df.withColumn("_m", F.lit(1))), "term", "left_outer"

@@ -163,8 +163,10 @@ def bpe_train(
     per iteration (same pattern as the k-means codebook collect). Lineage
     is truncated per iteration (localCheckpoint) so iteration N does not
     replay 1..N-1."""
+    from rearview_spark.operators._util import ensure_parallelism
+
     words = (
-        docs.select(
+        ensure_parallelism(docs).select(
             F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
         )
         .filter(F.col("w") != "")
@@ -245,8 +247,10 @@ def bpe_encode(
         (r["left"], r["right"])
         for r in merges_df.orderBy("merge_rank").select("left", "right").collect()
     ]
+    from rearview_spark.operators._util import ensure_parallelism
+
     words = (
-        docs.select(
+        ensure_parallelism(docs, id_col).select(
             F.col(id_col),
             F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias(
                 "pos", "w"
@@ -354,7 +358,9 @@ def bigram_lm_counts(df: DataFrame, text_col: str = "text"):
     Tokenization is the repo-canonical :func:`tokens`, so the DuckDB
     oracle replays it exactly."""
     from rearview_spark.operators.dedup import _ngram_fold
+    from rearview_spark.operators._util import ensure_parallelism
 
+    df = ensure_parallelism(df)
     toks = tokens(F.col(text_col))
     grams = df.select(
         F.explode(
@@ -404,7 +410,9 @@ def doc_perplexity(
     vocab count is a broadcast cross join; one final per-doc hash
     re-aggregation."""
     from rearview_spark.operators.dedup import _ngram_fold
+    from rearview_spark.operators._util import ensure_parallelism
 
+    df = ensure_parallelism(df, id_col)
     toks = tokens(F.col(text_col))
     doc_grams = df.select(
         F.col(id_col),
@@ -466,28 +474,52 @@ def pmi_collocations(
     oracle replays counts and the ln() arithmetic exactly (6dp nudge
     rounding absorbs libm ulp skew — the :func:`doc_perplexity`
     precedent)."""
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # ONE corpus pass (r16): the pre-r16 plan tokenized and exploded the
+    # corpus separately for unigrams and bigrams, and the N1/N2 totals
+    # re-evaluated those subtrees again (four corpus-scale passes, the
+    # first single-threaded on a one-partition parquet). Unigrams ride
+    # as (w, NULL) rows next to the (w1, w2) bigram rows in a single
+    # tagged explode, ONE hash aggregation produces both count tables,
+    # and the vocabulary-sized result is materialized (the
+    # source_kl_divergence discipline) so totals and joins never touch
+    # the corpus again. Counts are identical by construction.
     toks = tokens(F.col(text_col))
-    t = df.select(toks.alias("t"))
-    uni = (
-        t.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c_w"))
-    )
+    t = ensure_parallelism(df).select(toks.alias("t"))
     m = F.size("t") - 1
-    pairs = (
-        t.filter(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice("t", 1, m),
-                    F.slice("t", 2, m),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("p")
-        )
-        .select("p.w1", "p.w2")
+    pair_t = "array<struct<w1:string,w2:string>>"
+    tagged = t.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    "t",
+                    lambda w: F.struct(
+                        w.alias("w1"), F.lit(None).cast("string").alias("w2")
+                    ),
+                ),
+                F.when(
+                    F.size("t") >= 2,
+                    F.zip_with(
+                        F.slice("t", 1, m),
+                        F.slice("t", 2, m),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                ).otherwise(F.expr(f"CAST(array() AS {pair_t})")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = (
+        tagged.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    uni = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("w"), F.col("c").alias("c_w")
+    )
+    bi = counts.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c_pair")
+    )
     n1 = uni.agg(F.sum("c_w").alias("n1"))
     n2 = bi.agg(F.sum("c_pair").alias("n2"))
     scored = (
@@ -537,8 +569,10 @@ def source_kl_divergence(
     fixed-point discipline) — the divisions/multiply sequence is
     mirrored token-for-token in the oracle SQL, so both engines sum
     identical integers regardless of aggregation order."""
+    from rearview_spark.operators._util import ensure_parallelism
+
     st = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(source_col).alias("source"),
             F.explode(tokens(F.col(text_col))).alias("w"),
         )
@@ -666,8 +700,11 @@ def build_trigram_index(
         "transform(sequence(1, greatest(length(_norm) - 2, 0)), "
         "i -> substring(_norm, i, 3))"
     )
+    from rearview_spark.operators._util import ensure_parallelism
+
     return (
-        df.select(F.col(id_col).alias("doc_id"), t.alias("_norm"))
+        ensure_parallelism(df, id_col)
+        .select(F.col(id_col).alias("doc_id"), t.alias("_norm"))
         .select("doc_id", F.explode(grams).alias("gram"))
         .distinct()
     )

@@ -680,7 +680,14 @@ def ev_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Tables(spark, sf_dir).events.withColumn(
         "day", F.date_trunc("day", "ts")
     )
-    daily = hll_registers_by(ev, "user_id", ["day"], m=HLL_M)
+    # materialized once (r16): the day list and the range-join probe
+    # side both read the daily register table — without the checkpoint
+    # each consumer re-ran the corpus-scale md5/register pass; the
+    # materialization is <= days x 64 sketch rows (the whole point of
+    # the mergeable-summaries shape).
+    daily = hll_registers_by(ev, "user_id", ["day"], m=HLL_M).localCheckpoint(
+        eager=True
+    )
     days = daily.select("day").distinct()
     merged = (
         days.alias("d")
