@@ -1253,7 +1253,15 @@ def synthesize_wav_sample_payloads(
                     }
                 )
 
-    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # single-file small-SF parquet arrives as ONE partition, which would
+    # serialize the synthesize+decode chain on one thread (no-op at real
+    # scale — see _util.ensure_parallelism)
+    return (
+        ensure_parallelism(df.select(id_col), id_col)
+        .mapInPandas(fn, "media_id long, payload binary")
+    )
 
 
 def decode_mp4_sample_table(buf: bytes) -> list[dict]:
@@ -1520,7 +1528,15 @@ def synthesize_mp4_sample_payloads(
                     }
                 )
 
-    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # single-file small-SF parquet arrives as ONE partition, which would
+    # serialize the synthesize+decode chain on one thread (no-op at real
+    # scale — see _util.ensure_parallelism)
+    return (
+        ensure_parallelism(df.select(id_col), id_col)
+        .mapInPandas(fn, "media_id long, payload binary")
+    )
 
 
 AUDIO_CHUNK_SCHEMA = "media_id long, chunk_idx int, start_ms long, end_ms long"
@@ -1659,7 +1675,15 @@ def synthesize_png_pixel_payloads(
                     }
                 )
 
-    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # single-file small-SF parquet arrives as ONE partition, which would
+    # serialize the synthesize+decode chain on one thread (no-op at real
+    # scale — see _util.ensure_parallelism)
+    return (
+        ensure_parallelism(df.select(id_col), id_col)
+        .mapInPandas(fn, "media_id long, payload binary")
+    )
 
 
 def synthesize_gif_pixel_payloads(
@@ -1728,7 +1752,15 @@ def synthesize_gif_pixel_payloads(
                     }
                 )
 
-    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # single-file small-SF parquet arrives as ONE partition, which would
+    # serialize the synthesize+decode chain on one thread (no-op at real
+    # scale — see _util.ensure_parallelism)
+    return (
+        ensure_parallelism(df.select(id_col), id_col)
+        .mapInPandas(fn, "media_id long, payload binary")
+    )
 
 
 #: canonical tables shared with the decoder's DHT parse:
@@ -1830,7 +1862,15 @@ def synthesize_jpeg_pixel_payloads(
                     }
                 )
 
-    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # single-file small-SF parquet arrives as ONE partition, which would
+    # serialize the synthesize+decode chain on one thread (no-op at real
+    # scale — see _util.ensure_parallelism)
+    return (
+        ensure_parallelism(df.select(id_col), id_col)
+        .mapInPandas(fn, "media_id long, payload binary")
+    )
 
 
 def _mp4_codec_fourcc(buf: bytes) -> str | None:
@@ -1943,7 +1983,15 @@ def synthesize_mjpeg_mp4_payloads(
                     }
                 )
 
-    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
+    from rearview_spark.operators._util import ensure_parallelism
+
+    # single-file small-SF parquet arrives as ONE partition, which would
+    # serialize the synthesize+decode chain on one thread (no-op at real
+    # scale — see _util.ensure_parallelism)
+    return (
+        ensure_parallelism(df.select(id_col), id_col)
+        .mapInPandas(fn, "media_id long, payload binary")
+    )
 
 
 MJPEG_FRAME_SCHEMA = (
@@ -2055,6 +2103,10 @@ def synthesize_media_payloads(
     payload_hex = (
         F.when(did % 3 == 0, png).when(did % 3 == 1, wav).otherwise(gif)
     )
-    return df.select(
-        did.alias("media_id"), F.unhex(payload_hex).alias("payload")
-    ).transform(with_media_meta)
+    from rearview_spark.operators._util import ensure_parallelism
+
+    return (
+        ensure_parallelism(df, id_col)
+        .select(did.alias("media_id"), F.unhex(payload_hex).alias("payload"))
+        .transform(with_media_meta)
+    )
