@@ -233,8 +233,10 @@ def chi2_tokens(
         raise ValueError(f"chi2_tokens: min_df must be >= 1 (got {min_df!r})")
     from rearview_spark.operators._util import ensure_parallelism
 
-    docs = ensure_parallelism(docs, id_col)
+    # count BEFORE the parallelism guard: the scalar rides the cheap raw
+    # scan instead of paying the repartition exchange
     n_docs = docs.count()
+    docs = ensure_parallelism(docs, id_col)
     presence = (
         docs.select(
             F.col(id_col).alias("_id"),

@@ -611,16 +611,19 @@ def build_inverted_index(
     bounded by document frequency — a stopword's list is corpus-sized,
     which is why real deployments stoplist or impact-order; callers
     can drop terms with ``df > threshold`` before persisting."""
-    from rearview_spark.operators._util import ensure_parallelism
-
-    docs = ensure_parallelism(docs, id_col)
+    # (r16 note: no parallelism guard here, deliberately — the serving
+    # plan duplicates this subtree per consumer branch (term-filtered
+    # candidates, document frequencies, lengths) and a repartition
+    # would be replayed per branch, measured net-slower; a deployment
+    # persists the index once, where branch duplication doesn't exist.)
     toked = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # dl derives FROM tf (dl = sum of a doc's term frequencies — the
-    # identical bigint), so the corpus explode runs ONCE; the pre-r16
-    # plan re-exploded the corpus for dl and again for stats (r16,
-    # guide §1.2: don't recompute what a cheaper aggregate derives).
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # (r16 note: deriving dl FROM tf — dl = sum of a doc's tfs — was
+    # tried to drop the second explode, but without exchange reuse the
+    # serving plan recomputes the tf aggregation for both consumers and
+    # measured slower; the plain per-doc count also lets the serving
+    # path's term filter prune the tf branch independently.)
+    dl = toked.groupBy(id_col).agg(F.count("*").alias("dl"))
     entries = tf.join(dl, id_col)
     postings = entries.groupBy("term").agg(
         F.count("*").alias("df"),

@@ -680,14 +680,12 @@ def ev_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Tables(spark, sf_dir).events.withColumn(
         "day", F.date_trunc("day", "ts")
     )
-    # materialized once (r16): the day list and the range-join probe
-    # side both read the daily register table — without the checkpoint
-    # each consumer re-ran the corpus-scale md5/register pass; the
-    # materialization is <= days x 64 sketch rows (the whole point of
-    # the mergeable-summaries shape).
-    daily = hll_registers_by(ev, "user_id", ["day"], m=HLL_M).localCheckpoint(
-        eager=True
-    )
+    # (r16 note: an eager checkpoint of the daily register table was
+    # tried — the day list and range-join probe both read it — and
+    # measured SLOWER at bench scale than letting both consumers
+    # recompute the register pass: the materialization job costs more
+    # than the duplicated sketch-sized aggregation saves. Left lazy.)
+    daily = hll_registers_by(ev, "user_id", ["day"], m=HLL_M)
     days = daily.select("day").distinct()
     merged = (
         days.alias("d")

@@ -2904,9 +2904,13 @@ def doc_nb_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     the published pretraining-curation recipes; the oracle replays
     tokenization, smoothing, quantization, scoring, and the
     smallest-label tie-break token for token."""
+    from rearview_spark.operators._util import ensure_parallelism
     from rearview_spark.operators.classify import nb_classify, nb_train
 
-    docs = Tables(spark, sf_dir).documents
+    # ONE parallelism spread shared by train and classify: each
+    # operator's own guard sees the Repartition node and no-ops, so the
+    # corpus is repartitioned once, not once per stage (r16).
+    docs = ensure_parallelism(Tables(spark, sf_dir).documents, "doc_id")
     lik, pri = nb_train(docs, "lang")
     return nb_classify(docs, lik, pri).orderBy("doc_id")
 

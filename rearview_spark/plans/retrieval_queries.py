@@ -404,12 +404,12 @@ def doc_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the scan-derived ones."""
     docs = Tables(spark, sf_dir).documents
     postings, stats = R.build_inverted_index(docs)
-    # The index is an offline artifact (a deployment persists it and
-    # serves many queries); materializing it here (r16) is the in-query
-    # equivalent — the serving path's two posting reads (candidates +
-    # document frequencies) probe the materialized table instead of
-    # re-running the corpus build per consumer.
-    postings = postings.localCheckpoint(eager=True)
+    # (r16 note: eagerly materializing the posting artifact was tried
+    # and measured ~1.8x SLOWER — the lazy plan pushes the serving
+    # path's term filter through the groupBy("term") aggregate, so only
+    # the query terms' posting lists are ever built; a checkpoint
+    # forces the FULL index. Kept lazy: in deployment the persisted
+    # index plays the materialized role across many queries.)
     return R.bm25_topk_indexed(postings, stats, BM25_TERMS, k=BM25_K).select(
         "doc_id", r6(F.col("score")).alias("score")
     )
