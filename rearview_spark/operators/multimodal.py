@@ -1225,7 +1225,21 @@ def synthesize_wav_sample_payloads(
     the id: ``n = 50 + id % 50`` samples, sample
     ``k = ((id * 31 + k * 7) % 65536) - 32768`` — so a SQL oracle
     re-derives any sample statistic from the formula while the Spark
-    path must actually parse the RIFF layout and unpack the PCM body."""
+    path must actually parse the RIFF layout and unpack the PCM body.
+
+    Partitioning note (r16, measured): the synthesize builders run
+    mapInPandas on the input's NATIVE partitioning — deliberately NOT
+    behind the ``ensure_parallelism`` spread the tokenize/explode
+    operators use. An r16 change routed all seven builders through the
+    guard; paired A/B benches read the png gate at 1.3-10x SLOWER and
+    bled into the next bench line: fanning a dimension-table-sized
+    input out to ``defaultParallelism`` partitions makes every core
+    spawn a fresh Python worker (two per chain — synthesize + decode)
+    whose interpreter+pandas import dwarfs the decode work being
+    spread, and the spawn storm outlives the query. At real scale the
+    input arrives parallel and the question is moot; at gate scale the
+    single worker is the faster plan. Reverted — do not re-add without
+    a min-of-N A/B on a quiet box."""
     import struct
 
     def _wav(doc_id: int) -> bytes:
@@ -1253,15 +1267,7 @@ def synthesize_wav_sample_payloads(
                     }
                 )
 
-    from rearview_spark.operators._util import ensure_parallelism
-
-    # single-file small-SF parquet arrives as ONE partition, which would
-    # serialize the synthesize+decode chain on one thread (no-op at real
-    # scale — see _util.ensure_parallelism)
-    return (
-        ensure_parallelism(df.select(id_col), id_col)
-        .mapInPandas(fn, "media_id long, payload binary")
-    )
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
 def decode_mp4_sample_table(buf: bytes) -> list[dict]:
@@ -1528,15 +1534,7 @@ def synthesize_mp4_sample_payloads(
                     }
                 )
 
-    from rearview_spark.operators._util import ensure_parallelism
-
-    # single-file small-SF parquet arrives as ONE partition, which would
-    # serialize the synthesize+decode chain on one thread (no-op at real
-    # scale — see _util.ensure_parallelism)
-    return (
-        ensure_parallelism(df.select(id_col), id_col)
-        .mapInPandas(fn, "media_id long, payload binary")
-    )
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
 AUDIO_CHUNK_SCHEMA = "media_id long, chunk_idx int, start_ms long, end_ms long"
@@ -1675,15 +1673,7 @@ def synthesize_png_pixel_payloads(
                     }
                 )
 
-    from rearview_spark.operators._util import ensure_parallelism
-
-    # single-file small-SF parquet arrives as ONE partition, which would
-    # serialize the synthesize+decode chain on one thread (no-op at real
-    # scale — see _util.ensure_parallelism)
-    return (
-        ensure_parallelism(df.select(id_col), id_col)
-        .mapInPandas(fn, "media_id long, payload binary")
-    )
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
 def synthesize_gif_pixel_payloads(
@@ -1752,15 +1742,7 @@ def synthesize_gif_pixel_payloads(
                     }
                 )
 
-    from rearview_spark.operators._util import ensure_parallelism
-
-    # single-file small-SF parquet arrives as ONE partition, which would
-    # serialize the synthesize+decode chain on one thread (no-op at real
-    # scale — see _util.ensure_parallelism)
-    return (
-        ensure_parallelism(df.select(id_col), id_col)
-        .mapInPandas(fn, "media_id long, payload binary")
-    )
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
 #: canonical tables shared with the decoder's DHT parse:
@@ -1862,15 +1844,7 @@ def synthesize_jpeg_pixel_payloads(
                     }
                 )
 
-    from rearview_spark.operators._util import ensure_parallelism
-
-    # single-file small-SF parquet arrives as ONE partition, which would
-    # serialize the synthesize+decode chain on one thread (no-op at real
-    # scale — see _util.ensure_parallelism)
-    return (
-        ensure_parallelism(df.select(id_col), id_col)
-        .mapInPandas(fn, "media_id long, payload binary")
-    )
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
 def _mp4_codec_fourcc(buf: bytes) -> str | None:
@@ -1983,15 +1957,7 @@ def synthesize_mjpeg_mp4_payloads(
                     }
                 )
 
-    from rearview_spark.operators._util import ensure_parallelism
-
-    # single-file small-SF parquet arrives as ONE partition, which would
-    # serialize the synthesize+decode chain on one thread (no-op at real
-    # scale — see _util.ensure_parallelism)
-    return (
-        ensure_parallelism(df.select(id_col), id_col)
-        .mapInPandas(fn, "media_id long, payload binary")
-    )
+    return df.select(id_col).mapInPandas(fn, "media_id long, payload binary")
 
 
 MJPEG_FRAME_SCHEMA = (
@@ -2103,10 +2069,6 @@ def synthesize_media_payloads(
     payload_hex = (
         F.when(did % 3 == 0, png).when(did % 3 == 1, wav).otherwise(gif)
     )
-    from rearview_spark.operators._util import ensure_parallelism
-
-    return (
-        ensure_parallelism(df, id_col)
-        .select(did.alias("media_id"), F.unhex(payload_hex).alias("payload"))
-        .transform(with_media_meta)
-    )
+    return df.select(
+        did.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    ).transform(with_media_meta)

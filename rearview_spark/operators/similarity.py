@@ -914,94 +914,69 @@ def pq_fit(
     subspace -> ``(s, code, centroid)`` with ``m*k`` rows total.
 
     All subspaces train SIMULTANEOUSLY: the subvector frame carries the
-    subspace id ``s``, so one pass per Lloyd iteration covers every
-    subspace. Deterministic init (the k smallest ids' subvectors) and
-    smallest-code tie-breaks keep the fit reproducible — the property
-    the recursive SQL oracle relies on.
+    subspace id ``s``, so one assign-join + one update-aggregate per
+    Lloyd iteration covers every subspace (iterations cost O(n*m*k)
+    joined rows, not m separate fits). Deterministic init (the k
+    smallest ids' subvectors) and smallest-code tie-breaks keep the fit
+    reproducible — the property the recursive SQL oracle relies on.
+    Lineage is truncated per iteration (localCheckpoint).
 
-    r16 shape (guide §2.4/§1.2): the codebook is an m*k-row
-    config-scale artifact, so it lives DRIVER-side across iterations
-    (the kmeans_fit discipline). Assignment is the zero-shuffle literal
-    argmin projection (:func:`_pq_code_col` — identical ``_sq_l2``
-    fold over repr-round-tripped centroid literals, identical
-    min-struct tie-break), replacing the pre-r16 broadcast-join +
-    groupBy(id, s) min whose n*m*k joined rows paid one full Exchange
-    per iteration; the update aggregate collects m*k*sub mean rows per
-    iteration (one job) instead of join + eager localCheckpoint
-    (two)."""
+    r16 adjudication — this broadcast-join shape STAYS, measured
+    against three zero-shuffle rewrites (kmeans_fit's r16 driver-side
+    discipline ported to PQ): (a) the m*k-literal unrolled struct CASE,
+    (b) a transform over SQL-literal arrays, (c) an ``F.lit`` nested
+    centroid tensor. All three were bit-identical but SLOWER end to end
+    in paired same-session A/Bs (a/b pay a ~0.5 s driver re-parse/
+    analyze of a ~100 KB expression per iteration and per encode; c
+    evaluates the tensor through a non-codegen literal path and read
+    worst of all, ~2x) — the assignment join's n*m-row map-side-
+    combined min is trivial next to those constants at any SF, and the
+    broadcast codebook never shuffles the corpus. The kmeans port WAS
+    kept (sel_cluster_balanced 0.69x): there the driver-side loop
+    removed three extra argmax passes and an eager checkpoint per
+    iteration, wins PQ's loop never had on the table."""
+    from pyspark.sql import Window
+
     from rearview_spark.operators._util import ensure_parallelism
 
     sub = dim // m
     subs = _subvectors(ensure_parallelism(corpus, id_col), m, sub, id_col, vec_col).cache()
-    seed_rows = (
-        subs.join(
-            F.broadcast(corpus.select(id_col).orderBy(id_col).limit(k)), id_col
+    seed_ids = corpus.select(id_col).orderBy(id_col).limit(k)
+    codebook = (
+        subs.join(F.broadcast(seed_ids), id_col)
+        .select(
+            "s",
+            (F.row_number().over(Window.partitionBy("s").orderBy(id_col)) - 1).alias("code"),
+            F.col("sv").alias("centroid"),
         )
-        .collect()
+        .localCheckpoint(eager=True)
     )
-    # code c of subspace s = the c-th smallest seed id's s-subvector
-    cents: dict[int, dict[int, list[float]]] = {}
-    for r in sorted(seed_rows, key=lambda r: (r["s"], r[id_col])):
-        cell = cents.setdefault(r["s"], {})
-        cell[len(cell)] = list(r["sv"])
     for _ in range(iters):
-        coded = subs.withColumn("code", _pq_code_col(cents, "sv"))
-        means_rows = (
-            coded.select("s", "code", F.posexplode("sv").alias("pos", "x"))
+        d = _sq_l2(F.col("sv"), F.col("centroid"))
+        assigned = (
+            subs.join(F.broadcast(codebook), "s")
+            .select(id_col, "s", "sv", F.struct(d.alias("d"), F.col("code").alias("c")).alias("dc"))
+            .groupBy(id_col, "s")
+            .agg(F.min("dc").alias("dc"), F.first("sv").alias("sv"))
+            .select(id_col, "s", F.col("dc.c").alias("code"), "sv")
+        )
+        means = (
+            assigned.select("s", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("s", "code", "pos")
             .agg(F.avg("x").alias("m"))
-            .collect()
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("s", "code", F.transform("pm", lambda t: t["m"]).alias("centroid"))
         )
-        by_sc: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means_rows:
-            by_sc.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["m"]
-        cents = {
-            s: {
-                c: [by_sc[(s, c)][p] for p in range(len(cents[s][c]))]
-                if (s, c) in by_sc
-                else cents[s][c]  # empty code cell: keep previous centroid
-                for c in cents[s]
-            }
-            for s in cents
-        }
+        codebook = (
+            codebook.select("s", "code", F.col("centroid").alias("_prev"))
+            .join(means, ["s", "code"], "left")
+            .select("s", "code", F.coalesce("centroid", "_prev").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    # codebook is checkpointed; the subvector cache has no readers left
     subs.unpersist()
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(s, c, cents[s][c]) for s in sorted(cents) for c in sorted(cents[s])],
-        "s int, code int, centroid array<double>",
-    )
-
-
-def _pq_code_col(cents: dict, sv_expr: str = "sv"):
-    """Nearest-code assignment for the subvector frame as ONE parsed SQL
-    expression over driver-side per-subspace centroid lists: a CASE on
-    the subspace id ``s`` choosing among ``array_min`` argmins of
-    ``(squared-L2, code)`` structs — the same lexicographic (distance,
-    smallest-code) tie-break as the pre-r16 ``min(struct(d, c))``
-    aggregate, with the same sequential ``_sq_l2`` fold over
-    repr-round-tripped literals, so the codes are bit-identical. Zero
-    joins, zero shuffles — assignment rides the scan/cache stage."""
-    if not cents:
-        return F.lit(None).cast("int")
-    branches = []
-    for s in sorted(cents):
-        structs = []
-        for c in sorted(cents[s]):
-            centroid = cents[s][c]
-            arr = (
-                "array("
-                + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in centroid)
-                + ")"
-            )
-            d = (
-                f"aggregate(zip_with({sv_expr}, {arr}, (x, y) -> (x - y) * (x - y)),"
-                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            )
-            structs.append(f"named_struct('d', {d}, 'c', {c})")
-        branches.append(
-            f"WHEN s = {s} THEN array_min(array({', '.join(structs)})).c"
-        )
-    return F.expr("CASE " + " ".join(branches) + " END")
+    return codebook
 
 
 def pq_encode(
@@ -1016,22 +991,19 @@ def pq_encode(
     nearest codebook centroid per subspace. This is the 100 TB payoff:
     a 64-dim float vector (256-512 B) becomes m bytes (~4 B), so a
     billion-vector index fits executor memory and the ANN scan reads
-    codes, not vectors. The codebook is an m*k-row config-scale
-    artifact: collected once and inlined as the literal argmin
-    projection (:func:`_pq_code_col`) — identical ``_sq_l2`` fold and
-    (distance, smallest-code) tie-break as the pre-r16 broadcast-join +
-    groupBy-min form, but zero joins and ZERO shuffles: encoding rides
-    the scan stage (the groupBy(id, s) used to pay one n*m*k-row
-    Exchange per call)."""
+    codes, not vectors. Broadcast codebook, map-side argmin — the corpus
+    never shuffles."""
     from rearview_spark.operators._util import ensure_parallelism
 
     sub = dim // m
     subs = _subvectors(ensure_parallelism(corpus, id_col), m, sub, id_col, vec_col)
-    cents: dict[int, dict[int, list[float]]] = {}
-    for r in codebook.collect():
-        cents.setdefault(r["s"], {})[r["code"]] = list(r["centroid"])
-    return subs.select(
-        F.col(id_col), F.col("s"), _pq_code_col(cents, "sv").alias("code")
+    d = _sq_l2(F.col("sv"), F.col("centroid"))
+    return (
+        subs.join(F.broadcast(codebook), "s")
+        .select(id_col, "s", F.struct(d.alias("d"), F.col("code").alias("c")).alias("dc"))
+        .groupBy(id_col, "s")
+        .agg(F.min("dc").alias("dc"))
+        .select(id_col, "s", F.col("dc.c").alias("code"))
     )
 
 
