@@ -30,7 +30,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "top3_parts_per_brand",
     "latest_order_per_customer",
-    "ts_daily_stats",  # r16: ts_hourly_summarize retired; the G15 summarize line
+    "ts_hourly_summarize",  # restored: bench lines are never removed (r16 contract)
+    "ts_daily_stats",  # r16 ADDED line: the multi-agg G15 variant
     "ts_moving_average",
     "ts_as_percent",
     "ts_ema",
