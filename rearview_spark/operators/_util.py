@@ -4,6 +4,42 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Per-iteration node-state frames (ranks, labels, distances, HITS
+#: scores, component labels) are broadcast into their edge join only
+#: while their row count is PROVEN to fit a broadcast relation; past
+#: the cap the join falls back to the shuffled path unchanged.
+#: ~48 B/entry in a built hash relation puts 20M rows around 1 GB per
+#: executor — conservative against Spark's 8 GB / 512M-row broadcast
+#: cap. Env-parameterised so a deployment can size it to executor
+#: memory.
+BROADCAST_STATE_MAX = int(
+    __import__("os").environ.get("SPARK_GRAFT_BCAST_STATE_MAX", str(20_000_000))
+)
+
+
+def bcast_state(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Explicit broadcast hint for iteration state of KNOWN size.
+
+    Fixed-point operators keep their per-iteration state behind
+    ``localCheckpoint`` (the lineage bound every iterative DataFrame
+    loop needs), and a checkpointed frame is a LogicalRDD with no size
+    statistics — the planner estimates it huge and plans SortMergeJoin,
+    re-shuffling and re-sorting the EDGE side every iteration (measured
+    at sf0.1: a 3-Exchange SMJ per half-iteration in hits/pagerank).
+    Every caller already holds a driver-side scalar bounding the
+    state's rows, so the broadcast decision is exact rather than
+    estimated (optimization guide §3.1: "use an explicit broadcast when
+    you know a side is small — estimates are often badly wrong") and
+    scale-guarded by BROADCAST_STATE_MAX: a billion-node graph keeps
+    the shuffled plan, a bounded one joins partition-locally with zero
+    edge movement."""
+    from pyspark.sql import functions as F
+
+    if n_rows is not None and 0 <= n_rows <= BROADCAST_STATE_MAX:
+        return F.broadcast(df)
+    return df
+
+
 #: logical-plan node names whose presence implies the input already went
 #: (or will go) through an Exchange — parallelism is then at least
 #: spark.sql.shuffle.partitions and the small-scan guard is moot.

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rearview_spark.operators._util import bcast_state as _bcast_state
 from rearview_spark.operators._util import ensure_parallelism
 from rearview_spark.operators.text import normalize_text, tokens
 
@@ -1282,10 +1283,20 @@ def connected_components(
     def _label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
+    # node count rides the same pre-loop aggregate job as the first
+    # convergence sum — it gates the per-round broadcast of the O(nodes)
+    # label frame into the edge join (checkpointed state has no stats,
+    # so the planner would otherwise SMJ and re-shuffle the edge list
+    # every round; graph.py:_bcast_state documents the measurement)
+    first = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    prev_sum, n_nodes = first["s"], first["n"]
     for _ in range(max_iter):
+        lb = _bcast_state(labels, n_nodes)
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(lb, edges.dst == lb.id)
             .select(F.col("src").alias("id"), "comp")
         )
         # LAZY checkpoint (r16): the convergence-sum collect right

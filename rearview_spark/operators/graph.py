@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rearview_spark.operators._util import bcast_state as _bcast_state
+
 PAGERANK_SCALE = 10**12
 
 
@@ -96,6 +98,10 @@ def pagerank(
     base = ((damping_den - damping_num) * scale) // (damping_den * n)
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
     for _ in range(iterations):
+        # n is exact and driver-side: broadcast the O(nodes) rank frame
+        # into the edge join while it fits (see _bcast_state) so the
+        # checkpointed edge list is never re-shuffled per iteration.
+        ranks = _bcast_state(ranks, n)
         contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
             F.expr(f"({damping_num} * r) div ({damping_den} * outdeg)").alias("c"),
@@ -163,6 +169,7 @@ def personalized_pagerank(
     s = nodes.agg(F.sum("_seed")).collect()[0][0] or 0
     if s == 0:
         raise ValueError("personalized_pagerank: no seed appears in the graph")
+    n = nodes.count()  # cheap: nodes is an eager checkpoint
     base = ((damping_den - damping_num) * scale) // (damping_den * s)
     ranks = nodes.select(
         "node",
@@ -172,6 +179,9 @@ def personalized_pagerank(
         .alias("r"),
     )
     for _ in range(iterations):
+        # rank frame is O(nodes) with n exact — broadcast while it
+        # fits, same as pagerank (see _bcast_state)
+        ranks = _bcast_state(ranks, n)
         contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
             F.expr(f"({damping_num} * r) div ({damping_den} * outdeg)").alias("c"),
@@ -389,12 +399,17 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     :func:`pagerank` (same reliable-checkpoint swap at deployment).
     """
     ew = edges.repartition("src").localCheckpoint(eager=True)
+    # edge-row count bounds the node count (every node appears as src),
+    # and counting the materialized checkpoint is one cheap job — an
+    # exact-enough driver scalar to gate the per-iteration broadcast
+    m = ew.count()
     labels = (
         ew.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
     for _ in range(iterations):
+        labels = _bcast_state(labels, m)
         nbr = ew.join(labels, ew["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
@@ -447,9 +462,18 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
             .filter(F.col("d") >= k)
             .select("src")
         )
+        # keep-list rows <= distinct src <= current edge count, a
+        # driver scalar this loop already maintains — broadcast the
+        # semi-join probe side while that bound fits
         cur = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            cur.join(_bcast_state(keep, prev_edges), "src", "left_semi")
+            .join(
+                _bcast_state(
+                    keep.select(F.col("src").alias("dst")), prev_edges
+                ),
+                "dst",
+                "left_semi",
+            )
             .localCheckpoint(eager=True)
         )
         now = cur.count()
@@ -578,6 +602,9 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 6) -> DataFrame
     Returns ``(node, hops)`` for reached nodes only (seeds at 0).
     """
     ew = edges.repartition("src").localCheckpoint(eager=True)
+    # reached-set rows <= nodes <= edge rows; one cheap count over the
+    # materialized checkpoint bounds every round's broadcast decision
+    m = ew.count()
     in_graph = ew.select(F.col("src").alias("node")).distinct()
     dist = (
         seeds.select("node")
@@ -587,7 +614,8 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 6) -> DataFrame
         .localCheckpoint(eager=True)
     )
     for _ in range(max_hops):
-        reached = ew.join(dist, ew["src"] == dist["node"]).select(
+        db = _bcast_state(dist, m)
+        reached = ew.join(db, ew["src"] == db["node"]).select(
             F.col("dst").alias("node"), (F.col("hops") + 1).alias("h")
         )
         step = reached.groupBy("node").agg(F.min("h").alias("h"))
@@ -646,6 +674,10 @@ def hits(
             "after the first propagation step)"
         )
     ew = edges.repartition("src").localCheckpoint(eager=True)
+    # hub/authority state is O(src nodes)/O(dst nodes) <= edge rows;
+    # one cheap count over the materialized checkpoint bounds every
+    # renorm round's broadcast decision (see _bcast_state)
+    m = ew.count()
     srcs = ew.select(F.col("src").alias("node")).distinct()
     dsts = ew.select(F.col("dst").alias("node")).distinct()
     h = srcs.select("node", F.lit(scale).cast("long").alias("h")).localCheckpoint(
@@ -672,15 +704,17 @@ def hits(
 
     a = None
     for _ in range(iterations):
+        hb = _bcast_state(h, m)
         a = _renorm(
-            ew.join(h, ew["src"] == h["node"])
+            ew.join(hb, ew["src"] == hb["node"])
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.sum("h").alias("a"))
             .select(F.col("node2").alias("node"), "a"),
             "a",
         )
+        ab = _bcast_state(a, m)
         h = _renorm(
-            ew.join(a, ew["dst"] == a["node"])
+            ew.join(ab, ew["dst"] == ab["node"])
             .groupBy(F.col("src").alias("node2"))
             .agg(F.sum("a").alias("h"))
             .select(F.col("node2").alias("node"), "h"),
@@ -689,8 +723,8 @@ def hits(
     out = (
         srcs.unionAll(dsts)
         .distinct()
-        .join(h, "node", "left")
-        .join(a, "node", "left")
+        .join(_bcast_state(h, m), "node", "left")
+        .join(_bcast_state(a, m), "node", "left")
         .select(
             "node",
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_fp"),
@@ -944,6 +978,8 @@ def shortest_paths(
             "(bounded-round relaxation assumes non-negative costs)"
         )
     ew = edges.repartition("src").localCheckpoint(eager=True)
+    # same broadcast bound as bfs_hops: reached <= nodes <= edge rows
+    m = ew.count()
     in_graph = ew.select(F.col("src").alias("node")).distinct()
     dist = (
         seeds.select("node")
@@ -953,7 +989,8 @@ def shortest_paths(
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        relaxed = ew.join(dist, ew["src"] == dist["node"]).select(
+        db = _bcast_state(dist, m)
+        relaxed = ew.join(db, ew["src"] == db["node"]).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).cast("long").alias("d"),
         )

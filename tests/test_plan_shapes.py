@@ -421,3 +421,63 @@ def test_numeric_outlier_audit_col_keyed_exchanges_only(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_iteration_state_broadcasts_under_cap_and_not_over(spark, monkeypatch):
+    """Fixed-point iteration state (PageRank ranks, HITS scores, CC
+    labels) lives behind localCheckpoint — a LogicalRDD with no stats —
+    so without an explicit hint the planner SMJs and re-shuffles the
+    EDGE side every iteration (the r16 measurement: a 3-Exchange SMJ
+    per half-iteration). bcast_state() must turn that join into a
+    BroadcastHashJoin while the caller-proven row bound fits, and leave
+    the shuffled plan untouched past BROADCAST_STATE_MAX (the 100 TB
+    guard: billion-node state must never be forced into a broadcast)."""
+    from rearview_spark.operators import _util
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i + 1) % 7) for i in range(50)], "src long, dst long"
+    ).repartition("src").localCheckpoint(eager=True)
+    state = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("r", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+
+    def plan_of(st):
+        j = edges.join(st, edges["src"] == st["node"]).groupBy("dst").agg(F.sum("r"))
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    under = plan_of(_util.bcast_state(state, 7))
+    assert "BroadcastHashJoin" in under
+
+    monkeypatch.setattr(_util, "BROADCAST_STATE_MAX", 3)
+    over = plan_of(_util.bcast_state(state, 7))
+    assert "BroadcastHashJoin" not in over
+    assert "SortMergeJoin" in over
+
+
+def test_graph_iterations_identical_with_and_without_state_broadcast(
+    spark, monkeypatch
+):
+    """The broadcast hint may change only the physical join strategy —
+    pagerank/hits integer recurrences must produce bit-identical rows
+    with the guard forced off (the over-cap path) and on."""
+    from rearview_spark.operators import _util, graph as G
+
+    pairs = [(2 * i, 2 * (i % 5) + 1) for i in range(30)] + [(0, 7), (4, 9)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def snap():
+        pr = sorted(map(tuple, G.pagerank(sym, iterations=3).collect()))
+        ht = sorted(map(tuple, G.hits(edges, iterations=2).collect()))
+        return pr, ht
+
+    monkeypatch.setattr(_util, "BROADCAST_STATE_MAX", -1)
+    off = snap()
+    monkeypatch.setattr(_util, "BROADCAST_STATE_MAX", 20_000_000)
+    on = snap()
+    assert off == on
