@@ -79,9 +79,14 @@ def nb_train(
             "integers, and alpha=0 puts ln(0) on the unseen-token path"
         )
     toks = tokens(F.col(text_col))
-    from rearview_spark.operators._util import ensure_parallelism
-
-    docs = ensure_parallelism(docs)
+    # No parallelism spread here (r17 A/B, guard on/off min-of-5
+    # interleaved at sf0.1): whitespace tokenize+explode is light enough
+    # that the repartition exchange costs more than the spread saves —
+    # doc_nb_language read 0.88x WITHOUT the guard (1.43 -> 1.25 s).
+    # At real scale the scan arrives parallel and the guard was a no-op
+    # anyway, so removal is scale-neutral. Heavy-CPU explodes (md5
+    # shingling, bigram feature hashing) KEEP their guards — dsir
+    # measured 2.2x slower without it in the same session.
     lw = docs.select(F.col(label_col).alias("label"), F.explode(toks).alias("w"))
     counts = (
         lw.groupBy("label", "w")
@@ -159,9 +164,8 @@ def nb_classify(
     one '' token, which rides the same default/likelihood path).
     """
     toks = tokens(F.col(text_col))
-    from rearview_spark.operators._util import ensure_parallelism
-
-    docs = ensure_parallelism(docs, id_col)
+    # No parallelism spread: light tokenize/explode — see nb_train's
+    # r17 A/B note (0.88x without the guard; scale-neutral removal).
     dw = docs.select(F.col(id_col), F.explode(toks).alias("w"))
     per_label = (
         dw.crossJoin(F.broadcast(priors.select("label", "q_default")))
@@ -231,12 +235,13 @@ def chi2_tokens(
         raise ValueError(f"chi2_tokens: k must be >= 1 (got {k!r})")
     if not isinstance(min_df, int) or min_df < 1:
         raise ValueError(f"chi2_tokens: min_df must be >= 1 (got {min_df!r})")
-    from rearview_spark.operators._util import ensure_parallelism
-
-    # count BEFORE the parallelism guard: the scalar rides the cheap raw
-    # scan instead of paying the repartition exchange
     n_docs = docs.count()
-    docs = ensure_parallelism(docs, id_col)
+    # No parallelism spread before the explode (r17 A/B, min-of-5
+    # interleaved at sf0.1): doc_chi2_tokens read 0.79x WITHOUT the
+    # guard (1.30 -> 1.02 s, sample ranges barely overlapping) — the
+    # added Exchange costs more than spreading the light tokenize saves
+    # (the driver flagged the same: 0.87 s at r15 -> 1.72 s at r16).
+    # Scale-neutral: a 100 TB scan arrives parallel either way.
     presence = (
         docs.select(
             F.col(id_col).alias("_id"),

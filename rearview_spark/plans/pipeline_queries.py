@@ -2904,13 +2904,13 @@ def doc_nb_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     the published pretraining-curation recipes; the oracle replays
     tokenization, smoothing, quantization, scoring, and the
     smallest-label tie-break token for token."""
-    from rearview_spark.operators._util import ensure_parallelism
     from rearview_spark.operators.classify import nb_classify, nb_train
 
-    # ONE parallelism spread shared by train and classify: each
-    # operator's own guard sees the Repartition node and no-ops, so the
-    # corpus is repartitioned once, not once per stage (r16).
-    docs = ensure_parallelism(Tables(spark, sf_dir).documents, "doc_id")
+    # No parallelism spread (r17 A/B, min-of-5 interleaved at sf0.1):
+    # the whole gate read 0.88x WITHOUT any guard (1.43 -> 1.25 s) —
+    # the shared repartition exchange cost more than spreading the
+    # light tokenize saved. See classify.nb_train's note.
+    docs = Tables(spark, sf_dir).documents
     lik, pri = nb_train(docs, "lang")
     return nb_classify(docs, lik, pri).orderBy("doc_id")
 
