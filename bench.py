@@ -269,6 +269,39 @@ def _previous_bench(
     return f"r{rnd:02d}", queries, sf, spread, path
 
 
+def format_driver_line(out: dict, limit: int = 1900) -> str:
+    """The PRINTED one-line JSON contract, guaranteed under the driver's
+    ~2000-char stdout tail window (VERDICT r16 next-round #2: the r15
+    and r16 lines both outgrew it, which nulled the driver's own
+    cross-round baseline two rounds running). Unconditionally: compact
+    separators, per-query seconds at 2dp, and a SUMMARY-only
+    ``comparable`` (vs_round, n, totals, delta) — the full-precision
+    timings, spreads, per-pass samples and detail maps all live in
+    ``bench_history/`` (the archive _previous_bench prefers). If the
+    line still exceeds ``limit`` (far more queries than today's 63),
+    the comparable drops, then per-query precision falls to 1dp; the
+    contract keys (metric/value/unit/queries/sf) are never dropped.
+    tests/test_bench_baseline.py pins the real headline set's headroom."""
+    slim = dict(out)
+    slim["queries"] = {q: round(v, 2) for q, v in out["queries"].items()}
+    comp = out.get("comparable")
+    if comp:
+        summary = {
+            k: comp[k]
+            for k in ("vs_round", "n_queries", "total", "prev_total", "delta_pct")
+            if k in comp
+        }
+        slim["comparable"] = summary
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > limit and "comparable" in slim:
+        del slim["comparable"]
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > limit:
+        slim["queries"] = {q: round(v, 1) for q, v in slim["queries"].items()}
+        line = json.dumps(slim, separators=(",", ":"))
+    return line
+
+
 def _pq_index_build(spark, sf_dir: str, base: str) -> None:
     """Untimed-headline index build: fit + encode + persist (its wall
     time is reported separately as sim_pq_fit_encode)."""
@@ -502,29 +535,7 @@ def main() -> None:
     except OSError:
         pass  # archiving is best-effort; the printed contract line rules
 
-    def _cap(d: dict, n: int = 12) -> dict:
-        if len(d) <= n:
-            return d
-        top = dict(sorted(d.items(), key=lambda kv: -abs(kv[1]))[:n])
-        top["_truncated"] = len(d) - n
-        return top
-
-    if "comparable" in out:
-        out["comparable"] = dict(out["comparable"])
-        for k in ("outliers", "within_noise"):
-            out["comparable"][k] = _cap(out["comparable"][k])
-    line = json.dumps(out)
-    if len(line) > 1900:
-        # last resort before the driver's tail window truncates the line:
-        # drop per-query precision, then the comparable detail maps
-        out["queries"] = {q: round(v, 2) for q, v in out["queries"].items()}
-        line = json.dumps(out)
-        if len(line) > 1900 and "comparable" in out:
-            out["comparable"].pop("loadavg", None)
-            for k in ("outliers", "within_noise"):
-                out["comparable"][k] = _cap(out["comparable"][k], 3)
-            line = json.dumps(out)
-    print(line)
+    print(format_driver_line(out))
 
 
 if __name__ == "__main__":

@@ -86,3 +86,83 @@ def test_previous_bench_none_when_all_excluded(tmp_path, monkeypatch):
     _write_bench(tmp_path, 1, wrapped=True, closed=False)
     (tmp_path / "VERDICT.md").write_text("# VERDICT — round 0\n")
     assert bench._previous_bench(str(tmp_path)) is None
+
+
+# ---------------------------------------------------------------------------
+# Printed-line contract: the driver records only the last ~2000 chars of
+# stdout. The r15 AND r16 lines outgrew that window, so the driver's parse
+# failed and PERF lost its per-query baseline two rounds running (VERDICT
+# r16 next-round #2). format_driver_line must keep the printed line under
+# 1900 chars for the real headline set with generous headroom, and degrade
+# gracefully (drop comparable, then precision) past it.
+# ---------------------------------------------------------------------------
+
+
+def _fat_comparable() -> dict:
+    # worst-case full comparable as main() builds it before slimming
+    return {
+        "vs_round": "r16",
+        "baseline_file": "bench_history/r16_sf0.1.json",
+        "n_queries": 63,
+        "total": 9999.999,
+        "sample_totals": [9999.999, 9999.999, 9999.999],
+        "median_total": 9999.999,
+        "loadavg": ["31.99 31.99 31.99"] * 3,
+        "prev_total": 9999.999,
+        "delta_pct": -99.9,
+        "outliers": {f"some_query_name_{i:02d}": -99.9 for i in range(40)},
+        "within_noise": {f"other_query_name_{i:02d}": 99.9 for i in range(40)},
+    }
+
+
+def _line_for(queries: dict) -> str:
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "repeats": 3,
+        "comparable": _fat_comparable(),
+    }
+    return bench.format_driver_line(out)
+
+
+def test_printed_line_fits_for_real_headline_set():
+    # every real bench line (incl. the derived sim_pq_fit_encode): at
+    # realistic magnitudes (whole suite is ~85 s, worst line ~6 s) the
+    # line must keep >= 100 chars of headroom so a few added lines
+    # can't silently break the driver parse again; even at an absurd
+    # 100 s PER QUERY it must still fit the 1900-char window
+    queries = {q: 9.999 for q in bench.HEADLINE}
+    queries["sim_pq_fit_encode"] = 9.999
+    assert len(_line_for(queries)) < 1870, len(_line_for(queries))
+    fat = {q: 99.999 for q in queries}
+    line = _line_for(fat)
+    assert len(line) < 1900, len(line)
+    doc = json.loads(line)
+    assert set(doc["queries"]) == set(queries)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in doc
+    # detail maps never print — they live in bench_history/
+    assert "outliers" not in json.dumps(doc.get("comparable", {}))
+
+
+def test_printed_line_fits_at_80_synthetic_queries():
+    queries = {f"syn_query_{i:03d}": 9.999 for i in range(80)}
+    line = _line_for(queries)
+    assert len(line) < 1900, len(line)
+    assert len(json.loads(line)["queries"]) == 80
+
+
+def test_printed_line_degrades_without_dropping_contract_keys():
+    # pathological width: long names force the comparable off and the
+    # per-query precision down, but every contract key and every query
+    # survives in valid JSON
+    queries = {f"very_long_synthetic_query_name_{i:03d}": 9.999 for i in range(40)}
+    line = _line_for(queries)
+    doc = json.loads(line)
+    assert "comparable" not in doc or len(line) <= 1900
+    assert len(doc["queries"]) == 40
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in doc
