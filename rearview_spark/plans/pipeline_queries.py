@@ -1927,9 +1927,22 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact jaccard — so the banding, union bucket cap, store join,
     and best-match ranking are all value-checked."""
     docs = Tables(spark, sf_dir).documents
-    store = D.minhash_store_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    # Both halves come out of ONE corpus signature pass (r17): the
+    # shingle+md5 pipeline is the dominant cost and signatures are
+    # per-doc, so signing the corpus once and slicing even/odd is
+    # value-identical to two half-corpus passes — the gate measured
+    # 0.70x (5.3 -> 3.7 s noop, one Exchange and one parquet scan
+    # fewer). The eager localCheckpoint materializes the pass once so
+    # the store and batch slices don't each replay it; a REAL ingest
+    # pipeline never signs its store at all (history arrives as
+    # persisted minhash_store_rows), so this materialization is
+    # gate-shape-only, not a 100 TB requirement.
+    all_rows = D.minhash_store_rows(docs).localCheckpoint(eager=True)
     out = D.incremental_minhash_dedup(
-        docs.filter(F.col("doc_id") % 2 == 1), store, threshold=0.05
+        docs.filter(F.col("doc_id") % 2 == 1),
+        all_rows.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.05,
+        new_sigs=all_rows.filter(F.col("doc_id") % 2 == 1),
     )
     return out.select("doc_id", "dup_of", "jaccard").orderBy("doc_id")
 

@@ -309,3 +309,20 @@ def test_foreach_batch_pruned_layout_cycle(spark, tmp_path):
         for r in spark.read.parquet(store_dir).select("doc_id").distinct().collect()
     }
     assert ids == {1, 2, 11}
+
+
+def test_presigned_batch_matches_default_path(spark):
+    """new_sigs override (r17): passing the batch's precomputed
+    minhash_store_rows frame — the one-shared-signature-pass shape the
+    dedup_incremental_minhash gate uses — must be BIT-identical to the
+    default path that signs new_docs internally."""
+    store_docs = _docs(spark, [(2, BASE), (4, OTHER)])
+    batch = _docs(spark, [(5, BASE + " today"), (7, THIRD), (9, BASE)])
+    store = minhash_store_rows(store_docs)
+    default = incremental_minhash_dedup(batch, store, threshold=0.3)
+    presigned = incremental_minhash_dedup(
+        batch, store, threshold=0.3, new_sigs=minhash_store_rows(batch)
+    )
+    d = sorted(map(tuple, default.collect()))
+    p = sorted(map(tuple, presigned.collect()))
+    assert d == p
