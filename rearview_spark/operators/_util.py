@@ -11,7 +11,15 @@ from pyspark.sql import DataFrame
 #: ~48 B/entry in a built hash relation puts 20M rows around 1 GB per
 #: executor — conservative against Spark's 8 GB / 512M-row broadcast
 #: cap. Env-parameterised so a deployment can size it to executor
-#: memory.
+#: memory. DRIVER sizing matters as much as executor sizing (ADVICE
+#: r16): the state changes every iteration, so a NEW broadcast is
+#: built per round — the driver collects each round's state to build
+#: it, and the previous rounds' relations linger until ContextCleaner
+#: GC frees them. Size the cap so ~2-3 in-flight relations fit the
+#: driver too: the repo session's 8g default driver carries the 20M
+#: (~1 GB) default; a 1g driver needs SPARK_GRAFT_BCAST_STATE_MAX
+#: around 2M. Past the cap nothing is collected anywhere — the loop
+#: keeps the shuffled SMJ plan unchanged.
 BROADCAST_STATE_MAX = int(
     __import__("os").environ.get("SPARK_GRAFT_BCAST_STATE_MAX", str(20_000_000))
 )

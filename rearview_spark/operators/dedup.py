@@ -1299,7 +1299,7 @@ def connected_components(
     # convergence sum — it gates the per-round broadcast of the O(nodes)
     # label frame into the edge join (checkpointed state has no stats,
     # so the planner would otherwise SMJ and re-shuffle the edge list
-    # every round; graph.py:_bcast_state documents the measurement)
+    # every round; _util.bcast_state documents the measurement)
     first = labels.agg(
         F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),

@@ -602,8 +602,13 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 6) -> DataFrame
     Returns ``(node, hops)`` for reached nodes only (seeds at 0).
     """
     ew = edges.repartition("src").localCheckpoint(eager=True)
-    # reached-set rows <= nodes <= edge rows; one cheap count over the
-    # materialized checkpoint bounds every round's broadcast decision
+    # reached-set rows <= nodes <= edge rows HOLDS under the module's
+    # symmetric-edges contract (every node appears as a src; undirected
+    # callers emit both directions). On a raw directed list, dst-only
+    # nodes enter dist too and the state can approach ~2x edge rows —
+    # still far under Spark's 8 GB broadcast cap at the guard default,
+    # but bound with distinct src+dst if this is ever exposed to
+    # unsymmetrized input (ADVICE r16).
     m = ew.count()
     in_graph = ew.select(F.col("src").alias("node")).distinct()
     dist = (

@@ -430,8 +430,10 @@ def test_iteration_state_broadcasts_under_cap_and_not_over(spark, monkeypatch):
     EDGE side every iteration (the r16 measurement: a 3-Exchange SMJ
     per half-iteration). bcast_state() must turn that join into a
     BroadcastHashJoin while the caller-proven row bound fits, and leave
-    the shuffled plan untouched past BROADCAST_STATE_MAX (the 100 TB
-    guard: billion-node state must never be forced into a broadcast)."""
+    the shuffled plan untouched past BROADCAST_STATE_MAX (a row-count
+    cap: state past it — e.g. billion-node graphs — must never be
+    forced into a broadcast; see _util.bcast_state for the executor-
+    AND driver-memory sizing the cap encodes)."""
     from rearview_spark.operators import _util
 
     edges = spark.createDataFrame(
