@@ -29,6 +29,12 @@ from hypothesis import strategies as st
 
 from rearview_spark.operators import timeseries as G
 
+# Whole module runs in the slow lane (VERDICT r16 next-round #8): ~8 min
+# of Hypothesis sweeps — the single biggest block of suite wall time.
+# `pytest tests/ -q -m slow` runs it; the default lane deselects it so
+# the driver's verification window is met (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 T0 = dt.datetime(2024, 1, 1)
 
 series_strategy = st.lists(
